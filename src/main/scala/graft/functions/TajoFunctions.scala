@@ -1,0 +1,168 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, LocalDateTime, ZoneOffset}
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+import org.apache.spark.sql.{Encoder, Encoders}
+
+/** Tajo-compatible function layer.
+  *
+  * The reference registers ~180 annotated functions at startup (reference:
+  * tajo-core/src/main/java/org/apache/tajo/engine/function/FunctionLoader.java:60-140).
+  * Almost all of them exist natively in Spark (SURVEY.md §2.7); this object
+  * registers only the names that are missing or semantically different, so a
+  * Tajo query keeps running under `spark.sql` unchanged.
+  *
+  * Scale note: these are Scala UDFs, which break whole-stage codegen for the
+  * single projection that calls them; none sit on a shuffle or join hot path.
+  * The hot-path pipeline primitives (hashing, minhash, similarity) use
+  * built-in codegen'd expressions instead — see graft.operators.
+  */
+object TajoFunctions {
+
+  private val registered = ConcurrentHashMap.newKeySet[Integer]()
+
+  private val fmtCache = new ConcurrentHashMap[String, DateTimeFormatter]()
+  private def formatter(pg: String): DateTimeFormatter =
+    fmtCache.computeIfAbsent(pg,
+      p => DateTimeFormatter.ofPattern(PgDateFormat.translate(p), java.util.Locale.US))
+
+  private def utc(ts: java.sql.Timestamp): LocalDateTime =
+    LocalDateTime.ofInstant(Instant.ofEpochMilli(ts.getTime)
+      .plusNanos(ts.getNanos % 1000000L), ZoneOffset.UTC)
+
+  /** string_agg(expr, sep): deterministic (sorted) variant of the reference's
+    * string_agg (reference: tajo-core/src/main/java/org/apache/tajo/engine/
+    * function/builtin/StringAgg.java:43). Sorting makes the result
+    * well-defined under distributed (partial/merge) aggregation. */
+  private object StringAggSorted extends Aggregator[(String, String), (List[String], String), String] {
+    def zero: (List[String], String) = (Nil, ",")
+    def reduce(b: (List[String], String), a: (String, String)): (List[String], String) =
+      (if (a._1 == null) b._1 else a._1 :: b._1, if (a._2 == null) b._2 else a._2)
+    def merge(x: (List[String], String), y: (List[String], String)): (List[String], String) =
+      (x._1 ::: y._1, if (y._1.nonEmpty || x._1.isEmpty) y._2 else x._2)
+    def finish(r: (List[String], String)): String = r._1.sorted.mkString(r._2)
+    def bufferEncoder: Encoder[(List[String], String)] = Encoders.product
+    def outputEncoder: Encoder[String] = Encoders.STRING
+  }
+
+  def register(spark: SparkSession): Unit = {
+    val key = Integer.valueOf(System.identityHashCode(spark))
+    if (!registered.add(key)) return
+    val u = spark.udf
+
+    // -- Postgres-style datetime formatting (reference: engine/function/
+    //    datetime/ToCharTimestamp.java, ToTimestampText.java, DateTimeFormat)
+    u.register("to_char", (ts: java.sql.Timestamp, fmt: String) =>
+      if (ts == null || fmt == null) null else utc(ts).format(formatter(fmt)))
+    u.register("to_date_pg", (s: String, fmt: String) =>
+      if (s == null || fmt == null) null
+      else java.sql.Date.valueOf(java.time.LocalDate.parse(s, formatter(fmt))))
+    u.register("to_timestamp_pg", (s: String, fmt: String) =>
+      if (s == null || fmt == null) null
+      else java.sql.Timestamp.valueOf(LocalDateTime.parse(s, formatter(fmt))))
+    // add_days (reference: engine/function/datetime/AddDays.java)
+    u.register("add_days", (ts: java.sql.Timestamp, n: Int) =>
+      if (ts == null) null
+      else java.sql.Timestamp.valueOf(utc(ts).plusDays(n.toLong)))
+    // utc_usec_to('day'|'hour'|'minute', usec) (reference: engine/function/
+    // datetime/DateTimePartFromUnixTimestamp-family)
+    u.register("utc_usec_to", (unit: String, usec: Long) => {
+      val step = unit.toLowerCase match {
+        case "day" => 86400000000L
+        case "hour" => 3600000000L
+        case "minute" => 60000000L
+        case "second" => 1000000L
+        case other => throw new IllegalArgumentException(s"utc_usec_to: $other")
+      }
+      usec - java.lang.Math.floorMod(usec, step)
+    })
+
+    // -- string / binary (reference: engine/function/string/)
+    // strposb: byte offset of substring, 1-based, 0 when absent
+    // (reference: engine/function/string/StrPosb.java)
+    u.register("strposb", (str: String, sub: String) => {
+      if (str == null || sub == null) null
+      else {
+        val h = str.getBytes(StandardCharsets.UTF_8)
+        val n = sub.getBytes(StandardCharsets.UTF_8)
+        if (n.isEmpty) Integer.valueOf(1)
+        else {
+          var i = 0; var found = 0
+          while (found == 0 && i <= h.length - n.length) {
+            if (java.util.Arrays.equals(h, i, i + n.length, n, 0, n.length)) found = i + 1
+            i += 1
+          }
+          Integer.valueOf(found)
+        }
+      }
+    })
+    // digest(input, algo) -> lowercase hex (reference: engine/function/string/Digest.java)
+    u.register("digest", (s: String, algo: String) => {
+      if (s == null || algo == null) null
+      else {
+        val jalgo = algo.toLowerCase match {
+          case "sha1" => "SHA-1"; case "sha256" => "SHA-256"
+          case "sha512" => "SHA-512"; case "md5" => "MD5"; case a => a
+        }
+        MessageDigest.getInstance(jalgo)
+          .digest(s.getBytes(StandardCharsets.UTF_8))
+          .map(b => f"$b%02x").mkString
+      }
+    })
+    u.register("quote_ident", (s: String) =>
+      if (s == null) null else "\"" + s.replace("\"", "\"\"") + "\"")
+
+    // -- network (reference: engine/function/string/HexStringConverter.java + geoip pkg)
+    u.register("int_to_ipstr", (v: Long) => {
+      val x = v & 0xffffffffL
+      s"${(x >> 24) & 255}.${(x >> 16) & 255}.${(x >> 8) & 255}.${x & 255}"
+    })
+    u.register("ipstr_to_int", (s: String) =>
+      if (s == null) null
+      else {
+        val p = s.split("\\.")
+        java.lang.Long.valueOf((p(0).toLong << 24) | (p(1).toLong << 16) | (p(2).toLong << 8) | p(3).toLong)
+      })
+    u.register("ipstr_to_blob", (s: String) =>
+      if (s == null) null
+      else s.split("\\.").map(x => x.toInt.toByte))
+    u.register("bin_to_ipstr", (b: Array[Byte]) =>
+      if (b == null) null else b.map(x => (x & 255).toString).mkString("."))
+
+    // -- json helpers beyond Spark built-ins (reference: engine/function/json/)
+    // json_extract_path_text(js, 'a', 'b', ...) == get_json_object(js, '$.a.b')
+    u.register("json_extract_path_text", (js: String, path: String) => {
+      if (js == null || path == null) null
+      else {
+        val expr = org.apache.spark.sql.catalyst.expressions.GetJsonObject(
+          org.apache.spark.sql.catalyst.expressions.Literal(org.apache.spark.unsafe.types.UTF8String.fromString(js)),
+          org.apache.spark.sql.catalyst.expressions.Literal(org.apache.spark.unsafe.types.UTF8String.fromString("$." + path)))
+        val r = expr.eval(null)
+        if (r == null) null else r.toString
+      }
+    })
+
+    // -- aggregates
+    u.register("string_agg", udaf(StringAggSorted))
+
+    // -- native Catalyst expressions (codegen'd hot-path primitives)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash32", exprs => SimHash32(exprs.head), "scala_udf")
+
+    // -- test helpers (reference: engine/function/builtin/SleepFloat8.java, FailFunction)
+    u.register("sleep", (sec: Int) => { Thread.sleep(sec * 1000L); sec })
+    u.register("fail", (msg: String) => { throw new RuntimeException(msg); "" })
+    ()
+  }
+
+  /** Column-API sugar for the registered names. */
+  def to_char(c: Column, fmt: String): Column =
+    org.apache.spark.sql.functions.call_udf("to_char", c, org.apache.spark.sql.functions.lit(fmt))
+}

@@ -1,0 +1,165 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.QueryDef.{shared, split}
+
+/** Function-library surface (SURVEY.md §2.7): string / math / datetime /
+  * JSON / network functions plus string_agg, exercised over the testdata
+  * tables and cross-checked against DuckDB spellings of the same semantics.
+  *
+  * Reference function inventory: annotation-scanned registration in
+  * tajo-core/src/main/java/org/apache/tajo/engine/function/FunctionLoader.java:60-140
+  * with per-function classes under engine/function/{string,math,datetime,json}.
+  */
+object FunctionQueries {
+
+  // Spark regexp_replace replaces all matches; DuckDB needs the 'g' flag.
+  private val qString = split("q_func_string",
+    """SELECT c_custkey,
+      |  LOWER(c_name) AS lo, UPPER(c_name) AS up, INITCAP(LOWER(c_name)) AS ini,
+      |  CAST(LENGTH(c_name) AS BIGINT) AS len,
+      |  CAST(CHAR_LENGTH(c_name) AS BIGINT) AS clen,
+      |  CAST(OCTET_LENGTH(c_name) AS BIGINT) AS olen,
+      |  SUBSTR(c_name, 1, 8) AS sub,
+      |  LPAD(c_name, 25, '*') AS lp, RPAD(c_name, 25, '*') AS rp,
+      |  TRIM('C' FROM c_name) AS trimmed,
+      |  REVERSE(c_name) AS rev,
+      |  REPEAT(c_mktsegment, 2) AS rep,
+      |  REPLACE(c_name, 'Customer', 'Cust') AS repl,
+      |  REGEXP_REPLACE(c_name, '[0-9]+', '#') AS rex,
+      |  SPLIT_PART(c_name, '#', 2) AS sp2,
+      |  CAST(POSITION('#' IN c_name) AS BIGINT) AS pos,
+      |  CONCAT(c_name, '/', c_mktsegment) AS cc,
+      |  CONCAT_WS('-', c_name, c_mktsegment) AS cw,
+      |  CAST(ASCII(c_name) AS BIGINT) AS asc_c,
+      |  CHR(65 + CAST(c_custkey % 26 AS INT)) AS chr_c,
+      |  MD5(c_name) AS md5h,
+      |  LEFT(c_name, 4) AS l4, RIGHT(c_name, 4) AS r4
+      |FROM customer ORDER BY c_custkey""".stripMargin,
+    """SELECT c_custkey,
+      |  LOWER(c_name) AS lo, UPPER(c_name) AS up,
+      |  CONCAT(UPPER(SUBSTR(LOWER(c_name), 1, 1)), SUBSTR(LOWER(c_name), 2)) AS ini,
+      |  CAST(LENGTH(c_name) AS BIGINT) AS len,
+      |  CAST(LENGTH(c_name) AS BIGINT) AS clen,
+      |  CAST(OCTET_LENGTH(CAST(c_name AS BLOB)) AS BIGINT) AS olen,
+      |  SUBSTR(c_name, 1, 8) AS sub,
+      |  LPAD(c_name, 25, '*') AS lp, RPAD(c_name, 25, '*') AS rp,
+      |  TRIM(c_name, 'C') AS trimmed,
+      |  REVERSE(c_name) AS rev,
+      |  REPEAT(c_mktsegment, 2) AS rep,
+      |  REPLACE(c_name, 'Customer', 'Cust') AS repl,
+      |  REGEXP_REPLACE(c_name, '[0-9]+', '#', 'g') AS rex,
+      |  SPLIT_PART(c_name, '#', 2) AS sp2,
+      |  CAST(POSITION('#' IN c_name) AS BIGINT) AS pos,
+      |  CONCAT(c_name, '/', c_mktsegment) AS cc,
+      |  CONCAT_WS('-', c_name, c_mktsegment) AS cw,
+      |  CAST(ASCII(c_name) AS BIGINT) AS asc_c,
+      |  CHR(65 + CAST(c_custkey % 26 AS INT)) AS chr_c,
+      |  MD5(c_name) AS md5h,
+      |  LEFT(c_name, 4) AS l4, RIGHT(c_name, 4) AS r4
+      |FROM customer ORDER BY c_custkey""".stripMargin)
+
+  // Math: libm last-ulp differences between JVM and C++ are masked by the
+  // DECIMAL rounding; sqrt/abs/floor/ceil/mod are exact.
+  private val qMath = shared("q_func_math",
+    """SELECT l_orderkey, l_linenumber,
+      |  ABS(-l_quantity) AS abs_q,
+      |  CAST(CEIL(l_extendedprice) AS DOUBLE) AS ceil_p,
+      |  CAST(FLOOR(l_extendedprice) AS DOUBLE) AS floor_p,
+      |  CAST(MOD(CAST(l_partkey AS BIGINT), 97) AS BIGINT) AS mod_p,
+      |  CAST(SIGN(l_discount - 0.05) AS DOUBLE) AS sgn,
+      |  SQRT(l_quantity) AS sqrt_q,
+      |  CAST(CAST(EXP(l_discount) AS DECIMAL(20,8)) AS DOUBLE) AS exp_d,
+      |  CAST(CAST(LN(l_quantity + 1) AS DECIMAL(20,8)) AS DOUBLE) AS ln_q,
+      |  CAST(CAST(POW(l_quantity, 2) AS DECIMAL(28,4)) AS DOUBLE) AS pow_q,
+      |  CAST(CAST(SIN(l_discount) AS DECIMAL(20,8)) AS DOUBLE) AS sin_d,
+      |  CAST(CAST(COS(l_discount) AS DECIMAL(20,8)) AS DOUBLE) AS cos_d,
+      |  CAST(CAST(ATAN2(l_quantity, 7) AS DECIMAL(20,8)) AS DOUBLE) AS at2,
+      |  CAST(CAST(DEGREES(l_discount) AS DECIMAL(20,8)) AS DOUBLE) AS deg,
+      |  CAST(CAST(RADIANS(l_quantity) AS DECIMAL(20,8)) AS DOUBLE) AS rad,
+      |  CAST(CAST(CBRT(l_quantity) AS DECIMAL(20,8)) AS DOUBLE) AS cb,
+      |  CAST(CAST(PI() AS DECIMAL(20,8)) AS DOUBLE) AS pi_v,
+      |  ROUND(CAST(l_extendedprice AS DECIMAL(28,4)), 1) AS rnd
+      |FROM lineitem WHERE l_orderkey % 50 = 0
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+
+  // Datetime: Tajo/PG to_char via our compat UDF; DuckDB strftime.
+  private val qDatetime = split("q_func_datetime",
+    """SELECT o_orderkey,
+      |  to_char(o_orderdate, 'YYYY-MM-DD') AS d_str,
+      |  to_char(o_orderdate, 'YYYY/MM') AS ym,
+      |  CAST(DATE_PART('year', o_orderdate) AS BIGINT) AS yr,
+      |  CAST(DATE_PART('month', o_orderdate) AS BIGINT) AS mon,
+      |  CAST(DATE_PART('day', o_orderdate) AS BIGINT) AS dom,
+      |  CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT) AS qtr,
+      |  DATE_TRUNC('MONTH', o_orderdate) AS mstart,
+      |  add_days(o_orderdate, 30) AS plus30,
+      |  ADD_MONTHS(o_orderdate, 2) AS plus2m,
+      |  o_orderdate + INTERVAL 1 DAY AS plus1d,
+      |  CAST(o_orderdate AS DATE) AS as_date
+      |FROM orders WHERE o_orderkey % 20 = 0
+      |ORDER BY o_orderkey""".stripMargin,
+    """SELECT o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS d_str,
+      |  strftime(o_orderdate, '%Y/%m') AS ym,
+      |  CAST(DATE_PART('year', o_orderdate) AS BIGINT) AS yr,
+      |  CAST(DATE_PART('month', o_orderdate) AS BIGINT) AS mon,
+      |  CAST(DATE_PART('day', o_orderdate) AS BIGINT) AS dom,
+      |  CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT) AS qtr,
+      |  DATE_TRUNC('MONTH', o_orderdate) AS mstart,
+      |  o_orderdate + INTERVAL 30 DAY AS plus30,
+      |  CAST(o_orderdate + INTERVAL 2 MONTH AS TIMESTAMP) AS plus2m,
+      |  o_orderdate + INTERVAL 1 DAY AS plus1d,
+      |  CAST(o_orderdate AS DATE) AS as_date
+      |FROM orders WHERE o_orderkey % 20 = 0
+      |ORDER BY o_orderkey""".stripMargin)
+
+  // JSON path + array functions over events.props
+  // (reference: engine/function/json/Json*.java)
+  private val qJson = split("q_func_json",
+    """SELECT event_id,
+      |  CAST(GET_JSON_OBJECT(props, '$.k') AS BIGINT) AS k,
+      |  json_extract_path_text(props, 'k') AS k_text,
+      |  CAST(JSON_ARRAY_LENGTH(CONCAT('[', GET_JSON_OBJECT(props, '$.k'), ',1,2]')) AS BIGINT) AS arr_len
+      |FROM events
+      |ORDER BY event_id""".stripMargin,
+    """SELECT event_id,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |  json_extract_string(props, '$.k') AS k_text,
+      |  CAST(json_array_length(CONCAT('[', json_extract_string(props, '$.k'), ',1,2]')) AS BIGINT) AS arr_len
+      |FROM events
+      |ORDER BY event_id""".stripMargin)
+
+  // string_agg: deterministic sorted variant (our UDAF) vs DuckDB ORDER BY.
+  private val qStringAgg = split("q_func_string_agg",
+    """SELECT n_regionkey, string_agg(n_name, ',') AS names
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+
+  // Network functions: synthesize deterministic IPv4s from keys.
+  private val qIp = split("q_func_ip",
+    """SELECT c_custkey,
+      |  int_to_ipstr(c_custkey * 2654435761) AS ip,
+      |  ipstr_to_int(int_to_ipstr(c_custkey * 2654435761)) AS ip_int
+      |FROM customer ORDER BY c_custkey""".stripMargin,
+    """SELECT c_custkey,
+      |  CONCAT(CAST((c_custkey * 2654435761 % 4294967296) // 16777216 AS BIGINT), '.',
+      |         CAST((c_custkey * 2654435761 % 16777216) // 65536 AS BIGINT), '.',
+      |         CAST((c_custkey * 2654435761 % 65536) // 256 AS BIGINT), '.',
+      |         CAST(c_custkey * 2654435761 % 256 AS BIGINT)) AS ip,
+      |  CAST(c_custkey * 2654435761 % 4294967296 AS BIGINT) AS ip_int
+      |FROM customer ORDER BY c_custkey""".stripMargin)
+
+  // digest / hashing (reference: engine/function/string/Digest.java)
+  private val qDigest = split("q_func_digest",
+    """SELECT s_suppkey, MD5(s_name) AS h_md5, digest(s_name, 'sha256') AS h_sha256,
+      |  strposb(s_name, 'er') AS bpos
+      |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    """SELECT s_suppkey, MD5(s_name) AS h_md5, sha256(s_name) AS h_sha256,
+      |  CAST(strpos(s_name, 'er') AS INT) AS bpos
+      |FROM supplier ORDER BY s_suppkey""".stripMargin)
+
+  val all: Seq[QueryDef] = Seq(
+    qString, qMath, qDatetime, qJson, qStringAgg, qIp, qDigest)
+}

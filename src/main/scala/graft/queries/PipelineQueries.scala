@@ -1,0 +1,356 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.QueryDef.{df, shared, split}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators (beyond the reference's surface, as
+  * required by the project brief): deduplication (exact, normalized,
+  * MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine), similarity
+  * search (brute-force and LSH-bucketed ANN), and text analysis (language
+  * ID, quality scoring, token counting, fingerprinting).
+  *
+  * Verification design: all hashing is specified as pure integer arithmetic
+  * (poly31 char fold mod 1e9+7, Knuth multiplicative mix mod 2^32) so the
+  * DuckDB oracle can evaluate the *same* function exactly — no reliance on
+  * engine-specific hash builtins. Floating-point similarity is computed as
+  * a sequential fold over doubles in both engines → bit-identical.
+  *
+  * Scale design: every operator is a pure per-row projection + shuffle on a
+  * derived key (band/bucket). No driver-side loops, no cartesian products:
+  * LSH banding turns O(n^2) candidate generation into a self-join on band
+  * keys; ANN prunes via sign-bit buckets before scoring.
+  */
+object PipelineQueries {
+
+  // ---------------------------------------------------------------- shared
+  // poly31(s) = fold(c in chars(s)) h = (h*31 + ascii(c)) mod 1e9+7
+  private def sparkPoly31(arg: String): String =
+    s"AGGREGATE(FILTER(SPLIT($arg, ''), c -> c <> ''), CAST(0 AS BIGINT), (a, c) -> (a * 31 + ASCII(c)) % 1000000007)"
+  private def duckPoly31(arg: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($arg, ''), c -> CAST(ascii(c) AS BIGINT))), (a, c) -> (a * 31 + c) % 1000000007)"
+
+  // ------------------------------------------------------------- exact dedup
+  private val qDedupExact = shared("q_dedup_exact",
+    """SELECT MD5(text) AS h, COUNT(*) AS n_copies, MIN(doc_id) AS keeper
+      |FROM documents
+      |GROUP BY MD5(text)
+      |ORDER BY h""".stripMargin, headline = true)
+
+  private val qDedupNorm = split("q_dedup_exact_norm",
+    """SELECT h, COUNT(*) AS n_copies, MIN(doc_id) AS keeper FROM (
+      |  SELECT doc_id, MD5(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', ' '))) AS h
+      |  FROM documents) t
+      |GROUP BY h ORDER BY h""".stripMargin,
+    """SELECT h, COUNT(*) AS n_copies, MIN(doc_id) AS keeper FROM (
+      |  SELECT doc_id, MD5(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', ' ', 'g'))) AS h
+      |  FROM documents) t
+      |GROUP BY h ORDER BY h""".stripMargin)
+
+  // ---------------------------------------------------------- minhash + LSH
+  // Word 3-shingles -> 16 minhash values (h_i = min over shingles of
+  // ((2i+1)*poly31(sh) + 7919i + 1) mod 1e9+7) -> 8 bands x 2 rows.
+  private def sparkSigs: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, SPLIT(text, ' ') AS w FROM documents
+       |), sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN SIZE(w) >= 3
+       |      THEN TRANSFORM(SEQUENCE(1, SIZE(w) - 2),
+       |             i -> CONCAT_WS(' ', ELEMENT_AT(w, i), ELEMENT_AT(w, i + 1), ELEMENT_AT(w, i + 2)))
+       |      ELSE ARRAY('_') END AS shingles
+       |  FROM toks
+       |), hs AS (
+       |  SELECT doc_id, TRANSFORM(shingles, s -> ${sparkPoly31("s")}) AS hvals FROM sh
+       |), sigs AS (
+       |  SELECT doc_id,
+       |    TRANSFORM(SEQUENCE(0, 15),
+       |      i -> ARRAY_MIN(TRANSFORM(hvals, h -> ((2 * i + 1) * h + 7919 * i + 1) % 1000000007))) AS sig
+       |  FROM hs
+       |)""".stripMargin
+
+  private def duckSigs: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |), sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(w) >= 3
+       |      THEN list_transform(range(1, len(w) - 1),
+       |             i -> concat_ws(' ', w[i], w[i + 1], w[i + 2]))
+       |      ELSE ['_'] END AS shingles
+       |  FROM toks
+       |), hs AS (
+       |  SELECT doc_id, list_transform(shingles, s -> ${duckPoly31("s")}) AS hvals FROM sh
+       |), sigs AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, 16),
+       |      i -> list_min(list_transform(hvals, h -> ((2 * i + 1) * h + 7919 * i + 1) % 1000000007))) AS sig
+       |  FROM hs
+       |)""".stripMargin
+
+  private val bandsSpark =
+    """SELECT doc_id, band,
+      |  CONCAT_WS('-',
+      |    CAST(ELEMENT_AT(sig, 2 * band + 1) AS STRING),
+      |    CAST(ELEMENT_AT(sig, 2 * band + 2) AS STRING)) AS band_key
+      |FROM sigs CROSS JOIN (SELECT * FROM VALUES (0),(1),(2),(3),(4),(5),(6),(7) AS t(band)) b""".stripMargin
+  private val bandsDuck =
+    """SELECT doc_id, band,
+      |  CONCAT_WS('-', sig[2 * band + 1], sig[2 * band + 2]) AS band_key
+      |FROM sigs CROSS JOIN (SELECT * FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) t(band)) b""".stripMargin
+
+  private val qMinhashSig = split("q_dedup_minhash",
+    s"""$sparkSigs
+       |SELECT doc_id, CAST(band AS BIGINT) AS band, band_key
+       |FROM ($bandsSpark) x
+       |ORDER BY doc_id, band""".stripMargin,
+    s"""$duckSigs
+       |SELECT doc_id, CAST(band AS BIGINT) AS band, band_key
+       |FROM ($bandsDuck) x
+       |ORDER BY doc_id, band""".stripMargin, headline = true)
+
+  private val qMinhashPairs = split("q_dedup_minhash_pairs",
+    s"""$sparkSigs, bands AS ($bandsSpark)
+       |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |ORDER BY d1, d2""".stripMargin,
+    s"""$duckSigs, bands AS ($bandsDuck)
+       |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |ORDER BY d1, d2""".stripMargin)
+
+  // --------------------------------------------------------------- simhash
+  // g(token) = (poly31(token) * 2654435761) mod 2^32; bit j votes +/-1;
+  // simhash = sum over j of 2^j where vote_j > 0. Spark side uses our
+  // native Catalyst expression simhash32 (graft.functions.SimHash32);
+  // the DuckDB oracle evaluates the identical integer-arithmetic spec.
+  private val qSimhash = split("q_dedup_simhash",
+    """SELECT doc_id, simhash32(SPLIT(text, ' ')) AS sh
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin,
+    s"""WITH hs AS (
+       |  SELECT doc_id,
+       |    list_transform(string_split(text, ' '),
+       |      t -> (${duckPoly31("t")} * 2654435761) % 4294967296) AS gs
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), range(0, 32)),
+       |    (acc, j) -> acc + CASE WHEN
+       |      list_reduce(list_prepend(CAST(0 AS BIGINT), gs),
+       |        (v, g) -> v + CASE WHEN ((g >> j) & 1) = 1 THEN 1 ELSE -1 END) > 0
+       |      THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS sh
+       |FROM hs
+       |ORDER BY doc_id""".stripMargin)
+
+  // ------------------------------------------------- n-gram jaccard on pairs
+  // Exact verification of MinHash candidates: 3-gram shingle Jaccard.
+  private val qNgramJaccard = split("q_dedup_ngram_jaccard",
+    s"""$sparkSigs, bands AS ($bandsSpark),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |), shs AS (SELECT doc_id, ARRAY_DISTINCT(shingles) AS s FROM sh)
+       |SELECT c.d1, c.d2,
+       |  CAST(SIZE(FILTER(x.s, e -> ARRAY_CONTAINS(y.s, e))) AS DOUBLE)
+       |    / SIZE(ARRAY_DISTINCT(CONCAT(x.s, y.s))) AS jaccard
+       |FROM cands c JOIN shs x ON c.d1 = x.doc_id JOIN shs y ON c.d2 = y.doc_id
+       |ORDER BY c.d1, c.d2""".stripMargin,
+    s"""$duckSigs, bands AS ($bandsDuck),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |), shs AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh)
+       |SELECT c.d1, c.d2,
+       |  CAST(len(list_filter(x.s, e -> list_contains(y.s, e))) AS DOUBLE)
+       |    / len(list_distinct(list_concat(x.s, y.s))) AS jaccard
+       |FROM cands c JOIN shs x ON c.d1 = x.doc_id JOIN shs y ON c.d2 = y.doc_id
+       |ORDER BY c.d1, c.d2""".stripMargin)
+
+  // --------------------------------------------- embedding cosine similarity
+  // Sequential-fold dot products and norms: bit-identical doubles in both
+  // engines. Near-dup pass is bucketed by label (coarse IVF-style pruning)
+  // instead of an O(n^2) cartesian.
+  private def sparkDot(a: String, b: String): String =
+    s"AGGREGATE(ZIP_WITH($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (s, v) -> s + v)"
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (s, v) -> s + v)"
+
+  private val qEmbDedup = split("q_dedup_embedding",
+    s"""WITH v AS (
+       |  SELECT vec_id, label, embedding,
+       |    SQRT(${sparkDot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings
+       |)
+       |SELECT a.vec_id AS v1, b.vec_id AS v2,
+       |  CAST(CAST(${sparkDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS DECIMAL(18,10)) AS DOUBLE) AS cos_sim
+       |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE ${sparkDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) > 0.35
+       |ORDER BY v1, v2""".stripMargin,
+    s"""WITH v AS (
+       |  SELECT vec_id, label, embedding,
+       |    SQRT(${duckDot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings
+       |)
+       |SELECT a.vec_id AS v1, b.vec_id AS v2,
+       |  CAST(CAST(${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS DECIMAL(18,10)) AS DOUBLE) AS cos_sim
+       |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) > 0.35
+       |ORDER BY v1, v2""".stripMargin, headline = true)
+
+  // ------------------------------------------------------------- ANN top-k
+  // Brute-force baseline: 5 probe vectors against the full set.
+  private val qAnnBrute = split("q_ann_topk",
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding, SQRT(${sparkDot("embedding", "embedding")}) AS nrm FROM embeddings
+       |), q AS (SELECT * FROM v WHERE vec_id < 5)
+       |SELECT * FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    CAST(CAST(${sparkDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS DECIMAL(18,10)) AS DOUBLE) AS cos_sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${sparkDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC, c.vec_id) AS BIGINT) AS rnk
+       |  FROM q JOIN v c ON q.vec_id <> c.vec_id
+       |) t WHERE rnk <= 3
+       |ORDER BY query_id, rnk""".stripMargin,
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding, SQRT(${duckDot("embedding", "embedding")}) AS nrm FROM embeddings
+       |), q AS (SELECT * FROM v WHERE vec_id < 5)
+       |SELECT * FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    CAST(CAST(${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS DECIMAL(18,10)) AS DOUBLE) AS cos_sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC, c.vec_id) AS BIGINT) AS rnk
+       |  FROM q JOIN v c ON q.vec_id <> c.vec_id
+       |) t WHERE rnk <= 3
+       |ORDER BY query_id, rnk""".stripMargin)
+
+  // LSH-bucketed ANN (the scale path): 4 deterministic hyperplanes
+  // hp_j[i] = ((i*37 + j*101) mod 11) - 5; bucket = sign bits; probes only
+  // scan their own bucket.
+  private def sparkHp(v: String, j: Int): String =
+    s"AGGREGATE(TRANSFORM(SEQUENCE(0, 63), i -> CAST(ELEMENT_AT($v, i + 1) AS DOUBLE) * (((i * 37 + $j * 101) % 11) - 5)), CAST(0 AS DOUBLE), (s, x) -> s + x)"
+  private def duckHp(v: String, j: Int): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, 64), i -> CAST($v[i + 1] AS DOUBLE) * (((i * 37 + $j * 101) % 11) - 5))), (s, x) -> s + x)"
+  private def bucketExpr(dot: (String, Int) => String, v: String): String =
+    (0 to 3).map(j => s"(CASE WHEN ${dot(v, j)} > 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
+
+  private val qAnnLsh = split("q_ann_lsh",
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding, SQRT(${sparkDot("embedding", "embedding")}) AS nrm,
+       |    ${bucketExpr(sparkHp, "embedding")} AS bucket
+       |  FROM embeddings
+       |), q AS (SELECT * FROM v WHERE vec_id < 20)
+       |SELECT * FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, CAST(q.bucket AS BIGINT) AS bucket,
+       |    CAST(CAST(${sparkDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS DECIMAL(18,10)) AS DOUBLE) AS cos_sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${sparkDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC, c.vec_id) AS BIGINT) AS rnk
+       |  FROM q JOIN v c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+       |) t WHERE rnk <= 3
+       |ORDER BY query_id, rnk""".stripMargin,
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding, SQRT(${duckDot("embedding", "embedding")}) AS nrm,
+       |    ${bucketExpr(duckHp, "embedding")} AS bucket
+       |  FROM embeddings
+       |), q AS (SELECT * FROM v WHERE vec_id < 20)
+       |SELECT * FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, CAST(q.bucket AS BIGINT) AS bucket,
+       |    CAST(CAST(${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS DECIMAL(18,10)) AS DOUBLE) AS cos_sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC, c.vec_id) AS BIGINT) AS rnk
+       |  FROM q JOIN v c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+       |) t WHERE rnk <= 3
+       |ORDER BY query_id, rnk""".stripMargin)
+
+  // ---------------------------------------------------------- text analysis
+  private val qTextStats = split("q_text_quality",
+    """SELECT doc_id,
+      |  CAST(LENGTH(text) AS BIGINT) AS n_chars_m,
+      |  CAST(SIZE(SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(SIZE(ARRAY_DISTINCT(SPLIT(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+      |  CAST(CAST(SIZE(ARRAY_DISTINCT(SPLIT(text, ' '))) AS DOUBLE) / SIZE(SPLIT(text, ' ')) AS DECIMAL(10,6)) AS ttr,
+      |  CAST(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / SIZE(SPLIT(text, ' ')) AS DECIMAL(10,6)) AS avg_token_len,
+      |  CAST(SIZE(REGEXP_EXTRACT_ALL(text, '[0-9]+', 0)) AS BIGINT) AS n_numbers,
+      |  CASE WHEN SIZE(SPLIT(text, ' ')) BETWEEN 10 AND 1000
+      |        AND CAST(SIZE(ARRAY_DISTINCT(SPLIT(text, ' '))) AS DOUBLE) / SIZE(SPLIT(text, ' ')) > 0.2
+      |       THEN 1 ELSE 0 END AS quality_pass
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin,
+    """SELECT doc_id,
+      |  CAST(LENGTH(text) AS BIGINT) AS n_chars_m,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+      |  CAST(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) AS DECIMAL(10,6)) AS ttr,
+      |  CAST(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS DECIMAL(10,6)) AS avg_token_len,
+      |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_numbers,
+      |  CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 1000
+      |        AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) > 0.2
+      |       THEN 1 ELSE 0 END AS quality_pass
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin, headline = true)
+
+  // Language ID: marker-token voting with deterministic tie-break.
+  private def langCase(cnt: String => String): String = {
+    val markers = Seq(
+      "fr" -> "(le|la|et|des|une)",
+      "es" -> "(el|los|las|una|del)",
+      "de" -> "(der|die|das|und|ein)",
+      "zh" -> "(de|shi|bu|zai|yi)")
+    val scores = markers.map { case (l, re) => l -> cnt(s"'\\\\b$re\\\\b'") }
+    val best = scores.map { case (l, s) => s"WHEN $s >= 2 THEN '$l'" }.mkString(" ")
+    s"CASE $best ELSE 'en' END"
+  }
+  private val qLangId = split("q_text_langid",
+    s"""SELECT doc_id, lang,
+       |  ${langCase(re => s"SIZE(REGEXP_EXTRACT_ALL(LOWER(text), $re, 0))")} AS lang_pred
+       |FROM documents ORDER BY doc_id""".stripMargin,
+    s"""SELECT doc_id, lang,
+       |  ${langCase(re => s"len(regexp_extract_all(LOWER(text), $re))")} AS lang_pred
+       |FROM documents ORDER BY doc_id""".stripMargin)
+
+  // Token counting: whitespace + BPE-ish regex segmentation.
+  private val qTokens = split("q_text_tokens",
+    """SELECT doc_id,
+      |  CAST(SIZE(SPLIT(text, '\\s+')) AS BIGINT) AS ws_tokens,
+      |  CAST(SIZE(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)) AS BIGINT) AS bpe_ish_tokens
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin,
+    """SELECT doc_id,
+      |  CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_ish_tokens
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin)
+
+  // Document fingerprinting: rolling poly31 over the normalized text plus
+  // md5 — both engine-agnostic.
+  private val qFingerprint = split("q_text_fingerprint",
+    s"""SELECT doc_id,
+       |  MD5(LOWER(text)) AS fp_md5,
+       |  ${sparkPoly31("LOWER(text)")} AS fp_roll
+       |FROM documents ORDER BY doc_id""".stripMargin,
+    s"""SELECT doc_id,
+       |  MD5(LOWER(text)) AS fp_md5,
+       |  ${duckPoly31("LOWER(text)")} AS fp_roll
+       |FROM documents ORDER BY doc_id""".stripMargin)
+
+  // ------------------------------------------------------------- multimodal
+  // Opaque binary payloads + typed metadata; decode is a deterministic stub
+  // (no image/audio libs in this container) but schema/partitioning/batch
+  // plumbing is real — see graft.operators.Multimodal for the typed API.
+  private val qMultimodal = split("q_multimodal_meta",
+    s"""SELECT doc_id,
+       |  CAST(OCTET_LENGTH(CAST(text AS BINARY)) AS BIGINT) AS n_bytes,
+       |  LOWER(SUBSTR(HEX(CAST(text AS BINARY)), 1, 16)) AS magic,
+       |  ${sparkPoly31("text")} % 997 AS fake_feature
+       |FROM documents ORDER BY doc_id""".stripMargin,
+    s"""SELECT doc_id,
+       |  CAST(OCTET_LENGTH(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       |  LOWER(SUBSTR(hex(CAST(text AS BLOB)), 1, 16)) AS magic,
+       |  ${duckPoly31("text")} % 997 AS fake_feature
+       |FROM documents ORDER BY doc_id""".stripMargin)
+
+  val all: Seq[QueryDef] = Seq(
+    qDedupExact, qDedupNorm, qMinhashSig, qMinhashPairs, qSimhash,
+    qNgramJaccard, qEmbDedup, qAnnBrute, qAnnLsh,
+    qTextStats, qLangId, qTokens, qFingerprint, qMultimodal)
+}
