@@ -16,6 +16,8 @@ object SparkEntry {
   private def queries0: Seq[QueryDef] =
     graft.queries.CoreQueries.all ++
     graft.queries.FunctionQueries.all ++
+    graft.queries.EventsQueries.all ++
+    graft.queries.StorageQueries.all ++
     graft.queries.PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,161 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.QueryDef.df
+import graft.engine.Tables
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Storage layer parity: CTAS / INSERT / column-partitioned writes /
+  * text (CSV) serde options / self-describing JSON — the reference's
+  * StoreTableExec, InsertRowsExec, ColPartitionStoreExec and
+  * DelimitedTextFile/JSON scanners (reference: tajo-core/src/main/java/org/
+  * apache/tajo/engine/planner/physical/StoreTableExec.java,
+  * ColPartitionStoreExec.java; tajo-storage/tajo-storage-hdfs/src/main/java/
+  * org/apache/tajo/storage/text/DelimitedTextFile.java, json/).
+  *
+  * Each query writes to a scratch dir and reads the result back, so the
+  * DuckDB oracle (which sees only the source tables) verifies the full
+  * write→read round trip. Writes are tiny aggregates or sf-bounded tables.
+  */
+object StorageQueries {
+
+  private def scratch(name: String): String = {
+    val d = s"${System.getProperty("java.io.tmpdir")}/graft_store/$name"
+    d
+  }
+
+  // CTAS (CREATE TABLE AS SELECT ... USING PARQUET) + read back.
+  private val qCtas = df("q_store_ctas",
+    (spark, dir) => {
+      val out = scratch("ctas_parquet")
+      spark.sql(
+        """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
+          |FROM orders GROUP BY o_orderstatus, o_orderpriority""".stripMargin)
+        .write.mode(SaveMode.Overwrite).parquet(out)
+      spark.read.parquet(out).orderBy("o_orderstatus", "o_orderpriority")
+    },
+    Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
+           |FROM orders GROUP BY o_orderstatus, o_orderpriority
+           |ORDER BY o_orderstatus, o_orderpriority""".stripMargin))
+
+  // INSERT INTO (append) semantics: overwrite with slice A, append slice B,
+  // read back the union.
+  private val qInsert = df("q_store_insert_append",
+    (spark, dir) => {
+      val out = scratch("insert_parquet")
+      val nation = Tables.table(spark, dir, "nation")
+      nation.filter(col("n_nationkey") < 10)
+        .write.mode(SaveMode.Overwrite).parquet(out)
+      nation.filter(col("n_nationkey") >= 10)
+        .write.mode(SaveMode.Append).parquet(out)
+      spark.read.parquet(out).orderBy("n_nationkey")
+    },
+    Some("SELECT * FROM nation ORDER BY n_nationkey"))
+
+  // Hive-style column-partitioned write + partition-pruned read
+  // (ColPartitionStoreExec + PartitionedTableRewriter equivalent; the read
+  // back scans only event_type=click/purchase directories).
+  private val qPartitioned = df("q_store_partitioned",
+    (spark, dir) => {
+      val out = scratch("events_by_type")
+      Tables.table(spark, dir, "events")
+        .write.mode(SaveMode.Overwrite).partitionBy("event_type").parquet(out)
+      spark.read.parquet(out)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(count("*").as("cnt"),
+          sum(col("value").cast("decimal(38,6)")).cast("double").as("sum_value"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, COUNT(*) AS cnt,
+           |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+           |FROM events WHERE event_type IN ('click', 'purchase')
+           |GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  // Delimited-text serde with Tajo's text.delimiter / text.null options
+  // (StorageConstants.java:45-46) → Spark csv sep/nullValue round trip.
+  private val qCsv = df("q_store_csv_text",
+    (spark, dir) => {
+      val out = scratch("csv_pipe")
+      Tables.table(spark, dir, "customer")
+        .withColumn("c_mktsegment",
+          when(col("c_mktsegment") === "BUILDING", lit(null: String))
+            .otherwise(col("c_mktsegment")))
+        .write.mode(SaveMode.Overwrite)
+        .option("sep", "|").option("nullValue", "\\N")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .csv(out)
+      spark.read
+        .schema(Tables.table(spark, dir, "customer").schema)
+        .option("sep", "|").option("nullValue", "\\N")
+        .csv(out)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal").cast("decimal(28,6)").cast("double").as("acctbal"),
+          col("c_mktsegment"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name, c_nationkey,
+           |  CAST(CAST(c_acctbal AS DECIMAL(28,6)) AS DOUBLE) AS acctbal,
+           |  CASE WHEN c_mktsegment = 'BUILDING' THEN NULL ELSE c_mktsegment END AS c_mktsegment
+           |FROM customer ORDER BY c_custkey""".stripMargin))
+
+  // Self-describing JSON: write line-JSON without a schema, read back with
+  // inference (TableDesc.schema optional, reference:
+  // tajo-catalog/tajo-catalog-common/src/main/java/org/apache/tajo/catalog/TableDesc.java:40).
+  private val qJsonSelfDesc = df("q_store_json_selfdesc",
+    (spark, dir) => {
+      val out = scratch("json_supplier")
+      Tables.table(spark, dir, "supplier")
+        .write.mode(SaveMode.Overwrite).json(out)
+      spark.read.json(out)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          col("s_acctbal").cast("decimal(28,6)").cast("double").as("acctbal"))
+        .orderBy("s_suppkey")
+    },
+    Some("""SELECT s_suppkey, s_name, s_nationkey,
+           |  CAST(CAST(s_acctbal AS DECIMAL(28,6)) AS DOUBLE) AS acctbal
+           |FROM supplier ORDER BY s_suppkey""".stripMargin))
+
+  // ORC round trip (reference tajo-storage-hdfs orc/).
+  private val qOrc = df("q_store_orc",
+    (spark, dir) => {
+      val out = scratch("orc_part")
+      Tables.table(spark, dir, "part")
+        .write.mode(SaveMode.Overwrite).orc(out)
+      spark.read.orc(out)
+        .groupBy("p_brand")
+        .agg(count("*").as("cnt"),
+          sum(col("p_retailprice").cast("decimal(38,4)")).cast("double").as("retail"))
+        .orderBy("p_brand")
+    },
+    Some("""SELECT p_brand, COUNT(*) AS cnt,
+           |  CAST(SUM(CAST(p_retailprice AS DECIMAL(38,4))) AS DOUBLE) AS retail
+           |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin))
+
+  // Nested RECORD round trip: build a struct column, write parquet, read
+  // back with dot-path projection (LogicalPlanner path projection,
+  // reference: tajo-plan/src/main/java/org/apache/tajo/plan/LogicalPlanner.java:579).
+  private val qNested = df("q_store_nested_record",
+    (spark, dir) => {
+      val out = scratch("nested_events")
+      Tables.table(spark, dir, "events")
+        .select(col("event_id"),
+          struct(col("user_id").as("uid"), col("event_type").as("etype"),
+            struct(col("value").as("v"), col("props").as("raw")).as("payload")).as("rec"))
+        .write.mode(SaveMode.Overwrite).parquet(out)
+      spark.read.parquet(out)
+        .select(col("event_id"), col("rec.uid").as("uid"),
+          col("rec.payload.v").as("v"),
+          get_json_object(col("rec.payload.raw"), "$.k").cast("bigint").as("k"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id AS uid, value AS v,
+           |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           |FROM events ORDER BY event_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(
+    qCtas, qInsert, qPartitioned, qCsv, qJsonSelfDesc, qOrc, qNested)
+}
