@@ -18,7 +18,8 @@ object SparkEntry {
     graft.queries.FunctionQueries.all ++
     graft.queries.EventsQueries.all ++
     graft.queries.StorageQueries.all ++
-    graft.queries.PipelineQueries.all
+    graft.queries.PipelineQueries.all ++
+    graft.queries.OperatorQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

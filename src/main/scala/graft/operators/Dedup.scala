@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale text corpora.
+  *
+  * All variants are shuffle-on-derived-key algorithms: the only wide
+  * operations are groupBy/join on hash or band keys, so they scale linearly
+  * with executors and never materialize O(n^2) candidate sets. At 100 TB:
+  * exact dedup is one shuffle on a 128-bit digest; MinHash-LSH shuffles
+  * (bands x rows) band keys per doc and joins only within buckets.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content digest: one hash-aggregate shuffle.
+    * Returns (hash, n_copies, keeper = min id). */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("h"))
+      .agg(count("*").as("n_copies"), min(col(idCol)).as("keeper"))
+
+  /** Exact dedup after lowercase/punctuation/whitespace normalization. */
+  def normalized(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.withColumn("__norm",
+        trim(regexp_replace(regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", " "), " +", " ")))
+      .groupBy(md5(col("__norm")).as("h"))
+      .agg(count("*").as("n_copies"), min(col(idCol)).as("keeper"))
+
+  /** Per-doc MinHash signature (array of k BIGINTs) from word `n`-shingles. */
+  def minhashSignature(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int = 16, shingleN: Int = 3): DataFrame = {
+    val toks = s"SPLIT($textCol, ' ')"
+    val sh = HashSpec.shingles(toks, shingleN)
+    val hv = s"TRANSFORM($sh, s0 -> ${HashSpec.poly31("s0")})"
+    docs.select(col(idCol), expr(HashSpec.minhashSig(hv, k)).as("sig"))
+  }
+
+  /** LSH band rows: (id, band, band_key); join on (band, band_key) to get
+    * candidate pairs. bands*rowsPerBand must equal the signature length. */
+  def minhashBands(sigs: DataFrame, idCol: String,
+                   bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val key = (0 until rowsPerBand)
+      .map(r => s"CAST(ELEMENT_AT(sig, CAST($rowsPerBand * band + ${r + 1} AS INT)) AS STRING)")
+      .mkString("CONCAT_WS('-', ", ", ", ")")
+    sigs.crossJoin(
+        org.apache.spark.sql.SparkSession.active.range(bands).toDF("band"))
+      .select(col(idCol), col("band"), expr(key).as("band_key"))
+  }
+
+  /** Candidate near-duplicate pairs from banded signatures (id1 < id2). */
+  def minhashCandidates(bandRows: DataFrame, idCol: String): DataFrame = {
+    val a = bandRows.select(col("band"), col("band_key"), col(idCol).as("d1"))
+    val b = bandRows.select(col("band"), col("band_key"), col(idCol).as("d2"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+  }
+
+  /** 32-bit SimHash per doc via the native Catalyst expression. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.TajoFunctions.register(docs.sparkSession)
+    docs.select(col(idCol), expr(s"simhash32(SPLIT($textCol, ' '))").as("simhash"))
+  }
+
+  /** Exact n-gram Jaccard for candidate pairs (verification pass after LSH). */
+  def ngramJaccard(docs: DataFrame, pairs: DataFrame, idCol: String,
+                   textCol: String, shingleN: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol),
+      expr(s"ARRAY_DISTINCT(${HashSpec.shingles(s"SPLIT($textCol, ' ')", shingleN)})").as("s"))
+    pairs
+      .join(sh.select(col(idCol).as("d1"), col("s").as("s1")), "d1")
+      .join(sh.select(col(idCol).as("d2"), col("s").as("s2")), "d2")
+      .select(col("d1"), col("d2"),
+        expr("CAST(SIZE(FILTER(s1, e -> ARRAY_CONTAINS(s2, e))) AS DOUBLE) / SIZE(ARRAY_DISTINCT(CONCAT(s1, s2)))").as("jaccard"))
+  }
+
+  /** Embedding cosine near-duplicates within buckets (bucketCol prunes the
+    * pair space; pass a constant column for exhaustive mode). */
+  def embeddingNearDups(vectors: DataFrame, idCol: String, vecCol: String,
+                        bucketCol: String, threshold: Double): DataFrame = {
+    val v = vectors.select(col(idCol), col(bucketCol).as("__bucket"), col(vecCol).as("__vec"))
+      .withColumn("__nrm", expr(s"SQRT(${HashSpec.dot("__vec", "__vec")})"))
+    val a = v.select(col(idCol).as("v1"), col("__bucket"), col("__vec").as("va"), col("__nrm").as("na"))
+    val b = v.select(col(idCol).as("v2"), col("__bucket"), col("__vec").as("vb"), col("__nrm").as("nb"))
+    a.join(b, Seq("__bucket")).filter(col("v1") < col("v2"))
+      .withColumn("cos_sim", expr(s"${HashSpec.dot("va", "vb")} / (na * nb)"))
+      .filter(col("cos_sim") > threshold)
+      .select("v1", "v2", "cos_sim")
+  }
+}

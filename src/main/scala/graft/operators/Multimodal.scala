@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video payloads as opaque BINARY
+  * columns with typed metadata, plus partition-parallel decode /
+  * feature-extract over them.
+  *
+  * The actual codec step is STUBBED (this container ships no image/audio
+  * libraries): `decodeStub` produces a deterministic fake feature vector
+  * from the bytes. Everything around it — schema, per-partition batching,
+  * null handling, partitioning — is real, so swapping in a real decoder
+  * (e.g. JNI JPEG, or a Python worker via a Pandas-UDF-style batch API)
+  * only replaces the inner function.
+  */
+object Multimodal {
+
+  /** Typed row for decoded media features. */
+  final case class MediaFeatures(
+      id: Long,
+      n_bytes: Long,
+      magic: String,            // first 8 bytes, hex — format sniffing
+      width: Int, height: Int,  // fake dimensions from the stub decoder
+      features: Array[Float])   // fake embedding from the stub decoder
+
+  /** Wrap a text/blob column as a BINARY payload with metadata — the shape
+    * a real ingestion (e.g. image tarballs -> parquet) would produce. */
+  def asMediaTable(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("id"),
+      col(payloadCol).cast("binary").as("payload"),
+      octet_length(col(payloadCol).cast("binary")).cast("long").as("n_bytes"),
+      lit("application/octet-stream").as("mime"))
+
+  /** Partition-parallel "decode": mapPartitions over the binary payloads.
+    * Deterministic stub — replace the body with a real codec at will. */
+  def decodeStub(media: DataFrame)(implicit spark: SparkSession): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select("id", "payload").as[(Long, Array[Byte])].mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val n = if (bytes == null) 0 else bytes.length
+        val magic = (if (bytes == null) Array.empty[Byte] else bytes.take(8))
+          .map(b => f"$b%02x").mkString
+        // ??? real decoder goes here; deterministic fake below
+        var h = 0L
+        var i = 0
+        while (i < n) { h = (h * 31 + (bytes(i) & 0xff)) % 1000000007L; i += 1 }
+        val w = (h % 640 + 32).toInt
+        val ht = (h % 480 + 24).toInt
+        val feats = Array.tabulate(8)(j => (((h * (2 * j + 1) + j) % 1000) / 1000.0).toFloat)
+        MediaFeatures(id, n.toLong, magic, w, ht, feats)
+      }
+    }
+  }
+
+  /** Frame-sampling shape: explode k deterministic "frames" per payload —
+    * the batch geometry of video frame extraction. */
+  def sampleFrames(media: DataFrame, k: Int = 4): DataFrame =
+    media.select(col("id"), col("n_bytes"),
+        explode(expr(s"SEQUENCE(0, ${k - 1})")).as("frame_idx"))
+      .withColumn("frame_offset", col("frame_idx") * (col("n_bytes") / k).cast("long"))
+}

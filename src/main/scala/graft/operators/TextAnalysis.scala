@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators: quality scoring, language ID, token counting,
+  * fingerprinting. All pure per-row projections (narrow, codegen-friendly,
+  * no shuffle) — at 100 TB these run at scan speed.
+  */
+object TextAnalysis {
+
+  /** Length/token/type-token-ratio quality features + a pass/fail gate. */
+  def qualityStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = split(t, " ")
+    docs.select(col(idCol),
+      length(t).cast("bigint").as("n_chars"),
+      size(toks).cast("bigint").as("n_tokens"),
+      size(array_distinct(toks)).cast("bigint").as("n_distinct_tokens"),
+      (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr"),
+      (length(regexp_replace(t, " ", "")).cast("double") / size(toks)).as("avg_token_len"),
+      size(expr(s"REGEXP_EXTRACT_ALL($textCol, '[0-9]+', 0)")).cast("bigint").as("n_numbers"))
+      .withColumn("quality_pass",
+        (col("n_tokens").between(10, 1000) && col("ttr") > 0.2).cast("int"))
+  }
+
+  /** Marker-token language ID with deterministic tie-break (n-gram
+    * heuristic; >=2 marker hits wins, else 'en'). */
+  def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val markers = Seq(
+      "fr" -> "(le|la|et|des|une)",
+      "es" -> "(el|los|las|una|del)",
+      "de" -> "(der|die|das|und|ein)",
+      "zh" -> "(de|shi|bu|zai|yi)")
+    val scored = markers.foldLeft(docs.select(col(idCol), col(textCol))) {
+      case (d, (lang, re)) =>
+        d.withColumn(s"__$lang",
+          size(expr(s"REGEXP_EXTRACT_ALL(LOWER($textCol), '\\\\b$re\\\\b', 0)")))
+    }
+    val pred = markers.map { case (l, _) => s"WHEN __$l >= 2 THEN '$l'" }
+      .mkString("CASE ", " ", " ELSE 'en' END")
+    scored.select(col(idCol), expr(pred).as("lang_pred"))
+  }
+
+  /** Whitespace and BPE-ish regex token counts. */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      size(split(col(textCol), "\\s+")).cast("bigint").as("ws_tokens"),
+      size(expr(s"REGEXP_EXTRACT_ALL(LOWER($textCol), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"))
+        .cast("bigint").as("bpe_ish_tokens"))
+
+  /** Content fingerprints: md5 plus the poly31 rolling hash. */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      md5(lower(col(textCol))).as("fp_md5"),
+      expr(HashSpec.poly31(s"LOWER($textCol)")).as("fp_roll"))
+}

@@ -1,0 +1,110 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.QueryDef.df
+import graft.engine.Tables
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+
+/** Oracle-verified coverage of the Scala operator API (graft.operators.*)
+  * and the Structured Streaming module — the same semantics as the SQL
+  * formulations in PipelineQueries/EventsQueries, driven through the typed
+  * entry points a library user would call.
+  */
+object OperatorQueries {
+
+  private val qMinhashApi = df("q_op_minhash_api",
+    (spark, dir) => {
+      val docs = Tables.table(spark, dir, "documents")
+      val sigs = Dedup.minhashSignature(docs, "doc_id", "text")
+      val bands = Dedup.minhashBands(sigs, "doc_id")
+      Dedup.minhashCandidates(bands, "doc_id").orderBy("d1", "d2")
+    },
+    // same oracle as q_dedup_minhash_pairs
+    graft.queries.PipelineQueries.all.find(_.name == "q_dedup_minhash_pairs").get.oracle)
+
+  private val qAnnApi = df("q_op_ann_api",
+    (spark, dir) => {
+      val vecs = Tables.table(spark, dir, "embeddings")
+      val probes = vecs.filter(col("vec_id") < 20)
+      Similarity.lshTopK(vecs, probes, "vec_id", "embedding", k = 3)
+        .select(col("query_id"), col("neighbor_id"), col("__bucket").cast("bigint").as("bucket"),
+          expr("CAST(CAST(cos_sim AS DECIMAL(18,10)) AS DOUBLE)").as("cos_sim"),
+          col("rnk").cast("bigint").as("rnk"))
+        .orderBy("query_id", "rnk")
+    },
+    graft.queries.PipelineQueries.all.find(_.name == "q_ann_lsh").get.oracle)
+
+  private val qQualityApi = df("q_op_quality_api",
+    (spark, dir) => {
+      val docs = Tables.table(spark, dir, "documents")
+      TextAnalysis.qualityStats(docs, "doc_id", "text")
+        .select(col("doc_id"),
+          col("n_chars").as("n_chars_m"), col("n_tokens"), col("n_distinct_tokens"),
+          expr("CAST(ttr AS DECIMAL(10,6))").as("ttr"),
+          expr("CAST(avg_token_len AS DECIMAL(10,6))").as("avg_token_len"),
+          col("n_numbers"), col("quality_pass"))
+        .orderBy("doc_id")
+    },
+    graft.queries.PipelineQueries.all.find(_.name == "q_text_quality").get.oracle)
+
+  private val qMultimodalApi = df("q_op_multimodal_api",
+    (spark, dir) => {
+      implicit val s = spark
+      val docs = Tables.table(spark, dir, "documents")
+      val media = Multimodal.asMediaTable(docs, "doc_id", "text")
+      Multimodal.decodeStub(media).toDF()
+        .select(col("id").as("doc_id"), col("n_bytes"),
+          substring(col("magic"), 1, 16).as("magic"),
+          col("width").cast("bigint").as("width"))
+        .orderBy("doc_id")
+    },
+    // bytes of ASCII text == chars; magic = first 8 bytes hex; width is the
+    // stub decoder's poly31-derived fake dimension
+    Some(s"""SELECT doc_id,
+            |  CAST(OCTET_LENGTH(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+            |  LOWER(SUBSTR(hex(CAST(text AS BLOB)), 1, 16)) AS magic,
+            |  ${duckPoly31Bytes} % 640 + 32 AS width
+            |FROM documents ORDER BY doc_id""".stripMargin))
+
+  private def duckPoly31Bytes: String =
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))), (a, c) -> (a * 31 + c) % 1000000007)"
+
+  private val qStreamHourly = df("q_stream_hourly",
+    (spark, dir) => {
+      val agg = EventStreams.hourlyCounts(EventStreams.readEvents(spark, dir))
+      EventStreams.runToMemoryTable(agg, "graft_stream_hourly")
+        .orderBy("hour", "event_type")
+    },
+    Some("""SELECT DATE_TRUNC('HOUR', ts) AS hour, event_type, COUNT(*) AS cnt,
+           |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  private val qStreamSessions = df("q_stream_sessions",
+    (spark, dir) => {
+      val agg = EventStreams.sessionCounts(EventStreams.readEvents(spark, dir))
+      EventStreams.runToMemoryTable(agg, "graft_stream_sessions")
+        .orderBy("user_id", "session_start")
+    },
+    Some("""WITH marked AS (
+           |  SELECT user_id, ts,
+           |    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+           |           OR ts > LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) + INTERVAL 30 MINUTE
+           |         THEN 1 ELSE 0 END AS new_session
+           |  FROM events
+           |), s AS (
+           |  SELECT user_id, ts,
+           |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           |  FROM marked
+           |)
+           |SELECT user_id, MIN(ts) AS session_start,
+           |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           |  COUNT(*) AS n_events
+           |FROM s GROUP BY user_id, session_id
+           |ORDER BY user_id, session_start""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(
+    qMinhashApi, qAnnApi, qQualityApi, qMultimodalApi, qStreamHourly, qStreamSessions)
+}

@@ -39,11 +39,11 @@ object PipelineQueries {
 
   private val qDedupNorm = split("q_dedup_exact_norm",
     """SELECT h, COUNT(*) AS n_copies, MIN(doc_id) AS keeper FROM (
-      |  SELECT doc_id, MD5(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', ' '))) AS h
+      |  SELECT doc_id, MD5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', ' '), ' +', ' '))) AS h
       |  FROM documents) t
       |GROUP BY h ORDER BY h""".stripMargin,
     """SELECT h, COUNT(*) AS n_copies, MIN(doc_id) AS keeper FROM (
-      |  SELECT doc_id, MD5(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', ' ', 'g'))) AS h
+      |  SELECT doc_id, MD5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS h
       |  FROM documents) t
       |GROUP BY h ORDER BY h""".stripMargin)
 

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events table — an *extension* beyond the
+  * reference (Tajo has no streaming surface; its Kafka connector batch-scans
+  * a topic, reference: tajo-storage/tajo-storage-kafka/src/main/java/org/
+  * apache/tajo/storage/kafka/KafkaScanner.java). The batch-verified
+  * semantics live in graft.queries.EventsQueries; this module runs the same
+  * aggregations incrementally with watermarks.
+  */
+object EventStreams {
+
+  /** Schema of the events stream (ts arrives as epoch-nanos BIGINT from the
+    * driver-generated parquet; converted on ingest). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a directory of events parquet. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  /** Tumbling-hour counts with a 1-hour watermark (late data tolerated up
+    * to 1h; state bounded — mandatory for unbounded streams). */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count("*").as("cnt"),
+        sum(col("value").cast("decimal(38,6)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"), col("cnt"), col("sum_value"))
+
+  /** Session windows with a 30-minute gap — streaming twin of the batch
+    * sessionization query. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count("*").as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+
+  /** Run a streaming aggregation to completion against the (finite) file
+    * source and return the result table — used by tests and demos. */
+  def runToMemoryTable(agg: DataFrame, name: String): DataFrame = {
+    val q: StreamingQuery = agg.writeStream
+      .outputMode("complete")
+      .format("memory").queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    agg.sparkSession.table(name)
+  }
+}

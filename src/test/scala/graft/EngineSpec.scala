@@ -1,0 +1,33 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class EngineSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("registry has unique names and every query declares an oracle") {
+    val names = SparkEntry.registry.map(_.name)
+    assert(names.distinct.size == names.size, "duplicate query names")
+    val noOracle = SparkEntry.registry.filter(_.oracle.isEmpty).map(_.name)
+    assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
+  }
+
+  test("entry() returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("flagship q1_agg returns the 6 flag/status groups") {
+    val r = SparkEntry.queries("q1_agg")(spark, sfDir).collect()
+    assert(r.length == 6)
+    assert(r.map(_.getString(0)).distinct.sorted.sameElements(Array("A", "N", "R")))
+  }
+
+  test("oracle SQL declared for every query name") {
+    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet)
+  }
+
+  test("headline set is non-empty and resolvable") {
+    assert(SparkEntry.headlines.nonEmpty)
+    assert(SparkEntry.headlines.forall(SparkEntry.queries.contains))
+  }
+}

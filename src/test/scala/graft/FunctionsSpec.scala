@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{PgDateFormat, TajoFunctions}
+
+class FunctionsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def one(sql: String): Any = {
+    TajoFunctions.register(spark)
+    spark.sql(sql).collect()(0).get(0)
+  }
+
+  test("PG pattern translation") {
+    assert(PgDateFormat.translate("YYYY-MM-DD") == "yyyy-MM-dd")
+    assert(PgDateFormat.translate("HH24:MI:SS") == "HH:mm:ss")
+    assert(PgDateFormat.translate("Mon DD, YYYY") == "MMM dd, yyyy")
+  }
+
+  test("to_char formats timestamps with PG patterns") {
+    assert(one("SELECT to_char(TIMESTAMP '1996-03-13 11:42:05', 'YYYY-MM-DD HH24:MI:SS')")
+      == "1996-03-13 11:42:05")
+    assert(one("SELECT to_char(TIMESTAMP '1996-03-13 00:00:00', 'DD/MM/YY')") == "13/03/96")
+  }
+
+  test("add_days / utc_usec_to") {
+    assert(one("SELECT CAST(add_days(TIMESTAMP '2000-02-28 01:02:03', 2) AS STRING)")
+      == "2000-03-01 01:02:03")
+    assert(one("SELECT utc_usec_to('day', 86400000000 + 123)") == 86400000000L)
+    assert(one("SELECT utc_usec_to('hour', 7200000000 + 999)") == 7200000000L)
+  }
+
+  test("strposb returns byte positions") {
+    assert(one("SELECT strposb('hello', 'llo')") == 3)
+    assert(one("SELECT strposb('hello', 'zz')") == 0)
+    assert(one("SELECT strposb('héllo', 'llo')") == 4) // é is 2 bytes in UTF-8
+  }
+
+  test("digest computes hex digests") {
+    assert(one("SELECT digest('abc', 'sha1')") == "a9993e364706816aba3e25717850c26c9cd0d89d")
+    assert(one("SELECT digest('abc', 'md5')") == "900150983cd24fb0d6963f7d28e17f72")
+  }
+
+  test("ip conversions round-trip") {
+    assert(one("SELECT int_to_ipstr(3232235777)") == "192.168.1.1")
+    assert(one("SELECT ipstr_to_int('192.168.1.1')") == 3232235777L)
+    assert(one("SELECT bin_to_ipstr(ipstr_to_blob('10.0.0.255'))") == "10.0.0.255")
+  }
+
+  test("json_extract_path_text") {
+    assert(one("""SELECT json_extract_path_text('{"a": {"b": 7}}', 'a.b')""") == "7")
+  }
+
+  test("string_agg sorts deterministically") {
+    assert(one("SELECT string_agg(x, ',') FROM VALUES ('b'), ('a'), ('c') AS t(x)") == "a,b,c")
+  }
+
+  test("simhash32: identical token arrays hash equal, disjoint differ") {
+    val a = one("SELECT simhash32(ARRAY('spark', 'query', 'engine'))")
+    val b = one("SELECT simhash32(ARRAY('spark', 'query', 'engine'))")
+    val c = one("SELECT simhash32(ARRAY('totally', 'different', 'words'))")
+    assert(a == b)
+    assert(a != c)
+    assert(a.asInstanceOf[Long] >= 0 && a.asInstanceOf[Long] < (1L << 32))
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class OperatorsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),      // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"),      // near dup of 1
+    (4L, "completely unrelated text about spark engines")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup finds the duplicate group") {
+    val r = Dedup.exact(docs, "doc_id", "text").filter($"n_copies" > 1).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n_copies") == 2)
+    assert(r(0).getAs[Long]("keeper") == 1L)
+  }
+
+  test("normalized dedup merges case/punctuation variants") {
+    val d = Seq((1L, "Hello, World!"), (2L, "hello world"), (3L, "other")).toDF("doc_id", "text")
+    val r = Dedup.normalized(d, "doc_id", "text").filter($"n_copies" > 1).collect()
+    assert(r.length == 1 && r(0).getAs[Long]("n_copies") == 2)
+  }
+
+  test("minhash LSH surfaces exact and near duplicates as candidates") {
+    val sigs = Dedup.minhashSignature(docs, "doc_id", "text")
+    val cands = Dedup.minhashCandidates(Dedup.minhashBands(sigs, "doc_id"), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)), s"exact dup pair missing from $cands")
+    assert(!cands.exists(p => p._1 == 4L || p._2 == 4L), s"unrelated doc joined a bucket: $cands")
+  }
+
+  test("ngram jaccard: identical docs = 1.0, near dups in (0,1)") {
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("d1", "d2")
+    val j = Dedup.ngramJaccard(docs, pairs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((1L, 3L)) > 0.4 && j((1L, 3L)) < 1.0)
+  }
+
+  test("simhash: exact dups equal, near dups within small hamming distance") {
+    val r = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1L) == r(2L))
+    val hamming = java.lang.Long.bitCount(r(1L) ^ r(3L))
+    assert(hamming <= 12, s"near-dup hamming distance too large: $hamming")
+  }
+
+  private lazy val vecs = {
+    val rows = (0 until 20).map { i =>
+      // unit-ish vectors: cluster k = i % 4 dominant axis + small id jitter
+      val v = Array.tabulate(64)(d => if (d == (i % 4) * 16) 1.0f else if (d == 63) i * 0.001f else 0.0f)
+      (i.toLong, v)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("brute-force ANN ranks same-cluster vectors first") {
+    val probes = vecs.filter($"vec_id" < 4)
+    val r = Similarity.bruteForceTopK(vecs, probes, "vec_id", "embedding", k = 3).collect()
+    assert(r.length == 12)
+    r.foreach { row =>
+      val q = row.getAs[Long]("query_id"); val n = row.getAs[Long]("neighbor_id")
+      assert(q % 4 == n % 4, s"neighbor $n not in cluster of query $q")
+      assert(row.getAs[Double]("cos_sim") > 0.99)
+    }
+  }
+
+  test("LSH ANN agrees with brute force on this corpus") {
+    val probes = vecs.filter($"vec_id" < 4)
+    val brute = Similarity.bruteForceTopK(vecs, probes, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(vecs, probes, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == brute, s"lsh=$lsh brute=$brute")
+  }
+
+  test("embedding near-dup detection within buckets") {
+    val withBucket = vecs.withColumn("b", $"vec_id" % 4)
+    val r = operators.Dedup.embeddingNearDups(withBucket, "vec_id", "embedding", "b", 0.99)
+      .collect()
+    assert(r.nonEmpty)
+    r.foreach(row => assert(row.getLong(0) % 4 == row.getLong(1) % 4))
+  }
+
+  test("text analysis: quality, langid, tokens, fingerprint") {
+    val q = TextAnalysis.qualityStats(docs, "doc_id", "text").collect()
+    assert(q.forall(_.getAs[Long]("n_tokens") > 0))
+    val t = TextAnalysis.tokenCounts(docs, "doc_id", "text")
+      .filter($"doc_id" === 1L).collect()(0)
+    assert(t.getAs[Long]("ws_tokens") == 9)
+    val fr = Seq((1L, "le chat et la souris des bois")).toDF("doc_id", "text")
+    val lang = TextAnalysis.languageId(fr, "doc_id", "text").collect()(0).getString(1)
+    assert(lang == "fr")
+    val fp = TextAnalysis.fingerprint(docs, "doc_id", "text").collect()
+    assert(fp.map(_.getString(1)).distinct.length == 3) // 1==2 share md5
+  }
+
+  test("multimodal stub: deterministic decode + frame sampling shape") {
+    implicit val s = spark
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text")
+    val feats = Multimodal.decodeStub(media).collect().sortBy(_.id)
+    assert(feats.length == 4)
+    assert(feats(0).magic.startsWith("74686520")) // "the " in hex
+    assert(feats(0).n_bytes == 43)
+    assert(feats(0).features.length == 8)
+    val again = Multimodal.decodeStub(media).collect().sortBy(_.id)
+    assert(feats.map(_.features.toSeq).toSeq == again.map(_.features.toSeq).toSeq)
+    val frames = Multimodal.sampleFrames(media, k = 4)
+    assert(frames.count() == 16)
+  }
+}
