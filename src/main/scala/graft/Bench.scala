@@ -1,5 +1,9 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: times every registry query at SPARK_GRAFT_SF_DIR
+  * and prints ONE JSON line {"metric","value","unit","queries","sf"}. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,17 +11,27 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // Warm-up outside the timings: mount views, load parquet footers, prime
+    // codegen — otherwise whichever query runs first absorbs ~6s of session
+    // start-up and the per-query numbers are noise.
+    graft.engine.Tables.register(spark, sfDir)
+    graft.engine.Tables.all.foreach(t => spark.table(t).limit(1).count())
+    spark.sql("SELECT COUNT(*) FROM lineitem").collect()
+
+    val results = SparkEntry.registry.map { q =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { q.run(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      q.name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -47,14 +47,20 @@ object Dedup {
       .select(col(idCol), col("band"), expr(key).as("band_key"))
   }
 
-  /** Candidate near-duplicate pairs from banded signatures (id1 < id2). */
-  def minhashCandidates(bandRows: DataFrame, idCol: String): DataFrame = {
-    val a = bandRows.select(col("band"), col("band_key"), col(idCol).as("d1"))
-    val b = bandRows.select(col("band"), col("band_key"), col(idCol).as("d2"))
-    a.join(b, Seq("band", "band_key"))
-      .filter(col("d1") < col("d2"))
-      .select("d1", "d2").distinct()
-  }
+  /** Candidate near-duplicate pairs from banded signatures (id1 < id2).
+    * Group-collect-explode: one shuffle on the band key and one evaluation
+    * of the upstream signature pipeline (a self-join would recompute it on
+    * both branches). */
+  def minhashCandidates(bandRows: DataFrame, idCol: String): DataFrame =
+    bandRows.groupBy("band", "band_key")
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """FLATTEN(TRANSFORM(SEQUENCE(0, SIZE(ids) - 2),
+          |  i -> TRANSFORM(SEQUENCE(i + 1, SIZE(ids) - 1),
+          |    j -> STRUCT(ids[i] AS d1, ids[j] AS d2))))""".stripMargin)).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .distinct()
 
   /** 32-bit SimHash per doc via the native Catalyst expression. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

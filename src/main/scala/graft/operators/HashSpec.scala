@@ -28,10 +28,19 @@ object HashSpec {
        |         i -> CONCAT_WS(' ', ${(0 until n).map(d => s"ELEMENT_AT($tokensArr, i + $d)").mkString(", ")}))
        |  ELSE ARRAY('_') END""".stripMargin
 
-  /** k minhash values over a BIGINT-array expression of shingle hashes. */
+  /** k minhash values over a BIGINT-array expression of shingle hashes.
+    *
+    * Single sequential fold producing all k minima in one pass: the naive
+    * TRANSFORM(SEQUENCE(0,k-1), i -> ARRAY_MIN(TRANSFORM(hashes, ...)))
+    * form re-evaluates its input expression per permutation once Catalyst
+    * collapses the projections (16x the whole shingle+hash pipeline — was
+    * 4x wall-clock on the dedup queries). A fold evaluates `hashArr` once
+    * and does O(k) arithmetic per element. */
   def minhashSig(hashArr: String, k: Int = 16): String =
-    s"""TRANSFORM(SEQUENCE(0, ${k - 1}),
-       |  i -> ARRAY_MIN(TRANSFORM($hashArr, h -> ((2 * i + 1) * h + 7919 * i + 1) % 1000000007)))""".stripMargin
+    s"""AGGREGATE($hashArr,
+       |  TRANSFORM(SEQUENCE(0, ${k - 1}), i -> CAST(1000000006 AS BIGINT)),
+       |  (acc, h) -> ZIP_WITH(acc, SEQUENCE(0, ${k - 1}),
+       |    (a, i) -> LEAST(a, ((2 * i + 1) * h + 7919 * i + 1) % 1000000007)))""".stripMargin
 
   /** Sequential-fold dot product of two array<float/double> expressions. */
   def dot(a: String, b: String): String =

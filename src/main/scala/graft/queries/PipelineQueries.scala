@@ -60,13 +60,10 @@ object PipelineQueries {
        |             i -> CONCAT_WS(' ', ELEMENT_AT(w, i), ELEMENT_AT(w, i + 1), ELEMENT_AT(w, i + 2)))
        |      ELSE ARRAY('_') END AS shingles
        |  FROM toks
-       |), hs AS (
-       |  SELECT doc_id, TRANSFORM(shingles, s -> ${sparkPoly31("s")}) AS hvals FROM sh
        |), sigs AS (
        |  SELECT doc_id,
-       |    TRANSFORM(SEQUENCE(0, 15),
-       |      i -> ARRAY_MIN(TRANSFORM(hvals, h -> ((2 * i + 1) * h + 7919 * i + 1) % 1000000007))) AS sig
-       |  FROM hs
+       |    ${graft.operators.HashSpec.minhashSig(s"TRANSFORM(shingles, s0 -> ${sparkPoly31("s0")})", 16)} AS sig
+       |  FROM sh
        |)""".stripMargin
 
   private def duckSigs: String =
@@ -109,10 +106,25 @@ object PipelineQueries {
        |FROM ($bandsDuck) x
        |ORDER BY doc_id, band""".stripMargin, headline = true)
 
+  // Candidate pairs via group-collect-explode: one shuffle on the band key
+  // and ONE evaluation of the signature pipeline, vs a self-join whose two
+  // branches each recompute it. Bucket membership lists are tiny by LSH
+  // design (giant buckets would be a skew problem for the self-join too).
+  private val sparkCands =
+    s"""buckets AS (
+       |  SELECT SORT_ARRAY(COLLECT_LIST(doc_id)) AS ids
+       |  FROM bands GROUP BY band, band_key HAVING COUNT(*) > 1
+       |), cands AS (
+       |  SELECT DISTINCT p.d1 AS d1, p.d2 AS d2
+       |  FROM buckets
+       |  LATERAL VIEW EXPLODE(FLATTEN(TRANSFORM(SEQUENCE(0, SIZE(ids) - 2),
+       |    i -> TRANSFORM(SEQUENCE(i + 1, SIZE(ids) - 1),
+       |      j -> STRUCT(ids[i] AS d1, ids[j] AS d2))))) t AS p
+       |)""".stripMargin
+
   private val qMinhashPairs = split("q_dedup_minhash_pairs",
-    s"""$sparkSigs, bands AS ($bandsSpark)
-       |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-       |FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    s"""$sparkSigs, bands AS ($bandsSpark), $sparkCands
+       |SELECT d1, d2 FROM cands
        |ORDER BY d1, d2""".stripMargin,
     s"""$duckSigs, bands AS ($bandsDuck)
        |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
@@ -146,11 +158,8 @@ object PipelineQueries {
   // ------------------------------------------------- n-gram jaccard on pairs
   // Exact verification of MinHash candidates: 3-gram shingle Jaccard.
   private val qNgramJaccard = split("q_dedup_ngram_jaccard",
-    s"""$sparkSigs, bands AS ($bandsSpark),
-       |cands AS (
-       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-       |), shs AS (SELECT doc_id, ARRAY_DISTINCT(shingles) AS s FROM sh)
+    s"""$sparkSigs, bands AS ($bandsSpark), $sparkCands,
+       |shs AS (SELECT doc_id, ARRAY_DISTINCT(shingles) AS s FROM sh)
        |SELECT c.d1, c.d2,
        |  CAST(SIZE(FILTER(x.s, e -> ARRAY_CONTAINS(y.s, e))) AS DOUBLE)
        |    / SIZE(ARRAY_DISTINCT(CONCAT(x.s, y.s))) AS jaccard
