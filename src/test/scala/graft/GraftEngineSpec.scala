@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.GraftEngine
+
+class GraftEngineSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val engine = new GraftEngine(spark)
+  private val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_engine_test"
+
+  test("CREATE DATABASE / DROP DATABASE") {
+    engine.sql("CREATE DATABASE IF NOT EXISTS graft_test_db")
+    assert(spark.catalog.databaseExists("graft_test_db"))
+    engine.sql("DROP DATABASE graft_test_db")
+    assert(!spark.catalog.databaseExists("graft_test_db"))
+  }
+
+  test("Tajo CREATE EXTERNAL TABLE USING text WITH props maps to csv options") {
+    val dir = s"$tmp/csv_table"
+    engine.mount(sfDir)
+    engine.sql("DROP TABLE IF EXISTS nation_csv")
+    spark.table("nation").write.mode("overwrite")
+      .option("sep", "|").csv(dir)
+    engine.sql(
+      s"""CREATE EXTERNAL TABLE nation_csv (n_nationkey INT, n_name STRING, n_regionkey INT)
+         |USING TEXT WITH ('text.delimiter'='|') LOCATION '$dir'""".stripMargin)
+    assert(spark.table("nation_csv").count() == 25)
+    val names = spark.sql("SELECT n_name FROM nation_csv ORDER BY n_nationkey LIMIT 1").collect()
+    assert(names(0).getString(0) == spark.sql("SELECT n_name FROM nation ORDER BY n_nationkey LIMIT 1").collect()(0).getString(0))
+    engine.sql("DROP TABLE nation_csv")
+  }
+
+  test("CTAS + TRUNCATE-equivalent + DROP") {
+    engine.mount(sfDir)
+    engine.sql("DROP TABLE IF EXISTS region_copy")
+    engine.sql(s"CREATE TABLE region_copy USING PARQUET LOCATION '$tmp/region_copy' AS SELECT * FROM region")
+    assert(spark.table("region_copy").count() == 5)
+    engine.sql("DROP TABLE region_copy")
+  }
+
+  test("SET TIME ZONE and SET SESSION update the session config") {
+    engine.sql("SET TIME ZONE 'UTC'")
+    assert(spark.conf.get("spark.sql.session.timeZone") == "UTC")
+    engine.sql("SET SESSION my_flag TO 'on'")
+    assert(spark.conf.get("graft.session.my_flag") == "on")
+  }
+
+  test("EXPLAIN returns a plan and EXPLAIN GLOBAL an extended plan") {
+    engine.mount(sfDir)
+    val p = engine.sql("EXPLAIN SELECT COUNT(*) FROM nation").collect().map(_.getString(0)).mkString("\n")
+    assert(p.contains("Physical Plan"))
+    val g = engine.sql("EXPLAIN GLOBAL SELECT COUNT(*) FROM nation").collect().map(_.getString(0)).mkString("\n")
+    assert(g.contains("Optimized Logical Plan"))
+  }
+
+  test("CREATE INDEX fails with a documented error") {
+    val e = intercept[UnsupportedOperationException] {
+      engine.sql("CREATE INDEX idx ON nation (n_name)")
+    }
+    assert(e.getMessage.contains("not supported"))
+  }
+
+  test("unsupported storage formats fail loudly") {
+    val e = intercept[UnsupportedOperationException] {
+      engine.sql("CREATE TABLE t1 (a INT) USING RCFILE")
+    }
+    assert(e.getMessage.contains("rcfile"))
+  }
+
+  test("plain queries pass through") {
+    engine.mount(sfDir)
+    assert(engine.sql("SELECT COUNT(*) AS c FROM region").collect()(0).getLong(0) == 5)
+  }
+}
