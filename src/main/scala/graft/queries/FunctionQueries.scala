@@ -160,6 +160,40 @@ object FunctionQueries {
       |  CAST(strpos(s_name, 'er') AS INT) AS bpos
       |FROM supplier ORDER BY s_suppkey""".stripMargin)
 
+  // Second string/misc batch: find_in_set, locate, to_hex/to_bin,
+  // bit_length, encode, translate, greatest/least, nullif/coalesce
+  // (reference: engine/function/string/FindInSet.java, Locate.java,
+  // ToBin.java, ToHex.java, BitLength.java, math/RoundFloat8.java).
+  private val qString2 = split("q_func_string2",
+    """SELECT p_partkey,
+      |  CAST(FIND_IN_SET(p_brand, 'Brand#1,Brand#2,Brand#3') AS BIGINT) AS fis,
+      |  CAST(LOCATE('#', p_name) AS BIGINT) AS loc,
+      |  HEX(p_partkey) AS hx,
+      |  BIN(p_partkey) AS bn,
+      |  CAST(BIT_LENGTH(p_brand) AS BIGINT) AS bl,
+      |  CAST(OCTET_LENGTH(ENCODE(p_name, 'utf-8')) AS BIGINT) AS enc_len,
+      |  TRANSLATE(p_type, 'AEO', 'aeo') AS tr,
+      |  GREATEST(p_size, 25) AS gr,
+      |  LEAST(p_size, 25) AS le,
+      |  NULLIF(p_size, 10) AS nif,
+      |  COALESCE(NULLIF(p_size, 10), -1) AS coal,
+      |  LTRIM(RTRIM(CONCAT('  ', p_brand, '  '))) AS trimmed
+      |FROM part ORDER BY p_partkey""".stripMargin,
+    """SELECT p_partkey,
+      |  CAST(COALESCE(list_position(string_split('Brand#1,Brand#2,Brand#3', ','), p_brand), 0) AS BIGINT) AS fis,
+      |  CAST(strpos(p_name, '#') AS BIGINT) AS loc,
+      |  to_hex(p_partkey) AS hx,
+      |  bin(p_partkey) AS bn,
+      |  CAST(BIT_LENGTH(p_brand) AS BIGINT) AS bl,
+      |  CAST(OCTET_LENGTH(encode(p_name)) AS BIGINT) AS enc_len,
+      |  TRANSLATE(p_type, 'AEO', 'aeo') AS tr,
+      |  GREATEST(p_size, 25) AS gr,
+      |  LEAST(p_size, 25) AS le,
+      |  NULLIF(p_size, 10) AS nif,
+      |  COALESCE(NULLIF(p_size, 10), -1) AS coal,
+      |  LTRIM(RTRIM(CONCAT('  ', p_brand, '  '))) AS trimmed
+      |FROM part ORDER BY p_partkey""".stripMargin)
+
   val all: Seq[QueryDef] = Seq(
-    qString, qMath, qDatetime, qJson, qStringAgg, qIp, qDigest)
+    qString, qString2, qMath, qDatetime, qJson, qStringAgg, qIp, qDigest)
 }

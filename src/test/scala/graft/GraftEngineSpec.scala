@@ -8,6 +8,8 @@ class GraftEngineSpec extends AnyFunSuite {
 
   private lazy val engine = new GraftEngine(spark)
   private val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_engine_test"
+  // Drop leftovers from a previous JVM: CTAS refuses non-empty LOCATION dirs.
+  org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
 
   test("CREATE DATABASE / DROP DATABASE") {
     engine.sql("CREATE DATABASE IF NOT EXISTS graft_test_db")

@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{HashSpec, Skew}
+
+/** Property-style cross-validation: the SQL expression fragments in
+  * HashSpec must compute the same function as independent plain-Scala
+  * models — this is what keeps the Spark queries and the DuckDB oracles
+  * (which mirror the same spec) from drifting apart. Seeded randomness so
+  * failures reproduce. */
+class PropertiesSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(42)
+  private def randWord(): String =
+    (1 to (1 + rnd.nextInt(10))).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+  private def randText(maxWords: Int): String =
+    (1 to (1 + rnd.nextInt(maxWords))).map(_ => randWord()).mkString(" ")
+
+  private def poly31Model(s: String): Long =
+    s.foldLeft(0L)((h, c) => (h * 31 + c.toInt) % 1000000007L)
+
+  test("SQL poly31 fragment matches the Scala model on random strings") {
+    val samples = Seq.fill(50)(randText(8))
+    val got = samples.toDF("s")
+      .select(expr(HashSpec.poly31("s")).as("h")).as[Long].collect()
+    val want = samples.map(poly31Model)
+    assert(got.toSeq == want)
+  }
+
+  test("fold-based minhashSig matches the naive per-permutation model") {
+    val texts = Seq.fill(25)(randText(20))
+    val hvArr = "TRANSFORM(SPLIT(s, ' '), t -> " + HashSpec.poly31("t") + ")"
+    val got = texts.toDF("s")
+      .select(expr(HashSpec.minhashSig(hvArr, 16)).as("sig"))
+      .as[Seq[Long]].collect()
+    val want = texts.map { s =>
+      val hs = s.split(' ').toSeq.map(poly31Model)
+      (0 until 16).map(i => hs.map(h => ((2 * i + 1) * h + 7919L * i + 1) % 1000000007L).min)
+    }
+    assert(got.map(_.toSeq).toSeq == want)
+  }
+
+  test("simhash32 expression matches a direct Scala model") {
+    def model(tokens: Seq[String]): Long = {
+      val votes = Array.fill(32)(0)
+      tokens.foreach { t =>
+        val g = (poly31Model(t) * 2654435761L) % 4294967296L
+        (0 until 32).foreach(j => votes(j) += (if (((g >> j) & 1) == 1) 1 else -1))
+      }
+      (0 until 32).foldLeft(0L)((acc, j) => if (votes(j) > 0) acc | (1L << j) else acc)
+    }
+    graft.functions.TajoFunctions.register(spark)
+    val texts = Seq.fill(30)(randText(12))
+    val got = texts.toDF("s")
+      .select(expr("simhash32(SPLIT(s, ' '))")).as[Long].collect()
+    val want = texts.map(s => model(s.split(' ').toSeq))
+    assert(got.toSeq == want)
+  }
+
+  test("sequential-fold dot product matches Scala fold exactly (bit level)") {
+    val vecs = Seq.fill(20)((Array.fill(16)(rnd.nextFloat() * 2 - 1), Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val got = vecs.toDF("a", "b")
+      .select(expr(HashSpec.dot("a", "b")).as("d")).as[Double].collect()
+    val want = vecs.map { case (a, b) =>
+      a.zip(b).foldLeft(0.0)((s, xy) => s + xy._1.toDouble * xy._2.toDouble)
+    }
+    assert(got.toSeq == want)
+  }
+
+  test("salted join equals plain join; salted count equals plain count") {
+    val fact = (1 to 2000).map(i => (i % 7, s"payload_$i")).toDF("k", "payload")
+    val dim = (0 until 7).map(i => (i, s"dim_$i")).toDF("k", "dim_val")
+    val plain = fact.join(dim, "k")
+    val salted = Skew.saltedJoin(fact, dim, "k", salts = 8)
+    assert(salted.count() == plain.count())
+    assert(salted.agg(sum(length(col("payload") ) )).collect()(0).getLong(0)
+      == plain.agg(sum(length(col("payload")))).collect()(0).getLong(0))
+    val cnt = Skew.saltedCount(fact, "k", 8).collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(cnt == (1 to 2000).groupBy(_ % 7).view.mapValues(_.size.toLong).toMap)
+  }
+}
