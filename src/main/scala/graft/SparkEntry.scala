@@ -15,6 +15,7 @@ object SparkEntry {
 
   private def queries0: Seq[QueryDef] =
     graft.queries.CoreQueries.all ++
+    graft.queries.TpchQueries.all ++
     graft.queries.FunctionQueries.all ++
     graft.queries.EventsQueries.all ++
     graft.queries.StorageQueries.all ++

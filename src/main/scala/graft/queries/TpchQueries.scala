@@ -1,0 +1,162 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.QueryDef.shared
+
+/** TPC-H-derived workload beyond the reference's own five benchmark queries.
+  *
+  * The reference validates Q1, Q2(4-join), Q5, Q7(first join), Q14
+  * (reference: tajo-core-tests/src/test/java/org/apache/tajo/benchmark/
+  * TestTPCH.java:34-67); Q1/Q5/Q14 live in CoreQueries. This file adds the
+  * rest of the TPC-H patterns expressible over the driver's synthetic star
+  * schema (no partsupp table; lineitem lacks commitdate/receiptdate/shipmode,
+  * so Q4/Q12/Q21 are adapted to the available columns). Each query follows
+  * the QueryDef determinism contract: DECIMAL-routed double aggregation,
+  * total ORDER BY, BIGINT casts on computed ints.
+  *
+  * Scale notes: every query is a declarative Spark SQL plan — Catalyst
+  * broadcasts the dim sides, keeps aggregations partial+final, and rewrites
+  * the IN/EXISTS subqueries to semi joins; AQE handles skew at real scale.
+  */
+object TpchQueries {
+
+  // Q6 — forecasting revenue change: pure scan + filter + global agg.
+  private val q6 = shared("q6_forecast_revenue",
+    """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin, headline = true)
+
+  // Q7 — volume shipping between two nations (self-join of nation on both
+  // ends of the supplier/customer relationship).
+  private val q7 = shared("q7_volume_shipping",
+    """SELECT supp_nation, cust_nation, l_year,
+      |  CAST(SUM(volume) AS DOUBLE) AS revenue
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+      |    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)) AS volume
+      |  FROM supplier
+      |  JOIN lineitem ON s_suppkey = l_suppkey
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |    AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+      |                       AND TIMESTAMP '1997-12-31 00:00:00'
+      |) shipping
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
+
+  // Q4 (adapted: no l_commitdate/l_receiptdate in the synthetic schema —
+  // the EXISTS probes late-shipping lines instead of late-receipt ones).
+  private val q4 = shared("q4_order_priority",
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin)
+
+  // Q10 — returned-item reporting: fact-fact join + dim, top 20 by revenue.
+  private val q10 = shared("q10_returned_items",
+    """SELECT c_custkey, c_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+      |  c_acctbal, n_name
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin, headline = true)
+
+  // Q13 — customer order-count distribution (outer join with an ON-clause
+  // filter, then an aggregation of an aggregation).
+  private val q13 = shared("q13_customer_distribution",
+    """SELECT c_count, COUNT(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey
+      |) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin)
+
+  // Q15 — top supplier: CTE reused twice (revenue per supplier + its max).
+  private val q15 = shared("q15_top_supplier",
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey
+      |)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin)
+
+  // Q17 — small-quantity-order revenue: correlated scalar subquery against
+  // the per-part average (sum of integral doubles is exact, so the 0.2*avg
+  // threshold is order-independent).
+  private val q17 = shared("q17_small_quantity",
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) / 7.0 AS avg_yearly
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#3'
+      |  AND l_quantity < (SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+      |                    WHERE l2.l_partkey = p_partkey)""".stripMargin)
+
+  // Q18 — large-volume customers: IN over a HAVING aggregate.
+  private val q18 = shared("q18_large_volume",
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS total_qty
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem
+      |  GROUP BY l_orderkey
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(38,4))) > 300)
+      |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 100""".stripMargin, headline = true)
+
+  // Q19 (adapted: no l_shipinstruct/l_shipmode) — disjunctive multi-column
+  // join predicates that Catalyst splits into a common equi-join key plus
+  // per-branch residual filters.
+  private val q19 = shared("q19_disjunctive_filters",
+    """SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+      |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)""".stripMargin)
+
+  // Q22 (adapted: no c_phone — country code derived from c_nationkey) —
+  // anti join + uncorrelated scalar-average threshold.
+  private val q22 = shared("q22_global_sales_opportunity",
+    """SELECT cntrycode, COUNT(*) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,2))) AS DOUBLE) AS totacctbal
+      |FROM (
+      |  SELECT CAST(c_nationkey % 5 AS BIGINT) AS cntrycode, c_acctbal, c_custkey
+      |  FROM customer
+      |  WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,2))) AS DOUBLE) / COUNT(*)
+      |                     FROM customer WHERE c_acctbal > 0.0)
+      |) hot
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY cntrycode
+      |ORDER BY cntrycode""".stripMargin)
+
+  val all: Seq[QueryDef] = Seq(q4, q6, q7, q10, q13, q15, q17, q18, q19, q22)
+}
