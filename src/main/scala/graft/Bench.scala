@@ -24,7 +24,10 @@ object Bench {
     graft.engine.Tables.all.foreach(t => spark.table(t).limit(1).count())
     spark.sql("SELECT COUNT(*) FROM lineitem").collect()
 
-    val results = SparkEntry.registry.map { q =>
+    // Optional comma-separated name filter for focused perf iteration.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = only.fold(SparkEntry.registry)(f => SparkEntry.registry.filter(q => f(q.name)))
+    val results = selected.map { q =>
       val t0 = System.nanoTime()
       try { q.run(spark, sfDir).count() } catch { case _: Throwable => -1L }
       q.name -> (System.nanoTime() - t0) / 1e9

@@ -149,12 +149,28 @@ object TajoFunctions {
       }
     })
 
+    // -- geoip (reference: engine/function/geoip/ — see GeoIp scaladoc)
+    GeoIp.register(spark)
+
     // -- aggregates
     u.register("string_agg", udaf(StringAggSorted))
 
     // -- native Catalyst expressions (codegen'd hot-path primitives)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash32", exprs => SimHash32(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig", { exprs =>
+        def lit(e: org.apache.spark.sql.catalyst.expressions.Expression, name: String): Int =
+          e match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+            case _ => throw new IllegalArgumentException(s"minhash_sig: $name must be an INT literal")
+          }
+        val k = if (exprs.length > 1) lit(exprs(1), "k") else 16
+        val n = if (exprs.length > 2) lit(exprs(2), "n") else 3
+        MinHashSig(exprs.head, k, n)
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "scala_udf")
 
     // -- test helpers (reference: engine/function/builtin/SleepFloat8.java, FailFunction)
     u.register("sleep", (sec: Int) => { Thread.sleep(sec * 1000L); sec })

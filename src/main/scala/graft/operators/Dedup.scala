@@ -29,10 +29,8 @@ object Dedup {
   /** Per-doc MinHash signature (array of k BIGINTs) from word `n`-shingles. */
   def minhashSignature(docs: DataFrame, idCol: String, textCol: String,
                        k: Int = 16, shingleN: Int = 3): DataFrame = {
-    val toks = s"SPLIT($textCol, ' ')"
-    val sh = HashSpec.shingles(toks, shingleN)
-    val hv = s"TRANSFORM($sh, s0 -> ${HashSpec.poly31("s0")})"
-    docs.select(col(idCol), expr(HashSpec.minhashSig(hv, k)).as("sig"))
+    graft.functions.TajoFunctions.register(docs.sparkSession)
+    docs.select(col(idCol), expr(HashSpec.minhashNative(textCol, k, shingleN)).as("sig"))
   }
 
   /** LSH band rows: (id, band, band_key); join on (band, band_key) to get
@@ -84,12 +82,13 @@ object Dedup {
     * pair space; pass a constant column for exhaustive mode). */
   def embeddingNearDups(vectors: DataFrame, idCol: String, vecCol: String,
                         bucketCol: String, threshold: Double): DataFrame = {
+    graft.functions.TajoFunctions.register(vectors.sparkSession)
     val v = vectors.select(col(idCol), col(bucketCol).as("__bucket"), col(vecCol).as("__vec"))
-      .withColumn("__nrm", expr(s"SQRT(${HashSpec.dot("__vec", "__vec")})"))
+      .withColumn("__nrm", expr(s"SQRT(${HashSpec.dotNative("__vec", "__vec")})"))
     val a = v.select(col(idCol).as("v1"), col("__bucket"), col("__vec").as("va"), col("__nrm").as("na"))
     val b = v.select(col(idCol).as("v2"), col("__bucket"), col("__vec").as("vb"), col("__nrm").as("nb"))
     a.join(b, Seq("__bucket")).filter(col("v1") < col("v2"))
-      .withColumn("cos_sim", expr(s"${HashSpec.dot("va", "vb")} / (na * nb)"))
+      .withColumn("cos_sim", expr(s"${HashSpec.dotNative("va", "vb")} / (na * nb)"))
       .filter(col("cos_sim") > threshold)
       .select("v1", "v2", "cos_sim")
   }

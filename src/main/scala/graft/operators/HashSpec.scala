@@ -42,9 +42,22 @@ object HashSpec {
        |  (acc, h) -> ZIP_WITH(acc, SEQUENCE(0, ${k - 1}),
        |    (a, i) -> LEAST(a, ((2 * i + 1) * h + 7919 * i + 1) % 1000000007)))""".stripMargin
 
-  /** Sequential-fold dot product of two array<float/double> expressions. */
+  /** Sequential-fold dot product of two array<float/double> expressions.
+    * This is the SPEC form (mirrored by the DuckDB oracles); hot paths use
+    * dotNative, which computes the identical left-to-right double fold. */
   def dot(a: String, b: String): String =
     s"AGGREGATE(ZIP_WITH($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (s, v) -> s + v)"
+
+  /** Native codegen'd dot product (graft.functions.VecDot) — bit-identical
+    * to dot(); requires TajoFunctions.register on the session. */
+  def dotNative(a: String, b: String): String = s"vec_dot($a, $b)"
+
+  /** Native codegen'd minhash signature straight from the text column
+    * (graft.functions.MinHashSig): SPLIT-on-space + n-gram shingles +
+    * poly31 + k permutation minima in one pass, identical to
+    * minhashSig(shingle-hash pipeline). Requires TajoFunctions.register. */
+  def minhashNative(textCol: String, k: Int = 16, n: Int = 3): String =
+    s"minhash_sig($textCol, $k, $n)"
 
   /** Signed projection onto deterministic hyperplane j (for LSH buckets):
     * hp_j[i] = ((i*37 + j*101) mod 11) - 5. */

@@ -13,9 +13,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private def withNorm(vectors: DataFrame, idCol: String, vecCol: String) =
+  private def withNorm(vectors: DataFrame, idCol: String, vecCol: String) = {
+    graft.functions.TajoFunctions.register(vectors.sparkSession)
     vectors.select(col(idCol), col(vecCol).as("__vec"))
-      .withColumn("__nrm", expr(s"SQRT(${HashSpec.dot("__vec", "__vec")})"))
+      .withColumn("__nrm", expr(s"SQRT(${HashSpec.dotNative("__vec", "__vec")})"))
+  }
 
   /** Exact top-k neighbors for each probe vector (brute force).
     * `probes` and `corpus` share the (idCol, vecCol) schema. */
@@ -28,7 +30,7 @@ object Similarity {
     // broadcast the probes (small side) against the corpus scan
     val joined = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos_sim", expr(s"${HashSpec.dot("vq", "vc")} / (nq * nc)"))
+      .withColumn("cos_sim", expr(s"${HashSpec.dotNative("vq", "vc")} / (nq * nc)"))
     joined
       .withColumn("rnk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))))
@@ -47,7 +49,7 @@ object Similarity {
       .select(col(idCol).as("query_id"), col("__vec").as("vq"), col("__nrm").as("nq"), col("__bucket"))
     c.join(broadcast(q), Seq("__bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos_sim", expr(s"${HashSpec.dot("vq", "vc")} / (nq * nc)"))
+      .withColumn("cos_sim", expr(s"${HashSpec.dotNative("vq", "vc")} / (nq * nc)"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))))
       .filter(col("rnk") <= k)

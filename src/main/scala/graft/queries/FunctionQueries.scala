@@ -151,6 +151,20 @@ object FunctionQueries {
       |  CAST(c_custkey * 2654435761 % 4294967296 AS BIGINT) AS ip_int
       |FROM customer ORDER BY c_custkey""".stripMargin)
 
+  // geoip over the pluggable range table (reference: engine/function/geoip/
+  // GeoIPCountryInet4.java); the oracle mirrors GeoIp.defaultTable's 8
+  // first-octet blocks arithmetically.
+  private val qGeoip = split("q_func_geoip",
+    """SELECT c_custkey,
+      |  geoip_country_code(int_to_ipstr(c_custkey * 2654435761)) AS cc,
+      |  geoip_in_country(int_to_ipstr(c_custkey * 2654435761), 'US') AS in_us
+      |FROM customer ORDER BY c_custkey""".stripMargin,
+    """SELECT c_custkey,
+      |  ['US','CA','GB','DE','FR','JP','KR','AU'][
+      |    CAST((c_custkey * 2654435761 % 4294967296) // 16777216 // 32 AS INT) + 1] AS cc,
+      |  ((c_custkey * 2654435761 % 4294967296) // 16777216 // 32) = 0 AS in_us
+      |FROM customer ORDER BY c_custkey""".stripMargin)
+
   // digest / hashing (reference: engine/function/string/Digest.java)
   private val qDigest = split("q_func_digest",
     """SELECT s_suppkey, MD5(s_name) AS h_md5, digest(s_name, 'sha256') AS h_sha256,
@@ -195,5 +209,5 @@ object FunctionQueries {
       |FROM part ORDER BY p_partkey""".stripMargin)
 
   val all: Seq[QueryDef] = Seq(
-    qString, qString2, qMath, qDatetime, qJson, qStringAgg, qIp, qDigest)
+    qString, qString2, qMath, qDatetime, qJson, qStringAgg, qIp, qGeoip, qDigest)
 }

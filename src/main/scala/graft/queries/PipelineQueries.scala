@@ -50,20 +50,13 @@ object PipelineQueries {
   // ---------------------------------------------------------- minhash + LSH
   // Word 3-shingles -> 16 minhash values (h_i = min over shingles of
   // ((2i+1)*poly31(sh) + 7919i + 1) mod 1e9+7) -> 8 bands x 2 rows.
+  // Native one-pass expression (graft.functions.MinHashSig); PropertiesSpec
+  // proves it equal to the HashSpec SQL-fragment pipeline the DuckDB oracle
+  // mirrors.
   private def sparkSigs: String =
-    s"""WITH toks AS (
-       |  SELECT doc_id, SPLIT(text, ' ') AS w FROM documents
-       |), sh AS (
-       |  SELECT doc_id,
-       |    CASE WHEN SIZE(w) >= 3
-       |      THEN TRANSFORM(SEQUENCE(1, SIZE(w) - 2),
-       |             i -> CONCAT_WS(' ', ELEMENT_AT(w, i), ELEMENT_AT(w, i + 1), ELEMENT_AT(w, i + 2)))
-       |      ELSE ARRAY('_') END AS shingles
-       |  FROM toks
-       |), sigs AS (
-       |  SELECT doc_id,
-       |    ${graft.operators.HashSpec.minhashSig(s"TRANSFORM(shingles, s0 -> ${sparkPoly31("s0")})", 16)} AS sig
-       |  FROM sh
+    s"""WITH sigs AS (
+       |  SELECT doc_id, ${graft.operators.HashSpec.minhashNative("text", 16, 3)} AS sig
+       |  FROM documents
        |)""".stripMargin
 
   private def duckSigs: String =
@@ -157,8 +150,12 @@ object PipelineQueries {
 
   // ------------------------------------------------- n-gram jaccard on pairs
   // Exact verification of MinHash candidates: 3-gram shingle Jaccard.
+  private def sparkShingleCtes: String =
+    s"""toks AS (SELECT doc_id, SPLIT(text, ' ') AS w FROM documents),
+       |sh AS (SELECT doc_id, ${graft.operators.HashSpec.shingles("w", 3)} AS shingles FROM toks)""".stripMargin
+
   private val qNgramJaccard = split("q_dedup_ngram_jaccard",
-    s"""$sparkSigs, bands AS ($bandsSpark), $sparkCands,
+    s"""$sparkSigs, bands AS ($bandsSpark), $sparkCands, $sparkShingleCtes,
        |shs AS (SELECT doc_id, ARRAY_DISTINCT(shingles) AS s FROM sh)
        |SELECT c.d1, c.d2,
        |  CAST(SIZE(FILTER(x.s, e -> ARRAY_CONTAINS(y.s, e))) AS DOUBLE)
@@ -180,8 +177,11 @@ object PipelineQueries {
   // Sequential-fold dot products and norms: bit-identical doubles in both
   // engines. Near-dup pass is bucketed by label (coarse IVF-style pruning)
   // instead of an O(n^2) cartesian.
+  // Native codegen'd expression (graft.functions.VecDot) — the identical
+  // left-to-right double fold; PropertiesSpec proves bit-equality with the
+  // AGGREGATE(ZIP_WITH(...)) spec form the oracle mirrors.
   private def sparkDot(a: String, b: String): String =
-    s"AGGREGATE(ZIP_WITH($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (s, v) -> s + v)"
+    graft.operators.HashSpec.dotNative(a, b)
   private def duckDot(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (s, v) -> s + v)"
 

@@ -52,14 +52,26 @@ object EventStreams {
         col("session_window.end").as("session_end"), col("n_events"))
 
   /** Run a streaming aggregation to completion against the (finite) file
-    * source and return the result table — used by tests and demos. */
+    * source and return the result table — used by tests and demos; a real
+    * deployment would writeStream to kafka/parquet with a checkpoint dir.
+    *
+    * The number of state-store instances is frozen from
+    * spark.sql.shuffle.partitions at the first micro-batch; 8 is plenty for
+    * the finite verify source and saves ~24 store setups per batch. (On a
+    * real cluster the caller sizes shuffle partitions to the stream volume
+    * before starting the query — this override only scopes the demo sink.) */
   def runToMemoryTable(agg: DataFrame, name: String): DataFrame = {
-    val q: StreamingQuery = agg.writeStream
-      .outputMode("complete")
-      .format("memory").queryName(name)
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    agg.sparkSession.table(name)
+    val spark = agg.sparkSession
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q: StreamingQuery = agg.writeStream
+        .outputMode("complete")
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.table(name)
   }
 }

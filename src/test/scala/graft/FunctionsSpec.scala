@@ -55,6 +55,23 @@ class FunctionsSpec extends AnyFunSuite {
     assert(one("SELECT string_agg(x, ',') FROM VALUES ('b'), ('a'), ('c') AS t(x)") == "a,b,c")
   }
 
+  test("geoip lookup against the default table, and a custom table reload") {
+    import graft.functions.GeoIp
+    assert(one("SELECT geoip_country_code('1.2.3.4')") == "US")
+    assert(one("SELECT geoip_country_code('200.0.0.1')") == "KR")
+    assert(one("SELECT geoip_in_country('40.0.0.1', 'CA')") == true)
+    assert(one("SELECT geoip_country_code(NULL)") == null)
+    try {
+      GeoIp.load(Seq(GeoIp.IpRange(0L, 255L, "AQ")))
+      GeoIp.register(spark) // re-bind to the new snapshot
+      assert(one("SELECT geoip_country_code('0.0.0.9')") == "AQ")
+      assert(one("SELECT geoip_country_code('9.9.9.9')") == null)
+    } finally {
+      GeoIp.reset()
+      GeoIp.register(spark)
+    }
+  }
+
   test("simhash32: identical token arrays hash equal, disjoint differ") {
     val a = one("SELECT simhash32(ARRAY('spark', 'query', 'engine'))")
     val b = one("SELECT simhash32(ARRAY('spark', 'query', 'engine'))")

@@ -70,6 +70,31 @@ class PropertiesSpec extends AnyFunSuite {
     assert(got.toSeq == want)
   }
 
+  test("native minhash_sig equals the SQL shingle+poly31+fold pipeline") {
+    graft.functions.TajoFunctions.register(spark)
+    // include multi-space texts (empty tokens) and short docs (< n tokens)
+    val texts = Seq.fill(40)(randText(25)) ++
+      Seq("a b", "", "x", "a  b   c d e", "one two three four")
+    val sqlSig = {
+      val sh = HashSpec.shingles("SPLIT(s, ' ')", 3)
+      val hv = s"TRANSFORM($sh, s0 -> ${HashSpec.poly31("s0")})"
+      HashSpec.minhashSig(hv, 16)
+    }
+    val df = texts.toDF("s")
+      .select(expr(sqlSig).as("spec"), expr(HashSpec.minhashNative("s", 16, 3)).as("native"))
+    assert(df.filter("spec <> native").count() == 0)
+  }
+
+  test("native vec_dot equals the SQL sequential fold bit-exactly") {
+    graft.functions.TajoFunctions.register(spark)
+    val vecs = Seq.fill(30)((Array.fill(64)(rnd.nextFloat() * 2 - 1), Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("a", "b")
+      .select(expr(HashSpec.dot("a", "b")).as("spec"), expr(HashSpec.dotNative("a", "b")).as("native"))
+    assert(df.filter("spec <> native").count() == 0)
+    assert(spark.sql("SELECT vec_dot(ARRAY(1.0D), ARRAY(1.0D, 2.0D))").collect()(0).isNullAt(0))
+    assert(spark.sql("SELECT vec_dot(CAST(NULL AS ARRAY<DOUBLE>), ARRAY(1.0D))").collect()(0).isNullAt(0))
+  }
+
   test("salted join equals plain join; salted count equals plain count") {
     val fact = (1 to 2000).map(i => (i % 7, s"payload_$i")).toDF("k", "payload")
     val dim = (0 until 7).map(i => (i, s"dim_$i")).toDF("k", "dim_val")
