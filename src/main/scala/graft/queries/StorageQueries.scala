@@ -156,6 +156,40 @@ object StorageQueries {
            |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
            |FROM events ORDER BY event_id""".stripMargin))
 
+  // Bucketed co-located join: both sides written bucketBy(8) on the join
+  // key, so the sort-merge join reads bucket-aligned files with NO shuffle
+  // exchange on either input (BucketingSpec asserts the plan). This is the
+  // Spark counterpart of pre-partitioned co-located joins at 100 TB scale:
+  // the expensive fact-fact shuffle is paid once at write time and
+  // amortized over every subsequent join on the key.
+  private val qBucketedJoin = df("q_store_bucketed_join",
+    (spark, dir) => {
+      spark.sql("DROP TABLE IF EXISTS graft_orders_b")
+      spark.sql("DROP TABLE IF EXISTS graft_lineitem_b")
+      Tables.table(spark, dir, "orders")
+        .write.mode(SaveMode.Overwrite)
+        .option("path", scratch("bucketed_orders"))
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("graft_orders_b")
+      Tables.table(spark, dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+        .write.mode(SaveMode.Overwrite)
+        .option("path", scratch("bucketed_lineitem"))
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("graft_lineitem_b")
+      spark.table("graft_orders_b").hint("merge")
+        .join(spark.table("graft_lineitem_b"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count("*").as("cnt"),
+          sum(col("l_extendedprice").cast("decimal(38,4)")).cast("double").as("volume"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""SELECT o_orderstatus, COUNT(*) AS cnt,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS volume
+           |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
-    qCtas, qInsert, qPartitioned, qCsv, qJsonSelfDesc, qOrc, qNested)
+    qCtas, qInsert, qPartitioned, qCsv, qJsonSelfDesc, qOrc, qNested,
+    qBucketedJoin)
 }

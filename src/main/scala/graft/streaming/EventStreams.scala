@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming over the events table — an *extension* beyond the
@@ -51,6 +51,42 @@ object EventStreams {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col("n_events"))
 
+  /** Running per-user activity state maintained across micro-batches. */
+  final case class UserActivity(
+      user_id: Long, n_events: Long, total_value: Double,
+      last_ts: java.sql.Timestamp)
+
+  /** Custom stateful operator via typed mapGroupsWithState: a per-user
+    * running profile (event count, value sum, last-seen time) that updates
+    * incrementally batch over batch — the pattern for state Spark's built-in
+    * window aggregations can't express. State is partitioned by user_id
+    * across executors; each key's state is O(1), so the operator scales to
+    * arbitrarily many users. A production deployment would add a state TTL
+    * (GroupStateTimeout.ProcessingTimeTimeout + state.setTimeoutDuration)
+    * to bound the key space. */
+  def userActivity(events: DataFrame): Dataset[UserActivity] = {
+    import events.sparkSession.implicits._
+    events.selectExpr("user_id", "ts", "value")
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserActivity, UserActivity](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+         state: GroupState[UserActivity]) =>
+          val prev = state.getOption.getOrElse(UserActivity(uid, 0L, 0.0, null))
+          var n = prev.n_events
+          var tv = prev.total_value
+          var last = prev.last_ts
+          rows.foreach { case (_, ts, v) =>
+            n += 1
+            tv += v
+            if (last == null || ts.after(last)) last = ts
+          }
+          val next = UserActivity(uid, n, tv, last)
+          state.update(next)
+          next
+      }
+  }
+
   /** Run a streaming aggregation to completion against the (finite) file
     * source and return the result table — used by tests and demos; a real
     * deployment would writeStream to kafka/parquet with a checkpoint dir.
@@ -60,13 +96,14 @@ object EventStreams {
     * the finite verify source and saves ~24 store setups per batch. (On a
     * real cluster the caller sizes shuffle partitions to the stream volume
     * before starting the query — this override only scopes the demo sink.) */
-  def runToMemoryTable(agg: DataFrame, name: String): DataFrame = {
+  def runToMemoryTable(agg: DataFrame, name: String,
+                       mode: String = "complete"): DataFrame = {
     val spark = agg.sparkSession
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
       val q: StreamingQuery = agg.writeStream
-        .outputMode("complete")
+        .outputMode(mode)
         .format("memory").queryName(name)
         .start()
       q.processAllAvailable()

@@ -21,6 +21,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(s.sameElements(b))
   }
 
+  test("mapGroupsWithState user activity matches the batch profile") {
+    val state = EventStreams.runToMemoryTable(
+      EventStreams.userActivity(EventStreams.readEvents(spark, sfDir)).toDF(),
+      "t_user_activity", mode = "update")
+    val batch = Tables.table(spark, sfDir, "events")
+      .groupBy("user_id")
+      .agg(count("*").as("n_events"), max("ts").as("last_ts"))
+    // one micro-batch over the finite source → memory table holds the final
+    // state row per user
+    val s = state.select("user_id", "n_events", "last_ts")
+      .orderBy("user_id").collect().map(_.toSeq)
+    val b = batch.select("user_id", "n_events", "last_ts")
+      .orderBy("user_id").collect().map(_.toSeq)
+    assert(s.length == b.length)
+    assert(s.sameElements(b))
+  }
+
   test("streaming session windows produce bounded sessions per user") {
     val sess = EventStreams.runToMemoryTable(
       EventStreams.sessionCounts(EventStreams.readEvents(spark, sfDir)), "t_sessions")
