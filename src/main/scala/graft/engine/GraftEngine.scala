@@ -39,6 +39,13 @@ class GraftEngine(val spark: SparkSession) {
       val tz = s.substring("set time zone".length).trim.stripPrefix("'").stripSuffix("'")
       spark.conf.set("spark.sql.session.timeZone", tz)
       spark.emptyDataFrame
+    } else if (lower.startsWith("set catalog")) {
+      // SET CATALOG <db> (SQLParser.g4:53) — Tajo "catalog" = database.
+      spark.sql(s"USE ${s.substring("set catalog".length).trim.stripPrefix("'").stripSuffix("'")}")
+    } else if (lower.startsWith("reset ")) {
+      // RESET <name> (SQLParser.g4:58) — drop a session variable.
+      spark.conf.unset(s"graft.session.${s.substring("reset".length).trim}")
+      spark.emptyDataFrame
     } else if (lower.startsWith("set session")) {
       // SET SESSION key TO value | SET SESSION key = value
       val rest = s.substring("set session".length).trim
@@ -103,6 +110,8 @@ class GraftEngine(val spark: SparkSession) {
     out = "(?i)PARTITION\\s+BY\\s+COLUMN\\s*\\(".r.replaceAllIn(out, "PARTITIONED BY (")
     // CREATE EXTERNAL TABLE -> CREATE TABLE (Spark treats LOCATION as external)
     out = "(?i)CREATE\\s+EXTERNAL\\s+TABLE".r.replaceAllIn(out, "CREATE TABLE")
+    // INSERT OVERWRITE INTO t -> INSERT OVERWRITE TABLE t (SQLParser.g4:1607)
+    out = "(?i)INSERT\\s+OVERWRITE\\s+INTO\\b".r.replaceAllIn(out, "INSERT OVERWRITE TABLE")
     out
   }
 

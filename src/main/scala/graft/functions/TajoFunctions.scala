@@ -149,6 +149,36 @@ object TajoFunctions {
       }
     })
 
+    // json_array_contains / json_array_get (reference: engine/function/json/
+    // JsonArrayContains.java, JsonArrayGet.java) — Jackson ships with Spark.
+    u.register("json_array_contains", (js: String, v: Long) => {
+      if (js == null) null
+      else try {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(js)
+        if (!node.isArray) java.lang.Boolean.FALSE
+        else {
+          var found = false
+          val it = node.elements()
+          while (!found && it.hasNext) {
+            val e = it.next()
+            found = e.isNumber && !e.isFloatingPointNumber && e.asLong() == v
+          }
+          java.lang.Boolean.valueOf(found)
+        }
+      } catch { case _: Exception => null }
+    })
+    u.register("json_array_get", (js: String, i: Int) => {
+      if (js == null) null
+      else try {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(js)
+        if (!node.isArray || i < 0 || i >= node.size()) null
+        else {
+          val e = node.get(i)
+          if (e.isValueNode) e.asText() else e.toString
+        }
+      } catch { case _: Exception => null }
+    })
+
     // -- geoip (reference: engine/function/geoip/ — see GeoIp scaladoc)
     GeoIp.register(spark)
 

@@ -130,6 +130,51 @@ object FunctionQueries {
       |FROM events
       |ORDER BY event_id""".stripMargin)
 
+  // JSON array functions (reference: engine/function/json/JsonArrayContains
+  // .java, JsonArrayGet.java) over synthesized arrays.
+  private val qJson2 = split("q_func_json2",
+    """SELECT event_id,
+      |  json_array_contains(arr, CAST(event_id % 3 AS BIGINT)) AS has_k,
+      |  json_array_get(arr, 1) AS second,
+      |  CAST(JSON_ARRAY_LENGTH(arr) AS BIGINT) AS alen
+      |FROM (SELECT event_id,
+      |        CONCAT('[', CAST(event_id % 5 AS STRING), ',', CAST(event_id % 7 AS STRING), ',9]') AS arr
+      |      FROM events) t
+      |ORDER BY event_id""".stripMargin,
+    """SELECT event_id,
+      |  json_contains(arr, CAST(event_id % 3 AS VARCHAR)) AS has_k,
+      |  json_extract_string(arr, '$[1]') AS second,
+      |  CAST(json_array_length(arr) AS BIGINT) AS alen
+      |FROM (SELECT event_id,
+      |        CONCAT('[', CAST(event_id % 5 AS VARCHAR), ',', CAST(event_id % 7 AS VARCHAR), ',9]') AS arr
+      |      FROM events) t
+      |ORDER BY event_id""".stripMargin)
+
+  // PG-pattern parse round trips + dow/doy/week + utc_usec_to truncation
+  // (reference: engine/function/datetime/ToDateText.java, ToTimestampText
+  // .java, DatePartFromTimestamp.java, DateTimePartFromUnixTimestamp).
+  private val qDatetime2 = split("q_func_datetime2",
+    """SELECT o_orderkey,
+      |  to_date_pg(to_char(o_orderdate, 'YYYY-MM-DD'), 'YYYY-MM-DD') AS rt_date,
+      |  to_timestamp_pg(to_char(o_orderdate, 'YYYY-MM-DD HH24:MI:SS'), 'YYYY-MM-DD HH24:MI:SS') AS rt_ts,
+      |  CAST(EXTRACT(DOW FROM o_orderdate) AS BIGINT) - 1 AS dow,
+      |  CAST(EXTRACT(DOY FROM o_orderdate) AS BIGINT) AS doy,
+      |  CAST(EXTRACT(WEEK FROM o_orderdate) AS BIGINT) AS wk,
+      |  utc_usec_to('day', o_orderkey * 86400000000 + 12345678901) AS day_usec,
+      |  utc_usec_to('hour', o_orderkey * 3600000000 + 987654321) AS hr_usec
+      |FROM orders WHERE o_orderkey % 25 = 0
+      |ORDER BY o_orderkey""".stripMargin,
+    """SELECT o_orderkey,
+      |  CAST(strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') AS DATE) AS rt_date,
+      |  strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS rt_ts,
+      |  CAST(date_part('dow', o_orderdate) AS BIGINT) AS dow,
+      |  CAST(date_part('doy', o_orderdate) AS BIGINT) AS doy,
+      |  CAST(date_part('week', o_orderdate) AS BIGINT) AS wk,
+      |  (o_orderkey * 86400000000 + 12345678901) - (o_orderkey * 86400000000 + 12345678901) % 86400000000 AS day_usec,
+      |  (o_orderkey * 3600000000 + 987654321) - (o_orderkey * 3600000000 + 987654321) % 3600000000 AS hr_usec
+      |FROM orders WHERE o_orderkey % 25 = 0
+      |ORDER BY o_orderkey""".stripMargin)
+
   // string_agg: deterministic sorted variant (our UDAF) vs DuckDB ORDER BY.
   private val qStringAgg = split("q_func_string_agg",
     """SELECT n_regionkey, string_agg(n_name, ',') AS names
@@ -209,5 +254,6 @@ object FunctionQueries {
       |FROM part ORDER BY p_partkey""".stripMargin)
 
   val all: Seq[QueryDef] = Seq(
-    qString, qString2, qMath, qDatetime, qJson, qStringAgg, qIp, qGeoip, qDigest)
+    qString, qString2, qMath, qDatetime, qDatetime2, qJson, qJson2,
+    qStringAgg, qIp, qGeoip, qDigest)
 }

@@ -46,6 +46,43 @@ class GraftEngineSpec extends AnyFunSuite {
     assert(spark.conf.get("spark.sql.session.timeZone") == "UTC")
     engine.sql("SET SESSION my_flag TO 'on'")
     assert(spark.conf.get("graft.session.my_flag") == "on")
+    engine.sql("RESET my_flag")
+    assert(spark.conf.getOption("graft.session.my_flag").isEmpty)
+  }
+
+  test("SET CATALOG switches the current database") {
+    engine.sql("CREATE DATABASE IF NOT EXISTS graft_cat_db")
+    engine.sql("SET CATALOG graft_cat_db")
+    assert(spark.catalog.currentDatabase == "graft_cat_db")
+    engine.sql("SET CATALOG default")
+    engine.sql("DROP DATABASE graft_cat_db")
+  }
+
+  test("INSERT INTO VALUES, INSERT OVERWRITE INTO, TRUNCATE, ALTER RENAME") {
+    engine.sql("DROP TABLE IF EXISTS graft_dml")
+    engine.sql("DROP TABLE IF EXISTS graft_dml2")
+    // managed table: Spark (like the reference) only TRUNCATEs tables it owns
+    engine.sql("CREATE TABLE graft_dml (a INT, b STRING) USING PARQUET")
+    engine.sql("INSERT INTO graft_dml VALUES (1, 'x'), (2, 'y')")
+    assert(spark.table("graft_dml").count() == 2)
+    engine.sql("INSERT OVERWRITE INTO graft_dml SELECT 3, 'z'")
+    assert(spark.table("graft_dml").collect().map(_.getInt(0)).toSeq == Seq(3))
+    engine.sql("ALTER TABLE graft_dml RENAME TO graft_dml2")
+    assert(spark.catalog.tableExists("graft_dml2"))
+    engine.sql("TRUNCATE TABLE graft_dml2")
+    assert(spark.table("graft_dml2").count() == 0)
+    engine.sql("DROP TABLE graft_dml2")
+  }
+
+  test("self-describing table: CREATE EXTERNAL TABLE USING JSON without schema") {
+    val dir = s"$tmp/selfdesc_json"
+    engine.mount(sfDir)
+    engine.sql("DROP TABLE IF EXISTS region_json")
+    spark.table("region").write.mode("overwrite").json(dir)
+    engine.sql(s"CREATE EXTERNAL TABLE region_json USING JSON LOCATION '$dir'")
+    assert(spark.table("region_json").count() == 5)
+    assert(spark.table("region_json").columns.toSet == Set("r_regionkey", "r_name"))
+    engine.sql("DROP TABLE region_json")
   }
 
   test("EXPLAIN returns a plan and EXPLAIN GLOBAL an extended plan") {
