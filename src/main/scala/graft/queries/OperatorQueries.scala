@@ -3,7 +3,7 @@ package graft.queries
 import graft.QueryDef
 import graft.QueryDef.df
 import graft.engine.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Similarity, Skew, TextAnalysis}
 import graft.streaming.EventStreams
 import org.apache.spark.sql.functions._
 
@@ -71,6 +71,29 @@ object OperatorQueries {
   private def duckPoly31Bytes: String =
     "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))), (a, c) -> (a * 31 + c) % 1000000007)"
 
+  // Skew.saltedJoin spreads a hot join key over N salt partitions; the
+  // result must equal the plain inner join, so the oracle is just that
+  // join (reference skew handling: SCATTERED_HASH_SHUFFLE, querymaster/
+  // Repartitioner.java:1098).
+  private val qSaltedJoin = df("q_op_salted_join",
+    (spark, dir) => {
+      val li = Tables.table(spark, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_quantity")
+      Skew.saltedJoin(
+          li.withColumnRenamed("l_suppkey", "k"),
+          Tables.table(spark, dir, "supplier")
+            .select(col("s_suppkey").as("k"), col("s_name")),
+          "k", salts = 8)
+        .groupBy("s_name")
+        .agg(count("*").as("cnt"),
+          sum(col("l_quantity").cast("decimal(38,4)")).cast("double").as("qty"))
+        .orderBy("s_name")
+    },
+    Some("""SELECT s_name, COUNT(*) AS cnt,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS qty
+           |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+           |GROUP BY s_name ORDER BY s_name""".stripMargin))
+
   private val qStreamHourly = df("q_stream_hourly",
     (spark, dir) => {
       val agg = EventStreams.hourlyCounts(EventStreams.readEvents(spark, dir))
@@ -106,5 +129,6 @@ object OperatorQueries {
            |ORDER BY user_id, session_start""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(
-    qMinhashApi, qAnnApi, qQualityApi, qMultimodalApi, qStreamHourly, qStreamSessions)
+    qMinhashApi, qAnnApi, qQualityApi, qMultimodalApi, qSaltedJoin,
+    qStreamHourly, qStreamSessions)
 }
