@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Plan-shape regression tests: the properties that make these queries
+  * scale (pushdown, pruning, broadcast, partial aggregation, top-k pushdown,
+  * single evaluation of expensive expressions) asserted against the actual
+  * physical plans, so a refactor that silently loses one fails CI rather
+  * than a 100 TB run. */
+class PlanAuditSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def plan(name: String): String = {
+    val q = SparkEntry.registry.find(_.name == name).getOrElse(sys.error(s"unknown $name"))
+    q.run(spark, sfDir).queryExecution.explainString(FormattedMode)
+  }
+
+  test("q1_agg: filter pushed to scan, columns pruned, two-phase agg, codegen") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters"), p)
+    assert("PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(p).nonEmpty, p)
+    // pruned scan: only the 7 referenced columns, not the full 11-col table
+    val readSchema = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).get.group(1)
+    assert(readSchema.split(",").length <= 7, readSchema)
+    assert(!readSchema.contains("l_orderkey"), readSchema)
+    // partial + final hash aggregate
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    // codegen spans only materialize in the executed plan; under AQE they
+    // render as the "*(n)" stage markers
+    val q = SparkEntry.registry.find(_.name == "q1_agg").get.run(spark, sfDir)
+    q.collect()
+    val ep = q.queryExecution.executedPlan.toString
+    assert(ep.contains("*(") && ep.contains("partial_sum"), ep)
+  }
+
+  test("q5_join_multi: all five dims broadcast at this scale") {
+    val p = plan("q5_join_multi")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 5, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q6_forecast_revenue: every predicate reaches the parquet scan") {
+    val p = plan("q6_forecast_revenue")
+    val pushed = "PushedFilters: \\[([^\\]]*)\\]".r.findFirstMatchIn(p).get.group(1)
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach(c =>
+      assert(pushed.contains(c), s"$c not pushed: $pushed"))
+  }
+
+  test("q_sort_limit: top-k runs as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_sort_limit")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("minhash pipeline evaluates the signature expression exactly once") {
+    val p = plan("q_dedup_minhash_pairs")
+    assert("minhash_sig\\(".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q_dedup_exact: partial aggregation before the digest shuffle") {
+    val p = plan("q_dedup_exact")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert("hashpartitioning".r.findAllIn(p).size >= 1, p)
+  }
+}
