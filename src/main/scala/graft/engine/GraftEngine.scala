@@ -106,13 +106,52 @@ class GraftEngine(val spark: SparkSession) {
       }.mkString(", ")
       java.util.regex.Matcher.quoteReplacement(s"${m.group(1)}OPTIONS ($body)")
     })
-    // PARTITION BY COLUMN (...) -> PARTITIONED BY (...)
-    out = "(?i)PARTITION\\s+BY\\s+COLUMN\\s*\\(".r.replaceAllIn(out, "PARTITIONED BY (")
+    // PARTITION BY COLUMN (b TEXT, ...) -> PARTITIONED BY (b, ...), with the
+    // typed partition columns appended to the table schema: Tajo declares
+    // them OUTSIDE the column list (SQLParser.g4:151-185), Spark inside.
+    val pbc = "(?i)PARTITION\\s+BY\\s+COLUMN\\s*\\(([^)]*)\\)".r
+    pbc.findFirstMatchIn(out).foreach { m =>
+      val decls = m.group(1).split(",").map(_.trim).filter(_.nonEmpty)
+      val typed = decls.filter(_.split("\\s+").length >= 2)
+      val names = decls.map(_.split("\\s+")(0))
+      if (typed.length == decls.length && typed.nonEmpty) {
+        // append typed decls to the schema column list (the '(...)' right
+        // before USING), then keep only names in PARTITIONED BY
+        val schemaRe = "(?is)(CREATE\\s+TABLE(?:\\s+IF\\s+NOT\\s+EXISTS)?\\s+\\S+\\s*\\()([^)]*)(\\))".r
+        out = schemaRe.replaceAllIn(out, sm => java.util.regex.Matcher.quoteReplacement(
+          sm.group(1) + sm.group(2) + ", " + mapTypes(typed).mkString(", ") + sm.group(3)))
+      }
+      out = pbc.replaceAllIn(out, java.util.regex.Matcher.quoteReplacement(
+        s"PARTITIONED BY (${names.mkString(", ")})"))
+    }
     // CREATE EXTERNAL TABLE -> CREATE TABLE (Spark treats LOCATION as external)
     out = "(?i)CREATE\\s+EXTERNAL\\s+TABLE".r.replaceAllIn(out, "CREATE TABLE")
+    // Tajo type keywords in DDL column lists (SURVEY.md §1 mapping)
+    if ("(?i)^\\s*CREATE\\s+TABLE".r.findFirstIn(out).nonEmpty) {
+      Seq("TEXT" -> "STRING", "INT4" -> "INT", "INT8" -> "BIGINT",
+          "INT2" -> "SMALLINT", "INT1" -> "TINYINT",
+          "FLOAT4" -> "FLOAT", "FLOAT8" -> "DOUBLE").foreach { case (t, s) =>
+        // lookarounds keep quoted option keys like 'text.null' intact
+        out = s"(?i)(?<!['.])\\b$t\\b(?!['.])".r.replaceAllIn(out, s)
+      }
+    }
     // INSERT OVERWRITE INTO t -> INSERT OVERWRITE TABLE t (SQLParser.g4:1607)
     out = "(?i)INSERT\\s+OVERWRITE\\s+INTO\\b".r.replaceAllIn(out, "INSERT OVERWRITE TABLE")
     out
+  }
+
+  /** Tajo type names Spark doesn't accept (SURVEY.md §1 mapping). */
+  private def mapTypes(decls: Seq[String]): Seq[String] = decls.map { d =>
+    val Array(name, tpe @ _*) = d.split("\\s+"): @unchecked
+    val t = tpe.mkString(" ").toUpperCase match {
+      case "TEXT" => "STRING"
+      case "INT4" => "INT"
+      case "INT8" => "BIGINT"
+      case "FLOAT4" => "FLOAT"
+      case "FLOAT8" => "DOUBLE"
+      case other => other
+    }
+    s"$name $t"
   }
 
   /** Register the driver testdata tables. */

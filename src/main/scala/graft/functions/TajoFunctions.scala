@@ -202,6 +202,11 @@ object TajoFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "scala_udf")
 
+    // div(a, b): integer division (reference: engine/function/math/Div.java);
+    // null on zero divisor rather than an error, matching Spark's non-ANSI mode.
+    u.register("div", (a: Long, b: Long) =>
+      if (b == 0L) null else java.lang.Long.valueOf(a / b))
+
     // -- test helpers (reference: engine/function/builtin/SleepFloat8.java, FailFunction)
     u.register("sleep", (sec: Int) => { Thread.sleep(sec * 1000L); sec })
     u.register("fail", (msg: String) => { throw new RuntimeException(msg); "" })

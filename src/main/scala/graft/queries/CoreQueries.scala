@@ -296,6 +296,58 @@ object CoreQueries {
       |GROUP BY 1, 2, 3
       |ORDER BY 1, 2, 3""".stripMargin)
 
+  // NULL semantics corners (reference suite TestNullValues): aggregates
+  // skip nulls, COUNT(*) vs COUNT(col), all-null groups, three-valued
+  // logic in filters, NULL-safe equality.
+  private val qNullSemantics = split("q_null_semantics",
+    """SELECT o_orderstatus,
+      |  COUNT(*) AS n_rows,
+      |  COUNT(v) AS n_nonnull,
+      |  COUNT(DISTINCT v) AS n_distinct,
+      |  CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+      |  CAST(SUM(CASE WHEN v IS NULL THEN CAST(1 AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_allnull_arm,
+      |  MIN(v) AS min_v, MAX(v) AS max_v,
+      |  COUNT(CASE WHEN v <=> NULL THEN 1 END) AS n_nullsafe_eq_null
+      |FROM (SELECT o_orderstatus, NULLIF(o_orderkey % 4, 0) AS v FROM orders) t
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin,
+    """SELECT o_orderstatus,
+      |  COUNT(*) AS n_rows,
+      |  COUNT(v) AS n_nonnull,
+      |  COUNT(DISTINCT v) AS n_distinct,
+      |  CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+      |  CAST(SUM(CASE WHEN v IS NULL THEN CAST(1 AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_allnull_arm,
+      |  MIN(v) AS min_v, MAX(v) AS max_v,
+      |  COUNT(CASE WHEN v IS NOT DISTINCT FROM NULL THEN 1 END) AS n_nullsafe_eq_null
+      |FROM (SELECT o_orderstatus, NULLIF(o_orderkey % 4, 0) AS v FROM orders) t
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin)
+
+  // Second math batch: div (Tajo integer division fn), inverse trig, tan,
+  // decimal-routed rounding (reference: engine/function/math/Div.java,
+  // Atan.java, Asin.java, Acos.java, Tan.java, RoundFloat8.java).
+  private val qMath2 = split("q_func_math2",
+    """SELECT l_orderkey, l_linenumber,
+      |  div(CAST(l_partkey AS BIGINT), 7) AS idiv,
+      |  CAST(l_partkey AS BIGINT) % 7 AS imod,
+      |  CAST(CAST(ATAN(l_discount) AS DECIMAL(20,8)) AS DOUBLE) AS at,
+      |  CAST(CAST(ASIN(l_discount) AS DECIMAL(20,8)) AS DOUBLE) AS asn,
+      |  CAST(CAST(ACOS(l_discount) AS DECIMAL(20,8)) AS DOUBLE) AS acs,
+      |  CAST(CAST(TAN(l_discount) AS DECIMAL(20,8)) AS DOUBLE) AS tn,
+      |  ROUND(CAST(l_extendedprice AS DECIMAL(28,6)) / 7, 2) AS rnd7
+      |FROM lineitem WHERE l_orderkey % 40 = 0
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(l_partkey AS BIGINT) // 7 AS idiv,
+      |  CAST(l_partkey AS BIGINT) % 7 AS imod,
+      |  CAST(CAST(ATAN(l_discount) AS DECIMAL(20,8)) AS DOUBLE) AS at,
+      |  CAST(CAST(ASIN(l_discount) AS DECIMAL(20,8)) AS DOUBLE) AS asn,
+      |  CAST(CAST(ACOS(l_discount) AS DECIMAL(20,8)) AS DOUBLE) AS acs,
+      |  CAST(CAST(TAN(l_discount) AS DECIMAL(20,8)) AS DOUBLE) AS tn,
+      |  ROUND(CAST(l_extendedprice AS DECIMAL(28,6)) / 7, 2) AS rnd7
+      |FROM lineitem WHERE l_orderkey % 40 = 0
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+
   private val qDistinct = shared("q_select_distinct",
     """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
       |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
@@ -317,5 +369,5 @@ object CoreQueries {
     qSortLimit, qSortNulls,
     qUnionAll, qUnionDistinct, qIntersect, qExcept,
     qExists, qScalarSub, qInSubUncorrelated,
-    qCaseWhen, qDistinct, qEvalExpr)
+    qCaseWhen, qDistinct, qEvalExpr, qNullSemantics, qMath2)
 }

@@ -74,6 +74,22 @@ class GraftEngineSpec extends AnyFunSuite {
     engine.sql("DROP TABLE graft_dml2")
   }
 
+  test("Tajo-typed DDL: PARTITION BY COLUMN with TEXT/INT8 outside the schema") {
+    engine.sql("DROP TABLE IF EXISTS graft_part_ddl")
+    engine.sql(
+      s"""CREATE TABLE graft_part_ddl (a INT8, b TEXT) USING PARQUET
+         |PARTITION BY COLUMN (dt TEXT) LOCATION '$tmp/graft_part_ddl'""".stripMargin)
+    val cols = spark.table("graft_part_ddl").schema
+    assert(cols.fieldNames.toSeq == Seq("a", "b", "dt"))
+    assert(cols("a").dataType.typeName == "long")
+    assert(cols("dt").dataType.typeName == "string")
+    engine.sql("INSERT INTO graft_part_ddl VALUES (1, 'x', 'd1'), (2, 'y', 'd2')")
+    assert(spark.table("graft_part_ddl").count() == 2)
+    // partition pruning works on the Tajo-declared partition column
+    assert(new java.io.File(s"$tmp/graft_part_ddl/dt=d1").exists())
+    engine.sql("DROP TABLE graft_part_ddl")
+  }
+
   test("self-describing table: CREATE EXTERNAL TABLE USING JSON without schema") {
     val dir = s"$tmp/selfdesc_json"
     engine.mount(sfDir)
