@@ -156,6 +156,24 @@ object StorageQueries {
            |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
            |FROM events ORDER BY event_id""".stripMargin))
 
+  // JDBC tablespace equivalent (reference: tajo-storage/tajo-storage-jdbc/
+  // .../JdbcTablespace.java): write to an embedded Derby database via
+  // df.write.jdbc, read back via spark.read.jdbc — Catalyst pushes filters
+  // to the remote SQL on read. The oracle sees only the source table, so
+  // the compare proves the full RDBMS round trip.
+  private val qJdbc = df("q_store_jdbc",
+    (spark, dir) => {
+      val url = "jdbc:derby:memory:graftdb;create=true"
+      val props = new java.util.Properties()
+      props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      Tables.table(spark, dir, "nation")
+        .write.mode(SaveMode.Overwrite).jdbc(url, "nation_jdbc", props)
+      spark.read.jdbc(url, "nation_jdbc", props)
+        .filter(col("n_nationkey") >= 5) // pushed into the remote query
+        .orderBy("n_nationkey")
+    },
+    Some("SELECT * FROM nation WHERE n_nationkey >= 5 ORDER BY n_nationkey"))
+
   // Bucketed co-located join: both sides written bucketBy(8) on the join
   // key, so the sort-merge join reads bucket-aligned files with NO shuffle
   // exchange on either input (BucketingSpec asserts the plan). This is the
@@ -191,5 +209,5 @@ object StorageQueries {
 
   val all: Seq[QueryDef] = Seq(
     qCtas, qInsert, qPartitioned, qCsv, qJsonSelfDesc, qOrc, qNested,
-    qBucketedJoin)
+    qBucketedJoin, qJdbc)
 }
