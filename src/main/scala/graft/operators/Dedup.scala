@@ -60,6 +60,21 @@ object Dedup {
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .distinct()
 
+  /** Corpus-level MinHash sketch per group: elementwise minimum of the
+    * per-doc signatures, i.e. the MinHash of the UNION of all shingle sets
+    * in the group. Sketches are mergeable (min is associative/commutative),
+    * so this is one partial+final shuffle regardless of corpus size — the
+    * property that lets similarity estimation run over 100 TB: sketch each
+    * partition, merge k longs per group. Returns (group, pos, min_h) rows. */
+  def corpusSketch(docs: DataFrame, groupCol: String, textCol: String,
+                   k: Int = 16, shingleN: Int = 3): DataFrame = {
+    graft.functions.TajoFunctions.register(docs.sparkSession)
+    docs.select(col(groupCol),
+        posexplode(expr(HashSpec.minhashNative(textCol, k, shingleN))).as(Seq("pos", "h")))
+      .groupBy(col(groupCol), col("pos"))
+      .agg(min("h").as("min_h"))
+  }
+
   /** 32-bit SimHash per doc via the native Catalyst expression. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.functions.TajoFunctions.register(docs.sparkSession)

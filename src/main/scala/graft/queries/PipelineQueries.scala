@@ -124,6 +124,40 @@ object PipelineQueries {
        |FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
        |ORDER BY d1, d2""".stripMargin)
 
+  // Corpus-level sketch: elementwise min of the per-doc signatures per
+  // source = MinHash of the union of shingle sets (mergeable; one
+  // partial+final shuffle at any scale).
+  private val qMinhashCorpus = split("q_dedup_minhash_corpus",
+    s"""WITH sigs AS (
+       |  SELECT source, ${graft.operators.HashSpec.minhashNative("text", 16, 3)} AS sig
+       |  FROM documents
+       |)
+       |SELECT source, CAST(pos AS BIGINT) AS pos, MIN(h) AS min_h
+       |FROM sigs LATERAL VIEW POSEXPLODE(sig) t AS pos, h
+       |GROUP BY source, pos
+       |ORDER BY source, pos""".stripMargin,
+    s"""WITH toks AS (
+       |  SELECT source, string_split(text, ' ') AS w FROM documents
+       |), sh AS (
+       |  SELECT source,
+       |    CASE WHEN len(w) >= 3
+       |      THEN list_transform(range(1, len(w) - 1),
+       |             i -> concat_ws(' ', w[i], w[i + 1], w[i + 2]))
+       |      ELSE ['_'] END AS shingles
+       |  FROM toks
+       |), hs AS (
+       |  SELECT source, list_transform(shingles, s -> ${duckPoly31("s")}) AS hvals FROM sh
+       |), sigs AS (
+       |  SELECT source,
+       |    list_transform(range(0, 16),
+       |      i -> list_min(list_transform(hvals, h -> ((2 * i + 1) * h + 7919 * i + 1) % 1000000007))) AS sig
+       |  FROM hs
+       |)
+       |SELECT source, i - 1 AS pos, MIN(sig[i]) AS min_h
+       |FROM sigs, range(1, 17) t(i)
+       |GROUP BY source, i - 1
+       |ORDER BY source, pos""".stripMargin)
+
   // --------------------------------------------------------------- simhash
   // g(token) = (poly31(token) * 2654435761) mod 2^32; bit j votes +/-1;
   // simhash = sum over j of 2^j where vote_j > 0. Spark side uses our
@@ -359,7 +393,7 @@ object PipelineQueries {
        |FROM documents ORDER BY doc_id""".stripMargin)
 
   val all: Seq[QueryDef] = Seq(
-    qDedupExact, qDedupNorm, qMinhashSig, qMinhashPairs, qSimhash,
+    qDedupExact, qDedupNorm, qMinhashSig, qMinhashPairs, qMinhashCorpus, qSimhash,
     qNgramJaccard, qEmbDedup, qAnnBrute, qAnnLsh,
     qTextStats, qLangId, qTokens, qFingerprint, qMultimodal)
 }

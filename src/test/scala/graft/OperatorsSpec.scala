@@ -22,6 +22,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(0).getAs[Long]("keeper") == 1L)
   }
 
+  test("corpus sketch is mergeable: sketch(union) == merge of group sketches") {
+    val grouped = docs.withColumn("grp",
+      when($"doc_id" <= 2, "a").otherwise("b"))
+    val perGroup = Dedup.corpusSketch(grouped, "grp", "text")
+    // merging the two group sketches (min per pos) must equal the sketch
+    // of the whole corpus under one group
+    val merged = perGroup.groupBy("pos").agg(min("min_h").as("min_h"))
+      .orderBy("pos").collect().map(r => (r.getInt(0), r.getLong(1)))
+    val whole = Dedup.corpusSketch(grouped.withColumn("grp", lit("all")), "grp", "text")
+      .orderBy("pos").collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(merged.toSeq == whole.toSeq)
+  }
+
   test("normalized dedup merges case/punctuation variants") {
     val d = Seq((1L, "Hello, World!"), (2L, "hello world"), (3L, "other")).toDF("doc_id", "text")
     val r = Dedup.normalized(d, "doc_id", "text").filter($"n_copies" > 1).collect()
