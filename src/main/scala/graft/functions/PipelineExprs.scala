@@ -97,6 +97,75 @@ object MinHashSig {
   }
 }
 
+/** lsh_bucket(vec, nBits, dim) -> INT — sign-bit LSH bucket id over the
+  * deterministic hyperplanes hp_j[i] = ((i*37 + j*101) mod 11) - 5, exactly
+  * the HashSpec.lshBucket SQL form (left-to-right double folds; a missing
+  * or NULL element makes that hyperplane's dot NULL, which contributes 0 to
+  * the bucket, matching ELEMENT_AT + AGGREGATE semantics). One pass over
+  * the vector per hyperplane instead of nBits interpreted lambda chains.
+  */
+case class LshBucket(child: Expression, nBits: Int, dim: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(et, _) if et.isInstanceOf[NumericType] && nBits > 0 && nBits < 31 && dim > 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"lsh_bucket expects ARRAY<numeric> and positive nBits/dim, got ${other.catalogString}")
+  }
+
+  @transient private lazy val elemType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(input: Any): Any =
+    LshBucket.compute(input.asInstanceOf[ArrayData], nBits, dim, elemType)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val et = ctx.addReferenceObj("lshBucketEt", elemType)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.LshBucket.compute($c, $nBits, $dim, $et);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshBucket =
+    copy(child = newChild)
+  override def prettyName: String = "lsh_bucket"
+}
+
+object LshBucket {
+  def compute(vec: ArrayData, nBits: Int, dim: Int, et: DataType): Int = {
+    val n = vec.numElements()
+    var bucket = 0
+    var j = 0
+    while (j < nBits) {
+      var s = 0.0
+      var isNull = false
+      var i = 0
+      while (!isNull && i < dim) {
+        if (i >= n || vec.isNullAt(i)) isNull = true
+        else {
+          val coef = ((i * 37 + j * 101) % 11 - 5).toDouble
+          val x = et match {
+            case FloatType => vec.getFloat(i).toDouble
+            case DoubleType => vec.getDouble(i)
+            case IntegerType => vec.getInt(i).toDouble
+            case LongType => vec.getLong(i).toDouble
+            case ShortType => vec.getShort(i).toDouble
+            case ByteType => vec.getByte(i).toDouble
+            case other => throw new IllegalStateException(s"lsh_bucket: $other")
+          }
+          s += x * coef
+          i += 1
+        }
+      }
+      if (!isNull && s > 0) bucket |= 1 << j
+      j += 1
+    }
+    bucket
+  }
+}
+
 /** vec_dot(a, b) -> DOUBLE — sequential-fold dot product of two numeric
   * arrays, bit-identical to the HashSpec.dot SQL fragment (left-to-right
   * double accumulation, so the DuckDB oracle's list_reduce matches exactly).

@@ -201,6 +201,17 @@ object TajoFunctions {
       }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lsh_bucket", { exprs =>
+        def lit(e: org.apache.spark.sql.catalyst.expressions.Expression, name: String): Int =
+          e match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+            case _ => throw new IllegalArgumentException(s"lsh_bucket: $name must be an INT literal")
+          }
+        val nBits = if (exprs.length > 1) lit(exprs(1), "nBits") else 4
+        val dim = if (exprs.length > 2) lit(exprs(2), "dim") else 64
+        LshBucket(exprs.head, nBits, dim)
+      }, "scala_udf")
 
     // div(a, b): integer division (reference: engine/function/math/Div.java);
     // null on zero divisor rather than an error, matching Spark's non-ANSI mode.

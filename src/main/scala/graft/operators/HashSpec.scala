@@ -64,7 +64,12 @@ object HashSpec {
   def hyperplaneDot(vec: String, j: Int, dim: Int = 64): String =
     s"AGGREGATE(TRANSFORM(SEQUENCE(0, ${dim - 1}), i -> CAST(ELEMENT_AT($vec, i + 1) AS DOUBLE) * (((i * 37 + $j * 101) % 11) - 5)), CAST(0 AS DOUBLE), (s, x) -> s + x)"
 
-  /** Sign-bit LSH bucket id over `nBits` hyperplanes. */
+  /** Sign-bit LSH bucket id over `nBits` hyperplanes (SPEC form). */
   def lshBucket(vec: String, nBits: Int = 4, dim: Int = 64): String =
     (0 until nBits).map(j => s"(CASE WHEN ${hyperplaneDot(vec, j, dim)} > 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
+
+  /** Native codegen'd bucket id (graft.functions.LshBucket) — identical to
+    * lshBucket(); requires TajoFunctions.register. */
+  def lshBucketNative(vec: String, nBits: Int = 4, dim: Int = 64): String =
+    s"lsh_bucket($vec, $nBits, $dim)"
 }

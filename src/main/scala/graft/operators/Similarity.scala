@@ -42,7 +42,7 @@ object Similarity {
   def lshTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
               vecCol: String, k: Int = 10, nBits: Int = 4, dim: Int = 64): DataFrame = {
     def bucketed(df: DataFrame) = withNorm(df, idCol, vecCol)
-      .withColumn("__bucket", expr(HashSpec.lshBucket("__vec", nBits, dim)))
+      .withColumn("__bucket", expr(HashSpec.lshBucketNative("__vec", nBits, dim)))
     val c = bucketed(corpus)
       .select(col(idCol).as("neighbor_id"), col("__vec").as("vc"), col("__nrm").as("nc"), col("__bucket"))
     val q = bucketed(probes)

@@ -280,7 +280,7 @@ object PipelineQueries {
   private val qAnnLsh = split("q_ann_lsh",
     s"""WITH v AS (
        |  SELECT vec_id, embedding, SQRT(${sparkDot("embedding", "embedding")}) AS nrm,
-       |    ${bucketExpr(sparkHp, "embedding")} AS bucket
+       |    ${graft.operators.HashSpec.lshBucketNative("embedding", 4, 64)} AS bucket
        |  FROM embeddings
        |), q AS (SELECT * FROM v WHERE vec_id < 20)
        |SELECT * FROM (

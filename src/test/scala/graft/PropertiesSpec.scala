@@ -95,6 +95,16 @@ class PropertiesSpec extends AnyFunSuite {
     assert(spark.sql("SELECT vec_dot(CAST(NULL AS ARRAY<DOUBLE>), ARRAY(1.0D))").collect()(0).isNullAt(0))
   }
 
+  test("native lsh_bucket equals the SQL hyperplane CASE/fold form") {
+    graft.functions.TajoFunctions.register(spark)
+    val vecs = Seq.fill(50)(Array.fill(64)(rnd.nextFloat() * 2 - 1)) :+
+      Array.fill(64)(0.0f) // all-zero: every dot == 0, no bits set
+    val df = vecs.toDF("v")
+      .select(expr(HashSpec.lshBucket("v", 4, 64)).as("spec"),
+        expr(HashSpec.lshBucketNative("v", 4, 64)).as("native"))
+    assert(df.filter("spec <> native").count() == 0)
+  }
+
   test("salted join equals plain join; salted count equals plain count") {
     val fact = (1 to 2000).map(i => (i % 7, s"payload_$i")).toDF("k", "payload")
     val dim = (0 until 7).map(i => (i, s"dim_$i")).toDF("k", "dim_val")
