@@ -3,7 +3,7 @@ package graft.queries
 import graft.QueryDef
 import graft.QueryDef.df
 import graft.engine.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, Skew, TextAnalysis}
+import graft.operators.{AsofJoin, Dedup, Multimodal, Similarity, Skew, TextAnalysis}
 import graft.streaming.EventStreams
 import org.apache.spark.sql.functions._
 
@@ -94,6 +94,31 @@ object OperatorQueries {
            |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
            |GROUP BY s_name ORDER BY s_name""".stripMargin))
 
+  // As-of join (extension — neither reference nor Spark has the operator;
+  // DuckDB's native ASOF LEFT JOIN is the oracle): latest order at or
+  // before each event, per user.
+  private val qAsofJoin = df("q_op_asof_join",
+    (spark, dir) => {
+      val events = Tables.table(spark, dir, "events")
+        .select("event_id", "user_id", "ts")
+      // one row per (key, time) so tie-breaking matches the oracle exactly
+      val orders = Tables.table(spark, dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(max("o_orderkey").as("o_orderkey"))
+      AsofJoin.asofJoin(events, orders,
+          "user_id", "o_custkey", "ts", "o_orderdate", Seq("o_orderkey"))
+        .select(col("event_id"), col("user_id"), col("o_orderkey").as("last_order"))
+        .orderBy("event_id")
+    },
+    Some("""WITH o AS (
+           |  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+           |  FROM orders GROUP BY o_custkey, o_orderdate
+           |)
+           |SELECT e.event_id, e.user_id, o.o_orderkey AS last_order
+           |FROM events e ASOF LEFT JOIN o
+           |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+           |ORDER BY e.event_id""".stripMargin))
+
   private val qStreamHourly = df("q_stream_hourly",
     (spark, dir) => {
       val agg = EventStreams.hourlyCounts(EventStreams.readEvents(spark, dir))
@@ -130,5 +155,5 @@ object OperatorQueries {
 
   val all: Seq[QueryDef] = Seq(
     qMinhashApi, qAnnApi, qQualityApi, qMultimodalApi, qSaltedJoin,
-    qStreamHourly, qStreamSessions)
+    qAsofJoin, qStreamHourly, qStreamSessions)
 }

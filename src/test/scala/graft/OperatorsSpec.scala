@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{AsofJoin, Dedup, Multimodal, Similarity, TextAnalysis}
 
 class OperatorsSpec extends AnyFunSuite {
   import TestSpark._
@@ -20,6 +20,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.length == 1)
     assert(r(0).getAs[Long]("n_copies") == 2)
     assert(r(0).getAs[Long]("keeper") == 1L)
+  }
+
+  test("asof join: inclusive match, forward fill, and null before first right row") {
+    val quotes = Seq( // (key, time, price)
+      ("A", 10L, 100.0), ("A", 20L, 110.0), ("B", 15L, 50.0)
+    ).toDF("qk", "qt", "price")
+    val trades = Seq( // (key, time, id)
+      ("A", 5L, 1L),   // before any quote -> null
+      ("A", 10L, 2L),  // equal time -> inclusive match 100.0
+      ("A", 25L, 3L),  // after both -> latest 110.0
+      ("B", 16L, 4L),  // -> 50.0
+      ("C", 99L, 5L)   // key with no quotes -> null
+    ).toDF("tk", "tt", "id")
+    val r = AsofJoin.asofJoin(trades, quotes, "tk", "qk", "tt", "qt", Seq("price"))
+      .orderBy("id").collect().map(x => (x.getAs[Long]("id"), Option(x.getAs[Any]("price"))))
+    assert(r.toSeq == Seq(
+      (1L, None), (2L, Some(100.0)), (3L, Some(110.0)), (4L, Some(50.0)), (5L, None)))
   }
 
   test("corpus sketch is mergeable: sketch(union) == merge of group sketches") {
