@@ -3,7 +3,7 @@ package graft.queries
 import graft.QueryDef
 import graft.QueryDef.df
 import graft.engine.Tables
-import graft.operators.{AsofJoin, Dedup, Multimodal, Similarity, Skew, TextAnalysis}
+import graft.operators.{AsofJoin, Dedup, Multimodal, RangeJoin, Similarity, Skew, TextAnalysis}
 import graft.streaming.EventStreams
 import org.apache.spark.sql.functions._
 
@@ -119,6 +119,30 @@ object OperatorQueries {
            |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
            |ORDER BY e.event_id""".stripMargin))
 
+  // Range join (point-in-interval) via time-grid bucketing: events inside
+  // each customer's 30-day post-order window. Oracle is the naive
+  // BETWEEN join, so the hash match proves the bucketed rewrite exact.
+  private val qRangeJoin = df("q_op_range_join",
+    (spark, dir) => {
+      val events = Tables.table(spark, dir, "events")
+        .select("event_id", "user_id", "ts")
+      val windows = Tables.table(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate").as("w_start"),
+          expr("o_orderdate + INTERVAL 30 DAY").as("w_end"))
+      RangeJoin.pointInInterval(events, windows,
+          "user_id", "o_custkey", "ts", "w_start", "w_end")
+        .groupBy("event_id")
+        .agg(count("*").as("n_windows"), min("o_orderkey").as("first_order"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT e.event_id, COUNT(*) AS n_windows, MIN(o.o_orderkey) AS first_order
+           |FROM events e JOIN orders o
+           |  ON e.user_id = o.o_custkey
+           | AND e.ts >= o.o_orderdate
+           | AND e.ts <= o.o_orderdate + INTERVAL 30 DAY
+           |GROUP BY e.event_id
+           |ORDER BY e.event_id""".stripMargin))
+
   private val qStreamHourly = df("q_stream_hourly",
     (spark, dir) => {
       val agg = EventStreams.hourlyCounts(EventStreams.readEvents(spark, dir))
@@ -155,5 +179,5 @@ object OperatorQueries {
 
   val all: Seq[QueryDef] = Seq(
     qMinhashApi, qAnnApi, qQualityApi, qMultimodalApi, qSaltedJoin,
-    qAsofJoin, qStreamHourly, qStreamSessions)
+    qAsofJoin, qRangeJoin, qStreamHourly, qStreamSessions)
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.operators.{AsofJoin, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{AsofJoin, Dedup, Multimodal, RangeJoin, Similarity, TextAnalysis}
 
 class OperatorsSpec extends AnyFunSuite {
   import TestSpark._
@@ -37,6 +37,31 @@ class OperatorsSpec extends AnyFunSuite {
       .orderBy("id").collect().map(x => (x.getAs[Long]("id"), Option(x.getAs[Any]("price"))))
     assert(r.toSeq == Seq(
       (1L, None), (2L, Some(100.0)), (3L, Some(110.0)), (4L, Some(50.0)), (5L, None)))
+  }
+
+  test("range join equals the naive BETWEEN join, incl. cross-bucket intervals") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val points = Seq(
+      (1L, "k1", ts("2020-01-15 00:00:00")),
+      (2L, "k1", ts("2020-02-01 00:00:00")), // exactly on an interval end
+      (3L, "k1", ts("2020-03-10 00:00:00")), // no covering interval
+      (4L, "k2", ts("2020-01-15 00:00:00"))  // right key, wrong interval key
+    ).toDF("pid", "pk", "pt")
+    val intervals = Seq(
+      (10L, "k1", ts("2020-01-10 00:00:00"), ts("2020-02-01 00:00:00")), // spans Jan->Feb
+      (11L, "k1", ts("2020-01-01 00:00:00"), ts("2020-01-20 00:00:00")),
+      (12L, "k3", ts("2020-01-01 00:00:00"), ts("2020-12-31 00:00:00"))
+    ).toDF("iid", "ik", "istart", "iend")
+    val got = RangeJoin.pointInInterval(points, intervals, "pk", "ik", "pt", "istart", "iend")
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = points.as[(Long, String, Timestamp)].collect().flatMap { case (pid, pk, pt) =>
+      intervals.as[(Long, String, Timestamp, Timestamp)].collect().collect {
+        case (iid, ik, s, e) if ik == pk && !pt.before(s) && !pt.after(e) => (pid, iid)
+      }
+    }.toSet
+    assert(got == want)
+    assert(got == Set((1L, 10L), (1L, 11L), (2L, 10L)))
   }
 
   test("corpus sketch is mergeable: sketch(union) == merge of group sketches") {
