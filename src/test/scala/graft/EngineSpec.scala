@@ -26,6 +26,10 @@ class EngineSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet)
   }
 
+  test("driver entry() smoke: flagship query returns rows at sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("headline set is non-empty and resolvable") {
     assert(SparkEntry.headlines.nonEmpty)
     assert(SparkEntry.headlines.forall(SparkEntry.queries.contains))
