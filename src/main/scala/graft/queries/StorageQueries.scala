@@ -185,6 +185,7 @@ object StorageQueries {
       spark.sql("DROP TABLE IF EXISTS graft_orders_b")
       spark.sql("DROP TABLE IF EXISTS graft_lineitem_b")
       Tables.table(spark, dir, "orders")
+        .select("o_orderkey", "o_orderstatus") // prune before the write
         .write.mode(SaveMode.Overwrite)
         .option("path", scratch("bucketed_orders"))
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey")

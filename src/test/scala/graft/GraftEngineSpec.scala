@@ -90,6 +90,18 @@ class GraftEngineSpec extends AnyFunSuite {
     engine.sql("DROP TABLE graft_part_ddl")
   }
 
+  test("CTAS with PARTITION BY COLUMN (names-only) partitions the output") {
+    engine.mount(sfDir)
+    engine.sql("DROP TABLE IF EXISTS graft_ctas_part")
+    engine.sql(
+      s"""CREATE TABLE graft_ctas_part USING PARQUET
+         |PARTITION BY COLUMN (o_orderstatus) LOCATION '$tmp/graft_ctas_part'
+         |AS SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders""".stripMargin)
+    assert(spark.table("graft_ctas_part").count() == spark.table("orders").count())
+    assert(new java.io.File(s"$tmp/graft_ctas_part/o_orderstatus=F").exists())
+    engine.sql("DROP TABLE graft_ctas_part")
+  }
+
   test("self-describing table: CREATE EXTERNAL TABLE USING JSON without schema") {
     val dir = s"$tmp/selfdesc_json"
     engine.mount(sfDir)
