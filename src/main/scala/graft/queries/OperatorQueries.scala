@@ -153,6 +153,12 @@ object OperatorQueries {
            |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
            |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  // (Stream-stream watermarked join lives in EventStreams
+  // .clickPurchaseAttribution, batch-equivalence-tested in StreamingSpec;
+  // it is deliberately NOT a registry query — its ~10s of per-run
+  // state-store setup is fixed overhead, not data-dependent work, and
+  // would dominate the bench without adding correctness signal.)
+
   private val qStreamSessions = df("q_stream_sessions",
     (spark, dir) => {
       val agg = EventStreams.sessionCounts(EventStreams.readEvents(spark, dir))

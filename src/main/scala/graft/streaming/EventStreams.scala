@@ -51,6 +51,26 @@ object EventStreams {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col("n_events"))
 
+  /** Stream-stream inner join with watermarks: attribute each purchase to
+    * the clicks by the same user in the preceding 30 minutes. Both sides
+    * carry a 1-hour watermark and the join has an explicit event-time
+    * range, so Spark bounds the buffered state on both sides — the
+    * requirement for unbounded sources. Output mode append. */
+  def clickPurchaseAttribution(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+      col("purchase_ts") >= col("click_ts") &&
+      col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"))
+  }
+
   /** Running per-user activity state maintained across micro-batches. */
   final case class UserActivity(
       user_id: Long, n_events: Long, total_value: Double,

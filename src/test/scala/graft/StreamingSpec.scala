@@ -38,6 +38,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(s.sameElements(b))
   }
 
+  test("stream-stream watermarked join equals the batch join") {
+    val stream = EventStreams.runToMemoryTable(
+      EventStreams.clickPurchaseAttribution(EventStreams.readEvents(spark, sfDir)),
+      "t_click_purchase", mode = "append")
+    val e = Tables.table(spark, sfDir, "events")
+    val batch = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("cts"))
+      .join(e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id").as("pu"), col("ts").as("pts")),
+        col("user_id") === col("pu") &&
+        col("pts") >= col("cts") && col("pts") <= col("cts") + expr("INTERVAL 30 MINUTES"))
+      .select("click_id", "purchase_id", "user_id")
+    val s = stream.orderBy("click_id", "purchase_id").collect().map(_.toSeq)
+    val b = batch.orderBy("click_id", "purchase_id").collect().map(_.toSeq)
+    assert(s.length == b.length && s.sameElements(b))
+  }
+
   test("streaming session windows produce bounded sessions per user") {
     val sess = EventStreams.runToMemoryTable(
       EventStreams.sessionCounts(EventStreams.readEvents(spark, sfDir)), "t_sessions")
