@@ -9,17 +9,26 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Length/token/type-token-ratio quality features + a pass/fail gate. */
+  /** Fixed stopword list shared with the SQL/oracle spellings. */
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "be", "this")
+
+  /** Length/token/type-token-ratio/stopword quality features + a
+    * pass/fail gate. */
   def qualityStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
     val toks = split(t, " ")
+    val swArr = stopwords.map(s => s"'$s'").mkString("ARRAY(", ", ", ")")
     docs.select(col(idCol),
       length(t).cast("bigint").as("n_chars"),
       size(toks).cast("bigint").as("n_tokens"),
       size(array_distinct(toks)).cast("bigint").as("n_distinct_tokens"),
       (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr"),
       (length(regexp_replace(t, " ", "")).cast("double") / size(toks)).as("avg_token_len"),
-      size(expr(s"REGEXP_EXTRACT_ALL($textCol, '[0-9]+', 0)")).cast("bigint").as("n_numbers"))
+      size(expr(s"REGEXP_EXTRACT_ALL($textCol, '[0-9]+', 0)")).cast("bigint").as("n_numbers"),
+      (size(expr(s"FILTER(SPLIT(LOWER($textCol), ' '), w -> ARRAY_CONTAINS($swArr, w))"))
+        .cast("double") / size(toks)).as("stopword_ratio"))
       .withColumn("quality_pass",
         (col("n_tokens").between(10, 1000) && col("ttr") > 0.2).cast("int"))
   }

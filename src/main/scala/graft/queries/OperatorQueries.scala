@@ -44,7 +44,9 @@ object OperatorQueries {
           col("n_chars").as("n_chars_m"), col("n_tokens"), col("n_distinct_tokens"),
           expr("CAST(ttr AS DECIMAL(10,6))").as("ttr"),
           expr("CAST(avg_token_len AS DECIMAL(10,6))").as("avg_token_len"),
-          col("n_numbers"), col("quality_pass"))
+          col("n_numbers"),
+          expr("CAST(stopword_ratio AS DECIMAL(10,6))").as("stopword_ratio"),
+          col("quality_pass"))
         .orderBy("doc_id")
     },
     graft.queries.PipelineQueries.all.find(_.name == "q_text_quality").get.oracle)

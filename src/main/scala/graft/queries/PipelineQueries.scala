@@ -314,6 +314,8 @@ object PipelineQueries {
       |  CAST(CAST(SIZE(ARRAY_DISTINCT(SPLIT(text, ' '))) AS DOUBLE) / SIZE(SPLIT(text, ' ')) AS DECIMAL(10,6)) AS ttr,
       |  CAST(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / SIZE(SPLIT(text, ' ')) AS DECIMAL(10,6)) AS avg_token_len,
       |  CAST(SIZE(REGEXP_EXTRACT_ALL(text, '[0-9]+', 0)) AS BIGINT) AS n_numbers,
+      |  CAST(CAST(SIZE(FILTER(SPLIT(LOWER(text), ' '), w -> ARRAY_CONTAINS(ARRAY('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this'), w))) AS DOUBLE)
+      |    / SIZE(SPLIT(text, ' ')) AS DECIMAL(10,6)) AS stopword_ratio,
       |  CASE WHEN SIZE(SPLIT(text, ' ')) BETWEEN 10 AND 1000
       |        AND CAST(SIZE(ARRAY_DISTINCT(SPLIT(text, ' '))) AS DOUBLE) / SIZE(SPLIT(text, ' ')) > 0.2
       |       THEN 1 ELSE 0 END AS quality_pass
@@ -326,6 +328,8 @@ object PipelineQueries {
       |  CAST(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) AS DECIMAL(10,6)) AS ttr,
       |  CAST(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS DECIMAL(10,6)) AS avg_token_len,
       |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_numbers,
+      |  CAST(CAST(len(list_filter(string_split(lower(text), ' '), w -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this'], w))) AS DOUBLE)
+      |    / len(string_split(text, ' ')) AS DECIMAL(10,6)) AS stopword_ratio,
       |  CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 1000
       |        AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) > 0.2
       |       THEN 1 ELSE 0 END AS quality_pass
