@@ -72,6 +72,17 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("Tajo encode/decode(base64|hex) map to Spark's native codecs") {
+    // reference encode/decode (engine/function/string/Encode.java) are the
+    // PG base64/hex codecs; Spark's base64/unbase64/hex/unhex are the
+    // direct equivalents (Spark's own encode(str, charset) keeps its
+    // builtin meaning — see q_func_string2).
+    assert(one("SELECT base64(CAST('tajo' AS BINARY))") == "dGFqbw==")
+    assert(one("SELECT CAST(unbase64('dGFqbw==') AS STRING)") == "tajo")
+    assert(one("SELECT hex(CAST('AB' AS BINARY))") == "4142")
+    assert(one("SELECT CAST(unhex('4142') AS STRING)") == "AB")
+  }
+
   test("simhash32: identical token arrays hash equal, disjoint differ") {
     val a = one("SELECT simhash32(ARRAY('spark', 'query', 'engine'))")
     val b = one("SELECT simhash32(ARRAY('spark', 'query', 'engine'))")

@@ -135,6 +135,16 @@ class GraftEngineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("rcfile"))
   }
 
+  test("qualified db.table names work across databases") {
+    engine.mount(sfDir)
+    engine.sql("CREATE DATABASE IF NOT EXISTS graft_db2")
+    engine.sql("DROP TABLE IF EXISTS graft_db2.r2")
+    engine.sql(s"CREATE TABLE graft_db2.r2 USING PARQUET LOCATION '$tmp/db2_r2' AS SELECT * FROM region")
+    assert(engine.sql("SELECT COUNT(*) AS c FROM graft_db2.r2").collect()(0).getLong(0) == 5)
+    engine.sql("DROP TABLE graft_db2.r2")
+    engine.sql("DROP DATABASE graft_db2")
+  }
+
   test("plain queries pass through") {
     engine.mount(sfDir)
     assert(engine.sql("SELECT COUNT(*) AS c FROM region").collect()(0).getLong(0) == 5)
