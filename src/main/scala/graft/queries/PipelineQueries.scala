@@ -192,8 +192,8 @@ object PipelineQueries {
     s"""$sparkSigs, bands AS ($bandsSpark), $sparkCands, $sparkShingleCtes,
        |shs AS (SELECT doc_id, ARRAY_DISTINCT(shingles) AS s FROM sh)
        |SELECT c.d1, c.d2,
-       |  CAST(SIZE(FILTER(x.s, e -> ARRAY_CONTAINS(y.s, e))) AS DOUBLE)
-       |    / SIZE(ARRAY_DISTINCT(CONCAT(x.s, y.s))) AS jaccard
+       |  CAST(SIZE(ARRAY_INTERSECT(x.s, y.s)) AS DOUBLE)
+       |    / SIZE(ARRAY_UNION(x.s, y.s)) AS jaccard
        |FROM cands c JOIN shs x ON c.d1 = x.doc_id JOIN shs y ON c.d2 = y.doc_id
        |ORDER BY c.d1, c.d2""".stripMargin,
     s"""$duckSigs, bands AS ($bandsDuck),
