@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and mixing for training-data pipelines.
+  *
+  * Sampling is keyed on a Knuth multiplicative hash of a stable id rather
+  * than RNG state, so a sample is (a) reproducible run-over-run, (b)
+  * consistent across engines (the DuckDB oracle computes the same integer
+  * arithmetic), and (c) stable under repartitioning — properties
+  * `TABLESAMPLE`/`rand()` cannot give. Pure narrow projections: no
+  * shuffle, runs at scan speed at any scale.
+  */
+object Sampling {
+
+  /** hash in [0, 2^32) from a BIGINT id — (id * 2654435761) mod 2^32. */
+  private def knuth32(idCol: String) = expr(s"($idCol * 2654435761) % 4294967296")
+
+  /** Keep ~rate of rows, deterministically by id. */
+  def deterministicSample(df: DataFrame, idCol: String, rate: Double): DataFrame =
+    df.filter(knuth32(idCol) < lit((rate * 4294967296.0).toLong))
+
+  /** Per-stratum rates (e.g. downsample over-represented sources). */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       rates: Map[String, Double], default: Double): DataFrame = {
+    val threshold = rates.foldLeft(lit((default * 4294967296.0).toLong)) {
+      case (acc, (k, r)) =>
+        when(col(stratumCol) === k, lit((r * 4294967296.0).toLong)).otherwise(acc)
+    }
+    df.filter(knuth32(idCol) < threshold)
+  }
+
+  /** Deterministic round-robin interleave across sources: orders rows by
+    * (position-within-source, source), the standard way to mix corpora so
+    * a training run doesn't see one source in a long block. The returned
+    * frame carries `mix_order`; a global sort on it is one range shuffle. */
+  def interleave(df: DataFrame, sourceCol: String, orderCol: String): DataFrame = {
+    val w = Window.partitionBy(sourceCol).orderBy(orderCol)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("mix_order",
+        struct(col("__rn"), col(sourceCol)))
+      .drop("__rn")
+  }
+}

@@ -207,6 +207,35 @@ object PipelineQueries {
        |FROM cands c JOIN shs x ON c.d1 = x.doc_id JOIN shs y ON c.d2 = y.doc_id
        |ORDER BY c.d1, c.d2""".stripMargin)
 
+  // ------------------------------------------------- deterministic sampling
+  // Knuth-hash sampling: reproducible, engine-independent, repartition-
+  // stable — properties TABLESAMPLE/rand() cannot give. Stratified rates
+  // downsample the over-represented source.
+  private val qSample = shared("q_pipeline_sample",
+    """SELECT doc_id, source
+      |FROM documents
+      |WHERE (doc_id * 2654435761) % 4294967296 < 429496730
+      |ORDER BY doc_id""".stripMargin)
+
+  private val qSampleStratified = shared("q_pipeline_sample_stratified",
+    """SELECT source, COUNT(*) AS kept
+      |FROM documents
+      |WHERE (doc_id * 2654435761) % 4294967296 <
+      |  CASE WHEN source IN ('src0', 'src1', 'src2') THEN 429496730 ELSE 2147483648 END
+      |GROUP BY source
+      |ORDER BY source""".stripMargin)
+
+  // Round-robin interleave across sources (training-data mixing): global
+  // order by (position-within-source, source) — one window + one range
+  // shuffle at any scale.
+  private val qInterleave = shared("q_pipeline_interleave",
+    """SELECT doc_id, source, rn FROM (
+      |  SELECT doc_id, source,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS rn
+      |  FROM documents) t
+      |ORDER BY rn, source, doc_id
+      |LIMIT 500""".stripMargin)
+
   // --------------------------------------------- embedding cosine similarity
   // Sequential-fold dot products and norms: bit-identical doubles in both
   // engines. Near-dup pass is bucketed by label (coarse IVF-style pruning)
@@ -398,6 +427,7 @@ object PipelineQueries {
 
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupNorm, qMinhashSig, qMinhashPairs, qMinhashCorpus, qSimhash,
+    qSample, qSampleStratified, qInterleave,
     qNgramJaccard, qEmbDedup, qAnnBrute, qAnnLsh,
     qTextStats, qLangId, qTokens, qFingerprint, qMultimodal)
 }

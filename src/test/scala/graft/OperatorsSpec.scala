@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.operators.{AsofJoin, Dedup, Multimodal, RangeJoin, Similarity, TextAnalysis}
+import graft.operators.{AsofJoin, Dedup, Multimodal, RangeJoin, Sampling, Similarity, TextAnalysis}
 
 class OperatorsSpec extends AnyFunSuite {
   import TestSpark._
@@ -37,6 +37,27 @@ class OperatorsSpec extends AnyFunSuite {
       .orderBy("id").collect().map(x => (x.getAs[Long]("id"), Option(x.getAs[Any]("price"))))
     assert(r.toSeq == Seq(
       (1L, None), (2L, Some(100.0)), (3L, Some(110.0)), (4L, Some(50.0)), (5L, None)))
+  }
+
+  test("deterministic sampling: reproducible, ~rate-sized, stable under repartition") {
+    val ids = (1L to 10000L).toDF("id")
+    val s1 = Sampling.deterministicSample(ids, "id", 0.1)
+    val s2 = Sampling.deterministicSample(ids.repartition(13), "id", 0.1)
+    val kept1 = s1.collect().map(_.getLong(0)).toSet
+    assert(kept1 == s2.collect().map(_.getLong(0)).toSet) // partition-stable
+    assert(math.abs(kept1.size - 1000) < 150, s"got ${kept1.size}")
+    val strat = Sampling.stratifiedSample(
+      ids.withColumn("s", when($"id" % 2 === 0, "a").otherwise("b")),
+      "id", "s", Map("a" -> 0.0), default = 1.0)
+    assert(strat.filter($"s" === "a").count() == 0)
+    assert(strat.filter($"s" === "b").count() == 5000)
+  }
+
+  test("interleave round-robins the sources") {
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 10L), ("b", 20L)).toDF("src", "k")
+    val mixed = Sampling.interleave(df, "src", "k")
+      .orderBy("mix_order").select("src").collect().map(_.getString(0)).toSeq
+    assert(mixed == Seq("a", "b", "a", "b", "a"))
   }
 
   test("range join equals the naive BETWEEN join, incl. cross-bucket intervals") {
