@@ -348,6 +348,24 @@ object CoreQueries {
       |FROM lineitem WHERE l_orderkey % 40 = 0
       |ORDER BY l_orderkey, l_linenumber""".stripMargin)
 
+  // Exact interpolated percentiles (beyond the reference's aggregate set;
+  // Spark percentile == DuckDB quantile_cont, both linear interpolation).
+  private val qPercentile = split("q_agg_percentile",
+    """SELECT l_returnflag,
+      |  CAST(CAST(PERCENTILE(l_quantity, 0.5) AS DECIMAL(18,6)) AS DOUBLE) AS med_qty,
+      |  CAST(CAST(PERCENTILE(l_quantity, 0.9) AS DECIMAL(18,6)) AS DOUBLE) AS p90_qty,
+      |  CAST(CAST(PERCENTILE(l_extendedprice, 0.25) AS DECIMAL(18,4)) AS DOUBLE) AS p25_price
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin,
+    """SELECT l_returnflag,
+      |  CAST(CAST(QUANTILE_CONT(l_quantity, 0.5) AS DECIMAL(18,6)) AS DOUBLE) AS med_qty,
+      |  CAST(CAST(QUANTILE_CONT(l_quantity, 0.9) AS DECIMAL(18,6)) AS DOUBLE) AS p90_qty,
+      |  CAST(CAST(QUANTILE_CONT(l_extendedprice, 0.25) AS DECIMAL(18,4)) AS DOUBLE) AS p25_price
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin)
+
   private val qDistinct = shared("q_select_distinct",
     """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
       |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
@@ -369,5 +387,5 @@ object CoreQueries {
     qSortLimit, qSortNulls,
     qUnionAll, qUnionDistinct, qIntersect, qExcept,
     qExists, qScalarSub, qInSubUncorrelated,
-    qCaseWhen, qDistinct, qEvalExpr, qNullSemantics, qMath2)
+    qCaseWhen, qDistinct, qEvalExpr, qNullSemantics, qMath2, qPercentile)
 }
