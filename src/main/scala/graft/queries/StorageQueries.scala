@@ -184,14 +184,20 @@ object StorageQueries {
     (spark, dir) => {
       spark.sql("DROP TABLE IF EXISTS graft_orders_b")
       spark.sql("DROP TABLE IF EXISTS graft_lineitem_b")
+      // repartition on the bucket key first: the source is a single row
+      // group (one scan task), so without it the bucketed write runs
+      // single-threaded and emits one file per bucket per task; aligned
+      // repartitioning gives 8 parallel writers and one file per bucket.
       Tables.table(spark, dir, "orders")
         .select("o_orderkey", "o_orderstatus") // prune before the write
+        .repartition(8, col("o_orderkey"))
         .write.mode(SaveMode.Overwrite)
         .option("path", scratch("bucketed_orders"))
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .saveAsTable("graft_orders_b")
       Tables.table(spark, dir, "lineitem")
         .select("l_orderkey", "l_quantity", "l_extendedprice")
+        .repartition(8, col("l_orderkey"))
         .write.mode(SaveMode.Overwrite)
         .option("path", scratch("bucketed_lineitem"))
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
