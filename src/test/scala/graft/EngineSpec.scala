@@ -30,6 +30,21 @@ class EngineSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("golden result rendering matches the reference conventions") {
+    import spark.implicits._
+    val df = Seq((1L, Some(true), Option.empty[String]), (2L, Some(false), Some("x")))
+      .toDF("k", "b", "s")
+    val txt = graft.tools.GoldenResult.render(df.orderBy("k"))
+    assert(txt ==
+      s"""k,b,s
+         |${graft.tools.GoldenResult.Separator}
+         |1,t,null
+         |2,f,x
+         |""".stripMargin)
+    assert(graft.tools.GoldenResult.diff(df.orderBy("k"), txt).isEmpty)
+    assert(graft.tools.GoldenResult.diff(df.orderBy("k"), txt.replace("2,f,x", "2,t,x")).nonEmpty)
+  }
+
   test("headline set is non-empty and resolvable") {
     assert(SparkEntry.headlines.nonEmpty)
     assert(SparkEntry.headlines.forall(SparkEntry.queries.contains))
