@@ -75,6 +75,42 @@ object Dedup {
       .agg(min("h").as("min_h"))
   }
 
+  /** Duplicate-cluster assignment: connected components over candidate
+    * pairs, labeling every member with the smallest doc id in its component
+    * (the canonical "keeper"). Pairs alone under-dedupe — A~B and B~C must
+    * collapse to one cluster even when A~C was never emitted.
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * takes the min of its own label and its neighbors' labels (one join +
+    * one aggregation per round, all shuffle-on-key). Rounds needed = the
+    * component diameter, which for LSH duplicate clusters is tiny; capped
+    * by maxIter. localCheckpoint truncates the loop's lineage so plans stay
+    * flat. The driver loop is control flow only — the single scalar pulled
+    * per round is the convergence count.
+    */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var i = 0
+    var converged = false
+    while (i < maxIter && !converged) {
+      val neighborMin = edges.join(labels, edges("b") === labels("id"))
+        .groupBy(edges("a").as("nid")).agg(min("label").as("nmin"))
+      val updated = labels.join(neighborMin, labels("id") === neighborMin("nid"), "left")
+        .select(labels("id"),
+          least(labels("label"), coalesce(col("nmin"), labels("label"))).as("next"),
+          labels("label").as("prev"))
+        .localCheckpoint()
+      converged = updated.filter(col("next") < col("prev")).isEmpty
+      labels = updated.select(col("id"), col("next").as("label"))
+      i += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("keeper"))
+  }
+
   /** 32-bit SimHash per doc via the native Catalyst expression. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.functions.TajoFunctions.register(docs.sparkSession)

@@ -155,6 +155,32 @@ object OperatorQueries {
            |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
            |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  // Duplicate-cluster assignment over the MinHash candidate pairs:
+  // iterative min-label propagation on the Spark side; the oracle computes
+  // the same components with a recursive transitive closure in DuckDB.
+  private val qDedupClusters = df("q_dedup_clusters",
+    (spark, dir) => {
+      val docs = Tables.table(spark, dir, "documents")
+      val sigs = Dedup.minhashSignature(docs, "doc_id", "text")
+      val pairs = Dedup.minhashCandidates(Dedup.minhashBands(sigs, "doc_id"), "doc_id")
+      Dedup.duplicateClusters(pairs).orderBy("doc_id")
+    },
+    Some {
+      val base = graft.queries.PipelineQueries.minhashCandsDuckSql
+      s"""${base.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |edges AS (
+         |  SELECT d1 AS a, d2 AS b FROM cands
+         |  UNION SELECT d2 AS a, d1 AS b FROM cands
+         |), reach AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+         |)
+         |SELECT a AS doc_id, LEAST(a, MIN(b)) AS keeper
+         |FROM reach GROUP BY a
+         |ORDER BY doc_id""".stripMargin
+    })
+
   // (Stream-stream watermarked join lives in EventStreams
   // .clickPurchaseAttribution, batch-equivalence-tested in StreamingSpec;
   // it is deliberately NOT a registry query — its ~10s of per-run
@@ -187,5 +213,5 @@ object OperatorQueries {
 
   val all: Seq[QueryDef] = Seq(
     qMinhashApi, qAnnApi, qQualityApi, qMultimodalApi, qSaltedJoin,
-    qAsofJoin, qRangeJoin, qStreamHourly, qStreamSessions)
+    qAsofJoin, qRangeJoin, qDedupClusters, qStreamHourly, qStreamSessions)
 }

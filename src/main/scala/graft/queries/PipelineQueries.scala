@@ -158,6 +158,15 @@ object PipelineQueries {
        |GROUP BY source, i - 1
        |ORDER BY source, pos""".stripMargin)
 
+  /** DuckDB CTE chain producing the MinHash candidate pairs as `cands` —
+    * shared with OperatorQueries.qDedupClusters' recursive-closure oracle. */
+  def minhashCandsDuckSql: String =
+    s"""$duckSigs, bands AS ($bandsDuck),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |)""".stripMargin
+
   // --------------------------------------------------------------- simhash
   // g(token) = (poly31(token) * 2654435761) mod 2^32; bit j votes +/-1;
   // simhash = sum over j of 2^j where vote_j > 0. Spark side uses our

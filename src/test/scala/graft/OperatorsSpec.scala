@@ -85,6 +85,15 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Set((1L, 10L), (1L, 11L), (2L, 10L)))
   }
 
+  test("duplicate clusters merge transitively (A~B, B~C, no A~C edge)") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("d1", "d2")
+    val got = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("corpus sketch is mergeable: sketch(union) == merge of group sketches") {
     val grouped = docs.withColumn("grp",
       when($"doc_id" <= 2, "a").otherwise("b"))
