@@ -111,6 +111,14 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("keeper"))
   }
 
+  /** End of the dedup pipeline: keep one representative per duplicate
+    * cluster — drops every doc labeled with a keeper other than itself.
+    * Docs never seen in a candidate pair pass through untouched. */
+  def dropDuplicates(docs: DataFrame, clusters: DataFrame, idCol: String): DataFrame =
+    docs.join(
+        clusters.filter(col("doc_id") =!= col("keeper")).select(col("doc_id").as("__drop")),
+        docs(idCol) === col("__drop"), "left_anti")
+
   /** 32-bit SimHash per doc via the native Catalyst expression. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.functions.TajoFunctions.register(docs.sparkSession)

@@ -94,6 +94,15 @@ class OperatorsSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("dropDuplicates keeps exactly one representative per cluster") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("d1", "d2")
+    val clusters = Dedup.duplicateClusters(pairs)
+    val corpus = Seq(1L, 2L, 3L, 99L).toDF("doc_id")
+    val kept = Dedup.dropDuplicates(corpus, clusters, "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 99L))
+  }
+
   test("corpus sketch is mergeable: sketch(union) == merge of group sketches") {
     val grouped = docs.withColumn("grp",
       when($"doc_id" <= 2, "a").otherwise("b"))
