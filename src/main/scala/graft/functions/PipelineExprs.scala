@@ -97,6 +97,78 @@ object MinHashSig {
   }
 }
 
+/** ngram_hash_set(text, n) -> ARRAY<BIGINT> — sorted distinct poly31
+  * hashes of the word n-gram shingles (same tokenization/fold spec as
+  * MinHashSig, including the '_' sentinel for short docs). Set operations
+  * over these hashes (Jaccard) equal set operations over the shingle
+  * strings whenever both sides hash identically — and any collision
+  * happens identically in the DuckDB oracle, which evaluates the same
+  * integer arithmetic. One pass, no shingle strings materialized.
+  */
+case class NgramHashSet(child: Expression, shingleN: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if shingleN > 0 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure("ngram_hash_set: n must be positive")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ngram_hash_set expects STRING, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    NgramHashSet.compute(input.asInstanceOf[UTF8String], shingleN)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NgramHashSet.compute($c, $shingleN);")
+
+  override protected def withNewChildInternal(newChild: Expression): NgramHashSet =
+    copy(child = newChild)
+  override def prettyName: String = "ngram_hash_set"
+}
+
+object NgramHashSet {
+  private final val P = 1000000007L
+
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    val hashes: Array[Long] =
+      if (words.length >= n) {
+        val out = new Array[Long](words.length - n + 1)
+        var i = 0
+        while (i < out.length) {
+          var h = 0L
+          var d = 0
+          while (d < n) {
+            if (d > 0) h = (h * 31L + 32L) % P
+            val w = words(i + d)
+            var c = 0
+            while (c < w.length) {
+              val cp = w.codePointAt(c)
+              h = (h * 31L + cp) % P
+              c += Character.charCount(cp)
+            }
+            d += 1
+          }
+          out(i) = h
+          i += 1
+        }
+        out
+      } else Array(95L) // poly31("_")
+    java.util.Arrays.sort(hashes)
+    // in-place dedupe of the sorted array
+    var w = 0
+    var r = 0
+    while (r < hashes.length) {
+      if (r == 0 || hashes(r) != hashes(r - 1)) { hashes(w) = hashes(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hashes, w))
+  }
+}
+
 /** lsh_bucket(vec, nBits, dim) -> INT — sign-bit LSH bucket id over the
   * deterministic hyperplanes hp_j[i] = ((i*37 + j*101) mod 11) - 5, exactly
   * the HashSpec.lshBucket SQL form (left-to-right double folds; a missing

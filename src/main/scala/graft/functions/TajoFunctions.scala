@@ -202,6 +202,15 @@ object TajoFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ngram_hash_set", { exprs =>
+        val n = exprs.lift(1) match {
+          case Some(org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)) => v
+          case None => 3
+          case _ => throw new IllegalArgumentException("ngram_hash_set: n must be an INT literal")
+        }
+        NgramHashSet(exprs.head, n)
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lsh_bucket", { exprs =>
         def lit(e: org.apache.spark.sql.catalyst.expressions.Expression, name: String): Int =
           e match {

@@ -125,11 +125,13 @@ object Dedup {
     docs.select(col(idCol), expr(s"simhash32(SPLIT($textCol, ' '))").as("simhash"))
   }
 
-  /** Exact n-gram Jaccard for candidate pairs (verification pass after LSH). */
+  /** Exact n-gram Jaccard for candidate pairs (verification pass after
+    * LSH), over native one-pass shingle hash sets. */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, idCol: String,
                    textCol: String, shingleN: Int = 3): DataFrame = {
+    graft.functions.TajoFunctions.register(docs.sparkSession)
     val sh = docs.select(col(idCol),
-      expr(s"ARRAY_DISTINCT(${HashSpec.shingles(s"SPLIT($textCol, ' ')", shingleN)})").as("s"))
+      expr(s"ngram_hash_set($textCol, $shingleN)").as("s"))
     pairs
       .join(sh.select(col(idCol).as("d1"), col("s").as("s1")), "d1")
       .join(sh.select(col(idCol).as("d2"), col("s").as("s2")), "d2")

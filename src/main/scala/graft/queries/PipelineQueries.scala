@@ -193,13 +193,12 @@ object PipelineQueries {
 
   // ------------------------------------------------- n-gram jaccard on pairs
   // Exact verification of MinHash candidates: 3-gram shingle Jaccard.
-  private def sparkShingleCtes: String =
-    s"""toks AS (SELECT doc_id, SPLIT(text, ' ') AS w FROM documents),
-       |sh AS (SELECT doc_id, ${graft.operators.HashSpec.shingles("w", 3)} AS shingles FROM toks)""".stripMargin
-
+  // Jaccard over shingle HASH sets (native ngram_hash_set, one pass, no
+  // shingle strings): equals string-set Jaccard because both engines hash
+  // with the same poly31 spec — collisions, if any, collide identically.
   private val qNgramJaccard = split("q_dedup_ngram_jaccard",
-    s"""$sparkSigs, bands AS ($bandsSpark), $sparkCands, $sparkShingleCtes,
-       |shs AS (SELECT doc_id, ARRAY_DISTINCT(shingles) AS s FROM sh)
+    s"""$sparkSigs, bands AS ($bandsSpark), $sparkCands,
+       |shs AS (SELECT doc_id, ngram_hash_set(text, 3) AS s FROM documents)
        |SELECT c.d1, c.d2,
        |  CAST(SIZE(ARRAY_INTERSECT(x.s, y.s)) AS DOUBLE)
        |    / SIZE(ARRAY_UNION(x.s, y.s)) AS jaccard
@@ -209,7 +208,7 @@ object PipelineQueries {
        |cands AS (
        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-       |), shs AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh)
+       |), shs AS (SELECT doc_id, list_distinct(hvals) AS s FROM hs)
        |SELECT c.d1, c.d2,
        |  CAST(len(list_filter(x.s, e -> list_contains(y.s, e))) AS DOUBLE)
        |    / len(list_distinct(list_concat(x.s, y.s))) AS jaccard

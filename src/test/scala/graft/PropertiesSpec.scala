@@ -85,6 +85,16 @@ class PropertiesSpec extends AnyFunSuite {
     assert(df.filter("spec <> native").count() == 0)
   }
 
+  test("native ngram_hash_set equals sorted-distinct poly31 over SQL shingles") {
+    graft.functions.TajoFunctions.register(spark)
+    val texts = Seq.fill(40)(randText(25)) ++ Seq("a b", "", "a  b   c d", "x y z x y z")
+    val sh = HashSpec.shingles("SPLIT(s, ' ')", 3)
+    val df = texts.toDF("s").select(
+      expr(s"ARRAY_SORT(ARRAY_DISTINCT(TRANSFORM($sh, s0 -> ${HashSpec.poly31("s0")})))").as("spec"),
+      expr("ngram_hash_set(s, 3)").as("native"))
+    assert(df.filter("spec <> native").count() == 0)
+  }
+
   test("native vec_dot equals the SQL sequential fold bit-exactly") {
     graft.functions.TajoFunctions.register(spark)
     val vecs = Seq.fill(30)((Array.fill(64)(rnd.nextFloat() * 2 - 1), Array.fill(64)(rnd.nextFloat() * 2 - 1)))
