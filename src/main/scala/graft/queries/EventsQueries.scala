@@ -85,5 +85,32 @@ object EventsQueries {
       |  COUNT(CASE WHEN t_purchase > t_click AND t_click > t_view THEN 1 END) AS full_funnel
       |FROM stages""".stripMargin)
 
-  val all: Seq[QueryDef] = Seq(qWindowAgg, qSliding, qSessionize, qPivot, qFunnel)
+  // Weekly cohort retention: users bucketed by first-seen week, counted in
+  // each subsequent active week — two aggregations and one equi-join, all
+  // shuffle-on-user_id (linear at any event volume).
+  private val qRetention = QueryDef.split("q_events_retention",
+    """WITH firstw AS (
+      |  SELECT user_id, MIN(DATE_TRUNC('WEEK', ts)) AS cohort FROM events GROUP BY user_id
+      |), act AS (
+      |  SELECT DISTINCT user_id, DATE_TRUNC('WEEK', ts) AS wk FROM events
+      |)
+      |SELECT CAST(f.cohort AS DATE) AS cohort,
+      |  CAST(DATEDIFF(a.wk, f.cohort) DIV 7 AS BIGINT) AS week_n,
+      |  COUNT(*) AS active
+      |FROM firstw f JOIN act a ON f.user_id = a.user_id
+      |GROUP BY f.cohort, week_n
+      |ORDER BY cohort, week_n""".stripMargin,
+    """WITH firstw AS (
+      |  SELECT user_id, MIN(DATE_TRUNC('WEEK', ts)) AS cohort FROM events GROUP BY user_id
+      |), act AS (
+      |  SELECT DISTINCT user_id, DATE_TRUNC('WEEK', ts) AS wk FROM events
+      |)
+      |SELECT CAST(f.cohort AS DATE) AS cohort,
+      |  CAST(date_diff('day', f.cohort, a.wk) // 7 AS BIGINT) AS week_n,
+      |  COUNT(*) AS active
+      |FROM firstw f JOIN act a ON f.user_id = a.user_id
+      |GROUP BY f.cohort, week_n
+      |ORDER BY cohort, week_n""".stripMargin)
+
+  val all: Seq[QueryDef] = Seq(qWindowAgg, qSliding, qSessionize, qPivot, qFunnel, qRetention)
 }
