@@ -27,15 +27,30 @@ object Bench {
     // Optional comma-separated name filter for focused perf iteration.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = only.fold(SparkEntry.registry)(f => SparkEntry.registry.filter(q => f(q.name)))
+    // A failed query must be loud: named on stderr AND listed in the JSON —
+    // a regression that breaks a query must not masquerade as a speedup.
+    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = selected.map { q =>
       val t0 = System.nanoTime()
-      try { q.run(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { q.run(spark, sfDir).count(); true } catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH FAIL ${q.name}: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          errors += q.name
+          false
+      }
+      q.name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    println(line)
+    // Persist too: the driver's stdout tail capture truncates long lines.
+    val out = java.nio.file.Paths.get("target/bench.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -109,49 +109,117 @@ class GraftEngine(val spark: SparkSession) {
     // PARTITION BY COLUMN (b TEXT, ...) -> PARTITIONED BY (b, ...), with the
     // typed partition columns appended to the table schema: Tajo declares
     // them OUTSIDE the column list (SQLParser.g4:151-185), Spark inside.
-    val pbc = "(?i)PARTITION\\s+BY\\s+COLUMN\\s*\\(([^)]*)\\)".r
+    val pbc = "(?i)PARTITION\\s+BY\\s+COLUMN\\s*\\(".r
     pbc.findFirstMatchIn(out).foreach { m =>
-      val decls = m.group(1).split(",").map(_.trim).filter(_.nonEmpty)
+      val open = m.end - 1
+      val close = matchParen(out, open)
+      val decls = splitTopLevel(out.substring(open + 1, close))
       val typed = decls.filter(_.split("\\s+").length >= 2)
       val names = decls.map(_.split("\\s+")(0))
+      out = out.substring(0, m.start) +
+        s"PARTITIONED BY (${names.mkString(", ")})" + out.substring(close + 1)
       if (typed.length == decls.length && typed.nonEmpty) {
-        // append typed decls to the schema column list (the '(...)' right
-        // before USING), then keep only names in PARTITIONED BY
-        val schemaRe = "(?is)(CREATE\\s+TABLE(?:\\s+IF\\s+NOT\\s+EXISTS)?\\s+\\S+\\s*\\()([^)]*)(\\))".r
-        out = schemaRe.replaceAllIn(out, sm => java.util.regex.Matcher.quoteReplacement(
-          sm.group(1) + sm.group(2) + ", " + mapTypes(typed).mkString(", ") + sm.group(3)))
+        // append typed decls to the schema column list (right before its
+        // closing paren); types mapped by the column-list pass below
+        columnList(out).foreach { case (sopen, sclose) =>
+          out = out.substring(0, sclose) + ", " + typed.mkString(", ") + out.substring(sclose)
+        }
       }
-      out = pbc.replaceAllIn(out, java.util.regex.Matcher.quoteReplacement(
-        s"PARTITIONED BY (${names.mkString(", ")})"))
     }
     // CREATE EXTERNAL TABLE -> CREATE TABLE (Spark treats LOCATION as external)
     out = "(?i)CREATE\\s+EXTERNAL\\s+TABLE".r.replaceAllIn(out, "CREATE TABLE")
-    // Tajo type keywords in DDL column lists (SURVEY.md §1 mapping)
-    if ("(?i)^\\s*CREATE\\s+TABLE".r.findFirstIn(out).nonEmpty) {
-      Seq("TEXT" -> "STRING", "INT4" -> "INT", "INT8" -> "BIGINT",
-          "INT2" -> "SMALLINT", "INT1" -> "TINYINT",
-          "FLOAT4" -> "FLOAT", "FLOAT8" -> "DOUBLE").foreach { case (t, s) =>
-        // lookarounds keep quoted option keys like 'text.null' intact
-        out = s"(?i)(?<!['.])\\b$t\\b(?!['.])".r.replaceAllIn(out, s)
+    // Tajo type keywords in the DDL column list (SURVEY.md §1 mapping) —
+    // rewritten in TYPE POSITION only (a column *named* `text` keeps its
+    // name), recursing into RECORD(...) -> STRUCT<...> nested types
+    // (reference: tajo-plan/.../LogicalPlanner.java:579 builds nested
+    // schemas from RECORD declarations; queries/TestSelectNestedRecord/
+    // sample0_ddl.sql, sample2_ddl.sql).
+    columnList(out).foreach { case (open, close) =>
+      val mapped = splitTopLevel(out.substring(open + 1, close)).map { d =>
+        val (name, tpe) = splitDecl(d)
+        s"$name ${mapType(tpe)}"
       }
+      out = out.substring(0, open + 1) + mapped.mkString(", ") + out.substring(close)
     }
     // INSERT OVERWRITE INTO t -> INSERT OVERWRITE TABLE t (SQLParser.g4:1607)
     out = "(?i)INSERT\\s+OVERWRITE\\s+INTO\\b".r.replaceAllIn(out, "INSERT OVERWRITE TABLE")
     out
   }
 
-  /** Tajo type names Spark doesn't accept (SURVEY.md §1 mapping). */
-  private def mapTypes(decls: Seq[String]): Seq[String] = decls.map { d =>
-    val Array(name, tpe @ _*) = d.split("\\s+"): @unchecked
-    val t = tpe.mkString(" ").toUpperCase match {
-      case "TEXT" => "STRING"
-      case "INT4" => "INT"
-      case "INT8" => "BIGINT"
-      case "FLOAT4" => "FLOAT"
-      case "FLOAT8" => "DOUBLE"
-      case other => other
+  /** (open, close) paren indexes of the CREATE TABLE column list, if the
+    * statement has one (CTAS and schemaless external tables don't). */
+  private def columnList(s: String): Option[(Int, Int)] = {
+    val ctRe = "(?is)^\\s*CREATE\\s+(?:EXTERNAL\\s+)?TABLE(?:\\s+IF\\s+NOT\\s+EXISTS)?\\s+[\\w.`\"]+\\s*\\(".r
+    ctRe.findFirstMatchIn(s).flatMap { m =>
+      val open = m.end - 1
+      val close = matchParen(s, open)
+      if (close > open) Some((open, close)) else None
     }
-    s"$name $t"
+  }
+
+  /** Index of the ')' matching the '(' at `open`, respecting nesting. */
+  private def matchParen(s: String, open: Int): Int = {
+    var depth = 0
+    var i = open
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Split on commas at paren depth 0 (commas inside RECORD(...) or
+    * DECIMAL(p,s) stay put). */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    var start = 0
+    for (i <- 0 until s.length) s.charAt(i) match {
+      case '(' => depth += 1
+      case ')' => depth -= 1
+      case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+      case _ =>
+    }
+    out += s.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** `name TYPE ...` -> (name, type-and-rest). */
+  private def splitDecl(d: String): (String, String) = {
+    val s = d.trim
+    val sp = s.indexWhere(_.isWhitespace)
+    if (sp < 0) (s, "") else (s.substring(0, sp), s.substring(sp + 1).trim)
+  }
+
+  /** Tajo scalar type -> Spark SQL type (SURVEY.md §1 mapping). TIME has no
+    * Spark counterpart (Spark has DATE and TIMESTAMP only) — it maps to
+    * STRING ('HH:mm:ss' text), the documented divergence. */
+  private val scalarTypeMap = Map(
+    "TEXT" -> "STRING", "VARCHAR" -> "STRING",
+    "INT4" -> "INT", "INT8" -> "BIGINT",
+    "INT2" -> "SMALLINT", "INT1" -> "TINYINT",
+    "FLOAT4" -> "FLOAT", "FLOAT8" -> "DOUBLE",
+    "TIME" -> "STRING")
+
+  /** Map one Tajo type expression to Spark SQL, recursing into
+    * `RECORD (a TEXT, b RECORD (...))` -> `STRUCT<a: STRING, b: STRUCT<...>>`. */
+  private[engine] def mapType(t: String): String = {
+    val trimmed = t.trim
+    if (trimmed.toUpperCase.startsWith("RECORD")) {
+      val open = trimmed.indexOf('(')
+      require(open >= 0, s"malformed RECORD type (missing field list): $t")
+      val close = matchParen(trimmed, open)
+      require(close > open, s"malformed RECORD type (unbalanced parens): $t")
+      val fields = splitTopLevel(trimmed.substring(open + 1, close)).map { f =>
+        val (name, tpe) = splitDecl(f)
+        s"$name: ${mapType(tpe)}"
+      }
+      fields.mkString("STRUCT<", ", ", ">")
+    } else scalarTypeMap.getOrElse(trimmed.toUpperCase, trimmed)
   }
 
   /** Register the driver testdata tables. */

@@ -44,7 +44,11 @@ object PgDateFormat {
     "PM"   -> "a",
     "am"   -> "a",
     "pm"   -> "a",
-    "TZ"   -> "zz",
+    // to_char formats a zoneless LocalDateTime in the engine's fixed-UTC
+    // semantics (TajoFunctions.utc) — a zone pattern like `zz` would throw
+    // UnsupportedTemporalTypeException there, so TZ becomes the literal
+    // zone name the engine guarantees.
+    "TZ"   -> "'UTC'",
     "J"    -> "g",      // julian day approximation
     "Q"    -> "Q",
     "WW"   -> "ww",

@@ -189,6 +189,8 @@ object TajoFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash32", exprs => SimHash32(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "norm_text", exprs => NormText(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sig", { exprs =>
         def lit(e: org.apache.spark.sql.catalyst.expressions.Expression, name: String): Int =
           e match {

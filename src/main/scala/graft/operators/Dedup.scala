@@ -19,12 +19,15 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("h"))
       .agg(count("*").as("n_copies"), min(col(idCol)).as("keeper"))
 
-  /** Exact dedup after lowercase/punctuation/whitespace normalization. */
-  def normalized(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.withColumn("__norm",
-        trim(regexp_replace(regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", " "), " +", " ")))
+  /** Exact dedup after lowercase/punctuation/whitespace normalization
+    * (native one-pass norm_text expression — bit-identical to the
+    * TRIM(REGEXP_REPLACE(...)) spec, see graft.functions.NormText). */
+  def normalized(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.TajoFunctions.register(docs.sparkSession)
+    docs.withColumn("__norm", expr(s"norm_text($textCol)"))
       .groupBy(md5(col("__norm")).as("h"))
       .agg(count("*").as("n_copies"), min(col(idCol)).as("keeper"))
+  }
 
   /** Per-doc MinHash signature (array of k BIGINTs) from word `n`-shingles. */
   def minhashSignature(docs: DataFrame, idCol: String, textCol: String,

@@ -15,8 +15,15 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** hash in [0, 2^32) from a BIGINT id — (id * 2654435761) mod 2^32. */
-  private def knuth32(idCol: String) = expr(s"($idCol * 2654435761) % 4294967296")
+  /** hash in [0, 2^32) from a BIGINT id — Knuth multiplicative hash with
+    * the id reduced mod 1e9+7 first: the raw `id * 2654435761` wraps the
+    * 64-bit multiply for id >= ~3.47e9 (Spark wraps silently to negative —
+    * the `< threshold` filter then keeps every such row — while DuckDB
+    * errors on overflow). After the reduction the product is at most
+    * ~2.66e18 < 2^63, so the arithmetic is exact in both engines at any id
+    * scale; pmod guards the sign for negative ids. */
+  private def knuth32(idCol: String) =
+    expr(s"pmod(($idCol % 1000000007) * 2654435761, 4294967296)")
 
   /** Keep ~rate of rows, deterministically by id. */
   def deterministicSample(df: DataFrame, idCol: String, rate: Double): DataFrame =

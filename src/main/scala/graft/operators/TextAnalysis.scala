@@ -15,22 +15,36 @@ object TextAnalysis {
     "that", "for", "on", "with", "as", "at", "by", "be", "this")
 
   /** Length/token/type-token-ratio/stopword quality features + a
-    * pass/fail gate. */
+    * pass/fail gate.
+    *
+    * Ratios are reported twice: as doubles (`ttr`, `avg_token_len`,
+    * `stopword_ratio`) for human use, and as parts-per-million BIGINT
+    * floor divisions (`ttr_ppm`, …) that are integer-exact — identical in
+    * every engine, immune to the half-up/half-even decimal-tie divergence
+    * between Spark and some DuckDB builds. Oracle-compared queries and the
+    * quality gate use the ppm forms. */
   def qualityStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
     val toks = split(t, " ")
     val swArr = stopwords.map(s => s"'$s'").mkString("ARRAY(", ", ", ")")
-    docs.select(col(idCol),
+    val counted = docs.select(col(idCol),
       length(t).cast("bigint").as("n_chars"),
       size(toks).cast("bigint").as("n_tokens"),
       size(array_distinct(toks)).cast("bigint").as("n_distinct_tokens"),
-      (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr"),
-      (length(regexp_replace(t, " ", "")).cast("double") / size(toks)).as("avg_token_len"),
+      length(regexp_replace(t, " ", "")).cast("bigint").as("__n_nospace"),
       size(expr(s"REGEXP_EXTRACT_ALL($textCol, '[0-9]+', 0)")).cast("bigint").as("n_numbers"),
-      (size(expr(s"FILTER(SPLIT(LOWER($textCol), ' '), w -> ARRAY_CONTAINS($swArr, w))"))
-        .cast("double") / size(toks)).as("stopword_ratio"))
+      size(expr(s"FILTER(SPLIT(LOWER($textCol), ' '), w -> ARRAY_CONTAINS($swArr, w))"))
+        .cast("bigint").as("__n_stop"))
+    counted.select(col(idCol), col("n_chars"), col("n_tokens"), col("n_distinct_tokens"),
+      (col("n_distinct_tokens").cast("double") / col("n_tokens")).as("ttr"),
+      expr("(1000000 * n_distinct_tokens) DIV n_tokens").as("ttr_ppm"),
+      (col("__n_nospace").cast("double") / col("n_tokens")).as("avg_token_len"),
+      expr("(1000000 * __n_nospace) DIV n_tokens").as("avg_token_len_ppm"),
+      col("n_numbers"),
+      (col("__n_stop").cast("double") / col("n_tokens")).as("stopword_ratio"),
+      expr("(1000000 * __n_stop) DIV n_tokens").as("stopword_ppm"))
       .withColumn("quality_pass",
-        (col("n_tokens").between(10, 1000) && col("ttr") > 0.2).cast("int"))
+        (col("n_tokens").between(10, 1000) && col("ttr_ppm") > 200000).cast("int"))
   }
 
   /** Marker-token language ID with deterministic tie-break (n-gram

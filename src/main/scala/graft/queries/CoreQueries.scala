@@ -323,27 +323,33 @@ object CoreQueries {
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin)
 
-  // Second math batch: div (Tajo integer division fn), inverse trig, tan,
-  // decimal-routed rounding (reference: engine/function/math/Div.java,
-  // Atan.java, Asin.java, Acos.java, Tan.java, RoundFloat8.java).
+  // Second math batch: div (Tajo integer division fn), IEEE-754-exact
+  // operations only (reference: engine/function/math/Div.java, Sqrt.java,
+  // AbsDouble.java, SignFloat8.java, FloorFloat8.java, CeilFloat8.java,
+  // RoundFloat8.java). Trig (ATAN/ASIN/ACOS/TAN) is libm-dependent — no
+  // IEEE-mandated exact result, so different libm builds differ by 1 ulp
+  // and flip decimal rounding on boundary rows; trig parity is asserted
+  // with a 1e-12 tolerance in FunctionsSpec instead of hash comparison.
   private val qMath2 = split("q_func_math2",
     """SELECT l_orderkey, l_linenumber,
       |  div(CAST(l_partkey AS BIGINT), 7) AS idiv,
       |  CAST(l_partkey AS BIGINT) % 7 AS imod,
-      |  CAST(CAST(ATAN(l_discount) AS DECIMAL(20,8)) AS DOUBLE) AS at,
-      |  CAST(CAST(ASIN(l_discount) AS DECIMAL(20,8)) AS DOUBLE) AS asn,
-      |  CAST(CAST(ACOS(l_discount) AS DECIMAL(20,8)) AS DOUBLE) AS acs,
-      |  CAST(CAST(TAN(l_discount) AS DECIMAL(20,8)) AS DOUBLE) AS tn,
+      |  SQRT(CAST(l_partkey AS DOUBLE)) AS sq,
+      |  ABS(CAST(l_discount AS DOUBLE) - 0.05) AS ab,
+      |  CAST(SIGN(CAST(l_discount AS DOUBLE) - 0.05) AS BIGINT) AS sg,
+      |  CAST(FLOOR(CAST(l_extendedprice AS DOUBLE) / 100) AS BIGINT) AS flr,
+      |  CAST(CEIL(CAST(l_extendedprice AS DOUBLE) / 100) AS BIGINT) AS cl,
       |  ROUND(CAST(l_extendedprice AS DECIMAL(28,6)) / 7, 2) AS rnd7
       |FROM lineitem WHERE l_orderkey % 40 = 0
       |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     """SELECT l_orderkey, l_linenumber,
       |  CAST(l_partkey AS BIGINT) // 7 AS idiv,
       |  CAST(l_partkey AS BIGINT) % 7 AS imod,
-      |  CAST(CAST(ATAN(l_discount) AS DECIMAL(20,8)) AS DOUBLE) AS at,
-      |  CAST(CAST(ASIN(l_discount) AS DECIMAL(20,8)) AS DOUBLE) AS asn,
-      |  CAST(CAST(ACOS(l_discount) AS DECIMAL(20,8)) AS DOUBLE) AS acs,
-      |  CAST(CAST(TAN(l_discount) AS DECIMAL(20,8)) AS DOUBLE) AS tn,
+      |  SQRT(CAST(l_partkey AS DOUBLE)) AS sq,
+      |  ABS(CAST(l_discount AS DOUBLE) - 0.05) AS ab,
+      |  CAST(SIGN(CAST(l_discount AS DOUBLE) - 0.05) AS BIGINT) AS sg,
+      |  CAST(FLOOR(CAST(l_extendedprice AS DOUBLE) / 100) AS BIGINT) AS flr,
+      |  CAST(CEIL(CAST(l_extendedprice AS DOUBLE) / 100) AS BIGINT) AS cl,
       |  ROUND(CAST(l_extendedprice AS DECIMAL(28,6)) / 7, 2) AS rnd7
       |FROM lineitem WHERE l_orderkey % 40 = 0
       |ORDER BY l_orderkey, l_linenumber""".stripMargin)

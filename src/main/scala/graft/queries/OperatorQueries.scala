@@ -42,10 +42,8 @@ object OperatorQueries {
       TextAnalysis.qualityStats(docs, "doc_id", "text")
         .select(col("doc_id"),
           col("n_chars").as("n_chars_m"), col("n_tokens"), col("n_distinct_tokens"),
-          expr("CAST(ttr AS DECIMAL(10,6))").as("ttr"),
-          expr("CAST(avg_token_len AS DECIMAL(10,6))").as("avg_token_len"),
-          col("n_numbers"),
-          expr("CAST(stopword_ratio AS DECIMAL(10,6))").as("stopword_ratio"),
+          col("ttr_ppm"), col("avg_token_len_ppm"),
+          col("n_numbers"), col("stopword_ppm"),
           col("quality_pass"))
         .orderBy("doc_id")
     },

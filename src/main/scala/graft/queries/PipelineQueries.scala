@@ -25,6 +25,15 @@ object PipelineQueries {
 
   // ---------------------------------------------------------------- shared
   // poly31(s) = fold(c in chars(s)) h = (h*31 + ascii(c)) mod 1e9+7
+  //
+  // Input-domain note: the two spellings agree for one-codepoint-per-
+  // grapheme text (ASCII and simple BMP — all driver testdata). DuckDB's
+  // string_split(s, '') yields grapheme clusters and ascii(c) takes the
+  // FIRST codepoint of each, while the Spark fragment and the native
+  // MinHashSig/SimHash32/NgramHashSet expressions fold EVERY codepoint —
+  // combining sequences or multi-codepoint graphemes would hash
+  // differently. The hash spec is defined over the codepoint fold; the
+  // DuckDB spelling is the oracle approximation valid on this domain.
   private def sparkPoly31(arg: String): String =
     s"AGGREGATE(FILTER(SPLIT($arg, ''), c -> c <> ''), CAST(0 AS BIGINT), (a, c) -> (a * 31 + ASCII(c)) % 1000000007)"
   private def duckPoly31(arg: String): String =
@@ -37,9 +46,11 @@ object PipelineQueries {
       |GROUP BY MD5(text)
       |ORDER BY h""".stripMargin, headline = true)
 
+  // Spark side: native one-pass norm_text (graft.functions.NormText) —
+  // bit-identical to the oracle's two-regex chain (PropertiesSpec).
   private val qDedupNorm = split("q_dedup_exact_norm",
     """SELECT h, COUNT(*) AS n_copies, MIN(doc_id) AS keeper FROM (
-      |  SELECT doc_id, MD5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', ' '), ' +', ' '))) AS h
+      |  SELECT doc_id, MD5(norm_text(text)) AS h
       |  FROM documents) t
       |GROUP BY h ORDER BY h""".stripMargin,
     """SELECT h, COUNT(*) AS n_copies, MIN(doc_id) AS keeper FROM (
@@ -218,17 +229,20 @@ object PipelineQueries {
   // ------------------------------------------------- deterministic sampling
   // Knuth-hash sampling: reproducible, engine-independent, repartition-
   // stable — properties TABLESAMPLE/rand() cannot give. Stratified rates
-  // downsample the over-represented source.
+  // downsample the over-represented source. The id is reduced mod 1e9+7
+  // BEFORE the Knuth multiply so the product stays < 2^63 at any id scale
+  // (the raw multiply wraps negative in Spark / errors in DuckDB for
+  // id >= ~3.47e9) — same arithmetic as Sampling.knuth32.
   private val qSample = shared("q_pipeline_sample",
     """SELECT doc_id, source
       |FROM documents
-      |WHERE (doc_id * 2654435761) % 4294967296 < 429496730
+      |WHERE ((doc_id % 1000000007) * 2654435761) % 4294967296 < 429496730
       |ORDER BY doc_id""".stripMargin)
 
   private val qSampleStratified = shared("q_pipeline_sample_stratified",
     """SELECT source, COUNT(*) AS kept
       |FROM documents
-      |WHERE (doc_id * 2654435761) % 4294967296 <
+      |WHERE ((doc_id % 1000000007) * 2654435761) % 4294967296 <
       |  CASE WHEN source IN ('src0', 'src1', 'src2') THEN 429496730 ELSE 2147483648 END
       |GROUP BY source
       |ORDER BY source""".stripMargin)
@@ -343,18 +357,22 @@ object PipelineQueries {
        |ORDER BY query_id, rnk""".stripMargin)
 
   // ---------------------------------------------------------- text analysis
+  // Ratios are parts-per-million BIGINT floor divisions, not DECIMAL casts
+  // of doubles: a ratio p/q landing on a …5 tie at the rounded digit (e.g.
+  // q a power of 2) rounds half-up in Spark but half-even in some DuckDB
+  // builds. Integer floor division is identical in every engine.
   private val qTextStats = split("q_text_quality",
     """SELECT doc_id,
       |  CAST(LENGTH(text) AS BIGINT) AS n_chars_m,
       |  CAST(SIZE(SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
       |  CAST(SIZE(ARRAY_DISTINCT(SPLIT(text, ' '))) AS BIGINT) AS n_distinct_tokens,
-      |  CAST(CAST(SIZE(ARRAY_DISTINCT(SPLIT(text, ' '))) AS DOUBLE) / SIZE(SPLIT(text, ' ')) AS DECIMAL(10,6)) AS ttr,
-      |  CAST(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / SIZE(SPLIT(text, ' ')) AS DECIMAL(10,6)) AS avg_token_len,
+      |  (1000000 * CAST(SIZE(ARRAY_DISTINCT(SPLIT(text, ' '))) AS BIGINT)) DIV SIZE(SPLIT(text, ' ')) AS ttr_ppm,
+      |  (1000000 * CAST(LENGTH(REPLACE(text, ' ', '')) AS BIGINT)) DIV SIZE(SPLIT(text, ' ')) AS avg_token_len_ppm,
       |  CAST(SIZE(REGEXP_EXTRACT_ALL(text, '[0-9]+', 0)) AS BIGINT) AS n_numbers,
-      |  CAST(CAST(SIZE(FILTER(SPLIT(LOWER(text), ' '), w -> ARRAY_CONTAINS(ARRAY('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this'), w))) AS DOUBLE)
-      |    / SIZE(SPLIT(text, ' ')) AS DECIMAL(10,6)) AS stopword_ratio,
+      |  (1000000 * CAST(SIZE(FILTER(SPLIT(LOWER(text), ' '), w -> ARRAY_CONTAINS(ARRAY('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this'), w))) AS BIGINT))
+      |    DIV SIZE(SPLIT(text, ' ')) AS stopword_ppm,
       |  CASE WHEN SIZE(SPLIT(text, ' ')) BETWEEN 10 AND 1000
-      |        AND CAST(SIZE(ARRAY_DISTINCT(SPLIT(text, ' '))) AS DOUBLE) / SIZE(SPLIT(text, ' ')) > 0.2
+      |        AND (1000000 * CAST(SIZE(ARRAY_DISTINCT(SPLIT(text, ' '))) AS BIGINT)) DIV SIZE(SPLIT(text, ' ')) > 200000
       |       THEN 1 ELSE 0 END AS quality_pass
       |FROM documents
       |ORDER BY doc_id""".stripMargin,
@@ -362,13 +380,13 @@ object PipelineQueries {
       |  CAST(LENGTH(text) AS BIGINT) AS n_chars_m,
       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
       |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
-      |  CAST(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) AS DECIMAL(10,6)) AS ttr,
-      |  CAST(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS DECIMAL(10,6)) AS avg_token_len,
+      |  (1000000 * CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)) // len(string_split(text, ' ')) AS ttr_ppm,
+      |  (1000000 * CAST(LENGTH(REPLACE(text, ' ', '')) AS BIGINT)) // len(string_split(text, ' ')) AS avg_token_len_ppm,
       |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_numbers,
-      |  CAST(CAST(len(list_filter(string_split(lower(text), ' '), w -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this'], w))) AS DOUBLE)
-      |    / len(string_split(text, ' ')) AS DECIMAL(10,6)) AS stopword_ratio,
+      |  (1000000 * CAST(len(list_filter(string_split(lower(text), ' '), w -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this'], w))) AS BIGINT))
+      |    // len(string_split(text, ' ')) AS stopword_ppm,
       |  CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 1000
-      |        AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) > 0.2
+      |        AND (1000000 * CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)) // len(string_split(text, ' ')) > 200000
       |       THEN 1 ELSE 0 END AS quality_pass
       |FROM documents
       |ORDER BY doc_id""".stripMargin, headline = true)

@@ -156,6 +156,40 @@ object StorageQueries {
            |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
            |FROM events ORDER BY event_id""".stripMargin))
 
+  // RECORD nested-type DDL front door: the Tajo dialect declares nested
+  // schemas as RECORD (a TEXT, b RECORD (...)) (reference:
+  // tajo-core-tests/src/test/resources/queries/TestSelectNestedRecord/
+  // sample0_ddl.sql, sample2_ddl.sql; planner path tajo-plan/src/main/java/
+  // org/apache/tajo/plan/LogicalPlanner.java:579). GraftEngine.rewriteDdl
+  // maps it to Spark STRUCT<...>; this query proves the whole path: Tajo
+  // DDL text -> CREATE EXTERNAL TABLE over line-JSON -> dot-path SELECT.
+  private val qNestedDdl = df("q_ddl_nested_record",
+    (spark, dir) => {
+      val out = scratch("nested_ddl_json")
+      Tables.table(spark, dir, "events")
+        .select(col("event_id"),
+          struct(col("user_id").as("uid"), col("event_type").as("etype"),
+            struct(col("value").as("v"), col("props").as("raw")).as("payload")).as("rec"))
+        .write.mode(SaveMode.Overwrite).json(out)
+      val engine = new graft.engine.GraftEngine(spark)
+      engine.sql("DROP TABLE IF EXISTS graft_nested_ddl")
+      engine.sql(
+        s"""CREATE EXTERNAL TABLE graft_nested_ddl (
+           |  event_id INT8,
+           |  rec RECORD (uid INT8, etype TEXT, payload RECORD (v FLOAT8, raw TEXT))
+           |) USING JSON LOCATION '$out'""".stripMargin)
+      engine.sql(
+        """SELECT event_id, rec.uid AS uid, rec.etype AS etype,
+          |  CAST(CAST(rec.payload.v AS DECIMAL(28,6)) AS DOUBLE) AS v,
+          |  CAST(get_json_object(rec.payload.raw, '$.k') AS BIGINT) AS k
+          |FROM graft_nested_ddl ORDER BY event_id""".stripMargin)
+    },
+    Some("""SELECT CAST(event_id AS BIGINT) AS event_id, CAST(user_id AS BIGINT) AS uid,
+           |  event_type AS etype,
+           |  CAST(CAST(value AS DECIMAL(28,6)) AS DOUBLE) AS v,
+           |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           |FROM events ORDER BY event_id""".stripMargin))
+
   // JDBC tablespace equivalent (reference: tajo-storage/tajo-storage-jdbc/
   // .../JdbcTablespace.java): write to an embedded Derby database via
   // df.write.jdbc, read back via spark.read.jdbc — Catalyst pushes filters
@@ -216,5 +250,5 @@ object StorageQueries {
 
   val all: Seq[QueryDef] = Seq(
     qCtas, qInsert, qPartitioned, qCsv, qJsonSelfDesc, qOrc, qNested,
-    qBucketedJoin, qJdbc)
+    qNestedDdl, qBucketedJoin, qJdbc)
 }

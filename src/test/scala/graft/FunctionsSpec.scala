@@ -21,6 +21,9 @@ class FunctionsSpec extends AnyFunSuite {
     assert(one("SELECT to_char(TIMESTAMP '1996-03-13 11:42:05', 'YYYY-MM-DD HH24:MI:SS')")
       == "1996-03-13 11:42:05")
     assert(one("SELECT to_char(TIMESTAMP '1996-03-13 00:00:00', 'DD/MM/YY')") == "13/03/96")
+    // TZ prints the engine's fixed-UTC zone instead of throwing on the
+    // zoneless LocalDateTime the UDF formats
+    assert(one("SELECT to_char(TIMESTAMP '1996-03-13 11:42:05', 'HH24:MI TZ')") == "11:42 UTC")
   }
 
   test("add_days / utc_usec_to") {
@@ -39,6 +42,19 @@ class FunctionsSpec extends AnyFunSuite {
   test("digest computes hex digests") {
     assert(one("SELECT digest('abc', 'sha1')") == "a9993e364706816aba3e25717850c26c9cd0d89d")
     assert(one("SELECT digest('abc', 'md5')") == "900150983cd24fb0d6963f7d28e17f72")
+  }
+
+  // Trig parity lives here with a tolerance, NOT in a hash-compared oracle
+  // query: ATAN/ASIN/ACOS/TAN are libm functions with no IEEE-mandated
+  // exact result, so two libm builds can differ by 1 ulp (reference:
+  // engine/function/math/Atan.java, Asin.java, Acos.java, Tan.java).
+  test("inverse trig and tan match java.lang.Math within 1e-12") {
+    for (x <- Seq(0.0, 0.01, 0.05, 0.09, 0.5, 0.99, -0.7)) {
+      assert(math.abs(one(s"SELECT ATAN(CAST($x AS DOUBLE))").asInstanceOf[Double] - math.atan(x)) < 1e-12)
+      assert(math.abs(one(s"SELECT ASIN(CAST($x AS DOUBLE))").asInstanceOf[Double] - math.asin(x)) < 1e-12)
+      assert(math.abs(one(s"SELECT ACOS(CAST($x AS DOUBLE))").asInstanceOf[Double] - math.acos(x)) < 1e-12)
+      assert(math.abs(one(s"SELECT TAN(CAST($x AS DOUBLE))").asInstanceOf[Double] - math.tan(x)) < 1e-12)
+    }
   }
 
   test("ip conversions round-trip") {

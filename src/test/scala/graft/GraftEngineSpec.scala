@@ -90,6 +90,52 @@ class GraftEngineSpec extends AnyFunSuite {
     engine.sql("DROP TABLE graft_part_ddl")
   }
 
+  test("RECORD nested-type DDL maps to STRUCT (recursive) and dot-paths resolve") {
+    val dir = s"$tmp/record_ddl_json"
+    spark.range(3).selectExpr("id",
+      "named_struct('first_name', concat('f', id), 'last_name', concat('l', id), " +
+        "'address', named_struct('city', concat('c', id), 'zip', id * 100)) AS name")
+      .write.mode("overwrite").json(dir)
+    engine.sql("DROP TABLE IF EXISTS graft_record_ddl")
+    engine.sql(
+      s"""CREATE EXTERNAL TABLE graft_record_ddl (
+         |  id INT8,
+         |  name RECORD (first_name TEXT, last_name TEXT,
+         |               address RECORD (city TEXT, zip INT8))
+         |) USING JSON LOCATION '$dir'""".stripMargin)
+    val schema = spark.table("graft_record_ddl").schema
+    assert(schema("name").dataType.typeName == "struct")
+    val r = engine.sql(
+      """SELECT id, name.first_name, name.address.city, name.address.zip
+        |FROM graft_record_ddl ORDER BY id""".stripMargin).collect()
+    assert(r.map(_.getString(1)).toSeq == Seq("f0", "f1", "f2"))
+    assert(r.map(_.getString(2)).toSeq == Seq("c0", "c1", "c2"))
+    assert(r.map(_.getLong(3)).toSeq == Seq(0L, 100L, 200L))
+    engine.sql("DROP TABLE graft_record_ddl")
+  }
+
+  test("type keywords rewrite only in type position: a column named text survives") {
+    engine.sql("DROP TABLE IF EXISTS graft_colname_ddl")
+    engine.sql(
+      s"""CREATE TABLE graft_colname_ddl (text TEXT, int8 INT8, f FLOAT4)
+         |USING PARQUET LOCATION '$tmp/graft_colname_ddl'""".stripMargin)
+    val schema = spark.table("graft_colname_ddl").schema
+    assert(schema.fieldNames.toSeq == Seq("text", "int8", "f"))
+    assert(schema("text").dataType.typeName == "string")
+    assert(schema("int8").dataType.typeName == "long")
+    assert(schema("f").dataType.typeName == "float")
+    engine.sql("DROP TABLE graft_colname_ddl")
+  }
+
+  test("Tajo TIME type maps to STRING (documented divergence)") {
+    engine.sql("DROP TABLE IF EXISTS graft_time_ddl")
+    engine.sql(
+      s"""CREATE TABLE graft_time_ddl (id INT4, t TIME)
+         |USING PARQUET LOCATION '$tmp/graft_time_ddl'""".stripMargin)
+    assert(spark.table("graft_time_ddl").schema("t").dataType.typeName == "string")
+    engine.sql("DROP TABLE graft_time_ddl")
+  }
+
   test("CTAS with PARTITION BY COLUMN (names-only) partitions the output") {
     engine.mount(sfDir)
     engine.sql("DROP TABLE IF EXISTS graft_ctas_part")

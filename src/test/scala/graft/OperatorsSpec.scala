@@ -53,6 +53,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(strat.filter($"s" === "b").count() == 5000)
   }
 
+  test("deterministic sampling stays exact for ids near 2^62 (no 64-bit wrap)") {
+    // The pre-fix hash (id * 2654435761 % 2^32) wrapped negative for
+    // id >= ~3.47e9, making the < threshold filter keep EVERY row. With the
+    // mod-1e9+7 reduction the product stays < 2^63 and rates hold anywhere
+    // in the BIGINT domain.
+    val base = 1L << 62
+    val huge = (0L until 10000L).map(base + _).toDF("id")
+    val kept = Sampling.deterministicSample(huge, "id", 0.1).count()
+    assert(kept > 700 && kept < 1300, s"rate-0.1 sample of 10000 huge ids kept $kept")
+    assert(Sampling.deterministicSample(huge, "id", 0.0).count() == 0)
+    // partition-stability holds in the huge-id domain too
+    val a = Sampling.deterministicSample(huge, "id", 0.2).collect().map(_.getLong(0)).toSet
+    val b = Sampling.deterministicSample(huge.repartition(7), "id", 0.2)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
   test("interleave round-robins the sources") {
     val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 10L), ("b", 20L)).toDF("src", "k")
     val mixed = Sampling.interleave(df, "src", "k")

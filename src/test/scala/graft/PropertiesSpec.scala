@@ -70,6 +70,30 @@ class PropertiesSpec extends AnyFunSuite {
     assert(got.toSeq == want)
   }
 
+  test("native norm_text equals the TRIM(REGEXP_REPLACE(...)) spec bit-for-bit") {
+    graft.functions.TajoFunctions.register(spark)
+    // mixed-case, punctuation, digit, unicode, space-run, and edge inputs
+    val texts = Seq.fill(40) {
+      (1 to (1 + rnd.nextInt(12))).map { _ =>
+        val w = randWord()
+        rnd.nextInt(6) match {
+          case 0 => w.toUpperCase
+          case 1 => w + ",!"
+          case 2 => s"$w${rnd.nextInt(100)}"
+          case 3 => s"Füß-$w"
+          case 4 => s"  $w  "
+          case _ => w
+        }
+      }.mkString(" ")
+    } ++ Seq("", "   ", "!!!", "A", " Mixed CASE  42 ", "ümlaut ß end.")
+    val df = texts.toDF("s")
+    val got = df.select(expr("norm_text(s)")).as[String].collect()
+    val want = df.select(
+      expr("TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(s), '[^a-z0-9 ]', ' '), ' +', ' '))"))
+      .as[String].collect()
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("native minhash_sig equals the SQL shingle+poly31+fold pipeline") {
     graft.functions.TajoFunctions.register(spark)
     // include multi-space texts (empty tokens) and short docs (< n tokens)
