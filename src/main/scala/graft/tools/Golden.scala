@@ -1,0 +1,84 @@
+package graft.tools
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import graft.engine.GraftEngine
+import org.apache.spark.sql.DataFrame
+
+/** Golden-file query corpus: Tajo-dialect scripts replayed end-to-end
+  * through [[graft.engine.GraftEngine.sql]] and diffed against stored
+  * result files — the same correctness contract as the reference's
+  * QueryTestCaseBase harness (reference: tajo-cluster-tests/src/test/java/
+  * org/apache/tajo/QueryTestCaseBase.java:132-146 naming contract, :573
+  * runSimpleTests, :734-760 assertResultSet over a 683-script corpus).
+  *
+  * Layout mirrors the reference's convention, with re-authored (not
+  * copied) cases:
+  *
+  *   src/test/resources/golden/queries/<Suite>/<case>.sql
+  *   src/test/resources/golden/results/<Suite>/<case>.result
+  *
+  * A script may hold several ';'-separated statements (DDL setup, SET
+  * commands); the LAST statement's result set is what is rendered and
+  * compared, matching the reference harness's behavior.
+  */
+object Golden {
+
+  val queriesDir = "src/test/resources/golden/queries"
+  val resultsDir = "src/test/resources/golden/results"
+
+  /** (suite, case name, sql text) for every authored case, sorted. */
+  def cases(): Seq[(String, String, String)] = {
+    val root = new File(queriesDir)
+    require(root.isDirectory, s"golden corpus missing: $queriesDir")
+    for {
+      suite <- root.listFiles().filter(_.isDirectory).sortBy(_.getName).toSeq
+      sql <- suite.listFiles().filter(_.getName.endsWith(".sql")).sortBy(_.getName).toSeq
+    } yield (suite.getName, sql.getName.stripSuffix(".sql"),
+      new String(Files.readAllBytes(sql.toPath), StandardCharsets.UTF_8))
+  }
+
+  /** Run one script: execute every ';'-separated statement, return the
+    * last statement's DataFrame. */
+  def run(engine: GraftEngine, script: String): DataFrame = {
+    val stmts = script.split(";").map(_.trim).filter(_.nonEmpty)
+    require(stmts.nonEmpty, "empty golden script")
+    stmts.init.foreach(engine.sql)
+    engine.sql(stmts.last)
+  }
+
+  def resultFile(suite: String, name: String): File =
+    Paths.get(resultsDir, suite, s"$name.result").toFile
+
+  /** Regenerate every .result file from the current engine output.
+    * Usage: runMain graft.tools.GoldenGen [sfDir]
+    * Review the diff before committing — these files define expected
+    * behavior, the generator only snapshots it. */
+  def generate(sfDir: String): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[8]")
+      .appName("golden-gen")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val engine = new GraftEngine(spark)
+    engine.mount(sfDir)
+    cases().foreach { case (suite, name, script) =>
+      val out = resultFile(suite, name)
+      out.getParentFile.mkdirs()
+      Files.write(out.toPath,
+        GoldenResult.render(run(engine, script)).getBytes(StandardCharsets.UTF_8))
+      println(s"[golden] wrote $suite/$name.result")
+    }
+    spark.stop()
+  }
+}
+
+object GoldenGen {
+  def main(args: Array[String]): Unit =
+    Golden.generate(args.headOption.getOrElse("/root/testdata/sf0.001"))
+}
