@@ -38,6 +38,73 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos_sim", "rnk")
   }
 
+  /** IVF (inverted-file) ANN: the corpus-vs-corpus scale path.
+    *
+    * Unlike [[bruteForceTopK]]/[[lshTopK]], NOTHING here broadcasts the
+    * probe set — probes and corpus both shuffle on their assigned cell id,
+    * so the probe side can be another 100 TB corpus. Structure:
+    *
+    *   1. initial cells = sign-bit LSH buckets (deterministic hyperplanes);
+    *   2. one Lloyd refinement: per-cell centroid, then every vector
+    *      (corpus AND probe) re-assigned to its nearest centroid;
+    *   3. candidates = cell-equi-join, exact cosine, windowed top-k.
+    *
+    * Centroids are FIXED-POINT BIGINT element sums
+    * (`SUM(FLOOR(x * 1e6))`): cosine is scale-invariant in the centroid, so
+    * the un-normalized integer sum ranks identically to the mean while
+    * keeping every arithmetic step engine-exact (no double-sum ordering, no
+    * double→DECIMAL rounding ties) — the DuckDB oracle reproduces the
+    * assignment bit-for-bit. Centroid argmax is a map-side
+    * `max(struct(score, -cid, …))` partial aggregation (ties to the lowest
+    * cell id), so re-assignment costs one ordinary groupBy shuffle.
+    *
+    * 100 TB notes: the centroid table is K rows (broadcast is always safe —
+    * it is K×dim longs, independent of data size); the cell join shuffles
+    * corpus/K per cell, so size K ~ sqrt(corpus) for balanced cells and
+    * salt hot cells (Skew.saltedJoin) if the embedding distribution is
+    * lopsided. nProbe>1 (scanning the next-nearest cells) trades cost for
+    * recall; this implementation is nProbe=1.
+    */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+              vecCol: String, k: Int = 10, nBits: Int = 4, dim: Int = 64): DataFrame = {
+    graft.functions.TajoFunctions.register(corpus.sparkSession)
+    def initial(df: DataFrame) = withNorm(df, idCol, vecCol)
+      .withColumn("__cell0", expr(HashSpec.lshBucketNative("__vec", nBits, dim)))
+    val c0 = initial(corpus)
+    // fixed-point elementwise centroid sums per initial cell
+    // The K-row centroid table feeds BOTH assignment branches (corpus and
+    // probes); the branches share one canonical subplan, so Spark's
+    // exchange reuse evaluates the corpus-wide aggregation once
+    // (OperatorsSpec pins the ReusedExchange; an eager localCheckpoint was
+    // measured slower — it serializes an extra job before the main query).
+    val cent = c0
+      .select(col("__cell0").as("cid"), posexplode(col("__vec")).as(Seq("i", "x")))
+      .groupBy("cid", "i")
+      .agg(sum(expr("CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)")).as("m"))
+      .groupBy("cid")
+      .agg(expr("TRANSFORM(SORT_ARRAY(COLLECT_LIST(STRUCT(i, m))), s -> s.m)").as("cvec"))
+      .withColumn("cnrm", expr(s"SQRT(${HashSpec.dotNative("cvec", "cvec")})"))
+    def assign(df: DataFrame): DataFrame =
+      df.crossJoin(broadcast(cent))
+        .withColumn("__score", expr(s"${HashSpec.dotNative("__vec", "cvec")} / cnrm"))
+        .groupBy(col(idCol))
+        .agg(max(struct(col("__score").as("s"), (lit(0) - col("cid")).as("nc"),
+          col("__vec").as("v"), col("__nrm").as("n"))).as("b"))
+        .select(col(idCol), (lit(0) - col("b.nc")).as("cell"),
+          col("b.v").as("__vec"), col("b.n").as("__nrm"))
+    val ca = assign(c0)
+      .select(col(idCol).as("neighbor_id"), col("cell"), col("__vec").as("vc"), col("__nrm").as("nc"))
+    val qa = assign(initial(probes))
+      .select(col(idCol).as("query_id"), col("cell"), col("__vec").as("vq"), col("__nrm").as("nq"))
+    ca.join(qa, Seq("cell")) // both sides shuffle on cell — no probe broadcast
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", expr(s"${HashSpec.dotNative("vq", "vc")} / (nq * nc)"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "cell", "cos_sim", "rnk")
+  }
+
   /** LSH-bucketed ANN: probes only scan their own sign-bit bucket. */
   def lshTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
               vecCol: String, k: Int = 10, nBits: Int = 4, dim: Int = 64): DataFrame = {

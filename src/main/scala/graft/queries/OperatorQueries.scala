@@ -49,6 +49,57 @@ object OperatorQueries {
     },
     graft.queries.PipelineQueries.all.find(_.name == "q_text_quality").get.oracle)
 
+  // IVF ANN (corpus-vs-corpus scale path, Similarity.ivfTopK): sign-bit
+  // initial cells -> one Lloyd step with fixed-point BIGINT centroids ->
+  // nearest-cell equi-join. The oracle replays the identical integer/
+  // sequential-double arithmetic, so the cell assignment and top-k match
+  // bit-for-bit.
+  private val qAnnIvf = df("q_ann_ivf",
+    (spark, dir) => {
+      val vecs = Tables.table(spark, dir, "embeddings")
+      val probes = vecs.filter(col("vec_id") < 20)
+      Similarity.ivfTopK(vecs, probes, "vec_id", "embedding", k = 3)
+        .select(col("query_id"), col("neighbor_id"),
+          col("cell").cast("bigint").as("cell"),
+          expr("CAST(CAST(cos_sim AS DECIMAL(18,10)) AS DOUBLE)").as("cos_sim"),
+          col("rnk").cast("bigint").as("rnk"))
+        .orderBy("query_id", "rnk")
+    },
+    Some {
+      import PipelineQueries.{duckDot, duckHp, bucketExpr}
+      s"""WITH base AS (
+         |  SELECT vec_id, embedding,
+         |    SQRT(${duckDot("embedding", "embedding")}) AS nrm,
+         |    ${bucketExpr(duckHp, "embedding")} AS cell0
+         |  FROM embeddings
+         |), centel AS (
+         |  SELECT cell0 AS cid, i,
+         |    SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS m
+         |  FROM base CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) dims
+         |  GROUP BY cell0, i
+         |), cent AS (
+         |  SELECT cid, list(m ORDER BY i) AS cvec FROM centel GROUP BY cid
+         |), cent2 AS (
+         |  SELECT cid, cvec, SQRT(${duckDot("cvec", "cvec")}) AS cnrm FROM cent
+         |), scored AS (
+         |  SELECT b.vec_id, b.embedding, b.nrm, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY b.vec_id
+         |      ORDER BY ${duckDot("b.embedding", "c.cvec")} / c.cnrm DESC, c.cid) AS rr
+         |  FROM base b CROSS JOIN cent2 c
+         |), a AS (
+         |  SELECT vec_id, embedding, nrm, cid AS cell FROM scored WHERE rr = 1
+         |), q AS (SELECT * FROM a WHERE vec_id < 20)
+         |SELECT * FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    CAST(q.cell AS BIGINT) AS cell,
+         |    CAST(CAST(${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS DECIMAL(18,10)) AS DOUBLE) AS cos_sim,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC, c.vec_id) AS BIGINT) AS rnk
+         |  FROM q JOIN a c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+         |) t WHERE rnk <= 3
+         |ORDER BY query_id, rnk""".stripMargin
+    })
+
   private val qMultimodalApi = df("q_op_multimodal_api",
     (spark, dir) => {
       implicit val s = spark
@@ -210,6 +261,6 @@ object OperatorQueries {
            |ORDER BY user_id, session_start""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(
-    qMinhashApi, qAnnApi, qQualityApi, qMultimodalApi, qSaltedJoin,
+    qMinhashApi, qAnnApi, qAnnIvf, qQualityApi, qMultimodalApi, qSaltedJoin,
     qAsofJoin, qRangeJoin, qDedupClusters, qStreamHourly, qStreamSessions)
 }

@@ -267,7 +267,7 @@ object PipelineQueries {
   // AGGREGATE(ZIP_WITH(...)) spec form the oracle mirrors.
   private def sparkDot(a: String, b: String): String =
     graft.operators.HashSpec.dotNative(a, b)
-  private def duckDot(a: String, b: String): String =
+  private[queries] def duckDot(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (s, v) -> s + v)"
 
   private val qEmbDedup = split("q_dedup_embedding",
@@ -323,9 +323,9 @@ object PipelineQueries {
   // scan their own bucket.
   private def sparkHp(v: String, j: Int): String =
     s"AGGREGATE(TRANSFORM(SEQUENCE(0, 63), i -> CAST(ELEMENT_AT($v, i + 1) AS DOUBLE) * (((i * 37 + $j * 101) % 11) - 5)), CAST(0 AS DOUBLE), (s, x) -> s + x)"
-  private def duckHp(v: String, j: Int): String =
+  private[queries] def duckHp(v: String, j: Int): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, 64), i -> CAST($v[i + 1] AS DOUBLE) * (((i * 37 + $j * 101) % 11) - 5))), (s, x) -> s + x)"
-  private def bucketExpr(dot: (String, Int) => String, v: String): String =
+  private[queries] def bucketExpr(dot: (String, Int) => String, v: String): String =
     (0 to 3).map(j => s"(CASE WHEN ${dot(v, j)} > 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
 
   private val qAnnLsh = split("q_ann_lsh",

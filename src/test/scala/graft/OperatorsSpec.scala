@@ -2,6 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
+import graft.engine.Tables
 import graft.operators.{AsofJoin, Dedup, Multimodal, RangeJoin, Sampling, Similarity, TextAnalysis}
 
 class OperatorsSpec extends AnyFunSuite {
@@ -68,6 +69,31 @@ class OperatorsSpec extends AnyFunSuite {
     val b = Sampling.deterministicSample(huge.repartition(7), "id", 0.2)
       .collect().map(_.getLong(0)).toSet
     assert(a == b)
+  }
+
+  test("ivf ann: every probe searches exactly one refined cell, scores are exact cosine") {
+    val vecs = Tables.table(spark, sfDir, "embeddings")
+    val probes = vecs.filter($"vec_id" < 5)
+    val r = Similarity.ivfTopK(vecs, probes, "vec_id", "embedding", k = 3).collect()
+    val byProbe = r.groupBy(_.getAs[Long]("query_id"))
+    assert(byProbe.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byProbe.values.foreach { rows =>
+      assert(rows.map(_.getAs[Int]("rnk")).sorted.toSeq == (1 to rows.length))
+      assert(rows.map(_.getAs[Int]("cell")).distinct.length == 1) // nProbe=1
+      rows.foreach(x => assert(math.abs(x.getAs[Double]("cos_sim")) <= 1.0 + 1e-9))
+    }
+    // a probe's neighbors must never beat the probe's own top-1 (ordering sane)
+    byProbe.values.foreach { rows =>
+      val sims = rows.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Double]("cos_sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+    // the corpus-wide centroid aggregation is shared by both assignment
+    // branches via exchange reuse — it must not evaluate twice (AQE
+    // resolves reuse during execution, so inspect the final plan)
+    val df = Similarity.ivfTopK(vecs, probes, "vec_id", "embedding", k = 3)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"), "centroid subplan not reused across branches")
   }
 
   test("interleave round-robins the sources") {
