@@ -143,6 +143,48 @@ class GraftEngine(val spark: SparkSession) {
     }
     // INSERT OVERWRITE INTO t -> INSERT OVERWRITE TABLE t (SQLParser.g4:1607)
     out = "(?i)INSERT\\s+OVERWRITE\\s+INTO\\b".r.replaceAllIn(out, "INSERT OVERWRITE TABLE")
+    rewriteCastTypes(out)
+  }
+
+  /** Rewrite Tajo type keywords inside CAST(expr AS <type>) anywhere in a
+    * statement — `CAST(x AS INT8)` -> `CAST(x AS BIGINT)`, `AS TEXT` ->
+    * `AS STRING`, etc. Only the type token of a CAST is touched (a column
+    * ALIASED `AS text` is not a cast and survives), found by balanced-paren
+    * matching so nested casts and function calls inside the cast work.
+    * Processed right-to-left so earlier offsets stay valid as replacements
+    * change the length. */
+  private[engine] def rewriteCastTypes(s: String): String = {
+    var out = s
+    val castRe = "(?i)\\bCAST\\s*\\(".r
+    castRe.findAllMatchIn(s).toList.reverse.foreach { m =>
+      val open = m.end - 1
+      val close = matchParen(out, open)
+      if (close > open) {
+        // the cast's AS keyword is the LAST depth-0 `AS` inside the parens
+        var depth = 0
+        var asPos = -1
+        var i = open + 1
+        while (i < close) {
+          out.charAt(i) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case 'A' | 'a' if depth == 0 &&
+                i + 2 <= close && out.substring(i, i + 2).equalsIgnoreCase("AS") &&
+                (i == 0 || !Character.isLetterOrDigit(out.charAt(i - 1))) &&
+                (i + 2 >= out.length || !Character.isLetterOrDigit(out.charAt(i + 2))) =>
+              asPos = i
+            case _ =>
+          }
+          i += 1
+        }
+        if (asPos >= 0) {
+          val tpe = out.substring(asPos + 2, close).trim
+          val mapped = mapType(tpe)
+          if (mapped != tpe)
+            out = out.substring(0, asPos) + "AS " + mapped + out.substring(close)
+        }
+      }
+    }
     out
   }
 

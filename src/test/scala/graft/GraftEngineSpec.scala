@@ -127,6 +127,22 @@ class GraftEngineSpec extends AnyFunSuite {
     engine.sql("DROP TABLE graft_colname_ddl")
   }
 
+  test("Tajo type keywords rewrite inside CAST, not in aliases") {
+    engine.mount(sfDir)
+    val r = engine.sql(
+      """SELECT CAST(n_nationkey AS INT8) AS k,
+        |  CAST(n_regionkey AS TEXT) AS text,
+        |  CAST(CAST(n_nationkey AS FLOAT8) AS INT4) AS rt
+        |FROM nation WHERE n_nationkey = 7""".stripMargin).collect()(0)
+    assert(r.getLong(0) == 7L)      // INT8 -> BIGINT
+    assert(r.getString(1) == "2")   // TEXT -> STRING; alias `text` untouched
+    assert(r.getInt(2) == 7)        // nested cast FLOAT8 -> DOUBLE, INT4 -> INT
+    val schema = engine.sql(
+      "SELECT CAST(1 AS INT2) AS a, CAST(1.5 AS DECIMAL(10,2)) AS b").schema
+    assert(schema("a").dataType.typeName == "short")
+    assert(schema("b").dataType.typeName == "decimal(10,2)") // parameterized types pass through
+  }
+
   test("Tajo TIME type maps to STRING (documented divergence)") {
     engine.sql("DROP TABLE IF EXISTS graft_time_ddl")
     engine.sql(
