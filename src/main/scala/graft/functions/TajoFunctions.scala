@@ -85,6 +85,12 @@ object TajoFunctions {
     })
 
     // -- string / binary (reference: engine/function/string/)
+    // strpos: CHARACTER offset of substring, 1-based, 0 when absent
+    // (reference: engine/function/string/StrPos.java)
+    u.register("strpos", (str: String, sub: String) => {
+      if (str == null || sub == null) null
+      else Integer.valueOf(str.indexOf(sub) + 1)
+    })
     // strposb: byte offset of substring, 1-based, 0 when absent
     // (reference: engine/function/string/StrPosb.java)
     u.register("strposb", (str: String, sub: String) => {
@@ -116,6 +122,11 @@ object TajoFunctions {
           .map(b => f"$b%02x").mkString
       }
     })
+    // Always quotes, matching the reference's actual behavior (reference:
+    // engine/function/string/QuoteIdent.java eval() wraps unconditionally —
+    // its javadoc describes PG's quote-only-if-needed, the code doesn't).
+    // We additionally double embedded quotes, which the reference's own
+    // doc promises.
     u.register("quote_ident", (s: String) =>
       if (s == null) null else "\"" + s.replace("\"", "\"\"") + "\"")
 

@@ -40,12 +40,29 @@ object Golden {
       new String(Files.readAllBytes(sql.toPath), StandardCharsets.UTF_8))
   }
 
+  private val dropIfExists = "(?i)^DROP\\s+TABLE\\s+IF\\s+EXISTS\\s+([\\w.`]+)$".r
+
   /** Run one script: execute every ';'-separated statement, return the
-    * last statement's DataFrame. */
+    * last statement's DataFrame.
+    *
+    * A `DROP TABLE IF EXISTS` also clears an orphaned managed-table
+    * directory left in the warehouse by a previous JVM (whose catalog
+    * entry died with its session) — the script-replay equivalent of the
+    * reference harness's per-run cluster reset; without it a re-run hits
+    * LOCATION_ALREADY_EXISTS on CREATE. */
   def run(engine: GraftEngine, script: String): DataFrame = {
     val stmts = script.split(";").map(_.trim).filter(_.nonEmpty)
     require(stmts.nonEmpty, "empty golden script")
-    stmts.init.foreach(engine.sql)
+    stmts.init.foreach { st =>
+      dropIfExists.findFirstMatchIn(st).foreach { m =>
+        val name = m.group(1).split("\\.").last.stripPrefix("`").stripSuffix("`")
+        if (!engine.spark.catalog.tableExists(name)) {
+          val wh = engine.spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+          org.apache.commons.io.FileUtils.deleteQuietly(new File(wh, name))
+        }
+      }
+      engine.sql(st)
+    }
     engine.sql(stmts.last)
   }
 

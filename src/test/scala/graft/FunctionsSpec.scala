@@ -33,6 +33,12 @@ class FunctionsSpec extends AnyFunSuite {
     assert(one("SELECT utc_usec_to('hour', 7200000000 + 999)") == 7200000000L)
   }
 
+  test("strpos returns 1-based character positions") {
+    assert(one("SELECT strpos('hello', 'llo')") == 3)
+    assert(one("SELECT strpos('hello', 'zz')") == 0)
+    assert(one("SELECT strpos('héllo', 'llo')") == 3) // chars, not bytes
+  }
+
   test("strposb returns byte positions") {
     assert(one("SELECT strposb('hello', 'llo')") == 3)
     assert(one("SELECT strposb('hello', 'zz')") == 0)
