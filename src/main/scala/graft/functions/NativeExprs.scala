@@ -1,0 +1,39 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+
+/** SQL builders for the library's native Catalyst expressions — the single
+  * registration list shared by [[TajoFunctions.register]] (per-session temp
+  * functions) and [[graft.GraftExtensions]] (spark.sql.extensions
+  * injection). Sizing arguments must be INT literals: they become
+  * compile-time constants of the generated code, which is what makes these
+  * expressions codegen as tight constant-bound loops.
+  */
+object NativeExprs {
+
+  private def intLit(fn: String)(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case _ => throw new IllegalArgumentException(s"$fn: $name must be an INT literal")
+  }
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "simhash32" -> (exprs => SimHash32(exprs.head)),
+    "norm_text" -> (exprs => NormText(exprs.head)),
+    "vec_dot" -> (exprs => VecDot(exprs(0), exprs(1))),
+    "minhash_sig" -> { exprs =>
+      val lit = intLit("minhash_sig") _
+      val k = if (exprs.length > 1) lit(exprs(1), "k") else 16
+      val n = if (exprs.length > 2) lit(exprs(2), "n") else 3
+      MinHashSig(exprs.head, k, n)
+    },
+    "ngram_hash_set" -> { exprs =>
+      val n = if (exprs.length > 1) intLit("ngram_hash_set")(exprs(1), "n") else 3
+      NgramHashSet(exprs.head, n)
+    },
+    "lsh_bucket" -> { exprs =>
+      val lit = intLit("lsh_bucket") _
+      val nBits = if (exprs.length > 1) lit(exprs(1), "nBits") else 4
+      val dim = if (exprs.length > 2) lit(exprs(2), "dim") else 64
+      LshBucket(exprs.head, nBits, dim)
+    })
+}

@@ -196,44 +196,12 @@ object TajoFunctions {
     // -- aggregates
     u.register("string_agg", udaf(StringAggSorted))
 
-    // -- native Catalyst expressions (codegen'd hot-path primitives)
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash32", exprs => SimHash32(exprs.head), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "norm_text", exprs => NormText(exprs.head), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_sig", { exprs =>
-        def lit(e: org.apache.spark.sql.catalyst.expressions.Expression, name: String): Int =
-          e match {
-            case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-            case _ => throw new IllegalArgumentException(s"minhash_sig: $name must be an INT literal")
-          }
-        val k = if (exprs.length > 1) lit(exprs(1), "k") else 16
-        val n = if (exprs.length > 2) lit(exprs(2), "n") else 3
-        MinHashSig(exprs.head, k, n)
-      }, "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "ngram_hash_set", { exprs =>
-        val n = exprs.lift(1) match {
-          case Some(org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)) => v
-          case None => 3
-          case _ => throw new IllegalArgumentException("ngram_hash_set: n must be an INT literal")
-        }
-        NgramHashSet(exprs.head, n)
-      }, "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "lsh_bucket", { exprs =>
-        def lit(e: org.apache.spark.sql.catalyst.expressions.Expression, name: String): Int =
-          e match {
-            case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-            case _ => throw new IllegalArgumentException(s"lsh_bucket: $name must be an INT literal")
-          }
-        val nBits = if (exprs.length > 1) lit(exprs(1), "nBits") else 4
-        val dim = if (exprs.length > 2) lit(exprs(2), "dim") else 64
-        LshBucket(exprs.head, nBits, dim)
-      }, "scala_udf")
+    // -- native Catalyst expressions (codegen'd hot-path primitives);
+    // builders shared with graft.GraftExtensions (spark.sql.extensions)
+    NativeExprs.builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "scala_udf")
+    }
 
     // div(a, b): integer division (reference: engine/function/math/Div.java);
     // null on zero divisor rather than an error, matching Spark's non-ANSI mode.

@@ -62,11 +62,13 @@ object Similarity {
     * it is K×dim longs, independent of data size); the cell join shuffles
     * corpus/K per cell, so size K ~ sqrt(corpus) for balanced cells and
     * salt hot cells (Skew.saltedJoin) if the embedding distribution is
-    * lopsided. nProbe>1 (scanning the next-nearest cells) trades cost for
-    * recall; this implementation is nProbe=1.
+    * lopsided. `nProbe` > 1 scans each probe's nProbe nearest cells
+    * (candidates stay disjoint — every corpus vector lives in exactly one
+    * cell), trading nProbe× probe-side join fan-out for recall.
     */
   def ivfTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
-              vecCol: String, k: Int = 10, nBits: Int = 4, dim: Int = 64): DataFrame = {
+              vecCol: String, k: Int = 10, nBits: Int = 4, dim: Int = 64,
+              nProbe: Int = 1): DataFrame = {
     graft.functions.TajoFunctions.register(corpus.sparkSession)
     def initial(df: DataFrame) = withNorm(df, idCol, vecCol)
       .withColumn("__cell0", expr(HashSpec.lshBucketNative("__vec", nBits, dim)))
@@ -84,17 +86,29 @@ object Similarity {
       .groupBy("cid")
       .agg(expr("TRANSFORM(SORT_ARRAY(COLLECT_LIST(STRUCT(i, m))), s -> s.m)").as("cvec"))
       .withColumn("cnrm", expr(s"SQRT(${HashSpec.dotNative("cvec", "cvec")})"))
-    def assign(df: DataFrame): DataFrame =
+    def scored(df: DataFrame): DataFrame =
       df.crossJoin(broadcast(cent))
         .withColumn("__score", expr(s"${HashSpec.dotNative("__vec", "cvec")} / cnrm"))
+    // nearest cell via map-side max(struct) — partial aggregation, ties to
+    // the lowest cell id (the -cid field compares before the payload)
+    def assign(df: DataFrame): DataFrame =
+      scored(df)
         .groupBy(col(idCol))
         .agg(max(struct(col("__score").as("s"), (lit(0) - col("cid")).as("nc"),
           col("__vec").as("v"), col("__nrm").as("n"))).as("b"))
         .select(col(idCol), (lit(0) - col("b.nc")).as("cell"),
           col("b.v").as("__vec"), col("b.n").as("__nrm"))
+    // top-n cells per probe (windowed; only the probe side ever needs n>1)
+    def assignTopN(df: DataFrame, n: Int): DataFrame =
+      if (n <= 1) assign(df)
+      else scored(df)
+        .withColumn("__cr", row_number().over(
+          Window.partitionBy(col(idCol)).orderBy(col("__score").desc, col("cid"))))
+        .filter(col("__cr") <= n)
+        .select(col(idCol), col("cid").as("cell"), col("__vec"), col("__nrm"))
     val ca = assign(c0)
       .select(col(idCol).as("neighbor_id"), col("cell"), col("__vec").as("vc"), col("__nrm").as("nc"))
-    val qa = assign(initial(probes))
+    val qa = assignTopN(initial(probes), nProbe)
       .select(col(idCol).as("query_id"), col("cell"), col("__vec").as("vq"), col("__nrm").as("nq"))
     ca.join(qa, Seq("cell")) // both sides shuffle on cell — no probe broadcast
       .filter(col("query_id") =!= col("neighbor_id"))

@@ -100,6 +100,58 @@ object OperatorQueries {
          |ORDER BY query_id, rnk""".stripMargin
     })
 
+  // nProbe=2 IVF: each probe scans its two nearest cells (candidates stay
+  // disjoint — every corpus vector lives in exactly one cell), the recall
+  // knob of the IVF design. Oracle = same pipeline with rr <= 2 probes.
+  private val qAnnIvf2 = df("q_ann_ivf2",
+    (spark, dir) => {
+      val vecs = Tables.table(spark, dir, "embeddings")
+      val probes = vecs.filter(col("vec_id") < 20)
+      Similarity.ivfTopK(vecs, probes, "vec_id", "embedding", k = 3, nProbe = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          col("cell").cast("bigint").as("cell"),
+          expr("CAST(CAST(cos_sim AS DECIMAL(18,10)) AS DOUBLE)").as("cos_sim"),
+          col("rnk").cast("bigint").as("rnk"))
+        .orderBy("query_id", "rnk")
+    },
+    Some {
+      import PipelineQueries.{duckDot, duckHp, bucketExpr}
+      s"""WITH base AS (
+         |  SELECT vec_id, embedding,
+         |    SQRT(${duckDot("embedding", "embedding")}) AS nrm,
+         |    ${bucketExpr(duckHp, "embedding")} AS cell0
+         |  FROM embeddings
+         |), centel AS (
+         |  SELECT cell0 AS cid, i,
+         |    SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS m
+         |  FROM base CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) dims
+         |  GROUP BY cell0, i
+         |), cent AS (
+         |  SELECT cid, list(m ORDER BY i) AS cvec FROM centel GROUP BY cid
+         |), cent2 AS (
+         |  SELECT cid, cvec, SQRT(${duckDot("cvec", "cvec")}) AS cnrm FROM cent
+         |), scored AS (
+         |  SELECT b.vec_id, b.embedding, b.nrm, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY b.vec_id
+         |      ORDER BY ${duckDot("b.embedding", "c.cvec")} / c.cnrm DESC, c.cid) AS rr
+         |  FROM base b CROSS JOIN cent2 c
+         |), a AS (
+         |  SELECT vec_id, embedding, nrm, cid AS cell FROM scored WHERE rr = 1
+         |), q AS (
+         |  SELECT vec_id, embedding, nrm, cid AS cell FROM scored
+         |  WHERE rr <= 2 AND vec_id < 20
+         |)
+         |SELECT * FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    CAST(c.cell AS BIGINT) AS cell,
+         |    CAST(CAST(${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS DECIMAL(18,10)) AS DOUBLE) AS cos_sim,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC, c.vec_id) AS BIGINT) AS rnk
+         |  FROM q JOIN a c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+         |) t WHERE rnk <= 3
+         |ORDER BY query_id, rnk""".stripMargin
+    })
+
   private val qMultimodalApi = df("q_op_multimodal_api",
     (spark, dir) => {
       implicit val s = spark
@@ -261,6 +313,7 @@ object OperatorQueries {
            |ORDER BY user_id, session_start""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(
-    qMinhashApi, qAnnApi, qAnnIvf, qQualityApi, qMultimodalApi, qSaltedJoin,
-    qAsofJoin, qRangeJoin, qDedupClusters, qStreamHourly, qStreamSessions)
+    qMinhashApi, qAnnApi, qAnnIvf, qAnnIvf2, qQualityApi, qMultimodalApi,
+    qSaltedJoin, qAsofJoin, qRangeJoin, qDedupClusters, qStreamHourly,
+    qStreamSessions)
 }
