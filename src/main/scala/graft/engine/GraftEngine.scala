@@ -143,6 +143,13 @@ class GraftEngine(val spark: SparkSession) {
     }
     // INSERT OVERWRITE INTO t -> INSERT OVERWRITE TABLE t (SQLParser.g4:1607)
     out = "(?i)INSERT\\s+OVERWRITE\\s+INTO\\b".r.replaceAllIn(out, "INSERT OVERWRITE TABLE")
+    // ALTER TABLE t ADD COLUMN c TYPE (Tajo single-column form, reference:
+    // master/exec/DDLExecutor.java alter-table path + SQLParser.g4
+    // ADD COLUMN) -> Spark's ALTER TABLE t ADD COLUMNS (c TYPE), with the
+    // Tajo type keyword mapped.
+    out = "(?is)^(ALTER\\s+TABLE\\s+\\S+\\s+)ADD\\s+COLUMN\\s+(\\w+)\\s+(.+)$".r
+      .replaceAllIn(out, m => java.util.regex.Matcher.quoteReplacement(
+        s"${m.group(1)}ADD COLUMNS (${m.group(2)} ${mapType(m.group(3).trim)})"))
     rewriteCastTypes(out)
   }
 

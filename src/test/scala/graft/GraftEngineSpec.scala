@@ -143,6 +143,20 @@ class GraftEngineSpec extends AnyFunSuite {
     assert(schema("b").dataType.typeName == "decimal(10,2)") // parameterized types pass through
   }
 
+  test("ALTER TABLE ADD COLUMN with a Tajo type maps to Spark ADD COLUMNS") {
+    engine.sql("DROP TABLE IF EXISTS graft_alter_ddl")
+    engine.sql("CREATE TABLE graft_alter_ddl (id INT4) USING PARQUET")
+    engine.sql("INSERT INTO graft_alter_ddl VALUES (1)")
+    engine.sql("ALTER TABLE graft_alter_ddl ADD COLUMN note TEXT")
+    val schema = spark.table("graft_alter_ddl").schema
+    assert(schema.fieldNames.toSeq == Seq("id", "note"))
+    assert(schema("note").dataType.typeName == "string")
+    // pre-existing rows read NULL for the added column
+    val r = engine.sql("SELECT id, note FROM graft_alter_ddl").collect()(0)
+    assert(r.getInt(0) == 1 && r.isNullAt(1))
+    engine.sql("DROP TABLE graft_alter_ddl")
+  }
+
   test("Tajo TIME type maps to STRING (documented divergence)") {
     engine.sql("DROP TABLE IF EXISTS graft_time_ddl")
     engine.sql(
