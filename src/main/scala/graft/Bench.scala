@@ -1,21 +1,13 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: times every registry query at SPARK_GRAFT_SF_DIR
   * and prints ONE JSON line {"metric","value","unit","queries","sf"}. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = graft.engine.GraftSession.local(cpus, "graft-bench")
 
     // Warm-up outside the timings: mount views, load parquet footers, prime
     // codegen — otherwise whichever query runs first absorbs ~6s of session

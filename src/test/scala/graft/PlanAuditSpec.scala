@@ -62,4 +62,34 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
     assert("hashpartitioning".r.findAllIn(p).size >= 1, p)
   }
+
+  test("q_text_quality: pure per-row projection — no join, no aggregate") {
+    val p = plan("q_text_quality")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("HashAggregate"), p)
+    // scan reads only the two referenced columns of the 4-column table
+    val readSchema = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).get.group(1)
+    assert(!readSchema.contains("source") && !readSchema.contains("lang"), readSchema)
+  }
+
+  test("q_pipeline_sample: scan pruned to the projected columns") {
+    val p = plan("q_pipeline_sample")
+    val readSchema = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).get.group(1)
+    assert(readSchema.split(",").length == 2, readSchema) // doc_id, source only
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q_ann_ivf: no cartesian product on data-sized inputs") {
+    // the only nested-loop join is corpus x broadcast(K centroids) — K rows,
+    // independent of data size; the candidate join must be a cell equi-join
+    val p = plan("q_ann_ivf")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("cell"), p)
+  }
+
+  test("q_dedup_exact_norm: native norm_text in the plan, not a regex chain") {
+    val p = plan("q_dedup_exact_norm")
+    assert(p.contains("norm_text"), p)
+    assert(!p.contains("regexp_replace"), p)
+  }
 }
