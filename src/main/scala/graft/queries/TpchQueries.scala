@@ -158,5 +158,87 @@ object TpchQueries {
       |GROUP BY cntrycode
       |ORDER BY cntrycode""".stripMargin)
 
-  val all: Seq[QueryDef] = Seq(q4, q6, q7, q10, q13, q15, q17, q18, q19, q22)
+  // Q9 (adapted: no partsupp, so supply cost is modeled as 60% of the
+  // part's retail price) — product-type profit by nation and year: the
+  // 5-way join + expression-heavy aggregation shape.
+  private val q9 = shared("q9_product_profit",
+    """SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+      |FROM (
+      |  SELECT n_name AS nation,
+      |    CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+      |    CAST(l_extendedprice * (1 - l_discount)
+      |         - 0.6 * p_retailprice * l_quantity AS DECIMAL(38,6)) AS amount
+      |  FROM lineitem
+      |  JOIN part ON p_partkey = l_partkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE p_name LIKE '%red%'
+      |) profit
+      |GROUP BY nation, o_year
+      |ORDER BY nation, o_year DESC""".stripMargin)
+
+  // Q11 (adapted: value concentration over lineitem instead of partsupp) —
+  // the group-then-filter-by-uncorrelated-scalar-subquery shape.
+  private val q11 = shared("q11_important_stock",
+    """SELECT l_partkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS value
+      |FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      |WHERE s_nationkey = 3
+      |GROUP BY l_partkey
+      |HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) >
+      |  (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) / 500
+      |   FROM lineitem JOIN supplier ON s_suppkey = l_suppkey WHERE s_nationkey = 3)
+      |ORDER BY value DESC, l_partkey""".stripMargin)
+
+  // Q12 (adapted: no l_shipmode — lines classify late/on-time by shipdate
+  // lag instead) — the conditional two-branch count shape.
+  private val q12 = shared("q12_shipping_priority_class",
+    """SELECT shipclass,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM (
+      |  SELECT o_orderpriority,
+      |    CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 'late' ELSE 'on-time' END AS shipclass
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |) t
+      |GROUP BY shipclass
+      |ORDER BY shipclass""".stripMargin)
+
+  // Q16 (adapted: supplier relationships via lineitem instead of partsupp) —
+  // the NOT-IN-subquery + COUNT(DISTINCT) by attribute shape.
+  private val q16 = shared("q16_parts_supplier",
+    """SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#1'
+      |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+      |GROUP BY p_brand, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin)
+
+  // Q21 (adapted: no l_commitdate — "kept waiting" = shipped >60 days after
+  // the order date) — the double correlated EXISTS / NOT EXISTS shape: the
+  // supplier shipped late on a multi-supplier order where every OTHER
+  // supplier shipped on time.
+  private val q21 = shared("q21_suppliers_kept_waiting",
+    """SELECT s_name, COUNT(*) AS numwait
+      |FROM supplier
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE o_orderstatus = 'F'
+      |  AND n_name = 'NATION_1'
+      |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 100""".stripMargin)
+
+  val all: Seq[QueryDef] = Seq(q4, q6, q7, q9, q10, q11, q12, q13, q15, q16,
+    q17, q18, q19, q21, q22)
 }
