@@ -96,6 +96,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plan.contains("ReusedExchange"), "centroid subplan not reused across branches")
   }
 
+  test("approx_percentile tracks exact percentile within 5% (the 100 TB path)") {
+    // exact PERCENTILE needs a full sort per group; approx_percentile is a
+    // mergeable sketch (one partial+final shuffle) — the percentile answer
+    // at corpus scale. Pin that its error stays within the accuracy budget.
+    val li = Tables.table(spark, sfDir, "lineitem")
+    val r = li.selectExpr(
+      "percentile(l_extendedprice, 0.5) AS exact_p50",
+      "approx_percentile(l_extendedprice, 0.5, 1000) AS approx_p50",
+      "percentile(l_extendedprice, 0.95) AS exact_p95",
+      "approx_percentile(l_extendedprice, 0.95, 1000) AS approx_p95").collect()(0)
+    def relErr(e: Double, a: Double) = math.abs(e - a) / e
+    assert(relErr(r.getDouble(0), r.getDouble(1)) < 0.05)
+    assert(relErr(r.getDouble(2), r.getDouble(3)) < 0.05)
+  }
+
   test("interleave round-robins the sources") {
     val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 10L), ("b", 20L)).toDF("src", "k")
     val mixed = Sampling.interleave(df, "src", "k")
