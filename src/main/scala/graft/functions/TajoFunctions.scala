@@ -71,18 +71,35 @@ object TajoFunctions {
     u.register("add_days", (ts: java.sql.Timestamp, n: Int) =>
       if (ts == null) null
       else java.sql.Timestamp.valueOf(utc(ts).plusDays(n.toLong)))
-    // utc_usec_to('day'|'hour'|'minute', usec) (reference: engine/function/
-    // datetime/DateTimePartFromUnixTimestamp-family)
-    u.register("utc_usec_to", (unit: String, usec: Long) => {
-      val step = unit.toLowerCase match {
-        case "day" => 86400000000L
-        case "hour" => 3600000000L
-        case "minute" => 60000000L
-        case "second" => 1000000L
+    // utc_usec_to(unit, usec): truncate a UTC epoch-microsecond value to
+    // day/hour/minute/second (fixed-step modulo) or month/year/week
+    // (calendar truncation; week = the ISO week's Monday) — reference:
+    // engine/function/datetime/DateTimePartFromUnixTimestamp.java:74-90 +
+    // DateTimeUtil.java:2252-2296. The reference's optional 3rd argument
+    // (week anchored to weekday 1-7, Monday=1) is the separate
+    // utc_usec_to_week: the UDF registry has no overloads on one name.
+    def epochUsec(d: java.time.LocalDate): Long =
+      d.atStartOfDay.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+    def usecDate(usec: Long): java.time.LocalDate =
+      java.time.LocalDateTime.ofEpochSecond(
+        java.lang.Math.floorDiv(usec, 1000000L), 0, java.time.ZoneOffset.UTC).toLocalDate
+    def usecTrunc(unit: String, usec: Long, weekday: Int): Long =
+      unit.toLowerCase match {
+        case "day" => usec - java.lang.Math.floorMod(usec, 86400000000L)
+        case "hour" => usec - java.lang.Math.floorMod(usec, 3600000000L)
+        case "minute" => usec - java.lang.Math.floorMod(usec, 60000000L)
+        case "second" => usec - java.lang.Math.floorMod(usec, 1000000L)
+        case "month" => epochUsec(usecDate(usec).withDayOfMonth(1))
+        case "year" => epochUsec(usecDate(usec).withDayOfYear(1))
+        case "week" =>
+          require(weekday >= 1 && weekday <= 7, s"weekday out of range: $weekday")
+          // day `weekday` (Monday=1) of the value's ISO week
+          epochUsec(usecDate(usec)
+            .`with`(java.time.temporal.ChronoField.DAY_OF_WEEK, 1L).plusDays(weekday - 1L))
         case other => throw new IllegalArgumentException(s"utc_usec_to: $other")
       }
-      usec - java.lang.Math.floorMod(usec, step)
-    })
+    u.register("utc_usec_to", (unit: String, usec: Long) => usecTrunc(unit, usec, 1))
+    u.register("utc_usec_to_week", (usec: Long, weekday: Int) => usecTrunc("week", usec, weekday))
 
     // -- string / binary (reference: engine/function/string/)
     // strpos: CHARACTER offset of substring, 1-based, 0 when absent

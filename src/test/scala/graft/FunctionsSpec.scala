@@ -31,6 +31,12 @@ class FunctionsSpec extends AnyFunSuite {
       == "2000-03-01 01:02:03")
     assert(one("SELECT utc_usec_to('day', 86400000000 + 123)") == 86400000000L)
     assert(one("SELECT utc_usec_to('hour', 7200000000 + 999)") == 7200000000L)
+    // 2024-06-15 (Saturday) 10:30 UTC = 1718447400000000 usec
+    val sat = 1718447400000000L
+    assert(one(s"SELECT utc_usec_to('month', $sat)") == 1717200000000000L) // 2024-06-01
+    assert(one(s"SELECT utc_usec_to('year', $sat)") == 1704067200000000L)  // 2024-01-01
+    assert(one(s"SELECT utc_usec_to('week', $sat)") == 1717977600000000L)  // Mon 2024-06-10
+    assert(one(s"SELECT utc_usec_to_week($sat, 6)") == 1718409600000000L)  // Sat 2024-06-15
   }
 
   test("strpos returns 1-based character positions") {
