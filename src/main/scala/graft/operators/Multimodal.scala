@@ -60,4 +60,16 @@ object Multimodal {
     media.select(col("id"), col("n_bytes"),
         explode(expr(s"SEQUENCE(0, ${k - 1})")).as("frame_idx"))
       .withColumn("frame_offset", col("frame_idx") * (col("n_bytes") / k).cast("long"))
+
+  /** Resize planning: fit decoded dimensions into a target box preserving
+    * aspect ratio, never upscaling — pure per-row arithmetic (codegen'd,
+    * scan speed); the pixel work itself belongs in the decoder batch where
+    * a real codec would consume (out_w, out_h). */
+  def resizePlan(decoded: DataFrame, maxW: Int = 224, maxH: Int = 224): DataFrame =
+    decoded
+      .withColumn("__scale", least(lit(1.0),
+        least(lit(maxW.toDouble) / col("width"), lit(maxH.toDouble) / col("height"))))
+      .withColumn("out_w", floor(col("width") * col("__scale")).cast("int"))
+      .withColumn("out_h", floor(col("height") * col("__scale")).cast("int"))
+      .drop("__scale")
 }

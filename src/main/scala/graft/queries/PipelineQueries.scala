@@ -451,9 +451,51 @@ object PipelineQueries {
        |  ${duckPoly31("text")} % 997 AS fake_feature
        |FROM documents ORDER BY doc_id""".stripMargin)
 
+  // --------------------------------------------- end-to-end pipeline demo
+  // The full training-data flow composed in one plan: normalized-dedup
+  // keepers -> quality gate (ppm floor division, engine-exact) ->
+  // deterministic sample -> per-source mix. Every stage is the same spec
+  // the individual operators verify; composing them proves the stages
+  // don't interfere (e.g. the dedup join preserves the sampling id
+  // domain). Plan shape: one groupBy shuffle (dedup), one broadcast-or-
+  // shuffle join back, narrow filters, one final count — nothing
+  // quadratic, nothing driver-side.
+  private val qEndToEnd = split("q_pipeline_end_to_end",
+    """WITH keepers AS (
+      |  SELECT MIN(doc_id) AS doc_id
+      |  FROM documents GROUP BY MD5(norm_text(text))
+      |), quality AS (
+      |  SELECT d.doc_id, d.source
+      |  FROM documents d JOIN keepers k ON d.doc_id = k.doc_id
+      |  WHERE SIZE(SPLIT(d.text, ' ')) BETWEEN 10 AND 1000
+      |    AND (1000000 * CAST(SIZE(ARRAY_DISTINCT(SPLIT(d.text, ' '))) AS BIGINT))
+      |        DIV SIZE(SPLIT(d.text, ' ')) > 200000
+      |), sampled AS (
+      |  SELECT * FROM quality
+      |  WHERE ((doc_id % 1000000007) * 2654435761) % 4294967296 < 2147483648
+      |)
+      |SELECT source, COUNT(*) AS kept FROM sampled
+      |GROUP BY source ORDER BY source""".stripMargin,
+    """WITH keepers AS (
+      |  SELECT MIN(doc_id) AS doc_id
+      |  FROM documents
+      |  GROUP BY MD5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))
+      |), quality AS (
+      |  SELECT d.doc_id, d.source
+      |  FROM documents d JOIN keepers k ON d.doc_id = k.doc_id
+      |  WHERE len(string_split(d.text, ' ')) BETWEEN 10 AND 1000
+      |    AND (1000000 * CAST(len(list_distinct(string_split(d.text, ' '))) AS BIGINT))
+      |        // len(string_split(d.text, ' ')) > 200000
+      |), sampled AS (
+      |  SELECT * FROM quality
+      |  WHERE ((doc_id % 1000000007) * 2654435761) % 4294967296 < 2147483648
+      |)
+      |SELECT source, COUNT(*) AS kept FROM sampled
+      |GROUP BY source ORDER BY source""".stripMargin, headline = true)
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupNorm, qMinhashSig, qMinhashPairs, qMinhashCorpus, qSimhash,
     qSample, qSampleStratified, qInterleave,
     qNgramJaccard, qEmbDedup, qAnnBrute, qAnnLsh,
-    qTextStats, qLangId, qTokens, qFingerprint, qMultimodal)
+    qTextStats, qLangId, qTokens, qFingerprint, qMultimodal, qEndToEnd)
 }

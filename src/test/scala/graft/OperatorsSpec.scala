@@ -266,5 +266,14 @@ class OperatorsSpec extends AnyFunSuite {
     assert(feats.map(_.features.toSeq).toSeq == again.map(_.features.toSeq).toSeq)
     val frames = Multimodal.sampleFrames(media, k = 4)
     assert(frames.count() == 16)
+    // resize: fits the box, preserves aspect, never upscales
+    val resized = Multimodal.resizePlan(Multimodal.decodeStub(media).toDF(), 224, 224)
+      .select("width", "height", "out_w", "out_h").collect()
+    resized.foreach { r =>
+      val (w, h, ow, oh) = (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+      assert(ow <= 224 && oh <= 224)
+      assert(ow <= w && oh <= h)
+      if (w <= 224 && h <= 224) assert(ow == w && oh == h) // no upscale
+    }
   }
 }
