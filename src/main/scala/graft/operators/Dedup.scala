@@ -144,6 +144,36 @@ object Dedup {
         expr("CAST(SIZE(ARRAY_INTERSECT(s1, s2)) AS DOUBLE) / SIZE(ARRAY_UNION(s1, s2))").as("jaccard"))
   }
 
+  /** Decontamination: drop corpus documents whose n-gram Jaccard overlap
+    * with ANY benchmark document reaches `thresholdPpm` (parts-per-million,
+    * integer-exact). The cross-corpus variant of the dedup machinery:
+    * both sides band their MinHash signatures, candidates come from the
+    * band-bucket equi-join (never an all-pairs comparison), and only
+    * candidates pay the exact-Jaccard verify. Returns the surviving corpus
+    * rows. At 100 TB the benchmark side is tiny (eval sets), so its banded
+    * rows broadcast; the corpus never shuffles more than its band keys. */
+  def decontaminate(corpus: DataFrame, benchmarks: DataFrame, idCol: String,
+                    textCol: String, thresholdPpm: Long = 800000L,
+                    shingleN: Int = 3): DataFrame = {
+    graft.functions.TajoFunctions.register(corpus.sparkSession)
+    def banded(df: DataFrame) =
+      minhashBands(minhashSignature(df, idCol, textCol, shingleN = shingleN), idCol)
+    val cands = banded(corpus).select(col(idCol).as("__cid"), col("band"), col("band_key"))
+      .join(banded(benchmarks).select(col(idCol).as("__bid"), col("band"), col("band_key")),
+        Seq("band", "band_key"))
+      .select("__cid", "__bid").distinct()
+    def shingleSets(df: DataFrame, as: String) =
+      df.select(col(idCol).as(as), expr(s"ngram_hash_set($textCol, $shingleN)").as(s"__s_$as"))
+    val contaminated = cands
+      .join(shingleSets(corpus, "__cid"), "__cid")
+      .join(shingleSets(benchmarks, "__bid"), "__bid")
+      .filter(expr(
+        s"""(1000000 * CAST(SIZE(ARRAY_INTERSECT(__s___cid, __s___bid)) AS BIGINT))
+           |  DIV SIZE(ARRAY_UNION(__s___cid, __s___bid)) >= $thresholdPpm""".stripMargin))
+      .select(col("__cid").as("__drop")).distinct()
+    corpus.join(contaminated, corpus(idCol) === col("__drop"), "left_anti")
+  }
+
   /** Embedding cosine near-duplicates within buckets (bucketCol prunes the
     * pair space; pass a constant column for exhaustive mode). */
   def embeddingNearDups(vectors: DataFrame, idCol: String, vecCol: String,

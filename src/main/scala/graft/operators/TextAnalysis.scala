@@ -77,4 +77,50 @@ object TextAnalysis {
     docs.select(col(idCol),
       md5(lower(col(textCol))).as("fp_md5"),
       expr(HashSpec.poly31(s"LOWER($textCol)")).as("fp_roll"))
+
+  /** Split documents into fixed-size character chunks with overlap — the
+    * standard long-document → training-sample step. Pure explode over
+    * integer arithmetic (no shuffle; rows fan out in place), chunk count
+    * clamped BEFORE the division so short docs yield exactly one chunk in
+    * every engine (negative integer division floors in some, truncates in
+    * others). */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+            chunkChars: Int = 100, overlapChars: Int = 20): DataFrame = {
+    require(chunkChars > overlapChars && overlapChars >= 0, "need chunk > overlap >= 0")
+    val step = chunkChars - overlapChars
+    docs.select(col(idCol), col(textCol),
+        expr(s"EXPLODE(SEQUENCE(0, GREATEST(0, LENGTH($textCol) - ${overlapChars + 1}) DIV $step))")
+          .as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx").cast("bigint").as("chunk_idx"),
+        expr(s"SUBSTR($textCol, 1 + chunk_idx * $step, $chunkChars)").as("chunk"))
+  }
+
+  /** Redact common PII shapes (emails, phone-like numbers) — per-row regex
+    * passes, scan speed. Patterns are deliberately simple and portable
+    * (character classes + bounded quantifiers) so the behavior is
+    * engine-independent; a production deployment would extend the list. */
+  def piiScrub(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      regexp_replace(
+        regexp_replace(col(textCol),
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+        "[0-9]{3}-[0-9]{3}-[0-9]{4}", "[PHONE]").as("scrubbed"))
+
+  /** Intra-document repetition signals (Gopher/RefinedWeb-style quality
+    * gates): most-frequent-token share and duplicate-token share, as
+    * integer-exact ppm. Explode + two-level aggregation — shuffles on
+    * (doc, token) then doc, both partial+final; linear at any scale. */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(split(lower(col(textCol)), " ")).as("__w"))
+    toks.groupBy(col(idCol), col("__w")).agg(count("*").as("__c"))
+      .groupBy(col(idCol))
+      .agg(sum("__c").as("n_tokens"), max("__c").as("__max_c"),
+        count("*").as("n_distinct_tokens"))
+      .select(col(idCol),
+        col("n_tokens").cast("bigint").as("n_tokens"),
+        col("__max_c").cast("bigint").as("max_token_count"),
+        expr("(1000000 * __max_c) DIV n_tokens").as("max_token_ppm"),
+        expr("(1000000 * (n_tokens - n_distinct_tokens)) DIV n_tokens").as("dup_token_ppm"))
+  }
 }

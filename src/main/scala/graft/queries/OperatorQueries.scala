@@ -152,6 +152,41 @@ object OperatorQueries {
          |ORDER BY query_id, rnk""".stripMargin
     })
 
+  // Decontamination (Dedup.decontaminate): drop corpus docs that n-gram-
+  // overlap a benchmark set. Benchmark side = doc_id % 10 == 0; the oracle
+  // replays the identical band-join + integer-ppm Jaccard gate and counts
+  // the survivors per source.
+  private val qDecontaminate = df("q_dedup_decontaminate",
+    (spark, dir) => {
+      val docs = Tables.table(spark, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 10 === 0)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      Dedup.decontaminate(corpus, bench, "doc_id", "text", thresholdPpm = 800000L)
+        .groupBy("source").agg(count("*").as("kept"))
+        .orderBy("source")
+    },
+    Some {
+      val duckSigsAll = graft.queries.PipelineQueries.duckSigsFor("documents")
+      s"""$duckSigsAll, bands AS (${graft.queries.PipelineQueries.bandsDuckSql}),
+         |bench AS (SELECT * FROM bands WHERE doc_id % 10 = 0),
+         |corp AS (SELECT * FROM bands WHERE doc_id % 10 <> 0),
+         |cands AS (
+         |  SELECT DISTINCT c.doc_id AS cid, b.doc_id AS bid
+         |  FROM corp c JOIN bench b ON c.band = b.band AND c.band_key = b.band_key
+         |), shs AS (SELECT doc_id, list_distinct(hvals) AS s FROM hs),
+         |contaminated AS (
+         |  SELECT DISTINCT cands.cid FROM cands
+         |  JOIN shs x ON cands.cid = x.doc_id
+         |  JOIN shs y ON cands.bid = y.doc_id
+         |  WHERE (1000000 * CAST(len(list_filter(x.s, e -> list_contains(y.s, e))) AS BIGINT))
+         |        // len(list_distinct(list_concat(x.s, y.s))) >= 800000
+         |)
+         |SELECT source, COUNT(*) AS kept
+         |FROM documents
+         |WHERE doc_id % 10 <> 0 AND doc_id NOT IN (SELECT cid FROM contaminated)
+         |GROUP BY source ORDER BY source""".stripMargin
+    })
+
   private val qMultimodalApi = df("q_op_multimodal_api",
     (spark, dir) => {
       implicit val s = spark
@@ -314,6 +349,6 @@ object OperatorQueries {
 
   val all: Seq[QueryDef] = Seq(
     qMinhashApi, qAnnApi, qAnnIvf, qAnnIvf2, qQualityApi, qMultimodalApi,
-    qSaltedJoin, qAsofJoin, qRangeJoin, qDedupClusters, qStreamHourly,
-    qStreamSessions)
+    qDecontaminate, qSaltedJoin, qAsofJoin, qRangeJoin, qDedupClusters,
+    qStreamHourly, qStreamSessions)
 }

@@ -70,9 +70,14 @@ object PipelineQueries {
        |  FROM documents
        |)""".stripMargin
 
-  private def duckSigs: String =
+  private def duckSigs: String = duckSigsFor("documents")
+
+  /** The signature CTE chain over any table with (doc_id, text) — shared
+    * with cross-table consumers (decontamination oracle). Leaves `hs` and
+    * `sigs` in scope for the caller's WITH chain. */
+  private[queries] def duckSigsFor(table: String): String =
     s"""WITH toks AS (
-       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM $table
        |), sh AS (
        |  SELECT doc_id,
        |    CASE WHEN len(w) >= 3
@@ -95,6 +100,7 @@ object PipelineQueries {
       |    CAST(ELEMENT_AT(sig, 2 * band + 1) AS STRING),
       |    CAST(ELEMENT_AT(sig, 2 * band + 2) AS STRING)) AS band_key
       |FROM sigs CROSS JOIN (SELECT * FROM VALUES (0),(1),(2),(3),(4),(5),(6),(7) AS t(band)) b""".stripMargin
+  private[queries] def bandsDuckSql: String = bandsDuck
   private val bandsDuck =
     """SELECT doc_id, band,
       |  CONCAT_WS('-', sig[2 * band + 1], sig[2 * band + 2]) AS band_key
@@ -451,6 +457,65 @@ object PipelineQueries {
        |  ${duckPoly31("text")} % 997 AS fake_feature
        |FROM documents ORDER BY doc_id""".stripMargin)
 
+  // ------------------------------------------------- chunk / scrub / repeat
+  // Document chunking: fixed-size character windows with overlap (step 80,
+  // size 100). Chunk count is clamped BEFORE the integer division — Spark's
+  // DIV truncates toward zero while DuckDB's // floors, so a negative
+  // dividend would diverge.
+  private val qChunks = split("q_text_chunks",
+    """SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+      |  SUBSTR(text, CAST(1 + chunk_idx * 80 AS INT), 100) AS chunk
+      |FROM (
+      |  SELECT doc_id, text,
+      |    EXPLODE(SEQUENCE(0, GREATEST(0, LENGTH(text) - 21) DIV 80)) AS chunk_idx
+      |  FROM documents WHERE doc_id < 100
+      |) t ORDER BY doc_id, chunk_idx""".stripMargin,
+    """SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+      |  substr(text, CAST(1 + chunk_idx * 80 AS INT), 100) AS chunk
+      |FROM (
+      |  SELECT doc_id, text,
+      |    unnest(range(0, 1 + greatest(0, length(text) - 21) // 80)) AS chunk_idx
+      |  FROM documents WHERE doc_id < 100
+      |) t ORDER BY doc_id, chunk_idx""".stripMargin)
+
+  // PII scrubbing: email + phone redaction. The regexes use only character
+  // classes and bounded quantifiers (no backslash escapes — Spark processes
+  // them inside string literals, DuckDB does not) so both engines compile
+  // the identical pattern. PII is synthesized onto the text so the
+  // replacement actually fires on every row.
+  private val qPii = split("q_text_pii",
+    """SELECT doc_id,
+      |  REGEXP_REPLACE(REGEXP_REPLACE(
+      |    CONCAT(text, ' contact user', CAST(doc_id AS STRING), '@example.com or 555-123-4567'),
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '[EMAIL]'),
+      |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]') AS scrubbed
+      |FROM documents ORDER BY doc_id""".stripMargin,
+    """SELECT doc_id,
+      |  REGEXP_REPLACE(REGEXP_REPLACE(
+      |    CONCAT(text, ' contact user', CAST(doc_id AS VARCHAR), '@example.com or 555-123-4567'),
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS scrubbed
+      |FROM documents ORDER BY doc_id""".stripMargin)
+
+  // Repetition signals (Gopher/RefinedWeb-style gates): most-frequent-token
+  // share and duplicate-token share as integer-exact ppm.
+  private val qRepetition = split("q_text_repetition",
+    """WITH tok AS (SELECT doc_id, EXPLODE(SPLIT(LOWER(text), ' ')) AS w FROM documents),
+      |counts AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w),
+      |agg AS (SELECT doc_id, SUM(c) AS n, MAX(c) AS max_c, COUNT(*) AS nd FROM counts GROUP BY doc_id)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(max_c AS BIGINT) AS max_token_count,
+      |  (1000000 * CAST(max_c AS BIGINT)) DIV n AS max_token_ppm,
+      |  (1000000 * CAST(n - nd AS BIGINT)) DIV n AS dup_token_ppm
+      |FROM agg ORDER BY doc_id""".stripMargin,
+    """WITH tok AS (SELECT doc_id, unnest(string_split(LOWER(text), ' ')) AS w FROM documents),
+      |counts AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w),
+      |agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, MAX(c) AS max_c,
+      |        COUNT(*) AS nd FROM counts GROUP BY doc_id)
+      |SELECT doc_id, n AS n_tokens, CAST(max_c AS BIGINT) AS max_token_count,
+      |  (1000000 * CAST(max_c AS BIGINT)) // n AS max_token_ppm,
+      |  (1000000 * CAST(n - nd AS BIGINT)) // n AS dup_token_ppm
+      |FROM agg ORDER BY doc_id""".stripMargin)
+
   // --------------------------------------------- end-to-end pipeline demo
   // The full training-data flow composed in one plan: normalized-dedup
   // keepers -> quality gate (ppm floor division, engine-exact) ->
@@ -497,5 +562,6 @@ object PipelineQueries {
     qDedupExact, qDedupNorm, qMinhashSig, qMinhashPairs, qMinhashCorpus, qSimhash,
     qSample, qSampleStratified, qInterleave,
     qNgramJaccard, qEmbDedup, qAnnBrute, qAnnLsh,
-    qTextStats, qLangId, qTokens, qFingerprint, qMultimodal, qEndToEnd)
+    qTextStats, qLangId, qTokens, qFingerprint, qMultimodal,
+    qChunks, qPii, qRepetition, qEndToEnd)
 }

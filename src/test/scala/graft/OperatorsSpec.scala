@@ -111,6 +111,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(relErr(r.getDouble(2), r.getDouble(3)) < 0.05)
   }
 
+  test("chunking covers the text with the declared overlap; short docs get one chunk") {
+    val d = Seq((1L, "a" * 250), (2L, "tiny")).toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunk(d, "doc_id", "text", chunkChars = 100, overlapChars = 20)
+      .orderBy("doc_id", "chunk_idx").collect()
+    val doc1 = chunks.filter(_.getLong(0) == 1L).map(_.getString(2))
+    assert(doc1.length == 3) // starts at 0, 80, 160; 240 > 250-20 stops
+    assert(doc1(0).length == 100 && doc1(1).length == 100 && doc1(2).length == 90)
+    // overlap: last 20 chars of chunk k == first 20 of chunk k+1
+    assert(doc1(0).takeRight(20) == doc1(1).take(20))
+    assert(chunks.filter(_.getLong(0) == 2L).map(_.getString(2)).toSeq == Seq("tiny"))
+  }
+
+  test("piiScrub redacts emails and phone numbers, leaves the rest") {
+    val d = Seq((1L, "mail me at a.user+x@test.org or call 555-123-4567 ok")).toDF("doc_id", "text")
+    val r = TextAnalysis.piiScrub(d, "doc_id", "text").collect()(0).getString(1)
+    assert(r == "mail me at [EMAIL] or call [PHONE] ok")
+  }
+
+  test("repetitionStats: ppm shares are exact integers") {
+    val d = Seq((1L, "a a a b")).toDF("doc_id", "text") // max freq 3/4, dups (4-2)/4
+    val r = TextAnalysis.repetitionStats(d, "doc_id", "text").collect()(0)
+    assert(r.getAs[Long]("n_tokens") == 4)
+    assert(r.getAs[Long]("max_token_ppm") == 750000L)
+    assert(r.getAs[Long]("dup_token_ppm") == 500000L)
+  }
+
+  test("decontaminate drops near-copies of benchmark docs, keeps the rest") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),   // exact copy -> dropped
+      (2L, "totally unrelated words about engines and scale") // kept
+    ).toDF("doc_id", "text")
+    val kept = Dedup.decontaminate(corpus, bench, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L))
+  }
+
   test("interleave round-robins the sources") {
     val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 10L), ("b", 20L)).toDF("src", "k")
     val mixed = Sampling.interleave(df, "src", "k")
