@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding tokenizer: train merge rules over a
+  * corpus, then encode text with them — the trainable version of the
+  * BPE-ish regex in [[TextAnalysis.tokenCounts]].
+  *
+  * Training never materializes the corpus on the driver: the working set
+  * is the DISTINCT-WORD frequency table (vocabulary-sized — Heaps' law —
+  * not corpus-sized), pair counting is a partial+final aggregation per
+  * round, and the only thing that crosses to the driver is one (pair,
+  * count) scalar per merge — the same control-flow-only pattern as
+  * [[Dedup.duplicateClusters]]. localCheckpoint truncates the per-round
+  * lineage. Encoding is a per-row map with the (small) merge table
+  * captured in the closure.
+  *
+  * Determinism: the winning pair each round is argmax by (count DESC,
+  * pair ASC) — total order, so the same corpus always learns the same
+  * merges on any cluster layout.
+  */
+object Bpe {
+
+  /** End-of-word marker (keeps merges from crossing word boundaries). */
+  val EndOfWord = "</w>"
+
+  /** Learned merge rules in training order. */
+  final case class Merge(rank: Int, a: String, b: String)
+
+  private def mergeOnce(syms: Array[String], a: String, b: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Learn `numMerges` merge rules from the corpus. */
+  def train(docs: DataFrame, textCol: String, numMerges: Int): Seq[Merge] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val mergeStep = udf((syms: Seq[String], a: String, b: String) =>
+      mergeOnce(syms.toArray, a, b).toSeq)
+    // distinct words with frequencies, as symbol sequences chars + </w>
+    var words = docs
+      .select(explode(split(lower(col(textCol)), " ")).as("w"))
+      .filter(length($"w") > 0)
+      .groupBy("w").agg(count("*").as("freq"))
+      .select(expr(s"CONCAT(FILTER(SPLIT(w, ''), c -> c <> ''), ARRAY('$EndOfWord'))").as("syms"),
+        col("freq"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[Merge]()
+    var rank = 0
+    var exhausted = false
+    while (rank < numMerges && !exhausted) {
+      val top = words
+        .filter(size($"syms") >= 2)
+        .select(col("freq"), explode(expr(
+          """TRANSFORM(SEQUENCE(0, SIZE(syms) - 2),
+            |  i -> STRUCT(ELEMENT_AT(syms, i + 1) AS a, ELEMENT_AT(syms, i + 2) AS b))""".stripMargin))
+          .as("p"))
+        .groupBy($"p.a", $"p.b").agg(sum("freq").as("cnt"))
+        .orderBy($"cnt".desc, $"a", $"b")
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += Merge(rank, a, b)
+        words = words.withColumn("syms", mergeStep($"syms", lit(a), lit(b)))
+        // checkpoint every few rounds, not every round: each checkpoint is
+        // an extra job, and a lineage of a handful of chained merge UDFs
+        // over the vocab-sized table is cheaper than materializing it
+        if ((rank + 1) % 4 == 0) words = words.localCheckpoint()
+        rank += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Tokenize with learned merges: (id, tokens ARRAY<STRING>, n_tokens). */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+             merges: Seq[Merge]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ordered = merges.sortBy(_.rank).map(m => (m.a, m.b)).toArray
+    val enc = udf((text: String) =>
+      if (text == null) Seq.empty[String]
+      else text.toLowerCase.split(" ").filter(_.nonEmpty).toSeq.flatMap { w =>
+        var syms = w.split("").filter(_.nonEmpty) :+ EndOfWord
+        ordered.foreach { case (a, b) => syms = mergeOnce(syms, a, b) }
+        syms.toSeq
+      })
+    docs.select(col(idCol), enc(col(textCol)).as("tokens"))
+      .withColumn("n_tokens", size($"tokens").cast("bigint"))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import graft.QueryDef
 import graft.QueryDef.df
 import graft.engine.Tables
-import graft.operators.{AsofJoin, Dedup, Multimodal, RangeJoin, Similarity, Skew, TextAnalysis}
+import graft.operators.{AsofJoin, Bpe, Dedup, Multimodal, RangeJoin, Similarity, Skew, TextAnalysis}
 import graft.streaming.EventStreams
 import org.apache.spark.sql.functions._
 
@@ -187,6 +187,21 @@ object OperatorQueries {
          |GROUP BY source ORDER BY source""".stripMargin
     })
 
+  // BPE training is iterative distributed aggregation — not expressible as
+  // one DuckDB SQL statement, so this entry has no oracle (the driver
+  // records a rows-only check); determinism is pinned by OperatorsSpec
+  // (same corpus -> identical merges) and the argmax total order.
+  private val qBpeApi = df("q_op_bpe_api",
+    (spark, dir) => {
+      val docs = Tables.table(spark, dir, "documents")
+      val merges = Bpe.train(docs, "text", numMerges = 8)
+      import spark.implicits._
+      merges.toDF()
+        .select(col("rank").cast("bigint").as("merge_rank"), col("a"), col("b"))
+        .orderBy("merge_rank")
+    },
+    None)
+
   private val qMultimodalApi = df("q_op_multimodal_api",
     (spark, dir) => {
       implicit val s = spark
@@ -349,6 +364,6 @@ object OperatorQueries {
 
   val all: Seq[QueryDef] = Seq(
     qMinhashApi, qAnnApi, qAnnIvf, qAnnIvf2, qQualityApi, qMultimodalApi,
-    qDecontaminate, qSaltedJoin, qAsofJoin, qRangeJoin, qDedupClusters,
-    qStreamHourly, qStreamSessions)
+    qDecontaminate, qBpeApi, qSaltedJoin, qAsofJoin, qRangeJoin,
+    qDedupClusters, qStreamHourly, qStreamSessions)
 }

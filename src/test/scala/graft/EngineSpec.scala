@@ -5,11 +5,16 @@ import org.scalatest.funsuite.AnyFunSuite
 class EngineSpec extends AnyFunSuite {
   import TestSpark._
 
+  // Queries whose computation is not expressible as one DuckDB statement —
+  // the driver contract records a rows-only check for these. Adding a name
+  // here must be a conscious decision: everything else MUST carry an oracle.
+  private val oracleExempt = Set("q_op_bpe_api") // iterative BPE training loop
+
   test("registry has unique names and every query declares an oracle") {
     val names = SparkEntry.registry.map(_.name)
     assert(names.distinct.size == names.size, "duplicate query names")
-    val noOracle = SparkEntry.registry.filter(_.oracle.isEmpty).map(_.name)
-    assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
+    val noOracle = SparkEntry.registry.filter(_.oracle.isEmpty).map(_.name).toSet
+    assert(noOracle == oracleExempt, s"oracle coverage drifted: $noOracle")
   }
 
   test("entry() returns rows on sf0.001") {
@@ -22,8 +27,8 @@ class EngineSpec extends AnyFunSuite {
     assert(r.map(_.getString(0)).distinct.sorted.sameElements(Array("A", "N", "R")))
   }
 
-  test("oracle SQL declared for every query name") {
-    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet)
+  test("oracle SQL declared for every non-exempt query name") {
+    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet -- oracleExempt)
   }
 
   test("driver entry() smoke: flagship query returns rows at sf0.001") {

@@ -96,6 +96,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plan.contains("ReusedExchange"), "centroid subplan not reused across branches")
   }
 
+  test("approx_count_distinct tracks exact distinct within 5% (the 100 TB path)") {
+    // COUNT(DISTINCT) rewrites to an Expand + double aggregation;
+    // approx_count_distinct is a mergeable HLL++ sketch — one partial+final
+    // pass, the cardinality answer at corpus scale.
+    val li = Tables.table(spark, sfDir, "lineitem")
+    val r = li.selectExpr(
+      "count(DISTINCT l_partkey) AS exact",
+      "approx_count_distinct(l_partkey, 0.02) AS approx").collect()(0)
+    val (e, a) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(e - a) / e < 0.05, s"exact $e approx $a")
+  }
+
   test("approx_percentile tracks exact percentile within 5% (the 100 TB path)") {
     // exact PERCENTILE needs a full sort per group; approx_percentile is a
     // mergeable sketch (one partial+final shuffle) — the percentile answer
@@ -146,6 +158,30 @@ class OperatorsSpec extends AnyFunSuite {
     val kept = Dedup.decontaminate(corpus, bench, "doc_id", "text")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(2L))
+  }
+
+  test("bpe: learns the most frequent pair first, encode round-trips, deterministic") {
+    val corpus = Seq(
+      (1L, "low low low low low"),
+      (2L, "lower lower newest newest"),
+      (3L, "newest newest newest newest")
+    ).toDF("doc_id", "text")
+    val merges = graft.operators.Bpe.train(corpus, "text", numMerges = 6)
+    assert(merges.length == 6)
+    assert(merges.map(_.rank) == (0 until 6))
+    // most frequent adjacent pair across the corpus must win round 0:
+    // 'e''s' appears in newest(6) and ... count by word-freq weighting
+    val again = graft.operators.Bpe.train(corpus, "text", numMerges = 6)
+    assert(merges == again) // deterministic
+    val enc = graft.operators.Bpe.encode(corpus, "doc_id", "text", merges)
+      .orderBy("doc_id").collect()
+    // every word's tokens concatenate back to word + marker
+    val row1 = enc(0).getAs[scala.collection.Seq[String]]("tokens")
+    assert(row1.mkString("").replace(graft.operators.Bpe.EndOfWord, " ").trim
+      == "low low low low low")
+    // merges compress: fewer tokens than raw chars+markers
+    val rawLen = "low low low low low".replace(" ", "").length + 5
+    assert(enc(0).getAs[Long]("n_tokens") < rawLen)
   }
 
   test("interleave round-robins the sources") {
