@@ -101,6 +101,20 @@ object TajoFunctions {
     u.register("utc_usec_to", (unit: String, usec: Long) => usecTrunc(unit, usec, 1))
     u.register("utc_usec_to_week", (usec: Long, weekday: Int) => usecTrunc("week", usec, weekday))
 
+    // current_time (reference: engine/function/datetime/CurrentTime.java) —
+    // Spark has current_date/current_timestamp but no time-of-day function;
+    // TIME maps to STRING in this engine (SURVEY §1), so this returns
+    // 'HH:mm:ss' in the engine's fixed-UTC semantics. Non-deterministic by
+    // nature — never used in oracle-compared queries.
+    u.register("current_time", () =>
+      java.time.LocalTime.now(java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter.ofPattern("HH:mm:ss")))
+
+    // Tajo names for Spark's bin/hex (reference: engine/function/math/
+    // ToBin.java, engine/function/string/ToHex.java)
+    u.register("to_bin", (v: Long) => java.lang.Long.toBinaryString(v))
+    u.register("to_hex", (v: Long) => java.lang.Long.toHexString(v))
+
     // -- string / binary (reference: engine/function/string/)
     // strpos: CHARACTER offset of substring, 1-based, 0 when absent
     // (reference: engine/function/string/StrPos.java)

@@ -39,6 +39,13 @@ class FunctionsSpec extends AnyFunSuite {
     assert(one(s"SELECT utc_usec_to_week($sat, 6)") == 1718409600000000L)  // Sat 2024-06-15
   }
 
+  test("to_bin / to_hex / current_time") {
+    assert(one("SELECT to_bin(10)") == "1010")
+    assert(one("SELECT to_hex(255)") == "ff")
+    assert(one("SELECT current_time()").asInstanceOf[String]
+      .matches("\\d{2}:\\d{2}:\\d{2}"))
+  }
+
   test("strpos returns 1-based character positions") {
     assert(one("SELECT strpos('hello', 'llo')") == 3)
     assert(one("SELECT strpos('hello', 'zz')") == 0)
