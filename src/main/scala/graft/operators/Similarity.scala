@@ -119,6 +119,24 @@ object Similarity {
       .select("query_id", "neighbor_id", "cell", "cos_sim", "rnk")
   }
 
+  /** Element-wise mean pooling of vectors per group — the chunk-embeddings
+    * → document-embedding step of an embedding pipeline. Fixed-point
+    * BIGINT element sums keep the aggregation engine-exact AND mergeable
+    * (partial+final, any scale); the mean reconstructs as exact
+    * BIGINT→DOUBLE conversion divided by the count (each step correctly
+    * rounded, so the DuckDB oracle reproduces it bit-for-bit). Quantization
+    * is 1e-6 per element — the same resolution the IVF centroids use. */
+  def meanPool(vectors: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    vectors.select(col(groupCol), posexplode(col(vecCol)).as(Seq("i", "x")))
+      .groupBy(col(groupCol), col("i"))
+      .agg(sum(expr("CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)")).as("m"),
+        count("*").as("c"))
+      .groupBy(col(groupCol))
+      .agg(expr(
+        "TRANSFORM(SORT_ARRAY(COLLECT_LIST(STRUCT(i, m, c))), s -> CAST(s.m AS DOUBLE) / s.c / 1000000)")
+        .as("pooled"),
+        max("c").as("n_vecs"))
+
   /** LSH-bucketed ANN: probes only scan their own sign-bit bucket. */
   def lshTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
               vecCol: String, k: Int = 10, nBits: Int = 4, dim: Int = 64): DataFrame = {

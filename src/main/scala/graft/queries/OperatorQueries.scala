@@ -187,6 +187,33 @@ object OperatorQueries {
          |GROUP BY source ORDER BY source""".stripMargin
     })
 
+  // Mean pooling (Similarity.meanPool): per-label document embedding from
+  // member vectors; compared on sampled elements + count. The fixed-point
+  // sum / exact conversions make every cell bit-identical in DuckDB.
+  private val qEmbedPool = df("q_op_embed_pool",
+    (spark, dir) => {
+      val vecs = Tables.table(spark, dir, "embeddings")
+      Similarity.meanPool(vecs, "label", "embedding")
+        .select(col("label"), col("n_vecs").cast("bigint").as("n_vecs"),
+          expr("ELEMENT_AT(pooled, 1)").as("p1"),
+          expr("ELEMENT_AT(pooled, 32)").as("p32"),
+          expr("ELEMENT_AT(pooled, 64)").as("p64"))
+        .orderBy("label")
+    },
+    Some("""WITH el AS (
+           |  SELECT label, i,
+           |    SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS m,
+           |    COUNT(*) AS c
+           |  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) dims
+           |  GROUP BY label, i
+           |), pooled AS (
+           |  SELECT label, list(CAST(m AS DOUBLE) / c / 1000000 ORDER BY i) AS p,
+           |    CAST(MAX(c) AS BIGINT) AS n_vecs
+           |  FROM el GROUP BY label
+           |)
+           |SELECT label, n_vecs, p[1] AS p1, p[32] AS p32, p[64] AS p64
+           |FROM pooled ORDER BY label""".stripMargin))
+
   // BPE training is iterative distributed aggregation — not expressible as
   // one DuckDB SQL statement, so this entry has no oracle (the driver
   // records a rows-only check); determinism is pinned by OperatorsSpec
@@ -364,6 +391,6 @@ object OperatorQueries {
 
   val all: Seq[QueryDef] = Seq(
     qMinhashApi, qAnnApi, qAnnIvf, qAnnIvf2, qQualityApi, qMultimodalApi,
-    qDecontaminate, qBpeApi, qSaltedJoin, qAsofJoin, qRangeJoin,
+    qDecontaminate, qBpeApi, qEmbedPool, qSaltedJoin, qAsofJoin, qRangeJoin,
     qDedupClusters, qStreamHourly, qStreamSessions)
 }
