@@ -115,6 +115,34 @@ object TajoFunctions {
     u.register("to_bin", (v: Long) => java.lang.Long.toBinaryString(v))
     u.register("to_hex", (v: Long) => java.lang.Long.toHexString(v))
 
+    // date_part with POSTGRES field semantics (reference: engine/function/
+    // datetime/DatePartFromTimestamp.java) — deliberately SHADOWS Spark's
+    // builtin in registered sessions: Spark's dow is Sunday=1..7 while
+    // PG/Tajo's is Sunday=0..6, a silent off-by-one for ported queries.
+    // Returns FLOAT8 like the reference.
+    u.register("date_part", (field: String, ts: java.sql.Timestamp) => {
+      if (field == null || ts == null) null
+      else {
+        val d = utc(ts)
+        val v: Double = field.toLowerCase match {
+          case "year" => d.getYear.toDouble
+          case "quarter" => ((d.getMonthValue + 2) / 3).toDouble
+          case "month" => d.getMonthValue.toDouble
+          case "day" => d.getDayOfMonth.toDouble
+          case "hour" => d.getHour.toDouble
+          case "minute" => d.getMinute.toDouble
+          case "second" => d.getSecond + d.getNano / 1e9
+          case "dow" => (d.getDayOfWeek.getValue % 7).toDouble // PG: Sunday=0
+          case "isodow" => d.getDayOfWeek.getValue.toDouble    // Monday=1
+          case "doy" => d.getDayOfYear.toDouble
+          case "week" => d.get(java.time.temporal.IsoFields.WEEK_OF_WEEK_BASED_YEAR).toDouble
+          case "epoch" => d.toEpochSecond(ZoneOffset.UTC) + d.getNano / 1e9
+          case other => throw new IllegalArgumentException(s"date_part: unsupported field $other")
+        }
+        java.lang.Double.valueOf(v)
+      }
+    })
+
     // -- string / binary (reference: engine/function/string/)
     // strpos: CHARACTER offset of substring, 1-based, 0 when absent
     // (reference: engine/function/string/StrPos.java)

@@ -39,6 +39,16 @@ class FunctionsSpec extends AnyFunSuite {
     assert(one(s"SELECT utc_usec_to_week($sat, 6)") == 1718409600000000L)  // Sat 2024-06-15
   }
 
+  test("date_part uses Postgres field semantics (dow Sunday=0)") {
+    // 2024-06-16 is a Sunday
+    assert(one("SELECT date_part('dow', TIMESTAMP '2024-06-16 10:00:00')") == 0.0)
+    assert(one("SELECT date_part('isodow', TIMESTAMP '2024-06-16 10:00:00')") == 7.0)
+    assert(one("SELECT date_part('dow', TIMESTAMP '2024-06-17 10:00:00')") == 1.0) // Monday
+    assert(one("SELECT date_part('doy', TIMESTAMP '2024-02-01 00:00:00')") == 32.0)
+    assert(one("SELECT date_part('quarter', TIMESTAMP '2024-06-16 00:00:00')") == 2.0)
+    assert(one("SELECT date_part('epoch', TIMESTAMP '1970-01-01 00:01:00')") == 60.0)
+  }
+
   test("to_bin / to_hex / current_time") {
     assert(one("SELECT to_bin(10)") == "1010")
     assert(one("SELECT to_hex(255)") == "ff")
