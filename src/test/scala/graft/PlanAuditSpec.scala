@@ -92,4 +92,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("norm_text"), p)
     assert(!p.contains("regexp_replace"), p)
   }
+
+  test("q_pipeline_end_to_end: one dedup aggregate, native norm, no cartesian") {
+    val p = plan("q_pipeline_end_to_end")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("norm_text"), p)
+    // dedup keepers = partial+final hash aggregate on the norm digest; the
+    // final mix count adds its own partial+final pair
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+  }
 }
