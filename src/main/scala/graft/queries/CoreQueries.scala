@@ -330,6 +330,12 @@ object CoreQueries {
   // IEEE-mandated exact result, so different libm builds differ by 1 ulp
   // and flip decimal rounding on boundary rows; trig parity is asserted
   // with a 1e-12 tolerance in FunctionsSpec instead of hash comparison.
+  // ROUND-on-DECIMAL-division is likewise excluded: DuckDB routes DECIMAL/int
+  // through DOUBLE on some builds, flipping half-up ties — div7_e4 below keeps
+  // the same quotient as pure BIGINT floor division (price in cents via
+  // IEEE-exact FLOOR, never a double->BIGINT cast of a fractional value,
+  // which Spark truncates but DuckDB rounds). Decimal-round parity is a
+  // tolerance test in FunctionsSpec ("decimal ROUND of a division").
   private val qMath2 = split("q_func_math2",
     """SELECT l_orderkey, l_linenumber,
       |  div(CAST(l_partkey AS BIGINT), 7) AS idiv,
@@ -339,7 +345,7 @@ object CoreQueries {
       |  CAST(SIGN(CAST(l_discount AS DOUBLE) - 0.05) AS BIGINT) AS sg,
       |  CAST(FLOOR(CAST(l_extendedprice AS DOUBLE) / 100) AS BIGINT) AS flr,
       |  CAST(CEIL(CAST(l_extendedprice AS DOUBLE) / 100) AS BIGINT) AS cl,
-      |  ROUND(CAST(l_extendedprice AS DECIMAL(28,6)) / 7, 2) AS rnd7
+      |  (CAST(FLOOR(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT) * 100) DIV 7 AS div7_e4
       |FROM lineitem WHERE l_orderkey % 40 = 0
       |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     """SELECT l_orderkey, l_linenumber,
@@ -350,7 +356,7 @@ object CoreQueries {
       |  CAST(SIGN(CAST(l_discount AS DOUBLE) - 0.05) AS BIGINT) AS sg,
       |  CAST(FLOOR(CAST(l_extendedprice AS DOUBLE) / 100) AS BIGINT) AS flr,
       |  CAST(CEIL(CAST(l_extendedprice AS DOUBLE) / 100) AS BIGINT) AS cl,
-      |  ROUND(CAST(l_extendedprice AS DECIMAL(28,6)) / 7, 2) AS rnd7
+      |  (CAST(FLOOR(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT) * 100) // 7 AS div7_e4
       |FROM lineitem WHERE l_orderkey % 40 = 0
       |ORDER BY l_orderkey, l_linenumber""".stripMargin)
 

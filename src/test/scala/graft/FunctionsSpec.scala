@@ -86,6 +86,22 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  // Decimal ROUND of a division lives here with a tolerance, NOT in a
+  // hash-compared oracle query: DuckDB routes DECIMAL/int division through
+  // DOUBLE on some builds (half-even), while Spark divides exactly and
+  // rounds half-up — boundary rows flip (reference:
+  // engine/function/math/RoundFloat8.java). The oracle query q_func_math2
+  // carries the same quotient as BIGINT floor division instead.
+  test("decimal ROUND of a division matches BigDecimal half-up within 0.01") {
+    for (x <- Seq(1.0, 904.00, 100.005, 35706.70, 999999.99)) {
+      val got = one(s"SELECT ROUND(CAST($x AS DECIMAL(28,6)) / 7, 2)")
+        .asInstanceOf[java.math.BigDecimal]
+      val want = new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP)
+        .divide(new java.math.BigDecimal(7), 2, java.math.RoundingMode.HALF_UP)
+      assert(got.subtract(want).abs.doubleValue <= 0.01, s"x=$x got=$got want=$want")
+    }
+  }
+
   test("ip conversions round-trip") {
     assert(one("SELECT int_to_ipstr(3232235777)") == "192.168.1.1")
     assert(one("SELECT ipstr_to_int('192.168.1.1')") == 3232235777L)
