@@ -39,12 +39,32 @@ object Bpe {
     out.toArray
   }
 
-  /** Learn `numMerges` merge rules from the corpus. */
-  def train(docs: DataFrame, textCol: String, numMerges: Int): Seq[Merge] = {
+  /** Learn `numMerges` merge rules from the corpus.
+    *
+    * `batch` > 1 applies up to that many NON-INTERFERING pairs per
+    * counting round, cutting the number of Spark jobs (a real ~30k-merge
+    * vocab at batch=1 is ~30k sequential jobs — the wall-clock bound, not
+    * a data-scale one, since the working set stays vocab-sized). Two
+    * ranked pairs interfere iff one's right symbol is the other's left
+    * symbol (their occurrences can overlap, so applying one changes the
+    * other's count); pairs that merely share a left or share a right
+    * symbol cannot overlap and keep exact counts. Batched ranks follow
+    * the round's count ranking, which equals sequential training whenever
+    * each round's winners are disjoint (OperatorsSpec pins this);
+    * otherwise a pair formed by an earlier merge in the same round can't
+    * win until the next round — the standard batched-BPE approximation.
+    * batch=1 is bit-identical to classic sequential BPE.
+    */
+  def train(docs: DataFrame, textCol: String, numMerges: Int,
+            batch: Int = 1): Seq[Merge] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val mergeStep = udf((syms: Seq[String], a: String, b: String) =>
-      mergeOnce(syms.toArray, a, b).toSeq)
+    val mergeBatch = udf((syms: Seq[String], as: Seq[String], bs: Seq[String]) => {
+      var s = syms.toArray
+      var i = 0
+      while (i < as.length) { s = mergeOnce(s, as(i), bs(i)); i += 1 }
+      s.toSeq
+    })
     // distinct words with frequencies, as symbol sequences chars + </w>
     var words = docs
       .select(explode(split(lower(col(textCol)), " ")).as("w"))
@@ -55,8 +75,10 @@ object Bpe {
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer[Merge]()
     var rank = 0
+    var round = 0
     var exhausted = false
     while (rank < numMerges && !exhausted) {
+      val want = math.min(batch, numMerges - rank)
       val top = words
         .filter(size($"syms") >= 2)
         .select(col("freq"), explode(expr(
@@ -65,17 +87,28 @@ object Bpe {
           .as("p"))
         .groupBy($"p.a", $"p.b").agg(sum("freq").as("cnt"))
         .orderBy($"cnt".desc, $"a", $"b")
-        .limit(1).collect()
+        .limit(math.max(want * 4, 8)).collect()
       if (top.isEmpty) exhausted = true
       else {
-        val (a, b) = (top(0).getString(0), top(0).getString(1))
-        merges += Merge(rank, a, b)
-        words = words.withColumn("syms", mergeStep($"syms", lit(a), lit(b)))
+        // greedy down the ranking: keep a pair unless it can overlap a
+        // kept one (right-of-one == left-of-other); the top-1 pair is
+        // always kept, so batch=1 reduces to classic sequential BPE
+        val kept = scala.collection.mutable.ArrayBuffer[(String, String)]()
+        val it = top.iterator
+        while (kept.size < want && it.hasNext) {
+          val r = it.next()
+          val (a, b) = (r.getString(0), r.getString(1))
+          if (kept.forall { case (ka, kb) => kb != a && b != ka && !(ka == a && kb == b) })
+            kept += ((a, b))
+        }
+        kept.foreach { case (a, b) => merges += Merge(rank, a, b); rank += 1 }
+        words = words.withColumn("syms", mergeBatch($"syms",
+          typedLit(kept.map(_._1).toSeq), typedLit(kept.map(_._2).toSeq)))
         // checkpoint every few rounds, not every round: each checkpoint is
         // an extra job, and a lineage of a handful of chained merge UDFs
         // over the vocab-sized table is cheaper than materializing it
-        if ((rank + 1) % 4 == 0) words = words.localCheckpoint()
-        rank += 1
+        round += 1
+        if (round % 4 == 0) words = words.localCheckpoint()
       }
     }
     merges.toSeq

@@ -229,6 +229,46 @@ object OperatorQueries {
     },
     None)
 
+  // Oracle-checked BPE *encode*: apply a FIXED literal merge list (so the
+  // oracle needs no training) with Bpe.encode; DuckDB replays the same
+  // merges over a space-wrapped symbol string — each symbol rendered as
+  // " sym ", so left-to-right non-overlapping replace(' a  b ', ' ab ')
+  // is exactly mergeOnce's greedy scan (adjacent matches never share a
+  // delimiter because every symbol carries its own leading AND trailing
+  // space). Sound because the corpus is ASCII lowercase with no '<'/'>'
+  // (no collision with the </w> marker) and symbols never contain spaces.
+  // The list chains merges (t+h -> th, th+e</w> -> the</w>) to exercise
+  // merge ordering. Reference tokenizer contract: same greedy lowest-rank-
+  // first application as Sennrich-style BPE.
+  private val bpeFixedMerges = Seq(
+    Bpe.Merge(0, "e", Bpe.EndOfWord), Bpe.Merge(1, "t", "h"),
+    Bpe.Merge(2, "th", "e" + Bpe.EndOfWord), Bpe.Merge(3, "s", Bpe.EndOfWord),
+    Bpe.Merge(4, "i", "n"), Bpe.Merge(5, "a", "n"),
+    Bpe.Merge(6, "an", Bpe.EndOfWord), Bpe.Merge(7, "o", "r"))
+
+  private val qBpeEncode = df("q_op_bpe_encode",
+    (spark, dir) => {
+      val docs = Tables.table(spark, dir, "documents")
+      Bpe.encode(docs, "doc_id", "text", bpeFixedMerges)
+        .select(col("doc_id"), array_join(col("tokens"), "|").as("toks"),
+          col("n_tokens"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val replaced = bpeFixedMerges.sortBy(_.rank).foldLeft(
+        "' ' || regexp_replace(w, '(.)', '\\1  ', 'g') || '</w> '") {
+        case (acc, m) => s"replace($acc, ' ${m.a}  ${m.b} ', ' ${m.a}${m.b} ')"
+      }
+      s"""WITH enc AS (
+         |  SELECT doc_id, flatten(list_transform(
+         |    list_filter(string_split(lower(text), ' '), w -> w <> ''),
+         |    w -> string_split(trim($replaced), '  '))) AS toks
+         |  FROM documents)
+         |SELECT doc_id, array_to_string(toks, '|') AS toks,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens
+         |FROM enc ORDER BY doc_id""".stripMargin
+    })
+
   private val qMultimodalApi = df("q_op_multimodal_api",
     (spark, dir) => {
       implicit val s = spark
@@ -391,6 +431,6 @@ object OperatorQueries {
 
   val all: Seq[QueryDef] = Seq(
     qMinhashApi, qAnnApi, qAnnIvf, qAnnIvf2, qQualityApi, qMultimodalApi,
-    qDecontaminate, qBpeApi, qEmbedPool, qSaltedJoin, qAsofJoin, qRangeJoin,
+    qDecontaminate, qBpeApi, qBpeEncode, qEmbedPool, qSaltedJoin, qAsofJoin, qRangeJoin,
     qDedupClusters, qStreamHourly, qStreamSessions)
 }

@@ -184,6 +184,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(enc(0).getAs[Long]("n_tokens") < rawLen)
   }
 
+  test("bpe: batched training equals sequential when round winners are disjoint") {
+    // single-char words merge straight to a pairless symbol (c</w>), so
+    // sequential winners are disjoint by construction and batched rounds
+    // must reproduce them, ranks included; strictly decreasing word
+    // frequencies pin the order
+    val rows = Seq.tabulate(4) { i =>
+      val w = ('a' + i).toChar.toString
+      (i.toLong, Seq.fill(10 - i * 2)(w).mkString(" "))
+    }
+    val corpus = rows.toDF("doc_id", "text")
+    val seqM = graft.operators.Bpe.train(corpus, "text", numMerges = 4)
+    val batM = graft.operators.Bpe.train(corpus, "text", numMerges = 4, batch = 4)
+    assert(seqM.map(m => (m.a, m.b)) ==
+      Seq(("a", "</w>"), ("b", "</w>"), ("c", "</w>"), ("d", "</w>")))
+    assert(batM == seqM)
+    // interfering pairs (shared chain symbol) must NOT batch together:
+    // same-round right-left overlap falls back to next round, and the
+    // result still merges the top pair first
+    val chain = Seq((1L, "abc abc abc")).toDF("doc_id", "text")
+    val chainBat = graft.operators.Bpe.train(chain, "text", numMerges = 2, batch = 2)
+    assert(chainBat.head == graft.operators.Bpe.train(chain, "text", numMerges = 1).head)
+  }
+
   test("interleave round-robins the sources") {
     val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 10L), ("b", 20L)).toDF("src", "k")
     val mixed = Sampling.interleave(df, "src", "k")
