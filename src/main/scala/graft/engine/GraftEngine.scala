@@ -64,8 +64,45 @@ class GraftEngine(val spark: SparkSession) {
     } else if (lower.startsWith("explain")) {
       explainDF(s.substring("explain".length), extended = false)
     } else {
-      spark.sql(rewriteDdl(s))
+      // ALTER TABLE t RENAME COLUMN a TO b (SQLParser.g4:1626) — Spark only
+      // supports this for v2 tables, so session-catalog (v1) tables get the
+      // reference's semantics directly: a catalog-metadata-only rename
+      // (reference: master/exec/DDLExecutor.java renameColumn).
+      val renameCol =
+        "(?is)^ALTER\\s+TABLE\\s+([\\w.`\"]+)\\s+RENAME\\s+COLUMN\\s+(\\w+)\\s+TO\\s+(\\w+)$".r
+      s match {
+        case renameCol(t, a, b) => renameColumn(t, a, b)
+        case _ => spark.sql(rewriteDdl(s))
+      }
     }
+  }
+
+  /** Catalog-metadata column rename, the reference's ALTER TABLE semantics:
+    * position-resolved formats (csv/text) read through unchanged; by-name
+    * formats (parquet/orc/json) resolve the renamed column as NULL for
+    * files written under the old name — same trade the reference makes for
+    * its text-first storage. Partition columns can't be renamed (matches
+    * the reference, which rejects it in DDLExecutor). */
+  private def renameColumn(table: String, from: String, to: String): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    val catalog = spark.sessionState.catalog
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val meta = catalog.getTableMetadata(ident)
+    require(!meta.partitionColumnNames.exists(_.equalsIgnoreCase(from)),
+      s"cannot rename partition column '$from'")
+    require(meta.dataSchema.fieldNames.exists(_.equalsIgnoreCase(from)),
+      s"column '$from' does not exist in ${table}")
+    require(!meta.schema.fieldNames.exists(_.equalsIgnoreCase(to)),
+      s"column '$to' already exists in ${table}")
+    // alterTableDataSchema treats a rename as an unsupported column drop,
+    // so replace the whole CatalogTable (data columns then partition
+    // columns, the CatalogTable.schema layout) via alterTable instead
+    val renamed = StructType(meta.dataSchema.fields.map(f =>
+      if (f.name.equalsIgnoreCase(from)) f.copy(name = to) else f)
+      ++ meta.partitionSchema.fields)
+    catalog.alterTable(meta.copy(schema = renamed))
+    spark.catalog.refreshTable(table)
+    spark.emptyDataFrame
   }
 
   private def explainDF(query: String, extended: Boolean): DataFrame = {
@@ -150,6 +187,21 @@ class GraftEngine(val spark: SparkSession) {
     out = "(?is)^(ALTER\\s+TABLE\\s+\\S+\\s+)ADD\\s+COLUMN\\s+(\\w+)\\s+(.+)$".r
       .replaceAllIn(out, m => java.util.regex.Matcher.quoteReplacement(
         s"${m.group(1)}ADD COLUMNS (${m.group(2)} ${mapType(m.group(3).trim)})"))
+    // ALTER TABLE partition/property management (SQLParser.g4:1628-1632,
+    // executed by the reference's DDLExecutor alter-table path):
+    //   REPAIR PARTITION        -> MSCK REPAIR TABLE (same partition walk)
+    //   SET PROPERTY 'k'='v'    -> SET TBLPROPERTIES ('k'='v')
+    //   UNSET PROPERTY 'k'      -> UNSET TBLPROPERTIES ('k')
+    //   ADD/DROP PARTITION      -> identical Spark syntax, forwarded as-is
+    out = "(?is)^ALTER\\s+TABLE\\s+(\\S+)\\s+REPAIR\\s+PARTITION\\s*$".r
+      .replaceAllIn(out, m => java.util.regex.Matcher.quoteReplacement(
+        s"MSCK REPAIR TABLE ${m.group(1)}"))
+    out = "(?is)^(ALTER\\s+TABLE\\s+\\S+\\s+)SET\\s+PROPERTY\\s+(.+)$".r
+      .replaceAllIn(out, m => java.util.regex.Matcher.quoteReplacement(
+        s"${m.group(1)}SET TBLPROPERTIES (${m.group(2).trim})"))
+    out = "(?is)^(ALTER\\s+TABLE\\s+\\S+\\s+)UNSET\\s+PROPERTY\\s+(.+)$".r
+      .replaceAllIn(out, m => java.util.regex.Matcher.quoteReplacement(
+        s"${m.group(1)}UNSET TBLPROPERTIES (${m.group(2).trim})"))
     rewriteCastTypes(out)
   }
 
@@ -167,12 +219,17 @@ class GraftEngine(val spark: SparkSession) {
       val open = m.end - 1
       val close = matchParen(out, open)
       if (close > open) {
-        // the cast's AS keyword is the LAST depth-0 `AS` inside the parens
+        // the cast's AS keyword is the LAST depth-0 `AS` inside the parens,
+        // ignoring quoted literals (an ' AS ' inside a string is data)
         var depth = 0
+        var quote = 0.toChar
         var asPos = -1
         var i = open + 1
         while (i < close) {
-          out.charAt(i) match {
+          val c = out.charAt(i)
+          if (quote != 0) { if (c == quote) quote = 0.toChar }
+          else c match {
+            case '\'' | '`' => quote = c
             case '(' => depth += 1
             case ')' => depth -= 1
             case 'A' | 'a' if depth == 0 &&
@@ -206,12 +263,18 @@ class GraftEngine(val spark: SparkSession) {
     }
   }
 
-  /** Index of the ')' matching the '(' at `open`, respecting nesting. */
+  /** Index of the ')' matching the '(' at `open`, respecting nesting and
+    * skipping single-quoted / backquoted literals (a ')' inside
+    * `CAST(concat(a, ')') AS TEXT)` must not close the cast). */
   private def matchParen(s: String, open: Int): Int = {
     var depth = 0
+    var quote = 0.toChar
     var i = open
     while (i < s.length) {
-      s.charAt(i) match {
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0.toChar }
+      else c match {
+        case '\'' | '`' => quote = c
         case '(' => depth += 1
         case ')' => depth -= 1; if (depth == 0) return i
         case _ =>
@@ -221,17 +284,23 @@ class GraftEngine(val spark: SparkSession) {
     -1
   }
 
-  /** Split on commas at paren depth 0 (commas inside RECORD(...) or
-    * DECIMAL(p,s) stay put). */
+  /** Split on commas at paren depth 0 (commas inside RECORD(...),
+    * DECIMAL(p,s) or quoted literals stay put). */
   private def splitTopLevel(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     var depth = 0
+    var quote = 0.toChar
     var start = 0
-    for (i <- 0 until s.length) s.charAt(i) match {
-      case '(' => depth += 1
-      case ')' => depth -= 1
-      case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
-      case _ =>
+    for (i <- 0 until s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0.toChar }
+      else c match {
+        case '\'' | '`' => quote = c
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
     }
     out += s.substring(start)
     out.result().map(_.trim).filter(_.nonEmpty)
@@ -252,6 +321,8 @@ class GraftEngine(val spark: SparkSession) {
     "INT4" -> "INT", "INT8" -> "BIGINT",
     "INT2" -> "SMALLINT", "INT1" -> "TINYINT",
     "FLOAT4" -> "FLOAT", "FLOAT8" -> "DOUBLE",
+    "DOUBLE PRECISION" -> "DOUBLE", "CHARACTER VARYING" -> "STRING",
+    "BOOL" -> "BOOLEAN", "BLOB" -> "BINARY", "BYTEA" -> "BINARY",
     "TIME" -> "STRING")
 
   /** Map one Tajo type expression to Spark SQL, recursing into
@@ -268,7 +339,24 @@ class GraftEngine(val spark: SparkSession) {
         s"$name: ${mapType(tpe)}"
       }
       fields.mkString("STRUCT<", ", ", ">")
-    } else scalarTypeMap.getOrElse(trimmed.toUpperCase, trimmed)
+    } else {
+      val up = trimmed.toUpperCase
+      scalarTypeMap.get(up).getOrElse {
+        // map the leading type keyword and preserve trailing modifiers
+        // ('INT4 NOT NULL', 'FLOAT8 DEFAULT 0') — whitespace boundary only,
+        // so parameterized types like VARCHAR(255) pass through to Spark's
+        // own parser untouched
+        val hit = scalarTypeMap.keys
+          .filter(k => up.startsWith(k) && trimmed.length > k.length &&
+            trimmed.charAt(k.length).isWhitespace &&
+            !trimmed.substring(k.length).trim.startsWith("("))
+          .maxByOption(_.length)
+        hit match {
+          case Some(k) => scalarTypeMap(k) + trimmed.substring(k.length)
+          case None => trimmed
+        }
+      }
+    }
   }
 
   /** Register the driver testdata tables. */

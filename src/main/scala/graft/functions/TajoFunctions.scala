@@ -8,7 +8,7 @@ import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.functions.udaf
+import org.apache.spark.sql.functions.{udaf, udf}
 import org.apache.spark.sql.{Encoder, Encoders}
 
 /** Tajo-compatible function layer.
@@ -106,9 +106,13 @@ object TajoFunctions {
     // TIME maps to STRING in this engine (SURVEY §1), so this returns
     // 'HH:mm:ss' in the engine's fixed-UTC semantics. Non-deterministic by
     // nature — never used in oracle-compared queries.
-    u.register("current_time", () =>
+    // registered asNondeterministic so the optimizer can neither
+    // constant-fold nor duplicate it across subexpressions (each row would
+    // otherwise be able to observe different values within one query)
+    u.register("current_time", udf(() =>
       java.time.LocalTime.now(java.time.ZoneOffset.UTC)
         .format(java.time.format.DateTimeFormatter.ofPattern("HH:mm:ss")))
+      .asNondeterministic())
 
     // Tajo names for Spark's bin/hex (reference: engine/function/math/
     // ToBin.java, engine/function/string/ToHex.java)

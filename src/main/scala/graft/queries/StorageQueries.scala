@@ -190,6 +190,53 @@ object StorageQueries {
            |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
            |FROM events ORDER BY event_id""".stripMargin))
 
+  // Partition lifecycle management through the Tajo ALTER TABLE dialect
+  // (reference grammar SQLParser.g4:1628-1632, executed by master/exec/
+  // DDLExecutor.java): INSERT into one partition, ADD PARTITION pointing at
+  // external data, REPAIR PARTITION to discover files dropped into the
+  // table dir, DROP PARTITION to retire one — then read back through the
+  // catalog, which must see exactly {click, purchase, view}. The DuckDB
+  // oracle sees only the source table, so the compare proves every
+  // metadata operation actually routed the right files.
+  private val qPartitionMgmt = df("q_store_partition_mgmt",
+    (spark, dir) => {
+      val engine = new graft.engine.GraftEngine(spark)
+      val tableDir = scratch("part_mgmt")
+      val extDir = scratch("part_mgmt_ext")
+      engine.sql("DROP TABLE IF EXISTS graft_part_mgmt")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tableDir))
+      new java.io.File(tableDir).mkdirs() // CREATE TABLE scans LOCATION
+      val events = Tables.table(spark, dir, "events")
+        .select("user_id", "value", "event_type")
+      engine.sql(
+        s"""CREATE TABLE graft_part_mgmt (user_id INT8, value FLOAT8)
+           |USING PARQUET PARTITION BY COLUMN (event_type TEXT)
+           |LOCATION '$tableDir'""".stripMargin)
+      // 1. regular dynamic-partition INSERT ('click' and a doomed 'error')
+      events.filter(col("event_type").isin("click", "error"))
+        .createOrReplaceTempView("graft_pm_src")
+      engine.sql("INSERT INTO graft_part_mgmt SELECT user_id, value, event_type FROM graft_pm_src")
+      // 2. ADD PARTITION over external data written elsewhere
+      events.filter(col("event_type") === "purchase").drop("event_type")
+        .write.mode(SaveMode.Overwrite).parquet(extDir)
+      engine.sql(s"ALTER TABLE graft_part_mgmt ADD IF NOT EXISTS PARTITION (event_type = 'purchase') LOCATION '$extDir'")
+      // 3. files dropped straight into the table dir -> REPAIR PARTITION
+      events.filter(col("event_type") === "view").drop("event_type")
+        .write.mode(SaveMode.Overwrite).parquet(s"$tableDir/event_type=view")
+      engine.sql("ALTER TABLE graft_part_mgmt REPAIR PARTITION")
+      // 4. retire the 'error' partition
+      engine.sql("ALTER TABLE graft_part_mgmt DROP IF EXISTS PARTITION (event_type = 'error')")
+      spark.table("graft_part_mgmt")
+        .groupBy("event_type")
+        .agg(count("*").as("cnt"),
+          sum(col("value").cast("decimal(38,6)")).cast("double").as("sum_value"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, COUNT(*) AS cnt,
+           |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+           |FROM events WHERE event_type IN ('click', 'purchase', 'view')
+           |GROUP BY event_type ORDER BY event_type""".stripMargin))
+
   // JDBC tablespace equivalent (reference: tajo-storage/tajo-storage-jdbc/
   // .../JdbcTablespace.java): write to an embedded Derby database via
   // df.write.jdbc, read back via spark.read.jdbc — Catalyst pushes filters
@@ -250,5 +297,5 @@ object StorageQueries {
 
   val all: Seq[QueryDef] = Seq(
     qCtas, qInsert, qPartitioned, qCsv, qJsonSelfDesc, qOrc, qNested,
-    qNestedDdl, qBucketedJoin, qJdbc)
+    qNestedDdl, qBucketedJoin, qJdbc, qPartitionMgmt)
 }

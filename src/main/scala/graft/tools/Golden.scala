@@ -51,7 +51,7 @@ object Golden {
     * reference harness's per-run cluster reset; without it a re-run hits
     * LOCATION_ALREADY_EXISTS on CREATE. */
   def run(engine: GraftEngine, script: String): DataFrame = {
-    val stmts = script.split(";").map(_.trim).filter(_.nonEmpty)
+    val stmts = splitStatements(script)
     require(stmts.nonEmpty, "empty golden script")
     stmts.init.foreach { st =>
       dropIfExists.findFirstMatchIn(st).foreach { m =>
@@ -64,6 +64,26 @@ object Golden {
       engine.sql(st)
     }
     engine.sql(stmts.last)
+  }
+
+  /** Split on statement-terminating semicolons only: a ';' inside a
+    * single-quoted, backquoted or double-quoted literal is data, not a
+    * separator. */
+  private[tools] def splitStatements(script: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var quote = 0.toChar
+    var start = 0
+    for (i <- 0 until script.length) {
+      val c = script.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0.toChar }
+      else c match {
+        case '\'' | '`' | '"' => quote = c
+        case ';' => out += script.substring(start, i); start = i + 1
+        case _ =>
+      }
+    }
+    out += script.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty)
   }
 
   def resultFile(suite: String, name: String): File =

@@ -74,6 +74,54 @@ class GraftEngineSpec extends AnyFunSuite {
     engine.sql("DROP TABLE graft_dml2")
   }
 
+  test("ALTER TABLE partition & property management (Tajo forms)") {
+    engine.sql("DROP TABLE IF EXISTS graft_alter")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$tmp/graft_alter"))
+    engine.sql(
+      s"""CREATE TABLE graft_alter (v INT8) USING PARQUET
+         |PARTITION BY COLUMN (p TEXT) LOCATION '$tmp/graft_alter'""".stripMargin)
+    engine.sql("INSERT INTO graft_alter PARTITION (p='a') VALUES (1)")
+    // SET/UNSET PROPERTY -> TBLPROPERTIES
+    engine.sql("ALTER TABLE graft_alter SET PROPERTY 'note'='hello'")
+    def props = spark.sql("SHOW TBLPROPERTIES graft_alter").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("note").contains("hello"))
+    engine.sql("ALTER TABLE graft_alter UNSET PROPERTY 'note'")
+    assert(!props.contains("note"))
+    // ADD PARTITION with LOCATION: external data becomes visible under p='b'
+    val extDir = s"$tmp/graft_alter_p_b"
+    spark.sql("SELECT CAST(2 AS BIGINT) AS v").write.mode("overwrite").parquet(extDir)
+    engine.sql(s"ALTER TABLE graft_alter ADD IF NOT EXISTS PARTITION (p = 'b') LOCATION '$extDir'")
+    assert(spark.sql("SELECT v FROM graft_alter WHERE p = 'b'").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // DROP PARTITION
+    engine.sql("ALTER TABLE graft_alter DROP IF EXISTS PARTITION (p = 'a')")
+    assert(spark.sql("SELECT count(*) FROM graft_alter WHERE p = 'a'").collect()(0).getLong(0) == 0)
+    // REPAIR PARTITION -> MSCK: files dropped straight into the table dir
+    spark.sql("SELECT CAST(3 AS BIGINT) AS v").write.mode("overwrite")
+      .parquet(s"$tmp/graft_alter/p=c")
+    engine.sql("ALTER TABLE graft_alter REPAIR PARTITION")
+    assert(spark.sql("SELECT v FROM graft_alter WHERE p = 'c'").collect().map(_.getLong(0)).toSeq == Seq(3L))
+    engine.sql("DROP TABLE graft_alter")
+  }
+
+  test("ALTER TABLE RENAME COLUMN renames in the catalog; positional formats read through") {
+    engine.sql("DROP TABLE IF EXISTS graft_ren")
+    val dir = s"$tmp/graft_ren_csv"
+    spark.sql("SELECT 1 AS a, 'x' AS b UNION ALL SELECT 2, 'y'")
+      .write.mode("overwrite").option("sep", "|").csv(dir)
+    engine.sql(
+      s"""CREATE EXTERNAL TABLE graft_ren (a INT4, b TEXT)
+         |USING TEXT WITH ('text.delimiter'='|') LOCATION '$dir'""".stripMargin)
+    engine.sql("ALTER TABLE graft_ren RENAME COLUMN b TO label")
+    assert(spark.table("graft_ren").columns.toSeq == Seq("a", "label"))
+    assert(spark.sql("SELECT label FROM graft_ren ORDER BY a").collect().map(_.getString(0)).toSeq
+      == Seq("x", "y"))
+    // renaming onto an existing name or a missing column fails loudly
+    intercept[IllegalArgumentException](engine.sql("ALTER TABLE graft_ren RENAME COLUMN a TO label"))
+    intercept[IllegalArgumentException](engine.sql("ALTER TABLE graft_ren RENAME COLUMN nope TO x"))
+    engine.sql("DROP TABLE graft_ren")
+  }
+
   test("Tajo-typed DDL: PARTITION BY COLUMN with TEXT/INT8 outside the schema") {
     engine.sql("DROP TABLE IF EXISTS graft_part_ddl")
     engine.sql(
@@ -141,6 +189,26 @@ class GraftEngineSpec extends AnyFunSuite {
       "SELECT CAST(1 AS INT2) AS a, CAST(1.5 AS DECIMAL(10,2)) AS b").schema
     assert(schema("a").dataType.typeName == "short")
     assert(schema("b").dataType.typeName == "decimal(10,2)") // parameterized types pass through
+  }
+
+  test("quote-aware rewrite: parens and AS inside string literals don't confuse CAST mapping") {
+    val r = engine.sql("SELECT CAST(concat('x', ')', ' AS ') AS TEXT) AS v").collect()
+    assert(r(0).getString(0) == "x) AS ")
+    // a literal containing '(' before the cast's AS
+    val r2 = engine.sql("SELECT CAST(concat('((', 'y') AS VARCHAR) AS v").collect()
+    assert(r2(0).getString(0) == "((y")
+  }
+
+  test("type modifiers survive mapping: INT4 NOT NULL, DOUBLE PRECISION") {
+    engine.sql("DROP TABLE IF EXISTS graft_mods")
+    engine.sql("CREATE TABLE graft_mods (a INT4 NOT NULL, b DOUBLE PRECISION, c BOOL) USING PARQUET")
+    val sch = spark.table("graft_mods").schema
+    // NOT NULL parses (the point: the INT4 keyword got mapped with the
+    // modifier preserved); v1 datasource tables don't persist nullability
+    assert(sch("a").dataType.typeName == "integer")
+    assert(sch("b").dataType.typeName == "double")
+    assert(sch("c").dataType.typeName == "boolean")
+    engine.sql("DROP TABLE graft_mods")
   }
 
   test("ALTER TABLE ADD COLUMN with a Tajo type maps to Spark ADD COLUMNS") {
