@@ -17,6 +17,14 @@ class GraftEngine(val spark: SparkSession) {
 
   graft.functions.TajoFunctions.register(spark)
 
+  // The reference's INSERT OVERWRITE into a column-partitioned table
+  // replaces only the partitions the query produces and keeps every other
+  // existing partition directory (reference: tajo-core-tests/.../
+  // TestTablePartitions.java:583-586 "Check not to remove existing
+  // partition directories"). Spark's default ("static") truncates the
+  // whole table first — dynamic mode is the reference's semantics.
+  spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
   /** Tajo storage format name -> Spark datasource. */
   private val formatMap = Map(
     "text" -> "csv", "csv" -> "csv", "json" -> "json",

@@ -30,6 +30,11 @@ object GraftSession {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
+    // dynamic = INSERT OVERWRITE touches only the partitions the query
+    // produces (the reference's partitioned-table semantics; also the only
+    // sane mode for incremental 100 TB backfills — a static overwrite of a
+    // petabyte table because one day was recomputed is an outage)
+    .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
   def local(cores: Int, appName: String = "graft"): SparkSession = {
     val s = tune(SparkSession.builder(), cores)

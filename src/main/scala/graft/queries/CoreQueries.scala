@@ -206,9 +206,12 @@ object CoreQueries {
       |FROM lineitem
       |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin)
 
+  // partitioned by o_custkey (high-cardinality) so the same query shape is
+  // scale-safe: each customer's orders fit one task even at 100 TB, unlike
+  // a low-cardinality status key that would funnel the table into 3 tasks
   private val qWindowRange = shared("q_window_range",
-    """SELECT o_orderkey, o_orderstatus, o_totalprice,
-      |  CAST(COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+      |  CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
       |    RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS BIGINT) AS near_cheaper
       |FROM orders
       |ORDER BY o_orderkey""".stripMargin)
