@@ -61,12 +61,19 @@ class GraftEngine(val spark: SparkSession) {
       spark.conf.set(s"graft.session.${parts(0).trim}",
         parts.lift(1).map(_.trim.stripPrefix("'").stripSuffix("'")).getOrElse("true"))
       spark.emptyDataFrame
-    } else if (lower.startsWith("create index") || lower.startsWith("drop index")) {
-      // BSTIndexScanExec/StoreIndexExec have no Spark counterpart
-      // (documented gap, SURVEY.md §2.1) — fail loudly, not silently.
-      throw new UnsupportedOperationException(
-        "CREATE/DROP INDEX is not supported: Spark has no persisted secondary " +
-        "indexes; use bucketing or sorted parquet instead")
+    } else if (lower.startsWith("create index")) {
+      // CREATE [UNIQUE] INDEX name ON tbl [USING method] (col [ASC|DESC]...)
+      // (reference grammar: tajo-sql-parser/.../SQLParser.g4 index_statement;
+      // built by StoreIndexExec, scanned by BSTIndexScanExec). Spark has no
+      // persisted secondary index files; the idiomatic equivalent is a
+      // sorted data RE-LAYOUT: range-repartition + sort the table on the
+      // index keys so every parquet/orc row group carries tight min/max
+      // stats and a range predicate skips all non-matching groups — the
+      // same build-time-scan / read-time-skip trade the reference's BST
+      // index makes (see createIndex below).
+      createIndex(s)
+    } else if (lower.startsWith("drop index")) {
+      dropIndex(s)
     } else if (lower.startsWith("explain global")) {
       explainDF(s.substring("explain global".length), extended = true)
     } else if (lower.startsWith("explain")) {
@@ -111,6 +118,81 @@ class GraftEngine(val spark: SparkSession) {
     catalog.alterTable(meta.copy(schema = renamed))
     spark.catalog.refreshTable(table)
     spark.emptyDataFrame
+  }
+
+  private val createIndexRe =
+    "(?is)^CREATE\\s+(?:UNIQUE\\s+)?INDEX\\s+(\\w+)\\s+ON\\s+([\\w.`\"]+)\\s*(?:USING\\s+\\w+\\s*)?\\(".r
+
+  /** Build a "BST index" the Spark way: rewrite the table's data files
+    * range-partitioned and sorted on the index keys. Every row group then
+    * has tight min/max statistics on those keys, so a pushed-down range or
+    * point predicate skips all non-matching row groups at read time —
+    * behaviorally what the reference's two-level BST index buys its
+    * SeqScan→BSTIndexScan rewrite, without a side index file to keep
+    * consistent. Build cost is one full shuffle+write of the table, the
+    * same order as the reference's index build (which also scans and
+    * re-writes every tuple into sorted index pages).
+    *
+    * At 100 TB the shuffle is a range exchange over the shuffle-partition
+    * count, AQE-coalesced to sized outputs; nothing collects to the driver.
+    * Partition columns are prepended to the range keys so a partitioned
+    * table stays partition-clustered and the dynamic-overwrite write
+    * touches every partition exactly once.
+    *
+    * The index is recorded as table property `graft.index.<name>` = cols;
+    * DROP INDEX unsets it (the data stays sorted — dropping the reference's
+    * index file also leaves table data as-is). */
+  private def createIndex(s: String): DataFrame = {
+    import org.apache.spark.sql.SaveMode
+    import org.apache.spark.sql.functions.col
+    val m = createIndexRe.findFirstMatchIn(s).getOrElse(
+      throw new IllegalArgumentException(s"cannot parse CREATE INDEX statement: $s"))
+    val (name, table) = (m.group(1), m.group(2))
+    val open = m.end - 1
+    val close = matchParen(s, open)
+    require(close > open, s"unbalanced column list in CREATE INDEX: $s")
+    // strip per-column ASC|DESC / NULLS FIRST|LAST — min/max stats make the
+    // scan direction-agnostic, so the sort order itself is enough
+    val cols = splitTopLevel(s.substring(open + 1, close)).map(_.split("\\s+")(0))
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+    cols.foreach(c => require(meta.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+      s"index column '$c' does not exist in $table"))
+    val src = spark.table(table)
+    val keys = (meta.partitionColumnNames ++ cols).map(col)
+    val staged = src
+      .repartitionByRange(spark.sessionState.conf.numShufflePartitions, keys: _*)
+      .sortWithinPartitions(keys: _*)
+    // stage through a scratch dir: INSERT OVERWRITE can't read its own table
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_index_build_${table.replace('.', '_')}")
+    org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+    staged.write.parquet(tmp.getAbsolutePath)
+    spark.read.parquet(tmp.getAbsolutePath)
+      .select(src.columns.map(col): _*)
+      .write.mode(SaveMode.Overwrite).insertInto(table)
+    org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('graft.index.$name'='${cols.mkString(",")}')")
+    spark.emptyDataFrame
+  }
+
+  /** DROP INDEX [IF EXISTS] name — find the table carrying the
+    * `graft.index.<name>` property in the current database and unset it. */
+  private def dropIndex(s: String): DataFrame = {
+    val m = "(?is)^DROP\\s+INDEX\\s+(?:(IF\\s+EXISTS)\\s+)?(\\w+)\\s*$".r.findFirstMatchIn(s)
+      .getOrElse(throw new IllegalArgumentException(s"cannot parse DROP INDEX statement: $s"))
+    val (ifExists, name) = (m.group(1) != null, m.group(2))
+    val catalog = spark.sessionState.catalog
+    val owner = catalog.listTables(spark.catalog.currentDatabase).find { t =>
+      try catalog.getTableMetadata(t).properties.contains(s"graft.index.$name")
+      catch { case _: Exception => false }
+    }
+    owner match {
+      case Some(t) =>
+        spark.sql(s"ALTER TABLE ${t.quotedString} UNSET TBLPROPERTIES ('graft.index.$name')")
+      case None if ifExists => spark.emptyDataFrame
+      case None => throw new IllegalArgumentException(s"index '$name' does not exist")
+    }
   }
 
   private def explainDF(query: String, extended: Boolean): DataFrame = {

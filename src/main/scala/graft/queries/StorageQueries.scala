@@ -295,7 +295,34 @@ object StorageQueries {
            |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
            |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
 
+  // CREATE INDEX / indexed range scan (the reference's StoreIndexExec +
+  // BSTIndexScanExec pair, reference: tajo-core/.../physical/
+  // BSTIndexScanExec.java): the engine rewrites the table range-sorted on
+  // the key so row-group min/max stats satisfy the range predicate with
+  // data skipping. The DuckDB oracle sees only the source table, so the
+  // compare proves the sorted rebuild lost and duplicated nothing.
+  private val qIndex = df("q_store_index",
+    (spark, dir) => {
+      val engine = new graft.engine.GraftEngine(spark)
+      val tableDir = scratch("idx_orders")
+      engine.sql("DROP TABLE IF EXISTS graft_idx_orders")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tableDir))
+      engine.sql(
+        s"""CREATE TABLE graft_idx_orders USING PARQUET LOCATION '$tableDir'
+           |AS SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders""".stripMargin)
+      engine.sql("CREATE INDEX idx_orders_cust ON graft_idx_orders (o_custkey)")
+      engine.sql(
+        """SELECT o_custkey, COUNT(*) AS cnt,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
+          |FROM graft_idx_orders WHERE o_custkey BETWEEN 100 AND 200
+          |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
+    },
+    Some("""SELECT o_custkey, COUNT(*) AS cnt,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
+           |FROM orders WHERE o_custkey BETWEEN 100 AND 200
+           |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     qCtas, qInsert, qPartitioned, qCsv, qJsonSelfDesc, qOrc, qNested,
-    qNestedDdl, qBucketedJoin, qJdbc, qPartitionMgmt)
+    qNestedDdl, qBucketedJoin, qJdbc, qPartitionMgmt, qIndex)
 }

@@ -265,11 +265,43 @@ class GraftEngineSpec extends AnyFunSuite {
     assert(g.contains("Optimized Logical Plan"))
   }
 
-  test("CREATE INDEX fails with a documented error") {
-    val e = intercept[UnsupportedOperationException] {
-      engine.sql("CREATE INDEX idx ON nation (n_name)")
-    }
-    assert(e.getMessage.contains("not supported"))
+  test("CREATE INDEX re-lays the table sorted; DROP INDEX unsets it") {
+    engine.mount(sfDir)
+    engine.sql("DROP TABLE IF EXISTS graft_idx_t")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$tmp/graft_idx_t"))
+    engine.sql(
+      s"""CREATE TABLE graft_idx_t USING PARQUET LOCATION '$tmp/graft_idx_t'
+         |AS SELECT o_orderkey, o_custkey, o_totalprice FROM orders""".stripMargin)
+    val before = spark.table("graft_idx_t").orderBy("o_orderkey").collect()
+    engine.sql("CREATE INDEX idx_custkey ON graft_idx_t (o_custkey ASC)")
+    // data unchanged by the rebuild
+    val after = spark.table("graft_idx_t").orderBy("o_orderkey").collect()
+    assert(after.toSeq == before.toSeq)
+    // index recorded as a table property
+    val props = spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier("graft_idx_t"))
+      .properties
+    assert(props.get("graft.index.idx_custkey").contains("o_custkey"))
+    // files are now range-clustered on the key: a selective range predicate
+    // skips non-matching row groups, so the scan emits far fewer rows than
+    // the table holds (the BSTIndexScan effect)
+    val q = spark.table("graft_idx_t").filter("o_custkey < 20")
+    q.collect()
+    val scan = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    val scanned = scan.metrics("numOutputRows").value
+    val total = spark.table("graft_idx_t").count()
+    assert(scanned < total / 2, s"expected row-group skipping: scanned=$scanned total=$total")
+    engine.sql("DROP INDEX idx_custkey")
+    val props2 = spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier("graft_idx_t"))
+      .properties
+    assert(!props2.contains("graft.index.idx_custkey"))
+    engine.sql("DROP INDEX IF EXISTS idx_custkey") // no-op, must not throw
+    val e = intercept[IllegalArgumentException](engine.sql("DROP INDEX idx_custkey"))
+    assert(e.getMessage.contains("does not exist"))
+    engine.sql("DROP TABLE graft_idx_t")
   }
 
   test("unsupported storage formats fail loudly") {
