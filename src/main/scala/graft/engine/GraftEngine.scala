@@ -268,6 +268,15 @@ class GraftEngine(val spark: SparkSession) {
       }
       out = out.substring(0, open + 1) + mapped.mkString(", ") + out.substring(close)
     }
+    // INSERT OVERWRITE INTO LOCATION 'p' [USING fmt ...] -> INSERT OVERWRITE
+    // DIRECTORY 'p' USING fmt (SQLParser.g4:1607 insert_statement LOCATION
+    // branch; reference writes text when no format is given, so a missing
+    // USING becomes Spark's csv source). Runs before the generic INTO->TABLE
+    // pass below so the LOCATION form isn't mangled into "TABLE LOCATION".
+    out = "(?is)INSERT\\s+OVERWRITE\\s+INTO\\s+LOCATION\\s+('[^']*')(\\s+USING\\b)?".r
+      .replaceAllIn(out, m => java.util.regex.Matcher.quoteReplacement(
+        s"INSERT OVERWRITE DIRECTORY ${m.group(1)}" +
+          (if (m.group(2) == null) " USING csv" else " USING")))
     // INSERT OVERWRITE INTO t -> INSERT OVERWRITE TABLE t (SQLParser.g4:1607)
     out = "(?i)INSERT\\s+OVERWRITE\\s+INTO\\b".r.replaceAllIn(out, "INSERT OVERWRITE TABLE")
     // ALTER TABLE t ADD COLUMN c TYPE (Tajo single-column form, reference:
