@@ -47,6 +47,12 @@ object GeoIp {
     table = sorted
   }
 
+  /** Load ranges from a MaxMind-DB (.mmdb) file via [[Mmdb.readRanges]] —
+    * the format the reference's GeoIP functions consume. The tree is
+    * flattened once at load time; query-time lookup stays the broadcast
+    * binary search. */
+  def loadMmdb(path: String): Unit = load(Mmdb.readRanges(path))
+
   def reset(): Unit = table = defaultTable
 
   private def ipToLong(ip: String): Long = {
@@ -67,15 +73,18 @@ object GeoIp {
     null
   }
 
-  private val registered = ConcurrentHashMap.newKeySet[(Int, Int)]()
+  // session -> identity of the table its UDFs are currently bound to; a
+  // plain seen-set would refuse to re-bind after load() -> reset() -> load()
+  private val registered = new ConcurrentHashMap[Integer, Integer]()
 
   /** Registers the UDFs against a snapshot of the current table; the
     * snapshot is captured into the closure, so it ships to executors with
     * the task binary. Calling load() then register() re-binds the names. */
   def register(spark: SparkSession): Unit = {
     val t = table // immutable snapshot captured by the closures below
-    val key = (System.identityHashCode(spark), System.identityHashCode(t))
-    if (!registered.add(key)) return
+    val sparkKey = Integer.valueOf(System.identityHashCode(spark))
+    val tableId = Integer.valueOf(System.identityHashCode(t))
+    if (tableId.equals(registered.put(sparkKey, tableId))) return
     spark.udf.register("geoip_country_code", (ip: String) =>
       if (ip == null) null else lookup(t, ipToLong(ip)))
     spark.udf.register("geoip_in_country", (ip: String, code: String) =>
