@@ -137,6 +137,47 @@ object Similarity {
         .as("pooled"),
         max("c").as("n_vecs"))
 
+  /** Int8-quantized ANN (the memory-bound scale path: 4× smaller vectors,
+    * integer dot products).
+    *
+    * Per-vector symmetric quantization: q_i = FLOOR(x_i * 127 / max|x|) —
+    * every step is a correctly-rounded IEEE double op on exact f32 inputs,
+    * so the DuckDB oracle reproduces the codes bit-for-bit (no decimal
+    * rounding, no sum-order dependence; the max|x| guard keeps a zero
+    * vector finite). Candidates rank by dot/sqrt(|c|²) with the norm taken
+    * over the INTEGER codes, so ranking only touches exact integers plus
+    * one deterministic double divide/sqrt per pair; ties break on id.
+    *
+    * Returned `int_dot` is the exact integer dot product of the codes.
+    * At 100 TB: quantization is a per-row projection at scan speed; the
+    * search itself shares [[bruteForceTopK]]'s broadcast-probe shape (use
+    * the [[ivfTopK]] cell join for corpus-vs-corpus — quantization
+    * composes with it unchanged). */
+  def int8TopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+               vecCol: String, k: Int = 10): DataFrame = {
+    def quant(df: DataFrame, p: String) =
+      df.select(col(idCol).as(s"${p}_id"), col(vecCol).as("__v"))
+        .withColumn("__ma", expr(
+          "GREATEST(ARRAY_MAX(TRANSFORM(__v, x -> ABS(CAST(x AS DOUBLE)))), CAST(1 AS DOUBLE) / 1000000000)"))
+        .withColumn(s"${p}_q",
+          expr("TRANSFORM(__v, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127 / __ma) AS BIGINT))"))
+        .withColumn(s"${p}_n2",
+          expr(s"AGGREGATE(${p}_q, CAST(0 AS BIGINT), (s, x) -> s + x * x)"))
+        .drop("__v", "__ma")
+    val c = quant(corpus, "c")
+    val q = quant(probes, "q")
+    c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("int_dot",
+        expr("AGGREGATE(ZIP_WITH(q_q, c_q, (a, b) -> a * b), CAST(0 AS BIGINT), (s, x) -> s + x)"))
+      .withColumn("rnk", row_number().over(Window.partitionBy("q_id")
+        .orderBy((col("int_dot").cast("double") / sqrt(col("c_n2").cast("double"))).desc,
+          col("c_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("q_id").as("query_id"), col("c_id").as("neighbor_id"),
+        col("int_dot"), col("rnk").cast("bigint").as("rnk"))
+  }
+
   /** LSH-bucketed ANN: probes only scan their own sign-bit bucket. */
   def lshTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
               vecCol: String, k: Int = 10, nBits: Int = 4, dim: Int = 64): DataFrame = {

@@ -106,6 +106,31 @@ object TextAnalysis {
           "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
         "[0-9]{3}-[0-9]{3}-[0-9]{4}", "[PHONE]").as("scrubbed"))
 
+  /** URL extraction + per-domain corpus stats (C4/RefinedWeb-style URL
+    * filtering input): every URL in the text is extracted and exploded,
+    * its host grouped on — the table a blocklist/allowlist gate joins
+    * against. Per-row regex + one partial+final aggregation on domain;
+    * COUNT(DISTINCT doc_id) is the one expensive piece (Spark plans it as
+    * the two-phase Expand rewrite, fine at scale because domains are
+    * low-cardinality relative to docs). */
+  def urlStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+        explode(expr(s"REGEXP_EXTRACT_ALL($textCol, 'https?://[^ ]+', 0)")).as("__url"))
+      .select(col(idCol), regexp_extract(col("__url"), "^https?://([^/]+)", 1).as("domain"))
+      .groupBy("domain")
+      .agg(countDistinct(col(idCol)).cast("bigint").as("n_docs"),
+        count("*").cast("bigint").as("n_urls"))
+
+  /** Corpus token-length histogram: docs bucketed by whitespace token count
+    * into `binWidth`-wide bins. One partial+final aggregation over a
+    * per-row integer projection — scan-speed at any corpus size. */
+  def tokenHistogram(docs: DataFrame, idCol: String, textCol: String,
+                     binWidth: Int = 20): DataFrame =
+    docs.select(size(split(col(textCol), " ")).cast("bigint").as("__n"))
+      .groupBy(expr(s"(__n DIV $binWidth) * $binWidth").as("bin_lo"))
+      .agg(count("*").cast("bigint").as("n_docs"),
+        sum("__n").cast("bigint").as("sum_tokens"))
+
   /** Intra-document repetition signals (Gopher/RefinedWeb-style quality
     * gates): most-frequent-token share and duplicate-token share, as
     * integer-exact ppm. Explode + two-level aggregation — shuffles on

@@ -558,10 +558,84 @@ object PipelineQueries {
       |SELECT source, COUNT(*) AS kept FROM sampled
       |GROUP BY source ORDER BY source""".stripMargin, headline = true)
 
+  // URL extraction + per-domain stats (TextAnalysis.urlStats). The
+  // synthetic corpus holds no URLs, so both engines inject the same
+  // deterministic URLs from document fields first — the extraction,
+  // explode, and per-domain aggregation under test are real.
+  private val qUrls = df("q_text_urls",
+    (spark, dir) => {
+      val docs = graft.engine.Tables.table(spark, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("visit https://"), col("source"), lit(".example.com/p/"), col("doc_id"),
+            lit(" or http://cdn-"), col("lang"), lit(".mirror.net/a "), col("text")).as("text2"))
+      graft.operators.TextAnalysis.urlStats(docs, "doc_id", "text2").orderBy("domain")
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, 'visit https://' || source || '.example.com/p/' || doc_id ||
+           |    ' or http://cdn-' || lang || '.mirror.net/a ' || text AS text2
+           |  FROM documents
+           |), u AS (
+           |  SELECT doc_id, unnest(regexp_extract_all(text2, 'https?://[^ ]+')) AS url FROM t
+           |)
+           |SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS domain,
+           |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           |  CAST(COUNT(*) AS BIGINT) AS n_urls
+           |FROM u GROUP BY domain ORDER BY domain""".stripMargin))
+
+  // Corpus token-length histogram (TextAnalysis.tokenHistogram).
+  private val qHistogram = df("q_text_histogram",
+    (spark, dir) => graft.operators.TextAnalysis
+      .tokenHistogram(graft.engine.Tables.table(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("bin_lo"),
+    Some("""WITH n AS (
+           |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents
+           |)
+           |SELECT (nt // 20) * 20 AS bin_lo, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(nt) AS BIGINT) AS sum_tokens
+           |FROM n GROUP BY bin_lo ORDER BY bin_lo""".stripMargin))
+
+  // Int8-quantized ANN (Similarity.int8TopK): integer codes + integer dot
+  // products, DuckDB replays the quantizer bit-exactly.
+  private def duckQuant: String =
+    """SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127 /
+      |      GREATEST(list_max(list_transform(embedding, y -> ABS(CAST(y AS DOUBLE)))),
+      |               CAST(1 AS DOUBLE) / 1000000000)) AS BIGINT)) AS qv
+      |  FROM embeddings""".stripMargin
+  private val qAnnInt8 = df("q_ann_int8",
+    (spark, dir) => {
+      val vecs = graft.engine.Tables.table(spark, dir, "embeddings")
+      graft.operators.Similarity.int8TopK(
+        vecs, vecs.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3)
+        .orderBy("query_id", "rnk")
+    },
+    Some(s"""WITH v AS ($duckQuant
+            |), n AS (
+            |  SELECT vec_id, qv,
+            |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(qv, x -> x * x)),
+            |      (s, x) -> s + x) AS nrm2
+            |  FROM v
+            |), q AS (SELECT * FROM n WHERE vec_id < 5),
+            |d AS (
+            |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.nrm2 AS c_nrm2,
+            |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+            |      list_transform(range(1, 65), i -> q.qv[i] * c.qv[i])), (s, x) -> s + x) AS int_dot
+            |  FROM q JOIN n c ON q.vec_id <> c.vec_id
+            |)
+            |SELECT query_id, neighbor_id, int_dot, rnk FROM (
+            |  SELECT query_id, neighbor_id, int_dot,
+            |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            |      ORDER BY CAST(int_dot AS DOUBLE) / SQRT(CAST(c_nrm2 AS DOUBLE)) DESC,
+            |               neighbor_id) AS BIGINT) AS rnk
+            |  FROM d
+            |) t WHERE rnk <= 3
+            |ORDER BY query_id, rnk""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupNorm, qMinhashSig, qMinhashPairs, qMinhashCorpus, qSimhash,
     qSample, qSampleStratified, qInterleave,
     qNgramJaccard, qEmbDedup, qAnnBrute, qAnnLsh,
     qTextStats, qLangId, qTokens, qFingerprint, qMultimodal,
-    qChunks, qPii, qRepetition, qEndToEnd)
+    qChunks, qPii, qRepetition, qEndToEnd,
+    qUrls, qHistogram, qAnnInt8)
 }
