@@ -40,7 +40,7 @@ class GraftEngine(val spark: SparkSession) {
     "compression.codec" -> "compression")
 
   def sql(statement: String): DataFrame = {
-    val s = statement.trim.stripSuffix(";").trim
+    val s = rewriteQuotedIdents(statement.trim.stripSuffix(";").trim)
     val lower = s.toLowerCase
 
     if (lower.startsWith("set time zone")) {
@@ -151,15 +151,23 @@ class GraftEngine(val spark: SparkSession) {
     val open = m.end - 1
     val close = matchParen(s, open)
     require(close > open, s"unbalanced column list in CREATE INDEX: $s")
-    // strip per-column ASC|DESC / NULLS FIRST|LAST — min/max stats make the
-    // scan direction-agnostic, so the sort order itself is enough
-    val cols = splitTopLevel(s.substring(open + 1, close)).map(_.split("\\s+")(0))
+    // strip per-key ASC|DESC / NULLS FIRST|LAST — min/max stats make the
+    // scan direction-agnostic, so the sort order itself is enough. A key
+    // that is not a bare column name is an index-on-expression (reference:
+    // queries/TestCreateIndex/testCreateIndexOnExpression.sql): the
+    // re-layout sorts on the computed value, so row groups carry tight
+    // min/max on every column the expression is monotone in.
+    val keyTexts = splitTopLevel(s.substring(open + 1, close)).map(_.trim
+      .replaceAll("(?i)\\s+NULLS\\s+(FIRST|LAST)$", "")
+      .replaceAll("(?i)\\s+(ASC|DESC)$", "").trim)
     val meta = spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier(table))
-    cols.foreach(c => require(meta.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
-      s"index column '$c' does not exist in $table"))
+    keyTexts.filter(_.matches("[A-Za-z_]\\w*")).foreach(c =>
+      require(meta.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+        s"index column '$c' does not exist in $table"))
     val src = spark.table(table)
-    val keys = (meta.partitionColumnNames ++ cols).map(col)
+    val keys = meta.partitionColumnNames.map(col) ++
+      keyTexts.map(org.apache.spark.sql.functions.expr)
     val staged = src
       .repartitionByRange(spark.sessionState.conf.numShufflePartitions, keys: _*)
       .sortWithinPartitions(keys: _*)
@@ -172,7 +180,8 @@ class GraftEngine(val spark: SparkSession) {
       .select(src.columns.map(col): _*)
       .write.mode(SaveMode.Overwrite).insertInto(table)
     org.apache.commons.io.FileUtils.deleteQuietly(tmp)
-    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('graft.index.$name'='${cols.mkString(",")}')")
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
+      s"('graft.index.$name'='${keyTexts.mkString(",").replace("'", "''")}')")
     spark.emptyDataFrame
   }
 
@@ -218,7 +227,7 @@ class GraftEngine(val spark: SparkSession) {
       val fmt = m.group(1).toLowerCase
       formatMap.get(fmt) match {
         case Some(sparkFmt) => s"USING $sparkFmt"
-        case None if Set("rcfile", "rawfile", "sequencefile", "regex", "hbase").contains(fmt) =>
+        case None if Set("rcfile", "rawfile", "raw", "sequencefile", "regex", "hbase").contains(fmt) =>
           throw new UnsupportedOperationException(
             s"storage format '$fmt' is not supported (documented gap, SURVEY.md §2.1)")
         case None => s"USING $fmt"
@@ -456,6 +465,38 @@ class GraftEngine(val spark: SparkSession) {
         }
       }
     }
+  }
+
+  /** Double-quoted tokens are IDENTIFIERS in the Tajo/PG dialect
+    * (SQLParser.g4 identifier rule; e.g. queries/TestCaseByCases/
+    * testTAJO718Case.sql writes `"lineitem"`), but string literals to
+    * Spark — rewrite them to backticks before any other pass, skipping
+    * content inside single-quoted literals. A doubled "" inside a quoted
+    * identifier unescapes to one '"'; backticks inside are re-escaped. */
+  private def rewriteQuotedIdents(s: String): String = {
+    val out = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' =>
+          val end = s.indexOf('\'', i + 1)
+          val stop = if (end < 0) s.length - 1 else end
+          out.append(s.substring(i, stop + 1)); i = stop + 1
+        case '"' =>
+          val ident = new StringBuilder
+          i += 1
+          var open = true
+          while (i < s.length && open) {
+            if (s.charAt(i) == '"') {
+              if (i + 1 < s.length && s.charAt(i + 1) == '"') { ident.append('"'); i += 2 }
+              else { open = false; i += 1 }
+            } else { ident.append(s.charAt(i)); i += 1 }
+          }
+          out.append('`').append(ident.toString.replace("`", "``")).append('`')
+        case c => out.append(c); i += 1
+      }
+    }
+    out.toString
   }
 
   /** Register the driver testdata tables. */

@@ -39,6 +39,28 @@ object Sampling {
     df.filter(knuth32(idCol) < threshold)
   }
 
+  /** Deterministic train/val/test split assignment: the same Knuth hash
+    * mapped onto cumulative-weight thresholds over the 32-bit hash domain.
+    * Weights convert to exact integer boundaries once on the driver, so the
+    * assignment is reproducible run-over-run, engine-portable (the DuckDB
+    * oracle replays the arithmetic bit-exactly), and stable under
+    * repartitioning — a row never migrates between train and test because
+    * the cluster layout changed. Pure narrow projection — no shuffle;
+    * downstream writes can partitionBy the split column. */
+  def split(df: DataFrame, idCol: String, splits: Seq[(String, Double)],
+            splitCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9, "split weights must sum to 1")
+    val bounds = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(w => math.floor(w * 4294967296.0).toLong)
+    val h = knuth32(idCol)
+    val assigned = splits.init.zip(bounds.init).reverse.foldLeft(
+      lit(splits.last._1): org.apache.spark.sql.Column) {
+      case (acc, ((name, _), b)) => when(h < b, name).otherwise(acc)
+    }
+    df.withColumn(splitCol, assigned)
+  }
+
   /** Deterministic round-robin interleave across sources: orders rows by
     * (position-within-source, source), the standard way to mix corpora so
     * a training run doesn't see one source in a long block. The returned

@@ -405,6 +405,17 @@ object OperatorQueries {
   // state-store setup is fixed overhead, not data-dependent work, and
   // would dominate the bench without adding correctness signal.)
 
+  // Streaming exact dedup (append mode: each distinct key is emitted
+  // exactly once, incrementally) — oracle is the batch DISTINCT.
+  private val qStreamDedup = df("q_stream_dedup",
+    (spark, dir) => {
+      val keys = EventStreams.dedupKeys(EventStreams.readEvents(spark, dir))
+      EventStreams.runToMemoryTable(keys, "graft_stream_dedup", mode = "append")
+        .orderBy("user_id", "event_type")
+    },
+    Some("""SELECT DISTINCT user_id, event_type FROM events
+           |ORDER BY user_id, event_type""".stripMargin))
+
   private val qStreamSessions = df("q_stream_sessions",
     (spark, dir) => {
       val agg = EventStreams.sessionCounts(EventStreams.readEvents(spark, dir))
@@ -432,5 +443,5 @@ object OperatorQueries {
   val all: Seq[QueryDef] = Seq(
     qMinhashApi, qAnnApi, qAnnIvf, qAnnIvf2, qQualityApi, qMultimodalApi,
     qDecontaminate, qBpeApi, qBpeEncode, qEmbedPool, qSaltedJoin, qAsofJoin, qRangeJoin,
-    qDedupClusters, qStreamHourly, qStreamSessions)
+    qDedupClusters, qStreamHourly, qStreamSessions, qStreamDedup)
 }

@@ -631,9 +631,34 @@ object PipelineQueries {
             |) t WHERE rnk <= 3
             |ORDER BY query_id, rnk""".stripMargin))
 
+  // Deterministic corpus split (train/val/test): Sampling.split assigns by
+  // exact integer thresholds over the Knuth hash (floor(0.8*2^32),
+  // floor(0.9*2^32)), so DuckDB reproduces the assignment bit-exactly and
+  // the per-split aggregates must hash-match.
+  private val qSplit = df("q_pipeline_split",
+    (spark, dir) => {
+      val docs = graft.engine.Tables.table(spark, dir, "documents")
+      graft.operators.Sampling.split(docs, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split")
+        .agg(count("*").as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy("split")
+    },
+    Some("""SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+           |FROM (
+           |  SELECT CASE WHEN h < 3435973836 THEN 'train'
+           |              WHEN h < 3865470566 THEN 'val'
+           |              ELSE 'test' END AS split, n_chars, doc_id
+           |  FROM (SELECT ((doc_id % 1000000007) * 2654435761) % 4294967296 AS h,
+           |               n_chars, doc_id FROM documents) t
+           |) s GROUP BY split ORDER BY split""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupNorm, qMinhashSig, qMinhashPairs, qMinhashCorpus, qSimhash,
-    qSample, qSampleStratified, qInterleave,
+    qSample, qSampleStratified, qInterleave, qSplit,
     qNgramJaccard, qEmbDedup, qAnnBrute, qAnnLsh,
     qTextStats, qLangId, qTokens, qFingerprint, qMultimodal,
     qChunks, qPii, qRepetition, qEndToEnd,

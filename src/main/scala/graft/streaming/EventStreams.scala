@@ -51,6 +51,19 @@ object EventStreams {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col("n_events"))
 
+  /** Streaming exact dedup: emit each distinct key once (first arrival) —
+    * the streaming twin of Dedup.exact, backed by the dedup operator's
+    * key state. Global semantics (dedup across the whole stream) keep the
+    * batch oracle exact (SELECT DISTINCT); state grows with the count of
+    * DISTINCT keys — the documented trade, same working set as the batch
+    * hash-aggregate. For time-bounded dedup over an unbounded key domain,
+    * swap in dropDuplicatesWithinWatermark: same plan shape, state expires
+    * with the watermark, dedup guarantee narrows to the watermark window. */
+  def dedupKeys(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+
   /** Stream-stream inner join with watermarks: attribute each purchase to
     * the clicks by the same user in the preceding 30 minutes. Both sides
     * carry a 1-hour watermark and the join has an explicit event-time

@@ -1,0 +1,5 @@
+SELECT c.c_custkey, n.n_name
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c.c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+ORDER BY c.c_custkey
+LIMIT 20;

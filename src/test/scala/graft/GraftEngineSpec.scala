@@ -325,4 +325,31 @@ class GraftEngineSpec extends AnyFunSuite {
     engine.mount(sfDir)
     assert(engine.sql("SELECT COUNT(*) AS c FROM region").collect()(0).getLong(0) == 5)
   }
+
+  // The reference rejects malformed statements at plan time
+  // (reference: tajo-core-tests/src/test/resources/queries/
+  // TestQueryValidation/*.sql — error_groupby, invalid_limit,
+  // invalid_store_format cases); the facade must fail as loudly.
+  test("query validation: invalid statements fail loudly, valid ones run") {
+    engine.mount(sfDir)
+    intercept[Exception](engine.sql("SELECT * FROM lineitem GROUP BY l_orderkey").collect())
+    intercept[Exception](engine.sql("SELECT l_orderkey FROM lineitem GROUP BY l_paerkey").collect())
+    intercept[Exception](engine.sql("SELECT * FROM lineitem LIMIT l_orderkey").collect())
+    intercept[UnsupportedOperationException](
+      engine.sql("CREATE TABLE bad_store (name TEXT, age INT4) USING RAW"))
+    assert(engine.sql("SELECT l_orderkey FROM lineitem GROUP BY l_orderkey").collect().nonEmpty)
+    assert(engine.sql("SELECT * FROM lineitem LIMIT 3").collect().length == 3)
+  }
+
+  // Tajo treats double-quoted tokens as identifiers (SQL standard,
+  // SQLParser.g4 identifier rule; e.g. queries/TestCaseByCases/
+  // testTAJO718Case.sql uses "lineitem"). Spark wants backticks.
+  test("double-quoted identifiers rewrite to backticks; quoted strings survive") {
+    engine.mount(sfDir)
+    val r = engine.sql(
+      """SELECT "nation".n_name FROM "nation" WHERE "nation".n_nationkey = 3""").collect()
+    assert(r.length == 1)
+    val lit = engine.sql("""SELECT '{"a": 1}' AS j""").collect()
+    assert(lit(0).getString(0) == """{"a": 1}""")
+  }
 }

@@ -54,6 +54,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(strat.filter($"s" === "b").count() == 5000)
   }
 
+  test("split: partitions the corpus, covers every row, stable under repartition") {
+    val ids = (1L to 10000L).toDF("id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val assigned = Sampling.split(ids, "id", splits)
+    // total partition: every row gets exactly one split
+    assert(assigned.count() == 10000)
+    val byName = assigned.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName.keySet == Set("train", "val", "test"))
+    assert(math.abs(byName("train") - 8000) < 400, s"train=${byName("train")}")
+    assert(math.abs(byName("val") - 1000) < 200, s"val=${byName("val")}")
+    // a row never migrates between splits when the layout changes
+    val again = Sampling.split(ids.repartition(17), "id", splits)
+    assert(assigned.orderBy("id").collect().map(_.getString(1)).toSeq ==
+      again.orderBy("id").collect().map(_.getString(1)).toSeq)
+    intercept[IllegalArgumentException](Sampling.split(ids, "id", Seq("a" -> 0.5)))
+  }
+
   test("deterministic sampling stays exact for ids near 2^62 (no 64-bit wrap)") {
     // The pre-fix hash (id * 2654435761 % 2^32) wrapped negative for
     // id >= ~3.47e9, making the < threshold filter keep EVERY row. With the

@@ -21,6 +21,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(s.sameElements(b))
   }
 
+  test("streaming exact dedup emits each distinct key once (batch DISTINCT)") {
+    val stream = EventStreams.runToMemoryTable(
+      EventStreams.dedupKeys(EventStreams.readEvents(spark, sfDir)),
+      "t_dedup", mode = "append")
+    val batch = Tables.table(spark, sfDir, "events")
+      .select("user_id", "event_type").distinct()
+    val s = stream.orderBy("user_id", "event_type").collect().map(_.toSeq)
+    val b = batch.orderBy("user_id", "event_type").collect().map(_.toSeq)
+    assert(s.length == b.length)
+    assert(s.sameElements(b))
+  }
+
   test("mapGroupsWithState user activity matches the batch profile") {
     val state = EventStreams.runToMemoryTable(
       EventStreams.userActivity(EventStreams.readEvents(spark, sfDir)).toDF(),
