@@ -78,6 +78,8 @@ class GraftEngine(val spark: SparkSession) {
       explainDF(s.substring("explain global".length), extended = true)
     } else if (lower.startsWith("explain")) {
       explainDF(s.substring("explain".length), extended = false)
+    } else if (readerTableRe.findFirstMatchIn(s).isDefined) {
+      createReaderTable(s)
     } else {
       // ALTER TABLE t RENAME COLUMN a TO b (SQLParser.g4:1626) — Spark only
       // supports this for v2 tables, so session-catalog (v1) tables get the
@@ -85,11 +87,81 @@ class GraftEngine(val spark: SparkSession) {
       // (reference: master/exec/DDLExecutor.java renameColumn).
       val renameCol =
         "(?is)^ALTER\\s+TABLE\\s+([\\w.`\"]+)\\s+RENAME\\s+COLUMN\\s+(\\w+)\\s+TO\\s+(\\w+)$".r
+      val dropTable =
+        "(?is)^DROP\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?([\\w.`]+)\\s*$".r
       s match {
         case renameCol(t, a, b) => renameColumn(t, a, b)
+        case dropTable(t) if readerViews.contains(t.toLowerCase) =>
+          spark.catalog.dropTempView(t); readerViews -= t.toLowerCase
+          spark.emptyDataFrame
         case _ => spark.sql(rewriteDdl(s))
       }
     }
+  }
+
+  // -------- reader-backed external tables (formats Spark has no built-in
+  // datasource for in this deployment: avro / sequencefile / regex text)
+
+  private val readerTableRe =
+    "(?is)^CREATE\\s+EXTERNAL\\s+TABLE\\s+([\\w.`]+)[\\s\\S]*?\\bUSING\\s+(avro|sequencefile|regex)\\b".r
+
+  /** Names registered as temp views by createReaderTable, so DROP TABLE on
+    * them drops the view (the reference drops external-table metadata the
+    * same way — data stays). */
+  private val readerViews = scala.collection.mutable.Set.empty[String]
+
+  /** CREATE EXTERNAL TABLE t (cols) USING avro|sequencefile|regex
+    * [WITH (props)] LOCATION 'path' — formats the reference stores through
+    * its own scanners (reference: tajo-storage-hdfs/.../avro/
+    * AvroScanner.java, sequencefile/SequenceFileScanner.java,
+    * regex/RegexLineDeserializer.java). Spark has no datasource jar for
+    * them here, so the engine mounts them as session views over the
+    * graft.sources readers — scans stay distributed (one task per
+    * container file / text split). */
+  private def createReaderTable(s: String): DataFrame = {
+    val m = readerTableRe.findFirstMatchIn(s).get
+    val (table, fmt) = (m.group(1), m.group(2).toLowerCase)
+    // paren- and quote-aware: property values may contain ')' (e.g. a
+    // text.regex pattern with capture groups)
+    val props = "(?is)\\bWITH\\s*\\(".r.findFirstMatchIn(s).map { pm =>
+      val open = pm.end - 1
+      val close = matchParen(s, open)
+      require(close > open, s"unbalanced WITH property list: $s")
+      "'([^']*)'\\s*=\\s*'([^']*)'".r.findAllMatchIn(s.substring(open + 1, close))
+        .map(kv => kv.group(1) -> kv.group(2)).toMap
+    }.getOrElse(Map.empty[String, String])
+    val loc = "(?is)LOCATION\\s+'([^']*)'".r.findFirstMatchIn(s).map(_.group(1))
+      .getOrElse(throw new IllegalArgumentException(
+        s"external $fmt table needs a LOCATION: $s"))
+    val declared = columnList(s).map { case (open, close) =>
+      org.apache.spark.sql.types.StructType.fromDDL(
+        splitTopLevel(s.substring(open + 1, close)).map { d =>
+          val (n, t) = splitDecl(d); s"$n ${mapType(t)}"
+        }.mkString(", "))
+    }
+    val df = fmt match {
+      case "avro" =>
+        val raw = graft.sources.AvroSource.read(spark, loc)
+        // declared schema (if any) projects/renames the container columns
+        declared.fold(raw)(st =>
+          raw.select(st.fieldNames.toSeq.map(org.apache.spark.sql.functions.col): _*))
+      case "sequencefile" =>
+        val st = declared.getOrElse(throw new IllegalArgumentException(
+          s"sequencefile table needs a declared schema: $s"))
+        graft.sources.SequenceFileSource.read(spark, loc, st,
+          props.getOrElse("text.delimiter", "|"), props.getOrElse("text.null", ""))
+      case "regex" =>
+        val st = declared.getOrElse(throw new IllegalArgumentException(
+          s"regex table needs a declared schema: $s"))
+        val pattern = props.getOrElse("text.regex", throw new IllegalArgumentException(
+          s"regex table needs the 'text.regex' property (StorageConstants.TEXT_REGEX): $s"))
+        val p = if (props.get("text.regex.case.insensitive").exists(_.equalsIgnoreCase("true")))
+          s"(?i)$pattern" else pattern
+        graft.sources.RegexTextSource.read(spark, loc, p, st)
+    }
+    df.createOrReplaceTempView(table)
+    readerViews += table.toLowerCase
+    spark.emptyDataFrame
   }
 
   /** Catalog-metadata column rename, the reference's ALTER TABLE semantics:

@@ -322,7 +322,65 @@ object StorageQueries {
            |FROM orders WHERE o_custkey BETWEEN 100 AND 200
            |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin))
 
+  // Avro round trip through graft.sources.AvroSource (avro-core jars only —
+  // the spark-avro connector is absent from this container; reference:
+  // tajo-storage-hdfs/.../avro/AvroScanner.java, AvroAppender.java). The
+  // oracle sees only the source table, so the compare proves the container
+  // files lost and duplicated nothing, including the timestamp-free
+  // numeric columns' exact values.
+  private val qAvro = df("q_store_avro",
+    (spark, dir) => {
+      val out = scratch("avro_supplier")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      graft.sources.AvroSource.write(Tables.table(spark, dir, "supplier"), out)
+      graft.sources.AvroSource.read(spark, out)
+        .groupBy("s_nationkey")
+        .agg(count("*").as("cnt"),
+          sum(col("s_acctbal").cast("decimal(38,4)")).cast("double").as("total"))
+        .orderBy("s_nationkey")
+    },
+    Some("""SELECT s_nationkey, COUNT(*) AS cnt,
+           |  CAST(SUM(CAST(s_acctbal AS DECIMAL(38,4))) AS DOUBLE) AS total
+           |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin))
+
+  // SequenceFile round trip (rows as delimited Text values, the
+  // reference's sequencefile tablespace text serde).
+  private val qSeqFile = df("q_store_seqfile",
+    (spark, dir) => {
+      val out = scratch("seqfile_supplier")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val src = Tables.table(spark, dir, "supplier")
+      graft.sources.SequenceFileSource.write(src, out)
+      graft.sources.SequenceFileSource.read(spark, out, src.schema)
+        .groupBy("s_nationkey")
+        .agg(count("*").as("cnt"),
+          sum(col("s_acctbal").cast("decimal(38,4)")).cast("double").as("total"))
+        .orderBy("s_nationkey")
+    },
+    Some("""SELECT s_nationkey, COUNT(*) AS cnt,
+           |  CAST(SUM(CAST(s_acctbal AS DECIMAL(38,4))) AS DOUBLE) AS total
+           |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin))
+
+  // Regex-projected text scan (the reference's regex tablespace): parse a
+  // pipe-delimited text export back through capture groups.
+  private val qRegex = df("q_store_regex",
+    (spark, dir) => {
+      val out = scratch("regex_supplier")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val src = Tables.table(spark, dir, "supplier")
+      src.select(concat_ws("|", src.columns.map(c => col(c).cast("string")): _*))
+        .write.text(out)
+      graft.sources.RegexTextSource.read(spark, out,
+        "^([^|]*)\\|([^|]*)\\|([^|]*)\\|([^|]*)$", src.schema)
+        .groupBy("s_nationkey")
+        .agg(count("*").as("cnt"), max("s_name").as("max_name"))
+        .orderBy("s_nationkey")
+    },
+    Some("""SELECT s_nationkey, COUNT(*) AS cnt, MAX(s_name) AS max_name
+           |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     qCtas, qInsert, qPartitioned, qCsv, qJsonSelfDesc, qOrc, qNested,
-    qNestedDdl, qBucketedJoin, qJdbc, qPartitionMgmt, qIndex)
+    qNestedDdl, qBucketedJoin, qJdbc, qPartitionMgmt, qIndex, qAvro,
+    qSeqFile, qRegex)
 }

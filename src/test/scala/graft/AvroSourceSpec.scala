@@ -1,0 +1,72 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import graft.sources.AvroSource
+import graft.engine.Tables
+
+class AvroSourceSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_avro_test"
+
+  test("all-types round trip: scalars, nulls, date/timestamp, decimal, nested") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("i", IntegerType, nullable = true),
+      StructField("f", FloatType, nullable = true),
+      StructField("d", DoubleType, nullable = true),
+      StructField("b", BooleanType, nullable = true),
+      StructField("s", StringType, nullable = true),
+      StructField("bin", BinaryType, nullable = true),
+      StructField("dt", DateType, nullable = true),
+      StructField("ts", TimestampType, nullable = true),
+      StructField("dec", DecimalType(12, 3), nullable = true),
+      StructField("arr", ArrayType(LongType, containsNull = false), nullable = true),
+      StructField("m", MapType(StringType, StringType, valueContainsNull = false), nullable = true),
+      StructField("rec", StructType(Seq(
+        StructField("a", StringType, nullable = true),
+        StructField("n", LongType, nullable = true))), nullable = true)))
+    val ts = Timestamp.valueOf("2024-03-01 12:34:56.123456")
+    val rows = Seq(
+      Row(1L, 7, 1.5f, 2.25, true, "hello", Array[Byte](1, 2, 3),
+        Date.valueOf("2024-03-01"), ts, BigDecimal("123456.789"),
+        Seq(1L, 2L, 3L), Map("k" -> "v"), Row("x", 9L)),
+      Row(2L, null, null, null, null, null, null, null, null, null, null, null, null))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+
+    val dir = s"$tmp/all_types"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    AvroSource.write(df, dir)
+    val back = AvroSource.read(spark, dir)
+
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    val orig = df.collect().sortBy(_.getLong(0)).map(normalize)
+    val rt = back.collect().sortBy(_.getLong(0)).map(normalize)
+    assert(rt.toSeq == orig.toSeq)
+  }
+
+  // binary arrays compare by reference in Row equality — stringify them
+  private def normalize(r: Row): Seq[Any] = r.toSeq.map {
+    case a: Array[Byte] => a.toSeq
+    case d: java.math.BigDecimal => BigDecimal(d)
+    case x => x
+  }
+
+  test("supplier table round trips losslessly at one file per partition") {
+    val src = Tables.table(spark, sfDir, "supplier").repartition(3)
+    val dir = s"$tmp/supplier"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    AvroSource.write(src, dir)
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".avro")) == 3)
+    val back = AvroSource.read(spark, dir)
+    assert(back.rdd.getNumPartitions == 3) // one task per container file
+    val a = src.orderBy("s_suppkey").collect().map(_.toSeq)
+    val b = back.orderBy("s_suppkey").collect().map(_.toSeq)
+    assert(a.sameElements(b))
+  }
+}

@@ -341,6 +341,43 @@ class GraftEngineSpec extends AnyFunSuite {
     assert(engine.sql("SELECT * FROM lineitem LIMIT 3").collect().length == 3)
   }
 
+  // Formats with no Spark datasource jar in this deployment mount as
+  // session views over the graft.sources readers (reference storage:
+  // avro/AvroScanner, sequencefile/SequenceFileScanner,
+  // regex/RegexLineDeserializer).
+  test("CREATE EXTERNAL TABLE USING avro/sequencefile/regex mounts reader views") {
+    engine.mount(sfDir)
+    val base = s"$tmp/reader_tables"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val nation = spark.table("nation")
+    graft.sources.AvroSource.write(nation, s"$base/avro")
+    graft.sources.SequenceFileSource.write(nation, s"$base/seq", delimiter = "\t")
+    nation.selectExpr("concat_ws('|', n_nationkey, n_name, n_regionkey)")
+      .write.text(s"$base/rx")
+
+    engine.sql(s"CREATE EXTERNAL TABLE nation_avro USING avro LOCATION '$base/avro'")
+    assert(engine.sql("SELECT COUNT(*) AS c FROM nation_avro").collect()(0).getLong(0) == 25)
+
+    engine.sql(
+      s"""CREATE EXTERNAL TABLE nation_seq (n_nationkey INT8, n_name TEXT, n_regionkey INT4)
+         |USING sequencefile WITH ('text.delimiter'='\t') LOCATION '$base/seq'""".stripMargin)
+    assert(engine.sql("SELECT SUM(n_regionkey) AS s FROM nation_seq").collect()(0).getLong(0) ==
+      nation.selectExpr("SUM(n_regionkey)").collect()(0).getLong(0))
+
+    engine.sql(
+      s"""CREATE EXTERNAL TABLE nation_rx (n_nationkey INT8, n_name TEXT, n_regionkey INT4)
+         |USING regex WITH ('text.regex'='^(\\d+)\\|([^|]*)\\|(\\d+)$$') LOCATION '$base/rx'""".stripMargin)
+    assert(engine.sql("SELECT COUNT(*) AS c FROM nation_rx WHERE n_name IS NOT NULL")
+      .collect()(0).getLong(0) == 25)
+
+    // DROP TABLE on a reader view drops the view, not the data
+    engine.sql("DROP TABLE nation_avro")
+    engine.sql("DROP TABLE nation_seq")
+    engine.sql("DROP TABLE nation_rx")
+    assert(!spark.catalog.tableExists("nation_avro"))
+    assert(new java.io.File(s"$base/avro").listFiles().nonEmpty)
+  }
+
   // Tajo treats double-quoted tokens as identifiers (SQL standard,
   // SQLParser.g4 identifier rule; e.g. queries/TestCaseByCases/
   // testTAJO718Case.sql uses "lineitem"). Spark wants backticks.
