@@ -35,5 +35,11 @@ object NativeExprs {
       val nBits = if (exprs.length > 1) lit(exprs(1), "nBits") else 4
       val dim = if (exprs.length > 2) lit(exprs(2), "dim") else 64
       LshBucket(exprs.head, nBits, dim)
+    },
+    "cdc_chunks" -> { exprs =>
+      val lit = intLit("cdc_chunks") _
+      val w = if (exprs.length > 1) lit(exprs(1), "w") else 8
+      val div = if (exprs.length > 2) lit(exprs(2), "div") else 64
+      CdcChunks(exprs.head, w, div)
     })
 }

@@ -369,3 +369,79 @@ object VecDot {
     case other => throw new IllegalStateException(s"vec_dot: $other")
   }
 }
+
+/** cdc_chunks(text, w, div) -> ARRAY<STRING> — content-defined chunking:
+  * split the document at positions where the poly31 hash (mod 1e9+7) of
+  * the trailing w-codepoint window divides by `div`. Boundaries depend
+  * only on local content, so an insertion early in a document shifts at
+  * most one chunk instead of re-slicing everything — the property that
+  * makes chunk-level dedup stable under edits (the rolling-window cut
+  * rule of LBFS/rsync-style CDC; fixed-stride chunking is
+  * `TextAnalysis.chunk`). Expected chunk length is `div` codepoints.
+  *
+  * Spec (engine-portable, DuckDB replays it exactly on the ASCII test
+  * domain): a cut falls AFTER 1-based position i when w <= i < len(text)
+  * and poly31(text[i-w+1..i]) % div == 0; chunks are the slices between
+  * consecutive cuts (never empty — the tail always keeps >= 1 char).
+  * Computed with a rolling update (subtract the outgoing char's
+  * 31^(w-1) term, all mod 1e9+7) — one pass, no per-window refold.
+  */
+case class CdcChunks(child: Expression, window: Int, divisor: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if window > 0 && divisor > 0 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure("cdc_chunks: w and div must be positive")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"cdc_chunks expects STRING, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    CdcChunks.compute(input.asInstanceOf[UTF8String], window, divisor)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CdcChunks.compute($c, $window, $divisor);")
+
+  override protected def withNewChildInternal(newChild: Expression): CdcChunks =
+    copy(child = newChild)
+  override def prettyName: String = "cdc_chunks"
+}
+
+object CdcChunks {
+  private final val P = 1000000007L
+
+  def compute(text: UTF8String, w: Int, div: Int): ArrayData = {
+    val s = text.toString
+    val cps = s.codePoints().toArray
+    val n = cps.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    // 31^(w-1) mod P for the rolling subtraction of the outgoing codepoint
+    var powW = 1L
+    var e = 0
+    while (e < w - 1) { powW = powW * 31L % P; e += 1 }
+    val cutList = new java.util.ArrayList[Integer]()
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      h = (h * 31L + cps(i)) % P
+      if (i >= w) h = ((h - cps(i - w) * powW % P * 31L % P) % P + P) % P
+      // 1-based end position i+1; a cut at the last position would leave an
+      // empty tail chunk, so it is excluded
+      if (i + 1 >= w && i + 1 < n && h % div == 0) cutList.add(i + 1)
+      i += 1
+    }
+    val out = new Array[Any](cutList.size() + 1)
+    var start = 0
+    var k = 0
+    while (k <= cutList.size()) {
+      val end = if (k < cutList.size()) cutList.get(k).intValue() else n
+      out(k) = UTF8String.fromString(new String(cps, start, end - start))
+      start = end
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+}

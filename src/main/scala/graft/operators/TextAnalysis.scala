@@ -84,6 +84,18 @@ object TextAnalysis {
     * clamped BEFORE the division so short docs yield exactly one chunk in
     * every engine (negative integer division floors in some, truncates in
     * others). */
+  /** Content-defined chunking: boundaries fall where the rolling poly31
+    * hash of the trailing `window` chars divides `div` (expected chunk
+    * length = `div` chars), so an edit shifts only the chunks it overlaps —
+    * chunk-level dedup stays stable under insertions, unlike the
+    * fixed-stride `chunk` below. One native expression per row
+    * (`cdc_chunks`, rolling one-pass), then a posexplode — no shuffle. */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+                window: Int = 8, div: Int = 64): DataFrame =
+    docs.select(col(idCol),
+        posexplode(expr(s"cdc_chunks($textCol, $window, $div)")).as(Seq("chunk_idx", "chunk")))
+      .select(col(idCol), col("chunk_idx").cast("bigint").as("chunk_idx"), col("chunk"))
+
   def chunk(docs: DataFrame, idCol: String, textCol: String,
             chunkChars: Int = 100, overlapChars: Int = 20): DataFrame = {
     require(chunkChars > overlapChars && overlapChars >= 0, "need chunk > overlap >= 0")

@@ -478,6 +478,36 @@ object PipelineQueries {
       |  FROM documents WHERE doc_id < 100
       |) t ORDER BY doc_id, chunk_idx""".stripMargin)
 
+  // Content-defined chunking: native rolling-hash expression on the Spark
+  // side; the oracle refolds every window with list arithmetic (O(n*w),
+  // fine at oracle scale) — same cuts, so chunk md5s must match. Window 8,
+  // divisor 64 (expected chunk ~64 chars).
+  private val qCdcChunks = df("q_text_cdc",
+    (spark, dir) => {
+      val docs = graft.engine.Tables.table(spark, dir, "documents")
+        .filter(col("doc_id") < 200)
+      graft.operators.TextAnalysis.cdcChunks(docs, "doc_id", "text", window = 8, div = 64)
+        .select(col("doc_id"), col("chunk_idx"),
+          length(col("chunk")).cast("bigint").as("chunk_len"),
+          md5(col("chunk")).as("h"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+    Some("""WITH c AS (
+           |  SELECT doc_id, text,
+           |    list_concat(list_concat([CAST(0 AS BIGINT)],
+           |      list_filter(range(8, length(text)), i ->
+           |        list_reduce(list_transform(range(i - 7, i + 1),
+           |            j -> CAST(ascii(substr(text, CAST(j AS INT), 1)) AS BIGINT)),
+           |          (a, x) -> (a * 31 + x) % 1000000007) % 64 = 0)),
+           |      [CAST(length(text) AS BIGINT)]) AS cuts
+           |  FROM documents WHERE doc_id < 200 AND length(text) > 0
+           |)
+           |SELECT doc_id, CAST(j - 1 AS BIGINT) AS chunk_idx,
+           |  CAST(cuts[j + 1] - cuts[j] AS BIGINT) AS chunk_len,
+           |  md5(substr(text, CAST(cuts[j] + 1 AS INT), CAST(cuts[j + 1] - cuts[j] AS INT))) AS h
+           |FROM (SELECT doc_id, text, cuts, unnest(range(1, len(cuts))) AS j FROM c) t
+           |ORDER BY doc_id, chunk_idx""".stripMargin))
+
   // PII scrubbing: email + phone redaction. The regexes use only character
   // classes and bounded quantifiers (no backslash escapes — Spark processes
   // them inside string literals, DuckDB does not) so both engines compile
@@ -661,6 +691,6 @@ object PipelineQueries {
     qSample, qSampleStratified, qInterleave, qSplit,
     qNgramJaccard, qEmbDedup, qAnnBrute, qAnnLsh,
     qTextStats, qLangId, qTokens, qFingerprint, qMultimodal,
-    qChunks, qPii, qRepetition, qEndToEnd,
+    qChunks, qCdcChunks, qPii, qRepetition, qEndToEnd,
     qUrls, qHistogram, qAnnInt8)
 }

@@ -139,6 +139,35 @@ class PropertiesSpec extends AnyFunSuite {
     assert(df.filter("spec <> native").count() == 0)
   }
 
+  test("native cdc_chunks: rolling hash equals naive per-window refold; chunks rejoin") {
+    graft.functions.TajoFunctions.register(spark)
+    def naiveChunks(s: String, w: Int, div: Int): Seq[String] = {
+      val cuts = (w until s.length).filter { i => // 1-based end position i, i < len
+        poly31Model(s.substring(i - w, i)) % div == 0
+      }
+      val bounds = 0 +: cuts :+ s.length
+      bounds.sliding(2).map { case Seq(a, b) => s.substring(a, b) }.toSeq
+    }
+    val samples = Seq.fill(60)(randText(60)) :+ "" :+ "tiny" :+ ("x" * 7)
+    val got = samples.toDF("s")
+      .select(expr("cdc_chunks(s, 8, 16)").as("c")).as[Seq[String]].collect()
+    samples.zip(got).foreach { case (s, chunks) =>
+      if (s.isEmpty) assert(chunks.isEmpty)
+      else {
+        assert(chunks == naiveChunks(s, 8, 16), s"input: $s")
+        assert(chunks.mkString == s)       // chunks partition the document
+        assert(chunks.forall(_.nonEmpty))  // never an empty chunk
+      }
+    }
+    // edit stability: an edit near the start shifts only the chunks that
+    // overlap it — the suffix chunk lists converge again
+    val base = randText(200)
+    val edited = "Z" + base
+    val a = naiveChunks(base, 8, 16)
+    val b = naiveChunks(edited, 8, 16)
+    assert(a.takeRight(3) == b.takeRight(3), "suffix chunks must be edit-stable")
+  }
+
   test("salted join equals plain join; salted count equals plain count") {
     val fact = (1 to 2000).map(i => (i % 7, s"payload_$i")).toDF("k", "payload")
     val dim = (0 until 7).map(i => (i, s"dim_$i")).toDF("k", "dim_val")
