@@ -101,4 +101,26 @@ class PlanAuditSpec extends AnyFunSuite {
     // final mix count adds its own partial+final pair
     assert("HashAggregate".r.findAllIn(p).size >= 4, p)
   }
+
+  test("q_pipeline_split: narrow split assignment, exactly one exchange (the agg)") {
+    val p = plan("q_pipeline_split")
+    // the split column is a projection over the scan — the only shuffles
+    // are the partial->final aggregate boundary and the final ORDER BY
+    // (formatted mode names each node twice: tree + details, so 2 exchange
+    // nodes = 4 mentions); more would mean the assignment itself
+    // repartitioned the corpus
+    assert("Exchange".r.findAllIn(p).size <= 4, p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_text_cdc: native cdc_chunks with generator, no join, no extra shuffle") {
+    val p = plan("q_text_cdc")
+    assert(p.contains("cdc_chunks"), p)
+    assert(p.contains("Generate"), p) // posexplode stays a generator, not a join
+    assert(!p.contains("Join"), p)
+    // sort for the ORDER BY is the only exchange (1 node = 2 formatted-mode
+    // mentions)
+    assert("Exchange".r.findAllIn(p).size <= 2, p)
+  }
 }
