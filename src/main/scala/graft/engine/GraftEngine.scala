@@ -103,7 +103,7 @@ class GraftEngine(val spark: SparkSession) {
   // datasource for in this deployment: avro / sequencefile / regex text)
 
   private val readerTableRe =
-    "(?is)^CREATE\\s+EXTERNAL\\s+TABLE\\s+([\\w.`]+)[\\s\\S]*?\\bUSING\\s+(avro|sequencefile|regex)\\b".r
+    "(?is)^CREATE\\s+EXTERNAL\\s+TABLE\\s+([\\w.`]+)[\\s\\S]*?\\bUSING\\s+(avro|sequencefile|regex|rcfile)\\b".r
 
   /** Names registered as temp views by createReaderTable, so DROP TABLE on
     * them drops the view (the reference drops external-table metadata the
@@ -150,6 +150,11 @@ class GraftEngine(val spark: SparkSession) {
           s"sequencefile table needs a declared schema: $s"))
         graft.sources.SequenceFileSource.read(spark, loc, st,
           props.getOrElse("text.delimiter", "|"), props.getOrElse("text.null", ""))
+      case "rcfile" =>
+        val st = declared.getOrElse(throw new IllegalArgumentException(
+          s"rcfile table needs a declared schema: $s"))
+        graft.sources.RCFileSource.read(spark, loc, st,
+          props.getOrElse("rcfile.null", ""))
       case "regex" =>
         val st = declared.getOrElse(throw new IllegalArgumentException(
           s"regex table needs a declared schema: $s"))
@@ -299,7 +304,7 @@ class GraftEngine(val spark: SparkSession) {
       val fmt = m.group(1).toLowerCase
       formatMap.get(fmt) match {
         case Some(sparkFmt) => s"USING $sparkFmt"
-        case None if Set("rcfile", "rawfile", "raw", "sequencefile", "regex", "hbase").contains(fmt) =>
+        case None if Set("rawfile", "raw", "hbase").contains(fmt) =>
           throw new UnsupportedOperationException(
             s"storage format '$fmt' is not supported (documented gap, SURVEY.md §2.1)")
         case None => s"USING $fmt"

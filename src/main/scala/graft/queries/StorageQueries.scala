@@ -361,6 +361,23 @@ object StorageQueries {
            |  CAST(SUM(CAST(s_acctbal AS DECIMAL(38,4))) AS DOUBLE) AS total
            |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin))
 
+  // RCFile round trip (record-columnar container, text serde — the
+  // reference bundles this format; hive-exec jars carry the same
+  // reader/writer here).
+  private val qRcFile = df("q_store_rcfile",
+    (spark, dir) => {
+      val out = scratch("rcfile_supplier")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val src = Tables.table(spark, dir, "supplier")
+      graft.sources.RCFileSource.write(src, out)
+      graft.sources.RCFileSource.read(spark, out, src.schema)
+        .groupBy("s_nationkey")
+        .agg(count("*").as("cnt"), min("s_name").as("min_name"))
+        .orderBy("s_nationkey")
+    },
+    Some("""SELECT s_nationkey, COUNT(*) AS cnt, MIN(s_name) AS min_name
+           |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin))
+
   // Regex-projected text scan (the reference's regex tablespace): parse a
   // pipe-delimited text export back through capture groups.
   private val qRegex = df("q_store_regex",
@@ -382,5 +399,5 @@ object StorageQueries {
   val all: Seq[QueryDef] = Seq(
     qCtas, qInsert, qPartitioned, qCsv, qJsonSelfDesc, qOrc, qNested,
     qNestedDdl, qBucketedJoin, qJdbc, qPartitionMgmt, qIndex, qAvro,
-    qSeqFile, qRegex)
+    qSeqFile, qRegex, qRcFile)
 }

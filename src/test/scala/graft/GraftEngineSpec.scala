@@ -306,9 +306,9 @@ class GraftEngineSpec extends AnyFunSuite {
 
   test("unsupported storage formats fail loudly") {
     val e = intercept[UnsupportedOperationException] {
-      engine.sql("CREATE TABLE t1 (a INT) USING RCFILE")
+      engine.sql("CREATE TABLE t1 (a INT) USING RAWFILE")
     }
-    assert(e.getMessage.contains("rcfile"))
+    assert(e.getMessage.contains("rawfile"))
   }
 
   test("qualified db.table names work across databases") {

@@ -27,6 +27,24 @@ class TextLikeSourcesSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("rcfile round trips typed rows including nulls") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "alpha", 1.5), Row(2L, null, 2.25), Row(3L, "gamma", null)), 2),
+      schema)
+    val dir = s"$tmp/rc"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    graft.sources.RCFileSource.write(df, dir)
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".rc")) == 2)
+    val back = graft.sources.RCFileSource.read(spark, dir, schema)
+    val a = df.collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val b = back.collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(a.sameElements(b))
+  }
+
   test("regex text source extracts capture groups; non-matching lines are all-NULL") {
     val dir = s"$tmp/regex"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
