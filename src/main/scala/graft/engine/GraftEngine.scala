@@ -387,7 +387,70 @@ class GraftEngine(val spark: SparkSession) {
     out = "(?is)^(ALTER\\s+TABLE\\s+\\S+\\s+)UNSET\\s+PROPERTY\\s+(.+)$".r
       .replaceAllIn(out, m => java.util.regex.Matcher.quoteReplacement(
         s"${m.group(1)}UNSET TBLPROPERTIES (${m.group(2).trim})"))
+    out = rewriteTajoIntervals(out)
     rewriteCastTypes(out)
+  }
+
+  /** Tajo interval-literal unit tokens (reference: tajo-common/src/main/
+    * java/org/apache/tajo/datum/IntervalDatum.java:44-56
+    * DATE_FORMAT_LITERAL) -> (Spark unit, multiplier). */
+  private val intervalUnits: Map[String, (String, Int)] = {
+    val groups = Seq(
+      ("c,cent,centuries,century", "year", 100),
+      ("dec,decade,decades,decs", "year", 10),
+      ("y,year,years,yr,yrs", "year", 1),
+      ("mon,mons,month,months", "month", 1),
+      ("d,day,days", "day", 1),
+      ("h,hour,hours,hr,hrs", "hour", 1),
+      ("m,min,mins,minute,minutes", "minute", 1),
+      ("s,sec,second,seconds,secs", "second", 1),
+      ("millisecon,ms,msec,msecond,mseconds,msecs", "millisecond", 1),
+      ("microsecon,us,usec,microsecond,useconds,usecs", "microsecond", 1))
+    groups.flatMap { case (toks, unit, mult) =>
+      toks.split(",").map(_ -> (unit, mult))
+    }.toMap
+  }
+
+  /** Rewrite Tajo interval literals — compact units (`INTERVAL '12h'`,
+    * `'1d 2h 30m'`, `'2 hrs'`) and the PG colon form (`'12:30:05'` =
+    * H:M:S) — into Spark's multi-unit form (`INTERVAL '12 hour'`).
+    * Spark-typed literals (`INTERVAL '3' DAY`) carry a bare number inside
+    * the quotes and pass through untouched; literals mixing year-month
+    * with day-time fields are left as-is (Spark's ANSI interval types
+    * cannot represent them — the parse error is the honest outcome). */
+  private[engine] def rewriteTajoIntervals(s: String): String =
+    "(?i)\\bINTERVAL\\s+'([^']*)'".r.replaceAllIn(s, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        tajoIntervalToSpark(m.group(1)) match {
+          case Some(normalized) => s"INTERVAL '$normalized'"
+          case None => m.group(0)
+        }))
+
+  private def tajoIntervalToSpark(content: String): Option[String] = {
+    val token = "(\\d+(?:\\.\\d+)?)\\s*([a-zA-Z]+)|(\\d+):(\\d+)(?::(\\d+(?:\\.\\d+)?))?".r
+    var covered = 0
+    val parts = Seq.newBuilder[(String, String)]
+    var bad = false
+    token.findAllMatchIn(content).foreach { m =>
+      if (content.substring(covered, m.start).trim.nonEmpty) bad = true
+      covered = m.end
+      if (m.group(3) != null) {
+        // colon form, PG default H:M[:S]
+        parts += ((m.group(3), "hour")); parts += ((m.group(4), "minute"))
+        if (m.group(5) != null) parts += ((m.group(5), "second"))
+      } else intervalUnits.get(m.group(2).toLowerCase) match {
+        case Some((unit, 1)) => parts += ((m.group(1), unit))
+        case Some((unit, mult)) if !m.group(1).contains('.') =>
+          parts += (((m.group(1).toLong * mult).toString, unit))
+        case _ => bad = true
+      }
+    }
+    if (content.substring(covered).trim.nonEmpty) bad = true
+    val ps = parts.result()
+    val yearMonth = ps.exists(p => p._2 == "year" || p._2 == "month")
+    val dayTime = ps.exists(p => p._2 != "year" && p._2 != "month")
+    if (bad || ps.isEmpty || (yearMonth && dayTime)) None
+    else Some(ps.map { case (v, u) => s"$v $u" }.mkString(" "))
   }
 
   /** Rewrite Tajo type keywords inside CAST(expr AS <type>) anywhere in a

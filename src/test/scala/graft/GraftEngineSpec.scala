@@ -378,6 +378,23 @@ class GraftEngineSpec extends AnyFunSuite {
     assert(new java.io.File(s"$base/avro").listFiles().nonEmpty)
   }
 
+  // Tajo interval literals accept compact unit tokens
+  // (IntervalDatum.java:44-56); Spark needs the spelled-out multi-unit form.
+  test("Tajo interval literals rewrite: compact units, colon form, typed passthrough") {
+    engine.mount(sfDir)
+    def ts(sql: String) = engine.sql(sql).collect()(0).get(0).toString
+    assert(ts("SELECT TIMESTAMP '2024-01-01 00:00:00' + INTERVAL '1d 2h 30m' AS t")
+      == "2024-01-02 02:30:00.0")
+    assert(ts("SELECT TIMESTAMP '2024-01-01 00:00:00' + INTERVAL '12h' AS t")
+      == "2024-01-01 12:00:00.0")
+    assert(ts("SELECT TIMESTAMP '2024-01-01 00:00:00' + INTERVAL '1:30:15' AS t")
+      == "2024-01-01 01:30:15.0")
+    assert(ts("SELECT DATE '2024-01-01' + INTERVAL '2 yrs' AS t").startsWith("2026-01-01"))
+    // Spark-typed form (bare number inside quotes) passes through untouched
+    assert(ts("SELECT TIMESTAMP '2024-01-01 00:00:00' + INTERVAL '3' DAY AS t")
+      == "2024-01-04 00:00:00.0")
+  }
+
   // Tajo treats double-quoted tokens as identifiers (SQL standard,
   // SQLParser.g4 identifier rule; e.g. queries/TestCaseByCases/
   // testTAJO718Case.sql uses "lineitem"). Spark wants backticks.
