@@ -24,6 +24,9 @@ class GraftEngine(val spark: SparkSession) {
   // partition directories"). Spark's default ("static") truncates the
   // whole table first — dynamic mode is the reference's semantics.
   spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+  // the reference's TIME type is real in this Spark behind a feature flag
+  // (parser + parquet + comparisons verified); without it TIME DDL fails
+  spark.conf.set("spark.sql.timeType.enabled", "true")
 
   /** Tajo storage format name -> Spark datasource. */
   private val formatMap = Map(
@@ -388,7 +391,48 @@ class GraftEngine(val spark: SparkSession) {
       .replaceAllIn(out, m => java.util.regex.Matcher.quoteReplacement(
         s"${m.group(1)}UNSET TBLPROPERTIES (${m.group(2).trim})"))
     out = rewriteTajoIntervals(out)
+    out = rewriteSimilarTo(out)
     rewriteCastTypes(out)
+  }
+
+  /** `expr [NOT] SIMILAR TO '<pattern>'` (SQLParser.g4 negativable_matcher;
+    * Spark has LIKE/ILIKE/RLIKE but not SIMILAR TO) -> anchored [NOT]
+    * RLIKE. SQL-regex metacharacters (| * + ? {} () []) coincide with Java
+    * regex; `%`/`_` become `.*`/`.`; `.` and `$` are literal in SQL regex
+    * and are emitted as bracket classes to stay backslash-free inside the
+    * SQL string literal. Patterns containing `^` or `\` (or an ESCAPE
+    * clause) are left untouched — Spark then rejects the SIMILAR keyword
+    * loudly rather than matching wrongly. */
+  private[engine] def rewriteSimilarTo(s: String): String =
+    "(?i)(\\bNOT\\s+)?SIMILAR\\s+TO\\s+'([^']*)'(?!\\s*ESCAPE)".r.replaceAllIn(s, m =>
+      similarToRegex(m.group(2)) match {
+        case Some(rx) =>
+          java.util.regex.Matcher.quoteReplacement(
+            s"${if (m.group(1) != null) "NOT " else ""}RLIKE '^($rx)$$'")
+        case None => java.util.regex.Matcher.quoteReplacement(m.group(0))
+      })
+
+  private def similarToRegex(pattern: String): Option[String] = {
+    val out = new StringBuilder
+    var inBracket = false
+    var i = 0
+    while (i < pattern.length) {
+      val c = pattern.charAt(i)
+      if (c == '^' || c == '\\') return None
+      if (inBracket) {
+        out.append(c)
+        if (c == ']') inBracket = false
+      } else c match {
+        case '[' => out.append(c); inBracket = true
+        case '%' => out.append(".*")
+        case '_' => out.append('.')
+        case '.' => out.append("[.]")
+        case '$' => out.append("[$]")
+        case other => out.append(other)
+      }
+      i += 1
+    }
+    Some(out.toString)
   }
 
   /** Tajo interval-literal unit tokens (reference: tajo-common/src/main/
@@ -561,17 +605,16 @@ class GraftEngine(val spark: SparkSession) {
     if (sp < 0) (s, "") else (s.substring(0, sp), s.substring(sp + 1).trim)
   }
 
-  /** Tajo scalar type -> Spark SQL type (SURVEY.md §1 mapping). TIME has no
-    * Spark counterpart (Spark has DATE and TIMESTAMP only) — it maps to
-    * STRING ('HH:mm:ss' text), the documented divergence. */
+  /** Tajo scalar type -> Spark SQL type (SURVEY.md §1 mapping). TIME passes
+    * through unmapped — it is a real Spark type here (enabled by the
+    * feature flag set in the constructor). */
   private val scalarTypeMap = Map(
     "TEXT" -> "STRING", "VARCHAR" -> "STRING",
     "INT4" -> "INT", "INT8" -> "BIGINT",
     "INT2" -> "SMALLINT", "INT1" -> "TINYINT",
     "FLOAT4" -> "FLOAT", "FLOAT8" -> "DOUBLE",
     "DOUBLE PRECISION" -> "DOUBLE", "CHARACTER VARYING" -> "STRING",
-    "BOOL" -> "BOOLEAN", "BLOB" -> "BINARY", "BYTEA" -> "BINARY",
-    "TIME" -> "STRING")
+    "BOOL" -> "BOOLEAN", "BLOB" -> "BINARY", "BYTEA" -> "BINARY")
 
   /** Map one Tajo type expression to Spark SQL, recursing into
     * `RECORD (a TEXT, b RECORD (...))` -> `STRUCT<a: STRING, b: STRUCT<...>>`. */

@@ -35,6 +35,10 @@ object GraftSession {
     // sane mode for incremental 100 TB backfills — a static overwrite of a
     // petabyte table because one day was recomputed is an outage)
     .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // TIME is feature-flagged in this Spark version; enabling it gives the
+    // reference's TIME column type natively (literal, parquet round trip,
+    // comparisons) instead of the old TIME->STRING fallback
+    .config("spark.sql.timeType.enabled", "true")
 
   def local(cores: Int, appName: String = "graft"): SparkSession = {
     val s = tune(SparkSession.builder(), cores)

@@ -30,6 +30,11 @@ object GoldenResult {
     case ts: java.sql.Timestamp => ts.toString.stripSuffix(".0")
     case ld: java.time.LocalDateTime =>
       ld.toString.replace('T', ' ')
+    case lt: java.time.LocalTime =>
+      // LocalTime.toString drops ":00" seconds; the reference always
+      // renders HH:mm:ss
+      lt.format(java.time.format.DateTimeFormatter.ofPattern(
+        if (lt.getNano == 0) "HH:mm:ss" else "HH:mm:ss.SSSSSS"))
     case arr: scala.collection.Seq[_] => arr.map(cell).mkString("[", ",", "]")
     case other => other.toString
   }

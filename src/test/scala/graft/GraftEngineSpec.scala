@@ -225,12 +225,16 @@ class GraftEngineSpec extends AnyFunSuite {
     engine.sql("DROP TABLE graft_alter_ddl")
   }
 
-  test("Tajo TIME type maps to STRING (documented divergence)") {
+  test("Tajo TIME type is a real TIME column (literal, parquet, comparison)") {
     engine.sql("DROP TABLE IF EXISTS graft_time_ddl")
     engine.sql(
       s"""CREATE TABLE graft_time_ddl (id INT4, t TIME)
          |USING PARQUET LOCATION '$tmp/graft_time_ddl'""".stripMargin)
-    assert(spark.table("graft_time_ddl").schema("t").dataType.typeName == "string")
+    assert(spark.table("graft_time_ddl").schema("t").dataType.typeName.startsWith("time"))
+    engine.sql("INSERT INTO graft_time_ddl VALUES (1, TIME '12:34:56'), (2, TIME '01:02:03')")
+    val r = engine.sql(
+      "SELECT id FROM graft_time_ddl WHERE t > TIME '10:00:00' ORDER BY id").collect()
+    assert(r.map(_.getInt(0)).toSeq == Seq(1))
     engine.sql("DROP TABLE graft_time_ddl")
   }
 
@@ -393,6 +397,25 @@ class GraftEngineSpec extends AnyFunSuite {
     // Spark-typed form (bare number inside quotes) passes through untouched
     assert(ts("SELECT TIMESTAMP '2024-01-01 00:00:00' + INTERVAL '3' DAY AS t")
       == "2024-01-04 00:00:00.0")
+  }
+
+  // SIMILAR TO (SQLParser.g4 negativable_matcher) — full-string SQL-regex
+  // match, rewritten onto Spark's RLIKE with anchoring.
+  test("SIMILAR TO rewrites to anchored RLIKE; NOT SIMILAR TO negates") {
+    engine.mount(sfDir)
+    val m = engine.sql(
+      "SELECT n_nationkey FROM nation WHERE n_name SIMILAR TO 'NATION[_](1|2)' ORDER BY n_nationkey")
+      .collect().map(_.getInt(0)).toSeq
+    assert(m == Seq(1, 2))
+    // % spans, full-string anchoring: 'NATION%' matches all, '%TION_2%' too
+    assert(engine.sql("SELECT COUNT(*) AS c FROM nation WHERE n_name SIMILAR TO 'NATION%'")
+      .collect()(0).getLong(0) == 25)
+    // names containing '1': NATION_1, NATION_10..19, NATION_21 = 12 of 25
+    assert(engine.sql("SELECT COUNT(*) AS c FROM nation WHERE n_name NOT SIMILAR TO '%1%'")
+      .collect()(0).getLong(0) == 25 - 12)
+    // '.' is literal in SQL regex: no nation name contains a dot
+    assert(engine.sql("SELECT COUNT(*) AS c FROM nation WHERE n_name SIMILAR TO 'NATION.%'")
+      .collect()(0).getLong(0) == 0)
   }
 
   // Tajo treats double-quoted tokens as identifiers (SQL standard,
