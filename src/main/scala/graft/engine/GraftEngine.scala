@@ -392,6 +392,15 @@ class GraftEngine(val spark: SparkSession) {
         s"${m.group(1)}UNSET TBLPROPERTIES (${m.group(2).trim})"))
     out = rewriteTajoIntervals(out)
     out = rewriteSimilarTo(out)
+    // PG-style :: casts carry Tajo type keywords too (`x::text`); map the
+    // single-token type through the same table, outside string literals
+    // (even-indexed split segments are outside quotes)
+    out = out.split("'", -1).zipWithIndex.map { case (seg, i) =>
+      if (i % 2 == 0)
+        "::\\s*([A-Za-z][A-Za-z0-9_]*)".r.replaceAllIn(seg, m =>
+          java.util.regex.Matcher.quoteReplacement("::" + mapType(m.group(1))))
+      else seg
+    }.mkString("'")
     rewriteCastTypes(out)
   }
 

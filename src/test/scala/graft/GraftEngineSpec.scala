@@ -399,6 +399,12 @@ class GraftEngineSpec extends AnyFunSuite {
       == "2024-01-04 00:00:00.0")
   }
 
+  test("PG-style :: casts map Tajo type keywords; literals untouched") {
+    engine.mount(sfDir)
+    val r = engine.sql("SELECT 42::text AS s, 3.9::int4 AS i, '12::text' AS lit").collect()(0)
+    assert(r.getString(0) == "42" && r.getInt(1) == 3 && r.getString(2) == "12::text")
+  }
+
   // SIMILAR TO (SQLParser.g4 negativable_matcher) — full-string SQL-regex
   // match, rewritten onto Spark's RLIKE with anchoring.
   test("SIMILAR TO rewrites to anchored RLIKE; NOT SIMILAR TO negates") {
