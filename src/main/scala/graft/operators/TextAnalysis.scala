@@ -160,4 +160,50 @@ object TextAnalysis {
         expr("(1000000 * __max_c) DIV n_tokens").as("max_token_ppm"),
         expr("(1000000 * (n_tokens - n_distinct_tokens)) DIV n_tokens").as("dup_token_ppm"))
   }
+
+  /** Integer-exact TF-IDF over whitespace tokens: per-(doc, term) term
+    * frequency joined with corpus document frequency, scored as
+    * `(tf * n_docs * 1e6) DIV df` — the idf is the exact N/df ratio in ppm
+    * (no floating log, so the oracle replays it bit-exactly; callers who
+    * want the classical log-idf can post-process the ppm column).
+    *
+    * Scale: explode + two partial+final aggregations (shuffle on
+    * (doc, term), then term). The df table and the 1-row corpus count are
+    * vocab-sized / scalar, so both joins broadcast — no second shuffle of
+    * the big side. `minTf` prunes the long tail before the join. */
+  def tfIdf(docs: DataFrame, idCol: String, textCol: String,
+            minTf: Int = 3): DataFrame = {
+    val toks = docs.select(col(idCol),
+        explode(split(lower(col(textCol)), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy(col(idCol), col("term"))
+      .agg(count("*").cast("bigint").as("tf"))
+    val dfreq = tf.groupBy("term").agg(count("*").cast("bigint").as("df"))
+    val nDocs = docs.agg(countDistinct(col(idCol)).cast("bigint").as("__n_docs"))
+    tf.filter(col("tf") >= minTf)
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(nDocs))
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        expr("(tf * __n_docs * 1000000) DIV df").as("tfidf_ppm"))
+  }
+
+  /** Corpus-level n-gram heavy hitters: the exact top-k most frequent
+    * word n-grams with a (count desc, ngram asc) total order.
+    *
+    * Scale: per-row n-gram explode (narrow), one partial+final count
+    * aggregation on the n-gram, then top-k — Spark plans the final step as
+    * TakeOrderedAndProject, so only k rows per partition are held and only
+    * k rows reach the driver side of the sort, never a full global sort. */
+  def topNgrams(docs: DataFrame, idCol: String, textCol: String,
+                n: Int = 2, k: Int = 20): DataFrame = {
+    require(n >= 1 && k >= 1, s"need n >= 1 and k >= 1, got n=$n k=$k")
+    val grams = docs.select(explode(expr(
+      s"""CASE WHEN SIZE(SPLIT(LOWER($textCol), ' ')) >= $n
+         |  THEN TRANSFORM(SEQUENCE(0, SIZE(SPLIT(LOWER($textCol), ' ')) - $n),
+         |    i -> ARRAY_JOIN(SLICE(SPLIT(LOWER($textCol), ' '), i + 1, $n), ' '))
+         |  ELSE ARRAY() END""".stripMargin)).as("ngram"))
+    grams.groupBy("ngram").agg(count("*").cast("bigint").as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram"))
+      .limit(k)
+  }
 }

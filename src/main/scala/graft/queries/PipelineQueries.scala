@@ -588,6 +588,44 @@ object PipelineQueries {
       |SELECT source, COUNT(*) AS kept FROM sampled
       |GROUP BY source ORDER BY source""".stripMargin, headline = true)
 
+  // Integer-exact TF-IDF (TextAnalysis.tfIdf): idf as the exact N/df ppm
+  // ratio, no floating log — DuckDB replays the score bit-exactly.
+  private val qTfIdf = df("q_text_tfidf",
+    (spark, dir) => graft.operators.TextAnalysis
+      .tfIdf(graft.engine.Tables.table(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id", "term"),
+    Some("""WITH tok AS (
+           |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+           |), tf AS (
+           |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           |  FROM tok WHERE term <> '' GROUP BY doc_id, term
+           |), dfreq AS (
+           |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+           |), n AS (
+           |  SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents
+           |)
+           |SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+           |  (tf.tf * n.n_docs * 1000000) // dfreq.df AS tfidf_ppm
+           |FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+           |WHERE tf.tf >= 3
+           |ORDER BY tf.doc_id, tf.term""".stripMargin))
+
+  // Exact corpus bigram heavy hitters (TextAnalysis.topNgrams): total
+  // (count desc, ngram asc) order makes the top-k boundary deterministic.
+  private val qTopNgrams = df("q_text_top_ngrams",
+    (spark, dir) => graft.operators.TextAnalysis
+      .topNgrams(graft.engine.Tables.table(spark, dir, "documents"), "doc_id", "text",
+        n = 2, k = 20),
+    Some("""WITH a AS (
+           |  SELECT string_split(lower(text), ' ') AS w FROM documents
+           |), g AS (
+           |  SELECT unnest(list_transform(range(1, len(w)),
+           |    i -> array_to_string(w[i:i+1], ' '))) AS ngram
+           |  FROM a WHERE len(w) >= 2
+           |)
+           |SELECT ngram, CAST(COUNT(*) AS BIGINT) AS cnt FROM g
+           |GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin))
+
   // URL extraction + per-domain stats (TextAnalysis.urlStats). The
   // synthetic corpus holds no URLs, so both engines inject the same
   // deterministic URLs from document fields first — the extraction,
@@ -692,5 +730,5 @@ object PipelineQueries {
     qNgramJaccard, qEmbDedup, qAnnBrute, qAnnLsh,
     qTextStats, qLangId, qTokens, qFingerprint, qMultimodal,
     qChunks, qCdcChunks, qPii, qRepetition, qEndToEnd,
-    qUrls, qHistogram, qAnnInt8)
+    qUrls, qHistogram, qAnnInt8, qTfIdf, qTopNgrams)
 }

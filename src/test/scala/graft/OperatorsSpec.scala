@@ -368,6 +368,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fp.map(_.getString(1)).distinct.length == 3) // 1==2 share md5
   }
 
+  test("tf-idf: hand-computed ppm scores on a tiny corpus") {
+    val tiny = Seq(
+      (1L, "a a a b"),   // tf(a)=3 in doc 1
+      (2L, "a c c c"),   // tf(c)=3 in doc 2
+      (3L, "b b b b")    // tf(b)=4 in doc 3
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.tfIdf(tiny, "doc_id", "text", minTf = 3)
+      .orderBy("doc_id", "term").collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[String]("term"),
+        x.getAs[Long]("tf"), x.getAs[Long]("df"), x.getAs[Long]("tfidf_ppm")))
+    // n_docs = 3; score = (tf * 3 * 1e6) DIV df
+    assert(r.toSeq == Seq(
+      (1L, "a", 3L, 2L, 4500000L),   // a appears in docs 1,2
+      (2L, "c", 3L, 1L, 9000000L),
+      (3L, "b", 4L, 2L, 6000000L))) // b appears in docs 1,3
+  }
+
+  test("top n-grams: exact counts, deterministic tie order, short-doc guard") {
+    val tiny = Seq(
+      (1L, "x y z"),      // bigrams: "x y", "y z"
+      (2L, "x y"),        // "x y"
+      (3L, "w")           // too short: no bigrams
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.topNgrams(tiny, "doc_id", "text", n = 2, k = 10)
+      .collect().map(x => (x.getAs[String]("ngram"), x.getAs[Long]("cnt")))
+    assert(r.toSeq == Seq(("x y", 2L), ("y z", 1L)))
+    // trigrams over doc 1 only
+    val tri = TextAnalysis.topNgrams(tiny, "doc_id", "text", n = 3, k = 10)
+      .collect().map(x => (x.getAs[String]("ngram"), x.getAs[Long]("cnt")))
+    assert(tri.toSeq == Seq(("x y z", 1L)))
+  }
+
   test("multimodal stub: deterministic decode + frame sampling shape") {
     implicit val s = spark
     val media = Multimodal.asMediaTable(docs, "doc_id", "text")
