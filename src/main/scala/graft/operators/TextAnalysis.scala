@@ -145,21 +145,28 @@ object TextAnalysis {
 
   /** Intra-document repetition signals (Gopher/RefinedWeb-style quality
     * gates): most-frequent-token share and duplicate-token share, as
-    * integer-exact ppm. Explode + two-level aggregation — shuffles on
-    * (doc, token) then doc, both partial+final; linear at any scale. */
-  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol),
-      explode(split(lower(col(textCol)), " ")).as("__w"))
-    toks.groupBy(col(idCol), col("__w")).agg(count("*").as("__c"))
-      .groupBy(col(idCol))
-      .agg(sum("__c").as("n_tokens"), max("__c").as("__max_c"),
-        count("*").as("n_distinct_tokens"))
+    * integer-exact ppm.
+    *
+    * Repetition is a within-document property, so this is a pure per-row
+    * array fold — zero shuffles, scan speed at any corpus size. The
+    * most-frequent-token count is the max run length in the sorted token
+    * array (O(n log n) per row); exploding to (doc, token) pairs and
+    * aggregating would move tokens x docs rows through two shuffles for
+    * the same answer. */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), split(lower(col(textCol)), " ").as("__w"))
       .select(col(idCol),
-        col("n_tokens").cast("bigint").as("n_tokens"),
-        col("__max_c").cast("bigint").as("max_token_count"),
-        expr("(1000000 * __max_c) DIV n_tokens").as("max_token_ppm"),
-        expr("(1000000 * (n_tokens - n_distinct_tokens)) DIV n_tokens").as("dup_token_ppm"))
-  }
+        size(col("__w")).cast("bigint").as("n_tokens"),
+        size(array_distinct(col("__w"))).cast("bigint").as("__nd"),
+        expr("""AGGREGATE(ARRAY_SORT(__w),
+          NAMED_STRUCT('prev', CAST(NULL AS STRING), 'run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)),
+          (s, x) -> IF(s.prev IS NOT NULL AND x = s.prev,
+            NAMED_STRUCT('prev', x, 'run', s.run + 1, 'best', GREATEST(s.best, s.run + 1)),
+            NAMED_STRUCT('prev', x, 'run', CAST(1 AS BIGINT), 'best', GREATEST(s.best, CAST(1 AS BIGINT)))),
+          s -> s.best)""").as("max_token_count"))
+      .select(col(idCol), col("n_tokens"), col("max_token_count"),
+        expr("(1000000 * max_token_count) DIV n_tokens").as("max_token_ppm"),
+        expr("(1000000 * (n_tokens - __nd)) DIV n_tokens").as("dup_token_ppm"))
 
   /** Integer-exact TF-IDF over whitespace tokens: per-(doc, term) term
     * frequency joined with corpus document frequency, scored as
@@ -197,11 +204,16 @@ object TextAnalysis {
   def topNgrams(docs: DataFrame, idCol: String, textCol: String,
                 n: Int = 2, k: Int = 20): DataFrame = {
     require(n >= 1 && k >= 1, s"need n >= 1 and k >= 1, got n=$n k=$k")
-    val grams = docs.select(explode(expr(
-      s"""CASE WHEN SIZE(SPLIT(LOWER($textCol), ' ')) >= $n
-         |  THEN TRANSFORM(SEQUENCE(0, SIZE(SPLIT(LOWER($textCol), ' ')) - $n),
-         |    i -> ARRAY_JOIN(SLICE(SPLIT(LOWER($textCol), ' '), i + 1, $n), ' '))
-         |  ELSE ARRAY() END""".stripMargin)).as("ngram"))
+    // Tokenize once per row; the transform lambda must only index into the
+    // materialized array — inlining SPLIT into the lambda re-tokenizes the
+    // document per n-gram position (O(tokens^2) per doc).
+    val grams = docs
+      .select(split(lower(col(textCol)), " ").as("__w"))
+      .select(explode(expr(
+        s"""CASE WHEN SIZE(__w) >= $n
+           |  THEN TRANSFORM(SEQUENCE(0, SIZE(__w) - $n),
+           |    i -> ARRAY_JOIN(SLICE(__w, i + 1, $n), ' '))
+           |  ELSE ARRAY() END""".stripMargin)).as("ngram"))
     grams.groupBy("ngram").agg(count("*").cast("bigint").as("cnt"))
       .orderBy(col("cnt").desc, col("ngram"))
       .limit(k)

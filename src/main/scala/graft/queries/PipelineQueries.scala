@@ -529,14 +529,28 @@ object PipelineQueries {
 
   // Repetition signals (Gopher/RefinedWeb-style gates): most-frequent-token
   // share and duplicate-token share as integer-exact ppm.
+  // Spark side is a pure per-row fold: repetition is a within-document
+  // property, so shuffling the exploded (doc, token) pairs is wasted data
+  // movement — the max token count is the max run length in the sorted
+  // token array, computed at scan speed with zero shuffles. The oracle
+  // keeps the explode+aggregate spelling, proving the two equivalent.
   private val qRepetition = split("q_text_repetition",
-    """WITH tok AS (SELECT doc_id, EXPLODE(SPLIT(LOWER(text), ' ')) AS w FROM documents),
-      |counts AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w),
-      |agg AS (SELECT doc_id, SUM(c) AS n, MAX(c) AS max_c, COUNT(*) AS nd FROM counts GROUP BY doc_id)
-      |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(max_c AS BIGINT) AS max_token_count,
-      |  (1000000 * CAST(max_c AS BIGINT)) DIV n AS max_token_ppm,
+    """SELECT doc_id,
+      |  CAST(n AS BIGINT) AS n_tokens,
+      |  max_c AS max_token_count,
+      |  (1000000 * max_c) DIV n AS max_token_ppm,
       |  (1000000 * CAST(n - nd AS BIGINT)) DIV n AS dup_token_ppm
-      |FROM agg ORDER BY doc_id""".stripMargin,
+      |FROM (
+      |  SELECT doc_id, SIZE(w) AS n, SIZE(ARRAY_DISTINCT(w)) AS nd,
+      |    AGGREGATE(ARRAY_SORT(w),
+      |      NAMED_STRUCT('prev', CAST(NULL AS STRING), 'run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)),
+      |      (s, x) -> IF(s.prev IS NOT NULL AND x = s.prev,
+      |        NAMED_STRUCT('prev', x, 'run', s.run + 1, 'best', GREATEST(s.best, s.run + 1)),
+      |        NAMED_STRUCT('prev', x, 'run', CAST(1 AS BIGINT), 'best', GREATEST(s.best, CAST(1 AS BIGINT)))),
+      |      s -> s.best) AS max_c
+      |  FROM (SELECT doc_id, SPLIT(LOWER(text), ' ') AS w FROM documents) t0
+      |) t
+      |ORDER BY doc_id""".stripMargin,
     """WITH tok AS (SELECT doc_id, unnest(string_split(LOWER(text), ' ')) AS w FROM documents),
       |counts AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w),
       |agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, MAX(c) AS max_c,

@@ -123,4 +123,27 @@ class PlanAuditSpec extends AnyFunSuite {
     // mentions)
     assert("Exchange".r.findAllIn(p).size <= 2, p)
   }
+
+  test("q_text_repetition: per-row fold — no generator, no join, no aggregate") {
+    val p = plan("q_text_repetition")
+    assert(!p.contains("Generate"), p)   // no explode of (doc, token) pairs
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"), p)
+    // the ORDER BY is the only exchange (1 node = 2 formatted-mode mentions)
+    assert("Exchange".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("q_text_top_ngrams: partial agg on the ngram, top-k not a global sort") {
+    val p = plan("q_text_top_ngrams")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial + final
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q_text_tfidf: df table and corpus count broadcast — no shuffle join") {
+    val p = plan("q_text_tfidf")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
 }
