@@ -55,10 +55,14 @@ object Golden {
     require(stmts.nonEmpty, "empty golden script")
     stmts.init.foreach { st =>
       dropIfExists.findFirstMatchIn(st).foreach { m =>
-        val name = m.group(1).split("\\.").last.stripPrefix("`").stripSuffix("`")
-        if (!engine.spark.catalog.tableExists(name)) {
+        val parts = m.group(1).split("\\.").map(_.stripPrefix("`").stripSuffix("`"))
+        val qualified = parts.mkString(".")
+        val exists = scala.util.Try(engine.spark.catalog.tableExists(qualified)).getOrElse(false)
+        if (!exists) {
           val wh = engine.spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-          org.apache.commons.io.FileUtils.deleteQuietly(new File(wh, name))
+          val dir = if (parts.length == 2) new File(new File(wh, parts(0) + ".db"), parts(1))
+                    else new File(wh, parts.last)
+          org.apache.commons.io.FileUtils.deleteQuietly(dir)
         }
       }
       engine.sql(st)
