@@ -195,8 +195,30 @@ class GraftEngine(val spark: SparkSession) {
     val renamed = StructType(meta.dataSchema.fields.map(f =>
       if (f.name.equalsIgnoreCase(from)) f.copy(name = to) else f)
       ++ meta.partitionSchema.fields)
-    catalog.alterTable(meta.copy(schema = renamed))
-    spark.catalog.refreshTable(table)
+    // The reference's rename is catalog-metadata-only (DDLExecutor
+    // renameColumn) because its formats bind columns by POSITION. That is
+    // only sound here for position-binding text formats; parquet/orc/json
+    // resolve by NAME, so a metadata-only rename would silently read the
+    // renamed column as all-NULL. For those, stage the data out and write
+    // it back under the new schema (one scan+write, the same cost class as
+    // the reference's index build; nothing touches the driver).
+    val bindsByName = meta.provider.map(_.toLowerCase)
+      .exists(Set("parquet", "orc", "json", "avro").contains)
+    if (!bindsByName) {
+      catalog.alterTable(meta.copy(schema = renamed))
+      spark.catalog.refreshTable(table)
+    } else {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_rename_col_${table.replace('.', '_')}")
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+      spark.table(table).write.parquet(tmp.getAbsolutePath)
+      catalog.alterTable(meta.copy(schema = renamed))
+      spark.catalog.refreshTable(table)
+      spark.read.parquet(tmp.getAbsolutePath)
+        .write.mode("overwrite").insertInto(table)
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+      spark.catalog.refreshTable(table)
+    }
     spark.emptyDataFrame
   }
 

@@ -122,6 +122,19 @@ class GraftEngineSpec extends AnyFunSuite {
     engine.sql("DROP TABLE graft_ren")
   }
 
+  test("ALTER TABLE RENAME COLUMN on a parquet table keeps the data readable") {
+    // parquet binds columns by name, so the rename must rewrite the data
+    // files — a metadata-only rename would read the column as all-NULL.
+    engine.sql("DROP TABLE IF EXISTS graft_ren_pq")
+    engine.sql("CREATE TABLE graft_ren_pq AS SELECT r_regionkey, r_name FROM region")
+    engine.sql("ALTER TABLE graft_ren_pq RENAME COLUMN r_name TO region_name")
+    assert(spark.table("graft_ren_pq").columns.toSeq == Seq("r_regionkey", "region_name"))
+    val names = spark.sql("SELECT region_name FROM graft_ren_pq ORDER BY r_regionkey")
+      .collect().map(_.getString(0)).toSeq
+    assert(names.nonEmpty && names.forall(_ != null), s"rename lost data: $names")
+    engine.sql("DROP TABLE graft_ren_pq")
+  }
+
   test("Tajo-typed DDL: PARTITION BY COLUMN with TEXT/INT8 outside the schema") {
     engine.sql("DROP TABLE IF EXISTS graft_part_ddl")
     engine.sql(
