@@ -15,6 +15,10 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** See [[knuth32]] — exposed for operators/queries that need the same
+    * engine-portable hash as a column expression. */
+  private[graft] def knuth32Expr(idCol: String) = knuth32(idCol)
+
   /** hash in [0, 2^32) from a BIGINT id — Knuth multiplicative hash with
     * the id reduced mod 1e9+7 first: the raw `id * 2654435761` wraps the
     * 64-bit multiply for id >= ~3.47e9 (Spark wraps silently to negative —
@@ -60,6 +64,30 @@ object Sampling {
     }
     df.withColumn(splitCol, assigned)
   }
+
+  /** Keep the k best rows per group (e.g. the k highest-quality documents
+    * per domain, the standard "top-k per source" curation gate). One hash
+    * shuffle on the group key + a per-group sort — no global sort, no
+    * driver collection; skewed groups are bounded because only k rows
+    * survive each group. Ties break on `tieCol` so the result is
+    * deterministic and engine-portable. */
+  def topKPerGroup(df: DataFrame, groupCol: String, scoreCol: String,
+                   k: Int, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(col(scoreCol).desc, col(tieCol))
+    df.withColumn("group_rank", row_number().over(w))
+      .filter(col("group_rank") <= k)
+  }
+
+  /** Deterministic global shuffle: order the corpus by the Knuth hash of a
+    * stable id (id as tiebreak). Training pipelines need a reproducible
+    * permutation before sharding; `ORDER BY rand()` changes run-over-run
+    * and under repartitioning, this does not. The sort is one range
+    * exchange (Spark samples range bounds), after which each output
+    * partition is a contiguous slice of the permutation — write them out
+    * as shards directly. */
+  def deterministicShuffle(df: DataFrame, idCol: String): DataFrame =
+    df.withColumn("shuffle_key", knuth32(idCol))
+      .orderBy(col("shuffle_key"), col(idCol))
 
   /** Deterministic round-robin interleave across sources: orders rows by
     * (position-within-source, source), the standard way to mix corpora so

@@ -738,11 +738,71 @@ object PipelineQueries {
            |               n_chars, doc_id FROM documents) t
            |) s GROUP BY split ORDER BY split""".stripMargin))
 
+  // Top-k documents per group (per-domain curation gate): one hash shuffle
+  // on the group key, per-group sort, only k rows survive each group.
+  private val qTopKPerGroup = df("q_pipeline_topk_per_group",
+    (spark, dir) => {
+      val docs = graft.engine.Tables.table(spark, dir, "documents")
+      graft.operators.Sampling.topKPerGroup(docs, "source", "n_chars", 3, "doc_id")
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          col("group_rank").cast("bigint").as("group_rank"))
+        .orderBy("source", "group_rank")
+    },
+    Some("""SELECT source, doc_id, n_chars, group_rank FROM (
+           |  SELECT source, doc_id, n_chars,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+           |      ORDER BY n_chars DESC, doc_id) AS BIGINT) AS group_rank
+           |  FROM documents
+           |) t WHERE group_rank <= 3
+           |ORDER BY source, group_rank""".stripMargin))
+
+  // Deterministic global shuffle: reproducible permutation by Knuth hash;
+  // the head-k is a TakeOrdered (no full materialized sort for the probe).
+  private val qShuffle = df("q_pipeline_shuffle",
+    (spark, dir) => {
+      val docs = graft.engine.Tables.table(spark, dir, "documents")
+      graft.operators.Sampling.deterministicShuffle(docs, "doc_id")
+        .select("doc_id", "shuffle_key")
+        .limit(50)
+    },
+    Some("""SELECT doc_id, ((doc_id % 1000000007) * 2654435761) % 4294967296 AS shuffle_key
+           |FROM documents
+           |ORDER BY shuffle_key, doc_id
+           |LIMIT 50""".stripMargin))
+
+  // Sequence packing (concat-and-cut at a token budget, block-local so no
+  // global window): per-sequence occupancy stats, exact integer arithmetic.
+  private val qPack = df("q_pipeline_pack",
+    (spark, dir) => {
+      val docs = graft.engine.Tables.table(spark, dir, "documents")
+      graft.operators.Packing.packSequences(docs, "doc_id", "n_chars",
+        budget = 4096L, blockSize = 100L)
+        .groupBy("pack_block", "seq_in_block")
+        .agg(count("*").as("n_docs"),
+          sum("n_chars").as("sum_tokens"),
+          min("doc_id").as("first_doc"),
+          max("offset_in_seq").as("last_offset"))
+        .orderBy("pack_block", "seq_in_block")
+    },
+    Some("""WITH packed AS (
+           |  SELECT doc_id, n_chars,
+           |    doc_id // 100 AS pack_block,
+           |    CAST(SUM(n_chars) OVER (PARTITION BY doc_id // 100 ORDER BY doc_id) - n_chars AS BIGINT) AS tokens_before
+           |  FROM documents
+           |)
+           |SELECT pack_block, tokens_before // 4096 AS seq_in_block,
+           |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_tokens,
+           |  MIN(doc_id) AS first_doc, MAX(tokens_before % 4096) AS last_offset
+           |FROM packed
+           |GROUP BY pack_block, tokens_before // 4096
+           |ORDER BY pack_block, seq_in_block""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupNorm, qMinhashSig, qMinhashPairs, qMinhashCorpus, qSimhash,
     qSample, qSampleStratified, qInterleave, qSplit,
     qNgramJaccard, qEmbDedup, qAnnBrute, qAnnLsh,
     qTextStats, qLangId, qTokens, qFingerprint, qMultimodal,
     qChunks, qCdcChunks, qPii, qRepetition, qEndToEnd,
-    qUrls, qHistogram, qAnnInt8, qTfIdf, qTopNgrams)
+    qUrls, qHistogram, qAnnInt8, qTfIdf, qTopNgrams,
+    qTopKPerGroup, qShuffle, qPack)
 }

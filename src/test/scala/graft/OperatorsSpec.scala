@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
-import graft.operators.{AsofJoin, Dedup, Multimodal, RangeJoin, Sampling, Similarity, TextAnalysis}
+import graft.operators.{AsofJoin, Dedup, Multimodal, Packing, RangeJoin, Sampling, Similarity, TextAnalysis}
 
 class OperatorsSpec extends AnyFunSuite {
   import TestSpark._
@@ -398,6 +398,58 @@ class OperatorsSpec extends AnyFunSuite {
     val tri = TextAnalysis.topNgrams(tiny, "doc_id", "text", n = 3, k = 10)
       .collect().map(x => (x.getAs[String]("ngram"), x.getAs[Long]("cnt")))
     assert(tri.toSeq == Seq(("x y z", 1L)))
+  }
+
+  test("topKPerGroup keeps exactly the k best per group, deterministic ties") {
+    val rows = Seq(
+      ("a", 1L, 10L), ("a", 2L, 30L), ("a", 3L, 30L), ("a", 4L, 5L),
+      ("b", 5L, 7L), ("c", 6L, 1L), ("c", 7L, 2L)
+    ).toDF("grp", "id", "score")
+    val r = Sampling.topKPerGroup(rows, "grp", "score", 2, "id")
+      .orderBy("grp", "group_rank")
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getInt(3)))
+    // ties on score=30 break on the lower id
+    assert(r.toSeq == Seq(
+      ("a", 2L, 1), ("a", 3L, 2), ("b", 5L, 1), ("c", 7L, 1), ("c", 6L, 2)))
+  }
+
+  test("deterministicShuffle is stable under repartitioning") {
+    val base = spark.range(0, 1000).toDF("id")
+    val head = Sampling.deterministicShuffle(base, "id")
+      .limit(20).collect().map(_.getLong(0)).toSeq
+    val headRepart = Sampling.deterministicShuffle(base.repartition(13), "id")
+      .limit(20).collect().map(_.getLong(0)).toSeq
+    assert(head == headRepart)
+    // it is a real permutation, not identity order
+    assert(head != head.sorted)
+  }
+
+  test("packSequences: offsets bounded, monotone within a sequence, layout-stable") {
+    val docsTok = spark.range(0, 500).toDF("id")
+      .withColumn("tokens", (col("id") * 37 % 900) + 100) // 100..999 tokens
+    val packed = Packing.packSequences(docsTok, "id", "tokens",
+      budget = 2048L, blockSize = 50L).cache()
+    val rows = packed.orderBy("pack_block", "seq_in_block", "id")
+      .select("pack_block", "seq_in_block", "id", "offset_in_seq", "tokens")
+      .collect()
+    rows.foreach { r => assert(r.getLong(3) >= 0 && r.getLong(3) < 2048) }
+    // within a sequence, docs appear in id order with strictly growing offsets
+    val bySeq = rows.groupBy(r => (r.getLong(0), r.getLong(1)))
+    bySeq.values.foreach { seq =>
+      val sorted = seq.sortBy(_.getLong(2))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(3) < b.getLong(3))
+        case _ =>
+      }
+    }
+    // assignment is invariant to the input's physical layout
+    val again = Packing.packSequences(docsTok.repartition(7), "id", "tokens",
+      budget = 2048L, blockSize = 50L)
+      .orderBy("pack_block", "seq_in_block", "id")
+      .select("pack_block", "seq_in_block", "id", "offset_in_seq", "tokens")
+      .collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    packed.unpersist()
   }
 
   test("multimodal stub: deterministic decode + frame sampling shape") {
