@@ -146,4 +146,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("q_pipeline_pack: window is partitioned (hash on pack_block), never global") {
+    val p = plan("q_pipeline_pack")
+    // the running sum must shuffle on the block key — an unpartitioned
+    // window would be a SinglePartition exchange (one task at 100 TB)
+    assert(p.contains("hashpartitioning(pack_block"), p)
+    assert(!p.contains("SinglePartition"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q_pipeline_topk_per_group: rank filter pushed into the window sort, no join") {
+    val p = plan("q_pipeline_topk_per_group")
+    // Spark rewrites rn <= k over a window into WindowGroupLimit, so each
+    // group keeps only k rows before the final window evaluation
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q_pipeline_shuffle: head of the permutation is a top-k, not a global sort") {
+    val p = plan("q_pipeline_shuffle")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
 }
