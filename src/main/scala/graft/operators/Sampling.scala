@@ -89,6 +89,36 @@ object Sampling {
     df.withColumn("shuffle_key", knuth32(idCol))
       .orderBy(col("shuffle_key"), col(idCol))
 
+  /** Temperature-based source rebalancing: downsample over-represented
+    * sources so the expected kept count per source is proportional to
+    * n_i^alpha (the standard multilingual-corpus "temperature" mix). The
+    * smallest source keeps everything; a source m times larger keeps
+    * m^(alpha-1) of its rows. Two jobs: a per-source count (K rows,
+    * broadcast back) and a narrow filter — no data-sized driver pull, no
+    * extra shuffle on the corpus itself.
+    *
+    * Determinism across engines: rates for the default alpha=0.5 are
+    * sqrt(n_min/n_i) — IEEE-754 requires sqrt and divide to be correctly
+    * rounded, so DuckDB computes the identical double, the identical
+    * floor(rate*2^32) threshold, and the identical kept set. Other alphas
+    * route through pow(), which carries no such guarantee — fine for
+    * production, not for a bit-exact oracle. */
+  def temperatureMix(df: DataFrame, sourceCol: String, idCol: String,
+                     alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    val counts = df.groupBy(sourceCol).agg(count(lit(1)).as("__n"))
+    val minN = counts.agg(min("__n").as("__n_min"))
+    val rate =
+      if (alpha == 0.5) sqrt(col("__n_min").cast("double") / col("__n").cast("double"))
+      else pow(col("__n_min").cast("double") / col("__n").cast("double"), 1.0 - alpha)
+    val thresholds = counts.crossJoin(broadcast(minN))
+      .withColumn("__threshold", floor(rate * lit(4294967296.0)))
+      .select(col(sourceCol), col("__threshold"))
+    df.join(broadcast(thresholds), sourceCol)
+      .filter(knuth32(idCol) < col("__threshold"))
+      .drop("__threshold")
+  }
+
   /** Deterministic round-robin interleave across sources: orders rows by
     * (position-within-source, source), the standard way to mix corpora so
     * a training run doesn't see one source in a long block. The returned

@@ -797,6 +797,46 @@ object PipelineQueries {
            |GROUP BY pack_block, tokens_before // 4096
            |ORDER BY pack_block, seq_in_block""".stripMargin))
 
+  // Temperature mix (alpha=0.5): kept set depends only on per-source counts
+  // via sqrt/divide — both IEEE correctly-rounded, so DuckDB derives the
+  // identical floor(rate*2^32) thresholds and the identical rows.
+  // The driver's synthetic sources are perfectly balanced, so the probe
+  // derives a deterministically skewed tier (60/30/10) to make the mix
+  // actually downsample: 'big' keeps ~sqrt(1/6), 'mid' ~sqrt(1/3), the
+  // smallest tier keeps everything.
+  private val qTemperatureMix = df("q_pipeline_temperature_mix",
+    (spark, dir) => {
+      val docs = graft.engine.Tables.table(spark, dir, "documents")
+        .withColumn("tier",
+          when(col("doc_id") % 10 < 6, "big")
+            .when(col("doc_id") % 10 < 9, "mid")
+            .otherwise("small"))
+      graft.operators.Sampling.temperatureMix(docs, "tier", "doc_id")
+        .groupBy("tier")
+        .agg(count(lit(1)).as("kept"), min("doc_id").as("min_doc"),
+          max("doc_id").as("max_doc"))
+        .orderBy("tier")
+    },
+    Some("""WITH d AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 10 < 6 THEN 'big'
+           |         WHEN doc_id % 10 < 9 THEN 'mid' ELSE 'small' END AS tier
+           |  FROM documents
+           |), c AS (
+           |  SELECT tier, COUNT(*) AS n FROM d GROUP BY tier
+           |), t AS (
+           |  SELECT tier,
+           |    FLOOR(SQRT(CAST((SELECT MIN(n) FROM c) AS DOUBLE) / CAST(n AS DOUBLE))
+           |      * 4294967296.0) AS threshold
+           |  FROM c
+           |)
+           |SELECT d.tier, COUNT(*) AS kept, MIN(d.doc_id) AS min_doc,
+           |  MAX(d.doc_id) AS max_doc
+           |FROM d JOIN t ON d.tier = t.tier
+           |WHERE ((d.doc_id % 1000000007) * 2654435761) % 4294967296 < t.threshold
+           |GROUP BY d.tier
+           |ORDER BY d.tier""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupNorm, qMinhashSig, qMinhashPairs, qMinhashCorpus, qSimhash,
     qSample, qSampleStratified, qInterleave, qSplit,
@@ -804,5 +844,5 @@ object PipelineQueries {
     qTextStats, qLangId, qTokens, qFingerprint, qMultimodal,
     qChunks, qCdcChunks, qPii, qRepetition, qEndToEnd,
     qUrls, qHistogram, qAnnInt8, qTfIdf, qTopNgrams,
-    qTopKPerGroup, qShuffle, qPack)
+    qTopKPerGroup, qShuffle, qPack, qTemperatureMix)
 }

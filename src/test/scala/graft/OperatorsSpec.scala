@@ -424,6 +424,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(head != head.sorted)
   }
 
+  test("temperatureMix keeps the smallest source whole and downsamples ~sqrt") {
+    val rows = spark.range(0, 1200).toDF("id")
+      .withColumn("src", when(col("id") % 12 < 9, "huge")
+        .when(col("id") % 12 < 11, "mid").otherwise("tiny"))
+    val kept = Sampling.temperatureMix(rows, "src", "id")
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("tiny") == 100) // smallest source: rate 1.0, keeps all
+    // huge: 900 rows at rate sqrt(100/900)=1/3 -> ~300; mid: 200 at
+    // sqrt(1/2) -> ~141. Hash is uniform, allow +-20%.
+    assert(kept("huge") > 240 && kept("huge") < 360, kept.toString)
+    assert(kept("mid") > 113 && kept("mid") < 170, kept.toString)
+    // deterministic: identical kept set under a different layout
+    val again = Sampling.temperatureMix(rows.repartition(7), "src", "id")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val first = Sampling.temperatureMix(rows, "src", "id")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(first == again)
+  }
+
   test("packSequences: offsets bounded, monotone within a sequence, layout-stable") {
     val docsTok = spark.range(0, 500).toDF("id")
       .withColumn("tokens", (col("id") * 37 % 900) + 100) // 100..999 tokens
