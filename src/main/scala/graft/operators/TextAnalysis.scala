@@ -47,6 +47,28 @@ object TextAnalysis {
         (col("n_tokens").between(10, 1000) && col("ttr_ppm") > 200000).cast("int"))
   }
 
+  /** Per-group quantile quality gate: keep rows whose score is at or above
+    * their group's pct-quantile (e.g. drop the worst half of every source).
+    *
+    * exact=false is the 100 TB path: approx_percentile is a mergeable
+    * sketch (partial+final aggregation, no per-group sort) whose error is
+    * bounded by its accuracy parameter. exact=true computes the true
+    * quantile (one sort per group) — used by the DuckDB oracle, whose
+    * quantile_cont interpolates identically. Thresholds are one row per
+    * group joined back (broadcast when small, which a source/domain
+    * dimension always is); the corpus itself never reshuffles. */
+  def qualityGate(df: DataFrame, groupCol: String, scoreCol: String,
+                  pct: Double, exact: Boolean = false): DataFrame = {
+    require(pct > 0 && pct < 1, s"pct must be in (0,1), got $pct")
+    val thr =
+      if (exact) expr(s"percentile($scoreCol, $pct)")
+      else expr(s"approx_percentile($scoreCol, $pct)")
+    val thresholds = df.groupBy(groupCol).agg(thr.as("__thr"))
+    df.join(thresholds, Seq(groupCol))
+      .filter(col(scoreCol) >= col("__thr"))
+      .drop("__thr")
+  }
+
   /** Marker-token language ID with deterministic tie-break (n-gram
     * heuristic; >=2 marker hits wins, else 'en'). */
   def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

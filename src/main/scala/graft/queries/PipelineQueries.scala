@@ -837,6 +837,38 @@ object PipelineQueries {
            |GROUP BY d.tier
            |ORDER BY d.tier""".stripMargin))
 
+  // Per-source median quality gate over the integer-exact ttr_ppm score;
+  // exact percentile here so DuckDB's quantile_cont replays the threshold
+  // (interpolation arithmetic proven portable by q_agg_percentile). The
+  // approx_percentile sketch is the scale path (tolerance-pinned in
+  // OperatorsSpec).
+  private val qQualityGate = df("q_pipeline_quality_gate",
+    (spark, dir) => {
+      val docs = graft.engine.Tables.table(spark, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          expr("(1000000 * CAST(SIZE(ARRAY_DISTINCT(SPLIT(text, ' '))) AS BIGINT)) DIV SIZE(SPLIT(text, ' '))")
+            .as("ttr_ppm"))
+      graft.operators.TextAnalysis.qualityGate(docs, "source", "ttr_ppm", 0.5, exact = true)
+        .groupBy("source")
+        .agg(count(lit(1)).as("kept"), min("ttr_ppm").as("min_kept"),
+          max("ttr_ppm").as("max_kept"))
+        .orderBy("source")
+    },
+    Some("""WITH scored AS (
+           |  SELECT doc_id, source,
+           |    (1000000 * CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT))
+           |      // len(string_split(text, ' ')) AS ttr_ppm
+           |  FROM documents
+           |), thr AS (
+           |  SELECT source, quantile_cont(ttr_ppm, 0.5) AS t FROM scored GROUP BY source
+           |)
+           |SELECT s.source, COUNT(*) AS kept, MIN(s.ttr_ppm) AS min_kept,
+           |  MAX(s.ttr_ppm) AS max_kept
+           |FROM scored s JOIN thr ON s.source = thr.source
+           |WHERE s.ttr_ppm >= thr.t
+           |GROUP BY s.source
+           |ORDER BY s.source""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupNorm, qMinhashSig, qMinhashPairs, qMinhashCorpus, qSimhash,
     qSample, qSampleStratified, qInterleave, qSplit,
@@ -844,5 +876,5 @@ object PipelineQueries {
     qTextStats, qLangId, qTokens, qFingerprint, qMultimodal,
     qChunks, qCdcChunks, qPii, qRepetition, qEndToEnd,
     qUrls, qHistogram, qAnnInt8, qTfIdf, qTopNgrams,
-    qTopKPerGroup, qShuffle, qPack, qTemperatureMix)
+    qTopKPerGroup, qShuffle, qPack, qTemperatureMix, qQualityGate)
 }

@@ -424,6 +424,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(head != head.sorted)
   }
 
+  test("qualityGate: exact keeps >= half per group; approx sketch agrees closely") {
+    val rows = spark.range(0, 2000).toDF("id")
+      .withColumn("grp", (col("id") % 4).cast("string"))
+      .withColumn("score", (col("id") * 7919 % 10000).cast("bigint"))
+    val exact = TextAnalysis.qualityGate(rows, "grp", "score", 0.5, exact = true)
+    val approx = TextAnalysis.qualityGate(rows, "grp", "score", 0.5, exact = false)
+    val (ne, na) = (exact.count(), approx.count())
+    // median gate keeps at least half of every group (>= threshold)
+    assert(ne >= 1000 && ne <= 1100, s"exact kept $ne")
+    // the sketch threshold may differ by a few ranks per group, never more
+    assert(math.abs(ne - na) <= 40, s"exact $ne vs approx $na")
+    // gated set respects the per-group threshold: worst kept >= best dropped
+    val keptMin = exact.groupBy("grp").agg(min("score").as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dropped = rows.join(exact.select("id"), Seq("id"), "left_anti")
+      .groupBy("grp").agg(max("score").as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    dropped.foreach { case (g, worst) => assert(worst < keptMin(g), s"group $g") }
+  }
+
   test("temperatureMix keeps the smallest source whole and downsamples ~sqrt") {
     val rows = spark.range(0, 1200).toDF("id")
       .withColumn("src", when(col("id") % 12 < 9, "huge")
