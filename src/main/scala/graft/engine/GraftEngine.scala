@@ -390,6 +390,10 @@ class GraftEngine(val spark: SparkSession) {
           (if (m.group(2) == null) " USING csv" else " USING")))
     // INSERT OVERWRITE INTO t -> INSERT OVERWRITE TABLE t (SQLParser.g4:1607)
     out = "(?i)INSERT\\s+OVERWRITE\\s+INTO\\b".r.replaceAllIn(out, "INSERT OVERWRITE TABLE")
+    // TRUNCATE t -> TRUNCATE TABLE t (the TABLE keyword is optional in the
+    // reference grammar, SQLParser.g4 truncate_table_statement; Spark
+    // requires it)
+    out = "(?is)^TRUNCATE\\s+(?!TABLE\\b)".r.replaceAllIn(out, "TRUNCATE TABLE ")
     // ALTER TABLE t ADD COLUMN c TYPE (Tajo single-column form, reference:
     // master/exec/DDLExecutor.java alter-table path + SQLParser.g4
     // ADD COLUMN) -> Spark's ALTER TABLE t ADD COLUMNS (c TYPE), with the
