@@ -174,6 +174,26 @@ object Dedup {
     corpus.join(contaminated, corpus(idCol) === col("__drop"), "left_anti")
   }
 
+  /** Strict exact-overlap decontamination: drop every corpus document that
+    * shares at least one full word n-gram with any benchmark document (the
+    * "any 13-gram overlap" rule used for pretraining-benchmark hygiene —
+    * stricter than [[decontaminate]]'s Jaccard gate, which tolerates
+    * incidental overlap). Benchmark n-grams explode into a distinct hash
+    * set that stays benchmark-sized (benchmarks are fixed, corpora grow),
+    * so the membership join broadcasts; the corpus side is a map-side
+    * explode + semi join — the corpus never shuffles on itself. */
+  def decontaminateExact(corpus: DataFrame, benchmarks: DataFrame, idCol: String,
+                         textCol: String, n: Int = 3): DataFrame = {
+    graft.functions.TajoFunctions.register(corpus.sparkSession)
+    val benchGrams = benchmarks
+      .select(explode(expr(s"ngram_hash_set($textCol, $n)")).as("__g")).distinct()
+    val contaminated = corpus
+      .select(col(idCol), explode(expr(s"ngram_hash_set($textCol, $n)")).as("__g"))
+      .join(broadcast(benchGrams), "__g")
+      .select(idCol).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Embedding cosine near-duplicates within buckets (bucketCol prunes the
     * pair space; pass a constant column for exhaustive mode). */
   def embeddingNearDups(vectors: DataFrame, idCol: String, vecCol: String,

@@ -869,8 +869,37 @@ object PipelineQueries {
            |GROUP BY s.source
            |ORDER BY s.source""".stripMargin))
 
+  // Exact n-gram decontamination: every doc sharing ANY 3-gram with the
+  // benchmark slice (doc_id % 10 = 0) is dropped. The DuckDB oracle replays
+  // the same poly31 shingle hashes through the shared signature CTE chain.
+  private val qDecontaminateExact = df("q_dedup_decontaminate_exact",
+    (spark, dir) => {
+      val docs = graft.engine.Tables.table(spark, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 10 === 0)
+      graft.operators.Dedup.decontaminateExact(docs, bench, "doc_id", "text", 3)
+        .groupBy("source")
+        .agg(count(lit(1)).as("kept"), min("doc_id").as("min_doc"),
+          max("doc_id").as("max_doc"))
+        .orderBy("source")
+    },
+    Some(s"""${duckSigsFor("documents")},
+            |bench_g AS (
+            |  SELECT DISTINCT unnest(hvals) AS g FROM hs WHERE doc_id % 10 = 0
+            |), corp_g AS (
+            |  SELECT doc_id, unnest(hvals) AS g FROM hs
+            |), dropped AS (
+            |  SELECT DISTINCT c.doc_id FROM corp_g c JOIN bench_g b ON c.g = b.g
+            |)
+            |SELECT d.source, COUNT(*) AS kept, MIN(d.doc_id) AS min_doc,
+            |  MAX(d.doc_id) AS max_doc
+            |FROM documents d
+            |WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+            |GROUP BY d.source
+            |ORDER BY d.source""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupNorm, qMinhashSig, qMinhashPairs, qMinhashCorpus, qSimhash,
+    qDecontaminateExact,
     qSample, qSampleStratified, qInterleave, qSplit,
     qNgramJaccard, qEmbDedup, qAnnBrute, qAnnLsh,
     qTextStats, qLangId, qTokens, qFingerprint, qMultimodal,

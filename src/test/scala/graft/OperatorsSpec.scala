@@ -424,6 +424,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(head != head.sorted)
   }
 
+  test("decontaminateExact drops any doc sharing one n-gram with the benchmark") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),        // shares "alpha beta gamma" -> dropped
+      (2L, "completely different words here"),
+      (3L, "the alpha beta gamma tail"),     // contains the benchmark 3-gram -> dropped
+      (4L, "beta gamma alpha shuffled")      // same words, no shared 3-gram -> kept
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma")).toDF("doc_id", "text")
+    val kept = Dedup.decontaminateExact(corpus, bench, "doc_id", "text", 3)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(2L, 4L))
+  }
+
   test("qualityGate: exact keeps >= half per group; approx sketch agrees closely") {
     val rows = spark.range(0, 2000).toDF("id")
       .withColumn("grp", (col("id") % 4).cast("string"))
