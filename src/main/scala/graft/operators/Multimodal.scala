@@ -72,4 +72,23 @@ object Multimodal {
       .withColumn("out_w", floor(col("width") * col("__scale")).cast("int"))
       .withColumn("out_h", floor(col("height") * col("__scale")).cast("int"))
       .drop("__scale")
+
+  /** ViT-style patch-grid planning: explode each image into the
+    * (patch_row, patch_col) grid a patch-size-P vision encoder would
+    * consume, with pixel offsets. Images not evenly divisible by P keep
+    * only full patches (floor), the standard crop-to-grid behavior. Pure
+    * integer arithmetic over an explode — no shuffle, row count bounded by
+    * rows * (W/P) * (H/P); at 100 TB this is the map-side fan-out feeding
+    * a Pandas-UDF encoder batch, and the grid is layout-independent. */
+  def patchPlan(sized: DataFrame, patch: Int = 16): DataFrame = {
+    require(patch > 0, "patch size must be positive")
+    sized
+      .withColumn("n_cols", (col("out_w") / patch).cast("int"))
+      .withColumn("n_rows", (col("out_h") / patch).cast("int"))
+      .filter(col("n_cols") > 0 && col("n_rows") > 0)
+      .withColumn("patch_row", explode(expr("SEQUENCE(0, n_rows - 1)")))
+      .withColumn("patch_col", explode(expr("SEQUENCE(0, n_cols - 1)")))
+      .withColumn("px", col("patch_col") * patch)
+      .withColumn("py", col("patch_row") * patch)
+  }
 }

@@ -440,8 +440,51 @@ object OperatorQueries {
            |FROM s GROUP BY user_id, session_id
            |ORDER BY user_id, session_start""".stripMargin))
 
+  // ViT patch-grid planning over the stub decoder's resize output. The
+  // Spark side EXPLODES the (row, col) grid and aggregates it back; the
+  // oracle derives the same numbers in closed form (floor arithmetic over
+  // IEEE-exact divide/multiply) — each validates the other's grid.
+  private val qMultimodalPatches = df("q_op_multimodal_patches",
+    (spark, dir) => {
+      implicit val s = spark
+      val docs = Tables.table(spark, dir, "documents")
+      val media = Multimodal.asMediaTable(docs, "doc_id", "text")
+      val sized = Multimodal.resizePlan(Multimodal.decodeStub(media).toDF(), 224, 224)
+      Multimodal.patchPlan(sized, patch = 16)
+        .groupBy("id")
+        .agg(max(col("out_w").cast("bigint")).as("out_w"),
+          max(col("out_h").cast("bigint")).as("out_h"),
+          count(lit(1)).as("n_patches"),
+          max(col("px").cast("bigint")).as("max_px"),
+          max(col("py").cast("bigint")).as("max_py"))
+        .select(col("id").as("doc_id"), col("out_w"), col("out_h"),
+          col("n_patches"), col("max_px"), col("max_py"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH dims AS (
+            |  SELECT doc_id,
+            |    ${duckPoly31Bytes} % 640 + 32 AS w,
+            |    ${duckPoly31Bytes} % 480 + 24 AS h
+            |  FROM documents
+            |), sized AS (
+            |  SELECT doc_id,
+            |    CAST(FLOOR(w * LEAST(1.0, 224.0 / w, 224.0 / h)) AS BIGINT) AS out_w,
+            |    CAST(FLOOR(h * LEAST(1.0, 224.0 / w, 224.0 / h)) AS BIGINT) AS out_h
+            |  FROM dims
+            |), grids AS (
+            |  SELECT doc_id, out_w, out_h, out_w // 16 AS n_cols, out_h // 16 AS n_rows
+            |  FROM sized
+            |)
+            |SELECT doc_id, out_w, out_h,
+            |  n_cols * n_rows AS n_patches,
+            |  (n_cols - 1) * 16 AS max_px, (n_rows - 1) * 16 AS max_py
+            |FROM grids
+            |WHERE n_cols > 0 AND n_rows > 0
+            |ORDER BY doc_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     qMinhashApi, qAnnApi, qAnnIvf, qAnnIvf2, qQualityApi, qMultimodalApi,
+    qMultimodalPatches,
     qDecontaminate, qBpeApi, qBpeEncode, qEmbedPool, qSaltedJoin, qAsofJoin, qRangeJoin,
     qDedupClusters, qStreamHourly, qStreamSessions, qStreamDedup)
 }

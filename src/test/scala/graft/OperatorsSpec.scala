@@ -526,5 +526,19 @@ class OperatorsSpec extends AnyFunSuite {
       assert(ow <= w && oh <= h)
       if (w <= 224 && h <= 224) assert(ow == w && oh == h) // no upscale
     }
+    // patch grid: every patch fully inside the resized image, count = grid
+    val sized = Multimodal.resizePlan(Multimodal.decodeStub(media).toDF(), 224, 224)
+    val patches = Multimodal.patchPlan(sized, patch = 16)
+      .select("id", "out_w", "out_h", "px", "py").collect()
+    assert(patches.nonEmpty)
+    patches.foreach { p =>
+      assert(p.getInt(3) + 16 <= p.getInt(1), p.toString) // px + P <= out_w
+      assert(p.getInt(4) + 16 <= p.getInt(2), p.toString)
+    }
+    val perImage = patches.groupBy(_.getLong(0))
+    perImage.foreach { case (_, ps) =>
+      val (ow, oh) = (ps.head.getInt(1), ps.head.getInt(2))
+      assert(ps.length == (ow / 16) * (oh / 16))
+    }
   }
 }
