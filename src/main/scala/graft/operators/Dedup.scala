@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale text corpora.
@@ -192,6 +193,50 @@ object Dedup {
       .join(broadcast(benchGrams), "__g")
       .select(idCol).distinct()
     corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /** ExactSubstr-style repeated-substring spans: find every maximal
+    * character span whose length-`minLen` windows also occur elsewhere in
+    * the corpus (the "drop long verbatim repeats" dedup from the
+    * deduplicating-training-data line of work, expressed relationally
+    * instead of via a suffix array).
+    *
+    * Shape: explode each document into length-`minLen` char windows at
+    * `stride`, hash each window (md5 — engine-portable), keep hashes seen
+    * more than once corpus-wide (one aggregation on the hash — uniform
+    * keys, no skew), then merge each document's surviving windows into
+    * maximal spans with a gaps-and-islands window (new island when a
+    * window starts past the previous reach). Cost is linear in
+    * characters/stride — the same work ExactSubstr's suffix array pays,
+    * but as two shuffles on derived keys with no driver-side state;
+    * `stride > 1` trades span-boundary precision for proportionally less
+    * work — and only detects repeats whose offsets differ by a multiple of
+    * the stride (use stride 1 for guaranteed detection, the ExactSubstr
+    * setting). Returns one row per (doc, span): span_start/span_end are
+    * 0-based char offsets, end exclusive. */
+  def repeatedSubstringSpans(docs: DataFrame, idCol: String, textCol: String,
+                             minLen: Int = 50, stride: Int = 1): DataFrame = {
+    require(minLen > 0 && stride > 0, "minLen and stride must be positive")
+    val wins = docs
+      .filter(length(col(textCol)) >= minLen)
+      .select(col(idCol),
+        explode(sequence(lit(0), length(col(textCol)) - minLen, lit(stride))).as("__s"),
+        col(textCol))
+      .select(col(idCol), col("__s").cast("bigint").as("start"),
+        md5(expr(s"SUBSTRING($textCol, __s + 1, $minLen)")).as("__h"))
+    val repeated = wins.groupBy("__h").count().filter(col("count") > 1).select("__h")
+    val flagged = wins.join(repeated, "__h").select(col(idCol), col("start"))
+    val w = Window.partitionBy(idCol).orderBy("start")
+    flagged
+      .withColumn("__new",
+        when(lag("start", 1).over(w).isNull, 1)
+          .when(col("start") > lag("start", 1).over(w) + minLen, 1)
+          .otherwise(0))
+      .withColumn("__island", sum("__new").over(w))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min("start").as("span_start"), (max("start") + minLen).as("span_end"))
+      .withColumn("span_len", col("span_end") - col("span_start"))
+      .drop("__island")
   }
 
   /** Embedding cosine near-duplicates within buckets (bucketCol prunes the

@@ -897,9 +897,54 @@ object PipelineQueries {
             |GROUP BY d.source
             |ORDER BY d.source""".stripMargin))
 
+  // Repeated-substring spans (ExactSubstr dedup): 40-char windows at
+  // stride 4, md5-hashed; hashes seen >1x corpus-wide merge per doc into
+  // maximal spans via gaps-and-islands. Per-doc summary keeps the probe
+  // compact; every number is exact integer arithmetic on both engines.
+  private val qSubstringSpans = df("q_dedup_substring_spans",
+    (spark, dir) => {
+      val docs = graft.engine.Tables.table(spark, dir, "documents")
+      graft.operators.Dedup.repeatedSubstringSpans(docs, "doc_id", "text",
+        minLen = 40, stride = 4)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum("span_len").as("covered_chars"),
+          max("span_len").as("max_span"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (
+           |  SELECT doc_id, CAST(t.s AS BIGINT) AS start,
+           |    md5(substr(text, CAST(t.s AS INT) + 1, 40)) AS h
+           |  FROM documents, UNNEST(range(0, length(text) - 40 + 1, 4)) AS t(s)
+           |  WHERE length(text) >= 40
+           |), rep AS (
+           |  SELECT h FROM w GROUP BY h HAVING COUNT(*) > 1
+           |), f AS (
+           |  SELECT doc_id, start FROM w WHERE h IN (SELECT h FROM rep)
+           |), isl AS (
+           |  SELECT doc_id, start,
+           |    CASE WHEN lag(start) OVER (PARTITION BY doc_id ORDER BY start) IS NULL THEN 1
+           |         WHEN start > lag(start) OVER (PARTITION BY doc_id ORDER BY start) + 40 THEN 1
+           |         ELSE 0 END AS new_island
+           |  FROM f
+           |), grp AS (
+           |  SELECT doc_id, start,
+           |    SUM(new_island) OVER (PARTITION BY doc_id ORDER BY start) AS island
+           |  FROM isl
+           |), spans AS (
+           |  SELECT doc_id, MIN(start) AS span_start, MAX(start) + 40 AS span_end
+           |  FROM grp GROUP BY doc_id, island
+           |)
+           |SELECT doc_id, COUNT(*) AS n_spans,
+           |  CAST(SUM(span_end - span_start) AS BIGINT) AS covered_chars,
+           |  CAST(MAX(span_end - span_start) AS BIGINT) AS max_span
+           |FROM spans
+           |GROUP BY doc_id
+           |ORDER BY doc_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupNorm, qMinhashSig, qMinhashPairs, qMinhashCorpus, qSimhash,
-    qDecontaminateExact,
+    qDecontaminateExact, qSubstringSpans,
     qSample, qSampleStratified, qInterleave, qSplit,
     qNgramJaccard, qEmbDedup, qAnnBrute, qAnnLsh,
     qTextStats, qLangId, qTokens, qFingerprint, qMultimodal,

@@ -424,6 +424,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(head != head.sorted)
   }
 
+  test("repeatedSubstringSpans finds shared spans and merges windows maximally") {
+    val shared = "0123456789abcdefghij" // 20 chars, appears in docs 1 and 2
+    val corpus = Seq(
+      (1L, "XX" + shared + "YYYYYYYY"),
+      (2L, "ZZZZ" + shared + "WWWW"),
+      (3L, "totally unique text with no repeats at all!!")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSubstringSpans(corpus, "doc_id", "text",
+      minLen = 10, stride = 1)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // one maximal span per doc covering exactly the shared phrase
+    assert(spans.toSeq == Seq((1L, 2L, 22L), (2L, 4L, 24L)), spans.toSeq.toString)
+    // stride > 1 detects phase-aligned repeats (offsets differing by a
+    // stride multiple); doc pair below differs by 3 = stride
+    val aligned = Seq(
+      (1L, "XX" + shared + "PPPPPPPP"),
+      (2L, "YYYYY" + shared + "QQQQQ")
+    ).toDF("doc_id", "text")
+    val strided = Dedup.repeatedSubstringSpans(aligned, "doc_id", "text",
+      minLen = 10, stride = 3)
+      .filter($"doc_id" === 1L).collect()
+    assert(strided.length == 1)
+  }
+
   test("decontaminateExact drops any doc sharing one n-gram with the benchmark") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta"),        // shares "alpha beta gamma" -> dropped
