@@ -164,6 +164,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("q_dedup_substring_spans: shuffles only on hash and doc key, no join explosion") {
+    val p = plan("q_dedup_substring_spans")
+    // the window-hash aggregation must be partial+final (map-side combine
+    // before the shuffle) and the island merge partitioned by doc
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("hashpartitioning(doc_id"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q_pipeline_shuffle: head of the permutation is a top-k, not a global sort") {
     val p = plan("q_pipeline_shuffle")
     assert(p.contains("TakeOrderedAndProject"), p)
