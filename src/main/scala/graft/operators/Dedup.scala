@@ -239,6 +239,37 @@ object Dedup {
       .drop("__island")
   }
 
+  /** Apply step of ExactSubstr dedup: cut the given character spans out of
+    * each document's text (spans as produced by
+    * [[repeatedSubstringSpans]] — non-overlapping, 0-based, end
+    * exclusive). One groupBy to collect each doc's span list (spans per
+    * doc are few by construction) and a single higher-order `aggregate`
+    * expression that walks the sorted spans concatenating the kept
+    * segments — native Catalyst, no UDF, no extra shuffle beyond the span
+    * collection. Docs without spans pass through untouched. Adds
+    * `scrubbed`; the original text column is preserved. */
+  def removeSpans(docs: DataFrame, spans: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val perDoc = spans.groupBy(idCol).agg(
+      collect_list(struct(col("span_start").as("s"), col("span_end").as("e")))
+        .as("__spans"))
+    docs.join(perDoc, Seq(idCol), "left")
+      .withColumn("scrubbed",
+        when(col("__spans").isNull, col(textCol)).otherwise(expr(
+          s"""aggregate(
+             |  array_sort(__spans),
+             |  struct(CAST(0 AS BIGINT) AS pos, '' AS out),
+             |  (acc, sp) -> struct(sp.e AS pos,
+             |    concat(acc.out,
+             |      substring($textCol, CAST(acc.pos AS INT) + 1,
+             |                CAST(sp.s - acc.pos AS INT))) AS out),
+             |  acc -> concat(acc.out,
+             |    substring($textCol, CAST(acc.pos AS INT) + 1,
+             |              length($textCol) - CAST(acc.pos AS INT)))
+             |)""".stripMargin)))
+      .drop("__spans")
+  }
+
   /** Embedding cosine near-duplicates within buckets (bucketCol prunes the
     * pair space; pass a constant column for exhaustive mode). */
   def embeddingNearDups(vectors: DataFrame, idCol: String, vecCol: String,

@@ -942,9 +942,68 @@ object PipelineQueries {
            |GROUP BY doc_id
            |ORDER BY doc_id""".stripMargin))
 
+  // The apply step: scrub detected spans out of the text and md5 the
+  // result. DuckDB rebuilds the same scrubbed string from gap segments
+  // (string_agg over the inter-span gaps) — an independent construction
+  // that must agree byte-for-byte.
+  private val qSubstringScrub = df("q_dedup_substring_scrub",
+    (spark, dir) => {
+      val docs = graft.engine.Tables.table(spark, dir, "documents")
+      val spans = graft.operators.Dedup.repeatedSubstringSpans(docs, "doc_id", "text",
+        minLen = 40, stride = 4)
+      graft.operators.Dedup.removeSpans(docs, spans, "doc_id", "text")
+        .join(spans.select("doc_id").distinct(), "doc_id")
+        .select(col("doc_id"),
+          length(col("scrubbed")).cast("bigint").as("scrub_len"),
+          md5(col("scrubbed")).as("scrub_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (
+           |  SELECT doc_id, CAST(t.s AS BIGINT) AS start,
+           |    md5(substr(text, CAST(t.s AS INT) + 1, 40)) AS h
+           |  FROM documents, UNNEST(range(0, length(text) - 40 + 1, 4)) AS t(s)
+           |  WHERE length(text) >= 40
+           |), rep AS (
+           |  SELECT h FROM w GROUP BY h HAVING COUNT(*) > 1
+           |), f AS (
+           |  SELECT doc_id, start FROM w WHERE h IN (SELECT h FROM rep)
+           |), isl AS (
+           |  SELECT doc_id, start,
+           |    CASE WHEN lag(start) OVER (PARTITION BY doc_id ORDER BY start) IS NULL THEN 1
+           |         WHEN start > lag(start) OVER (PARTITION BY doc_id ORDER BY start) + 40 THEN 1
+           |         ELSE 0 END AS new_island
+           |  FROM f
+           |), grp AS (
+           |  SELECT doc_id, start,
+           |    SUM(new_island) OVER (PARTITION BY doc_id ORDER BY start) AS island
+           |  FROM isl
+           |), spans AS (
+           |  SELECT doc_id, MIN(start) AS span_start, MAX(start) + 40 AS span_end
+           |  FROM grp GROUP BY doc_id, island
+           |), gaps AS (
+           |  SELECT doc_id,
+           |    COALESCE(lag(span_end) OVER (PARTITION BY doc_id ORDER BY span_start), 0) AS g_start,
+           |    span_start AS g_end
+           |  FROM spans
+           |  UNION ALL
+           |  SELECT s.doc_id, MAX(s.span_end), length(d.text)
+           |  FROM spans s JOIN documents d ON s.doc_id = d.doc_id
+           |  GROUP BY s.doc_id, length(d.text)
+           |), scrub AS (
+           |  SELECT g.doc_id,
+           |    COALESCE(string_agg(substr(d.text, CAST(g.g_start AS INT) + 1,
+           |      CAST(g.g_end - g.g_start AS INT)), '' ORDER BY g.g_start), '') AS scrubbed
+           |  FROM gaps g JOIN documents d ON g.doc_id = d.doc_id
+           |  GROUP BY g.doc_id
+           |)
+           |SELECT doc_id, CAST(length(scrubbed) AS BIGINT) AS scrub_len,
+           |  md5(scrubbed) AS scrub_md5
+           |FROM scrub
+           |ORDER BY doc_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupNorm, qMinhashSig, qMinhashPairs, qMinhashCorpus, qSimhash,
-    qDecontaminateExact, qSubstringSpans,
+    qDecontaminateExact, qSubstringSpans, qSubstringScrub,
     qSample, qSampleStratified, qInterleave, qSplit,
     qNgramJaccard, qEmbDedup, qAnnBrute, qAnnLsh,
     qTextStats, qLangId, qTokens, qFingerprint, qMultimodal,

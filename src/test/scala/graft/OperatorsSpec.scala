@@ -449,6 +449,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(strided.length == 1)
   }
 
+  test("removeSpans cuts exactly the detected spans, leaves clean docs alone") {
+    val shared = "0123456789abcdefghij"
+    val corpus = Seq(
+      (1L, "XX" + shared + "YYYYYYYY"),
+      (2L, "ZZZZ" + shared + "WWWW"),
+      (3L, "totally unique text with no repeats at all!!")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSubstringSpans(corpus, "doc_id", "text",
+      minLen = 10, stride = 1)
+    val scrubbed = Dedup.removeSpans(corpus, spans, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[String]("scrubbed")))
+    assert(scrubbed.toSeq == Seq(
+      (1L, "XXYYYYYYYY"), (2L, "ZZZZWWWW"),
+      (3L, "totally unique text with no repeats at all!!")))
+    // span at offset 0 and span reaching the end both cut cleanly
+    val edge = Seq((1L, shared + "-TAIL"), (2L, "HEAD-" + shared)).toDF("doc_id", "text")
+    val es = Dedup.repeatedSubstringSpans(edge, "doc_id", "text", 20, 1)
+    val er = Dedup.removeSpans(edge, es, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getAs[String]("scrubbed"))
+    assert(er.toSeq == Seq("-TAIL", "HEAD-"))
+  }
+
   test("decontaminateExact drops any doc sharing one n-gram with the benchmark") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta"),        // shares "alpha beta gamma" -> dropped
