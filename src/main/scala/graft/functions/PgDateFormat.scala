@@ -56,13 +56,22 @@ object PgDateFormat {
     "IW"   -> "ww"
   )
 
-  /** Translate a PG pattern into a java.time pattern. Unknown characters are
-    * passed through quoted so literal text survives. */
+  /** Translate a PG pattern into a java.time pattern. A double-quoted
+    * region is PG's literal-text escape (`"week"` prints `week`,
+    * DateTimeFormat.java's quoted-string handling) — it maps to a
+    * java.time single-quoted literal with the quotes stripped. Other
+    * unknown characters pass through quoted so literal text survives. */
   def translate(pg: String): String = {
     val sb = new StringBuilder
     var i = 0
     while (i < pg.length) {
-      tokens.find { case (t, _) => pg.startsWith(t, i) } match {
+      if (pg.charAt(i) == '"') {
+        val end = pg.indexOf('"', i + 1)
+        val lit = if (end < 0) pg.substring(i + 1) else pg.substring(i + 1, end)
+        if (lit.nonEmpty)
+          sb.append('\'').append(lit.replace("'", "''")).append('\'')
+        i = if (end < 0) pg.length else end + 1
+      } else tokens.find { case (t, _) => pg.startsWith(t, i) } match {
         case Some((t, j)) =>
           sb.append(j); i += t.length
         case None =>

@@ -15,6 +15,9 @@ class FunctionsSpec extends AnyFunSuite {
     assert(PgDateFormat.translate("YYYY-MM-DD") == "yyyy-MM-dd")
     assert(PgDateFormat.translate("HH24:MI:SS") == "HH:mm:ss")
     assert(PgDateFormat.translate("Mon DD, YYYY") == "MMM dd, yyyy")
+    // PG double-quoted literal: quotes stripped, text protected verbatim
+    assert(PgDateFormat.translate("YYYY \"week\" WW") == "yyyy 'week' ww")
+    assert(PgDateFormat.translate("\"Year:\" YYYY") == "'Year:' yyyy")
   }
 
   test("to_char formats timestamps with PG patterns") {
