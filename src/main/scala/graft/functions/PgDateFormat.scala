@@ -15,6 +15,16 @@ object PgDateFormat {
 
   // Longest-match-first token table (PG token -> java.time token).
   private val tokens: Seq[(String, String)] = Seq(
+    // FM (fill mode) suppresses zero-padding: single-letter java.time
+    // patterns (DateTimeFormat.java FM_* flag handling)
+    "FMHH24" -> "H",
+    "FMHH12" -> "h",
+    "FMYYYY" -> "yyyy",
+    "FMMM"   -> "M",
+    "FMDD"   -> "d",
+    "FMHH"   -> "h",
+    "FMMI"   -> "m",
+    "FMSS"   -> "s",
     "HH24" -> "HH",
     "HH12" -> "hh",
     "YYYY" -> "yyyy",

@@ -18,6 +18,9 @@ class FunctionsSpec extends AnyFunSuite {
     // PG double-quoted literal: quotes stripped, text protected verbatim
     assert(PgDateFormat.translate("YYYY \"week\" WW") == "yyyy 'week' ww")
     assert(PgDateFormat.translate("\"Year:\" YYYY") == "'Year:' yyyy")
+    // FM fill mode drops the zero padding
+    assert(PgDateFormat.translate("FMMM/FMDD/YYYY") == "M/d/yyyy")
+    assert(PgDateFormat.translate("FMHH24:MI") == "H:mm")
   }
 
   test("to_char formats timestamps with PG patterns") {
