@@ -172,12 +172,18 @@ class GraftEngine(val spark: SparkSession) {
     spark.emptyDataFrame
   }
 
-  /** Catalog-metadata column rename, the reference's ALTER TABLE semantics:
-    * position-resolved formats (csv/text) read through unchanged; by-name
-    * formats (parquet/orc/json) resolve the renamed column as NULL for
-    * files written under the old name — same trade the reference makes for
-    * its text-first storage. Partition columns can't be renamed (matches
-    * the reference, which rejects it in DDLExecutor). */
+  /** ALTER TABLE ... RENAME COLUMN, two paths by how the format binds
+    * columns. Position-binding text formats (csv/text) get the reference's
+    * catalog-metadata-only rename (DDLExecutor renameColumn) — files read
+    * through unchanged. By-NAME formats (parquet/orc/json/avro) would
+    * silently resolve the renamed column as all-NULL under a metadata-only
+    * rename, so for those the data is staged to a unique directory under
+    * the warehouse filesystem and rewritten under the new schema (one
+    * scan+write, the same cost class as the reference's index build;
+    * nothing touches the driver, and the staged copy survives until the
+    * write-back succeeds so a mid-rewrite failure is recoverable).
+    * Partition columns can't be renamed (matches the reference, which
+    * rejects it in DDLExecutor). */
   private def renameColumn(table: String, from: String, to: String): DataFrame = {
     import org.apache.spark.sql.types.StructType
     val catalog = spark.sessionState.catalog
@@ -208,15 +214,28 @@ class GraftEngine(val spark: SparkSession) {
       catalog.alterTable(meta.copy(schema = renamed))
       spark.catalog.refreshTable(table)
     } else {
-      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_rename_col_${table.replace('.', '_')}")
-      org.apache.commons.io.FileUtils.deleteQuietly(tmp)
-      spark.table(table).write.parquet(tmp.getAbsolutePath)
+      // Stage on the warehouse FILESYSTEM (not driver-local tmpdir — on a
+      // real cluster executors write to their own disks) under a UUID
+      // directory so concurrent renames can never clobber each other's
+      // staging. The staged copy is only deleted after the write-back
+      // succeeds: a mid-insert failure leaves the full pre-rename data
+      // recoverable at the reported path.
+      val staging = new org.apache.hadoop.fs.Path(
+        spark.sessionState.conf.warehousePath,
+        s".graft_staging/rename_col_${table.replace('.', '_')}_${java.util.UUID.randomUUID}")
+      val fs = staging.getFileSystem(spark.sessionState.newHadoopConf())
+      spark.table(table).write.parquet(staging.toString)
       catalog.alterTable(meta.copy(schema = renamed))
       spark.catalog.refreshTable(table)
-      spark.read.parquet(tmp.getAbsolutePath)
-        .write.mode("overwrite").insertInto(table)
-      org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+      try {
+        spark.read.parquet(staging.toString)
+          .write.mode("overwrite").insertInto(table)
+      } catch {
+        case e: Throwable => throw new IllegalStateException(
+          s"ALTER TABLE $table RENAME COLUMN failed during the data " +
+            s"rewrite; the pre-rename data is preserved at $staging", e)
+      }
+      fs.delete(staging, true)
       spark.catalog.refreshTable(table)
     }
     spark.emptyDataFrame

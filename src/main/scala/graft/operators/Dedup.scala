@@ -186,10 +186,18 @@ object Dedup {
   def decontaminateExact(corpus: DataFrame, benchmarks: DataFrame, idCol: String,
                          textCol: String, n: Int = 3): DataFrame = {
     graft.functions.TajoFunctions.register(corpus.sparkSession)
+    // ngram_hash_set marks docs with fewer than n words with the poly31
+    // hash of the "_" sentinel (95). A full n-gram can never be the bare
+    // sentinel, so drop it from BOTH sides — otherwise any short benchmark
+    // doc would match every short corpus doc despite sharing no real
+    // n-gram, violating the "shares at least one full word n-gram" contract.
+    val sentinel = 95L
     val benchGrams = benchmarks
-      .select(explode(expr(s"ngram_hash_set($textCol, $n)")).as("__g")).distinct()
+      .select(explode(expr(s"ngram_hash_set($textCol, $n)")).as("__g"))
+      .filter(col("__g") =!= sentinel).distinct()
     val contaminated = corpus
       .select(col(idCol), explode(expr(s"ngram_hash_set($textCol, $n)")).as("__g"))
+      .filter(col("__g") =!= sentinel)
       .join(broadcast(benchGrams), "__g")
       .select(idCol).distinct()
     corpus.join(contaminated, Seq(idCol), "left_anti")

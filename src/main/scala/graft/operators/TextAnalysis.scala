@@ -197,20 +197,31 @@ object TextAnalysis {
     * want the classical log-idf can post-process the ppm column).
     *
     * Scale: explode + two partial+final aggregations (shuffle on
-    * (doc, term), then term). The df table and the 1-row corpus count are
-    * vocab-sized / scalar, so both joins broadcast — no second shuffle of
-    * the big side. `minTf` prunes the long tail before the join. */
+    * (doc, term), then term). The broadcast side is bounded BY CONSTRUCTION:
+    * only the top-`maxVocab` terms by document frequency (ties broken by
+    * term) are kept, so the broadcast is at most `maxVocab` rows no matter
+    * how large the corpus vocabulary grows (Heaps' law makes an unbounded
+    * df-table broadcast a driver/executor OOM at web scale). Terms outside
+    * the cap are dropped from the output — the standard vocabulary-cap
+    * semantics (sklearn `max_features`); `maxVocab <= 0` disables the cap
+    * AND the broadcast hint, leaving the join strategy to Catalyst/AQE so
+    * an unbounded vocabulary degrades to a shuffle join instead of OOM.
+    * `minTf` prunes the long tail before the join. */
   def tfIdf(docs: DataFrame, idCol: String, textCol: String,
-            minTf: Int = 3): DataFrame = {
+            minTf: Int = 3, maxVocab: Int = 1 << 20): DataFrame = {
     val toks = docs.select(col(idCol),
         explode(split(lower(col(textCol)), " ")).as("term"))
       .filter(col("term") =!= "")
     val tf = toks.groupBy(col(idCol), col("term"))
       .agg(count("*").cast("bigint").as("tf"))
     val dfreq = tf.groupBy("term").agg(count("*").cast("bigint").as("df"))
+    val vocab =
+      if (maxVocab > 0)
+        broadcast(dfreq.orderBy(col("df").desc, col("term")).limit(maxVocab))
+      else dfreq
     val nDocs = docs.agg(countDistinct(col(idCol)).cast("bigint").as("__n_docs"))
     tf.filter(col("tf") >= minTf)
-      .join(broadcast(dfreq), "term")
+      .join(vocab, "term")
       .crossJoin(broadcast(nDocs))
       .select(col(idCol), col("term"), col("tf"), col("df"),
         expr("(tf * __n_docs * 1000000) DIV df").as("tfidf_ppm"))

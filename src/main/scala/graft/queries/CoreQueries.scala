@@ -276,7 +276,7 @@ object CoreQueries {
 
   private val qScalarSub = shared("q_scalar_subquery",
     """SELECT o_orderkey, o_totalprice FROM orders
-      |WHERE o_totalprice > 2 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*) FROM orders)
+      |WHERE o_totalprice > 1.8 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*) FROM orders)
       |ORDER BY o_orderkey""".stripMargin)
 
   private val qInSubUncorrelated = shared("q_in_subquery",

@@ -346,20 +346,29 @@ object OperatorQueries {
     (spark, dir) => {
       val events = Tables.table(spark, dir, "events")
         .select("event_id", "user_id", "ts")
-      val windows = Tables.table(spark, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate").as("w_start"),
-          expr("o_orderdate + INTERVAL 30 DAY").as("w_end"))
+      // windows open at each purchase and stay open one hour — same table,
+      // same time range, so the result is non-empty (2k+ pairs at sf0.01)
+      // and the driver oracle actually exercises the bucketing + residual
+      val windows = Tables.table(spark, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("w_id"), col("user_id").as("w_user"),
+          col("ts").as("w_start"), expr("ts + INTERVAL 1 HOUR").as("w_end"))
       RangeJoin.pointInInterval(events, windows,
-          "user_id", "o_custkey", "ts", "w_start", "w_end")
+          "user_id", "w_user", "ts", "w_start", "w_end", bucket = "1 hour")
         .groupBy("event_id")
-        .agg(count("*").as("n_windows"), min("o_orderkey").as("first_order"))
+        .agg(count("*").as("n_windows"), min("w_id").as("first_window"))
         .orderBy("event_id")
     },
-    Some("""SELECT e.event_id, COUNT(*) AS n_windows, MIN(o.o_orderkey) AS first_order
-           |FROM events e JOIN orders o
-           |  ON e.user_id = o.o_custkey
-           | AND e.ts >= o.o_orderdate
-           | AND e.ts <= o.o_orderdate + INTERVAL 30 DAY
+    Some("""WITH w AS (
+           |  SELECT event_id AS w_id, user_id AS w_user, ts AS w_start,
+           |         ts + INTERVAL 1 HOUR AS w_end
+           |  FROM events WHERE event_type = 'purchase'
+           |)
+           |SELECT e.event_id, COUNT(*) AS n_windows, MIN(w.w_id) AS first_window
+           |FROM events e JOIN w
+           |  ON e.user_id = w.w_user
+           | AND e.ts >= w.w_start
+           | AND e.ts <= w.w_end
            |GROUP BY e.event_id
            |ORDER BY e.event_id""".stripMargin))
 

@@ -883,10 +883,14 @@ object PipelineQueries {
         .orderBy("source")
     },
     Some(s"""${duckSigsFor("documents")},
-            |bench_g AS (
+            |bench_g0 AS (
             |  SELECT DISTINCT unnest(hvals) AS g FROM hs WHERE doc_id % 10 = 0
-            |), corp_g AS (
+            |), bench_g AS (
+            |  SELECT g FROM bench_g0 WHERE g <> 95  -- '_' short-doc sentinel
+            |), corp_g0 AS (
             |  SELECT doc_id, unnest(hvals) AS g FROM hs
+            |), corp_g AS (
+            |  SELECT doc_id, g FROM corp_g0 WHERE g <> 95
             |), dropped AS (
             |  SELECT DISTINCT c.doc_id FROM corp_g c JOIN bench_g b ON c.g = b.g
             |)

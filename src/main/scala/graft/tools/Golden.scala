@@ -60,7 +60,10 @@ object Golden {
         val exists = scala.util.Try(engine.spark.catalog.tableExists(qualified)).getOrElse(false)
         if (!exists) {
           val wh = engine.spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-          val dir = if (parts.length == 2) new File(new File(wh, parts(0) + ".db"), parts(1))
+          // tables in the default database live directly under the
+          // warehouse root, not under a default.db/ subdirectory
+          val dir = if (parts.length == 2 && !parts(0).equalsIgnoreCase("default"))
+                      new File(new File(wh, parts(0) + ".db"), parts(1))
                     else new File(wh, parts.last)
           org.apache.commons.io.FileUtils.deleteQuietly(dir)
         }

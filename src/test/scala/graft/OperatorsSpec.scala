@@ -485,6 +485,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept == Seq(2L, 4L))
   }
 
+  test("decontaminateExact: short docs (< n words) never match via the '_' sentinel") {
+    // ngram_hash_set emits the sentinel hash (95) for docs with fewer than
+    // n words; without filtering it, the two unrelated short docs below
+    // would share a phantom 'gram' and the corpus one would be dropped
+    val corpus = Seq(
+      (1L, "tiny doc"),                      // < 3 words, shares nothing real
+      (2L, "alpha beta gamma delta")         // shares the benchmark 3-gram -> dropped
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "short"),                       // < 3 words — must not poison anything
+      (101L, "alpha beta gamma")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.decontaminateExact(corpus, bench, "doc_id", "text", 3)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L))
+  }
+
   test("qualityGate: exact keeps >= half per group; approx sketch agrees closely") {
     val rows = spark.range(0, 2000).toDF("id")
       .withColumn("grp", (col("id") % 4).cast("string"))

@@ -140,10 +140,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
-  test("q_text_tfidf: df table and corpus count broadcast — no shuffle join") {
+  test("q_text_tfidf: vocab broadcast bounded by top-V cap, corpus shuffles only for its two aggs") {
     val p = plan("q_text_tfidf")
+    // the df side is capped to maxVocab rows (top-V by df) BEFORE the
+    // broadcast hint, so an unbounded web-scale vocabulary (Heaps' law)
+    // can never OOM the broadcast — the cap shows up as a top-k node
+    assert(p.contains("TakeOrderedAndProject"), p)
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, p)
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    // every hash exchange is an aggregation's own ENSURE_REQUIREMENTS shuffle
+    // — tf (statically duplicated for the df side, reused at runtime), the
+    // term df agg, and the countDistinct(doc_id) — the join itself must add
+    // NO shuffle of the big side (no SMJ; trailing ORDER BY is range, not hash)
+    assert("hashpartitioning".r.findAllIn(p).size <= 4, p)
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
