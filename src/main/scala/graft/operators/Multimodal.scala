@@ -7,12 +7,14 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, plus partition-parallel decode /
   * feature-extract over them.
   *
-  * The actual codec step is STUBBED (this container ships no image/audio
-  * libraries): `decodeStub` produces a deterministic fake feature vector
-  * from the bytes. Everything around it — schema, per-partition batching,
-  * null handling, partitioning — is real, so swapping in a real decoder
-  * (e.g. JNI JPEG, or a Python worker via a Pandas-UDF-style batch API)
-  * only replaces the inner function.
+  * [[decode]] is a REAL image decoder for the formats the JDK ships
+  * (PNG/JPEG/GIF/BMP via `javax.imageio` — public, in every JRE): true
+  * pixel dimensions and pixel-statistic features. Payloads ImageIO can't
+  * parse (audio/video/unknown codecs — no codec libraries in this
+  * container) fall back to `decodeStub`'s deterministic fake features, so
+  * mixed-modality tables keep flowing; swapping in a richer codec (JNI,
+  * or a Python worker via a Pandas-UDF-style batch API) only replaces the
+  * inner function.
   */
 object Multimodal {
 
@@ -33,25 +35,106 @@ object Multimodal {
       octet_length(col(payloadCol).cast("binary")).cast("long").as("n_bytes"),
       lit("application/octet-stream").as("mime"))
 
+  private def stubRow(id: Long, bytes: Array[Byte]): MediaFeatures = {
+    val n = if (bytes == null) 0 else bytes.length
+    val magic = (if (bytes == null) Array.empty[Byte] else bytes.take(8))
+      .map(b => f"$b%02x").mkString
+    var h = 0L
+    var i = 0
+    while (i < n) { h = (h * 31 + (bytes(i) & 0xff)) % 1000000007L; i += 1 }
+    val w = (h % 640 + 32).toInt
+    val ht = (h % 480 + 24).toInt
+    val feats = Array.tabulate(8)(j => (((h * (2 * j + 1) + j) % 1000) / 1000.0).toFloat)
+    MediaFeatures(id, n.toLong, magic, w, ht, feats)
+  }
+
   /** Partition-parallel "decode": mapPartitions over the binary payloads.
-    * Deterministic stub — replace the body with a real codec at will. */
+    * Deterministic stub for payloads with no in-container codec. */
   def decodeStub(media: DataFrame)(implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.select("id", "payload").as[(Long, Array[Byte])].mapPartitions { it =>
+      it.map { case (id, bytes) => stubRow(id, bytes) }
+    }
+  }
+
+  /** REAL image decode via the JDK's bundled codecs (PNG/JPEG/GIF/BMP —
+    * `javax.imageio`, public API, no extra jars): true width/height plus an
+    * 8-dim pixel-statistic feature vector
+    * `[meanR, meanG, meanB, meanLuma, luma(q00), luma(q01), luma(q10), luma(q11)]`
+    * (channel means 0..255; quadrant lumas give a coarse spatial
+    * signature). Non-image payloads fall back to [[stubRow]] so a mixed
+    * media table decodes in one pass. Per-row work is linear in pixels and
+    * fully partition-parallel — the same batch geometry a Pandas-UDF
+    * encoder would consume at 100 TB. */
+  def decode(media: DataFrame)(implicit spark: SparkSession): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select("id", "payload").as[(Long, Array[Byte])].mapPartitions { it =>
       it.map { case (id, bytes) =>
-        val n = if (bytes == null) 0 else bytes.length
-        val magic = (if (bytes == null) Array.empty[Byte] else bytes.take(8))
-          .map(b => f"$b%02x").mkString
-        // ??? real decoder goes here; deterministic fake below
-        var h = 0L
-        var i = 0
-        while (i < n) { h = (h * 31 + (bytes(i) & 0xff)) % 1000000007L; i += 1 }
-        val w = (h % 640 + 32).toInt
-        val ht = (h % 480 + 24).toInt
-        val feats = Array.tabulate(8)(j => (((h * (2 * j + 1) + j) % 1000) / 1000.0).toFloat)
-        MediaFeatures(id, n.toLong, magic, w, ht, feats)
+        val img =
+          try {
+            if (bytes == null) null
+            else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          } catch { case _: java.io.IOException => null }
+        if (img == null) stubRow(id, bytes)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val magic = bytes.take(8).map(b => f"$b%02x").mkString
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
+          // channel sums overall + per-quadrant luma sums (exact integers)
+          val sum = new Array[Long](3)
+          val qsum = new Array[Long](4)
+          val qcnt = new Array[Long](4)
+          var i = 0
+          while (i < px.length) {
+            val p = px(i)
+            val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+            sum(0) += r; sum(1) += g; sum(2) += b
+            val q = (if ((i / w) * 2 >= h) 2 else 0) + (if ((i % w) * 2 >= w) 1 else 0)
+            qsum(q) += r + g + b; qcnt(q) += 1
+            i += 1
+          }
+          val n = px.length.toLong
+          val feats = Array(
+            (sum(0).toDouble / n).toFloat, (sum(1).toDouble / n).toFloat,
+            (sum(2).toDouble / n).toFloat,
+            ((sum(0) + sum(1) + sum(2)).toDouble / (3.0 * n)).toFloat,
+            (qsum(0).toDouble / (3.0 * qcnt(0))).toFloat,
+            (qsum(1).toDouble / (3.0 * qcnt(1))).toFloat,
+            (qsum(2).toDouble / (3.0 * qcnt(2))).toFloat,
+            (qsum(3).toDouble / (3.0 * qcnt(3))).toFloat)
+          MediaFeatures(id, bytes.length.toLong, magic, w, h, feats)
+        }
       }
     }
+  }
+
+  /** Deterministic synthetic PNG payloads (solid color, sized by id) — a
+    * fixture for exercising [[decode]] end to end with a closed-form
+    * oracle: ImageIO must recover exactly `w = 100 + (id*7) % 500`,
+    * `h = 80 + (id*13) % 400` and channel means equal to the fill color
+    * derived from the id. Encoded executor-side (mapPartitions), so the
+    * fixture itself exercises the real binary-column write path. */
+  def syntheticPngTable(df: DataFrame, idCol: String)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (100 + (id * 7) % 500).toInt
+        val h = (80 + (id * 13) % 400).toInt
+        val rgb = ((id * 2654435761L) % 0x1000000L).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = img.createGraphics()
+        g.setColor(new java.awt.Color(rgb))
+        g.fillRect(0, 0, w, h)
+        g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (id, bos.toByteArray)
+      }
+    }.toDF("id", "payload")
+      .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+      .withColumn("mime", lit("image/png"))
   }
 
   /** Frame-sampling shape: explode k deterministic "frames" per payload —

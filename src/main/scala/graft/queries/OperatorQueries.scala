@@ -214,10 +214,48 @@ object OperatorQueries {
            |SELECT label, n_vecs, p[1] AS p1, p[32] AS p32, p[64] AS p64
            |FROM pooled ORDER BY label""".stripMargin))
 
-  // BPE training is iterative distributed aggregation — not expressible as
-  // one DuckDB SQL statement, so this entry has no oracle (the driver
-  // records a rows-only check); determinism is pinned by OperatorsSpec
-  // (same corpus -> identical merges) and the argmax total order.
+  // Oracle-checked BPE *training*: the 8-merge loop unrolled as 8 chained
+  // CTE rounds over the (tiny, vocabulary-sized) distinct-word table —
+  // each round counts adjacent symbol pairs weighted by word frequency,
+  // takes the argmax by (count DESC, a, b) exactly like Bpe.train's total
+  // order, and applies the winning merge with the same space-wrapped
+  // replace trick the encode oracle proves sound (left-to-right
+  // non-overlapping replace == mergeOnce's greedy scan). batch=1 training
+  // is sequential, so round r's CTE state equals the Scala loop's state.
+  private val bpeTrainOracle: String = {
+    val nMerges = 8
+    val rounds = (1 to nMerges).map { r =>
+      s"""p$r AS (
+         |  SELECT a, b, SUM(freq) AS cnt FROM (
+         |    SELECT freq,
+         |      unnest(list_slice(syms, 1, len(syms) - 1)) AS a,
+         |      unnest(list_slice(syms, 2, len(syms))) AS b
+         |    FROM (SELECT string_split(trim(s), '  ') AS syms, freq FROM w${r - 1}))
+         |  GROUP BY a, b
+         |), t$r AS (
+         |  SELECT a, b FROM p$r ORDER BY cnt DESC, a, b LIMIT 1
+         |), w$r AS (
+         |  SELECT replace(w.s, ' ' || t.a || '  ' || t.b || ' ',
+         |                 ' ' || t.a || t.b || ' ') AS s, w.freq
+         |  FROM w${r - 1} w CROSS JOIN t$r t
+         |)""".stripMargin
+    }.mkString(",\n")
+    val ranks = (1 to nMerges)
+      .map(r => s"SELECT CAST(${r - 1} AS BIGINT) AS merge_rank, a, b FROM t$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH vocab AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+       |  ) WHERE w <> '' GROUP BY w
+       |), w0 AS (
+       |  SELECT ' ' || regexp_replace(w, '(.)', '\\1  ', 'g') || '</w> ' AS s, freq
+       |  FROM vocab
+       |),
+       |$rounds
+       |$ranks
+       |ORDER BY merge_rank""".stripMargin
+  }
+
   private val qBpeApi = df("q_op_bpe_api",
     (spark, dir) => {
       val docs = Tables.table(spark, dir, "documents")
@@ -227,7 +265,7 @@ object OperatorQueries {
         .select(col("rank").cast("bigint").as("merge_rank"), col("a"), col("b"))
         .orderBy("merge_rank")
     },
-    None)
+    Some(bpeTrainOracle))
 
   // Oracle-checked BPE *encode*: apply a FIXED literal merge list (so the
   // oracle needs no training) with Bpe.encode; DuckDB replays the same
@@ -453,12 +491,17 @@ object OperatorQueries {
   // Spark side EXPLODES the (row, col) grid and aggregates it back; the
   // oracle derives the same numbers in closed form (floor arithmetic over
   // IEEE-exact divide/multiply) — each validates the other's grid.
+  // Patch planning over REAL decoded dimensions: synthetic solid-color
+  // PNGs (sized closed-form by doc_id) are encoded executor-side, decoded
+  // back with javax.imageio (real pixel decode, not the stub), then
+  // resize- and patch-planned. The oracle replays the closed-form sizes —
+  // so a decode that misread width/height fails the hash.
   private val qMultimodalPatches = df("q_op_multimodal_patches",
     (spark, dir) => {
       implicit val s = spark
       val docs = Tables.table(spark, dir, "documents")
-      val media = Multimodal.asMediaTable(docs, "doc_id", "text")
-      val sized = Multimodal.resizePlan(Multimodal.decodeStub(media).toDF(), 224, 224)
+      val media = Multimodal.syntheticPngTable(docs, "doc_id")
+      val sized = Multimodal.resizePlan(Multimodal.decode(media).toDF(), 224, 224)
       Multimodal.patchPlan(sized, patch = 16)
         .groupBy("id")
         .agg(max(col("out_w").cast("bigint")).as("out_w"),
@@ -472,8 +515,8 @@ object OperatorQueries {
     },
     Some(s"""WITH dims AS (
             |  SELECT doc_id,
-            |    ${duckPoly31Bytes} % 640 + 32 AS w,
-            |    ${duckPoly31Bytes} % 480 + 24 AS h
+            |    100 + (doc_id * 7) % 500 AS w,
+            |    80 + (doc_id * 13) % 400 AS h
             |  FROM documents
             |), sized AS (
             |  SELECT doc_id,
@@ -491,9 +534,38 @@ object OperatorQueries {
             |WHERE n_cols > 0 AND n_rows > 0
             |ORDER BY doc_id""".stripMargin))
 
+  // Real pixel decode validated cell-exact: solid-color PNGs mean-pool to
+  // EXACTLY their fill color (integer channel sums / (w*h) — exact in
+  // float), and every PNG leads with the fixed 8-byte signature. A decoder
+  // that dropped rows, misread a channel order (RGB vs BGR would swap
+  // mean_r/mean_b), or mis-sized the raster fails the hash.
+  private val qMultimodalDecode = df("q_op_multimodal_decode",
+    (spark, dir) => {
+      implicit val s = spark
+      val docs = Tables.table(spark, dir, "documents")
+      val media = Multimodal.syntheticPngTable(docs, "doc_id")
+      Multimodal.decode(media).toDF()
+        .select(col("id").as("doc_id"),
+          col("magic"),
+          col("width").cast("bigint").as("width"),
+          col("height").cast("bigint").as("height"),
+          element_at(col("features"), 1).cast("bigint").as("mean_r"),
+          element_at(col("features"), 2).cast("bigint").as("mean_g"),
+          element_at(col("features"), 3).cast("bigint").as("mean_b"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+           |  '89504e470d0a1a0a' AS magic,
+           |  CAST(100 + (doc_id * 7) % 500 AS BIGINT) AS width,
+           |  CAST(80 + (doc_id * 13) % 400 AS BIGINT) AS height,
+           |  (doc_id * 2654435761) % 16777216 // 65536 AS mean_r,
+           |  ((doc_id * 2654435761) % 16777216 // 256) % 256 AS mean_g,
+           |  (doc_id * 2654435761) % 16777216 % 256 AS mean_b
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     qMinhashApi, qAnnApi, qAnnIvf, qAnnIvf2, qQualityApi, qMultimodalApi,
-    qMultimodalPatches,
+    qMultimodalPatches, qMultimodalDecode,
     qDecontaminate, qBpeApi, qBpeEncode, qEmbedPool, qSaltedJoin, qAsofJoin, qRangeJoin,
     qDedupClusters, qStreamHourly, qStreamSessions, qStreamDedup)
 }

@@ -8,7 +8,9 @@ class EngineSpec extends AnyFunSuite {
   // Queries whose computation is not expressible as one DuckDB statement —
   // the driver contract records a rows-only check for these. Adding a name
   // here must be a conscious decision: everything else MUST carry an oracle.
-  private val oracleExempt = Set("q_op_bpe_api") // iterative BPE training loop
+  // Empty since r5: even the iterative BPE training loop replays in DuckDB
+  // (8 unrolled CTE rounds over the vocab table) — 100% oracle coverage.
+  private val oracleExempt = Set.empty[String]
 
   test("registry has unique names and every query declares an oracle") {
     val names = SparkEntry.registry.map(_.name)

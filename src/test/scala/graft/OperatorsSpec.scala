@@ -606,4 +606,45 @@ class OperatorsSpec extends AnyFunSuite {
       assert(ps.length == (ow / 16) * (oh / 16))
     }
   }
+
+  test("multimodal real decode: PNG exact, JPEG dims, non-image falls back to stub") {
+    implicit val s = spark
+    import s.implicits._
+    def encode(fmt: String, w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h); g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      (1L, encode("png", 37, 21, 0xCAFE17)),           // PNG -> lossless exact
+      (2L, encode("jpg", 64, 48, 0x808080)),           // JPEG -> real dims, lossy pixels
+      (3L, "not an image at all".getBytes("UTF-8"))    // fallback -> stub
+    ).toDF("id", "payload")
+    val out = Multimodal.decode(media).collect().sortBy(_.id)
+    // PNG: exact dimensions, PNG signature, channel means == fill color
+    assert(out(0).width == 37 && out(0).height == 21)
+    assert(out(0).magic == "89504e470d0a1a0a")
+    assert(out(0).features.take(3).toSeq == Seq(0xCA.toFloat, 0xFE.toFloat, 0x17.toFloat))
+    // uniform image: all four quadrant lumas equal the global luma
+    assert(out(0).features.drop(4).distinct.length == 1)
+    // JPEG: true dimensions survive the lossy codec; gray stays near gray
+    assert(out(1).width == 64 && out(1).height == 48)
+    assert(out(1).magic.startsWith("ffd8ff"))
+    assert(math.abs(out(1).features(3) - 128f) < 4f)
+    // non-image: byte-identical to the deterministic stub row
+    val stub = Multimodal.decodeStub(media.filter($"id" === 3L)).collect().head
+    assert(out(2).width == stub.width && out(2).height == stub.height &&
+      out(2).magic == stub.magic && out(2).n_bytes == stub.n_bytes &&
+      out(2).features.toSeq == stub.features.toSeq)
+    // synthetic PNG fixture round-trips its closed-form dimensions
+    val fix = Multimodal.decode(
+      Multimodal.syntheticPngTable(Seq(5L, 123L).toDF("doc_id"), "doc_id"))
+      .collect().sortBy(_.id)
+    assert(fix(0).width == (100 + 5 * 7 % 500) && fix(0).height == (80 + 5 * 13 % 400))
+    assert(fix(1).width == (100 + 123 * 7 % 500) && fix(1).height == (80 + 123 * 13 % 400))
+  }
 }
