@@ -61,8 +61,14 @@ class GraftEngine(val spark: SparkSession) {
       // SET SESSION key TO value | SET SESSION key = value
       val rest = s.substring("set session".length).trim
       val parts = rest.split("(?i)\\s+to\\s+|\\s*=\\s*", 2)
-      spark.conf.set(s"graft.session.${parts(0).trim}",
-        parts.lift(1).map(_.trim.stripPrefix("'").stripSuffix("'")).getOrElse("true"))
+      val key = parts(0).trim
+      val value = parts.lift(1).map(_.trim.stripPrefix("'").stripSuffix("'")).getOrElse("true")
+      // TIMEZONE is the reference's session-timezone variable (TajoConf
+      // SessionVars.TIMEZONE): `SET SESSION TIMEZONE = 'GMT+9'` must move
+      // the real session clock exactly like `SET TIME ZONE` does
+      if (key.equalsIgnoreCase("timezone"))
+        spark.conf.set("spark.sql.session.timeZone", value)
+      else spark.conf.set(s"graft.session.$key", value)
       spark.emptyDataFrame
     } else if (lower.startsWith("create index")) {
       // CREATE [UNIQUE] INDEX name ON tbl [USING method] (col [ASC|DESC]...)
@@ -97,7 +103,7 @@ class GraftEngine(val spark: SparkSession) {
         case dropTable(t) if readerViews.contains(t.toLowerCase) =>
           spark.catalog.dropTempView(t); readerViews -= t.toLowerCase
           spark.emptyDataFrame
-        case _ => spark.sql(rewriteDdl(s))
+        case _ => spark.sql(rewriteDdl(rewriteCtasDeclared(s).getOrElse(s)))
       }
     }
   }
@@ -131,7 +137,7 @@ class GraftEngine(val spark: SparkSession) {
       val close = matchParen(s, open)
       require(close > open, s"unbalanced WITH property list: $s")
       "'([^']*)'\\s*=\\s*'([^']*)'".r.findAllMatchIn(s.substring(open + 1, close))
-        .map(kv => kv.group(1) -> kv.group(2)).toMap
+        .map(kv => kv.group(1) -> unescapeUnicode(kv.group(2))).toMap
     }.getOrElse(Map.empty[String, String])
     val loc = "(?is)LOCATION\\s+'([^']*)'".r.findFirstMatchIn(s).map(_.group(1))
       .getOrElse(throw new IllegalArgumentException(
@@ -336,6 +342,42 @@ class GraftEngine(val spark: SparkSession) {
         org.apache.spark.sql.types.StructField("plan", org.apache.spark.sql.types.StringType))))
   }
 
+  /** Tajo allows a DECLARED schema on CTAS — `CREATE TABLE t (col1 FLOAT4,
+    * col2 FLOAT4) USING text AS SELECT ...` — which renames and coerces the
+    * select output POSITIONALLY to the declared columns (reference:
+    * SQLParser.g4 table_definition with query_expression; CTAS tests
+    * CtasWithDataFormat/CtasWithManagedTable). Spark forbids a schema in
+    * CTAS, so rewrite to a schemaless CTAS whose select casts each source
+    * output to the declared (name, type) pair. Returns None when the
+    * statement is not a declared-schema CTAS. */
+  private def rewriteCtasDeclared(s: String): Option[String] = {
+    val head =
+      "(?is)^(CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?[\\w.`]+)\\s*\\(".r
+    head.findFirstMatchIn(s).flatMap { m =>
+      val open = m.end - 1
+      val close = matchParen(s, open)
+      if (close <= open) None
+      else {
+        val after = s.substring(close + 1)
+        val asRe = "(?is)^([\\s\\S]*?)\\bAS\\b\\s*(\\(?\\s*SELECT[\\s\\S]*)$".r
+        after match {
+          case asRe(clauses, select) =>
+            val decls = splitTopLevel(s.substring(open + 1, close)).map(splitDecl)
+            val srcSchema = spark.sql(select.trim).schema
+            require(srcSchema.fields.length == decls.length,
+              s"declared CTAS schema has ${decls.length} columns but the " +
+                s"query produces ${srcSchema.fields.length}: $s")
+            val projected = srcSchema.fields.zip(decls).map { case (f, (n, t)) =>
+              s"CAST(`${f.name}` AS ${mapType(t)}) AS $n"
+            }
+            Some(s"${m.group(1)} $clauses AS SELECT ${projected.mkString(", ")} " +
+              s"FROM ( $select ) __graft_ctas_src")
+          case _ => None
+        }
+      }
+    }
+  }
+
   /** Rewrite Tajo DDL clauses to Spark SQL:
     *   USING text WITH ('text.delimiter'='|')  -> USING csv OPTIONS ('sep'='|')
     *   PARTITION BY COLUMN (a, b)              -> PARTITIONED BY (a, b)
@@ -358,7 +400,8 @@ class GraftEngine(val spark: SparkSession) {
     out = "(?i)(USING\\s+\\w+\\s+)WITH\\s*\\(([^)]*)\\)".r.replaceAllIn(out, m => {
       val body = "'([^']*)'\\s*=\\s*'([^']*)'".r.findAllMatchIn(m.group(2)).map { kv =>
         val k = propMap.getOrElse(kv.group(1), kv.group(1))
-        val v = if (kv.group(1) == "text.skip.headerlines") "true" else kv.group(2)
+        val v = if (kv.group(1) == "text.skip.headerlines") "true"
+          else unescapeUnicode(kv.group(2))
         s"'$k'='${v.replace("\\", "\\\\")}'"
       }.mkString(", ")
       java.util.regex.Matcher.quoteReplacement(s"${m.group(1)}OPTIONS ($body)")
@@ -651,6 +694,17 @@ class GraftEngine(val spark: SparkSession) {
     out += s.substring(start)
     out.result().map(_.trim).filter(_.nonEmpty)
   }
+
+  /** Tajo table-property values allow java-style unicode escapes — e.g.
+    * a backslash-u0001 delimiter value for a Ctrl-A separated text table
+    * (reference: StorageUtil resolves the escape before handing the
+    * delimiter to the line (de)serializer). Resolve them once at parse
+    * time so every downstream consumer (Spark OPTIONS, reader paths)
+    * receives the real character. */
+  private def unescapeUnicode(v: String): String =
+    "\\\\u([0-9a-fA-F]{4})".r.replaceAllIn(v,
+      m => java.util.regex.Matcher.quoteReplacement(
+        Integer.parseInt(m.group(1), 16).toChar.toString))
 
   /** `name TYPE ...` -> (name, type-and-rest). */
   private def splitDecl(d: String): (String, String) = {

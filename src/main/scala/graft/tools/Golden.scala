@@ -40,7 +40,7 @@ object Golden {
       new String(Files.readAllBytes(sql.toPath), StandardCharsets.UTF_8))
   }
 
-  private val dropIfExists = "(?i)^DROP\\s+TABLE\\s+IF\\s+EXISTS\\s+([\\w.`]+)$".r
+  private val dropIfExists = "(?i)^DROP\\s+TABLE\\s+IF\\s+EXISTS\\s+([\\w.`\"]+)$".r
 
   /** Run one script: execute every ';'-separated statement, return the
     * last statement's DataFrame.
@@ -55,7 +55,11 @@ object Golden {
     require(stmts.nonEmpty, "empty golden script")
     stmts.init.foreach { st =>
       dropIfExists.findFirstMatchIn(st).foreach { m =>
-        val parts = m.group(1).split("\\.").map(_.stripPrefix("`").stripSuffix("`"))
+        // strip both quote styles and lowercase: Spark lowercases managed-
+        // table directory names, so `"MANAGED_CTAS1"` lives at managed_ctas1
+        val parts = m.group(1).split("\\.")
+          .map(_.stripPrefix("`").stripSuffix("`")
+            .stripPrefix("\"").stripSuffix("\"").toLowerCase)
         val qualified = parts.mkString(".")
         val exists = scala.util.Try(engine.spark.catalog.tableExists(qualified)).getOrElse(false)
         if (!exists) {

@@ -1,0 +1,5 @@
+SELECT r_name, CASE WHEN s_name IS NULL THEN 'N/O' ELSE s_name END AS s1
+FROM region INNER JOIN (
+  SELECT * FROM nation LEFT OUTER JOIN supplier ON s_nationkey = n_nationkey
+) t ON n_regionkey = r_regionkey
+ORDER BY r_name, s1;

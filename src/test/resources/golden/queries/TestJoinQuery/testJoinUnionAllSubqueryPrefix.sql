@@ -1,0 +1,5 @@
+SELECT n1.n_nationkey, n1.n_name, n2.n_name
+FROM nation n1 JOIN (SELECT * FROM nation UNION ALL SELECT * FROM nation) n2
+  ON substr(n1.n_name, 1, 8) = substr(n2.n_name, 1, 8)
+WHERE n1.n_nationkey < 3
+ORDER BY n1.n_nationkey, n2.n_name;

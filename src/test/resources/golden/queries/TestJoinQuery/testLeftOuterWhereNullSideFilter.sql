@@ -1,0 +1,4 @@
+SELECT l.l_orderkey, o.o_orderkey, '201405' AS key1, '5-LOW' AS key2
+FROM lineitem l LEFT OUTER JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o_orderpriority = '5-LOW' AND l.l_orderkey < 100
+ORDER BY l.l_orderkey, o.o_orderkey;
