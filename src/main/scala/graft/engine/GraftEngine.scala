@@ -103,7 +103,8 @@ class GraftEngine(val spark: SparkSession) {
         case dropTable(t) if readerViews.contains(t.toLowerCase) =>
           spark.catalog.dropTempView(t); readerViews -= t.toLowerCase
           spark.emptyDataFrame
-        case _ => spark.sql(rewriteDdl(rewriteCtasDeclared(s).getOrElse(s)))
+        case _ => spark.sql(rewriteDdl(
+          rewriteCtasDeclared(s).orElse(padInsertSelect(s)).getOrElse(s)))
       }
     }
   }
@@ -363,7 +364,8 @@ class GraftEngine(val spark: SparkSession) {
         after match {
           case asRe(clauses, select) =>
             val decls = splitTopLevel(s.substring(open + 1, close)).map(splitDecl)
-            val srcSchema = spark.sql(select.trim).schema
+            // analyze through the dialect rewrites (Tajo cast types etc.)
+            val srcSchema = spark.sql(rewriteDdl(select.trim)).schema
             require(srcSchema.fields.length == decls.length,
               s"declared CTAS schema has ${decls.length} columns but the " +
                 s"query produces ${srcSchema.fields.length}: $s")
@@ -375,6 +377,34 @@ class GraftEngine(val spark: SparkSession) {
           case _ => None
         }
       }
+    }
+  }
+
+  /** Tajo accepts an INSERT whose select produces FEWER columns than the
+    * target table and pads the missing trailing columns with NULL
+    * (reference: TestInsertQuery.testInsertOverwriteSmallerColumns; the
+    * planner aligns by position and fills the rest). Spark rejects the
+    * arity mismatch, so append typed NULL casts to the select. Returns
+    * None when the statement is not such an insert. */
+  private def padInsertSelect(s: String): Option[String] = {
+    val re = "(?is)^INSERT\\s+(OVERWRITE\\s+)?INTO\\s+(?:TABLE\\s+)?([\\w.`]+)\\s*(SELECT[\\s\\S]*)$".r
+    s match {
+      case re(ovr, table, select) =>
+        val exists = scala.util.Try(spark.catalog.tableExists(table)).getOrElse(false)
+        if (!exists) None
+        else {
+          val tgt = spark.table(table).schema
+          // analyze through the dialect rewrites (Tajo cast types etc.)
+          val src = spark.sql(rewriteDdl(select)).schema
+          if (src.length >= tgt.length) None
+          else {
+            val pads = tgt.fields.drop(src.length)
+              .map(f => s"CAST(NULL AS ${f.dataType.sql}) AS `${f.name}`")
+            Some(s"INSERT ${if (ovr != null) "OVERWRITE " else ""}INTO $table " +
+              s"SELECT __src.*, ${pads.mkString(", ")} FROM ( $select ) __src")
+          }
+        }
+      case _ => None
     }
   }
 
@@ -722,7 +752,10 @@ class GraftEngine(val spark: SparkSession) {
     "INT2" -> "SMALLINT", "INT1" -> "TINYINT",
     "FLOAT4" -> "FLOAT", "FLOAT8" -> "DOUBLE",
     "DOUBLE PRECISION" -> "DOUBLE", "CHARACTER VARYING" -> "STRING",
-    "BOOL" -> "BOOLEAN", "BLOB" -> "BINARY", "BYTEA" -> "BINARY")
+    "BOOL" -> "BOOLEAN", "BLOB" -> "BINARY", "BYTEA" -> "BINARY",
+    // bare CHAR means CHAR(1) in the reference grammar (data_type rule);
+    // Spark requires an explicit length
+    "CHAR" -> "CHAR(1)", "CHARACTER" -> "CHAR(1)")
 
   /** Map one Tajo type expression to Spark SQL, recursing into
     * `RECORD (a TEXT, b RECORD (...))` -> `STRUCT<a: STRING, b: STRUCT<...>>`. */
