@@ -43,7 +43,8 @@ class GraftEngine(val spark: SparkSession) {
     "compression.codec" -> "compression")
 
   def sql(statement: String): DataFrame = {
-    val s = rewriteQuotedIdents(statement.trim.stripSuffix(";").trim)
+    val s = rewriteSessionTable(
+      rewriteQuotedIdents(statement.trim.stripSuffix(";").trim))
     val lower = s.toLowerCase
 
     if (lower.startsWith("set time zone")) {
@@ -103,8 +104,15 @@ class GraftEngine(val spark: SparkSession) {
         case dropTable(t) if readerViews.contains(t.toLowerCase) =>
           spark.catalog.dropTempView(t); readerViews -= t.toLowerCase
           spark.emptyDataFrame
-        case _ => spark.sql(rewriteDdl(
-          rewriteCtasDeclared(s).orElse(padInsertSelect(s)).getOrElse(s)))
+        case _ =>
+          val rewritten = rewriteDdl(
+            rewriteCtasDeclared(s).orElse(padInsertSelect(s)).getOrElse(s))
+          try spark.sql(rewritten)
+          catch {
+            case e: org.apache.spark.sql.AnalysisException
+                if Option(e.getCondition).exists(_.startsWith("UNRESOLVED_COLUMN")) =>
+              rewriteWhereAlias(rewritten).map(spark.sql).getOrElse(throw e)
+          }
       }
     }
   }
@@ -377,6 +385,31 @@ class GraftEngine(val spark: SparkSession) {
           case _ => None
         }
       }
+    }
+  }
+
+  /** Tajo exposes session state as a virtual `information_schema.session`
+    * (name, value) relation (reference: tajo-core/src/main/java/org/apache/
+    * tajo/master/exec/NonForwardQueryResultSystemScanner.java session
+    * table). Spark has no such relation, so inline every occurrence as a
+    * VALUES subquery snapshotting the current session: CURRENT_DATABASE,
+    * TIMEZONE, and every `SET SESSION` variable. The snapshot is taken at
+    * rewrite time, which matches the reference's read-at-scan semantics. */
+  private def rewriteSessionTable(s: String): String = {
+    val re = "(?i)information_schema\\.session\\b".r
+    if (re.findFirstIn(s).isEmpty) s
+    else {
+      def lit(v: String) = "'" + v.replace("'", "''") + "'"
+      val vars =
+        Seq("CURRENT_DATABASE" -> spark.catalog.currentDatabase,
+            "TIMEZONE" -> spark.conf.get("spark.sql.session.timeZone")) ++
+        spark.conf.getAll.toSeq
+          .filter(_._1.startsWith("graft.session."))
+          .map { case (k, v) => k.stripPrefix("graft.session.").toUpperCase -> v }
+          .sortBy(_._1)
+      val rows = vars.map { case (k, v) => s"(${lit(k)}, ${lit(v)})" }.mkString(", ")
+      re.replaceAllIn(s, java.util.regex.Matcher.quoteReplacement(
+        s"(SELECT name, value FROM (VALUES $rows) AS t(name, value))"))
     }
   }
 
@@ -705,6 +738,70 @@ class GraftEngine(val spark: SparkSession) {
 
   /** Split on commas at paren depth 0 (commas inside RECORD(...),
     * DECIMAL(p,s) or quoted literals stay put). */
+  /** First top-level (paren-depth 0, unquoted) word-bounded occurrence of
+    * `kw` at or after `from`; -1 when absent. */
+  private def topLevelKeyword(s: String, kw: String, from: Int = 0): Int = {
+    var depth = 0; var quote = 0.toChar; var i = 0
+    def wordChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0.toChar }
+      else c match {
+        case '\'' | '`' => quote = c
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0 && i >= from && s.regionMatches(true, i, kw, 0, kw.length)
+              && (i == 0 || !wordChar(s.charAt(i - 1)))
+              && (i + kw.length >= s.length || !wordChar(s.charAt(i + kw.length))))
+            return i
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Tajo resolves a SELECT-list alias referenced in WHERE (reference:
+    * tajo-core-tests/.../queries/TestSelectQuery/testWhereCondWithAlias1.sql
+    * — `select l_orderkey as orderkey ... where orderkey = 1`; the
+    * planner's NameResolver falls back to the projection when the relation
+    * lacks the name). Spark scopes WHERE to the relation only, so after an
+    * UNRESOLVED_COLUMN failure the caller retries with each alias's source
+    * expression inlined into the WHERE clause. Only whole-word, unqualified,
+    * non-call references substitute; aggregates belong in HAVING in both
+    * dialects, so an aggregate alias just fails again on retry like the
+    * reference. Returns None when the statement isn't a plain
+    * SELECT ... FROM ... WHERE or nothing substituted. */
+  private def rewriteWhereAlias(s: String): Option[String] = {
+    if (!s.trim.toLowerCase.startsWith("select")) return None
+    val fromPos = topLevelKeyword(s, "from")
+    val wherePos = topLevelKeyword(s, "where")
+    if (fromPos < 0 || wherePos < fromPos) return None
+    val whereEnd = Seq("group", "having", "order", "limit", "window",
+      "union", "intersect", "except")
+      .map(topLevelKeyword(s, _, wherePos + 5)).filter(_ >= 0)
+      .sorted.headOption.getOrElse(s.length)
+    var listStart = "select".length
+    while (listStart < s.length && s.charAt(listStart).isWhitespace) listStart += 1
+    if (s.regionMatches(true, listStart, "distinct", 0, 8)) listStart += 8
+    val asAlias = "(?is)^(.+)\\s+AS\\s+([A-Za-z_]\\w*)\\s*$".r
+    val bareAlias = "(?is)^(\\(.*\\))\\s+([A-Za-z_]\\w*)\\s*$".r
+    val aliases = splitTopLevel(s.substring(listStart, fromPos)).flatMap {
+      case asAlias(expr, name) => Some(name -> expr.trim)
+      case bareAlias(expr, name) => Some(name -> expr.trim)
+      case _ => None
+    }
+    var whereText = s.substring(wherePos, whereEnd)
+    for ((name, expr) <- aliases) {
+      val ref = ("(?i)(?<![\\w.`])" + java.util.regex.Pattern.quote(name) +
+        "(?![\\w.(`])").r
+      whereText = ref.replaceAllIn(whereText,
+        java.util.regex.Matcher.quoteReplacement(s"($expr)"))
+    }
+    if (whereText == s.substring(wherePos, whereEnd)) None
+    else Some(s.substring(0, wherePos) + whereText + s.substring(whereEnd))
+  }
+
   private def splitTopLevel(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     var depth = 0
