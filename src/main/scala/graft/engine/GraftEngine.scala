@@ -88,6 +88,8 @@ class GraftEngine(val spark: SparkSession) {
       explainDF(s.substring("explain global".length), extended = true)
     } else if (lower.startsWith("explain")) {
       explainDF(s.substring("explain".length), extended = false)
+    } else if (readerCtasRe.findFirstMatchIn(s).isDefined) {
+      createReaderCtas(s)
     } else if (readerTableRe.findFirstMatchIn(s).isDefined) {
       createReaderTable(s)
     } else {
@@ -103,6 +105,12 @@ class GraftEngine(val spark: SparkSession) {
         case renameCol(t, a, b) => renameColumn(t, a, b)
         case dropTable(t) if readerViews.contains(t.toLowerCase) =>
           spark.catalog.dropTempView(t); readerViews -= t.toLowerCase
+          // managed reader-CTAS tables drop their data too; external
+          // reader tables keep theirs (the reference's external semantics)
+          readerManagedPaths.remove(t.toLowerCase).foreach { p =>
+            val hp = new org.apache.hadoop.fs.Path(p)
+            hp.getFileSystem(spark.sessionState.newHadoopConf()).delete(hp, true)
+          }
           spark.emptyDataFrame
         case _ =>
           val rewritten = rewriteDdl(
@@ -127,6 +135,82 @@ class GraftEngine(val spark: SparkSession) {
     * them drops the view (the reference drops external-table metadata the
     * same way — data stays). */
   private val readerViews = scala.collection.mutable.Set.empty[String]
+
+  private val readerCtasRe =
+    ("(?is)^CREATE\\s+TABLE\\s+([\\w.`]+)\\s*(?:\\([\\s\\S]*?\\))?\\s*USING\\s+" +
+      "(avro|sequencefile|rcfile)\\b[\\s\\S]*?\\bAS\\b\\s*\\(?\\s*SELECT\\b").r
+
+  /** Managed-table paths written by createReaderCtas, keyed by lowercased
+    * view name — DROP TABLE on one of these removes the data too (managed
+    * semantics), unlike an external reader table. */
+  private val readerManagedPaths = scala.collection.mutable.Map.empty[String, String]
+
+  /** CREATE TABLE t [(cols)] USING avro|sequencefile|rcfile [WITH (...)]
+    * AS SELECT ... — CTAS into a reader-backed format (reference:
+    * tajo-core-tests/.../queries/TestCTASQuery/CtasWithDataFormat.sql
+    * stores a CTAS through the rcfile scanner). The select runs through
+    * the dialect rewrites, an optional declared schema coerces the output
+    * positionally (the reference's CTAS column-definition semantics), the
+    * rows are written with the graft.sources writer to the table's
+    * warehouse directory, and the table mounts as a session view over the
+    * reader — the same distributed scan path as createReaderTable. */
+  private def createReaderCtas(s: String): DataFrame = {
+    val nameRe = "(?is)^CREATE\\s+TABLE\\s+([\\w.`]+)\\s*".r
+    val m = nameRe.findFirstMatchIn(s).get
+    val table = m.group(1).replace("`", "")
+    var rest = s.substring(m.end)
+    val decls: Option[Seq[(String, String)]] =
+      if (rest.startsWith("(")) {
+        val close = matchParen(rest, 0)
+        require(close > 0, s"unbalanced CTAS declared schema: $s")
+        val d = splitTopLevel(rest.substring(1, close)).map(splitDecl)
+        rest = rest.substring(close + 1)
+        Some(d)
+      } else None
+    val tail = "(?is)^\\s*USING\\s+(avro|sequencefile|rcfile)\\b([\\s\\S]*?)\\bAS\\b\\s*(\\(?\\s*SELECT[\\s\\S]*)$".r
+    val tm = tail.findFirstMatchIn(rest).getOrElse(
+      throw new IllegalArgumentException(s"unrecognized reader CTAS: $s"))
+    val (fmt, withClauses, select) = (tm.group(1).toLowerCase, tm.group(2), tm.group(3))
+    val props = "'([^']*)'\\s*=\\s*'([^']*)'".r.findAllMatchIn(withClauses)
+      .map(kv => kv.group(1) -> unescapeUnicode(kv.group(2))).toMap
+    val src = spark.sql(rewriteDdl(select.trim))
+    val df = decls match {
+      case Some(d) =>
+        require(src.schema.length == d.length,
+          s"declared CTAS schema has ${d.length} columns but the query " +
+            s"produces ${src.schema.length}: $s")
+        src.select(src.schema.fields.zip(d).toSeq.map { case (f, (n, t)) =>
+          org.apache.spark.sql.functions.col(f.name)
+            .cast(mapType(t).toLowerCase).as(n)
+        }: _*)
+      case None => src
+    }
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val path = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(ident))
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(path)) fs.delete(path, true) // managed CTAS replaces its dir
+    fmt match {
+      case "avro" => graft.sources.AvroSource.write(df, path.toString)
+      case "sequencefile" => graft.sources.SequenceFileSource.write(df, path.toString,
+        props.getOrElse("text.delimiter", "|"), props.getOrElse("text.null", ""))
+      case "rcfile" => graft.sources.RCFileSource.write(df, path.toString,
+        props.getOrElse("rcfile.null", ""))
+    }
+    val view = ident.table
+    val mounted = fmt match {
+      case "avro" => graft.sources.AvroSource.read(spark, path.toString)
+      case "sequencefile" => graft.sources.SequenceFileSource.read(spark,
+        path.toString, df.schema,
+        props.getOrElse("text.delimiter", "|"), props.getOrElse("text.null", ""))
+      case "rcfile" => graft.sources.RCFileSource.read(spark, path.toString,
+        df.schema, props.getOrElse("rcfile.null", ""))
+    }
+    mounted.createOrReplaceTempView(view)
+    readerViews += view.toLowerCase
+    readerManagedPaths(view.toLowerCase) = path.toString
+    spark.emptyDataFrame
+  }
 
   /** CREATE EXTERNAL TABLE t (cols) USING avro|sequencefile|regex
     * [WITH (props)] LOCATION 'path' — formats the reference stores through
@@ -371,7 +455,20 @@ class GraftEngine(val spark: SparkSession) {
         val asRe = "(?is)^([\\s\\S]*?)\\bAS\\b\\s*(\\(?\\s*SELECT[\\s\\S]*)$".r
         after match {
           case asRe(clauses, select) =>
-            val decls = splitTopLevel(s.substring(open + 1, close)).map(splitDecl)
+            // `CREATE TABLE t (col1 T, col2 T) PARTITION BY COLUMN (key T)
+            // AS select` declares the partition column OUTSIDE the column
+            // list (reference: TestCTASQuery/CtasWithGroupby.sql) — the
+            // select still produces it last, so append its declaration for
+            // the positional coercion below
+            val partDecls = "(?is)PARTITION\\s+BY\\s+COLUMN\\s*\\(".r
+              .findFirstMatchIn(clauses).toSeq.flatMap { pm =>
+                val popen = pm.end - 1
+                val pclose = matchParen(clauses, popen)
+                require(pclose > popen, s"unbalanced PARTITION BY COLUMN: $s")
+                splitTopLevel(clauses.substring(popen + 1, pclose)).map(splitDecl)
+              }
+            val decls = splitTopLevel(s.substring(open + 1, close)).map(splitDecl) ++
+              partDecls
             // analyze through the dialect rewrites (Tajo cast types etc.)
             val srcSchema = spark.sql(rewriteDdl(select.trim)).schema
             require(srcSchema.fields.length == decls.length,
