@@ -47,6 +47,14 @@ class GraftEngine(val spark: SparkSession) {
       rewriteQuotedIdents(statement.trim.stripSuffix(";").trim))
     val lower = s.toLowerCase
 
+    // CREATE EXTERNAL TABLE requires LOCATION in the reference grammar
+    // (reference: tajo-sql-parser/.../SQLParser.g4 create_table_statement —
+    // the external form mandates the location clause; TestQueryValidation
+    // asserts the rejection). Spark would happily make a managed table.
+    if (lower.startsWith("create external table") && !lower.contains("location"))
+      throw new IllegalArgumentException(
+        s"CREATE EXTERNAL TABLE requires a LOCATION clause: $s")
+
     if (lower.startsWith("set time zone")) {
       val tz = s.substring("set time zone".length).trim.stripPrefix("'").stripSuffix("'")
       spark.conf.set("spark.sql.session.timeZone", tz)

@@ -45,6 +45,17 @@ object GoldenResult {
     (Seq(header, Separator) ++ rows).mkString("", "\n", "\n")
   }
 
+  /** Compare two rendered result texts, returning a diff description or
+    * None. */
+  def diffText(rendered: String, golden: String): Option[String] = {
+    val got = rendered.trim.split("\n").toSeq
+    val want = golden.trim.split("\n").toSeq
+    if (got == want) None
+    else Some(got.zipAll(want, "<missing>", "<missing>").zipWithIndex
+      .collect { case ((g, w), i) if g != w => s"line ${i + 1}: got '$g' want '$w'" }
+      .take(5).mkString("; "))
+  }
+
   /** Compare against golden text, returning a diff description or None. */
   def diff(df: DataFrame, golden: String): Option[String] = {
     val got = render(df).trim.split("\n").toSeq

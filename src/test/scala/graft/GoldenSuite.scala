@@ -34,7 +34,7 @@ class GoldenSuite extends AnyFunSuite {
       assert(goldenFile.isFile,
         s"missing golden result $goldenFile — run `sbt \"runMain graft.tools.GoldenGen\"`")
       val golden = new String(Files.readAllBytes(goldenFile.toPath), StandardCharsets.UTF_8)
-      GoldenResult.diff(Golden.run(engine, script), golden) match {
+      GoldenResult.diffText(Golden.rendered(engine, suite, script), golden) match {
         case None => ()
         case Some(d) => fail(s"$suite/$name diverged from golden: $d")
       }
