@@ -43,8 +43,13 @@ class GraftEngine(val spark: SparkSession) {
     "compression.codec" -> "compression")
 
   def sql(statement: String): DataFrame = {
+    // leading `-- comment` lines would defeat the keyword dispatch below
+    // (Spark's own parser strips them, the rewrite regexes don't)
+    val body = statement.linesIterator
+      .dropWhile(l => l.trim.isEmpty || l.trim.startsWith("--"))
+      .mkString("\n")
     val s = rewriteSessionTable(
-      rewriteQuotedIdents(statement.trim.stripSuffix(";").trim))
+      rewriteQuotedIdents(body.trim.stripSuffix(";").trim))
     val lower = s.toLowerCase
 
     // CREATE EXTERNAL TABLE requires LOCATION in the reference grammar
@@ -55,8 +60,36 @@ class GraftEngine(val spark: SparkSession) {
       throw new IllegalArgumentException(
         s"CREATE EXTERNAL TABLE requires a LOCATION clause: $s")
 
+    // A managed `(*)` self-describing table has no schema until data
+    // arrives; self-describing schemas only work on external tables with a
+    // LOCATION to infer from (reference: TestSQLAnalyzer/positive/
+    // create_self_desc_table2.sql parses, but execution requires the
+    // external form — see CatalogUtil self-desc handling).
+    if ("(?is)^CREATE\\s+(?:EXTERNAL\\s+)?TABLE\\s+[\\w.`\"]+\\s*\\(\\s*\\*\\s*\\)".r
+          .findFirstIn(s).isDefined && !lower.contains("location"))
+      throw new UnsupportedOperationException(
+        s"a self-describing (*) table must be EXTERNAL with a LOCATION to infer its schema from: $s")
+
+    // The reference's grammar parses HASH/LIST/RANGE partition methods but
+    // only COLUMN partitions are implemented end-to-end (reference:
+    // SQLParser.g4 table_partitioning_clauses; CreateTableNode carries only
+    // PartitionMethodDescExpr COLUMN — the others die unimplemented in the
+    // planner). Reject them loudly instead of letting Spark's parser emit a
+    // confusing syntax error.
+    if (lower.startsWith("create"))
+      "(?i)PARTITION\\s+BY\\s+(HASH|LIST|RANGE)\\b".r.findFirstMatchIn(s).foreach { m =>
+        throw new UnsupportedOperationException(
+          s"partition method ${m.group(1).toUpperCase} is parsed but not " +
+            "implemented by the reference; only PARTITION BY COLUMN is supported")
+      }
+
     if (lower.startsWith("set time zone")) {
-      val tz = s.substring("set time zone".length).trim.stripPrefix("'").stripSuffix("'")
+      val raw = s.substring("set time zone".length).trim.stripPrefix("'").stripSuffix("'")
+      // PG-style bare numeric offset — `SET TIME ZONE -7` — means UTC-7
+      // (reference grammar routes it through the same session variable)
+      val tz = if (raw.matches("[+-]?\\d+"))
+        "GMT" + (if (raw.startsWith("-") || raw.startsWith("+")) raw else "+" + raw)
+      else raw
       spark.conf.set("spark.sql.session.timeZone", tz)
       spark.emptyDataFrame
     } else if (lower.startsWith("set catalog")) {
@@ -67,9 +100,12 @@ class GraftEngine(val spark: SparkSession) {
       spark.conf.unset(s"graft.session.${s.substring("reset".length).trim}")
       spark.emptyDataFrame
     } else if (lower.startsWith("set session")) {
-      // SET SESSION key TO value | SET SESSION key = value
+      // SET SESSION key TO value | SET SESSION key = value | SET SESSION
+      // key value (the separator is optional in the reference grammar —
+      // SQLParser.g4 session_statement; TestSQLAnalyzer setsession6.sql)
       val rest = s.substring("set session".length).trim
-      val parts = rest.split("(?i)\\s+to\\s+|\\s*=\\s*", 2)
+      val split2 = rest.split("(?i)\\s+to\\s+|\\s*=\\s*", 2)
+      val parts = if (split2.length == 2) split2 else rest.split("\\s+", 2)
       val key = parts(0).trim
       val value = parts.lift(1).map(_.trim.stripPrefix("'").stripSuffix("'")).getOrElse("true")
       // TIMEZONE is the reference's session-timezone variable (TajoConf
@@ -171,7 +207,7 @@ class GraftEngine(val spark: SparkSession) {
       if (rest.startsWith("(")) {
         val close = matchParen(rest, 0)
         require(close > 0, s"unbalanced CTAS declared schema: $s")
-        val d = splitTopLevel(rest.substring(1, close)).map(splitDecl)
+        val d = splitTypeList(rest.substring(1, close)).map(splitDecl)
         rest = rest.substring(close + 1)
         Some(d)
       } else None
@@ -245,7 +281,7 @@ class GraftEngine(val spark: SparkSession) {
         s"external $fmt table needs a LOCATION: $s"))
     val declared = columnList(s).map { case (open, close) =>
       org.apache.spark.sql.types.StructType.fromDDL(
-        splitTopLevel(s.substring(open + 1, close)).map { d =>
+        splitTypeList(s.substring(open + 1, close)).map { d =>
           val (n, t) = splitDecl(d); s"$n ${mapType(t)}"
         }.mkString(", "))
     }
@@ -473,7 +509,7 @@ class GraftEngine(val spark: SparkSession) {
                 val popen = pm.end - 1
                 val pclose = matchParen(clauses, popen)
                 require(pclose > popen, s"unbalanced PARTITION BY COLUMN: $s")
-                splitTopLevel(clauses.substring(popen + 1, pclose)).map(splitDecl)
+                splitTypeList(clauses.substring(popen + 1, pclose)).map(splitDecl)
               }
             val decls = splitTopLevel(s.substring(open + 1, close)).map(splitDecl) ++
               partDecls
@@ -553,6 +589,12 @@ class GraftEngine(val spark: SparkSession) {
     */
   private[engine] def rewriteDdl(s: String): String = {
     var out = s
+    // `CREATE EXTERNAL TABLE t (*) USING json ...` — the self-describing
+    // column list (SQLParser.g4 asterisk schema; TestSQLAnalyzer positive/
+    // create_self_desc_table1.sql) means NO declared schema: strip it so
+    // Spark infers the schema from the files at the LOCATION
+    out = "(?is)^(CREATE\\s+(?:EXTERNAL\\s+)?TABLE\\s+[\\w.`\"]+)\\s*\\(\\s*\\*\\s*\\)".r
+      .replaceAllIn(out, m => java.util.regex.Matcher.quoteReplacement(m.group(1)))
     // format names: USING <fmt>
     out = "(?i)\\bUSING\\s+([a-zA-Z]+)".r.replaceAllIn(out, m => {
       val fmt = m.group(1).toLowerCase
@@ -581,7 +623,7 @@ class GraftEngine(val spark: SparkSession) {
     pbc.findFirstMatchIn(out).foreach { m =>
       val open = m.end - 1
       val close = matchParen(out, open)
-      val decls = splitTopLevel(out.substring(open + 1, close))
+      val decls = splitTypeList(out.substring(open + 1, close))
       val typed = decls.filter(_.split("\\s+").length >= 2)
       val names = decls.map(_.split("\\s+")(0))
       out = out.substring(0, m.start) +
@@ -603,18 +645,20 @@ class GraftEngine(val spark: SparkSession) {
     // schemas from RECORD declarations; queries/TestSelectNestedRecord/
     // sample0_ddl.sql, sample2_ddl.sql).
     columnList(out).foreach { case (open, close) =>
-      val mapped = splitTopLevel(out.substring(open + 1, close)).map { d =>
+      val mapped = splitTypeList(out.substring(open + 1, close)).map { d =>
         val (name, tpe) = splitDecl(d)
         s"$name ${mapType(tpe)}"
       }
       out = out.substring(0, open + 1) + mapped.mkString(", ") + out.substring(close)
     }
-    // INSERT OVERWRITE INTO LOCATION 'p' [USING fmt ...] -> INSERT OVERWRITE
-    // DIRECTORY 'p' USING fmt (SQLParser.g4:1607 insert_statement LOCATION
-    // branch; reference writes text when no format is given, so a missing
-    // USING becomes Spark's csv source). Runs before the generic INTO->TABLE
+    // INSERT [OVERWRITE] INTO LOCATION 'p' [USING fmt ...] -> INSERT
+    // OVERWRITE DIRECTORY 'p' USING fmt (SQLParser.g4:1607 insert_statement
+    // LOCATION branch; reference writes text when no format is given, so a
+    // missing USING becomes Spark's csv source; a directory write always
+    // replaces the directory — the reference's InsertNode has no
+    // append-to-directory mode either). Runs before the generic INTO->TABLE
     // pass below so the LOCATION form isn't mangled into "TABLE LOCATION".
-    out = "(?is)INSERT\\s+OVERWRITE\\s+INTO\\s+LOCATION\\s+('[^']*')(\\s+USING\\b)?".r
+    out = "(?is)INSERT\\s+(?:OVERWRITE\\s+)?INTO\\s+LOCATION\\s+('[^']*')(\\s+USING\\b)?".r
       .replaceAllIn(out, m => java.util.regex.Matcher.quoteReplacement(
         s"INSERT OVERWRITE DIRECTORY ${m.group(1)}" +
           (if (m.group(2) == null) " USING csv" else " USING")))
@@ -646,6 +690,16 @@ class GraftEngine(val spark: SparkSession) {
     out = "(?is)^(ALTER\\s+TABLE\\s+\\S+\\s+)UNSET\\s+PROPERTY\\s+(.+)$".r
       .replaceAllIn(out, m => java.util.regex.Matcher.quoteReplacement(
         s"${m.group(1)}UNSET TBLPROPERTIES (${m.group(2).trim})"))
+    // `default` as a database qualifier: Spark's parser reserves DEFAULT in
+    // some statement positions (CREATE TABLE DEFAULT.T1 is a syntax error)
+    // while the reference happily qualifies with the default database
+    // (TestSQLAnalyzer case_sensitivity1.sql) — backtick it, outside
+    // string literals
+    out = out.split("'", -1).zipWithIndex.map { case (seg, i) =>
+      if (i % 2 == 0)
+        "(?i)(?<![\\w.`])default\\.(?=[\\w`])".r.replaceAllIn(seg, "`default`.")
+      else seg
+    }.mkString("'")
     out = rewriteTajoIntervals(out)
     out = rewriteSimilarTo(out)
     // PG-style :: casts carry Tajo type keywords too (`x::text`); map the
@@ -841,6 +895,22 @@ class GraftEngine(val spark: SparkSession) {
     -1
   }
 
+  /** Index of the '>' matching the '<' at `open` (generic type arguments;
+    * '(' / ')' nest too so `MAP<TEXT, RECORD (a INT4)>` closes correctly). */
+  private def matchAngle(s: String, open: Int): Int = {
+    var depth = 0
+    var i = open
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '<' | '(' => depth += 1
+        case '>' | ')' => depth -= 1; if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
   /** Split on commas at paren depth 0 (commas inside RECORD(...),
     * DECIMAL(p,s) or quoted literals stay put). */
   /** First top-level (paren-depth 0, unquoted) word-bounded occurrence of
@@ -927,6 +997,32 @@ class GraftEngine(val spark: SparkSession) {
     out.result().map(_.trim).filter(_.nonEmpty)
   }
 
+  /** Split a TYPE-position list on top-level commas, where both parens and
+    * angle brackets nest — `a MAP<TEXT, INT8>, b INT4` has exactly two
+    * declarations. Only used where the text is a declaration list (column
+    * lists, CTAS/partition decls, RECORD/MAP/ARRAY type arguments), never
+    * on expressions, so `<` is always a generic bracket here, not a
+    * comparison operator. */
+  private def splitTypeList(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    var quote = 0.toChar
+    var start = 0
+    for (i <- 0 until s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0.toChar }
+      else c match {
+        case '\'' | '`' => quote = c
+        case '(' | '<' => depth += 1
+        case ')' | '>' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+    }
+    out += s.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
   /** Tajo table-property values allow java-style unicode escapes — e.g.
     * a backslash-u0001 delimiter value for a Ctrl-A separated text table
     * (reference: StorageUtil resolves the escape before handing the
@@ -960,15 +1056,31 @@ class GraftEngine(val spark: SparkSession) {
     "CHAR" -> "CHAR(1)", "CHARACTER" -> "CHAR(1)")
 
   /** Map one Tajo type expression to Spark SQL, recursing into
-    * `RECORD (a TEXT, b RECORD (...))` -> `STRUCT<a: STRING, b: STRUCT<...>>`. */
+    * `RECORD (a TEXT, b RECORD (...))` -> `STRUCT<a: STRING, b: STRUCT<...>>`
+    * and the angle-bracket generics `MAP<k, v>` / `ARRAY<t>` (reference:
+    * SQLParser.g4 data_type map_type/array_type; TestSQLAnalyzer
+    * create_table_maptype_*.sql, positive/create_table_with_array_type.sql)
+    * whose argument types map recursively — `MAP<TEXT, RECORD (a INT4)>`
+    * becomes `MAP<STRING, STRUCT<a: INT>>`. */
   private[engine] def mapType(t: String): String = {
     val trimmed = t.trim
-    if (trimmed.toUpperCase.startsWith("RECORD")) {
+    val up0 = trimmed.toUpperCase
+    if (up0.startsWith("MAP") || up0.startsWith("ARRAY")) {
+      val open = trimmed.indexOf('<')
+      require(open >= 0, s"malformed generic type (missing <...>): $t")
+      val close = matchAngle(trimmed, open)
+      require(close > open, s"malformed generic type (unbalanced <...>): $t")
+      val args = splitTypeList(trimmed.substring(open + 1, close)).map(mapType)
+      val kw = if (up0.startsWith("MAP")) "MAP" else "ARRAY"
+      require(args.length == (if (kw == "MAP") 2 else 1),
+        s"$kw takes ${if (kw == "MAP") 2 else 1} type argument(s): $t")
+      args.mkString(s"$kw<", ", ", ">")
+    } else if (up0.startsWith("RECORD")) {
       val open = trimmed.indexOf('(')
       require(open >= 0, s"malformed RECORD type (missing field list): $t")
       val close = matchParen(trimmed, open)
       require(close > open, s"malformed RECORD type (unbalanced parens): $t")
-      val fields = splitTopLevel(trimmed.substring(open + 1, close)).map { f =>
+      val fields = splitTypeList(trimmed.substring(open + 1, close)).map { f =>
         val (name, tpe) = splitDecl(f)
         s"$name: ${mapType(tpe)}"
       }

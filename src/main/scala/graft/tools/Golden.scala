@@ -78,23 +78,32 @@ object Golden {
   }
 
   /** Split on statement-terminating semicolons only: a ';' inside a
-    * single-quoted, backquoted or double-quoted literal is data, not a
-    * separator. */
+    * single-quoted, backquoted or double-quoted literal is data, and
+    * everything after an (unquoted) `--` to end-of-line is comment — a
+    * quote or ';' inside a comment must not derail the scan. */
   private[tools] def splitStatements(script: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     var quote = 0.toChar
     var start = 0
-    for (i <- 0 until script.length) {
+    var i = 0
+    while (i < script.length) {
       val c = script.charAt(i)
       if (quote != 0) { if (c == quote) quote = 0.toChar }
-      else c match {
+      else if (c == '-' && i + 1 < script.length && script.charAt(i + 1) == '-') {
+        while (i < script.length && script.charAt(i) != '\n') i += 1
+      } else c match {
         case '\'' | '`' | '"' => quote = c
         case ';' => out += script.substring(start, i); start = i + 1
         case _ =>
       }
+      i += 1
     }
     out += script.substring(start)
-    out.result().map(_.trim).filter(_.nonEmpty)
+    out.result()
+      .map(_.linesIterator
+        .dropWhile(l => l.trim.isEmpty || l.trim.startsWith("--"))
+        .mkString("\n").trim)
+      .filter(_.nonEmpty)
   }
 
   def resultFile(suite: String, name: String): File =
@@ -108,7 +117,8 @@ object Golden {
     * stable Spark error condition (or exception class name), so invalid-SQL
     * behavior is pinned by the same golden-diff machinery. Other suites
     * still abort loudly on any failure. */
-  val errorSuites: Set[String] = Set("TestQueryValidation")
+  val errorSuites: Set[String] =
+    Set("TestQueryValidation", "TestSQLAnalyzer", "TestCreateTable", "TestAlterTable")
 
   def renderError(e: Throwable): String = {
     val token = e match {
@@ -124,14 +134,24 @@ object Golden {
   def rendered(engine: GraftEngine, suite: String, script: String): String =
     if (errorSuites(suite))
       try GoldenResult.render(run(engine, script))
-      catch { case scala.util.control.NonFatal(e) => renderError(e) }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          // the result pins only the stable error token; the full message
+          // goes to stderr so an authoring run can tell WHICH statement died
+          System.err.println(
+            s"[golden] error case detail: ${e.toString.replaceAll("\\s+", " ").take(400)}")
+          renderError(e)
+      }
     else GoldenResult.render(run(engine, script))
 
   /** Regenerate every .result file from the current engine output.
-    * Usage: runMain graft.tools.GoldenGen [sfDir]
+    * Usage: runMain graft.tools.GoldenGen [sfDir] [suiteFilter]
+    * A suite filter regenerates only matching suites (substring match) —
+    * for fast iteration while authoring; a full run before commit still
+    * validates there are no unexpected cross-suite diffs.
     * Review the diff before committing — these files define expected
     * behavior, the generator only snapshots it. */
-  def generate(sfDir: String): Unit = {
+  def generate(sfDir: String, suiteFilter: Option[String] = None): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[8]")
       .appName("golden-gen")
@@ -142,7 +162,7 @@ object Golden {
     spark.sparkContext.setLogLevel("WARN")
     val engine = new GraftEngine(spark)
     engine.mount(sfDir)
-    cases().foreach { case (suite, name, script) =>
+    cases().filter(c => suiteFilter.forall(c._1.contains)).foreach { case (suite, name, script) =>
       val out = resultFile(suite, name)
       out.getParentFile.mkdirs()
       Files.write(out.toPath,
@@ -155,5 +175,5 @@ object Golden {
 
 object GoldenGen {
   def main(args: Array[String]): Unit =
-    Golden.generate(args.headOption.getOrElse("/root/testdata/sf0.001"))
+    Golden.generate(args.headOption.getOrElse("/root/testdata/sf0.001"), args.lift(1))
 }

@@ -1,0 +1,5 @@
+-- reference: TestSQLAnalyzer/alter_table_add_partition_4.sql
+DROP TABLE IF EXISTS table1;
+CREATE TABLE table1 (id INT4) PARTITION BY COLUMN (col1 TEXT);
+ALTER TABLE table1 ADD PARTITION (col1 = 'TAJO' );
+SHOW PARTITIONS table1;

@@ -1,0 +1,7 @@
+-- reference: TestSQLAnalyzer/positive/create_table_4.sql — plain CTAS
+DROP TABLE IF EXISTS name;
+DROP TABLE IF EXISTS test;
+CREATE TABLE test (name TEXT, age INT4);
+INSERT INTO test VALUES ('ann', 30), ('bob', 41);
+create table name as select * from test;
+SELECT name, age FROM name ORDER BY name;

@@ -1,0 +1,5 @@
+-- reference: TestSQLAnalyzer/positive/select_7.sql
+DROP TABLE IF EXISTS people;
+CREATE TABLE people (id INT4, name TEXT, age INT4, gender TEXT);
+INSERT INTO people VALUES (1, 'ann', 30, 'f'), (1, 'ann', 30, 'f'), (2, 'bob', 41, 'm');
+select distinct id, name, age, gender from people order by id;

@@ -448,4 +448,51 @@ class GraftEngineSpec extends AnyFunSuite {
     val lit = engine.sql("""SELECT '{"a": 1}' AS j""").collect()
     assert(lit(0).getString(0) == """{"a": 1}""")
   }
+
+  // MAP<k, v> / ARRAY<t> DDL types (SQLParser.g4 map_type/array_type;
+  // TestSQLAnalyzer create_table_maptype_*.sql, positive/
+  // create_table_with_array_type.sql) map recursively to Spark MAP/ARRAY.
+  test("MAP and ARRAY DDL types map recursively, including nested RECORD") {
+    engine.sql("DROP TABLE IF EXISTS graft_maptype_ddl")
+    engine.sql(
+      """CREATE TABLE graft_maptype_ddl (
+        |  a TEXT, b INT4, c MAP<TEXT, RECORD (name TEXT, age INT4)>,
+        |  d ARRAY<INT8>, f FLOAT8) USING PARQUET""".stripMargin)
+    val sch = spark.table("graft_maptype_ddl").schema
+    assert(sch("c").dataType.sql == "MAP<STRING, STRUCT<name: STRING, age: INT>>")
+    assert(sch("d").dataType.sql == "ARRAY<BIGINT>")
+    engine.sql(
+      "INSERT INTO graft_maptype_ddl VALUES ('x', 1, map('k', named_struct('name', 'n', 'age', 9)), array(1, 2), 0.5)")
+    val row = engine.sql(
+      "SELECT c['k'].age AS age, d[1] AS d1 FROM graft_maptype_ddl").collect()(0)
+    assert(row.getInt(0) == 9 && row.getLong(1) == 2L)
+    engine.sql("DROP TABLE graft_maptype_ddl")
+  }
+
+  // Only COLUMN partitions are implemented by the reference; HASH/LIST/
+  // RANGE parse but die unimplemented (SQLParser.g4
+  // table_partitioning_clauses) — the engine rejects them loudly.
+  test("PARTITION BY HASH/LIST/RANGE rejected; window PARTITION BY untouched") {
+    intercept[UnsupportedOperationException] {
+      engine.sql("CREATE TABLE g_hash (c1 INT4) PARTITION BY HASH (c1) PARTITIONS 2")
+    }
+    intercept[UnsupportedOperationException] {
+      engine.sql("CREATE TABLE g_range (c1 INT4) PARTITION BY RANGE (c1) " +
+        "(PARTITION p VALUES LESS THAN (2))")
+    }
+    // a window PARTITION BY over a column named `list` must not trip it
+    engine.mount(sfDir)
+    assert(engine.sql(
+      "SELECT r_regionkey, row_number() OVER (PARTITION BY r_name ORDER BY r_regionkey) rn " +
+        "FROM region").count() == 5)
+  }
+
+  test("SET TIME ZONE accepts PG numeric offsets") {
+    engine.sql("SET TIME ZONE -7")
+    assert(spark.conf.get("spark.sql.session.timeZone") == "GMT-7")
+    engine.sql("SET TIME ZONE 9")
+    assert(spark.conf.get("spark.sql.session.timeZone") == "GMT+9")
+    engine.sql("SET TIME ZONE 'UTC'")
+    assert(spark.conf.get("spark.sql.session.timeZone") == "UTC")
+  }
 }
