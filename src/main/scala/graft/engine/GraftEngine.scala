@@ -866,7 +866,10 @@ class GraftEngine(val spark: SparkSession) {
   /** (open, close) paren indexes of the CREATE TABLE column list, if the
     * statement has one (CTAS and schemaless external tables don't). */
   private def columnList(s: String): Option[(Int, Int)] = {
-    val ctRe = "(?is)^\\s*CREATE\\s+(?:EXTERNAL\\s+)?TABLE(?:\\s+IF\\s+NOT\\s+EXISTS)?\\s+[\\w.`\"]+\\s*\\(".r
+    // the table name may hold any identifier characters — including
+    // non-ascii ones inside backquotes (reference: TestCreateTable/
+    // quoted_identifier_non_ascii_ddl.sql), which Java's \w does not match
+    val ctRe = "(?is)^\\s*CREATE\\s+(?:EXTERNAL\\s+)?TABLE(?:\\s+IF\\s+NOT\\s+EXISTS)?\\s+[^\\s(]+\\s*\\(".r
     ctRe.findFirstMatchIn(s).flatMap { m =>
       val open = m.end - 1
       val close = matchParen(s, open)
@@ -1051,9 +1054,24 @@ class GraftEngine(val spark: SparkSession) {
     "FLOAT4" -> "FLOAT", "FLOAT8" -> "DOUBLE",
     "DOUBLE PRECISION" -> "DOUBLE", "CHARACTER VARYING" -> "STRING",
     "BOOL" -> "BOOLEAN", "BLOB" -> "BINARY", "BYTEA" -> "BINARY",
+    "REAL" -> "FLOAT",
     // bare CHAR means CHAR(1) in the reference grammar (data_type rule);
     // Spark requires an explicit length
-    "CHAR" -> "CHAR(1)", "CHARACTER" -> "CHAR(1)")
+    "CHAR" -> "CHAR(1)", "CHARACTER" -> "CHAR(1)",
+    "NCHAR" -> "CHAR(1)", "NATIONAL CHARACTER" -> "CHAR(1)",
+    "NVARCHAR" -> "STRING", "NATIONAL CHARACTER VARYING" -> "STRING")
+
+  // parameterized spellings the reference grammar allows that Spark's
+  // parser does not (reference: SQLParser.g4 data_type — float(p),
+  // national character forms; TestCreateTable/create_table_various_types
+  // .sql): float(p<=24) is single precision, above is double (the PG
+  // rule); the national/nchar family maps onto CHAR/VARCHAR
+  private val floatParamType = "(?i)^FLOAT\\s*\\((\\d+)\\)$".r
+  private val nvarcharParamType =
+    "(?i)^(?:NVARCHAR|NATIONAL\\s+CHAR(?:ACTER)?\\s+VARYING)\\s*\\((\\d+)\\)$".r
+  private val ncharParamType =
+    "(?i)^(?:NCHAR|NATIONAL\\s+CHAR(?:ACTER)?)\\s*\\((\\d+)\\)$".r
+  private val varyingParamType = "(?i)^CHARACTER\\s+VARYING\\s*\\((\\d+)\\)$".r
 
   /** Map one Tajo type expression to Spark SQL, recursing into
     * `RECORD (a TEXT, b RECORD (...))` -> `STRUCT<a: STRING, b: STRUCT<...>>`
@@ -1085,23 +1103,28 @@ class GraftEngine(val spark: SparkSession) {
         s"$name: ${mapType(tpe)}"
       }
       fields.mkString("STRUCT<", ", ", ">")
-    } else {
-      val up = trimmed.toUpperCase
-      scalarTypeMap.get(up).getOrElse {
-        // map the leading type keyword and preserve trailing modifiers
-        // ('INT4 NOT NULL', 'FLOAT8 DEFAULT 0') — whitespace boundary only,
-        // so parameterized types like VARCHAR(255) pass through to Spark's
-        // own parser untouched
-        val hit = scalarTypeMap.keys
-          .filter(k => up.startsWith(k) && trimmed.length > k.length &&
-            trimmed.charAt(k.length).isWhitespace &&
-            !trimmed.substring(k.length).trim.startsWith("("))
-          .maxByOption(_.length)
-        hit match {
-          case Some(k) => scalarTypeMap(k) + trimmed.substring(k.length)
-          case None => trimmed
+    } else trimmed match {
+      case floatParamType(p) => if (p.toInt <= 24) "FLOAT" else "DOUBLE"
+      case nvarcharParamType(p) => s"VARCHAR($p)"
+      case ncharParamType(p) => s"CHAR($p)"
+      case varyingParamType(p) => s"VARCHAR($p)"
+      case _ =>
+        val up = trimmed.toUpperCase
+        scalarTypeMap.get(up.replaceAll("\\s+", " ").trim).getOrElse {
+          // map the leading type keyword and preserve trailing modifiers
+          // ('INT4 NOT NULL', 'FLOAT8 DEFAULT 0') — whitespace boundary only,
+          // so parameterized types like VARCHAR(255) pass through to Spark's
+          // own parser untouched
+          val hit = scalarTypeMap.keys
+            .filter(k => up.startsWith(k) && trimmed.length > k.length &&
+              trimmed.charAt(k.length).isWhitespace &&
+              !trimmed.substring(k.length).trim.startsWith("("))
+            .maxByOption(_.length)
+          hit match {
+            case Some(k) => scalarTypeMap(k) + trimmed.substring(k.length)
+            case None => trimmed
+          }
         }
-      }
     }
   }
 

@@ -1,0 +1,8 @@
+-- reference: TestAlterTable/alter_table_set_property_delimiter.sql +
+-- testAlterTableSetProperty.sql — the table still reads after the
+-- property change
+DROP TABLE IF EXISTS altx;
+CREATE TABLE ALTX (id int, name text) USING TEXT WITH ('text.delimiter'=',');
+INSERT INTO altx VALUES (1, 'ann'), (2, 'bob');
+ALTER TABLE ALTX SET PROPERTY 'text.delimiter'='|';
+select id, name from ALTX order by id;
