@@ -700,6 +700,15 @@ class GraftEngine(val spark: SparkSession) {
         "(?i)(?<![\\w.`])default\\.(?=[\\w`])".r.replaceAllIn(seg, "`default`.")
       else seg
     }.mkString("'")
+    // the reference's mounted tables live in its default database, so its
+    // scripts spell `default.lineitem` (e.g. TestQueryOnSelfDescTable/
+    // testCrossJoin.sql); the engine mounts testdata as session TEMP views,
+    // which a database qualifier would bypass — drop the qualifier when the
+    // name resolves to a mounted temp view
+    out = "(?i)`default`\\.(\\w+)".r.replaceAllIn(out, m =>
+      if (spark.sessionState.catalog.getTempView(m.group(1).toLowerCase).isDefined)
+        java.util.regex.Matcher.quoteReplacement(m.group(1))
+      else m.group(0))
     out = rewriteTajoIntervals(out)
     out = rewriteSimilarTo(out)
     // PG-style :: casts carry Tajo type keywords too (`x::text`); map the
