@@ -117,7 +117,13 @@ object Multimodal {
     * fixture itself exercises the real binary-column write path. */
   def syntheticPngTable(df: DataFrame, idCol: String)(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+    // spread the ids across the executors BEFORE the per-image work: the
+    // id column usually arrives as one small parquet split, and without
+    // this the whole encode (and the decode chained on it) runs in a
+    // single task — an 8-byte-per-row shuffle buys full parallelism
+    df.select(col(idCol).cast("long")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
       it.map { id =>
         val w = (100 + (id * 7) % 500).toInt
         val h = (80 + (id * 13) % 400).toInt
