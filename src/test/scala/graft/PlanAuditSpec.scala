@@ -186,4 +186,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("Exchange rangepartitioning"), p)
   }
+
+  test("q_op_multimodal_decode: per-image work is spread by an exchange, not one scan split") {
+    val p = plan("q_op_multimodal_decode")
+    // the id column arrives as a single small parquet split; without a
+    // repartition before the encode/decode mapPartitions the whole image
+    // pipeline runs in ONE task (the round-5 10s-per-query regression)
+    assert(p.contains("RoundRobinPartitioning"), p)
+    assert(!p.contains("Join"), p)
+  }
 }
