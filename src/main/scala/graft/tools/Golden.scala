@@ -53,7 +53,12 @@ object Golden {
   def run(engine: GraftEngine, script: String): DataFrame = {
     val stmts = splitStatements(script)
     require(stmts.nonEmpty, "empty golden script")
-    stmts.init.foreach { st =>
+    runSetup(engine, stmts.init)
+    engine.sql(stmts.last)
+  }
+
+  private def runSetup(engine: GraftEngine, setup: Seq[String]): Unit =
+    setup.foreach { st =>
       dropIfExists.findFirstMatchIn(st).foreach { m =>
         // strip both quote styles and lowercase: Spark lowercases managed-
         // table directory names, so `"MANAGED_CTAS1"` lives at managed_ctas1
@@ -74,8 +79,6 @@ object Golden {
       }
       engine.sql(st)
     }
-    engine.sql(stmts.last)
-  }
 
   /** Split on statement-terminating semicolons only: a ';' inside a
     * single-quoted, backquoted or double-quoted literal is data, and
@@ -130,10 +133,15 @@ object Golden {
   }
 
   /** Render one case: normal result text, or — in an [[errorSuites]] suite
-    * — the ERROR pseudo-result when the script fails. */
+    * — the ERROR pseudo-result when the LAST statement fails. Setup
+    * statements abort loudly even in error suites: a broken fixture must
+    * not silently pin as an expected-error case. */
   def rendered(engine: GraftEngine, suite: String, script: String): String =
-    if (errorSuites(suite))
-      try GoldenResult.render(run(engine, script))
+    if (errorSuites(suite)) {
+      val stmts = splitStatements(script)
+      require(stmts.nonEmpty, "empty golden script")
+      runSetup(engine, stmts.init)
+      try GoldenResult.render(engine.sql(stmts.last))
       catch {
         case scala.util.control.NonFatal(e) =>
           // the result pins only the stable error token; the full message
@@ -142,7 +150,7 @@ object Golden {
             s"[golden] error case detail: ${e.toString.replaceAll("\\s+", " ").take(400)}")
           renderError(e)
       }
-    else GoldenResult.render(run(engine, script))
+    } else GoldenResult.render(run(engine, script))
 
   /** Regenerate every .result file from the current engine output.
     * Usage: runMain graft.tools.GoldenGen [sfDir] [suiteFilter]
