@@ -136,6 +136,8 @@ class GraftEngine(val spark: SparkSession) {
       createReaderCtas(s)
     } else if (readerTableRe.findFirstMatchIn(s).isDefined) {
       createReaderTable(s)
+    } else if (readerEmptyRe.findFirstMatchIn(s).isDefined) {
+      createReaderEmpty(s)
     } else {
       // ALTER TABLE t RENAME COLUMN a TO b (SQLParser.g4:1626) — Spark only
       // supports this for v2 tables, so session-catalog (v1) tables get the
@@ -253,6 +255,30 @@ class GraftEngine(val spark: SparkSession) {
     mounted.createOrReplaceTempView(view)
     readerViews += view.toLowerCase
     readerManagedPaths(view.toLowerCase) = path.toString
+    spark.emptyDataFrame
+  }
+
+  /** CREATE TABLE t (cols) USING avro|sequencefile|rcfile [WITH (...)] —
+    * a MANAGED reader-format table without AS SELECT (reference:
+    * TestSQLAnalyzer/positive/create_table_2.sql): created EMPTY, exactly
+    * like the reference's DDLExecutor registers empty table metadata. The
+    * engine mounts an empty typed view; a later INSERT INTO it fails
+    * loudly (the reader views are scan-only), which is the documented
+    * trade for formats Spark has no writer-datasource for. */
+  private val readerEmptyRe =
+    "(?is)^CREATE\\s+TABLE\\s+([\\w.`]+)\\s*\\(([\\s\\S]*?)\\)\\s*USING\\s+(avro|sequencefile|rcfile)\\b".r
+
+  private def createReaderEmpty(s: String): DataFrame = {
+    val m = readerEmptyRe.findFirstMatchIn(s).get
+    val table = spark.sessionState.sqlParser.parseTableIdentifier(
+      m.group(1).replace("`", "")).table
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      splitTypeList(m.group(2)).map { d =>
+        val (n, t) = splitDecl(d); s"$n ${mapType(t)}"
+      }.mkString(", "))
+    spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+      .createOrReplaceTempView(table)
+    readerViews += table.toLowerCase
     spark.emptyDataFrame
   }
 
