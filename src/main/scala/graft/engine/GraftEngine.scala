@@ -28,6 +28,9 @@ class GraftEngine(val spark: SparkSession) {
   // (parser + parquet + comparisons verified); without it TIME DDL fails
   spark.conf.set("spark.sql.timeType.enabled", "true")
 
+  // captured before any SET TIME ZONE so DEFAULT/LOCAL can restore it
+  private val startupTimeZone = spark.conf.get("spark.sql.session.timeZone")
+
   /** Tajo storage format name -> Spark datasource. */
   private val formatMap = Map(
     "text" -> "csv", "csv" -> "csv", "json" -> "json",
@@ -76,21 +79,37 @@ class GraftEngine(val spark: SparkSession) {
     // PartitionMethodDescExpr COLUMN — the others die unimplemented in the
     // planner). Reject them loudly instead of letting Spark's parser emit a
     // confusing syntax error.
-    if (lower.startsWith("create"))
+    if (lower.startsWith("create")) {
       "(?i)PARTITION\\s+BY\\s+(HASH|LIST|RANGE)\\b".r.findFirstMatchIn(s).foreach { m =>
         throw new UnsupportedOperationException(
           s"partition method ${m.group(1).toUpperCase} is parsed but not " +
             "implemented by the reference; only PARTITION BY COLUMN is supported")
       }
+      // CREATE TABLE ... TABLESPACE <name> (SQLParser.g4 create_table —
+      // the reference resolves the name against its registered tablespaces
+      // and rejects unknown ones; TestCreateTable/negative/
+      // create_table_on_absent_tablespace.sql). This deployment has a
+      // single warehouse, so any TABLESPACE clause names an absent one.
+      "(?i)\\bTABLESPACE\\s+(\\w+)".r.findFirstMatchIn(s).foreach { m =>
+        throw new UnsupportedOperationException(
+          s"tablespace '${m.group(1)}' does not exist (single-warehouse " +
+            "deployment — TABLESPACE clauses are not supported)")
+      }
+    }
 
     if (lower.startsWith("set time zone")) {
       val raw = s.substring("set time zone".length).trim.stripPrefix("'").stripSuffix("'")
-      // PG-style bare numeric offset — `SET TIME ZONE -7` — means UTC-7
-      // (reference grammar routes it through the same session variable)
-      val tz = if (raw.matches("[+-]?\\d+"))
-        "GMT" + (if (raw.startsWith("-") || raw.startsWith("+")) raw else "+" + raw)
-      else raw
-      spark.conf.set("spark.sql.session.timeZone", tz)
+      // PG forms the reference grammar shares (SQLParser.g4 set_statement;
+      // TestSQLAnalyzer settimezone3.sql): DEFAULT/LOCAL restore the
+      // session's startup zone; a bare numeric offset `-7` means UTC-7
+      if (raw.equalsIgnoreCase("DEFAULT") || raw.equalsIgnoreCase("LOCAL"))
+        spark.conf.set("spark.sql.session.timeZone", startupTimeZone)
+      else {
+        val tz = if (raw.matches("[+-]?\\d+"))
+          "GMT" + (if (raw.startsWith("-") || raw.startsWith("+")) raw else "+" + raw)
+        else raw
+        spark.conf.set("spark.sql.session.timeZone", tz)
+      }
       spark.emptyDataFrame
     } else if (lower.startsWith("set catalog")) {
       // SET CATALOG <db> (SQLParser.g4:53) — Tajo "catalog" = database.
@@ -147,8 +166,31 @@ class GraftEngine(val spark: SparkSession) {
         "(?is)^ALTER\\s+TABLE\\s+([\\w.`\"]+)\\s+RENAME\\s+COLUMN\\s+(\\w+)\\s+TO\\s+(\\w+)$".r
       val dropTable =
         "(?is)^DROP\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?([\\w.`]+)\\s*$".r
+      // ALTER TABLE t SET PROPERTY 'k'='v' where k is a STORAGE property
+      // (text.delimiter, text.null, timezone, ...) must change how the
+      // table READS from then on, not just its metadata (reference:
+      // TestAlterTable/after_set_property_delimiter.result re-reads the
+      // same file through the new delimiter). Spark's SET TBLPROPERTIES
+      // only touches table properties, so storage-mapped keys go through
+      // the catalog's storage options directly.
+      val setProp =
+        "(?is)^ALTER\\s+TABLE\\s+([\\w.`\"]+)\\s+SET\\s+PROPERTY\\s+(.+)$".r
+      val unsetProp =
+        "(?is)^ALTER\\s+TABLE\\s+([\\w.`\"]+)\\s+UNSET\\s+PROPERTY\\s+(.+)$".r
+      def isCatalogTable(t: String): Boolean =
+        scala.util.Try(spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(
+            t.replace("`", "")))).isSuccess
       s match {
         case renameCol(t, a, b) => renameColumn(t, a, b)
+        case setProp(t, pairs)
+            if "'([^']*)'\\s*=\\s*'([^']*)'".r.findAllMatchIn(pairs)
+              .exists(kv => propMap.contains(kv.group(1))) && isCatalogTable(t) =>
+          alterStorageProperties(t.replace("`", ""), pairs)
+        case unsetProp(t, keys)
+            if "'([^']*)'".r.findAllMatchIn(keys)
+              .exists(k => propMap.contains(k.group(1))) && isCatalogTable(t) =>
+          unsetStorageProperties(t.replace("`", ""), keys)
         case dropTable(t) if readerViews.contains(t.toLowerCase) =>
           spark.catalog.dropTempView(t); readerViews -= t.toLowerCase
           // managed reader-CTAS tables drop their data too; external
@@ -353,6 +395,44 @@ class GraftEngine(val spark: SparkSession) {
     * write-back succeeds so a mid-rewrite failure is recoverable).
     * Partition columns can't be renamed (matches the reference, which
     * rejects it in DDLExecutor). */
+  /** ALTER TABLE t SET PROPERTY with at least one storage-mapped key:
+    * write the mapped keys into the catalog table's datasource options (so
+    * subsequent scans read through them — the reference's semantics for
+    * text.delimiter / text.null / timezone changes) and keep every pair as
+    * a visible table property. */
+  private def alterStorageProperties(table: String, pairs: String): DataFrame = {
+    val catalog = spark.sessionState.catalog
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val meta = catalog.getTableMetadata(ident)
+    val kvs = "'([^']*)'\\s*=\\s*'([^']*)'".r.findAllMatchIn(pairs)
+      .map(kv => kv.group(1) -> unescapeUnicode(kv.group(2))).toSeq
+    val optionUpdates = kvs.collect { case (k, v) if propMap.contains(k) =>
+      propMap(k) -> (if (k == "text.skip.headerlines") "true" else v)
+    }
+    catalog.alterTable(meta.copy(
+      storage = meta.storage.copy(
+        properties = meta.storage.properties ++ optionUpdates),
+      properties = meta.properties ++ kvs))
+    spark.catalog.refreshTable(ident.unquotedString)
+    spark.emptyDataFrame
+  }
+
+  /** UNSET PROPERTY counterpart: storage-mapped keys leave the datasource
+    * options too, so a read falls back to the format default. */
+  private def unsetStorageProperties(table: String, keys: String): DataFrame = {
+    val catalog = spark.sessionState.catalog
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val meta = catalog.getTableMetadata(ident)
+    val ks = "'([^']*)'".r.findAllMatchIn(keys).map(_.group(1)).toSeq
+    val optionKeys = ks.collect { case k if propMap.contains(k) => propMap(k) }
+    catalog.alterTable(meta.copy(
+      storage = meta.storage.copy(
+        properties = meta.storage.properties -- optionKeys),
+      properties = meta.properties -- ks))
+    spark.catalog.refreshTable(ident.unquotedString)
+    spark.emptyDataFrame
+  }
+
   private def renameColumn(table: String, from: String, to: String): DataFrame = {
     import org.apache.spark.sql.types.StructType
     val catalog = spark.sessionState.catalog
@@ -1090,6 +1170,17 @@ class GraftEngine(val spark: SparkSession) {
     "DOUBLE PRECISION" -> "DOUBLE", "CHARACTER VARYING" -> "STRING",
     "BOOL" -> "BOOLEAN", "BLOB" -> "BINARY", "BYTEA" -> "BINARY",
     "REAL" -> "FLOAT",
+    // bit-string and binary-string spellings (SQLParser.g4 data_type;
+    // TestSQLAnalyzer positive/create_table_8.sql) all carry bytes here —
+    // Spark has a single untyped BINARY
+    "BIT" -> "BINARY", "BIT VARYING" -> "BINARY",
+    "VARBINARY" -> "BINARY", "BINARY VARYING" -> "BINARY",
+    // zoned time spellings: Spark's TIMESTAMP is already LTZ (instant
+    // semantics — the tz-aware half of the pair), and TIME carries no zone,
+    // so the WITH TIME ZONE forms normalize into the session zone exactly
+    // like Spark timestamps do
+    "TIMETZ" -> "TIME", "TIME WITH TIME ZONE" -> "TIME",
+    "TIMESTAMPTZ" -> "TIMESTAMP", "TIMESTAMP WITH TIME ZONE" -> "TIMESTAMP",
     // bare CHAR means CHAR(1) in the reference grammar (data_type rule);
     // Spark requires an explicit length
     "CHAR" -> "CHAR(1)", "CHARACTER" -> "CHAR(1)",
@@ -1107,6 +1198,9 @@ class GraftEngine(val spark: SparkSession) {
   private val ncharParamType =
     "(?i)^(?:NCHAR|NATIONAL\\s+CHAR(?:ACTER)?)\\s*\\((\\d+)\\)$".r
   private val varyingParamType = "(?i)^CHARACTER\\s+VARYING\\s*\\((\\d+)\\)$".r
+  // bit/binary-string forms take a length the Spark BINARY type doesn't
+  private val binaryParamType =
+    "(?i)^(?:BIT|BIT\\s+VARYING|BINARY|VARBINARY|BINARY\\s+VARYING)\\s*\\((\\d+)\\)$".r
 
   /** Map one Tajo type expression to Spark SQL, recursing into
     * `RECORD (a TEXT, b RECORD (...))` -> `STRUCT<a: STRING, b: STRUCT<...>>`
@@ -1143,6 +1237,7 @@ class GraftEngine(val spark: SparkSession) {
       case nvarcharParamType(p) => s"VARCHAR($p)"
       case ncharParamType(p) => s"CHAR($p)"
       case varyingParamType(p) => s"VARCHAR($p)"
+      case binaryParamType(_) => "BINARY"
       case _ =>
         val up = trimmed.toUpperCase
         scalarTypeMap.get(up.replaceAll("\\s+", " ").trim).getOrElse {

@@ -495,4 +495,50 @@ class GraftEngineSpec extends AnyFunSuite {
     engine.sql("SET TIME ZONE 'UTC'")
     assert(spark.conf.get("spark.sql.session.timeZone") == "UTC")
   }
+
+  // SET TIME ZONE DEFAULT/LOCAL restores the session's startup zone
+  // (SQLParser.g4 set_statement; TestSQLAnalyzer settimezone3.sql).
+  test("SET TIME ZONE DEFAULT restores the startup zone") {
+    val startup = spark.conf.get("spark.sql.session.timeZone")
+    engine.sql("SET TIME ZONE 'Asia/Seoul'")
+    assert(spark.conf.get("spark.sql.session.timeZone") == "Asia/Seoul")
+    engine.sql("SET TIME ZONE DEFAULT")
+    assert(spark.conf.get("spark.sql.session.timeZone") == startup)
+    engine.sql("SET TIME ZONE 'GMT+3'")
+    engine.sql("SET TIME ZONE LOCAL")
+    assert(spark.conf.get("spark.sql.session.timeZone") == startup)
+  }
+
+  // Bit-string / binary-string / zoned-time spellings from the reference
+  // grammar (SQLParser.g4 data_type; TestSQLAnalyzer positive/
+  // create_table_8.sql) map onto Spark's BINARY / TIME / TIMESTAMP.
+  test("BIT/VARBINARY/TIMETZ type family maps to BINARY/TIME/TIMESTAMP") {
+    engine.sql("DROP TABLE IF EXISTS graft_bit_ddl")
+    engine.sql(
+      """CREATE TABLE graft_bit_ddl (
+        |  b0 bit, b1 BIT(10), b2 bit varying, b3 bit VARYING(10),
+        |  b4 binary(10), b5 varbinary(10), b6 binary Varying(10), b7 blob,
+        |  t0 timetz, t1 time With time zone,
+        |  ts0 timesTamptz, ts1 timestamp with time zone) USING PARQUET""".stripMargin)
+    val sch = spark.table("graft_bit_ddl").schema
+    Seq("b0", "b1", "b2", "b3", "b4", "b5", "b6", "b7")
+      .foreach(c => assert(sch(c).dataType.sql == "BINARY", c))
+    Seq("t0", "t1").foreach { c =>
+      val sql = sch(c).dataType.sql
+      assert(sql.startsWith("TIME") && !sql.startsWith("TIMESTAMP"), s"$c: $sql")
+    }
+    assert(sch("ts0").dataType.sql == "TIMESTAMP" && sch("ts1").dataType.sql == "TIMESTAMP")
+    engine.sql("DROP TABLE graft_bit_ddl")
+  }
+
+  // The reference resolves TABLESPACE names against registered tablespaces
+  // and rejects unknown ones (TestCreateTable/negative/
+  // create_table_on_absent_tablespace.sql); this deployment has one
+  // warehouse, so every TABLESPACE clause is an absent tablespace.
+  test("CREATE TABLE ... TABLESPACE rejected loudly") {
+    val e = intercept[UnsupportedOperationException] {
+      engine.sql("CREATE TABLE g_ts (x TEXT) TABLESPACE unknown")
+    }
+    assert(e.getMessage.contains("tablespace 'unknown'"))
+  }
 }
