@@ -383,18 +383,6 @@ class GraftEngine(val spark: SparkSession) {
     spark.emptyDataFrame
   }
 
-  /** ALTER TABLE ... RENAME COLUMN, two paths by how the format binds
-    * columns. Position-binding text formats (csv/text) get the reference's
-    * catalog-metadata-only rename (DDLExecutor renameColumn) — files read
-    * through unchanged. By-NAME formats (parquet/orc/json/avro) would
-    * silently resolve the renamed column as all-NULL under a metadata-only
-    * rename, so for those the data is staged to a unique directory under
-    * the warehouse filesystem and rewritten under the new schema (one
-    * scan+write, the same cost class as the reference's index build;
-    * nothing touches the driver, and the staged copy survives until the
-    * write-back succeeds so a mid-rewrite failure is recoverable).
-    * Partition columns can't be renamed (matches the reference, which
-    * rejects it in DDLExecutor). */
   /** ALTER TABLE t SET PROPERTY with at least one storage-mapped key:
     * write the mapped keys into the catalog table's datasource options (so
     * subsequent scans read through them — the reference's semantics for
@@ -433,6 +421,18 @@ class GraftEngine(val spark: SparkSession) {
     spark.emptyDataFrame
   }
 
+  /** ALTER TABLE ... RENAME COLUMN, two paths by how the format binds
+    * columns. Position-binding text formats (csv/text) get the reference's
+    * catalog-metadata-only rename (DDLExecutor renameColumn) — files read
+    * through unchanged. By-NAME formats (parquet/orc/json/avro) would
+    * silently resolve the renamed column as all-NULL under a metadata-only
+    * rename, so for those the data is staged to a unique directory under
+    * the warehouse filesystem and rewritten under the new schema (one
+    * scan+write, the same cost class as the reference's index build;
+    * nothing touches the driver, and the staged copy survives until the
+    * write-back succeeds so a mid-rewrite failure is recoverable).
+    * Partition columns can't be renamed (matches the reference, which
+    * rejects it in DDLExecutor). */
   private def renameColumn(table: String, from: String, to: String): DataFrame = {
     import org.apache.spark.sql.types.StructType
     val catalog = spark.sessionState.catalog
