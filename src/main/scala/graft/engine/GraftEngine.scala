@@ -157,6 +157,9 @@ class GraftEngine(val spark: SparkSession) {
       createReaderTable(s)
     } else if (readerEmptyRe.findFirstMatchIn(s).isDefined) {
       createReaderEmpty(s)
+    } else if (readerInsertRe.findFirstMatchIn(s).exists(m =>
+        readerMeta.contains(m.group(2).replace("`", "").toLowerCase))) {
+      insertReader(s)
     } else {
       // ALTER TABLE t RENAME COLUMN a TO b (SQLParser.g4:1626) — Spark only
       // supports this for v2 tables, so session-catalog (v1) tables get the
@@ -193,6 +196,7 @@ class GraftEngine(val spark: SparkSession) {
           unsetStorageProperties(t.replace("`", ""), keys)
         case dropTable(t) if readerViews.contains(t.toLowerCase) =>
           spark.catalog.dropTempView(t); readerViews -= t.toLowerCase
+          readerMeta -= t.toLowerCase
           // managed reader-CTAS tables drop their data too; external
           // reader tables keep theirs (the reference's external semantics)
           readerManagedPaths.remove(t.toLowerCase).foreach { p =>
@@ -223,6 +227,15 @@ class GraftEngine(val spark: SparkSession) {
     * them drops the view (the reference drops external-table metadata the
     * same way — data stays). */
   private val readerViews = scala.collection.mutable.Set.empty[String]
+
+  /** What the engine needs to WRITE a reader-backed table again: format,
+    * data directory, declared/derived schema, and the Tajo storage props.
+    * Keyed by lowercased view name. regex tables are scan-only (the
+    * reference's regex tablespace has no serializer either) and carry no
+    * entry. */
+  private case class ReaderMeta(fmt: String, path: String,
+      schema: org.apache.spark.sql.types.StructType, props: Map[String, String])
+  private val readerMeta = scala.collection.mutable.Map.empty[String, ReaderMeta]
 
   private val readerCtasRe =
     ("(?is)^CREATE\\s+TABLE\\s+([\\w.`]+)\\s*(?:\\([\\s\\S]*?\\))?\\s*USING\\s+" +
@@ -297,6 +310,7 @@ class GraftEngine(val spark: SparkSession) {
     mounted.createOrReplaceTempView(view)
     readerViews += view.toLowerCase
     readerManagedPaths(view.toLowerCase) = path.toString
+    readerMeta(view.toLowerCase) = ReaderMeta(fmt, path.toString, df.schema, props)
     spark.emptyDataFrame
   }
 
@@ -304,16 +318,20 @@ class GraftEngine(val spark: SparkSession) {
     * a MANAGED reader-format table without AS SELECT (reference:
     * TestSQLAnalyzer/positive/create_table_2.sql): created EMPTY, exactly
     * like the reference's DDLExecutor registers empty table metadata. The
-    * engine mounts an empty typed view; a later INSERT INTO it fails
-    * loudly (the reader views are scan-only), which is the documented
-    * trade for formats Spark has no writer-datasource for. */
+    * engine mounts an empty typed view; a later INSERT INTO it writes
+    * container files into the table's warehouse directory through the
+    * graft.sources writers (see insertReader). */
   private val readerEmptyRe =
     "(?is)^CREATE\\s+TABLE\\s+([\\w.`]+)\\s*\\(([\\s\\S]*?)\\)\\s*USING\\s+(avro|sequencefile|rcfile)\\b".r
 
   private def createReaderEmpty(s: String): DataFrame = {
     val m = readerEmptyRe.findFirstMatchIn(s).get
-    val table = spark.sessionState.sqlParser.parseTableIdentifier(
-      m.group(1).replace("`", "")).table
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(
+      m.group(1).replace("`", ""))
+    val table = ident.table
+    val fmt = m.group(3).toLowerCase
+    val props = "'([^']*)'\\s*=\\s*'([^']*)'".r.findAllMatchIn(s)
+      .map(kv => kv.group(1) -> unescapeUnicode(kv.group(2))).toMap
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       splitTypeList(m.group(2)).map { d =>
         val (n, t) = splitDecl(d); s"$n ${mapType(t)}"
@@ -321,7 +339,103 @@ class GraftEngine(val spark: SparkSession) {
     spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
       .createOrReplaceTempView(table)
     readerViews += table.toLowerCase
+    // managed: data (if ever inserted) lives in the warehouse directory; a
+    // newly created managed table starts EMPTY, so clear any directory an
+    // earlier session's same-named table left behind
+    val path = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(ident))
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(path)) fs.delete(path, true)
+    readerManagedPaths(table.toLowerCase) = path.toString
+    readerMeta(table.toLowerCase) = ReaderMeta(fmt, path.toString, schema, props)
     spark.emptyDataFrame
+  }
+
+  /** INSERT [OVERWRITE] INTO a reader-backed table (avro / sequencefile /
+    * rcfile — the formats the graft.sources writers can serialize). The
+    * reference's InsertRowsExec writes any registered storage format
+    * through its tablespace serializer; the Spark-side equivalent here:
+    * run the source query, coerce it to the table schema (positional for a
+    * bare INSERT, by-name with NULL padding under an explicit column
+    * list — the engine's documented smaller-columns semantics), write the
+    * batch DISTRIBUTED through the format writer into a dot-prefixed
+    * staging directory inside the table dir (invisible to every reader:
+    * avro filters on the .avro suffix, rcfile/sequencefile ignore
+    * dot/underscore paths), then move the data files up under a
+    * unique-per-insert prefix — append never rewrites existing files, and
+    * a failed insert leaves only an ignored staging dir behind. Only file
+    * RENAMES touch the driver; row data never does. */
+  private val readerInsertRe =
+    ("(?is)^INSERT\\s+(OVERWRITE\\s+)?INTO\\s+(?:TABLE\\s+)?([\\w.`\"]+)\\s*" +
+      "(\\([^)]*\\))?\\s*(\\(?\\s*(?:SELECT|VALUES)[\\s\\S]*)$").r
+
+  private def insertReader(s: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val m = readerInsertRe.findFirstMatchIn(s).get
+    val overwrite = m.group(1) != null
+    val name = m.group(2).replace("`", "")
+    val meta = readerMeta(name.toLowerCase)
+    val src = spark.sql(rewriteDdl(m.group(4).trim))
+    val target = meta.schema
+    val coerced = Option(m.group(3)) match {
+      case Some(clist) =>
+        val cols = splitTypeList(clist.trim.stripPrefix("(").stripSuffix(")"))
+          .map(_.trim.stripPrefix("`").stripSuffix("`"))
+        require(cols.length == src.schema.length,
+          s"INSERT column list has ${cols.length} columns but the query " +
+            s"produces ${src.schema.length}: $s")
+        cols.foreach { c => require(target.fieldNames.exists(_.equalsIgnoreCase(c)),
+          s"INSERT column '$c' does not exist in $name") }
+        val byName = cols.zip(src.schema.fieldNames).toMap
+          .map { case (k, v) => k.toLowerCase -> v }
+        src.select(target.fields.toSeq.map { f =>
+          byName.get(f.name.toLowerCase) match {
+            case Some(srcCol) => col(srcCol).cast(f.dataType).as(f.name)
+            case None => lit(null).cast(f.dataType).as(f.name)
+          }
+        }: _*)
+      case None =>
+        require(src.schema.length == target.length,
+          s"INSERT query produces ${src.schema.length} columns but $name " +
+            s"has ${target.length}: $s")
+        src.select(src.schema.fields.toSeq.zip(target.fields).map { case (f, t) =>
+          col(f.name).cast(t.dataType).as(t.name)
+        }: _*)
+    }
+    val dir = new org.apache.hadoop.fs.Path(meta.path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (overwrite && fs.exists(dir)) fs.delete(dir, true)
+    val uid = java.util.UUID.randomUUID().toString.take(8)
+    val stage = new org.apache.hadoop.fs.Path(dir, s".insert-$uid")
+    meta.fmt match {
+      case "avro" => graft.sources.AvroSource.write(coerced, stage.toString)
+      case "sequencefile" => graft.sources.SequenceFileSource.write(coerced,
+        stage.toString, meta.props.getOrElse("text.delimiter", "|"),
+        meta.props.getOrElse("text.null", ""))
+      case "rcfile" => graft.sources.RCFileSource.write(coerced, stage.toString,
+        meta.props.getOrElse("rcfile.null", ""))
+    }
+    fs.listStatus(stage).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isFile && !n.startsWith("_") && !n.startsWith("."))
+        fs.rename(st.getPath, new org.apache.hadoop.fs.Path(dir, s"$uid-$n"))
+    }
+    fs.delete(stage, true)
+    mountReader(name, meta)
+    spark.emptyDataFrame
+  }
+
+  /** (Re)mount a reader-backed table's temp view from its current files. */
+  private def mountReader(name: String, meta: ReaderMeta): Unit = {
+    val df = meta.fmt match {
+      case "avro" => graft.sources.AvroSource.read(spark, meta.path)
+      case "sequencefile" => graft.sources.SequenceFileSource.read(spark,
+        meta.path, meta.schema, meta.props.getOrElse("text.delimiter", "|"),
+        meta.props.getOrElse("text.null", ""))
+      case "rcfile" => graft.sources.RCFileSource.read(spark, meta.path,
+        meta.schema, meta.props.getOrElse("rcfile.null", ""))
+    }
+    df.createOrReplaceTempView(name)
   }
 
   /** CREATE EXTERNAL TABLE t (cols) USING avro|sequencefile|regex
@@ -380,6 +494,8 @@ class GraftEngine(val spark: SparkSession) {
     }
     df.createOrReplaceTempView(table)
     readerViews += table.toLowerCase
+    if (fmt != "regex") // regex is scan-only: no serializer, here or in the reference
+      readerMeta(table.toLowerCase) = ReaderMeta(fmt, loc, df.schema, props)
     spark.emptyDataFrame
   }
 

@@ -396,8 +396,27 @@ object StorageQueries {
     Some("""SELECT s_nationkey, COUNT(*) AS cnt, MAX(s_name) AS max_name
            |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin))
 
+  // INSERT INTO a reader-backed table (rcfile) — the reference's
+  // InsertRowsExec writes through any registered tablespace serializer
+  // (reference: tajo-core/.../physical/InsertRowsExec.java); here the
+  // engine runs the query distributed, writes container files through the
+  // graft.sources writer into a staged dir, and promotes them under a
+  // unique per-insert prefix (append never rewrites existing files). Two
+  // appends re-read as the full union.
+  private val qInsertReader = df("q_store_insert_reader",
+    (spark, dir) => {
+      val engine = new graft.engine.GraftEngine(spark)
+      engine.sql("DROP TABLE IF EXISTS graft_rc_insert")
+      Tables.table(spark, dir, "nation").createOrReplaceTempView("graft_rc_src")
+      engine.sql("CREATE TABLE graft_rc_insert (n_nationkey INT4, n_name TEXT) USING rcfile")
+      engine.sql("INSERT INTO graft_rc_insert SELECT n_nationkey, n_name FROM graft_rc_src WHERE n_nationkey < 10")
+      engine.sql("INSERT INTO graft_rc_insert SELECT n_nationkey, n_name FROM graft_rc_src WHERE n_nationkey >= 10")
+      engine.sql("SELECT n_nationkey, n_name FROM graft_rc_insert ORDER BY n_nationkey")
+    },
+    Some("SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey"))
+
   val all: Seq[QueryDef] = Seq(
     qCtas, qInsert, qPartitioned, qCsv, qJsonSelfDesc, qOrc, qNested,
     qNestedDdl, qBucketedJoin, qJdbc, qPartitionMgmt, qIndex, qAvro,
-    qSeqFile, qRegex, qRcFile)
+    qSeqFile, qRegex, qRcFile, qInsertReader)
 }

@@ -531,6 +531,51 @@ class GraftEngineSpec extends AnyFunSuite {
     engine.sql("DROP TABLE graft_bit_ddl")
   }
 
+  // INSERT [OVERWRITE] INTO reader-backed tables (avro/sequencefile/
+  // rcfile): the reference's InsertRowsExec writes through any registered
+  // tablespace serializer; the engine writes through the graft.sources
+  // writers into the table directory (staged, unique-per-insert prefix).
+  test("INSERT INTO reader-format tables: append, overwrite, column list") {
+    engine.sql("DROP TABLE IF EXISTS rc_ins")
+    engine.sql("CREATE TABLE rc_ins (id INT4, name TEXT) USING rcfile")
+    engine.sql("INSERT INTO rc_ins VALUES (1, 'ann'), (2, 'bob')")
+    engine.sql("INSERT INTO rc_ins SELECT 3, 'cho'")
+    assert(engine.sql("SELECT id, name FROM rc_ins ORDER BY id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "ann"), (2, "bob"), (3, "cho")))
+    // explicit column list: missing columns pad NULL (the engine's
+    // documented smaller-columns semantics)
+    engine.sql("INSERT INTO rc_ins (id) VALUES (4)")
+    val r4 = engine.sql("SELECT name FROM rc_ins WHERE id = 4").collect()
+    assert(r4.length == 1 && r4(0).isNullAt(0))
+    engine.sql("INSERT OVERWRITE INTO rc_ins VALUES (9, 'zed')")
+    assert(engine.sql("SELECT id, name FROM rc_ins").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((9, "zed")))
+    engine.sql("DROP TABLE rc_ins")
+  }
+
+  test("INSERT INTO sequencefile and avro reader tables round-trips") {
+    engine.sql("DROP TABLE IF EXISTS seq_ins")
+    engine.sql(
+      "CREATE TABLE seq_ins (k INT4, v TEXT) USING sequencefile WITH ('text.delimiter'='|')")
+    engine.sql("INSERT INTO seq_ins VALUES (7, 'stale')")
+    engine.sql("INSERT OVERWRITE INTO seq_ins VALUES (1, 'xy'), (2, 'zz')")
+    engine.sql("INSERT INTO seq_ins SELECT 3, 'ww'")
+    assert(engine.sql("SELECT k, v FROM seq_ins ORDER BY k").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "xy"), (2, "zz"), (3, "ww")))
+    engine.sql("DROP TABLE seq_ins")
+
+    engine.sql("DROP TABLE IF EXISTS avro_ins")
+    engine.sql("CREATE TABLE avro_ins (k INT8, v TEXT) USING avro")
+    engine.sql("INSERT INTO avro_ins VALUES (10, 'a')")
+    engine.sql("INSERT INTO avro_ins VALUES (20, 'b')")
+    assert(engine.sql("SELECT k, v FROM avro_ins ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((10L, "a"), (20L, "b")))
+    engine.sql("DROP TABLE avro_ins")
+  }
+
   // The reference resolves TABLESPACE names against registered tablespaces
   // and rejects unknown ones (TestCreateTable/negative/
   // create_table_on_absent_tablespace.sql); this deployment has one
