@@ -157,6 +157,8 @@ class GraftEngine(val spark: SparkSession) {
       createReaderTable(s)
     } else if (readerEmptyRe.findFirstMatchIn(s).isDefined) {
       createReaderEmpty(s)
+    } else if (readerInsertLocRe.findFirstMatchIn(s).isDefined) {
+      insertReaderLocation(s)
     } else if (readerInsertRe.findFirstMatchIn(s).exists(m =>
         readerMeta.contains(m.group(2).replace("`", "").toLowerCase))) {
       insertReader(s)
@@ -184,8 +186,24 @@ class GraftEngine(val spark: SparkSession) {
         scala.util.Try(spark.sessionState.catalog.getTableMetadata(
           spark.sessionState.sqlParser.parseTableIdentifier(
             t.replace("`", "")))).isSuccess
+      val truncateTable =
+        "(?is)^TRUNCATE\\s+(?:TABLE\\s+)?([\\w.`\"]+)\\s*$".r
       s match {
         case renameCol(t, a, b) => renameColumn(t, a, b)
+        case truncateTable(t)
+            if readerMeta.contains(t.replace("`", "").toLowerCase) =>
+          // TRUNCATE a reader-backed table: drop its data files, remount
+          // the view empty (the reference's TruncateTableExecutor clears
+          // the table directory the same way)
+          val meta = readerMeta(t.replace("`", "").toLowerCase)
+          val dir = new org.apache.hadoop.fs.Path(meta.path)
+          val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+          if (fs.exists(dir)) fs.delete(dir, true)
+          spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](), meta.schema)
+            .createOrReplaceTempView(spark.sessionState.sqlParser
+              .parseTableIdentifier(t.replace("`", "")).table)
+          spark.emptyDataFrame
         case setProp(t, pairs)
             if "'([^']*)'\\s*=\\s*'([^']*)'".r.findAllMatchIn(pairs)
               .exists(kv => propMap.contains(kv.group(1))) && isCatalogTable(t) =>
@@ -368,6 +386,34 @@ class GraftEngine(val spark: SparkSession) {
   private val readerInsertRe =
     ("(?is)^INSERT\\s+(OVERWRITE\\s+)?INTO\\s+(?:TABLE\\s+)?([\\w.`\"]+)\\s*" +
       "(\\([^)]*\\))?\\s*(\\(?\\s*(?:SELECT|VALUES)[\\s\\S]*)$").r
+
+  /** INSERT [OVERWRITE] INTO LOCATION 'p' USING avro|sequencefile|rcfile
+    * [WITH (...)] — a directory write in a reader format (the generic
+    * LOCATION branch in rewriteDdl covers the formats Spark has a
+    * datasource for). A directory write always replaces the directory,
+    * same as the reference's InsertNode. */
+  private val readerInsertLocRe =
+    ("(?is)^INSERT\\s+(?:OVERWRITE\\s+)?INTO\\s+LOCATION\\s+'([^']+)'\\s*" +
+      "USING\\s+(avro|sequencefile|rcfile)\\b([\\s\\S]*?)(\\(?\\s*(?:SELECT|VALUES)[\\s\\S]*)$").r
+
+  private def insertReaderLocation(s: String): DataFrame = {
+    val m = readerInsertLocRe.findFirstMatchIn(s).get
+    val (loc, fmt) = (m.group(1), m.group(2).toLowerCase)
+    val props = "'([^']*)'\\s*=\\s*'([^']*)'".r.findAllMatchIn(m.group(3))
+      .map(kv => kv.group(1) -> unescapeUnicode(kv.group(2))).toMap
+    val out = spark.sql(rewriteDdl(m.group(4).trim))
+    val dir = new org.apache.hadoop.fs.Path(loc)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(dir)) fs.delete(dir, true)
+    fmt match {
+      case "avro" => graft.sources.AvroSource.write(out, loc)
+      case "sequencefile" => graft.sources.SequenceFileSource.write(out, loc,
+        props.getOrElse("text.delimiter", "|"), props.getOrElse("text.null", ""))
+      case "rcfile" => graft.sources.RCFileSource.write(out, loc,
+        props.getOrElse("rcfile.null", ""))
+    }
+    spark.emptyDataFrame
+  }
 
   private def insertReader(s: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}

@@ -576,6 +576,31 @@ class GraftEngineSpec extends AnyFunSuite {
     engine.sql("DROP TABLE avro_ins")
   }
 
+  test("TRUNCATE a reader-format table clears data, keeps schema") {
+    engine.sql("DROP TABLE IF EXISTS rc_trunc")
+    engine.sql("CREATE TABLE rc_trunc (id INT4, name TEXT) USING rcfile")
+    engine.sql("INSERT INTO rc_trunc VALUES (1, 'a'), (2, 'b')")
+    assert(engine.sql("SELECT * FROM rc_trunc").count() == 2)
+    engine.sql("TRUNCATE rc_trunc")
+    assert(engine.sql("SELECT * FROM rc_trunc").count() == 0)
+    engine.sql("INSERT INTO rc_trunc VALUES (3, 'c')")
+    assert(engine.sql("SELECT id FROM rc_trunc").collect()(0).getInt(0) == 3)
+    engine.sql("DROP TABLE rc_trunc")
+  }
+
+  test("INSERT INTO LOCATION USING a reader format writes the directory") {
+    val dir = s"$tmp/loc_avro"
+    engine.mount(sfDir)
+    engine.sql(s"INSERT OVERWRITE INTO LOCATION '$dir' USING avro SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 5")
+    val back = graft.sources.AvroSource.read(spark, dir)
+    assert(back.count() == 5)
+    engine.sql("DROP TABLE IF EXISTS loc_avro_read")
+    engine.sql(s"CREATE EXTERNAL TABLE loc_avro_read (n_nationkey INT8, n_name TEXT) USING avro LOCATION '$dir'")
+    assert(engine.sql("SELECT n_name FROM loc_avro_read ORDER BY n_nationkey LIMIT 1")
+      .collect()(0).getString(0) == "NATION_0")
+    engine.sql("DROP TABLE loc_avro_read")
+  }
+
   // The reference resolves TABLESPACE names against registered tablespaces
   // and rejects unknown ones (TestCreateTable/negative/
   // create_table_on_absent_tablespace.sql); this deployment has one
