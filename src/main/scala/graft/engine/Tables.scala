@@ -31,12 +31,18 @@ object Tables {
   }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is TIMESTAMP(NANOS) in the driver-generated parquet, which
-    // Spark's vectorized reader rejects; read it as raw nanos and convert.
+    // events.ts has been generated as TIMESTAMP(NANOS) in some driver drops
+    // (which Spark's vectorized reader rejects — read as raw nanos and
+    // convert) and as TIMESTAMP(MICROS) in others (reads natively). Sniff
+    // the loaded type and convert only when the nanos path kicked in.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
+    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    else if (name == "events")
+      // Micros drops read as TIMESTAMP_NTZ; cast to the session-UTC
+      // TimestampType every query has consumed since round 1.
+      df.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
     else df
   }
 }

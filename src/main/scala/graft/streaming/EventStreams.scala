@@ -24,13 +24,21 @@ object EventStreams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-source stream over a directory of events parquet. */
+  /** File-source stream over a directory of events parquet. Driver drops
+    * have shipped `ts` both as TIMESTAMP(NANOS) (read as raw longs via
+    * nanosAsLong, then converted) and as TIMESTAMP(MICROS) (read natively);
+    * sniff the batch-read type so either layout streams correctly. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawSchema)
+    val actualTs = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val schema = StructType(rawSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = actualTs) else f))
+    val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    if (actualTs == LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    else raw.withColumn("ts", col("ts").cast("timestamp"))
   }
 
   /** Tumbling-hour counts with a 1-hour watermark (late data tolerated up
