@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
-import graft.QueryDef.{shared, split}
+import graft.QueryDef.{df, shared, split}
 
 /** Function-library surface (SURVEY.md §2.7): string / math / datetime /
   * JSON / network functions plus string_agg, exercised over the testdata
@@ -253,7 +253,92 @@ object FunctionQueries {
       |  LTRIM(RTRIM(CONCAT('  ', p_brand, '  '))) AS trimmed
       |FROM part ORDER BY p_partkey""".stripMargin)
 
+  // ---- python UDF bridge (reference: PythonScriptEngine + controller.py;
+  // our bridge: functions/PythonUdf.scala). The script is authored here,
+  // registered through the same decorator-parsing path a user script takes,
+  // and each python function is replayed as exact DuckDB SQL: integer sums
+  // stay exact in python (arbitrary precision) and each double is produced
+  // by ONE division, so results are bit-identical.
+  private val pyScriptSrc =
+    """from tajo_util import output_type
+      |
+      |@output_type('text')
+      |def py_sig(name):
+      |    if name is None:
+      |        return None
+      |    return name.upper() + '#' + str(len(name))
+      |
+      |@output_type('int8')
+      |def py_keysum(a, b):
+      |    if a is None or b is None:
+      |        return None
+      |    return a + b
+      |
+      |@output_type('float8')
+      |def py_frac(num, total):
+      |    return num * 100 / float(total)
+      |
+      |class SumCountPy:
+      |    def __init__(self):
+      |        self.reset()
+      |    def reset(self):
+      |        self.s = 0
+      |        self.n = 0
+      |    def eval(self, x):
+      |        if x is not None:
+      |            self.s += x
+      |            self.n += 1
+      |    def get_partial_result(self):
+      |        return [self.s, self.n]
+      |    def merge(self, p):
+      |        if p:
+      |            self.s += p[0]
+      |            self.n += p[1]
+      |    @output_type('float8')
+      |    def get_final_result(self):
+      |        if self.n == 0:
+      |            return None
+      |        return self.s / float(self.n)
+      |""".stripMargin
+
+  private lazy val pyScriptPath: String = {
+    val f = java.nio.file.Files.createTempFile("graft-pyudf-queries", ".py")
+    java.nio.file.Files.write(f, pyScriptSrc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    f.toFile.deleteOnExit()
+    f.toString
+  }
+
+  private val qPythonUdf = df("q_func_python_udf",
+    (spark, dir) => {
+      graft.functions.PythonUdf.registerScript(spark, pyScriptPath)
+      spark.sql(
+        """SELECT n_nationkey,
+          |  py_sig(n_name) AS sig,
+          |  py_keysum(n_nationkey, n_regionkey) AS ks,
+          |  py_frac(n_nationkey, 25) AS fr
+          |FROM nation ORDER BY n_nationkey""".stripMargin)
+    },
+    Some("""SELECT n_nationkey,
+      |  UPPER(n_name) || '#' || CAST(LENGTH(n_name) AS VARCHAR) AS sig,
+      |  CAST(n_nationkey + n_regionkey AS BIGINT) AS ks,
+      |  n_nationkey * 100 / CAST(25 AS DOUBLE) AS fr
+      |FROM nation ORDER BY n_nationkey""".stripMargin))
+
+  private val qPythonUdaf = df("q_func_python_udaf",
+    (spark, dir) => {
+      val nation = graft.engine.Tables.table(spark, dir, "nation")
+      graft.functions.PythonUdf.aggregate(nation, pyScriptPath,
+          graft.functions.PythonUdf.PyAgg("SumCountPy", 1,
+            org.apache.spark.sql.types.DoubleType),
+          groupCols = Seq("n_regionkey"), inputCols = Seq("n_nationkey"),
+          resultCol = "avg_key")
+        .orderBy("n_regionkey")
+    },
+    Some("""SELECT n_regionkey,
+      |  CAST(SUM(n_nationkey) AS DOUBLE) / COUNT(n_nationkey) AS avg_key
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     qString, qString2, qMath, qDatetime, qDatetime2, qJson, qJson2,
-    qStringAgg, qIp, qGeoip, qDigest)
+    qStringAgg, qIp, qGeoip, qDigest, qPythonUdf, qPythonUdaf)
 }
