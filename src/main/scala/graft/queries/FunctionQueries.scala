@@ -338,7 +338,41 @@ object FunctionQueries {
       |  CAST(SUM(n_nationkey) AS DOUBLE) / COUNT(n_nationkey) AS avg_key
       |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin))
 
+  // ---- hive UDF bridge (reference: HiveFunctionLoader scanning classic
+  // org.apache.hadoop.hive.ql.exec.UDF subclasses; our bridge:
+  // functions/HiveUdf.scala over the in-container hive-exec jar). Each
+  // bridged function has an exact DuckDB spelling: reverse/repeat/bin/hex/
+  // ascii are byte-identical across Hive and DuckDB on ASCII input.
+  // Registered under hv_* names so reference-parity names (@Description)
+  // can't shadow Spark builtins for later queries in the same session.
+  private val qHiveUdf = df("q_func_hive_udf",
+    (spark, dir) => {
+      graft.functions.HiveUdf.register(spark, "hv_reverse", "org.apache.hadoop.hive.ql.udf.UDFReverse")
+      graft.functions.HiveUdf.register(spark, "hv_repeat", "org.apache.hadoop.hive.ql.udf.UDFRepeat")
+      graft.functions.HiveUdf.register(spark, "hv_space", "org.apache.hadoop.hive.ql.udf.UDFSpace")
+      graft.functions.HiveUdf.register(spark, "hv_bin", "org.apache.hadoop.hive.ql.udf.UDFBin")
+      graft.functions.HiveUdf.register(spark, "hv_hex", "org.apache.hadoop.hive.ql.udf.UDFHex")
+      graft.functions.HiveUdf.register(spark, "hv_ascii", "org.apache.hadoop.hive.ql.udf.UDFAscii")
+      spark.sql(
+        """SELECT n_nationkey,
+          |  hv_reverse(n_name) AS rev,
+          |  hv_repeat(n_name, 2) AS rep,
+          |  hv_space(CAST(n_nationkey % 4 AS INT)) AS sp,
+          |  hv_bin(CAST(n_nationkey AS BIGINT)) AS bn,
+          |  hv_hex(n_name) AS hx,
+          |  hv_ascii(n_name) AS asc_c
+          |FROM nation ORDER BY n_nationkey""".stripMargin)
+    },
+    Some("""SELECT n_nationkey,
+      |  REVERSE(n_name) AS rev,
+      |  REPEAT(n_name, 2) AS rep,
+      |  REPEAT(' ', n_nationkey % 4) AS sp,
+      |  BIN(n_nationkey) AS bn,
+      |  HEX(n_name) AS hx,
+      |  ASCII(n_name) AS asc_c
+      |FROM nation ORDER BY n_nationkey""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     qString, qString2, qMath, qDatetime, qDatetime2, qJson, qJson2,
-    qStringAgg, qIp, qGeoip, qDigest, qPythonUdf, qPythonUdaf)
+    qStringAgg, qIp, qGeoip, qDigest, qPythonUdf, qPythonUdaf, qHiveUdf)
 }
