@@ -868,7 +868,14 @@ class GraftEngine(val spark: SparkSession) {
       val fmt = m.group(1).toLowerCase
       formatMap.get(fmt) match {
         case Some(sparkFmt) => s"USING $sparkFmt"
-        case None if Set("rawfile", "raw", "hbase").contains(fmt) =>
+        case None if Set("rawfile", "raw").contains(fmt) =>
+          // the reference rejects RAW in user DDL too — it's the internal
+          // local/intermediate format (PreLogicalPlanVerifier.java:196);
+          // file-level access goes through graft.sources.RawFileSource
+          throw new UnsupportedOperationException(
+            s"storage format '$fmt' is internal-only, matching the reference's " +
+              "verifier; use graft.sources.RawFileSource for file-level access")
+        case None if fmt == "hbase" =>
           throw new UnsupportedOperationException(
             s"storage format '$fmt' is not supported (documented gap, SURVEY.md §2.1)")
         case None => s"USING $fmt"

@@ -415,8 +415,36 @@ object StorageQueries {
     },
     Some("SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey"))
 
+  // RawFile round trip — the reference's binary row format
+  // (tajo-storage-hdfs rawfile/DirectRawFileWriter.java). The reference
+  // REJECTS `USING RAW` in user DDL (PreLogicalPlanVerifier.java:196 —
+  // it's the internal local/intermediate representation), and so does
+  // GraftEngine; the format itself round-trips through the
+  // graft.sources.RawFileSource API, including dates (julian days) and
+  // timestamps (julian micros). Orders exercises int8/text/float8/date.
+  private val qRawFile = df("q_store_rawfile",
+    (spark, dir) => {
+      val out = scratch("rawfile_orders")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val src = Tables.table(spark, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate", "o_orderpriority")
+      graft.sources.RawFileSource.write(src, out)
+      graft.sources.RawFileSource.read(spark, out, src.schema)
+        .groupBy("o_orderpriority")
+        .agg(count("*").as("cnt"),
+          sum(col("o_totalprice").cast("decimal(38,4)")).cast("double").as("total"),
+          min("o_orderdate").as("first_date"),
+          max(col("o_orderkey").cast("bigint")).as("max_key"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total,
+           |  MIN(o_orderdate) AS first_date,
+           |  CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+           |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     qCtas, qInsert, qPartitioned, qCsv, qJsonSelfDesc, qOrc, qNested,
     qNestedDdl, qBucketedJoin, qJdbc, qPartitionMgmt, qIndex, qAvro,
-    qSeqFile, qRegex, qRcFile, qInsertReader)
+    qSeqFile, qRegex, qRcFile, qInsertReader, qRawFile)
 }
