@@ -132,7 +132,17 @@ class GraftEngine(val spark: SparkSession) {
       // the real session clock exactly like `SET TIME ZONE` does
       if (key.equalsIgnoreCase("timezone"))
         spark.conf.set("spark.sql.session.timeZone", value)
-      else spark.conf.set(s"graft.session.$key", value)
+      else if (key.equalsIgnoreCase("tajo.function.python.code-dir")) {
+        // the reference's python-UDF registration knob (TajoConf
+        // PYTHON_CODE_DIR, PythonScriptEngine.registerFunctions): every
+        // .py script in the directory registers its decorated defs as
+        // session SQL functions through the PythonUdf bridge
+        val dir = new java.io.File(value)
+        require(dir.isDirectory, s"python code-dir not found: $value")
+        dir.listFiles().filter(_.getName.endsWith(".py")).sortBy(_.getName)
+          .foreach(f => graft.functions.PythonUdf.registerScript(spark, f.getPath))
+        spark.conf.set(s"graft.session.$key", value)
+      } else spark.conf.set(s"graft.session.$key", value)
       spark.emptyDataFrame
     } else if (lower.startsWith("create index")) {
       // CREATE [UNIQUE] INDEX name ON tbl [USING method] (col [ASC|DESC]...)

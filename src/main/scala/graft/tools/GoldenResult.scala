@@ -36,6 +36,10 @@ object GoldenResult {
       lt.format(java.time.format.DateTimeFormatter.ofPattern(
         if (lt.getNano == 0) "HH:mm:ss" else "HH:mm:ss.SSSSSS"))
     case arr: scala.collection.Seq[_] => arr.map(cell).mkString("[", ",", "]")
+    case b: Array[Byte] =>
+      // BLOB renders as its character data (reference: BlobDatum.asChars —
+      // the python-UDF blob default prints "11" for concat_py('1'))
+      new String(b, java.nio.charset.StandardCharsets.UTF_8)
     case other => other.toString
   }
 
