@@ -278,6 +278,12 @@ object FunctionQueries {
       |def py_frac(num, total):
       |    return num * 100 / float(total)
       |
+      |@output_type('int8')
+      |def py_count_e(s):
+      |    if s is None:
+      |        return None
+      |    return s.count('e')
+      |
       |class SumCountPy:
       |    def __init__(self):
       |        self.reset()
@@ -372,7 +378,27 @@ object FunctionQueries {
       |  ASCII(n_name) AS asc_c
       |FROM nation ORDER BY n_nationkey""".stripMargin))
 
+  // The batched bridge path over a corpus-scale column: mapColumn pushes
+  // 1024 rows per pipe round trip through mapPartitions — the design that
+  // holds at 100 TB (pipe latency amortizes; workers are per-thread and
+  // long-lived; nothing reaches the driver). Occurrence counting has an
+  // exact DuckDB spelling, so the oracle is bit-exact.
+  private val qPythonBatch = df("q_func_python_batch",
+    (spark, dir) => {
+      val docs = graft.engine.Tables.table(spark, dir, "documents")
+        .select("doc_id", "text")
+      graft.functions.PythonUdf.mapColumn(docs, pyScriptPath, "py_count_e",
+          org.apache.spark.sql.types.LongType, Seq("text"), "e_count")
+        .select(org.apache.spark.sql.functions.col("doc_id").cast("bigint").as("doc_id"),
+          org.apache.spark.sql.functions.col("e_count"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CAST(LENGTH(text) - LENGTH(REPLACE(text, 'e', '')) AS BIGINT) AS e_count
+      |FROM documents ORDER BY doc_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     qString, qString2, qMath, qDatetime, qDatetime2, qJson, qJson2,
-    qStringAgg, qIp, qGeoip, qDigest, qPythonUdf, qPythonUdaf, qHiveUdf)
+    qStringAgg, qIp, qGeoip, qDigest, qPythonUdf, qPythonUdaf, qHiveUdf,
+    qPythonBatch)
 }
