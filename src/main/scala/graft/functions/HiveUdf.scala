@@ -182,6 +182,114 @@ object HiveUdf {
     rt
   }
 
+  // ------------------------------------------------------- GenericUDF
+
+  /** GenericUDF bridge (beyond the reference, which only loads classic
+    * UDF subclasses — HiveFunctionLoader.java:80 scans `UDF.class`; most
+    * modern Hive functions are GenericUDFs, so a user carrying a Hive jar
+    * gets both here). The class initializes once per (thread x signature)
+    * with writable-constant-free java ObjectInspectors derived from the
+    * declared Spark input types, and evaluates with deferred java
+    * objects; the return type comes from the OI `initialize` returns. */
+  private final case class GenericBinding(udf: AnyRef, eval: Method,
+                                          deferredCtor: java.lang.reflect.Constructor[_],
+                                          resultOi: AnyRef, getJava: Method)
+  private val genericBindings = new ConcurrentHashMap[(Long, String, Seq[DataType]), GenericBinding]()
+
+  private def javaOi(dt: DataType): AnyRef = {
+    val f = Class.forName(
+      "org.apache.hadoop.hive.serde2.objectinspector.primitive.PrimitiveObjectInspectorFactory")
+    val name = dt match {
+      case StringType => "javaStringObjectInspector"
+      case IntegerType => "javaIntObjectInspector"
+      case LongType => "javaLongObjectInspector"
+      case DoubleType => "javaDoubleObjectInspector"
+      case FloatType => "javaFloatObjectInspector"
+      case BooleanType => "javaBooleanObjectInspector"
+      case ShortType => "javaShortObjectInspector"
+      case ByteType => "javaByteObjectInspector"
+      case BinaryType => "javaByteArrayObjectInspector"
+      case other => throw new IllegalArgumentException(s"hive generic udf: unsupported input type $other")
+    }
+    f.getField(name).get(null)
+  }
+
+  private def oiSparkType(oi: AnyRef): DataType = {
+    val cat = oi.getClass.getMethod("getPrimitiveCategory").invoke(oi).toString
+    cat match {
+      case "STRING" | "VARCHAR" | "CHAR" => StringType
+      case "INT" => IntegerType
+      case "LONG" => LongType
+      case "DOUBLE" => DoubleType
+      case "FLOAT" => FloatType
+      case "BOOLEAN" => BooleanType
+      case "SHORT" => ShortType
+      case "BYTE" => ByteType
+      case "BINARY" => BinaryType
+      case other => throw new IllegalArgumentException(s"hive generic udf: unsupported return category $other")
+    }
+  }
+
+  private def genericBinding(className: String, inputTypes: Seq[DataType]): GenericBinding =
+    genericBindings.computeIfAbsent(
+      (Thread.currentThread().getId, className, inputTypes), { _ =>
+        val cls = Class.forName(className)
+        val udf = cls.getDeclaredConstructor().newInstance().asInstanceOf[AnyRef]
+        val oiCls = Class.forName("org.apache.hadoop.hive.serde2.objectinspector.ObjectInspector")
+        val oiArr = java.lang.reflect.Array.newInstance(oiCls, inputTypes.length)
+        inputTypes.zipWithIndex.foreach { case (dt, i) =>
+          java.lang.reflect.Array.set(oiArr, i, javaOi(dt)) }
+        val init = cls.getMethod("initialize", oiArr.getClass.asInstanceOf[Class[_]])
+        val resultOi = init.invoke(udf, oiArr).asInstanceOf[AnyRef]
+        val deferredCls = Class.forName(
+          "org.apache.hadoop.hive.ql.udf.generic.GenericUDF$DeferredObject")
+        val deferredArrCls = java.lang.reflect.Array.newInstance(deferredCls, 0).getClass
+        val eval = cls.getMethod("evaluate", deferredArrCls)
+        val deferredCtor = Class.forName(
+          "org.apache.hadoop.hive.ql.udf.generic.GenericUDF$DeferredJavaObject")
+          .getConstructor(classOf[Object])
+        val getJava = Class.forName(
+          "org.apache.hadoop.hive.serde2.objectinspector.PrimitiveObjectInspector")
+          .getMethod("getPrimitiveJavaObject", classOf[Object])
+        GenericBinding(udf, eval, deferredCtor, resultOi, getJava)
+      })
+
+  /** Executor-side GenericUDF invocation. */
+  def callGeneric(className: String, inputTypes: Seq[DataType], args: Seq[Any]): Any = {
+    val b = genericBinding(className, inputTypes)
+    val deferredCls = Class.forName(
+      "org.apache.hadoop.hive.ql.udf.generic.GenericUDF$DeferredObject")
+    val arr = java.lang.reflect.Array.newInstance(deferredCls, args.length)
+    args.zipWithIndex.foreach { case (a, i) =>
+      java.lang.reflect.Array.set(arr, i, b.deferredCtor.newInstance(a.asInstanceOf[Object])) }
+    val raw = b.eval.invoke(b.udf, arr)
+    if (raw == null) null
+    else fromResult(b.getJava.invoke(b.resultOi, raw))
+  }
+
+  /** Register a GenericUDF under `name` for the given input signature.
+    * Returns the Spark return type derived from the initialize() OI. */
+  def registerGeneric(spark: SparkSession, name: String, className: String,
+                      inputTypes: Seq[DataType]): DataType = {
+    val b = genericBinding(className, inputTypes)
+    val rt = oiSparkType(b.resultOi)
+    val (cn, its) = (className, inputTypes)
+    inputTypes.length match {
+      case 0 => spark.udf.register(name, new UDF0[Any] {
+        override def call(): Any = callGeneric(cn, its, Nil) }, rt)
+      case 1 => spark.udf.register(name, new UDF1[Any, Any] {
+        override def call(a: Any): Any = callGeneric(cn, its, Seq(a)) }, rt)
+      case 2 => spark.udf.register(name, new UDF2[Any, Any, Any] {
+        override def call(a: Any, b2: Any): Any = callGeneric(cn, its, Seq(a, b2)) }, rt)
+      case 3 => spark.udf.register(name, new UDF3[Any, Any, Any, Any] {
+        override def call(a: Any, b2: Any, c: Any): Any = callGeneric(cn, its, Seq(a, b2, c)) }, rt)
+      case 4 => spark.udf.register(name, new UDF4[Any, Any, Any, Any, Any] {
+        override def call(a: Any, b2: Any, c: Any, d: Any): Any = callGeneric(cn, its, Seq(a, b2, c, d)) }, rt)
+      case k => throw new IllegalArgumentException(s"hive generic udf $name: unsupported arity $k (max 4)")
+    }
+    rt
+  }
+
   /** Reference-parity names for a UDF class: `@Description.name` aliases
     * when present (comma-separated), else the dotted class name with
     * underscores (HiveFunctionLoader.java:100-117). */

@@ -359,6 +359,13 @@ object FunctionQueries {
       graft.functions.HiveUdf.register(spark, "hv_bin", "org.apache.hadoop.hive.ql.udf.UDFBin")
       graft.functions.HiveUdf.register(spark, "hv_hex", "org.apache.hadoop.hive.ql.udf.UDFHex")
       graft.functions.HiveUdf.register(spark, "hv_ascii", "org.apache.hadoop.hive.ql.udf.UDFAscii")
+      // GenericUDFs (beyond the reference, which only loads classic UDFs)
+      graft.functions.HiveUdf.registerGeneric(spark, "hv_upper_gen",
+        "org.apache.hadoop.hive.ql.udf.generic.GenericUDFUpper",
+        Seq(org.apache.spark.sql.types.StringType))
+      graft.functions.HiveUdf.registerGeneric(spark, "hv_instr_gen",
+        "org.apache.hadoop.hive.ql.udf.generic.GenericUDFInstr",
+        Seq(org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType))
       spark.sql(
         """SELECT n_nationkey,
           |  hv_reverse(n_name) AS rev,
@@ -366,7 +373,9 @@ object FunctionQueries {
           |  hv_space(CAST(n_nationkey % 4 AS INT)) AS sp,
           |  hv_bin(CAST(n_nationkey AS BIGINT)) AS bn,
           |  hv_hex(n_name) AS hx,
-          |  hv_ascii(n_name) AS asc_c
+          |  hv_ascii(n_name) AS asc_c,
+          |  hv_upper_gen(n_name) AS upg,
+          |  hv_instr_gen(n_name, '1') AS ins
           |FROM nation ORDER BY n_nationkey""".stripMargin)
     },
     Some("""SELECT n_nationkey,
@@ -375,7 +384,9 @@ object FunctionQueries {
       |  REPEAT(' ', n_nationkey % 4) AS sp,
       |  BIN(n_nationkey) AS bn,
       |  HEX(n_name) AS hx,
-      |  ASCII(n_name) AS asc_c
+      |  ASCII(n_name) AS asc_c,
+      |  UPPER(n_name) AS upg,
+      |  CAST(STRPOS(n_name, '1') AS INT) AS ins
       |FROM nation ORDER BY n_nationkey""".stripMargin))
 
   // The batched bridge path over a corpus-scale column: mapColumn pushes

@@ -58,6 +58,35 @@ class HiveUdfSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("GenericUDF registers with OI-derived return type (upper)") {
+    val rt = HiveUdf.registerGeneric(spark, "hv_upper_g",
+      "org.apache.hadoop.hive.ql.udf.generic.GenericUDFUpper", Seq(StringType))
+    assert(rt == StringType)
+    val r = spark.sql("SELECT hv_upper_g('spark') AS x, hv_upper_g(CAST(NULL AS STRING)) AS n").collect()
+    assert(r(0).getString(0) == "SPARK")
+    assert(r(0).isNullAt(1))
+  }
+
+  test("GenericUDF with two arguments (concat) computes across rows") {
+    HiveUdf.registerGeneric(spark, "hv_concat_g",
+      "org.apache.hadoop.hive.ql.udf.generic.GenericUDFConcat",
+      Seq(StringType, StringType))
+    val df = (1 to 100).map(i => (s"a$i", s"b$i")).toDF("x", "y").repartition(4)
+    df.createOrReplaceTempView("hv_gen_t")
+    val bad = spark.sql("SELECT x, y, hv_concat_g(x, y) AS c FROM hv_gen_t")
+      .where("concat(x, y) <> c").count()
+    assert(bad == 0)
+  }
+
+  test("GenericUDF integer return (instr)") {
+    val rt = HiveUdf.registerGeneric(spark, "hv_instr_g",
+      "org.apache.hadoop.hive.ql.udf.generic.GenericUDFInstr",
+      Seq(StringType, StringType))
+    assert(rt == IntegerType)
+    val r = spark.sql("SELECT hv_instr_g('spark sql', 'sql') AS p").collect()
+    assert(r(0).getInt(0) == 7)
+  }
+
   test("loadJar scans a jar and registers UDFs under reference-parity names") {
     val s2 = spark.newSession() // isolated registry: parity names may shadow builtins
     val loaded = HiveUdf.loadJar(s2, "/opt/spark/jars/hive-exec-2.3.10-core.jar",
