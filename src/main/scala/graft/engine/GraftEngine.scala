@@ -132,7 +132,18 @@ class GraftEngine(val spark: SparkSession) {
       // the real session clock exactly like `SET TIME ZONE` does
       if (key.equalsIgnoreCase("timezone"))
         spark.conf.set("spark.sql.session.timeZone", value)
-      else if (key.equalsIgnoreCase("tajo.function.python.code-dir")) {
+      else if (key.equalsIgnoreCase("tajo.function.hive.jar-dir")) {
+        // the reference's Hive-UDF jar directory knob (TajoConf
+        // HIVE_UDF_JAR_DIR, HiveFunctionLoader.loadHiveUDFs): every jar in
+        // the directory is scanned for classic UDF subclasses, registered
+        // under their @Description aliases — which, like the reference,
+        // may shadow a builtin of the same name for this session
+        val dir = new java.io.File(value)
+        require(dir.isDirectory, s"hive udf jar-dir not found: $value")
+        dir.listFiles().filter(_.getName.endsWith(".jar")).sortBy(_.getName)
+          .foreach(j => graft.functions.HiveUdf.loadJar(spark, j.getPath))
+        spark.conf.set(s"graft.session.$key", value)
+      } else if (key.equalsIgnoreCase("tajo.function.python.code-dir")) {
         // the reference's python-UDF registration knob (TajoConf
         // PYTHON_CODE_DIR, PythonScriptEngine.registerFunctions): every
         // .py script in the directory registers its decorated defs as

@@ -87,6 +87,19 @@ class HiveUdfSpec extends AnyFunSuite {
     assert(r(0).getInt(0) == 7)
   }
 
+  test("engine session knob tajo.function.hive.jar-dir loads a jar directory") {
+    // isolated session: parity names (reverse, ascii, ...) shadow builtins
+    val s2 = spark.newSession()
+    val engine = new graft.engine.GraftEngine(s2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-hiveudf-jars")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("hive-exec-core.jar"),
+      java.nio.file.Paths.get("/opt/spark/jars/hive-exec-2.3.10-core.jar"))
+    engine.sql(s"SET SESSION tajo.function.hive.jar-dir TO '$dir'")
+    assert(s2.sql("SELECT space(3) AS s").collect()(0).getString(0) == "   ")
+    assert(s2.sql("SELECT bin(5) AS b").collect()(0).getString(0) == "101")
+  }
+
   test("loadJar scans a jar and registers UDFs under reference-parity names") {
     val s2 = spark.newSession() // isolated registry: parity names may shadow builtins
     val loaded = HiveUdf.loadJar(s2, "/opt/spark/jars/hive-exec-2.3.10-core.jar",
