@@ -75,6 +75,39 @@ class RawFileSourceSpec extends AnyFunSuite {
     assert(origBin == backBin)
   }
 
+  test("property: random rows of every type round trip bit-exactly (seeded)") {
+    val rnd = new scala.util.Random(4242)
+    def randRow(): Row = {
+      def opt[A](v: => A): Any = if (rnd.nextInt(5) == 0) null else v
+      Row(
+        opt(rnd.nextBoolean()),
+        opt(rnd.nextInt().toShort),
+        opt(rnd.nextInt()),
+        opt(rnd.nextLong()),
+        opt(java.lang.Float.intBitsToFloat(rnd.nextInt())),
+        opt(java.lang.Double.longBitsToDouble(rnd.nextLong())),
+        opt(rnd.alphanumeric.take(rnd.nextInt(40)).mkString),
+        opt(Array.fill(rnd.nextInt(20))(rnd.nextInt().toByte)),
+        opt(Date.valueOf(java.time.LocalDate.ofEpochDay(rnd.between(-100000L, 100000L)))),
+        opt(Timestamp.from(java.time.Instant.ofEpochSecond(
+          rnd.between(-30610224000L, 32503680000L), rnd.nextInt(1000000) * 1000L))))
+    }
+    // NaN bit patterns come out of intBitsToFloat; compare via raw bits
+    def renderBits(r: Row): String = r.toSeq.map {
+      case f: Float => java.lang.Float.floatToRawIntBits(f).toString
+      case d: Double => java.lang.Double.doubleToRawLongBits(d).toString
+      case b: Array[Byte] => b.map("%02x".format(_)).mkString
+      case v => String.valueOf(v)
+    }.mkString("|")
+    val rows = Seq.fill(300)(randRow())
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 3), schema)
+    val dir = java.nio.file.Files.createTempDirectory("graft-rawfile-prop").toString
+    RawFileSource.write(df, dir)
+    val back = RawFileSource.read(spark, dir, schema)
+    assert(back.collect().map(renderBits).sorted.toSeq ==
+      df.collect().map(renderBits).sorted.toSeq)
+  }
+
   test("round trip of a real table keeps every row (nation)") {
     val nation = graft.engine.Tables.table(spark, sfDir, "nation")
     val dir = java.nio.file.Files.createTempDirectory("graft-rawfile-nation").toString
