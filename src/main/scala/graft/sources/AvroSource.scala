@@ -45,9 +45,11 @@ object AvroSource {
       if (s.getLogicalType != null && s.getLogicalType.getName == "date") (DateType, false)
       else (IntegerType, false)
     case Schema.Type.LONG =>
-      if (s.getLogicalType != null && s.getLogicalType.getName == "timestamp-micros")
-        (TimestampType, false)
-      else (LongType, false)
+      Option(s.getLogicalType).map(_.getName) match {
+        case Some("timestamp-micros") | Some("timestamp-millis") => (TimestampType, false)
+        case Some("local-timestamp-micros") => (TimestampNTZType, false)
+        case _ => (LongType, false)
+      }
     case Schema.Type.FLOAT => (FloatType, false)
     case Schema.Type.DOUBLE => (DoubleType, false)
     case Schema.Type.STRING | Schema.Type.ENUM => (StringType, false)
@@ -108,15 +110,24 @@ object AvroSource {
 
   // ------------------------------------------------------------- value: ->spark
 
-  private def toSpark(v: Any, dt: DataType): Any = (v, dt) match {
+  /** The avro schema rides along so unit-carrying logical types decode
+    * correctly (timestamp-MILLIS vs -micros read as the same Spark
+    * TimestampType but scale differently; null for callers without one —
+    * micros, the writer's own unit, is then assumed). */
+  private def toSpark(v: Any, dt: DataType, as: Schema): Any = (v, dt) match {
     case (null, _) => null
     case (u: org.apache.avro.util.Utf8, StringType) => u.toString
     case (s: String, StringType) => s
     case (e: GenericData.EnumSymbol, StringType) => e.toString
     case (i: java.lang.Integer, DateType) => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i.longValue()))
     case (l: java.lang.Long, TimestampType) =>
-      val ts = new java.sql.Timestamp(Math.floorDiv(l, 1000000L) * 1000L)
-      ts.setNanos((Math.floorMod(l, 1000000L) * 1000L).toInt); ts
+      val micros: Long =
+        if (logicalName(as).contains("timestamp-millis")) l * 1000L else l.longValue
+      val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+      ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt); ts
+    case (l: java.lang.Long, TimestampNTZType) => // local-timestamp-micros
+      java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(l, 1000000L),
+        (Math.floorMod(l, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
     case (b: java.nio.ByteBuffer, BinaryType) =>
       val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
     case (f: GenericData.Fixed, BinaryType) => f.bytes()
@@ -125,14 +136,28 @@ object AvroSource {
       BigDecimal(new java.math.BigDecimal(new java.math.BigInteger(a), d.scale))
     case (r: GenericRecord, st: StructType) => toRow(r, st)
     case (arr: java.util.Collection[_], ArrayType(et, _)) =>
-      arr.asScala.toSeq.map(toSpark(_, et))
+      arr.asScala.toSeq.map(toSpark(_, et, elementSchema(as)))
     case (m: java.util.Map[_, _], MapType(_, vt, _)) =>
-      m.asScala.map { case (k, mv) => k.toString -> toSpark(mv, vt) }.toMap
+      m.asScala.map { case (k, mv) => k.toString -> toSpark(mv, vt, valueSchema(as)) }.toMap
     case (x, _) => x
   }
 
+  private def nonNull(s: Schema): Schema =
+    if (s != null && s.getType == Schema.Type.UNION)
+      s.getTypes.asScala.find(_.getType != Schema.Type.NULL).orNull
+    else s
+  private def logicalName(s: Schema): Option[String] =
+    Option(nonNull(s)).flatMap(x => Option(x.getLogicalType)).map(_.getName)
+  private def elementSchema(s: Schema): Schema =
+    Option(nonNull(s)).filter(_.getType == Schema.Type.ARRAY).map(_.getElementType).orNull
+  private def valueSchema(s: Schema): Schema =
+    Option(nonNull(s)).filter(_.getType == Schema.Type.MAP).map(_.getValueType).orNull
+
   def toRow(rec: GenericRecord, st: StructType): Row =
-    Row.fromSeq(st.fields.toSeq.map(f => toSpark(rec.get(f.name), f.dataType)))
+    Row.fromSeq(st.fields.toSeq.map { f =>
+      val fieldSchema = Option(rec.getSchema.getField(f.name)).map(_.schema()).orNull
+      toSpark(rec.get(f.name), f.dataType, fieldSchema)
+    })
 
   // -------------------------------------------------------------- value: ->avro
 

@@ -57,6 +57,41 @@ class AvroSourceSpec extends AnyFunSuite {
     case x => x
   }
 
+  test("foreign logical types read: timestamp-millis, local-timestamp-micros, uuid") {
+    // files written by OTHER systems carry these annotations; author one
+    // with the raw avro API and read it through the source
+    import org.apache.avro.{LogicalTypes, Schema => ASchema, SchemaBuilder}
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import org.apache.avro.file.DataFileWriter
+    val millis = LogicalTypes.timestampMillis().addToSchema(ASchema.create(ASchema.Type.LONG))
+    val localMicros = new org.apache.avro.LogicalType("local-timestamp-micros")
+      .addToSchema(ASchema.create(ASchema.Type.LONG))
+    val uuid = LogicalTypes.uuid().addToSchema(ASchema.create(ASchema.Type.STRING))
+    val rec = SchemaBuilder.record("r").fields()
+      .name("tm").`type`(millis).noDefault()
+      .name("lt").`type`(localMicros).noDefault()
+      .name("u").`type`(uuid).noDefault()
+      .endRecord()
+    val dir = new java.io.File(s"$tmp/logical"); org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    dir.mkdirs()
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](rec))
+    w.create(rec, new java.io.File(dir, "part-0.avro"))
+    val r0 = new GenericData.Record(rec)
+    r0.put("tm", 1700000000123L)                       // ms since epoch
+    r0.put("lt", 1700000000123456L)                    // micros, zone-less
+    r0.put("u", "123e4567-e89b-12d3-a456-426614174000")
+    w.append(r0); w.close()
+    val df = AvroSource.read(spark, dir.toString)
+    assert(df.schema("tm").dataType == TimestampType)
+    assert(df.schema("lt").dataType == TimestampNTZType)
+    assert(df.schema("u").dataType == StringType)
+    val row = df.collect()(0)
+    assert(row.getAs[java.sql.Timestamp]("tm").toInstant.toEpochMilli == 1700000000123L)
+    assert(row.getAs[java.time.LocalDateTime]("lt") ==
+      java.time.LocalDateTime.ofEpochSecond(1700000000L, 123456000, java.time.ZoneOffset.UTC))
+    assert(row.getString(2) == "123e4567-e89b-12d3-a456-426614174000")
+  }
+
   test("supplier table round trips losslessly at one file per partition") {
     val src = Tables.table(spark, sfDir, "supplier").repartition(3)
     val dir = s"$tmp/supplier"
