@@ -127,6 +127,28 @@ class PythonUdfSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("a raising python function fails the query loudly and the worker survives") {
+    val src =
+      """from tajo_util import output_type
+        |
+        |@output_type('int4')
+        |def py_boom(x):
+        |    if x == 13:
+        |        raise ValueError('unlucky')
+        |    return x
+        |""".stripMargin
+    val f = Files.createTempFile("graft-pyudf-boom", ".py")
+    Files.write(f, src.getBytes(StandardCharsets.UTF_8))
+    f.toFile.deleteOnExit()
+    PythonUdf.registerScript(spark, f.toString)
+    val e = intercept[Exception](spark.sql("SELECT py_boom(13)").collect())
+    assert(e.getMessage.contains("unlucky") ||
+      Option(e.getCause).exists(_.getMessage.contains("unlucky")))
+    // the worker catches exceptions and keeps serving: same session, same
+    // thread pool, next call must succeed without a respawn
+    assert(spark.sql("SELECT py_boom(7) AS x").collect()(0).getInt(0) == 7)
+  }
+
   test("aggregate handles empty partitions and all-null input") {
     val df = Seq((1, null.asInstanceOf[Integer]), (1, null.asInstanceOf[Integer]))
       .toDF("g", "x").repartition(8)
