@@ -195,4 +195,54 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("RoundRobinPartitioning"), p)
     assert(!p.contains("Join"), p)
   }
+
+  test("q_func_python_batch: batched bridge adds no exchange before the python map") {
+    // mapColumn is a narrow mapPartitions over the scan; the only exchange
+    // allowed is the final presentation ORDER BY (rangepartitioning) —
+    // the corpus never shuffles INTO the python stage
+    val p = plan("q_func_python_batch")
+    assert(!p.contains("hashpartitioning"), p) // nothing shuffles into the python map
+    assert(p.contains("MapPartitions"), p)
+  }
+
+  test("python two-stage aggregate shuffles only (group, partial) rows") {
+    // stage 1 output is one row per (partition, group); the single
+    // hashpartitioning exchange between the two python stages moves
+    // partials, never corpus rows
+    val docs = graft.engine.Tables.table(spark, sfDir, "nation")
+    val agg = graft.functions.PythonUdf.PyAgg("SumCountPy", 1,
+      org.apache.spark.sql.types.DoubleType)
+    val script = {
+      val src =
+        """class SumCountPy:
+          |    def __init__(self):
+          |        self.s = 0
+          |        self.n = 0
+          |    def eval(self, x):
+          |        if x is not None:
+          |            self.s += x
+          |            self.n += 1
+          |    def get_partial_result(self):
+          |        return [self.s, self.n]
+          |    def merge(self, p):
+          |        if p:
+          |            self.s += p[0]
+          |            self.n += p[1]
+          |    def get_final_result(self):
+          |        return None if self.n == 0 else self.s / float(self.n)
+          |""".stripMargin
+      val f = java.nio.file.Files.createTempFile("plan-audit-pyudaf", ".py")
+      java.nio.file.Files.write(f, src.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      f.toFile.deleteOnExit(); f.toString
+    }
+    val out = graft.functions.PythonUdf.aggregate(docs, script, agg,
+      Seq("n_regionkey"), Seq("n_nationkey"), "avg_key")
+    val p = out.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size == 1, p)
+    assert(p.contains("hashpartitioning"), p)
+    // both python stages present: partial fold + final merge, and Spark
+    // even partial-aggregates the collect_list before the shuffle
+    assert("MapPartitions".r.findAllIn(p).size >= 2, p)
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+  }
 }
