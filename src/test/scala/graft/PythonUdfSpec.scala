@@ -127,6 +127,43 @@ class PythonUdfSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("multi-argument python aggregate (weighted mean) matches Spark") {
+    val src =
+      """from tajo_util import output_type
+        |
+        |class WeightedMeanPy:
+        |    def __init__(self):
+        |        self.ws = 0
+        |        self.wx = 0
+        |    def eval(self, x, w):
+        |        if x is not None and w is not None:
+        |            self.ws += w
+        |            self.wx += x * w
+        |    def get_partial_result(self):
+        |        return [self.wx, self.ws]
+        |    def merge(self, p):
+        |        if p:
+        |            self.wx += p[0]
+        |            self.ws += p[1]
+        |    @output_type('float8')
+        |    def get_final_result(self):
+        |        return None if self.ws == 0 else self.wx / float(self.ws)
+        |""".stripMargin
+    val f = Files.createTempFile("graft-pyudaf-wm", ".py")
+    Files.write(f, src.getBytes(StandardCharsets.UTF_8))
+    f.toFile.deleteOnExit()
+    val df = (1 to 500).map(i => (i % 5, i, (i % 7) + 1)).toDF("g", "x", "w").repartition(8)
+    val got = PythonUdf.aggregate(df, f.toString,
+        PythonUdf.PyAgg("WeightedMeanPy", 2, DoubleType),
+        Seq("g"), Seq("x", "w"), "wm")
+      .orderBy("g").collect().map(r => (r.getInt(0), r.getDouble(1)))
+    // integer sums stay exact in python; one division — bit-comparable
+    val want = df.groupBy("g")
+      .agg((sum(expr("CAST(x AS BIGINT) * w")).cast("double") / sum("w")).as("wm"))
+      .orderBy("g").collect().map(r => (r.getInt(0), r.getDouble(1)))
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("a raising python function fails the query loudly and the worker survives") {
     val src =
       """from tajo_util import output_type
