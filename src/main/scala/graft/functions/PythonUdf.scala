@@ -184,6 +184,21 @@ object PythonUdf {
       |                                 for _cls in _state.values()
       |                                 for _k, _v in _cls.items()]}
       |            _state = {}
+      |        elif "rp" in _req:
+      |            _partial, _args = _req["rp"]
+      |            _agg = getattr(_mod, _req["c"])()
+      |            if _partial is not None:
+      |                _agg.merge(_partial)
+      |            _agg.eval(*_args)
+      |            _out = {"p": _agg.get_partial_result()}
+      |        elif "mp" in _req:
+      |            _p1, _p2 = _req["mp"]
+      |            _agg = getattr(_mod, _req["c"])()
+      |            if _p1 is not None:
+      |                _agg.merge(_p1)
+      |            if _p2 is not None:
+      |                _agg.merge(_p2)
+      |            _out = {"p": _agg.get_partial_result()}
       |        elif "fb" in _req:
       |            _finals = []
       |            for _parts in _req["fb"]:
@@ -328,19 +343,101 @@ object PythonUdf {
     }
   }
 
+  // ----------------------------------------------------- SQL aggregate
+
+  private def partialOp(scriptPath: String, cls: String, req: JObject): String = {
+    val resp = worker(scriptPath).sendRecv(req)
+    (resp \ "p") match {
+      case JNull | JNothing => null
+      case p => JsonMethods.compact(JsonMethods.render(p))
+    }
+  }
+
+  private def parseOrNull(s: String): JValue =
+    if (s == null) JNull else JsonMethods.parse(s)
+
+  /** buffer-partial ⊕ one input row -> new partial (controller `rp`). */
+  def reducePartial(scriptPath: String, cls: String, partial: String, args: Seq[Any]): String =
+    partialOp(scriptPath, cls, JObject(
+      "rp" -> JArray(List(parseOrNull(partial), JArray(args.map(toJ).toList))),
+      "c" -> JString(cls)))
+
+  /** two partials -> merged partial (controller `mp`). */
+  def mergePartials(scriptPath: String, cls: String, p1: String, p2: String): String =
+    partialOp(scriptPath, cls, JObject(
+      "mp" -> JArray(List(parseOrNull(p1), parseOrNull(p2))), "c" -> JString(cls)))
+
+  /** partial -> final value (controller `fb` over a single row). */
+  def finishPartial(scriptPath: String, cls: String, partial: String, rt: DataType): Any = {
+    val parts = if (partial == null) Nil else List(parseOrNull(partial))
+    val resp = worker(scriptPath).sendRecv(JObject(
+      "fb" -> JArray(List(JArray(parts))), "c" -> JString(cls)))
+    (resp \ "rs") match {
+      case JArray(v :: Nil) => fromJ(v, rt)
+      case other => throw new RuntimeException(s"bad finals response: $other")
+    }
+  }
+
+  /** The reference registers an aggregate class as a SQL function named
+    * `classname.toLowerCase` (PythonScriptEngine.java "funcName =
+    * className.toLowerCase()"): `SELECT avgpy(x) FROM t GROUP BY g` works
+    * directly. The reference's param types are ANY; Spark's untyped UDAF
+    * needs a declared input schema, so [[registerScript]] defaults every
+    * parameter to DOUBLE (widest numeric — ints cast losslessly to 2^53)
+    * and [[registerUdaf]] lets callers declare exact types. The buffer
+    * holds the python partial as a JSON string, so partial aggregation
+    * and merges distribute exactly like the reference's two-stage
+    * contract. One pipe round trip per input ROW — dimension-scale; use
+    * [[aggregate]] (one round trip per PARTITION of rows) at corpus
+    * scale. */
+  final class PythonSqlUdaf(scriptPath: String, cls: String, rt: DataType,
+                            inputTypes: Seq[DataType])
+      extends org.apache.spark.sql.expressions.UserDefinedAggregateFunction {
+    override def inputSchema: StructType =
+      StructType(inputTypes.zipWithIndex.map { case (t, i) => StructField(s"a$i", t) })
+    override def bufferSchema: StructType =
+      StructType(Seq(StructField("partial", StringType)))
+    override def dataType: DataType = rt
+    override def deterministic: Boolean = true
+    override def initialize(b: org.apache.spark.sql.expressions.MutableAggregationBuffer): Unit =
+      b.update(0, null)
+    override def update(b: org.apache.spark.sql.expressions.MutableAggregationBuffer, in: Row): Unit =
+      b.update(0, reducePartial(scriptPath, cls, b.getString(0), in.toSeq))
+    override def merge(b1: org.apache.spark.sql.expressions.MutableAggregationBuffer, b2: Row): Unit =
+      b1.update(0, mergePartials(scriptPath, cls, b1.getString(0), b2.getString(0)))
+    override def evaluate(b: Row): Any =
+      finishPartial(scriptPath, cls, b.getString(0), rt)
+  }
+
+  /** Register one aggregate class as a SQL function with explicit input
+    * types; name defaults to the reference's lowercase-class-name. */
+  def registerUdaf(spark: SparkSession, scriptPath: String, agg: PyAgg,
+                   inputTypes: Seq[DataType], name: String = null): String = {
+    val n = Option(name).getOrElse(agg.className.toLowerCase)
+    spark.sparkContext.addFile(scriptPath)
+    spark.udf.register(n, new PythonSqlUdaf(scriptPath, agg.className, agg.returnType, inputTypes))
+    n
+  }
+
   // --------------------------------------------------------- registration
 
-  /** Register every scalar function in a script as a SQL function; returns
-    * the registered names. Aggregate classes are returned by [[parse]] and
-    * used through [[aggregate]]. */
+  /** Register every function in a script as a SQL function; returns the
+    * registered names. Scalars keep their def names; aggregate classes
+    * register under `classname.toLowerCase` with DOUBLE inputs (the
+    * reference's ANY-typed params — see [[PythonSqlUdaf]]; use
+    * [[registerUdaf]] for exact input types, [[aggregate]] for the
+    * corpus-scale batched path). */
   def registerScript(spark: SparkSession, path: String): Seq[String] = {
     val src = new String(Files.readAllBytes(new File(path).toPath), StandardCharsets.UTF_8)
-    val (funcs, _) = parseScript(src)
+    val (funcs, aggs) = parseScript(src)
     spark.sparkContext.addFile(path)
-    funcs.map { f =>
+    val scalarNames = funcs.map { f =>
       register(spark, path, f)
       f.name
     }
+    val aggNames = aggs.map(a =>
+      registerUdaf(spark, path, a, Seq.fill(a.evalParamCount)(DoubleType)))
+    scalarNames ++ aggNames
   }
 
   private def register(spark: SparkSession, path: String, f: PyFunc): Unit = {

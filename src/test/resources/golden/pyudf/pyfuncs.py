@@ -42,3 +42,28 @@ def comma_format(num):
 @output_type('text')
 def concat4(w1, w2, w3, w4):
     return ' '.join([w1, w2, w3, w4])
+
+
+class AvgPy:
+    def __init__(self):
+        self.s = 0
+        self.n = 0
+
+    def eval(self, x):
+        if x is not None:
+            self.s += x
+            self.n += 1
+
+    def get_partial_result(self):
+        return [self.s, self.n]
+
+    def merge(self, p):
+        if p:
+            self.s += p[0]
+            self.n += p[1]
+
+    @output_type('float8')
+    def get_final_result(self):
+        if self.n == 0:
+            return None
+        return self.s / float(self.n)

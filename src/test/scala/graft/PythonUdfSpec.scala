@@ -85,7 +85,8 @@ class PythonUdfSpec extends AnyFunSuite {
 
   test("registered scalar udfs compute through SQL with correct types and NULLs") {
     val names = PythonUdf.registerScript(spark, scriptPath)
-    assert(names.toSet == Set("py_add", "py_shout", "py_ratio", "py_answer", "py_echo"))
+    assert(names.toSet ==
+      Set("py_add", "py_shout", "py_ratio", "py_answer", "py_echo", "sumcountpy"))
     val df = Seq((1, 2, "ab"), (3, 4, "cd")).toDF("a", "b", "s")
     df.createOrReplaceTempView("pyudf_t")
     val r = spark.sql(
@@ -125,6 +126,21 @@ class PythonUdfSpec extends AnyFunSuite {
     val want = df.groupBy("g").agg((sum("x") / count("x")).as("avg_x"))
       .orderBy("g").collect().map(r => (r.getInt(0), r.getDouble(1)))
     assert(got.toSeq == want.toSeq)
+  }
+
+  test("aggregate class registers as a SQL function named classname.toLowerCase") {
+    PythonUdf.registerScript(spark, scriptPath)
+    val df = (1 to 200).map(i => (i % 4, i)).toDF("g", "x").repartition(8)
+    df.createOrReplaceTempView("py_udaf_sql_t")
+    val got = spark.sql(
+        "SELECT g, sumcountpy(x) AS avg_x FROM py_udaf_sql_t GROUP BY g ORDER BY g")
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+    val want = df.groupBy("g").agg((sum("x") / count("x")).as("avg_x"))
+      .orderBy("g").collect().map(r => (r.getInt(0), r.getDouble(1)))
+    assert(got.toSeq == want.toSeq)
+    // empty-group final: fresh instance, python returns None -> SQL NULL
+    val none = spark.sql("SELECT sumcountpy(CAST(NULL AS DOUBLE)) AS v FROM py_udaf_sql_t").collect()
+    assert(none(0).isNullAt(0))
   }
 
   test("multi-argument python aggregate (weighted mean) matches Spark") {
