@@ -129,6 +129,43 @@ object Dedup {
     docs.select(col(idCol), expr(s"simhash32(SPLIT($textCol, ' '))").as("simhash"))
   }
 
+  /** SimHash near-duplicate pairs: every unordered doc pair whose 32-bit
+    * SimHash signatures differ in at most `maxHamming` bits.
+    *
+    * Never an all-pairs comparison: the signature splits into `bands`
+    * equal bit-slices, and by pigeonhole two signatures within hamming
+    * distance `bands - 1` (or less) must agree exactly on at least one
+    * slice — so a self-equi-join on (band index, slice value) finds every
+    * qualifying pair, and the exact `bit_count(a ^ b)` filter discards
+    * band collisions. With the defaults (4 bands of 8 bits, maxHamming 3)
+    * recall is exact, not approximate. Requires maxHamming < bands.
+    *
+    * Scale: one explode to `bands` rows per doc, one hash shuffle on the
+    * (band, slice) key, and per-bucket joins sized by slice selectivity —
+    * the same shape as the MinHash LSH path (minhashCandidates). A
+    * pathological bucket (e.g. all-zero signatures from empty docs) is an
+    * AQE skew-join candidate, not a plan change. */
+  def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(32 % bands == 0, s"bands must divide 32, got $bands")
+    require(maxHamming < bands,
+      s"pigeonhole needs maxHamming < bands, got $maxHamming >= $bands")
+    val width = 32 / bands
+    val mask = (1L << width) - 1
+    val sh = simhash(docs, idCol, textCol)
+    val banded = sh.select(col(idCol), col("simhash"),
+      explode(expr(s"TRANSFORM(SEQUENCE(0, ${bands - 1}), " +
+        s"b -> STRUCT(b AS band, SHIFTRIGHT(simhash, b * $width) & $mask AS slice))")).as("bs"))
+      .select(col(idCol), col("simhash"), col("bs.band"), col("bs.slice"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.slice") === col("b.slice") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast("bigint").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Exact n-gram Jaccard for candidate pairs (verification pass after
     * LSH), over native one-pass shingle hash sets. */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, idCol: String,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators: quality scoring, language ID, token counting,
@@ -225,6 +225,74 @@ object TextAnalysis {
       .crossJoin(broadcast(nDocs))
       .select(col(idCol), col("term"), col("tf"), col("df"),
         expr("(tf * __n_docs * 1000000) DIV df").as("tfidf_ppm"))
+  }
+
+  /** Bigram language-model quality score (CCNet-style perplexity filter,
+    * integer-exact): train add-one-smoothed bigram statistics on a trusted
+    * reference corpus, then score every document by the mean smoothed
+    * bigram likelihood, in parts-per-million —
+    *
+    *   ppm(w1 w2) = (1e6 * (c2(w1,w2) + 1)) DIV (c1(w1) + V)
+    *   lm_ppm(doc) = SUM(ppm over the doc's consecutive bigrams) DIV n_bigrams
+    *
+    * where c2/c1 are train-corpus bigram/unigram counts (0 when unseen)
+    * and V is the train vocabulary size. This is the add-one bigram model
+    * with the likelihood kept as an exact integer ratio instead of a
+    * floating log — engines replay it bit-for-bit (ln is not correctly
+    * rounded across libms), and the ranking it induces is monotone with
+    * per-bigram probability. High lm_ppm = text that looks like the
+    * reference corpus; low = out-of-domain/garbage. Docs with fewer than
+    * two tokens score NULL with n_bigrams = 0.
+    *
+    * Scale: the train side aggregates once (partial+final counts); the
+    * corpus side explodes to one row per bigram position and joins the
+    * count tables on (bigram) and (head word). With `maxVocab > 0` both
+    * count tables are capped BY CONSTRUCTION — top-maxVocab unigrams by
+    * (count desc, word asc), bigrams restricted to in-vocab heads — so the
+    * model side stays bounded regardless of corpus vocabulary growth and
+    * Catalyst/AQE may broadcast it; words outside the cap score as unseen
+    * (the standard vocabulary-cap semantics). maxVocab <= 0 disables the
+    * cap and the joins degrade to shuffle joins, never an OOM (the TF-IDF
+    * lesson: no forced broadcast hints on vocabulary-sized tables). */
+  def lmScore(corpus: DataFrame, train: DataFrame, idCol: String,
+              textCol: String, maxVocab: Int = 1 << 20): DataFrame = {
+    def toks(df: DataFrame, extra: Column*) =
+      df.select(extra :+ split(lower(col(textCol)), " ").as("__t"): _*)
+    def bigrams(df: DataFrame) = df.withColumn("__b", explode(expr(
+      """CASE WHEN SIZE(__t) >= 2
+        |  THEN TRANSFORM(SEQUENCE(0, SIZE(__t) - 2),
+        |    i -> CONCAT(__t[i], ' ', __t[i + 1]))
+        |  ELSE ARRAY() END""".stripMargin)))
+    val trainToks = toks(train)
+    val uniAll = trainToks.select(explode(col("__t")).as("__w"))
+      .groupBy("__w").agg(count("*").cast("bigint").as("__c1"))
+    val uni =
+      if (maxVocab > 0) uniAll.orderBy(col("__c1").desc, col("__w")).limit(maxVocab)
+      else uniAll
+    // V is the FULL train vocabulary (the smoothing denominator is a model
+    // constant, not a function of the cap).
+    val vsize = uniAll.agg(count("*").cast("bigint").as("__v"))
+    val bigAll = bigrams(trainToks)
+      .groupBy(col("__b")).agg(count("*").cast("bigint").as("__c2"))
+    val big =
+      if (maxVocab > 0)
+        bigAll.join(uni.select(col("__w")),
+          expr("SUBSTRING_INDEX(__b, ' ', 1)") === col("__w")).drop("__w")
+      else bigAll
+    bigrams(toks(corpus, col(idCol)))
+      .select(col(idCol), col("__b"),
+        expr("SUBSTRING_INDEX(__b, ' ', 1)").as("__w1"))
+      .join(big, Seq("__b"), "left")
+      .join(uni.withColumnRenamed("__w", "__w1"), Seq("__w1"), "left")
+      .crossJoin(broadcast(vsize))
+      .groupBy(col(idCol))
+      .agg(count("*").cast("bigint").as("n_bigrams"),
+        expr("SUM((1000000 * (COALESCE(__c2, 0) + 1)) DIV (COALESCE(__c1, 0) + __v))")
+          .as("__s"))
+      .join(corpus.select(col(idCol)), Seq(idCol), "right")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        expr("CASE WHEN n_bigrams > 0 THEN __s DIV n_bigrams END").as("lm_ppm"))
   }
 
   /** Corpus-level n-gram heavy hitters: the exact top-k most frequent

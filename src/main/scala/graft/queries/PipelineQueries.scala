@@ -189,24 +189,47 @@ object PipelineQueries {
   // simhash = sum over j of 2^j where vote_j > 0. Spark side uses our
   // native Catalyst expression simhash32 (graft.functions.SimHash32);
   // the DuckDB oracle evaluates the identical integer-arithmetic spec.
-  private val qSimhash = split("q_dedup_simhash",
-    """SELECT doc_id, simhash32(SPLIT(text, ' ')) AS sh
-      |FROM documents
-      |ORDER BY doc_id""".stripMargin,
-    s"""WITH hs AS (
+  /** DuckDB replay of the simhash32 spec, as named CTEs ending in `shs`
+    * (doc_id, sh) — shared by the signature dump and the near-dup pairs. */
+  private def duckSimhashCtes: String =
+    s"""hs AS (
        |  SELECT doc_id,
        |    list_transform(string_split(text, ' '),
        |      t -> (${duckPoly31("t")} * 2654435761) % 4294967296) AS gs
        |  FROM documents
-       |)
+       |), shs AS (
        |SELECT doc_id,
        |  list_reduce(list_prepend(CAST(0 AS BIGINT), range(0, 32)),
        |    (acc, j) -> acc + CASE WHEN
        |      list_reduce(list_prepend(CAST(0 AS BIGINT), gs),
        |        (v, g) -> v + CASE WHEN ((g >> j) & 1) = 1 THEN 1 ELSE -1 END) > 0
        |      THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS sh
-       |FROM hs
+       |FROM hs)""".stripMargin
+
+  private val qSimhash = split("q_dedup_simhash",
+    """SELECT doc_id, simhash32(SPLIT(text, ' ')) AS sh
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin,
+    s"""WITH $duckSimhashCtes
+       |SELECT doc_id, sh FROM shs
        |ORDER BY doc_id""".stripMargin)
+
+  // SimHash near-dup pairs: the Spark side runs the pigeonhole band join
+  // (Dedup.simhashNearDups — never all-pairs); the oracle brute-forces the
+  // full O(n^2) hamming comparison in DuckDB, independently validating
+  // that the banding loses NO pair within the hamming radius.
+  private val qSimhashPairs = QueryDef.df("q_dedup_simhash_pairs",
+    (sp, dir) => {
+      val docs = sp.table("documents")
+      graft.operators.Dedup.simhashNearDups(docs, "doc_id", "text")
+        .orderBy("d1", "d2")
+    },
+    Some(s"""WITH $duckSimhashCtes
+       |SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+       |FROM shs a JOIN shs b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+       |ORDER BY d1, d2""".stripMargin))
 
   // ------------------------------------------------- n-gram jaccard on pairs
   // Exact verification of MinHash candidates: 3-gram shingle Jaccard.
@@ -624,6 +647,48 @@ object PipelineQueries {
            |WHERE tf.tf >= 3
            |ORDER BY tf.doc_id, tf.term""".stripMargin))
 
+  // Bigram-LM quality score (TextAnalysis.lmScore): add-one-smoothed mean
+  // bigram likelihood in ppm, trained on the src0 slice — the CCNet-style
+  // perplexity filter with the likelihood kept integer-exact (no floating
+  // log), so DuckDB replays every score bit-for-bit.
+  private val qLmScore = df("q_text_lm_score",
+    (spark, dir) => {
+      val docs = graft.engine.Tables.table(spark, dir, "documents")
+      graft.operators.TextAnalysis
+        .lmScore(docs, docs.filter(col("source") === "src0"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    Some("""WITH docs AS (
+           |  SELECT doc_id, string_split(lower(text), ' ') AS t, source FROM documents
+           |), train AS (
+           |  SELECT t FROM docs WHERE source = 'src0'
+           |), uni AS (
+           |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c1
+           |  FROM (SELECT unnest(t) AS w FROM train) GROUP BY w
+           |), vsize AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni
+           |), big AS (
+           |  SELECT b, CAST(COUNT(*) AS BIGINT) AS c2 FROM (
+           |    SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS b
+           |    FROM train) GROUP BY b
+           |), docbig AS (
+           |  SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS b
+           |  FROM docs
+           |), scored AS (
+           |  SELECT d.doc_id,
+           |    (1000000 * (COALESCE(g.c2, 0) + 1)) // (COALESCE(u.c1, 0) + (SELECT v FROM vsize)) AS ppm
+           |  FROM docbig d
+           |  LEFT JOIN big g ON d.b = g.b
+           |  LEFT JOIN uni u ON string_split(d.b, ' ')[1] = u.w
+           |), agg AS (
+           |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           |    CAST(SUM(ppm) // COUNT(*) AS BIGINT) AS lm_ppm
+           |  FROM scored GROUP BY doc_id
+           |)
+           |SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams, a.lm_ppm
+           |FROM (SELECT doc_id FROM documents) d LEFT JOIN agg a ON d.doc_id = a.doc_id
+           |ORDER BY d.doc_id""".stripMargin))
+
   // Exact corpus bigram heavy hitters (TextAnalysis.topNgrams): total
   // (count desc, ngram asc) order makes the top-k boundary deterministic.
   private val qTopNgrams = df("q_text_top_ngrams",
@@ -1007,6 +1072,7 @@ object PipelineQueries {
 
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupNorm, qMinhashSig, qMinhashPairs, qMinhashCorpus, qSimhash,
+    qSimhashPairs, qLmScore,
     qDecontaminateExact, qSubstringSpans, qSubstringScrub,
     qSample, qSampleStratified, qInterleave, qSplit,
     qNgramJaccard, qEmbDedup, qAnnBrute, qAnnLsh,

@@ -385,6 +385,55 @@ class OperatorsSpec extends AnyFunSuite {
       (3L, "b", 4L, 2L, 6000000L))) // b appears in docs 1,3
   }
 
+  test("simhashNearDups: band join finds exactly the brute-force hamming pairs") {
+    val corpus = Tables.table(spark, sfDir, "documents")
+    val banded = Dedup.simhashNearDups(corpus, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // Independent brute force over the collected signatures — validates the
+    // pigeonhole claim: hamming <= bands-1 implies one identical band.
+    val sigs = Dedup.simhash(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (d1, s1) <- sigs; (d2, s2) <- sigs if d1 < d2
+      h = java.lang.Long.bitCount(s1 ^ s2) if h <= 3
+    } yield (d1, d2, h.toLong)).toSet
+    assert(banded == brute)
+    assert(brute.nonEmpty) // the check must not pass vacuously
+    // exact duplicates are hamming-0 pairs
+    val two = Seq((1L, "same text here twice"), (2L, "same text here twice")).toDF("doc_id", "text")
+    val r = Dedup.simhashNearDups(two, "doc_id", "text").collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq == Seq((1L, 2L, 0L)))
+  }
+
+  test("lmScore: hand-computed add-one bigram ppm, short-doc NULL, cap semantics") {
+    val train = Seq((10L, "a b a b")).toDF("doc_id", "text")
+    // train: c1(a)=2, c1(b)=2, V=2; c2(a b)=2, c2(b a)=1
+    val corpus = Seq(
+      (1L, "a b"),   // ppm(a b) = 1e6*(2+1) DIV (2+2) = 750000
+      (2L, "b a z"), // ppm(b a)=1e6*2 DIV 4=500000; ppm(a z)=1e6*1 DIV 4=250000 -> 375000
+      (3L, "z q"),   // both unseen: 1e6*1 DIV (0+2) = 500000
+      (4L, "solo")   // one token: no bigrams -> NULL
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.lmScore(corpus, train, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), Option(x.getAs[Any]("lm_ppm"))))
+    assert(r.toSeq == Seq(
+      (1L, 1L, Some(750000L)), (2L, 2L, Some(375000L)),
+      (3L, 1L, Some(500000L)), (4L, 0L, None)))
+    // maxVocab caps the model tables by (count desc, word asc); words and
+    // bigram heads outside the cap score as unseen, while V (the smoothing
+    // denominator) stays the FULL vocabulary size.
+    val trainB = Seq((10L, "a b a b b")).toDF("doc_id", "text")
+    // trainB: c1(a)=2, c1(b)=3, V=2; top-1 vocab = {b}
+    val one = Seq((1L, "a b")).toDF("doc_id", "text")
+    val uncapped = TextAnalysis.lmScore(one, trainB, "doc_id", "text")
+      .collect()(0).getAs[Long]("lm_ppm")
+    assert(uncapped == 750000L)   // c2(a b)=2, c1(a)=2: 1e6*3 DIV 4
+    val capped = TextAnalysis.lmScore(one, trainB, "doc_id", "text", maxVocab = 1)
+      .collect()(0).getAs[Long]("lm_ppm")
+    assert(capped == 500000L)     // head "a" out of vocab: 1e6*1 DIV (0+2)
+  }
+
   test("top n-grams: exact counts, deterministic tie order, short-doc guard") {
     val tiny = Seq(
       (1L, "x y z"),      // bigrams: "x y", "y z"

@@ -155,6 +155,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q_dedup_simhash_pairs: banded equi-join, never an all-pairs comparison") {
+    val p = plan("q_dedup_simhash_pairs")
+    // pigeonhole band join: pairs come from an equi-join on the (band,
+    // slice) key — a cartesian/nested-loop self-join would be O(n^2) rows
+    // at any scale
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("band"), p)
+  }
+
+  test("q_text_lm_score: model-side joins carry no forced broadcast of unbounded tables") {
+    val p = plan("q_text_lm_score")
+    // the only nested-loop join is the 1-row vocabulary-size scalar (one
+    // node = 2 mentions in formatted explain: tree + details); the count
+    // tables join by key, so an unbounded vocabulary degrades to a
+    // shuffle join instead of an OOM (the TF-IDF lesson)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, p)
+  }
+
   test("q_pipeline_pack: window is partitioned (hash on pack_block), never global") {
     val p = plan("q_pipeline_pack")
     // the running sum must shuffle on the block key — an unpartitioned
