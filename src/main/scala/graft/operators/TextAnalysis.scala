@@ -190,6 +190,68 @@ object TextAnalysis {
         expr("(1000000 * max_token_count) DIV n_tokens").as("max_token_ppm"),
         expr("(1000000 * (n_tokens - __nd)) DIV n_tokens").as("dup_token_ppm"))
 
+  /** Gopher-style document-quality rules (Rae et al. 2021, appendix A —
+    * the standard pre-training corpus filters), each reported as its raw
+    * integer-exact statistic plus a 0/1 flag, with `gopher_pass` = all
+    * rules hold:
+    *
+    *   r_word_count    — 50 <= words <= 100000
+    *   r_mean_word_len — mean word length in [3, 10] chars
+    *   r_symbol        — ('#' + '...') per word < 0.1
+    *   r_bullet        — at most 90% of lines start with a bullet
+    *   r_ellipsis_line — at most 30% of lines end with '...'
+    *   r_alpha         — at least 80% of words contain a letter
+    *   r_stopword      — contains >= 2 of Gopher's 8 stop words
+    *
+    * All ratios are parts-per-million BIGINT floor divisions, so every
+    * engine replays the flags bit-for-bit. Pure per-row projection — no
+    * shuffle, runs at scan speed at any corpus size (the repetition-based
+    * Gopher rules live in `repetitionStats`). */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val stopSql = gopherStopwords.map(s => s"'$s'").mkString("ARRAY(", ", ", ")")
+    docs
+      .select(col(idCol), col(textCol).as("__x"),
+        split(col(textCol), " ").as("__w"),
+        split(col(textCol), "\n").as("__l"))
+      .select(col(idCol),
+        size(col("__w")).cast("bigint").as("n_words"),
+        size(col("__l")).cast("bigint").as("n_lines"),
+        expr("AGGREGATE(__w, CAST(0 AS BIGINT), (a, w) -> a + LENGTH(w))").as("__wchars"),
+        (length(col("__x")) - length(regexp_replace(col("__x"), "#", "")))
+          .cast("bigint").as("__hash"),
+        ((length(col("__x")) - length(expr("REPLACE(__x, '...', '')"))) / 3)
+          .cast("bigint").as("__ellipsis"),
+        expr("SIZE(FILTER(__w, w -> w RLIKE '[A-Za-z]'))").cast("bigint").as("__alpha"),
+        expr("SIZE(FILTER(__l, l -> l LIKE '- %' OR l LIKE '* %' OR l = '-' OR l = '*'))")
+          .cast("bigint").as("__bullet"),
+        expr("SIZE(FILTER(__l, l -> l LIKE '%...'))").cast("bigint").as("__ell_l"),
+        expr(s"SIZE(ARRAY_INTERSECT(ARRAY_DISTINCT(SPLIT(LOWER(__x), ' ')), $stopSql))")
+          .cast("bigint").as("stopword_hits"))
+      .select(col(idCol), col("n_words"), col("n_lines"), col("stopword_hits"),
+        expr("(1000000 * __wchars) DIV n_words").as("mean_word_len_ppm"),
+        expr("(1000000 * (__hash + __ellipsis)) DIV n_words").as("symbol_ppm"),
+        expr("(1000000 * __alpha) DIV n_words").as("alpha_word_ppm"),
+        expr("(1000000 * __bullet) DIV n_lines").as("bullet_line_ppm"),
+        expr("(1000000 * __ell_l) DIV n_lines").as("ellipsis_line_ppm"))
+      .withColumn("r_word_count", col("n_words").between(50, 100000).cast("int"))
+      .withColumn("r_mean_word_len",
+        col("mean_word_len_ppm").between(3000000L, 10000000L).cast("int"))
+      .withColumn("r_symbol", (col("symbol_ppm") < 100000L).cast("int"))
+      .withColumn("r_bullet", (col("bullet_line_ppm") <= 900000L).cast("int"))
+      .withColumn("r_ellipsis_line", (col("ellipsis_line_ppm") <= 300000L).cast("int"))
+      .withColumn("r_alpha", (col("alpha_word_ppm") >= 800000L).cast("int"))
+      .withColumn("r_stopword", (col("stopword_hits") >= 2L).cast("int"))
+      .withColumn("gopher_pass",
+        (col("r_word_count") + col("r_mean_word_len") + col("r_symbol") +
+          col("r_bullet") + col("r_ellipsis_line") + col("r_alpha") +
+          col("r_stopword") === 7).cast("int"))
+  }
+
+  /** Gopher's stop-word presence set (rule: a document must contain at
+    * least two of these). */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   /** Integer-exact TF-IDF over whitespace tokens: per-(doc, term) term
     * frequency joined with corpus document frequency, scored as
     * `(tf * n_docs * 1e6) DIV df` — the idf is the exact N/df ratio in ppm

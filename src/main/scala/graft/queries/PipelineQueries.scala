@@ -420,6 +420,75 @@ object PipelineQueries {
       |FROM documents
       |ORDER BY doc_id""".stripMargin, headline = true)
 
+  // Gopher-style quality rules (TextAnalysis.gopherRules). The synthetic
+  // corpus is uniformly clean, so both engines first inject the same
+  // deterministic violations (symbols, a bullet line, a trailing ellipsis,
+  // a digits-only doc) keyed on doc_id — the per-rule statistics and flags
+  // under test are real and vary per row.
+  private val qGopher = df("q_text_gopher",
+    (spark, dir) => {
+      val docs = graft.engine.Tables.table(spark, dir, "documents")
+        .select(col("doc_id"), expr(
+          """CASE WHEN doc_id % 7 = 0 THEN CONCAT(text, ' ## x... y...')
+            |     WHEN doc_id % 7 = 1 THEN CONCAT('- ', text)
+            |     WHEN doc_id % 7 = 2 THEN CONCAT(text, '...')
+            |     WHEN doc_id % 7 = 3 THEN '111 222 333 444 555'
+            |     ELSE text END""".stripMargin).as("text"))
+      graft.operators.TextAnalysis.gopherRules(docs, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    Some("""WITH base AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 7 = 0 THEN text || ' ## x... y...'
+           |         WHEN doc_id % 7 = 1 THEN '- ' || text
+           |         WHEN doc_id % 7 = 2 THEN text || '...'
+           |         WHEN doc_id % 7 = 3 THEN '111 222 333 444 555'
+           |         ELSE text END AS x
+           |  FROM documents
+           |), feat AS (
+           |  SELECT doc_id,
+           |    CAST(len(string_split(x, ' ')) AS BIGINT) AS n_words,
+           |    CAST(len(string_split(x, chr(10))) AS BIGINT) AS n_lines,
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(string_split(x, ' '), s -> CAST(length(s) AS BIGINT))),
+           |      (a, b) -> a + b) AS wchars,
+           |    CAST(length(x) - length(replace(x, '#', '')) AS BIGINT) AS nhash,
+           |    CAST((length(x) - length(replace(x, '...', ''))) // 3 AS BIGINT) AS nell,
+           |    CAST(len(list_filter(string_split(x, ' '), s -> regexp_matches(s, '[A-Za-z]'))) AS BIGINT) AS alpha,
+           |    CAST(len(list_filter(string_split(x, chr(10)), s -> s LIKE '- %' OR s LIKE '* %' OR s = '-' OR s = '*')) AS BIGINT) AS bullet,
+           |    CAST(len(list_filter(string_split(x, chr(10)), s -> s LIKE '%...')) AS BIGINT) AS elll,
+           |    CAST(len(list_intersect(list_distinct(string_split(lower(x), ' ')),
+           |      ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stopword_hits
+           |  FROM base
+           |), ppm AS (
+           |  SELECT doc_id, n_words, n_lines, stopword_hits,
+           |    (1000000 * wchars) // n_words AS mean_word_len_ppm,
+           |    (1000000 * (nhash + nell)) // n_words AS symbol_ppm,
+           |    (1000000 * alpha) // n_words AS alpha_word_ppm,
+           |    (1000000 * bullet) // n_lines AS bullet_line_ppm,
+           |    (1000000 * elll) // n_lines AS ellipsis_line_ppm
+           |  FROM feat
+           |), flags AS (
+           |  SELECT *,
+           |    CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS r_word_count,
+           |    CASE WHEN mean_word_len_ppm BETWEEN 3000000 AND 10000000 THEN 1 ELSE 0 END AS r_mean_word_len,
+           |    CASE WHEN symbol_ppm < 100000 THEN 1 ELSE 0 END AS r_symbol,
+           |    CASE WHEN bullet_line_ppm <= 900000 THEN 1 ELSE 0 END AS r_bullet,
+           |    CASE WHEN ellipsis_line_ppm <= 300000 THEN 1 ELSE 0 END AS r_ellipsis_line,
+           |    CASE WHEN alpha_word_ppm >= 800000 THEN 1 ELSE 0 END AS r_alpha,
+           |    CASE WHEN stopword_hits >= 2 THEN 1 ELSE 0 END AS r_stopword
+           |  FROM ppm
+           |)
+           |SELECT doc_id, n_words, n_lines, stopword_hits, mean_word_len_ppm,
+           |  symbol_ppm, alpha_word_ppm, bullet_line_ppm, ellipsis_line_ppm,
+           |  r_word_count, r_mean_word_len, r_symbol, r_bullet,
+           |  r_ellipsis_line, r_alpha, r_stopword,
+           |  CASE WHEN r_word_count + r_mean_word_len + r_symbol + r_bullet
+           |         + r_ellipsis_line + r_alpha + r_stopword = 7
+           |       THEN 1 ELSE 0 END AS gopher_pass
+           |FROM flags
+           |ORDER BY doc_id""".stripMargin))
+
   // Language ID: marker-token voting with deterministic tie-break.
   private def langCase(cnt: String => String): String = {
     val markers = Seq(
@@ -1076,7 +1145,7 @@ object PipelineQueries {
     qDecontaminateExact, qSubstringSpans, qSubstringScrub,
     qSample, qSampleStratified, qInterleave, qSplit,
     qNgramJaccard, qEmbDedup, qAnnBrute, qAnnLsh,
-    qTextStats, qLangId, qTokens, qFingerprint, qMultimodal,
+    qTextStats, qGopher, qLangId, qTokens, qFingerprint, qMultimodal,
     qChunks, qCdcChunks, qPii, qRepetition, qEndToEnd,
     qUrls, qHistogram, qAnnInt8, qTfIdf, qTopNgrams,
     qTopKPerGroup, qShuffle, qPack, qTemperatureMix, qQualityGate)

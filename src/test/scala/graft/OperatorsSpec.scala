@@ -385,6 +385,36 @@ class OperatorsSpec extends AnyFunSuite {
       (3L, "b", 4L, 2L, 6000000L))) // b appears in docs 1,3
   }
 
+  test("gopherRules: each rule trips on its crafted violation, clean doc passes") {
+    val clean = ("the of " + Seq.fill(58)("word").mkString(" ")) // 60 words, 2 stopwords
+    val fixtures = Seq(
+      (1L, clean),                       // passes all 7
+      (2L, "the of word"),               // word count < 50
+      (3L, "- " + clean),                // 100% bullet lines
+      (4L, clean + "..."),               // 100% ellipsis-terminated lines
+      (5L, ("the of " + Seq.fill(58)("123").mkString(" "))), // 3% alpha words
+      (6L, Seq.fill(60)("word").mkString(" ")),              // 0 stopword hits
+      (7L, clean + " " + Seq.fill(12)("#").mkString(" "))    // symbol ratio 12/72 > 0.1
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(fixtures, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Int]("gopher_pass"),
+        (x.getAs[Int]("r_word_count"), x.getAs[Int]("r_bullet"),
+         x.getAs[Int]("r_ellipsis_line"), x.getAs[Int]("r_alpha"),
+         x.getAs[Int]("r_stopword"), x.getAs[Int]("r_symbol"))))
+    assert(r.map(t => (t._1, t._2)).toSeq ==
+      Seq((1L, 1), (2L, 0), (3L, 0), (4L, 0), (5L, 0), (6L, 0), (7L, 0)))
+    val flags = r.map(t => t._1 -> t._3).toMap
+    assert(flags(2L)._1 == 0) // word count
+    assert(flags(3L)._2 == 0) // bullet
+    assert(flags(4L)._3 == 0) // ellipsis line
+    assert(flags(5L)._4 == 0) // alpha
+    assert(flags(6L)._5 == 0) // stopword
+    assert(flags(7L)._6 == 0) // symbol
+    // each violation trips ONLY its own rule (doc 1 vs doc N flag deltas)
+    assert(flags(3L).productIterator.zipWithIndex.count { case (v, _) => v == 0 } == 1)
+  }
+
   test("simhashNearDups: band join finds exactly the brute-force hamming pairs") {
     val corpus = Tables.table(spark, sfDir, "documents")
     val banded = Dedup.simhashNearDups(corpus, "doc_id", "text", maxHamming = 3)
