@@ -182,6 +182,42 @@ object Dedup {
         expr("CAST(SIZE(ARRAY_INTERSECT(s1, s2)) AS DOUBLE) / SIZE(ARRAY_UNION(s1, s2))").as("jaccard"))
   }
 
+  /** Paragraph-level dedup (MassiveText/RefinedWeb-style): exact-dedup at
+    * sub-document granularity, then reassemble. A paragraph OCCURRENCE
+    * survives iff it is the globally first occurrence of that exact
+    * paragraph text, ordered by (doc id, position) — later repeats
+    * (boilerplate headers, syndicated content, license blocks) are cut out
+    * of their documents while the first copy stays. Documents reassemble
+    * from their surviving paragraphs in original order; a document whose
+    * every paragraph was seen earlier comes back with empty text and
+    * kept_paras = 0 (callers drop or keep it by policy).
+    *
+    * Scale: one explode to paragraph rows, one hash shuffle on the
+    * paragraph digest (the keep-first window partitions by md5, so the
+    * shuffle key is 16 bytes regardless of paragraph length), and one
+    * shuffle back on the doc id for reassembly. No self-join, no driver
+    * state; boilerplate-heavy keys are AQE skew candidates only. */
+  def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
+                     sep: String = "\n\n"): DataFrame = {
+    val quoted = java.util.regex.Pattern.quote(sep)
+    val paras = docs
+      .select(col(idCol), posexplode(split(col(textCol), quoted)).as(Seq("pos", "p")))
+    val firstOcc = Window.partitionBy(md5(col("p"))).orderBy(col(idCol), col("pos"))
+    val kept = paras.withColumn("__rn", row_number().over(firstOcc))
+      .filter(col("__rn") === 1)
+    val sepLit = sep.replace("\\", "\\\\").replace("'", "\\'")
+    val reassembled = kept.groupBy(col(idCol))
+      .agg(count("*").cast("bigint").as("kept_paras"),
+        expr(s"ARRAY_JOIN(TRANSFORM(ARRAY_SORT(COLLECT_LIST(STRUCT(pos, p))), s -> s.p), '$sepLit')")
+          .as("__text"))
+    docs.select(col(idCol),
+        size(split(col(textCol), quoted)).cast("bigint").as("total_paras"))
+      .join(reassembled, Seq(idCol), "left")
+      .select(col(idCol), col("total_paras"),
+        coalesce(col("kept_paras"), lit(0L)).as("kept_paras"),
+        coalesce(col("__text"), lit("")).as("text"))
+  }
+
   /** Decontamination: drop corpus documents whose n-gram Jaccard overlap
     * with ANY benchmark document reaches `thresholdPpm` (parts-per-million,
     * integer-exact). The cross-corpus variant of the dedup machinery:

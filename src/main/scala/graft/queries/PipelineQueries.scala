@@ -231,6 +231,48 @@ object PipelineQueries {
        |WHERE bit_count(xor(a.sh, b.sh)) <= 3
        |ORDER BY d1, d2""".stripMargin))
 
+  // Paragraph-level dedup (Dedup.paragraphDedup). The synthetic corpus is
+  // single-line, so both engines first split every doc into the same two
+  // paragraphs (first 8 words, rest) — near-dup docs share their first
+  // paragraph, full dups share both, so the keep-first semantics, the
+  // reassembly order, and the emptied-doc path all carry driver evidence.
+  private val qParagraphDedup = df("q_dedup_paragraphs",
+    (sp, dir) => {
+      val docs = graft.engine.Tables.table(sp, dir, "documents")
+        .select(col("doc_id"), expr(
+          """CONCAT(ARRAY_JOIN(SLICE(SPLIT(text, ' '), 1, 8), ' '),
+            |  CHR(10), CHR(10),
+            |  ARRAY_JOIN(SLICE(SPLIT(text, ' '), 9, SIZE(SPLIT(text, ' '))), ' '))""".stripMargin)
+          .as("text"))
+      graft.operators.Dedup.paragraphDedup(docs, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    Some("""WITH base AS (
+           |  SELECT doc_id,
+           |    array_to_string(w[1:8], ' ') || chr(10) || chr(10) ||
+           |      array_to_string(w[9:len(w)], ' ') AS x
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+           |), lp AS (
+           |  SELECT doc_id, string_split(x, chr(10) || chr(10)) AS l FROM base
+           |), paras AS (
+           |  SELECT doc_id, u.pos AS pos, u.p AS p FROM (
+           |    SELECT doc_id,
+           |      unnest(list_transform(range(1, len(l) + 1), i -> {'pos': i, 'p': l[i]})) AS u
+           |    FROM lp)
+           |), ranked AS (
+           |  SELECT doc_id, pos, p,
+           |    row_number() OVER (PARTITION BY p ORDER BY doc_id, pos) AS rn
+           |  FROM paras
+           |), agg AS (
+           |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_paras,
+           |    string_agg(p, chr(10) || chr(10) ORDER BY pos) AS t
+           |  FROM ranked WHERE rn = 1 GROUP BY doc_id
+           |)
+           |SELECT l.doc_id, CAST(len(l.l) AS BIGINT) AS total_paras,
+           |  COALESCE(a.kept_paras, 0) AS kept_paras, COALESCE(a.t, '') AS text
+           |FROM lp l LEFT JOIN agg a ON l.doc_id = a.doc_id
+           |ORDER BY l.doc_id""".stripMargin))
+
   // ------------------------------------------------- n-gram jaccard on pairs
   // Exact verification of MinHash candidates: 3-gram shingle Jaccard.
   // Jaccard over shingle HASH sets (native ngram_hash_set, one pass, no
@@ -1141,7 +1183,7 @@ object PipelineQueries {
 
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupNorm, qMinhashSig, qMinhashPairs, qMinhashCorpus, qSimhash,
-    qSimhashPairs, qLmScore,
+    qSimhashPairs, qLmScore, qParagraphDedup,
     qDecontaminateExact, qSubstringSpans, qSubstringScrub,
     qSample, qSampleStratified, qInterleave, qSplit,
     qNgramJaccard, qEmbDedup, qAnnBrute, qAnnLsh,

@@ -385,6 +385,27 @@ class OperatorsSpec extends AnyFunSuite {
       (3L, "b", 4L, 2L, 6000000L))) // b appears in docs 1,3
   }
 
+  test("paragraphDedup: keep-first occurrence, ordered reassembly, emptied full dup") {
+    val d = Seq(
+      (1L, "A\n\nB"),
+      (2L, "B\n\nC"),       // B first seen in doc 1 -> only C survives
+      (3L, "A\n\nB"),       // every paragraph seen earlier -> emptied
+      (4L, "C\n\nA\n\nD")   // C (doc 2) and A (doc 1) dup -> D survives
+    ).toDF("doc_id", "text")
+    val r = Dedup.paragraphDedup(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getAs[Long]("total_paras"),
+        x.getAs[Long]("kept_paras"), x.getAs[String]("text")))
+    assert(r.toSeq == Seq(
+      (1L, 2L, 2L, "A\n\nB"), (2L, 2L, 1L, "C"),
+      (3L, 2L, 0L, ""), (4L, 3L, 1L, "D")))
+    // custom separator path (regex metachars must be quoted)
+    val s = Seq((1L, "x . y"), (2L, "x . z")).toDF("doc_id", "text")
+    val r2 = Dedup.paragraphDedup(s, "doc_id", "text", sep = " . ")
+      .orderBy("doc_id").collect().map(_.getAs[String]("text"))
+    assert(r2.toSeq == Seq("x . y", "z"))
+  }
+
   test("gopherRules: each rule trips on its crafted violation, clean doc passes") {
     val clean = ("the of " + Seq.fill(58)("word").mkString(" ")) // 60 words, 2 stopwords
     val fixtures = Seq(
