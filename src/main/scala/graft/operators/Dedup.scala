@@ -182,6 +182,29 @@ object Dedup {
         expr("CAST(SIZE(ARRAY_INTERSECT(s1, s2)) AS DOUBLE) / SIZE(ARRAY_UNION(s1, s2))").as("jaccard"))
   }
 
+  /** Incremental exact dedup: admit only the rows of a NEW batch that are
+    * (a) not already in the seen-digest table of previously ingested
+    * snapshots and (b) the keeper (min id) of their digest within the
+    * batch itself. The standard "never train on the same document twice"
+    * gate between crawl snapshots — the seen table carries 16-byte digests,
+    * not text, so it stays small relative to the corpora it summarizes.
+    * Returns (id, digest) of the admitted rows; union the result's digests
+    * into the seen table to advance the snapshot. Near-dup incremental
+    * dedup is the existing cross-corpus path: `decontaminate(newBatch,
+    * seenSample, ...)` with the roles reversed.
+    *
+    * Scale: one partial+final aggregation on the digest inside the batch,
+    * then one anti join against the seen table on the digest — both shuffle
+    * on the same 16-byte key, and AQE broadcasts the smaller side when one
+    * snapshot is much smaller than the other. No forced hints. */
+  def incrementalExact(newDocs: DataFrame, seenDigests: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    val batch = newDocs.select(col(idCol), md5(col(textCol)).as("digest"))
+    val keepers = batch.groupBy(col("digest")).agg(min(col(idCol)).as(idCol))
+    keepers.join(seenDigests.select(col("digest")), Seq("digest"), "left_anti")
+      .select(col(idCol), col("digest"))
+  }
+
   /** Paragraph-level dedup (MassiveText/RefinedWeb-style): exact-dedup at
     * sub-document granularity, then reassemble. A paragraph OCCURRENCE
     * survives iff it is the globally first occurrence of that exact

@@ -231,6 +231,38 @@ object PipelineQueries {
        |WHERE bit_count(xor(a.sh, b.sh)) <= 3
        |ORDER BY d1, d2""".stripMargin))
 
+  // Incremental snapshot dedup (Dedup.incrementalExact). The synthetic
+  // corpus has no exact dups, so a naive split would admit everything and
+  // the check would be vacuous (the zero-row-oracle trap): instead the
+  // snapshots OVERLAP on ids [200, 250) — recrawled pages, dropped by the
+  // cross-snapshot anti join — and the batch carries re-keyed clones of
+  // ids [300, 310) — same content under a new id, dropped by the
+  // within-batch keeper rule. Both drop paths carry driver evidence.
+  private val qIncrementalDedup = df("q_dedup_incremental",
+    (sp, dir) => {
+      val docs = graft.engine.Tables.table(sp, dir, "documents")
+      val seen = docs.filter(col("doc_id") < 250)
+        .select(md5(col("text")).as("digest")).distinct()
+      val batch = docs.filter(col("doc_id") >= 200)
+        .unionAll(docs.filter(col("doc_id").between(300, 309))
+          .withColumn("doc_id", col("doc_id") + 10000))
+      graft.operators.Dedup.incrementalExact(batch, seen, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    Some("""WITH seen AS (
+           |  SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id < 250
+           |), newbatch AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id >= 200
+           |  UNION ALL
+           |  SELECT doc_id + 10000, text FROM documents WHERE doc_id BETWEEN 300 AND 309
+           |), batch AS (
+           |  SELECT md5(text) AS digest, MIN(doc_id) AS doc_id
+           |  FROM newbatch GROUP BY md5(text)
+           |)
+           |SELECT b.doc_id, b.digest FROM batch b
+           |WHERE b.digest NOT IN (SELECT digest FROM seen)
+           |ORDER BY b.doc_id""".stripMargin))
+
   // Paragraph-level dedup (Dedup.paragraphDedup). The synthetic corpus is
   // single-line, so both engines first split every doc into the same two
   // paragraphs (first 8 words, rest) — near-dup docs share their first
@@ -1183,7 +1215,7 @@ object PipelineQueries {
 
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupNorm, qMinhashSig, qMinhashPairs, qMinhashCorpus, qSimhash,
-    qSimhashPairs, qLmScore, qParagraphDedup,
+    qSimhashPairs, qLmScore, qParagraphDedup, qIncrementalDedup,
     qDecontaminateExact, qSubstringSpans, qSubstringScrub,
     qSample, qSampleStratified, qInterleave, qSplit,
     qNgramJaccard, qEmbDedup, qAnnBrute, qAnnLsh,

@@ -385,6 +385,19 @@ class OperatorsSpec extends AnyFunSuite {
       (3L, "b", 4L, 2L, 6000000L))) // b appears in docs 1,3
   }
 
+  test("incrementalExact: drops seen digests, keeps one per digest within the batch") {
+    val seen = Seq("old text").toDF("text").select(md5($"text").as("digest"))
+    val batch = Seq(
+      (10L, "old text"),   // already ingested -> dropped
+      (11L, "fresh one"),  // new -> admitted
+      (12L, "fresh one"),  // within-batch dup of 11 -> dropped
+      (13L, "fresh two")
+    ).toDF("doc_id", "text")
+    val r = Dedup.incrementalExact(batch, seen, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getLong(0))
+    assert(r.toSeq == Seq(11L, 13L))
+  }
+
   test("paragraphDedup: keep-first occurrence, ordered reassembly, emptied full dup") {
     val d = Seq(
       (1L, "A\n\nB"),
