@@ -53,6 +53,17 @@ object AvroSource {
     case Schema.Type.FLOAT => (FloatType, false)
     case Schema.Type.DOUBLE => (DoubleType, false)
     case Schema.Type.STRING | Schema.Type.ENUM => (StringType, false)
+    case Schema.Type.FIXED
+        if s.getProp("logicalType") == "duration" && s.getFixedSize == 12 =>
+      // Avro duration (spec: 12-byte fixed, three unsigned little-endian
+      // ints) has no Spark analog — surface it as a typed struct. Avro's
+      // own LogicalTypes registry never parses "duration", so it is
+      // detected via the raw schema property. Read-only: Spark structs
+      // don't carry the logical-type tag back, so the writer rejects it.
+      (StructType(Seq(
+        StructField("months", IntegerType, nullable = false),
+        StructField("days", IntegerType, nullable = false),
+        StructField("millis", IntegerType, nullable = false))), false)
     case Schema.Type.BYTES | Schema.Type.FIXED =>
       s.getLogicalType match {
         case d: LogicalTypes.Decimal => (DecimalType(d.getPrecision, d.getScale), false)
@@ -130,6 +141,12 @@ object AvroSource {
         (Math.floorMod(l, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
     case (b: java.nio.ByteBuffer, BinaryType) =>
       val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
+    case (f: GenericData.Fixed, st: StructType)
+        if f.bytes().length == 12 &&
+          st.fieldNames.sameElements(Array("months", "days", "millis")) =>
+      val bb = java.nio.ByteBuffer.wrap(f.bytes())
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      Row(bb.getInt, bb.getInt, bb.getInt)
     case (f: GenericData.Fixed, BinaryType) => f.bytes()
     case (b: java.nio.ByteBuffer, d: DecimalType) =>
       val a = new Array[Byte](b.remaining()); b.duplicate().get(a)

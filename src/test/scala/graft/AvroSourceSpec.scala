@@ -92,6 +92,35 @@ class AvroSourceSpec extends AnyFunSuite {
     assert(row.getString(2) == "123e4567-e89b-12d3-a456-426614174000")
   }
 
+  test("duration logical type reads as a (months, days, millis) struct") {
+    import org.apache.avro.{Schema => ASchema, SchemaBuilder}
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import org.apache.avro.file.DataFileWriter
+    // avro's LogicalTypes registry never parses "duration" — author the
+    // fixed(12) with the raw schema property, as foreign writers do
+    val dur = ASchema.createFixed("dur12", null, null, 12)
+    dur.addProp("logicalType", "duration")
+    val rec = SchemaBuilder.record("r").fields()
+      .name("d").`type`(dur).noDefault()
+      .name("x").`type`().longType().noDefault()
+      .endRecord()
+    val dir = new java.io.File(s"$tmp/duration"); org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    dir.mkdirs()
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](rec))
+    w.create(rec, new java.io.File(dir, "part-0.avro"))
+    val bytes = java.nio.ByteBuffer.allocate(12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(14).putInt(3).putInt(86399999).array() // 14 months, 3 days, 23:59:59.999
+    val r0 = new GenericData.Record(rec)
+    r0.put("d", new GenericData.Fixed(dur, bytes))
+    r0.put("x", 7L)
+    w.append(r0); w.close()
+    val df = AvroSource.read(spark, dir.toString)
+    assert(df.schema("d").dataType.isInstanceOf[StructType])
+    val row = df.selectExpr("d.months", "d.days", "d.millis", "x").collect()(0)
+    assert((row.getInt(0), row.getInt(1), row.getInt(2), row.getLong(3)) == ((14, 3, 86399999, 7L)))
+  }
+
   test("supplier table round trips losslessly at one file per partition") {
     val src = Tables.table(spark, sfDir, "supplier").repartition(3)
     val dir = s"$tmp/supplier"
