@@ -119,6 +119,53 @@ object Similarity {
       .select("query_id", "neighbor_id", "cell", "cos_sim", "rnk")
   }
 
+  /** SemDeDup (Abbas et al. 2023): semantic dedup of a corpus by its
+    * embeddings. Vectors are k-means-style clustered (the same
+    * deterministic LSH-seeded, fixed-point-centroid assignment the IVF
+    * index uses), then WITHIN each cluster a vector is dropped when a
+    * lower-id vector sits at cosine >= `threshold` — one representative
+    * survives per semantic near-dup group, without any corpus-wide pair
+    * enumeration. Returns one row per vector: (id, cell, kept 1/0,
+    * dup_of = the smallest same-cell id that caused the drop, NULL when
+    * kept).
+    *
+    * Scale: centroid table is K rows (broadcast); both assignment and the
+    * in-cluster pair join shuffle on the cell id only. The pair join is
+    * quadratic per cluster, never per corpus — the SemDeDup trade: raise
+    * nBits so clusters stay bounded (K = 2^nBits grows free, the centroid
+    * table is still tiny), exactly how the paper scales it. */
+  def semDedup(vectors: DataFrame, idCol: String, vecCol: String,
+               threshold: Double = 0.35, nBits: Int = 4, dim: Int = 64): DataFrame = {
+    graft.functions.TajoFunctions.register(vectors.sparkSession)
+    val base = withNorm(vectors, idCol, vecCol)
+      .withColumn("__cell0", expr(HashSpec.lshBucketNative("__vec", nBits, dim)))
+    val cent = base
+      .select(col("__cell0").as("cid"), posexplode(col("__vec")).as(Seq("i", "x")))
+      .groupBy("cid", "i")
+      .agg(sum(expr("CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)")).as("m"))
+      .groupBy("cid")
+      .agg(expr("TRANSFORM(SORT_ARRAY(COLLECT_LIST(STRUCT(i, m))), s -> s.m)").as("cvec"))
+      .withColumn("cnrm", expr(s"SQRT(${HashSpec.dotNative("cvec", "cvec")})"))
+    val assigned = base.crossJoin(broadcast(cent))
+      .withColumn("__score", expr(s"${HashSpec.dotNative("__vec", "cvec")} / cnrm"))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("__score").as("s"), (lit(0) - col("cid")).as("nc"),
+        col("__vec").as("v"), col("__nrm").as("n"))).as("b"))
+      .select(col(idCol), (lit(0) - col("b.nc")).as("cell"),
+        col("b.v").as("__vec"), col("b.n").as("__nrm"))
+    val x = assigned.select(col(idCol).as("__i"), col("cell"),
+      col("__vec").as("vx"), col("__nrm").as("nx"))
+    val y = assigned.select(col(idCol).as("__j"), col("cell"),
+      col("__vec").as("vy"), col("__nrm").as("ny"))
+    val drops = x.join(y, Seq("cell"))
+      .filter(col("__i") < col("__j"))
+      .filter(expr(s"${HashSpec.dotNative("vx", "vy")} / (nx * ny)") >= threshold)
+      .groupBy(col("__j")).agg(min(col("__i")).as("dup_of"))
+    assigned.join(drops, assigned(idCol) === col("__j"), "left")
+      .select(col(idCol), col("cell"),
+        col("dup_of").isNull.cast("int").as("kept"), col("dup_of"))
+  }
+
   /** Element-wise mean pooling of vectors per group — the chunk-embeddings
     * → document-embedding step of an embedding pipeline. Fixed-point
     * BIGINT element sums keep the aggregation engine-exact AND mergeable

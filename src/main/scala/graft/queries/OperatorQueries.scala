@@ -152,6 +152,55 @@ object OperatorQueries {
          |ORDER BY query_id, rnk""".stripMargin
     })
 
+  // SemDeDup (Similarity.semDedup): embedding-space semantic dedup —
+  // cluster by the IVF cell assignment, drop any vector with a lower-id
+  // same-cell neighbor at cosine >= 0.35 (the corpus's planted near-dup
+  // level). The oracle replays the full cluster assignment AND the
+  // keep/drop decision per vector.
+  private val qSemDedup = df("q_op_semdedup",
+    (spark, dir) => {
+      val vecs = Tables.table(spark, dir, "embeddings")
+      Similarity.semDedup(vecs, "vec_id", "embedding")
+        .select(col("vec_id"), col("cell").cast("bigint").as("cell"),
+          col("kept"), col("dup_of"))
+        .orderBy("vec_id")
+    },
+    Some {
+      import PipelineQueries.{duckDot, duckHp, bucketExpr}
+      s"""WITH base AS (
+         |  SELECT vec_id, embedding,
+         |    SQRT(${duckDot("embedding", "embedding")}) AS nrm,
+         |    ${bucketExpr(duckHp, "embedding")} AS cell0
+         |  FROM embeddings
+         |), centel AS (
+         |  SELECT cell0 AS cid, i,
+         |    SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS m
+         |  FROM base CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) dims
+         |  GROUP BY cell0, i
+         |), cent AS (
+         |  SELECT cid, list(m ORDER BY i) AS cvec FROM centel GROUP BY cid
+         |), cent2 AS (
+         |  SELECT cid, cvec, SQRT(${duckDot("cvec", "cvec")}) AS cnrm FROM cent
+         |), scored AS (
+         |  SELECT b.vec_id, b.embedding, b.nrm, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY b.vec_id
+         |      ORDER BY ${duckDot("b.embedding", "c.cvec")} / c.cnrm DESC, c.cid) AS rr
+         |  FROM base b CROSS JOIN cent2 c
+         |), a AS (
+         |  SELECT vec_id, embedding, nrm, cid AS cell FROM scored WHERE rr = 1
+         |), drops AS (
+         |  SELECT y.vec_id AS j, MIN(x.vec_id) AS dup_of
+         |  FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
+         |  WHERE ${duckDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= 0.35
+         |  GROUP BY y.vec_id
+         |)
+         |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+         |  CAST(CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS INT) AS kept,
+         |  d.dup_of
+         |FROM a LEFT JOIN drops d ON a.vec_id = d.j
+         |ORDER BY a.vec_id""".stripMargin
+    })
+
   // Decontamination (Dedup.decontaminate): drop corpus docs that n-gram-
   // overlap a benchmark set. Benchmark side = doc_id % 10 == 0; the oracle
   // replays the identical band-join + integer-ppm Jaccard gate and counts
@@ -573,7 +622,7 @@ object OperatorQueries {
            |FROM documents WHERE doc_id < 2000 ORDER BY doc_id""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(
-    qMinhashApi, qAnnApi, qAnnIvf, qAnnIvf2, qQualityApi, qMultimodalApi,
+    qMinhashApi, qAnnApi, qAnnIvf, qAnnIvf2, qSemDedup, qQualityApi, qMultimodalApi,
     qMultimodalPatches, qMultimodalDecode,
     qDecontaminate, qBpeApi, qBpeEncode, qEmbedPool, qSaltedJoin, qAsofJoin, qRangeJoin,
     qDedupClusters, qStreamHourly, qStreamSessions, qStreamDedup)

@@ -385,6 +385,23 @@ class OperatorsSpec extends AnyFunSuite {
       (3L, "b", 4L, 2L, 6000000L))) // b appears in docs 1,3
   }
 
+  test("semDedup: one representative survives per in-cluster near-dup group") {
+    val vecs = Tables.table(spark, sfDir, "embeddings")
+    val r = Similarity.semDedup(vecs, "vec_id", "embedding")
+      .collect().map(x => (x.getLong(0), x.getAs[Int]("kept"),
+        Option(x.getAs[Any]("dup_of")))).toSeq
+    val n = vecs.count()
+    assert(r.length == n)                          // one verdict per vector
+    val dropped = r.filter(_._2 == 0)
+    assert(dropped.nonEmpty)                       // the planted near-dups fire
+    assert(r.count(_._2 == 1) == n - dropped.length)
+    // every drop names a smaller surviving-or-dropped id as its cause
+    assert(dropped.forall { case (id, _, dupOf) =>
+      dupOf.exists(_.asInstanceOf[Long] < id) })
+    // kept rows carry no dup_of
+    assert(r.filter(_._2 == 1).forall(_._3.isEmpty))
+  }
+
   test("incrementalExact: drops seen digests, keeps one per digest within the batch") {
     val seen = Seq("old text").toDF("text").select(md5($"text").as("digest"))
     val batch = Seq(

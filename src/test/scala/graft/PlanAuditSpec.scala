@@ -155,6 +155,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q_op_semdedup: pair join is per-cluster equi, centroids are the only cross join") {
+    val p = plan("q_op_semdedup")
+    // the only nested-loop joins are against the K-row centroid table
+    // (bounded by construction: K = 2^nBits); the near-dup pair join must
+    // be an equi-join on the cell id, never corpus x corpus
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("cell"), p)
+  }
+
   test("q_dedup_simhash_pairs: banded equi-join, never an all-pairs comparison") {
     val p = plan("q_dedup_simhash_pairs")
     // pigeonhole band join: pairs come from an equi-join on the (band,
