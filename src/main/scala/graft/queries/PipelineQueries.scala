@@ -494,6 +494,109 @@ object PipelineQueries {
       |FROM documents
       |ORDER BY doc_id""".stripMargin, headline = true)
 
+  // End-to-end curation v2 — composes this round's operators the way a
+  // production corpus refresh would: structural Gopher gate (the stop-word
+  // rule is tuned out: the synthetic vocabulary has none, and rule subsets
+  // are always corpus-tuned) -> per-source median gate on the bigram-LM
+  // score -> paragraph-level dedup -> per-source yield. Every stage's
+  // arithmetic is replayed in DuckDB.
+  private val qCurate = df("q_pipeline_curate",
+    (sp, dir) => {
+      import graft.operators.{Dedup, TextAnalysis}
+      val docs = graft.engine.Tables.table(sp, dir, "documents")
+      val structuralIds = TextAnalysis.gopherRules(docs, "doc_id", "text")
+        .filter(col("r_word_count") === 1 && col("r_mean_word_len") === 1 &&
+          col("r_symbol") === 1 && col("r_alpha") === 1)
+        .select("doc_id")
+      val lm = TextAnalysis
+        .lmScore(docs, docs.filter(col("source") === "src0"), "doc_id", "text")
+        .select("doc_id", "lm_ppm")
+      val structural = docs.select("doc_id", "source", "text")
+        .join(structuralIds, "doc_id").join(lm, "doc_id")
+      val gated = TextAnalysis.qualityGate(structural, "source", "lm_ppm", 0.5, exact = true)
+      val paraDocs = gated.select(col("doc_id"), col("source"), expr(
+        """CONCAT(ARRAY_JOIN(SLICE(SPLIT(text, ' '), 1, 8), ' '),
+          |  CHR(10), CHR(10),
+          |  ARRAY_JOIN(SLICE(SPLIT(text, ' '), 9, SIZE(SPLIT(text, ' '))), ' '))""".stripMargin)
+        .as("text"))
+      Dedup.paragraphDedup(paraDocs, "doc_id", "text")
+        .filter(col("kept_paras") > 0)
+        .join(paraDocs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(count("*").cast("bigint").as("n_curated"),
+          sum("kept_paras").as("paras_kept"))
+        .orderBy("source")
+    },
+    Some("""WITH g AS (
+           |  SELECT doc_id FROM documents
+           |  WHERE len(string_split(text, ' ')) BETWEEN 50 AND 100000
+           |    AND (1000000 * list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |          list_transform(string_split(text, ' '), s -> CAST(length(s) AS BIGINT))),
+           |          (a, b) -> a + b)) // len(string_split(text, ' ')) BETWEEN 3000000 AND 10000000
+           |    AND (1000000 * (CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+           |          + (length(text) - length(replace(text, '...', ''))) // 3))
+           |        // len(string_split(text, ' ')) < 100000
+           |    AND (1000000 * len(list_filter(string_split(text, ' '), s -> regexp_matches(s, '[A-Za-z]'))))
+           |        // len(string_split(text, ' ')) >= 800000
+           |), lmdocs AS (
+           |  SELECT doc_id, string_split(lower(text), ' ') AS t, source FROM documents
+           |), train AS (
+           |  SELECT t FROM lmdocs WHERE source = 'src0'
+           |), uni AS (
+           |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c1
+           |  FROM (SELECT unnest(t) AS w FROM train) GROUP BY w
+           |), vsize AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni
+           |), big AS (
+           |  SELECT b, CAST(COUNT(*) AS BIGINT) AS c2 FROM (
+           |    SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS b
+           |    FROM train) GROUP BY b
+           |), docbig AS (
+           |  SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS b
+           |  FROM lmdocs
+           |), lmscored AS (
+           |  SELECT d.doc_id,
+           |    (1000000 * (COALESCE(b2.c2, 0) + 1)) // (COALESCE(u.c1, 0) + (SELECT v FROM vsize)) AS ppm
+           |  FROM docbig d
+           |  LEFT JOIN big b2 ON d.b = b2.b
+           |  LEFT JOIN uni u ON string_split(d.b, ' ')[1] = u.w
+           |), lmagg AS (
+           |  SELECT doc_id, CAST(SUM(ppm) // COUNT(*) AS BIGINT) AS lm_ppm
+           |  FROM lmscored GROUP BY doc_id
+           |), structural AS (
+           |  SELECT d.doc_id, d.source, a.lm_ppm
+           |  FROM documents d JOIN g ON d.doc_id = g.doc_id JOIN lmagg a ON d.doc_id = a.doc_id
+           |), thr AS (
+           |  SELECT source, quantile_cont(lm_ppm, 0.5) AS t FROM structural GROUP BY source
+           |), gated AS (
+           |  SELECT s.doc_id, s.source FROM structural s
+           |  JOIN thr ON s.source = thr.source
+           |  WHERE s.lm_ppm >= thr.t
+           |), pbase AS (
+           |  SELECT g2.doc_id, g2.source,
+           |    string_split(array_to_string(w[1:8], ' ') || chr(10) || chr(10) ||
+           |      array_to_string(w[9:len(w)], ' '), chr(10) || chr(10)) AS l
+           |  FROM gated g2
+           |  JOIN (SELECT doc_id, string_split(text, ' ') AS w FROM documents) dw
+           |    ON g2.doc_id = dw.doc_id
+           |), paras AS (
+           |  SELECT doc_id, source, u.pos AS pos, u.p AS p FROM (
+           |    SELECT doc_id, source,
+           |      unnest(list_transform(range(1, len(l) + 1), i -> {'pos': i, 'p': l[i]})) AS u
+           |    FROM pbase)
+           |), ranked AS (
+           |  SELECT doc_id, source, p,
+           |    row_number() OVER (PARTITION BY p ORDER BY doc_id, pos) AS rn
+           |  FROM paras
+           |), perdoc AS (
+           |  SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS kp
+           |  FROM ranked WHERE rn = 1 GROUP BY doc_id, source
+           |)
+           |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_curated,
+           |  CAST(SUM(kp) AS BIGINT) AS paras_kept
+           |FROM perdoc WHERE kp > 0 GROUP BY source
+           |ORDER BY source""".stripMargin))
+
   // Gopher-style quality rules (TextAnalysis.gopherRules). The synthetic
   // corpus is uniformly clean, so both engines first inject the same
   // deterministic violations (symbols, a bullet line, a trailing ellipsis,
@@ -1219,7 +1322,7 @@ object PipelineQueries {
     qDecontaminateExact, qSubstringSpans, qSubstringScrub,
     qSample, qSampleStratified, qInterleave, qSplit,
     qNgramJaccard, qEmbDedup, qAnnBrute, qAnnLsh,
-    qTextStats, qGopher, qLangId, qTokens, qFingerprint, qMultimodal,
+    qTextStats, qGopher, qCurate, qLangId, qTokens, qFingerprint, qMultimodal,
     qChunks, qCdcChunks, qPii, qRepetition, qEndToEnd,
     qUrls, qHistogram, qAnnInt8, qTfIdf, qTopNgrams,
     qTopKPerGroup, qShuffle, qPack, qTemperatureMix, qQualityGate)
