@@ -15,6 +15,17 @@ object Bench {
     graft.engine.Tables.register(spark, sfDir)
     graft.engine.Tables.all.foreach(t => spark.table(t).limit(1).count())
     spark.sql("SELECT COUNT(*) FROM lineitem").collect()
+    // Prime the operator JIT/codegen paths the first timed queries would
+    // otherwise absorb (broadcast join, window, generator, hash agg) — on
+    // 100-row inputs, so the warm-up stays sub-second at any sf.
+    spark.sql(
+      """SELECT r_name, COUNT(*) c, ROW_NUMBER() OVER (ORDER BY r_name) rn
+        |FROM region JOIN nation ON r_regionkey = n_regionkey
+        |GROUP BY r_name ORDER BY rn""".stripMargin).collect()
+    spark.sql(
+      """SELECT w, COUNT(*) FROM (
+        |  SELECT EXPLODE(SPLIT(text, ' ')) w FROM documents LIMIT 100
+        |) GROUP BY w ORDER BY w LIMIT 5""".stripMargin).collect()
 
     // Optional comma-separated name filter for focused perf iteration.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
