@@ -42,4 +42,43 @@ object Packing {
       .withColumn("offset_in_seq", col("tokens_before") % budget)
       .drop("tokens_before")
   }
+
+  /** Shard manifest: assign every document an EXACT global token offset in
+    * a deterministic corpus order (the Knuth-hash permutation `Sampling.
+    * deterministicShuffle` uses) and the output shard its first token
+    * lands in (`start_token div shardTokens`) — the publish step that cuts
+    * a corpus into ~shardTokens-sized training files.
+    *
+    * Scale design — distributed prefix sum, never a global window: a
+    * cumulative sum over one global ORDER BY would plan as a
+    * SinglePartition window (one task at 100 TB). Instead the permutation
+    * key space [0, 2^32) is cut into `blocks` aligned ranges; pass 1
+    * computes a per-block running sum (hash-partitioned window), pass 2
+    * computes each block's starting offset by a window over the BLOCK
+    * TOTALS — `blocks` rows, bounded by construction, so its single
+    * partition is a constant-size problem — and broadcasts them back.
+    * offsets are exact BIGINT; the layout is invariant to partitioning
+    * because blocks are keyed on the hash value, not on partition ids. */
+  def shardPlan(df: DataFrame, idCol: String, tokensCol: String,
+                shardTokens: Long, blocks: Int = 256): DataFrame = {
+    require(shardTokens > 0 && blocks > 0, "shardTokens and blocks must be positive")
+    // same arithmetic as Sampling.knuth32: reduce mod 1e9+7 first so the
+    // multiply stays exact over the whole BIGINT id domain
+    val keyed = df
+      .withColumn("__key", expr(s"(($idCol % 1000000007) * 2654435761) % 4294967296"))
+      .withColumn("__blk", expr(s"CAST(__key * $blocks DIV 4294967296 AS INT)"))
+    val inBlock = keyed.withColumn("__run",
+      sum(col(tokensCol)).over(
+        Window.partitionBy("__blk").orderBy(col("__key"), col(idCol))))
+    val offsets = keyed.groupBy(col("__blk"))
+      .agg(sum(col(tokensCol)).as("__btot"))
+      .withColumn("__boff",
+        coalesce(sum(col("__btot")).over(
+          Window.orderBy("__blk").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__blk"), col("__boff"))
+    inBlock.join(broadcast(offsets), Seq("__blk"))
+      .withColumn("start_token", col("__boff") + col("__run") - col(tokensCol))
+      .withColumn("shard", expr(s"start_token DIV $shardTokens"))
+      .drop("__key", "__blk", "__run", "__boff")
+  }
 }

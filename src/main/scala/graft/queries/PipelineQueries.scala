@@ -597,6 +597,34 @@ object PipelineQueries {
            |FROM perdoc WHERE kp > 0 GROUP BY source
            |ORDER BY source""".stripMargin))
 
+  // Shard manifest (Packing.shardPlan): exact global token offsets in the
+  // deterministic-shuffle order via a distributed two-pass prefix sum.
+  // The oracle computes the SAME offsets with a naive single global
+  // cumulative sum — directly proving block-and-offset equals the global
+  // window the Spark side refuses to plan (SinglePartition at scale).
+  private val qShardPlan = df("q_pipeline_shard_plan",
+    (sp, dir) => {
+      val docs = graft.engine.Tables.table(sp, dir, "documents")
+        .select(col("doc_id"),
+          expr("CAST(SIZE(SPLIT(text, ' ')) AS BIGINT)").as("n_tokens"))
+      graft.operators.Packing.shardPlan(docs, "doc_id", "n_tokens", 10000L, blocks = 16)
+        .select(col("doc_id"), col("n_tokens"), col("start_token"), col("shard"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           |    ((doc_id % 1000000007) * 2654435761) % 4294967296 AS k
+           |  FROM documents
+           |), c AS (
+           |  SELECT doc_id, n_tokens,
+           |    COALESCE(SUM(n_tokens) OVER (ORDER BY k, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_token
+           |  FROM t
+           |)
+           |SELECT doc_id, n_tokens, CAST(start_token AS BIGINT) AS start_token,
+           |  CAST(start_token // 10000 AS BIGINT) AS shard
+           |FROM c ORDER BY doc_id""".stripMargin))
+
   // Gopher-style quality rules (TextAnalysis.gopherRules). The synthetic
   // corpus is uniformly clean, so both engines first inject the same
   // deterministic violations (symbols, a bullet line, a trailing ellipsis,
@@ -1322,7 +1350,7 @@ object PipelineQueries {
     qDecontaminateExact, qSubstringSpans, qSubstringScrub,
     qSample, qSampleStratified, qInterleave, qSplit,
     qNgramJaccard, qEmbDedup, qAnnBrute, qAnnLsh,
-    qTextStats, qGopher, qCurate, qLangId, qTokens, qFingerprint, qMultimodal,
+    qTextStats, qGopher, qCurate, qShardPlan, qLangId, qTokens, qFingerprint, qMultimodal,
     qChunks, qCdcChunks, qPii, qRepetition, qEndToEnd,
     qUrls, qHistogram, qAnnInt8, qTfIdf, qTopNgrams,
     qTopKPerGroup, qShuffle, qPack, qTemperatureMix, qQualityGate)

@@ -385,6 +385,31 @@ class OperatorsSpec extends AnyFunSuite {
       (3L, "b", 4L, 2L, 6000000L))) // b appears in docs 1,3
   }
 
+  test("shardPlan: two-pass prefix sum equals a naive global cumsum, layout-stable") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.table(spark, sfDir, "documents")
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n"))
+    val planned = graft.operators.Packing.shardPlan(docs, "doc_id", "n", 1000L, blocks = 8)
+      .select("doc_id", "start_token", "shard")
+    // naive single-window reference (fine at test scale, the antipattern at 100 TB)
+    val naive = docs
+      .withColumn("__k", expr("((doc_id % 1000000007) * 2654435761) % 4294967296"))
+      .withColumn("start_token",
+        coalesce(sum($"n").over(Window.orderBy($"__k", $"doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"doc_id", $"start_token", expr("start_token DIV 1000").as("shard"))
+    assert(planned.except(naive).isEmpty && naive.except(planned).isEmpty)
+    // layout invariance: a different input partitioning yields identical offsets
+    val re = graft.operators.Packing.shardPlan(docs.repartition(13), "doc_id", "n", 1000L, blocks = 8)
+      .select("doc_id", "start_token", "shard")
+    assert(re.except(planned).isEmpty && planned.except(re).isEmpty)
+    // offsets tile the token stream exactly: max start + its tokens = total
+    val total = docs.agg(sum($"n")).collect()(0).getLong(0)
+    val last = graft.operators.Packing.shardPlan(docs, "doc_id", "n", 1000L, blocks = 8)
+      .orderBy(col("start_token").desc).limit(1).collect()(0)
+    assert(last.getAs[Long]("start_token") + last.getAs[Long]("n") == total)
+  }
+
   test("semDedup: one representative survives per in-cluster near-dup group") {
     val vecs = Tables.table(spark, sfDir, "embeddings")
     val r = Similarity.semDedup(vecs, "vec_id", "embedding")

@@ -192,6 +192,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("q_pipeline_shard_plan: corpus running sum is hash-partitioned by block") {
+    val p = plan("q_pipeline_shard_plan")
+    // the data-sized window must shuffle on the block key; the only
+    // SinglePartition exchange is the block-offsets window, bounded at
+    // `blocks` rows by construction
+    assert(p.contains("hashpartitioning(__blk"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+  }
+
   test("q_pipeline_topk_per_group: rank filter pushed into the window sort, no join") {
     val p = plan("q_pipeline_topk_per_group")
     // Spark rewrites rn <= k over a window into WindowGroupLimit, so each
