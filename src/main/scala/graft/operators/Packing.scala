@@ -43,6 +43,45 @@ object Packing {
       .drop("tokens_before")
   }
 
+  /** Span-corruption mask plan (T5/UL2 objective prep): for each document,
+    * emit the deterministic noise spans a span-corruption objective would
+    * mask — `noise = n * ratePpm / 1e6` tokens split into
+    * `max(1, noise / meanSpan)` spans, remainders spread one token at a
+    * time over the leading spans/gaps so the layout is a pure closed-form
+    * function of the token count:
+    *
+    *   len_k   = noise DIV spans + (k < noise % spans)
+    *   gap     = (n - noise) DIV (spans + 1)  (+1 for the leading gaps)
+    *   start_k = gaps(0..k) + lens(0..k-1)    (all exact BIGINT)
+    *
+    * Deterministic-by-construction beats sampled masks for reproducible
+    * data prep: two runs (or two engines) plan identical spans, and the
+    * evenly-spread layout is the fixed-span-length regime of the T5 noise
+    * schedule. One row per span; documents too short for any noise token
+    * (n * ratePpm < 1e6) emit none.
+    *
+    * Scale: a pure per-row projection + explode — no shuffle, scan speed. */
+  def spanCorruptionPlan(df: DataFrame, idCol: String, tokensCol: String,
+                         ratePpm: Long = 150000L, meanSpan: Long = 3L): DataFrame = {
+    require(ratePpm > 0 && ratePpm < 1000000L, s"ratePpm must be in (0, 1e6), got $ratePpm")
+    require(meanSpan > 0, s"meanSpan must be positive, got $meanSpan")
+    df.select(col(idCol), col(tokensCol).cast("bigint").as("n_tokens"))
+      .withColumn("n_noise", expr(s"(n_tokens * $ratePpm) DIV 1000000"))
+      .filter(col("n_noise") > 0)
+      .withColumn("n_spans", expr(s"GREATEST(CAST(1 AS BIGINT), n_noise DIV $meanSpan)"))
+      .withColumn("__s", explode(expr(
+        """TRANSFORM(SEQUENCE(0, CAST(n_spans AS INT) - 1), k -> STRUCT(
+          |  CAST(k AS BIGINT) AS span_idx,
+          |  (CAST(k AS BIGINT) + 1) * ((n_tokens - n_noise) DIV (n_spans + 1))
+          |    + LEAST(CAST(k AS BIGINT) + 1, (n_tokens - n_noise) % (n_spans + 1))
+          |    + CAST(k AS BIGINT) * (n_noise DIV n_spans)
+          |    + LEAST(CAST(k AS BIGINT), n_noise % n_spans) AS span_start,
+          |  n_noise DIV n_spans
+          |    + CAST(CAST(k AS BIGINT) < n_noise % n_spans AS BIGINT) AS span_len))""".stripMargin)))
+      .select(col(idCol), col("n_tokens"), col("n_noise"), col("n_spans"),
+        col("__s.span_idx"), col("__s.span_start"), col("__s.span_len"))
+  }
+
   /** Shard manifest: assign every document an EXACT global token offset in
     * a deterministic corpus order (the Knuth-hash permutation `Sampling.
     * deterministicShuffle` uses) and the output shard its first token

@@ -597,6 +597,43 @@ object PipelineQueries {
            |FROM perdoc WHERE kp > 0 GROUP BY source
            |ORDER BY source""".stripMargin))
 
+  // Span-corruption mask plan (Packing.spanCorruptionPlan): the
+  // deterministic closed-form span layout replayed per (doc, span) row.
+  private val qSpanCorruption = df("q_pipeline_span_corruption",
+    (sp, dir) => {
+      val docs = graft.engine.Tables.table(sp, dir, "documents")
+        .select(col("doc_id"),
+          expr("CAST(SIZE(SPLIT(text, ' ')) AS BIGINT)").as("n_tokens"))
+      graft.operators.Packing.spanCorruptionPlan(docs, "doc_id", "n_tokens")
+        .orderBy("doc_id", "span_idx")
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           |  FROM documents
+           |), p AS (
+           |  SELECT doc_id, n_tokens,
+           |    (n_tokens * 150000) // 1000000 AS n_noise
+           |  FROM t
+           |), s AS (
+           |  SELECT doc_id, n_tokens, n_noise,
+           |    GREATEST(1, n_noise // 3) AS n_spans
+           |  FROM p WHERE n_noise > 0
+           |), x AS (
+           |  SELECT doc_id, n_tokens, n_noise, n_spans,
+           |    unnest(range(0, n_spans)) AS k
+           |  FROM s
+           |)
+           |SELECT doc_id, n_tokens, n_noise, n_spans,
+           |  CAST(k AS BIGINT) AS span_idx,
+           |  CAST((k + 1) * ((n_tokens - n_noise) // (n_spans + 1))
+           |    + LEAST(k + 1, (n_tokens - n_noise) % (n_spans + 1))
+           |    + k * (n_noise // n_spans)
+           |    + LEAST(k, n_noise % n_spans) AS BIGINT) AS span_start,
+           |  CAST(n_noise // n_spans
+           |    + CASE WHEN k < n_noise % n_spans THEN 1 ELSE 0 END AS BIGINT) AS span_len
+           |FROM x
+           |ORDER BY doc_id, span_idx""".stripMargin))
+
   // Shard manifest (Packing.shardPlan): exact global token offsets in the
   // deterministic-shuffle order via a distributed two-pass prefix sum.
   // The oracle computes the SAME offsets with a naive single global
@@ -1350,7 +1387,8 @@ object PipelineQueries {
     qDecontaminateExact, qSubstringSpans, qSubstringScrub,
     qSample, qSampleStratified, qInterleave, qSplit,
     qNgramJaccard, qEmbDedup, qAnnBrute, qAnnLsh,
-    qTextStats, qGopher, qCurate, qShardPlan, qLangId, qTokens, qFingerprint, qMultimodal,
+    qTextStats, qGopher, qCurate, qShardPlan, qSpanCorruption,
+    qLangId, qTokens, qFingerprint, qMultimodal,
     qChunks, qCdcChunks, qPii, qRepetition, qEndToEnd,
     qUrls, qHistogram, qAnnInt8, qTfIdf, qTopNgrams,
     qTopKPerGroup, qShuffle, qPack, qTemperatureMix, qQualityGate)

@@ -410,6 +410,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(last.getAs[Long]("start_token") + last.getAs[Long]("n") == total)
   }
 
+  test("spanCorruptionPlan: spans disjoint, in-range, exact noise budget, closed form") {
+    val ns = (1L to 200L) ++ Seq(1000L, 12345L)
+    val docs = ns.map(n => (n, n)).toDF("doc_id", "n")
+    val rows = graft.operators.Packing.spanCorruptionPlan(docs, "doc_id", "n")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_noise"),
+        r.getAs[Long]("n_spans"), r.getAs[Long]("span_idx"),
+        r.getAs[Long]("span_start"), r.getAs[Long]("span_len")))
+      .groupBy(_._1)
+    // docs below the noise floor (n*0.15 < 1) emit nothing
+    assert(!(1L to 6L).exists(rows.contains))
+    for ((n, spans) <- rows) {
+      val noise = n * 150000 / 1000000
+      assert(spans.forall(_._2 == noise))
+      assert(spans.map(_._6).sum == noise)                    // exact budget
+      assert(spans.forall(s => s._5 >= 0 && s._5 + s._6 <= n)) // in range
+      val sorted = spans.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (0L until sorted.length.toLong)) // dense idx
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 + a._6 <= b._5)        // disjoint, gap > 0
+        case _ =>
+      }
+    }
+  }
+
   test("semDedup: one representative survives per in-cluster near-dup group") {
     val vecs = Tables.table(spark, sfDir, "embeddings")
     val r = Similarity.semDedup(vecs, "vec_id", "embedding")
