@@ -119,6 +119,75 @@ object Similarity {
       .select("query_id", "neighbor_id", "cell", "cos_sim", "rnk")
   }
 
+  /** Product-quantization ANN (the IVF-PQ compression half): each vector
+    * splits into `m` subvectors; per subspace a 2^nBits-entry codebook is
+    * built deterministically (LSH-seeded cells, fixed-point micro-unit
+    * centroid means) and every subvector is coded as its L2-nearest
+    * centroid (ties to the lowest cell id). A document then occupies
+    * m small codes — 8 codes of 4 bits here vs 64 floats, a 64x
+    * compression — and query scoring is ADC (asymmetric distance
+    * computation): the query precomputes a (m x 2^nBits)-entry partial-dot
+    * table, broadcast everywhere, and scanning the corpus is a lookup+add
+    * per (doc, subspace), no float dot against raw vectors.
+    *
+    * Determinism: partial dots are floored to BIGINT micro-units before
+    * the per-(query, doc) sum, so accumulation order can't move a bit and
+    * the DuckDB oracle replays codebooks, codes, and every ranking
+    * exactly. Returns (query_id, neighbor_id, adot_micro, rnk).
+    *
+    * Scale: the codebook is m * 2^nBits rows (fixed) and the ADC table
+    * queries * m * 2^nBits rows — both broadcast; the corpus is touched
+    * once to code (explode by m, one agg) and once to scan. Nothing
+    * data-sized broadcasts, the scan is a single shuffle on
+    * (query, neighbor) for the final sum. */
+  def pqTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+             vecCol: String, k: Int = 10, m: Int = 8, dim: Int = 64,
+             nBits: Int = 4): DataFrame = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    graft.functions.TajoFunctions.register(corpus.sparkSession)
+    val subDim = dim / m
+    def subs(df: DataFrame, as: String) = df.select(col(idCol).as(as),
+      posexplode(expr(
+        s"TRANSFORM(SEQUENCE(0, ${m - 1}), s -> SLICE($vecCol, s * $subDim + 1, $subDim))"))
+        .as(Seq("s", "sub")))
+    val csubs = subs(corpus, "__cid")
+    val codebook = csubs
+      .withColumn("cell0", expr(s"lsh_bucket(sub, $nBits, $subDim)"))
+      .select(col("s"), col("cell0").as("cid"), posexplode(col("sub")).as(Seq("i", "x")))
+      .groupBy("s", "cid", "i")
+      .agg(sum(expr("CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)")).as("ms"),
+        count("*").as("cnt"))
+      .withColumn("mm", expr("ms DIV cnt"))
+      .groupBy("s", "cid")
+      .agg(expr("TRANSFORM(SORT_ARRAY(COLLECT_LIST(STRUCT(i, mm))), t -> t.mm)").as("cvec"))
+    // code assignment: L2-nearest centroid per (vector, subspace), the
+    // squared distance folded left-to-right so the oracle replays it
+    val l2 = "AGGREGATE(ZIP_WITH(sub, cvec, (x, c) -> " +
+      "(CAST(x AS DOUBLE) - CAST(c AS DOUBLE) / 1000000) * " +
+      "(CAST(x AS DOUBLE) - CAST(c AS DOUBLE) / 1000000)), " +
+      "CAST(0 AS DOUBLE), (a, v) -> a + v)"
+    val codes = csubs.join(broadcast(codebook), Seq("s"))
+      .withColumn("d2", expr(l2))
+      .groupBy(col("__cid"), col("s"))
+      .agg(min(struct(col("d2"), col("cid"))).as("b"))
+      .select(col("__cid"), col("s"), col("b.cid").as("code"))
+    // ADC table: per (query, subspace, centroid) partial dot in micro units
+    val adc = subs(probes, "__qid").join(broadcast(codebook), Seq("s"))
+      .withColumn("pd", expr(
+        s"CAST(FLOOR(${HashSpec.dotNative("sub", "cvec")}) AS BIGINT)"))
+      .select(col("__qid"), col("s"), col("cid"), col("pd"))
+    codes.join(broadcast(adc),
+        codes("s") === adc("s") && codes("code") === adc("cid"))
+      .filter(col("__qid") =!= col("__cid"))
+      .groupBy(col("__qid"), col("__cid"))
+      .agg(sum(col("pd")).as("adot_micro"))
+      .withColumn("rnk", row_number().over(Window.partitionBy("__qid")
+        .orderBy(col("adot_micro").desc, col("__cid"))))
+      .filter(col("rnk") <= k)
+      .select(col("__qid").as("query_id"), col("__cid").as("neighbor_id"),
+        col("adot_micro"), col("rnk").cast("bigint").as("rnk"))
+  }
+
   /** SemDeDup (Abbas et al. 2023): semantic dedup of a corpus by its
     * embeddings. Vectors are k-means-style clustered (the same
     * deterministic LSH-seeded, fixed-point-centroid assignment the IVF

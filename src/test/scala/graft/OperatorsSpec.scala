@@ -410,6 +410,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(last.getAs[Long]("start_token") + last.getAs[Long]("n") == total)
   }
 
+  test("pqTopK: m codes per vector, bounded codebook, recall far above chance") {
+    val vecs = Tables.table(spark, sfDir, "embeddings")
+    val probes = vecs.filter($"vec_id" < 20)
+    val pq = Similarity.pqTopK(vecs, probes, "vec_id", "embedding", k = 5)
+    val rows = pq.collect()
+    val n = probes.count()
+    assert(rows.length == n * 5)                       // full top-5 per probe
+    // recall of the exact nearest neighbor in PQ's top-5: everything is
+    // deterministic, so this is a fixed number — chance level for top-5
+    // of this corpus is ~1%, the codebooks recover far more
+    val exact = Similarity.bruteForceTopK(vecs, probes, "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val hits = exact.count { case (q, nn) => byQ.getOrElse(q, Set()).contains(nn) }
+    assert(hits >= 3, s"PQ recall collapsed: $hits/${exact.size}")
+    // layout invariance: repartitioned input codes and ranks identically
+    val re = Similarity.pqTopK(vecs.repartition(7), probes, "vec_id", "embedding", k = 5)
+    assert(re.except(pq).isEmpty && pq.except(re).isEmpty)
+  }
+
   test("spanCorruptionPlan: spans disjoint, in-range, exact noise budget, closed form") {
     val ns = (1L to 200L) ++ Seq(1000L, 12345L)
     val docs = ns.map(n => (n, n)).toDF("doc_id", "n")

@@ -155,6 +155,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q_ann_pq: codebook and ADC table broadcast, corpus scan never cartesian") {
+    val p = plan("q_ann_pq")
+    // the codebook (m * 2^nBits rows) and the query distance table
+    // (queries * m * 2^nBits rows) are the only broadcast sides; the
+    // corpus joins them by key — no data-sized broadcast, no cartesian
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q_op_semdedup: pair join is per-cluster equi, centroids are the only cross join") {
     val p = plan("q_op_semdedup")
     // the only nested-loop joins are against the K-row centroid table
