@@ -155,6 +155,33 @@ object TextAnalysis {
       .agg(countDistinct(col(idCol)).cast("bigint").as("n_docs"),
         count("*").cast("bigint").as("n_urls"))
 
+  /** URL blocklist gate: drop every document that mentions a URL whose
+    * domain (or any parent domain — `ads.example.com` matches a blocked
+    * `example.com`) appears in the blocklist. Documents without URLs pass.
+    *
+    * Scale: one explode to (doc, domain) rows, one LEFT SEMI join against
+    * the blocklist to find offenders (suffix match via the exploded
+    * parent-domain chain, so the join stays an equi-join on the domain
+    * string), one anti join back — the corpus text itself never shuffles,
+    * only (id, domain) pairs do, and a real blocklist is dimension-sized
+    * so AQE broadcasts it. */
+  def blocklistGate(docs: DataFrame, idCol: String, textCol: String,
+                    blocked: DataFrame): DataFrame = {
+    val domains = docs.select(col(idCol),
+        explode(expr(s"REGEXP_EXTRACT_ALL($textCol, 'https?://[^ ]+', 0)")).as("__url"))
+      .select(col(idCol), regexp_extract(col("__url"), "^https?://([^/]+)", 1).as("__d"))
+      // parent-domain chain: ads.example.com -> [ads.example.com,
+      // example.com, com] so a blocked parent matches by equality
+      .select(col(idCol), explode(expr(
+        """TRANSFORM(SEQUENCE(0, SIZE(SPLIT(__d, '\\.')) - 1),
+          |  i -> ARRAY_JOIN(SLICE(SPLIT(__d, '\\.'), i + 1, SIZE(SPLIT(__d, '\\.'))), '.'))""".stripMargin))
+        .as("domain"))
+    val offenders = domains
+      .join(blocked.select(col(blocked.columns.head).as("domain")), Seq("domain"), "left_semi")
+      .select(col(idCol)).distinct()
+    docs.join(offenders, Seq(idCol), "left_anti")
+  }
+
   /** Corpus token-length histogram: docs bucketed by whitespace token count
     * into `binWidth`-wide bins. One partial+final aggregation over a
     * per-row integer projection — scan-speed at any corpus size. */

@@ -597,6 +597,46 @@ object PipelineQueries {
            |FROM perdoc WHERE kp > 0 GROUP BY source
            |ORDER BY source""".stripMargin))
 
+  // URL blocklist gate (TextAnalysis.blocklistGate): both engines inject
+  // the same deterministic URLs (one per doc + a spam URL on every tenth
+  // id), then drop docs whose domain chain hits the blocklist — the
+  // parent-domain suffix match (spam.badsite.org vs blocked badsite.org)
+  // and the full-domain match (src3.example.com) both carry evidence.
+  private val qBlocklist = df("q_text_blocklist",
+    (sp, dir) => {
+      import sp.implicits._
+      val docs = graft.engine.Tables.table(sp, dir, "documents")
+        .select(col("doc_id"), col("source"), expr(
+          """CONCAT(text, ' see https://', source, '.example.com/p/',
+            |  CAST(doc_id AS STRING),
+            |  CASE WHEN doc_id % 10 = 0 THEN ' https://spam.badsite.org/x' ELSE '' END)""".stripMargin)
+          .as("text"))
+      val blocked = Seq("badsite.org", "src3.example.com").toDF("domain")
+      graft.operators.TextAnalysis.blocklistGate(docs, "doc_id", "text", blocked)
+        .groupBy("source").agg(count("*").cast("bigint").as("kept"))
+        .orderBy("source")
+    },
+    Some("""WITH base AS (
+           |  SELECT doc_id, source,
+           |    text || ' see https://' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR) ||
+           |    CASE WHEN doc_id % 10 = 0 THEN ' https://spam.badsite.org/x' ELSE '' END AS x
+           |  FROM documents
+           |), urls AS (
+           |  SELECT doc_id, source, unnest(regexp_extract_all(x, 'https?://[^ ]+')) AS u FROM base
+           |), doms AS (
+           |  SELECT doc_id, regexp_extract(u, '^https?://([^/]+)', 1) AS d FROM urls
+           |), chain AS (
+           |  SELECT doc_id, unnest(list_transform(range(0, len(string_split(d, '.'))),
+           |    i -> array_to_string(string_split(d, '.')[i + 1 : len(string_split(d, '.'))], '.'))) AS domain
+           |  FROM doms
+           |), off AS (
+           |  SELECT DISTINCT doc_id FROM chain
+           |  WHERE domain IN ('badsite.org', 'src3.example.com')
+           |)
+           |SELECT source, CAST(COUNT(*) AS BIGINT) AS kept FROM base
+           |WHERE doc_id NOT IN (SELECT doc_id FROM off)
+           |GROUP BY source ORDER BY source""".stripMargin))
+
   // Span-corruption mask plan (Packing.spanCorruptionPlan): the
   // deterministic closed-form span layout replayed per (doc, span) row.
   private val qSpanCorruption = df("q_pipeline_span_corruption",
@@ -1387,7 +1427,7 @@ object PipelineQueries {
     qDecontaminateExact, qSubstringSpans, qSubstringScrub,
     qSample, qSampleStratified, qInterleave, qSplit,
     qNgramJaccard, qEmbDedup, qAnnBrute, qAnnLsh,
-    qTextStats, qGopher, qCurate, qShardPlan, qSpanCorruption,
+    qTextStats, qGopher, qCurate, qShardPlan, qSpanCorruption, qBlocklist,
     qLangId, qTokens, qFingerprint, qMultimodal,
     qChunks, qCdcChunks, qPii, qRepetition, qEndToEnd,
     qUrls, qHistogram, qAnnInt8, qTfIdf, qTopNgrams,

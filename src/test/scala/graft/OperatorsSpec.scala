@@ -410,6 +410,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(last.getAs[Long]("start_token") + last.getAs[Long]("n") == total)
   }
 
+  test("blocklistGate: parent-domain suffix match drops, url-free docs pass") {
+    val docs = Seq(
+      (1L, "clean doc no urls"),
+      (2L, "see https://ads.tracker.net/a"),      // parent tracker.net blocked
+      (3L, "see https://tracker.net/b"),           // exact match
+      (4L, "see https://nottracker.net.safe.org/x"), // different suffix -> passes
+      (5L, "see https://good.example.com/y")
+    ).toDF("doc_id", "text")
+    val blocked = Seq("tracker.net").toDF("domain")
+    val kept = TextAnalysis.blocklistGate(docs, "doc_id", "text", blocked)
+      .orderBy("doc_id").collect().map(_.getLong(0))
+    assert(kept.toSeq == Seq(1L, 4L, 5L))
+  }
+
   test("pqTopK: m codes per vector, bounded codebook, recall far above chance") {
     val vecs = Tables.table(spark, sfDir, "embeddings")
     val probes = vecs.filter($"vec_id" < 20)
