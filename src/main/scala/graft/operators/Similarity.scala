@@ -188,6 +188,87 @@ object Similarity {
         col("adot_micro"), col("rnk").cast("bigint").as("rnk"))
   }
 
+  /** IVF-PQ: the composed billion-scale ANN layout — IVF cells prune the
+    * candidate set (each probe scans only its own cell, ~corpus/K), PQ
+    * codes compress what remains (m codes per vector) and ADC lookup
+    * tables score it without touching raw vectors. Both halves are the
+    * deterministic machinery of [[ivfTopK]] and [[pqTopK]]; the oracle
+    * replays cells, codebooks, codes, and the ranking end to end.
+    *
+    * Scale: centroids, codebooks, and the ADC table are all bounded
+    * broadcasts; the corpus is read to assign + code (aggregation
+    * pipelines), and the scan shuffles only (probe, neighbor, partial)
+    * rows from the probe's own cell. Returns (query_id, neighbor_id,
+    * cell, adot_micro, rnk). */
+  def ivfPqTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+                vecCol: String, k: Int = 10, nBits: Int = 4, dim: Int = 64,
+                m: Int = 8, pqBits: Int = 4): DataFrame = {
+    graft.functions.TajoFunctions.register(corpus.sparkSession)
+    val subDim = dim / m
+    // ---- IVF half: cell assignment exactly as ivfTopK
+    def initial(df: DataFrame) = withNorm(df, idCol, vecCol)
+      .withColumn("__cell0", expr(HashSpec.lshBucketNative("__vec", nBits, dim)))
+    val c0 = initial(corpus)
+    val cent = c0
+      .select(col("__cell0").as("cid"), posexplode(col("__vec")).as(Seq("i", "x")))
+      .groupBy("cid", "i")
+      .agg(sum(expr("CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)")).as("mc"))
+      .groupBy("cid")
+      .agg(expr("TRANSFORM(SORT_ARRAY(COLLECT_LIST(STRUCT(i, mc))), s -> s.mc)").as("ivec"))
+      .withColumn("inrm", expr(s"SQRT(${HashSpec.dotNative("ivec", "ivec")})"))
+    def assign(df: DataFrame): DataFrame = df.crossJoin(broadcast(cent))
+      .withColumn("__score", expr(s"${HashSpec.dotNative("__vec", "ivec")} / inrm"))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("__score").as("s"), (lit(0) - col("cid")).as("nc"))).as("b"))
+      .select(col(idCol), (lit(0) - col("b.nc")).as("cell"))
+    val corpusCells = assign(c0)
+    val probeCells = assign(initial(probes))
+    // ---- PQ half: codebooks + codes + ADC, exactly as pqTopK
+    def subs(df: DataFrame, as: String) = df.select(col(idCol).as(as),
+      posexplode(expr(
+        s"TRANSFORM(SEQUENCE(0, ${m - 1}), s -> SLICE($vecCol, s * $subDim + 1, $subDim))"))
+        .as(Seq("s", "sub")))
+    val csubs = subs(corpus, "__cid")
+    val codebook = csubs
+      .withColumn("cell0", expr(s"lsh_bucket(sub, $pqBits, $subDim)"))
+      .select(col("s"), col("cell0").as("cid"), posexplode(col("sub")).as(Seq("i", "x")))
+      .groupBy("s", "cid", "i")
+      .agg(sum(expr("CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)")).as("ms"),
+        count("*").as("cnt"))
+      .withColumn("mm", expr("ms DIV cnt"))
+      .groupBy("s", "cid")
+      .agg(expr("TRANSFORM(SORT_ARRAY(COLLECT_LIST(STRUCT(i, mm))), t -> t.mm)").as("cvec"))
+    val l2 = "AGGREGATE(ZIP_WITH(sub, cvec, (x, c) -> " +
+      "(CAST(x AS DOUBLE) - CAST(c AS DOUBLE) / 1000000) * " +
+      "(CAST(x AS DOUBLE) - CAST(c AS DOUBLE) / 1000000)), " +
+      "CAST(0 AS DOUBLE), (a, v) -> a + v)"
+    val codes = csubs.join(broadcast(codebook), Seq("s"))
+      .withColumn("d2", expr(l2))
+      .groupBy(col("__cid"), col("s"))
+      .agg(min(struct(col("d2"), col("cid"))).as("b"))
+      .select(col("__cid"), col("s"), col("b.cid").as("code"))
+    val adc = subs(probes, "__qid").join(broadcast(codebook), Seq("s"))
+      .withColumn("pd", expr(
+        s"CAST(FLOOR(${HashSpec.dotNative("sub", "cvec")}) AS BIGINT)"))
+      .select(col("__qid"), col("s"), col("cid"), col("pd"))
+    // ---- the composed scan: same-cell candidates only, ADC-scored
+    val codedCells = codes
+      .join(corpusCells.select(col(idCol).as("__cid"), col("cell")), Seq("__cid"))
+    val probeSide = broadcast(adc
+      .join(probeCells.select(col(idCol).as("__qid"), col("cell").as("__qcell")), Seq("__qid")))
+    codedCells.join(probeSide,
+        codedCells("s") === probeSide("s") && codedCells("code") === probeSide("cid") &&
+          codedCells("cell") === probeSide("__qcell"))
+      .filter(col("__qid") =!= col("__cid"))
+      .groupBy(col("__qid"), col("__cid"), col("cell"))
+      .agg(sum(col("pd")).as("adot_micro"))
+      .withColumn("rnk", row_number().over(Window.partitionBy("__qid")
+        .orderBy(col("adot_micro").desc, col("__cid"))))
+      .filter(col("rnk") <= k)
+      .select(col("__qid").as("query_id"), col("__cid").as("neighbor_id"),
+        col("cell"), col("adot_micro"), col("rnk").cast("bigint").as("rnk"))
+  }
+
   /** SemDeDup (Abbas et al. 2023): semantic dedup of a corpus by its
     * embeddings. Vectors are k-means-style clustered (the same
     * deterministic LSH-seeded, fixed-point-centroid assignment the IVF

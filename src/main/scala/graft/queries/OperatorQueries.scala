@@ -217,6 +217,94 @@ object OperatorQueries {
          |ORDER BY query_id, rnk""".stripMargin
     })
 
+  // IVF-PQ (Similarity.ivfPqTopK): the composed index — IVF cells prune
+  // candidates, PQ/ADC scores them. The oracle chains the qAnnIvf cell
+  // assignment and the qAnnPq codebook stack, filtered to same-cell
+  // pairs, and replays the entire ranking.
+  private val qAnnIvfPq = df("q_ann_ivfpq",
+    (spark, dir) => {
+      val vecs = Tables.table(spark, dir, "embeddings")
+      val probes = vecs.filter(col("vec_id") < 20)
+      Similarity.ivfPqTopK(vecs, probes, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          col("cell").cast("bigint").as("cell"), col("adot_micro"), col("rnk"))
+        .orderBy("query_id", "rnk")
+    },
+    Some {
+      import PipelineQueries.{duckDot, duckHp, bucketExpr}
+      def hp8(v: String, j: Int): String =
+        s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, 8), i -> CAST($v[i + 1] AS DOUBLE) * (((i * 37 + $j * 101) % 11) - 5))), (s, x) -> s + x)"
+      val bucket8 = (0 to 3).map(j =>
+        s"(CASE WHEN ${hp8("sub", j)} > 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
+      val l2 = "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        "list_transform(range(1, 9), i -> " +
+        "(CAST(c.sub[i] AS DOUBLE) - CAST(b.cvec[i] AS DOUBLE) / 1000000) * " +
+        "(CAST(c.sub[i] AS DOUBLE) - CAST(b.cvec[i] AS DOUBLE) / 1000000))), (a, v) -> a + v)"
+      s"""WITH ibase AS (
+         |  SELECT vec_id, embedding,
+         |    ${bucketExpr(duckHp, "embedding")} AS cell0
+         |  FROM embeddings
+         |), icentel AS (
+         |  SELECT cell0 AS cid, i,
+         |    SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS mc
+         |  FROM ibase CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) dims
+         |  GROUP BY cell0, i
+         |), icent AS (
+         |  SELECT cid, list(mc ORDER BY i) AS ivec FROM icentel GROUP BY cid
+         |), icent2 AS (
+         |  SELECT cid, ivec, SQRT(${duckDot("ivec", "ivec")}) AS inrm FROM icent
+         |), iscored AS (
+         |  SELECT b.vec_id, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY b.vec_id
+         |      ORDER BY ${duckDot("b.embedding", "c.ivec")} / c.inrm DESC, c.cid) AS rr
+         |  FROM ibase b CROSS JOIN icent2 c
+         |), cells AS (
+         |  SELECT vec_id, cid AS cell FROM iscored WHERE rr = 1
+         |), sub AS (
+         |  SELECT vec_id, s, embedding[s * 8 + 1 : s * 8 + 8] AS sub
+         |  FROM embeddings, (SELECT unnest(range(0, 8)) AS s)
+         |), pcell AS (
+         |  SELECT vec_id, s, sub, $bucket8 AS cell0 FROM sub
+         |), cbel AS (
+         |  SELECT s, cell0 AS cid, i,
+         |    SUM(CAST(FLOOR(CAST(sub[i] AS DOUBLE) * 1000000) AS BIGINT)) AS ms,
+         |    COUNT(*) AS cnt
+         |  FROM pcell, (SELECT unnest(range(1, 9)) AS i)
+         |  GROUP BY s, cell0, i
+         |), cb AS (
+         |  SELECT s, cid, list(CAST(ms // cnt AS BIGINT) ORDER BY i) AS cvec
+         |  FROM cbel GROUP BY s, cid
+         |), d AS (
+         |  SELECT c.vec_id, c.s, b.cid, $l2 AS d2
+         |  FROM pcell c JOIN cb b ON c.s = b.s
+         |), codes AS (
+         |  SELECT vec_id, s, cid AS code FROM (
+         |    SELECT vec_id, s, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rr
+         |    FROM d) t WHERE rr = 1
+         |), adc AS (
+         |  SELECT q.vec_id AS qid, q.s, b.cid,
+         |    CAST(FLOOR(${duckDot("q.sub", "b.cvec")}) AS BIGINT) AS pd
+         |  FROM pcell q JOIN cb b ON q.s = b.s WHERE q.vec_id < 20
+         |), scored AS (
+         |  SELECT a.qid AS query_id, c.vec_id AS neighbor_id, cc.cell,
+         |    CAST(SUM(a.pd) AS BIGINT) AS adot_micro
+         |  FROM codes c
+         |  JOIN cells cc ON c.vec_id = cc.vec_id
+         |  JOIN adc a ON c.s = a.s AND c.code = a.cid
+         |  JOIN cells qc ON qc.vec_id = a.qid AND qc.cell = cc.cell
+         |  WHERE a.qid <> c.vec_id
+         |  GROUP BY a.qid, c.vec_id, cc.cell
+         |)
+         |SELECT query_id, neighbor_id, CAST(cell AS BIGINT) AS cell, adot_micro, rnk FROM (
+         |  SELECT query_id, neighbor_id, cell, adot_micro,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY adot_micro DESC, neighbor_id) AS BIGINT) AS rnk
+         |  FROM scored) t
+         |WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin
+    })
+
   // SemDeDup (Similarity.semDedup): embedding-space semantic dedup —
   // cluster by the IVF cell assignment, drop any vector with a lower-id
   // same-cell neighbor at cosine >= 0.35 (the corpus's planted near-dup
@@ -687,7 +775,7 @@ object OperatorQueries {
            |FROM documents WHERE doc_id < 2000 ORDER BY doc_id""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(
-    qMinhashApi, qAnnApi, qAnnIvf, qAnnIvf2, qAnnPq, qSemDedup, qQualityApi, qMultimodalApi,
+    qMinhashApi, qAnnApi, qAnnIvf, qAnnIvf2, qAnnPq, qAnnIvfPq, qSemDedup, qQualityApi, qMultimodalApi,
     qMultimodalPatches, qMultimodalDecode,
     qDecontaminate, qBpeApi, qBpeEncode, qEmbedPool, qSaltedJoin, qAsofJoin, qRangeJoin,
     qDedupClusters, qStreamHourly, qStreamSessions, qStreamDedup)

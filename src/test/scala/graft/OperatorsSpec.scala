@@ -445,6 +445,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(re.except(pq).isEmpty && pq.except(re).isEmpty)
   }
 
+  test("ivfPqTopK: candidates confined to the probe's cell, scores agree with pure PQ") {
+    val vecs = Tables.table(spark, sfDir, "embeddings")
+    val probes = vecs.filter($"vec_id" < 20)
+    val n = vecs.count().toInt
+    val composed = Similarity.ivfPqTopK(vecs, probes, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id", "adot_micro").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(composed.nonEmpty)
+    // every composed (query, neighbor, score) must appear among the pure-PQ
+    // scores over ALL pairs — the IVF routing may only FILTER, never change
+    // a score
+    val allPq = Similarity.pqTopK(vecs, probes, "vec_id", "embedding", k = n)
+      .select("query_id", "neighbor_id", "adot_micro").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(composed.subsetOf(allPq))
+    // and the routing is real: some PQ-visible pair is outside the cell
+    assert(composed.size < allPq.size)
+  }
+
   test("spanCorruptionPlan: spans disjoint, in-range, exact noise budget, closed form") {
     val ns = (1L to 200L) ++ Seq(1000L, 12345L)
     val docs = ns.map(n => (n, n)).toDF("doc_id", "n")

@@ -164,6 +164,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q_ann_ivfpq: composed index keeps every data-sized join an equi-join") {
+    val p = plan("q_ann_ivfpq")
+    // centroids/codebooks/ADC broadcast (bounded); the candidate scan must
+    // join by (subspace, code, cell) keys — never a cartesian
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q_op_semdedup: pair join is per-cluster equi, centroids are the only cross join") {
     val p = plan("q_op_semdedup")
     // the only nested-loop joins are against the K-row centroid table
