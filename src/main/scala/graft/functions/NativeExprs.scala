@@ -41,5 +41,17 @@ object NativeExprs {
       val w = if (exprs.length > 1) lit(exprs(1), "w") else 8
       val div = if (exprs.length > 2) lit(exprs(2), "div") else 64
       CdcChunks(exprs.head, w, div)
+    },
+    // Spark's own runtime-filter sketch surfaced as a callable pair: the
+    // aggregate folds xxhash64 values into a serialized BloomFilterImpl
+    // (partial sketches OR-merge, so it is one narrow pass at any scale),
+    // the predicate probes a foldable sketch literal. Used by
+    // graft.operators.Dedup.incrementalBloom.
+    "bloom_agg" -> { exprs =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        exprs(0), exprs(1), exprs(2))
+    },
+    "bloom_might_contain" -> { exprs =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1))
     })
 }

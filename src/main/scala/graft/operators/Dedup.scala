@@ -205,6 +205,59 @@ object Dedup {
       .select(col(idCol), col("digest"))
   }
 
+  /** Bloom-prefiltered incremental dedup — the 100 TB shape of
+    * [[incrementalExact]], with identical (exact) results. The plain anti
+    * join shuffles BOTH sides on the digest every batch; once the seen
+    * table holds a trillion digests that is a multi-TB shuffle per
+    * ingested crawl. This variant never shuffles the seen side at all:
+    *
+    *   1. one narrow pass over the seen table folds xxhash64(digest) into
+    *      a Bloom sketch (Spark's own BloomFilterAggregate — per-partition
+    *      partial sketches OR-merge at the final step, and only the
+    *      numBits/8-byte sketch ever reaches the driver). In production
+    *      the sketch is built once and reused for every subsequent batch;
+    *   2. the batch's in-batch keepers probe the sketch map-side
+    *      (BloomFilterMightContain over a foldable literal — codegen'd,
+    *      no UDF). Definite-new rows (the overwhelming majority when
+    *      crawls have modest overlap) pass through with ZERO joins;
+    *   3. only the might-contain candidates (true dups + fpp of the rest)
+    *      are exactness-restored: the candidate digests broadcast to the
+    *      seen table for a map-side LEFT SEMI (seen stays unshuffled),
+    *      and the confirmed-dup set — at most candidate-sized — broadcasts
+    *      back for the final anti join.
+    *
+    * The Bloom is a pure pre-filter: false positives are re-checked, false
+    * negatives are impossible, so the admitted set is bit-identical to
+    * [[incrementalExact]] (the driver oracle replays the exact semantics).
+    * `expectedItems`/`fpp` size the sketch (optimal bit count from the
+    * public sketch library); Spark caps sketch sizes via
+    * spark.sql.optimizer.runtime.bloomFilter.max* confs — raise them when
+    * sizing for billions of digests.
+    *
+    * Candidate-set broadcasts are bounded by |true dups| + fpp·|batch|,
+    * both knowable in advance; nothing corpus-sized is ever collected. */
+  def incrementalBloom(newDocs: DataFrame, seenDigests: DataFrame,
+                       idCol: String, textCol: String,
+                       expectedItems: Long = 1L << 20,
+                       fpp: Double = 0.01): DataFrame = {
+    graft.functions.TajoFunctions.register(newDocs.sparkSession)
+    val numBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    val batch = newDocs.select(col(idCol), md5(col(textCol)).as("digest"))
+    val keepers = batch.groupBy(col("digest")).agg(min(col(idCol)).as(idCol))
+    val sketch: Array[Byte] = seenDigests
+      .select(call_function("bloom_agg", xxhash64(col("digest")),
+        lit(expectedItems), lit(numBits)).as("b"))
+      .head.getAs[Array[Byte]](0)
+    val mightContain =
+      call_function("bloom_might_contain", lit(sketch), xxhash64(col("digest")))
+    val candidates = keepers.filter(mightContain).select(col("digest"))
+    val confirmedDups = seenDigests.select(col("digest"))
+      .join(broadcast(candidates), Seq("digest"), "left_semi")
+      .distinct()
+    keepers.join(broadcast(confirmedDups), Seq("digest"), "left_anti")
+      .select(col(idCol), col("digest"))
+  }
+
   /** Paragraph-level dedup (MassiveText/RefinedWeb-style): exact-dedup at
     * sub-document granularity, then reassemble. A paragraph OCCURRENCE
     * survives iff it is the globally first occurrence of that exact

@@ -120,4 +120,60 @@ object Packing {
       .withColumn("shard", expr(s"start_token DIV $shardTokens"))
       .drop("__key", "__blk", "__run", "__boff")
   }
+
+  /** First-fit-decreasing bin packing, block-local: the waste-minimizing
+    * sibling of [[packSequences]]. Concat-and-cut splits documents across
+    * sequence boundaries; when training wants WHOLE documents per sequence
+    * (no cross-doc attention contamination, no split docs), the problem is
+    * bin packing, and FFD is the classical 11/9·OPT + 6/9 guarantee: sort
+    * the block's docs by token count descending, place each into the
+    * lowest-numbered bin it fits, open a new bin when none fits.
+    *
+    * Semantics (exact, engine-replayable): within each id-range block
+    * (`idCol div blockSize`), docs ordered by (tokens DESC, id ASC) fold
+    * through a first-fit scan; `ffd_bin` is 1-based in placement order. A
+    * doc with tokens > budget opens its own bin, whose remaining capacity
+    * goes negative so nothing else ever joins it — oversized docs are
+    * isolated, not dropped (filter on tokens > budget upstream to choose a
+    * different policy).
+    *
+    * Scale: FFD is inherently sequential, so a global FFD would be a
+    * single-task chokepoint; like packSequences the corpus is cut into
+    * deterministic id-range blocks and each block folds independently —
+    * one hash shuffle on the block id, then a per-group SQL fold
+    * (collect_list + AGGREGATE lambda) whose state is bounded by the
+    * block's doc count. The cost vs global FFD is at most one extra
+    * partially-filled tail of bins per block; the assignment is invariant
+    * to cluster layout because blocks key on ids, not partitions. */
+  def packFfd(df: DataFrame, idCol: String, tokensCol: String,
+              budget: Long, blockSize: Long): DataFrame = {
+    require(budget > 0 && blockSize > 0, "budget and blockSize must be positive")
+    // distinct lambda variable (fr) — this expression is re-evaluated inside
+    // the rems-update TRANSFORM lambda, where `r` is already bound
+    val firstFit = "ARRAY_POSITION(TRANSFORM(acc.rems, fr -> fr >= d.t), true)"
+    val fold = s"""
+      |AGGREGATE(
+      |  ARRAY_SORT(COLLECT_LIST(STRUCT(-__t AS negt, __id AS id, __t AS t))),
+      |  NAMED_STRUCT(
+      |    'rems', CAST(ARRAY() AS ARRAY<BIGINT>),
+      |    'asg',  CAST(ARRAY() AS ARRAY<STRUCT<id: BIGINT, bin: BIGINT>>)),
+      |  (acc, d) -> IF($firstFit = 0,
+      |    NAMED_STRUCT(
+      |      'rems', CONCAT(acc.rems, ARRAY($budget - d.t)),
+      |      'asg',  CONCAT(acc.asg, ARRAY(NAMED_STRUCT(
+      |        'id', d.id, 'bin', CAST(SIZE(acc.rems) + 1 AS BIGINT))))),
+      |    NAMED_STRUCT(
+      |      'rems', TRANSFORM(acc.rems, (r, i) -> IF(i = $firstFit - 1, r - d.t, r)),
+      |      'asg',  CONCAT(acc.asg, ARRAY(NAMED_STRUCT('id', d.id, 'bin', $firstFit))))))
+      |""".stripMargin
+    df.select(
+        col(idCol).cast("bigint").as("__id"),
+        col(tokensCol).cast("bigint").as("__t"),
+        expr(s"$idCol div $blockSize").as("pack_block"))
+      .groupBy("pack_block")
+      .agg(expr(fold).as("__st"))
+      .select(col("pack_block"), explode(col("__st.asg")).as("a"))
+      .select(col("a.id").as(idCol), col("pack_block"),
+        col("a.bin").as("ffd_bin"))
+  }
 }

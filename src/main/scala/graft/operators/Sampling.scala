@@ -130,4 +130,57 @@ object Sampling {
         struct(col("__rn"), col(sourceCol)))
       .drop("__rn")
   }
+
+  /** Epoch-schedule planner for a fixed token budget ("data-constrained"
+    * mixing, Muennighoff et al. 2023: repeating a source beyond ~4 epochs
+    * stops helping, so allocation must respect a per-source repeat cap).
+    * Given per-row token counts, plan how many tokens to draw from each
+    * source:
+    *
+    *   1. fair share  F = budget DIV n_sources;
+    *   2. first pass  a1_s = LEAST(F, maxEpochs * N_s)  — small sources
+    *      cap out at maxEpochs full repeats;
+    *   3. the leftover L = budget - SUM(a1) redistributes proportionally
+    *      to remaining capacity, itself capped: extra_s =
+    *      LEAST(L * capRem_s DIV SUM(capRem), capRem_s).
+    *
+    * One redistribution round, all-BIGINT arithmetic: the plan never
+    * exceeds a source's cap, never exceeds the budget, and under-allocates
+    * at most by integer-division residue (callers top up the largest
+    * source if they need the budget met exactly). Returns one row per
+    * source: n_tokens, alloc_tokens, full_epochs, remainder_tokens.
+    *
+    * Scale: one partial+final SUM per source, then all remaining
+    * arithmetic happens on the n_sources-row table — bounded by
+    * construction (sources are corpora, not documents), so the two scalar
+    * cross joins broadcast a 1-row frame each and nothing data-sized moves.
+    */
+  def epochSchedule(df: DataFrame, sourceCol: String, tokensCol: String,
+                    budget: Long, maxEpochs: Int = 4): DataFrame = {
+    require(budget >= 0 && maxEpochs >= 1, "need budget >= 0 and maxEpochs >= 1")
+    val counts = df.groupBy(col(sourceCol))
+      .agg(sum(col(tokensCol)).cast("bigint").as("n_tokens"))
+    val nSrc = counts.agg(count(lit(1)).as("__s"))
+    val pass1 = counts.crossJoin(broadcast(nSrc))
+      .withColumn("__cap", expr(s"n_tokens * $maxEpochs"))
+      .withColumn("__a1", expr(s"LEAST($budget DIV __s, __cap)"))
+    val totals = pass1.agg(sum("__a1").as("__a1sum"),
+      sum(expr("__cap - __a1")).as("__capremsum"))
+    pass1.crossJoin(broadcast(totals))
+      // the proportional product L * capRem can reach ~1e26 at 100 TB-scale
+      // budgets — route it through DECIMAL(38,0) (exact integral `div`, no
+      // rounding) instead of overflowing BIGINT
+      .withColumn("__extra", expr(
+        s"""CASE WHEN __capremsum > 0
+           |  THEN LEAST(CAST(CAST($budget - __a1sum AS DECIMAL(38,0))
+           |               * (__cap - __a1) DIV __capremsum AS BIGINT),
+           |             __cap - __a1)
+           |  ELSE 0 END""".stripMargin))
+      .select(col(sourceCol), col("n_tokens"),
+        expr("__a1 + __extra").as("alloc_tokens"),
+        expr("CASE WHEN n_tokens > 0 THEN (__a1 + __extra) DIV n_tokens ELSE 0 END")
+          .as("full_epochs"),
+        expr("CASE WHEN n_tokens > 0 THEN (__a1 + __extra) % n_tokens ELSE 0 END")
+          .as("remainder_tokens"))
+  }
 }

@@ -384,6 +384,67 @@ object TextAnalysis {
         expr("CASE WHEN n_bigrams > 0 THEN __s DIV n_bigrams END").as("lm_ppm"))
   }
 
+  /** DSIR-style hashed n-gram importance weights (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score every
+    * corpus document by how much more it looks like a TARGET distribution
+    * (e.g. wiki/books) than the RAW crawl distribution, using hashed
+    * unigram+bigram bucket counts as the feature space. DSIR's weight is
+    *   log w(doc) = SUM_f log p_target(f) - log p_raw(f);
+    * this engine keeps the per-feature likelihoods as exact integer
+    * parts-per-million ratios instead of floating logs (the lmScore trick —
+    * replayable bit-for-bit across engines, no libm):
+    *
+    *   ppm_t(f) = (1e6 * (c_t(f) + 1)) DIV (C_t + B)     add-one over B buckets
+    *   score(doc) = SUM over gram occurrences (ppm_t(f) - ppm_r(f))
+    *
+    * i.e. a linear classifier over hashed n-gram counts — the same family
+    * as fastText-style quality filters — whose per-feature sign matches the
+    * DSIR log-ratio's. Downstream selection is `ORDER BY dsir_score DESC,
+    * id LIMIT k` (deterministic resampling); k is the token budget.
+    *
+    * Scale: both model sides aggregate once (partial+final count on the
+    * bucket id) and are bounded at B rows BY CONSTRUCTION — the hash space
+    * is the vocabulary cap, so the model join side never grows with the
+    * corpus and AQE may broadcast it (never forced). The corpus side is one
+    * gram explode, one join on the bucket id, one groupBy doc: all shuffle
+    * keys are 8-byte ints regardless of text size. */
+  def dsirWeights(corpus: DataFrame, target: DataFrame, raw: DataFrame,
+                  idCol: String, textCol: String, buckets: Int = 1 << 17): DataFrame = {
+    require(buckets >= 2, s"need buckets >= 2, got $buckets")
+    val poly31 =
+      "AGGREGATE(FILTER(SPLIT(__g, ''), c -> c <> ''), CAST(0 AS BIGINT), (a, c) -> (a * 31 + ASCII(c)) % 1000000007)"
+    def feats(df: DataFrame, extra: Column*) = df
+      .select(extra :+ split(lower(col(textCol)), " ").as("__t"): _*)
+      .withColumn("__g", explode(expr(
+        """CONCAT(__t, CASE WHEN SIZE(__t) >= 2
+          |  THEN TRANSFORM(SEQUENCE(0, SIZE(__t) - 2),
+          |    i -> CONCAT(__t[i], ' ', __t[i + 1]))
+          |  ELSE ARRAY() END)""".stripMargin)))
+      .select(extra :+ expr(s"$poly31 % $buckets").as("__f"): _*)
+    def model(df: DataFrame, cntCol: String, totCol: String) = {
+      val f = feats(df)
+      (f.groupBy(col("__f")).agg(count("*").cast("bigint").as(cntCol)),
+        f.agg(count("*").cast("bigint").as(totCol)))
+    }
+    // total columns spelled with distinct letters, not just distinct case —
+    // Spark resolves identifiers case-insensitively
+    val (tCnt, tTot) = model(target, "__ct", "__ttot")
+    val (rCnt, rTot) = model(raw, "__cr", "__rtot")
+    feats(corpus, col(idCol))
+      .join(tCnt, Seq("__f"), "left")
+      .join(rCnt, Seq("__f"), "left")
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .groupBy(col(idCol))
+      .agg(count("*").cast("bigint").as("n_feats"),
+        expr(s"""SUM((1000000 * (COALESCE(__ct, 0) + 1)) DIV (__ttot + $buckets)
+                |  - (1000000 * (COALESCE(__cr, 0) + 1)) DIV (__rtot + $buckets))"""
+          .stripMargin).cast("bigint").as("dsir_score"))
+      .join(corpus.select(col(idCol)), Seq(idCol), "right")
+      .select(col(idCol),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        col("dsir_score"))
+  }
+
   /** Corpus-level n-gram heavy hitters: the exact top-k most frequent
     * word n-grams with a (count desc, ngram asc) total order.
     *

@@ -263,6 +263,90 @@ object PipelineQueries {
            |WHERE b.digest NOT IN (SELECT digest FROM seen)
            |ORDER BY b.doc_id""".stripMargin))
 
+  // DSIR-style hashed n-gram importance selection (TextAnalysis.dsirWeights):
+  // target = src0 docs, raw = the whole corpus, features = poly31-hashed
+  // unigram+bigram buckets (B = 4096 so bucket collisions genuinely occur and
+  // must collide identically in both engines), score = integer-ppm likelihood
+  // difference, selection = top-50 by (score DESC, doc_id). The whole model —
+  // hashing, add-one smoothing, DIV arithmetic, the selection boundary — is
+  // replayed exactly in DuckDB.
+  private val qDsir = df("q_pipeline_dsir",
+    (sp, dir) => {
+      val docs = graft.engine.Tables.table(sp, dir, "documents")
+      graft.operators.TextAnalysis
+        .dsirWeights(docs, docs.filter(col("source") === "src0"), docs,
+          "doc_id", "text", buckets = 4096)
+        .orderBy(col("dsir_score").desc, col("doc_id")).limit(50)
+    },
+    Some("""WITH docs AS (
+           |  SELECT doc_id, string_split(lower(text), ' ') AS t, source FROM documents
+           |), grams AS (
+           |  SELECT doc_id, source,
+           |    unnest(list_concat(t,
+           |      CASE WHEN len(t) >= 2
+           |        THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+           |        ELSE [] END)) AS g
+           |  FROM docs
+           |), feats AS (
+           |  SELECT doc_id, source,
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(string_split(g, ''), c -> CAST(ascii(c) AS BIGINT))),
+           |      (a, c) -> (a * 31 + c) % 1000000007) % 4096 AS f
+           |  FROM grams
+           |), tcnt AS (
+           |  SELECT f, CAST(COUNT(*) AS BIGINT) AS ct FROM feats WHERE source = 'src0' GROUP BY f
+           |), ttot AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS Ctot FROM feats WHERE source = 'src0'
+           |), rcnt AS (
+           |  SELECT f, CAST(COUNT(*) AS BIGINT) AS cr FROM feats GROUP BY f
+           |), rtot AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS Crot FROM feats
+           |), scored AS (
+           |  SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+           |    CAST(SUM((1000000 * (COALESCE(t.ct, 0) + 1)) // (ttot.Ctot + 4096)
+           |       - (1000000 * (COALESCE(r.cr, 0) + 1)) // (rtot.Crot + 4096)) AS BIGINT) AS dsir_score
+           |  FROM feats d
+           |  LEFT JOIN tcnt t ON d.f = t.f
+           |  LEFT JOIN rcnt r ON d.f = r.f
+           |  CROSS JOIN ttot CROSS JOIN rtot
+           |  GROUP BY d.doc_id
+           |)
+           |SELECT doc_id, n_feats, dsir_score FROM scored
+           |ORDER BY dsir_score DESC, doc_id LIMIT 50""".stripMargin))
+
+  // Bloom-prefiltered incremental dedup (Dedup.incrementalBloom). The Bloom
+  // sketch is a pure pre-filter whose false positives are exactness-restored
+  // by the confirm joins, so the oracle is the PLAIN exact semantics — any
+  // admitted-set difference (a lost doc, an unfiltered dup, a sketch false
+  // negative) hash-mismatches. The fixture overlaps the seen snapshot
+  // (250..299 are true cross-snapshot dups) and duplicates 400..409 under
+  // shifted ids so the in-batch keeper rule fires alongside the sketch path.
+  private val qIncrementalBloom = df("q_dedup_incremental_bloom",
+    (sp, dir) => {
+      val docs = graft.engine.Tables.table(sp, dir, "documents")
+      val seen = docs.filter(col("doc_id") < 300)
+        .select(md5(col("text")).as("digest")).distinct()
+      val batch = docs.filter(col("doc_id") >= 250)
+        .unionAll(docs.filter(col("doc_id").between(400, 409))
+          .withColumn("doc_id", col("doc_id") + 30000))
+      graft.operators.Dedup.incrementalBloom(batch, seen, "doc_id", "text",
+          expectedItems = 4096, fpp = 0.01)
+        .orderBy("doc_id")
+    },
+    Some("""WITH seen AS (
+           |  SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id < 300
+           |), newbatch AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+           |  UNION ALL
+           |  SELECT doc_id + 30000, text FROM documents WHERE doc_id BETWEEN 400 AND 409
+           |), batch AS (
+           |  SELECT md5(text) AS digest, MIN(doc_id) AS doc_id
+           |  FROM newbatch GROUP BY md5(text)
+           |)
+           |SELECT b.doc_id, b.digest FROM batch b
+           |WHERE b.digest NOT IN (SELECT digest FROM seen)
+           |ORDER BY b.doc_id""".stripMargin))
+
   // Paragraph-level dedup (Dedup.paragraphDedup). The synthetic corpus is
   // single-line, so both engines first split every doc into the same two
   // paragraphs (first 8 words, rest) — near-dup docs share their first
@@ -1213,6 +1297,89 @@ object PipelineQueries {
            |GROUP BY pack_block, tokens_before // 4096
            |ORDER BY pack_block, seq_in_block""".stripMargin))
 
+  // Epoch-schedule planner (Sampling.epochSchedule): budget 200k chars over
+  // the 60/30/10 tier split with maxEpochs=2 — at sf0.01 the small tier caps
+  // out at 2 full epochs (remainder 0), the leftover redistributes to
+  // big/mid proportionally to remaining capacity, and big lands on 1 full
+  // epoch + remainder: every branch of the planner carries driver evidence.
+  private val qEpochSchedule = df("q_pipeline_epoch_schedule",
+    (spark, dir) => {
+      val docs = graft.engine.Tables.table(spark, dir, "documents")
+        .withColumn("tier",
+          when(col("doc_id") % 10 < 6, "big")
+            .when(col("doc_id") % 10 < 9, "mid")
+            .otherwise("small"))
+      graft.operators.Sampling.epochSchedule(docs, "tier", "n_chars",
+          budget = 200000L, maxEpochs = 2)
+        .orderBy("tier")
+    },
+    Some("""WITH d AS (
+           |  SELECT CASE WHEN doc_id % 10 < 6 THEN 'big'
+           |              WHEN doc_id % 10 < 9 THEN 'mid' ELSE 'small' END AS tier,
+           |         n_chars
+           |  FROM documents
+           |), c AS (
+           |  SELECT tier, CAST(SUM(n_chars) AS BIGINT) AS n_tokens FROM d GROUP BY tier
+           |), p1 AS (
+           |  SELECT tier, n_tokens, n_tokens * 2 AS cap,
+           |    LEAST(200000 // (SELECT COUNT(*) FROM c), n_tokens * 2) AS a1
+           |  FROM c
+           |), t AS (
+           |  SELECT CAST(SUM(a1) AS BIGINT) AS a1sum,
+           |         CAST(SUM(cap - a1) AS BIGINT) AS capremsum
+           |  FROM p1
+           |), x AS (
+           |  SELECT p1.tier, p1.n_tokens, p1.a1,
+           |    CASE WHEN t.capremsum > 0
+           |      THEN LEAST(CAST((CAST(200000 AS HUGEINT) - t.a1sum)
+           |             * (p1.cap - p1.a1) // t.capremsum AS BIGINT),
+           |           p1.cap - p1.a1)
+           |      ELSE 0 END AS extra
+           |  FROM p1 CROSS JOIN t
+           |)
+           |SELECT tier, n_tokens, a1 + extra AS alloc_tokens,
+           |  CASE WHEN n_tokens > 0 THEN (a1 + extra) // n_tokens ELSE 0 END AS full_epochs,
+           |  CASE WHEN n_tokens > 0 THEN (a1 + extra) % n_tokens ELSE 0 END AS remainder_tokens
+           |FROM x ORDER BY tier""".stripMargin))
+
+  // First-fit-decreasing packing (Packing.packFfd): whole-document bin
+  // packing, block-local. The oracle replays the ENTIRE fold — per-block
+  // (tokens DESC, id) order, first-fit scan, bin-capacity bookkeeping — as a
+  // DuckDB recursive CTE stepping one placement per iteration with the bin
+  // remainders carried as a LIST column; every doc's bin assignment must
+  // match placement-for-placement.
+  private val qPackFfd = df("q_pipeline_pack_ffd",
+    (spark, dir) => {
+      val docs = graft.engine.Tables.table(spark, dir, "documents")
+      graft.operators.Packing.packFfd(docs, "doc_id", "n_chars",
+          budget = 4096L, blockSize = 100L)
+        .orderBy("doc_id")
+    },
+    Some("""WITH RECURSIVE d AS (
+           |  SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS tok, doc_id // 100 AS blk
+           |  FROM documents
+           |), ranked AS (
+           |  SELECT id, tok, blk,
+           |    ROW_NUMBER() OVER (PARTITION BY blk ORDER BY tok DESC, id) AS rn
+           |  FROM d
+           |), fold AS (
+           |  SELECT blk, rn, id, tok, CAST(1 AS BIGINT) AS bin, [4096 - tok] AS rems
+           |  FROM ranked WHERE rn = 1
+           |  UNION ALL
+           |  SELECT r.blk, r.rn, r.id, r.tok,
+           |    CASE WHEN p.pos = 0 THEN CAST(len(f.rems) + 1 AS BIGINT)
+           |         ELSE CAST(p.pos AS BIGINT) END,
+           |    CASE WHEN p.pos = 0 THEN list_append(f.rems, 4096 - r.tok)
+           |         ELSE list_transform(f.rems,
+           |           (x, i) -> CASE WHEN i = p.pos THEN x - r.tok ELSE x END) END
+           |  FROM fold f
+           |  JOIN ranked r ON r.blk = f.blk AND r.rn = f.rn + 1
+           |  CROSS JOIN LATERAL (
+           |    SELECT list_position(list_transform(f.rems, x -> x >= r.tok), true) AS pos) p
+           |)
+           |SELECT id AS doc_id, blk AS pack_block, bin AS ffd_bin
+           |FROM fold ORDER BY doc_id""".stripMargin))
+
   // Temperature mix (alpha=0.5): kept set depends only on per-source counts
   // via sqrt/divide — both IEEE correctly-rounded, so DuckDB derives the
   // identical floor(rate*2^32) thresholds and the identical rows.
@@ -1423,7 +1590,7 @@ object PipelineQueries {
 
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupNorm, qMinhashSig, qMinhashPairs, qMinhashCorpus, qSimhash,
-    qSimhashPairs, qLmScore, qParagraphDedup, qIncrementalDedup,
+    qSimhashPairs, qLmScore, qParagraphDedup, qIncrementalDedup, qIncrementalBloom,
     qDecontaminateExact, qSubstringSpans, qSubstringScrub,
     qSample, qSampleStratified, qInterleave, qSplit,
     qNgramJaccard, qEmbDedup, qAnnBrute, qAnnLsh,
@@ -1431,5 +1598,6 @@ object PipelineQueries {
     qLangId, qTokens, qFingerprint, qMultimodal,
     qChunks, qCdcChunks, qPii, qRepetition, qEndToEnd,
     qUrls, qHistogram, qAnnInt8, qTfIdf, qTopNgrams,
-    qTopKPerGroup, qShuffle, qPack, qTemperatureMix, qQualityGate)
+    qTopKPerGroup, qShuffle, qPack, qPackFfd, qTemperatureMix, qQualityGate,
+    qDsir, qEpochSchedule)
 }

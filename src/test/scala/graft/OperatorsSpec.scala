@@ -518,6 +518,110 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.toSeq == Seq(11L, 13L))
   }
 
+  test("incrementalBloom: bit-identical to incrementalExact at any sketch size") {
+    val seen = (1L to 2000L).map(i => s"seen doc $i").toDF("text")
+      .select(md5($"text").as("digest"))
+    val batch = ((1500L to 2500L).map(i => (i, s"seen doc $i")) ++
+      Seq((9001L, "seen doc 1600"), (9002L, "brand new"), (9003L, "brand new")))
+      .toDF("doc_id", "text")
+    val exact = Dedup.incrementalExact(batch, seen, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.contains(2001L) && exact.contains(9002L) &&
+      !exact.contains(1500L) && !exact.contains(9001L) && !exact.contains(9003L))
+    val wellSized = Dedup.incrementalBloom(batch, seen, "doc_id", "text",
+      expectedItems = 4096, fpp = 0.01).collect().map(_.getLong(0)).toSet
+    assert(wellSized == exact)
+    // a degenerate, saturated sketch turns every row into a confirm-join
+    // candidate — the result must STILL be exact (Bloom is only a pre-filter)
+    val saturated = Dedup.incrementalBloom(batch, seen, "doc_id", "text",
+      expectedItems = 4, fpp = 0.5).collect().map(_.getLong(0)).toSet
+    assert(saturated == exact)
+  }
+
+  test("epochSchedule: caps at maxEpochs, redistributes leftover, never exceeds budget") {
+    // three sources: 1000 / 400 / 100 tokens, budget 1200, maxEpochs 2
+    // fair = 400; small caps at 200 -> a1 = (400, 400, 200), L = 200
+    // capRem = (1600, 400, 0), sum 2000 -> extra = (160, 40, 0)
+    // final  = (560, 440, 200) -> epochs (0,1,2), rema (560, 40, 0)
+    val rows = (1 to 10).map(i => ("a", 100L)) ++
+      (1 to 4).map(i => ("b", 100L)) ++ Seq(("c", 100L))
+    val r = Sampling.epochSchedule(rows.toDF("src", "tok"), "src", "tok",
+        budget = 1200L, maxEpochs = 2)
+      .orderBy("src").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+    assert(r.toSeq == Seq(
+      ("a", 1000L, 560L, 0L, 560L),
+      ("b", 400L, 440L, 1L, 40L),
+      ("c", 100L, 200L, 2L, 0L)))
+    assert(r.map(_._3).sum <= 1200L)
+    // budget far above all caps: every source takes exactly maxEpochs
+    val all = Sampling.epochSchedule(rows.toDF("src", "tok"), "src", "tok",
+        budget = 100000L, maxEpochs = 3)
+      .collect().map(x => (x.getString(0), x.getLong(2), x.getLong(3)))
+    assert(all.toSet == Set(("a", 3000L, 3L), ("b", 1200L, 3L), ("c", 300L, 3L)))
+  }
+
+  test("packFfd: matches an independent first-fit-decreasing fold, isolates oversized docs") {
+    val rng = new scala.util.Random(42)
+    val docs = (0L until 500L).map(i => (i, 1L + rng.nextInt(600).toLong)) :+ (500L, 2000L)
+    val df = docs.toDF("id", "tok")
+    val got = Packing.packFfd(df, "id", "tok", budget = 512L, blockSize = 128L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // independent reference: per block, sort by (tok desc, id), first-fit scan
+    val want = docs.groupBy { case (id, _) => id / 128 }.flatMap { case (blk, ds) =>
+      val rems = scala.collection.mutable.ArrayBuffer.empty[Long]
+      ds.sortBy { case (id, t) => (-t, id) }.map { case (id, t) =>
+        val fit = rems.indexWhere(_ >= t)
+        val bin = if (fit < 0) { rems += 512L - t; rems.length } else { rems(fit) -= t; fit + 1 }
+        id -> (blk, bin.toLong)
+      }
+    }
+    assert(got == want.toMap)
+    // every non-oversized bin respects the budget; the oversized doc is alone
+    val fills = Packing.packFfd(df, "id", "tok", 512L, 128L)
+      .join(df, "id").groupBy("pack_block", "ffd_bin")
+      .agg(sum("tok").as("fill"), count("*").as("n")).collect()
+    assert(fills.forall(r => r.getAs[Long]("fill") <= 512L || r.getAs[Long]("n") == 1L))
+    assert(got(500L)._2 > 0 && fills.exists(r => r.getAs[Long]("fill") == 2000L))
+  }
+
+  test("dsirWeights: target-like docs outscore junk, feature count is grams") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma"),          // target-like
+      (2L, "zz qq xx yy"),               // junk: no target grams
+      (3L, "alpha beta qq")              // partial overlap -> between
+    ).toDF("doc_id", "text")
+    val target = Seq("alpha beta gamma", "alpha beta delta").toDF("text")
+    val r = TextAnalysis.dsirWeights(corpus, target, corpus, "doc_id", "text",
+        buckets = 1 << 14)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(1L)._1 == 5L, "3 unigrams + 2 bigrams")
+    assert(r(2L)._1 == 7L)
+    assert(r(1L)._2 > r(3L)._2 && r(3L)._2 > r(2L)._2,
+      s"expected target-like > partial > junk, got $r")
+    // deterministic: same input, same scores
+    val again = TextAnalysis.dsirWeights(corpus, target, corpus, "doc_id", "text",
+        buckets = 1 << 14)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(again == r)
+  }
+
+  test("bloom_agg/bloom_might_contain: no false negatives, well-sized sketch prunes") {
+    graft.functions.TajoFunctions.register(spark)
+    val numBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(4096, 0.01)
+    val sketch = (1L to 2000L).map(i => s"member $i").toDF("v")
+      .select(call_function("bloom_agg", xxhash64($"v"), lit(4096L), lit(numBits)).as("b"))
+      .head.getAs[Array[Byte]](0)
+    val probe = ((1L to 2000L).map(i => (s"member $i", true)) ++
+      (1L to 2000L).map(i => (s"outsider $i", false))).toDF("v", "member")
+    val hits = probe.withColumn("mc",
+        call_function("bloom_might_contain", lit(sketch), xxhash64($"v")))
+      .groupBy("member").agg(sum(when($"mc", 1).otherwise(0)).as("n"))
+      .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(hits(true) == 2000L, "a Bloom false negative is impossible")
+    assert(hits(false) < 100L, s"fpp 1% sketch should prune outsiders, got ${hits(false)}")
+  }
+
   test("paragraphDedup: keep-first occurrence, ordered reassembly, emptied full dup") {
     val d = Seq(
       (1L, "A\n\nB"),
