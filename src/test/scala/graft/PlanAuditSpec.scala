@@ -209,6 +209,48 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("q_pipeline_pack_ffd: one hash shuffle on the block id, no global fold") {
+    val p = plan("q_pipeline_pack_ffd")
+    // each block folds independently after one exchange on pack_block; a
+    // global FFD would appear as a SinglePartition exchange (one task)
+    assert(p.contains("hashpartitioning(pack_block"), p)
+    assert(!p.contains("SinglePartition"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("incrementalBloom: seen side never shuffles — broadcast semi/anti only") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.engine.Tables.table(spark, sfDir, "documents")
+    val seen = docs.filter(col("doc_id") < 300).select(md5(col("text")).as("digest"))
+    val batch = docs.filter(col("doc_id") >= 250)
+    val out = graft.operators.Dedup.incrementalBloom(batch, seen, "doc_id", "text",
+      expectedItems = 4096, fpp = 0.01)
+    val p = out.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    // both the confirm semi join and the final anti join must be broadcast
+    // joins (candidates / confirmed dups are the small, bounded sides);
+    // a SortMergeJoin here would mean the trillion-digest seen table
+    // shuffles every batch — the exact pattern this operator exists to avoid
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("BroadcastHashJoin LeftSemi".r.findFirstIn(p).nonEmpty ||
+      "LeftSemi BuildRight".r.findFirstIn(p).nonEmpty, p)
+    assert("LeftAnti".r.findFirstIn(p).nonEmpty, p)
+    // the only hash shuffles are digest-keyed aggregations (in-batch keeper
+    // rule + candidate distinct), never a join input
+    assert(!p.contains("hashpartitioning(doc_id"), p)
+  }
+
+  test("q_pipeline_dsir: model sides aggregate partial+final; corpus grams explode once per side") {
+    val p = plan("q_pipeline_dsir")
+    // partial + final count aggregation on the bucket id for both model
+    // tables and the per-doc sum (the map-side combine that keeps the
+    // shuffle bounded by distinct buckets, not gram occurrences)
+    assert("partial_count".r.findAllIn(p).size >= 2, p)
+    // one Generate (explode) per corpus/target/raw side — a regression that
+    // re-explodes grams per join input would multiply scan cost
+    assert("Generate explode".r.findAllIn(p).size <= 3, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_pipeline_shard_plan: corpus running sum is hash-partitioned by block") {
     val p = plan("q_pipeline_shard_plan")
     // the data-sized window must shuffle on the block key; the only
