@@ -143,6 +143,96 @@ object Multimodal {
       .withColumn("mime", lit("image/png"))
   }
 
+  /** Typed row for decoded audio features: container metadata recovered by
+    * the JDK parser plus exact integer quartile energies (sum of squared
+    * 16-bit samples over each quarter of the clip — a coarse loudness
+    * envelope, the audio analog of [[decode]]'s quadrant lumas). */
+  final case class AudioFeatures(
+      id: Long, n_bytes: Long, sample_rate: Int, channels: Int,
+      n_samples: Long, e0: Long, e1: Long, e2: Long, e3: Long,
+      audio_ok: Boolean)
+
+  /** Deterministic synthetic 16-bit PCM mono WAV payloads — the audio
+    * fixture for exercising [[decodeAudio]] end to end with a closed-form
+    * oracle. Clip for id: `n = 8000 + (id*17) % 4000` samples at 16 kHz,
+    * sample t = `(id*31 + t*7) % 2003 - 1001` (a deterministic integer
+    * waveform spanning the signed range ±1001). Encoded through the JDK's
+    * own WAVE writer (`javax.sound.sampled.AudioSystem.write` — public
+    * API, headless-safe), so the payload bytes are the real RIFF/WAVE
+    * container layout, and encoded executor-side so the fixture exercises
+    * the binary-column write path at full parallelism. */
+  def syntheticWavTable(df: DataFrame, idCol: String)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = (8000 + (id * 17) % 4000).toInt
+          val data = new Array[Byte](n * 2)
+          var t = 0
+          while (t < n) {
+            val s = ((id * 31 + t.toLong * 7) % 2003 - 1001).toShort
+            data(2 * t) = (s & 0xff).toByte
+            data(2 * t + 1) = ((s >> 8) & 0xff).toByte
+            t += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          (id, bos.toByteArray)
+        }
+      }.toDF("id", "payload")
+      .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+      .withColumn("mime", lit("audio/wav"))
+  }
+
+  /** REAL audio decode via the JDK's bundled WAVE/AIFF/AU parsers
+    * (`javax.sound.sampled.AudioSystem` — public API, no extra jars):
+    * recovers the true sample rate / channel count / sample count from the
+    * container, then folds the PCM stream into exact integer quartile
+    * energies `e_q = SUM(s(t)^2) for t in [q*n/4, (q+1)*n/4)` (16-bit
+    * little-endian mono; other PCM layouts keep metadata with zero
+    * energies). Payloads the JDK can't parse fall back to zeros with
+    * `audio_ok = false`, so mixed media tables keep flowing — same
+    * contract as [[decode]]'s image fallback. Per-row work is linear in
+    * samples and fully partition-parallel. */
+  def decodeAudio(media: DataFrame)(implicit spark: SparkSession): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.select("id", "payload").as[(Long, Array[Byte])].mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        try {
+          if (bytes == null) throw new java.io.IOException("null payload")
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val fmt = ais.getFormat
+          val data = ais.readAllBytes()
+          val frameBytes = (fmt.getSampleSizeInBits / 8) * fmt.getChannels
+          val n = if (frameBytes > 0) data.length / frameBytes else 0
+          val e = new Array[Long](4)
+          if (n > 0 && fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+              !fmt.isBigEndian) {
+            var t = 0
+            while (t < n) {
+              val s = ((data(2 * t) & 0xff) | (data(2 * t + 1) << 8)).toShort.toLong
+              e((t.toLong * 4 / n).toInt) += s * s
+              t += 1
+            }
+          }
+          AudioFeatures(id, bytes.length.toLong, fmt.getSampleRate.toInt,
+            fmt.getChannels, n.toLong, e(0), e(1), e(2), e(3), audio_ok = true)
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException |
+               _: java.io.IOException =>
+            AudioFeatures(id, if (bytes == null) 0L else bytes.length.toLong,
+              0, 0, 0L, 0L, 0L, 0L, 0L, audio_ok = false)
+        }
+      }
+    }
+  }
+
   /** Frame-sampling shape: explode k deterministic "frames" per payload —
     * the batch geometry of video frame extraction. */
   def sampleFrames(media: DataFrame, k: Int = 4): DataFrame =

@@ -774,9 +774,44 @@ object OperatorQueries {
            |  (doc_id * 2654435761) % 16777216 % 256 AS mean_b
            |FROM documents WHERE doc_id < 2000 ORDER BY doc_id""".stripMargin))
 
+  // REAL audio decode (Multimodal.decodeAudio): synthetic RIFF/WAVE clips
+  // encoded by the JDK's own WAVE writer, decoded back through the JDK
+  // parser, reduced to exact integer quartile energies. The oracle replays
+  // the closed-form waveform arithmetic directly — a container-layout bug,
+  // a sample-decode bug, or a window-boundary bug all hash-mismatch.
+  private val qMultimodalAudio = df("q_op_multimodal_audio",
+    (spark, dir) => {
+      implicit val s = spark
+      val docs = Tables.table(spark, dir, "documents").filter(col("doc_id") < 40)
+      val media = Multimodal.syntheticWavTable(docs, "doc_id")
+      Multimodal.decodeAudio(media).toDF()
+        .select(col("id").as("doc_id"),
+          col("sample_rate").cast("bigint").as("sample_rate"),
+          col("channels").cast("bigint").as("channels"),
+          col("n_samples"), col("e0"), col("e1"), col("e2"), col("e3"))
+        // see q_op_multimodal_patches: avoid orderBy's double evaluation
+        .repartition(1).sortWithinPartitions("doc_id")
+    },
+    Some("""WITH p AS (
+           |  SELECT doc_id AS id, 8000 + (doc_id * 17) % 4000 AS n
+           |  FROM documents WHERE doc_id < 40
+           |), s AS (
+           |  SELECT p.id, p.n, g.t,
+           |    ((p.id * 31 + g.t * 7) % 2003 - 1001) AS v
+           |  FROM p, LATERAL (SELECT unnest(range(0, p.n)) AS t) g
+           |)
+           |SELECT id AS doc_id,
+           |  CAST(16000 AS BIGINT) AS sample_rate, CAST(1 AS BIGINT) AS channels,
+           |  CAST(MAX(n) AS BIGINT) AS n_samples,
+           |  CAST(SUM(CASE WHEN t * 4 // n = 0 THEN v * v ELSE 0 END) AS BIGINT) AS e0,
+           |  CAST(SUM(CASE WHEN t * 4 // n = 1 THEN v * v ELSE 0 END) AS BIGINT) AS e1,
+           |  CAST(SUM(CASE WHEN t * 4 // n = 2 THEN v * v ELSE 0 END) AS BIGINT) AS e2,
+           |  CAST(SUM(CASE WHEN t * 4 // n = 3 THEN v * v ELSE 0 END) AS BIGINT) AS e3
+           |FROM s GROUP BY id ORDER BY doc_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     qMinhashApi, qAnnApi, qAnnIvf, qAnnIvf2, qAnnPq, qAnnIvfPq, qSemDedup, qQualityApi, qMultimodalApi,
-    qMultimodalPatches, qMultimodalDecode,
+    qMultimodalPatches, qMultimodalDecode, qMultimodalAudio,
     qDecontaminate, qBpeApi, qBpeEncode, qEmbedPool, qSaltedJoin, qAsofJoin, qRangeJoin,
     qDedupClusters, qStreamHourly, qStreamSessions, qStreamDedup)
 }

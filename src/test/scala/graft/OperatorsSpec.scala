@@ -538,6 +538,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(saturated == exact)
   }
 
+  test("decodeAudio: JDK WAV roundtrip recovers format + exact quartile energies; non-audio falls back") {
+    implicit val s = spark
+    val ids = Seq(3L, 7L).toDF("doc_id")
+    val media = Multimodal.syntheticWavTable(ids, "doc_id")
+    val r = Multimodal.decodeAudio(media).collect().map(a => a.id -> a).toMap
+    for (id <- Seq(3L, 7L)) {
+      val a = r(id)
+      val n = (8000 + (id * 17) % 4000).toInt
+      assert(a.audio_ok && a.sample_rate == 16000 && a.channels == 1 && a.n_samples == n)
+      // independent reference fold over the closed-form waveform
+      val want = new Array[Long](4)
+      for (t <- 0 until n) {
+        val v = (id * 31 + t.toLong * 7) % 2003 - 1001
+        want((t.toLong * 4 / n).toInt) += v * v
+      }
+      assert(Seq(a.e0, a.e1, a.e2, a.e3) == want.toSeq, s"id=$id")
+    }
+    // a payload the JDK can't parse keeps flowing with audio_ok = false
+    val junk = Seq((99L, "not audio at all".getBytes("UTF-8"))).toDF("id", "payload")
+    val f = Multimodal.decodeAudio(junk).collect()(0)
+    assert(!f.audio_ok && f.n_samples == 0L && f.n_bytes == 16L)
+  }
+
   test("epochSchedule: caps at maxEpochs, redistributes leftover, never exceeds budget") {
     // three sources: 1000 / 400 / 100 tokens, budget 1200, maxEpochs 2
     // fair = 400; small caps at 200 -> a1 = (400, 400, 200), L = 200
