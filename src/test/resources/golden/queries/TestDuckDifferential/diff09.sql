@@ -1,3 +1,5 @@
-SELECT c_nationkey, c_mktsegment, c_nationkey + 3 AS bumped, LENGTH(c_mktsegment) AS slen FROM customer
-WHERE (c_nationkey BETWEEN 115 AND 144 AND c_name LIKE '%i%')
-ORDER BY c_nationkey NULLS FIRST, c_mktsegment NULLS FIRST, bumped NULLS FIRST, slen NULLS FIRST LIMIT 50;
+SELECT o_orderkey, o_orderpriority,
+  ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS rn,
+  RANK() OVER (ORDER BY o_orderkey % 6, o_orderkey) AS rk
+FROM orders WHERE o_orderkey > 343
+ORDER BY o_orderkey NULLS FIRST LIMIT 60;

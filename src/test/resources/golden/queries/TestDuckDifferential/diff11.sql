@@ -1,3 +1,3 @@
-SELECT c_mktsegment, COUNT(*) AS cnt, SUM(c_custkey) AS total, MIN(c_custkey) AS lo, MAX(c_custkey) AS hi
-FROM customer WHERE c_custkey > 325
-GROUP BY c_mktsegment ORDER BY c_mktsegment NULLS FIRST;
+SELECT n_nationkey, n_name FROM nation n
+WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey AND c.c_custkey BETWEEN 101 AND 121)
+ORDER BY n_nationkey NULLS FIRST;

@@ -1,3 +1,5 @@
-SELECT n.n_nationkey, r.r_name FROM nation n
-LEFT JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_regionkey >= 2
-ORDER BY n.n_nationkey NULLS FIRST, r.r_name NULLS FIRST;
+SELECT c.c_custkey, n.n_name, rg.r_name FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region rg ON n.n_regionkey = rg.r_regionkey
+WHERE c.c_custkey IN (26, 29, 43) AND LENGTH(rg.r_name) > 10
+ORDER BY c.c_custkey NULLS FIRST LIMIT 70;

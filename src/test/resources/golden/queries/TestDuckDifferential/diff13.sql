@@ -1,4 +1,4 @@
-SELECT n_regionkey AS v, 'a' AS tag FROM nation WHERE n_regionkey BETWEEN 49 AND 128
-UNION ALL
-SELECT n_regionkey AS v, 'b' AS tag FROM nation WHERE n_regionkey IN (97, 100, 114)
-ORDER BY v NULLS FIRST, tag NULLS FIRST LIMIT 80;
+SELECT n_nationkey, UPPER(n_name) AS up, SUBSTR(n_name, 2, 2) AS mid,
+  REPLACE(n_name, 'o', '_') AS rep, n_name || '#' || 's' AS glued
+FROM nation WHERE n_nationkey BETWEEN 4 AND 6
+ORDER BY n_nationkey NULLS FIRST LIMIT 50;

@@ -1,4 +1,5 @@
-SELECT o_orderkey, CAST(o_orderdate AS DATE) AS odate,
-  CASE WHEN o_orderkey % 3 = 0 THEN 'tri' WHEN o_orderkey % 6 = 1 THEN 'mod' ELSE 'rest' END AS cls
-FROM orders WHERE o_orderkey % 2 = 0
-ORDER BY o_orderkey NULLS FIRST LIMIT 70;
+SELECT o_orderpriority, COUNT(DISTINCT o_orderkey % 4) AS ndist,
+  SUM(CASE WHEN o_orderkey % 4 = 0 THEN 1 ELSE 0 END) AS hits,
+  COUNT(*) AS cnt
+FROM orders WHERE o_orderkey IN (388, 391, 405)
+GROUP BY o_orderpriority ORDER BY o_orderpriority NULLS FIRST;

@@ -1,4 +1,4 @@
-SELECT o_orderpriority, COUNT(*) AS cnt FROM orders
-WHERE o_custkey % 4 = 0
-GROUP BY o_orderpriority HAVING COUNT(*) > 2
-ORDER BY o_orderpriority NULLS FIRST;
+SELECT c_custkey, c_nationkey FROM customer
+WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_nationkey > 13)
+AND c_custkey BETWEEN 81 AND 118
+ORDER BY c_custkey NULLS FIRST LIMIT 60;

@@ -1,3 +1,6 @@
-SELECT DISTINCT c_name, c_nationkey % 4 AS bucket FROM customer
-WHERE LENGTH(c_name) > 10
-ORDER BY c_name NULLS FIRST, bucket NULLS FIRST LIMIT 40;
+SELECT a.bucket, a.cnt, a.total FROM (
+  SELECT o_custkey % 4 AS bucket, COUNT(*) AS cnt, SUM(o_orderkey) AS total
+  FROM orders WHERE o_orderkey > 269
+  GROUP BY o_custkey % 4
+) a WHERE a.cnt > 4
+ORDER BY a.bucket NULLS FIRST;

@@ -1,4 +1,4 @@
 SELECT c.c_custkey, n.n_name FROM customer c
 JOIN nation n ON c.c_nationkey = n.n_nationkey
-WHERE c.c_custkey BETWEEN 276 AND 322
+WHERE c.c_custkey BETWEEN 75 AND 116
 ORDER BY c.c_custkey NULLS FIRST, n.n_name NULLS FIRST LIMIT 60;

@@ -1,3 +1,3 @@
-SELECT c_name, COUNT(*) AS cnt, SUM(c_nationkey) AS total, MIN(c_nationkey) AS lo, MAX(c_nationkey) AS hi
-FROM customer WHERE c_nationkey <= 53
-GROUP BY c_name ORDER BY c_name NULLS FIRST;
+SELECT c_mktsegment, COUNT(*) AS cnt, SUM(c_nationkey) AS total, MIN(c_nationkey) AS lo, MAX(c_nationkey) AS hi
+FROM customer WHERE c_nationkey > 4
+GROUP BY c_mktsegment ORDER BY c_mktsegment NULLS FIRST;

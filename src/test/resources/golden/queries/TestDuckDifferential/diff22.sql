@@ -1,4 +1,4 @@
-SELECT o_custkey AS v, 'a' AS tag FROM orders WHERE o_custkey <= 106
+SELECT r_regionkey AS v, 'a' AS tag FROM region WHERE r_regionkey > 1
 UNION ALL
-SELECT o_custkey AS v, 'b' AS tag FROM orders WHERE o_custkey % 7 = 1
+SELECT r_regionkey AS v, 'b' AS tag FROM region WHERE r_regionkey <= 3
 ORDER BY v NULLS FIRST, tag NULLS FIRST LIMIT 80;

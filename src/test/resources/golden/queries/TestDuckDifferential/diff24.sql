@@ -1,4 +1,4 @@
 SELECT c_custkey, c_mktsegment FROM customer
-WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_nationkey > 161)
-AND LENGTH(c_name) > 9
+WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_nationkey BETWEEN 3 AND 7)
+AND c_name LIKE '%a%'
 ORDER BY c_custkey NULLS FIRST LIMIT 60;

@@ -1,4 +1,4 @@
 SELECT o_orderpriority, COUNT(*) AS cnt FROM orders
-WHERE o_custkey BETWEEN 69 AND 201
-GROUP BY o_orderpriority HAVING COUNT(*) > 5
+WHERE o_custkey BETWEEN 63 AND 70
+GROUP BY o_orderpriority HAVING COUNT(*) > 2
 ORDER BY o_orderpriority NULLS FIRST;

@@ -1,3 +1,5 @@
-SELECT r_regionkey, r_name, r_regionkey + 1 AS bumped, LENGTH(r_name) AS slen FROM region
-WHERE (r_name >= 'A' OR r_regionkey % 3 = 0)
-ORDER BY r_regionkey NULLS FIRST, r_name NULLS FIRST, bumped NULLS FIRST, slen NULLS FIRST LIMIT 50;
+SELECT c_custkey, c_name,
+  ROW_NUMBER() OVER (PARTITION BY c_name ORDER BY c_custkey) AS rn,
+  RANK() OVER (ORDER BY c_custkey % 7, c_custkey) AS rk
+FROM customer WHERE c_custkey BETWEEN 52 AND 101
+ORDER BY c_custkey NULLS FIRST LIMIT 60;

@@ -1,4 +1,4 @@
-SELECT c.c_custkey, n.n_name FROM customer c
-JOIN nation n ON c.c_nationkey = n.n_nationkey
-WHERE c.c_custkey % 6 = 1
-ORDER BY c.c_custkey NULLS FIRST, n.n_name NULLS FIRST LIMIT 60;
+SELECT n_regionkey AS v FROM nation WHERE n_nationkey > 11
+EXCEPT
+SELECT r_regionkey AS v FROM region WHERE r_regionkey >= 1
+ORDER BY v NULLS FIRST;

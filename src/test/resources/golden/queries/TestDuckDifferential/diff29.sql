@@ -1,3 +1,3 @@
-SELECT c_name, COUNT(*) AS cnt, SUM(c_nationkey) AS total, MIN(c_nationkey) AS lo, MAX(c_nationkey) AS hi
-FROM customer WHERE c_nationkey % 3 = 1
-GROUP BY c_name ORDER BY c_name NULLS FIRST;
+SELECT n_nationkey, n_name FROM nation n
+WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey AND c.c_custkey % 3 = 0)
+ORDER BY n_nationkey NULLS FIRST;

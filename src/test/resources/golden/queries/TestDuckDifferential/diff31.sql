@@ -1,4 +1,4 @@
-SELECT o_custkey AS v, 'a' AS tag FROM orders WHERE o_custkey % 6 = 0
-UNION ALL
-SELECT o_custkey AS v, 'b' AS tag FROM orders WHERE o_custkey BETWEEN 173 AND 190
-ORDER BY v NULLS FIRST, tag NULLS FIRST LIMIT 80;
+SELECT r_regionkey, UPPER(r_name) AS up, SUBSTR(r_name, 2, 3) AS mid,
+  REPLACE(r_name, 'i', '_') AS rep, r_name || '#' || 'r' AS glued
+FROM region WHERE r_regionkey % 6 = 1
+ORDER BY r_regionkey NULLS FIRST LIMIT 50;

@@ -1,4 +1,4 @@
-SELECT c_custkey, c_mktsegment FROM customer
-WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_nationkey BETWEEN 278 AND 392)
-AND SUBSTR(c_name, 1, 1) <> 'z'
-ORDER BY c_custkey NULLS FIRST LIMIT 60;
+SELECT n_nationkey, n_name,
+  (SELECT COUNT(*) FROM customer c WHERE c.c_nationkey = n.n_nationkey AND c.c_custkey BETWEEN 43 AND 46) AS n_cust
+FROM nation n
+ORDER BY n_nationkey NULLS FIRST;

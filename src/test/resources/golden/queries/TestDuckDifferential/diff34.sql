@@ -1,4 +1,4 @@
-SELECT o_orderpriority, COUNT(*) AS cnt FROM orders
-WHERE o_custkey > 54
-GROUP BY o_orderpriority HAVING COUNT(*) > 3
-ORDER BY o_orderpriority NULLS FIRST;
+SELECT c_custkey, c_nationkey FROM customer
+WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_nationkey IN (1, 4, 18))
+AND c_custkey BETWEEN 18 AND 54
+ORDER BY c_custkey NULLS FIRST LIMIT 60;

@@ -1,3 +1,6 @@
-SELECT DISTINCT c_name, c_custkey % 6 AS bucket FROM customer
-WHERE LENGTH(c_name) > 6
-ORDER BY c_name NULLS FIRST, bucket NULLS FIRST LIMIT 40;
+SELECT a.bucket, a.cnt, a.total FROM (
+  SELECT o_custkey % 6 AS bucket, COUNT(*) AS cnt, SUM(o_orderkey) AS total
+  FROM orders WHERE o_orderkey > 1030
+  GROUP BY o_custkey % 6
+) a WHERE a.cnt > 1
+ORDER BY a.bucket NULLS FIRST;

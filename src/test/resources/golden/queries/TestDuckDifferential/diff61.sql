@@ -1,0 +1,4 @@
+SELECT o_orderpriority, COUNT(*) AS cnt FROM orders
+WHERE o_custkey BETWEEN 18 AND 26
+GROUP BY o_orderpriority HAVING COUNT(*) > 5
+ORDER BY o_orderpriority NULLS FIRST;

@@ -1,0 +1,5 @@
+SELECT c_mktsegment, COUNT(DISTINCT c_custkey % 4) AS ndist,
+  SUM(CASE WHEN c_custkey % 4 = 0 THEN 1 ELSE 0 END) AS hits,
+  COUNT(*) AS cnt
+FROM customer WHERE c_custkey > 66
+GROUP BY c_mktsegment ORDER BY c_mktsegment NULLS FIRST;

@@ -20,7 +20,7 @@ SF = "/root/testdata/sf0.001"
 SUITE = "TestDuckDifferential"
 QDIR = f"src/test/resources/golden/queries/{SUITE}"
 RDIR = f"src/test/resources/golden/results/{SUITE}"
-N_CASES = 36
+N_CASES = 90
 
 TABLES = {
     "nation": {"ints": ["n_nationkey", "n_regionkey"], "strs": ["n_name"]},
@@ -32,12 +32,20 @@ TABLES = {
 }
 
 
+# sf0.001 key domains — constants must land inside them or most predicates
+# come back empty
+RANGES = {"n_nationkey": 24, "n_regionkey": 4, "r_regionkey": 4,
+          "c_custkey": 149, "c_nationkey": 24,
+          "o_orderkey": 1499, "o_custkey": 149}
+
+
 def int_pred(r, col):
-    k = r.randint(0, 400)
+    hi = RANGES.get(col.split(".")[-1], 150)
+    k = r.randint(0, max(1, (hi * 7) // 10))
     return r.choice([
         f"{col} > {k}",
-        f"{col} <= {k + 50}",
-        f"{col} BETWEEN {k} AND {k + r.randint(10, 200)}",
+        f"{col} <= {k + max(2, hi // 8)}",
+        f"{col} BETWEEN {k} AND {k + r.randint(2, max(3, hi // 3))}",
         f"{col} IN ({k}, {k + 3}, {k + 17})",
         f"{col} % {r.randint(2, 7)} = {r.randint(0, 1)}",
     ])
@@ -64,7 +72,76 @@ def order_by(cols):
 
 
 def gen_case(r, i):
-    shape = i % 9
+    shape = i % 18
+    if shape == 9:  # window rank family over a unique order -> deterministic
+        t = r.choice(["customer", "orders"])
+        key = TABLES[t]["ints"][0]
+        part = r.choice(TABLES[t]["strs"])
+        return (f"SELECT {key}, {part},\n"
+                f"  ROW_NUMBER() OVER (PARTITION BY {part} ORDER BY {key}) AS rn,\n"
+                f"  RANK() OVER (ORDER BY {key} % {r.randint(3, 7)}, {key}) AS rk\n"
+                f"FROM {t} WHERE {int_pred(r, key)}\n"
+                f"{order_by([key])} LIMIT 60;")
+    if shape == 10:  # set ops beyond UNION ALL
+        op = r.choice(["EXCEPT", "INTERSECT", "UNION"])
+        k = r.randint(1, 3)
+        return (f"SELECT n_regionkey AS v FROM nation WHERE n_nationkey > {r.randint(0, 12)}\n"
+                f"{op}\n"
+                f"SELECT r_regionkey AS v FROM region WHERE r_regionkey >= {k}\n"
+                f"{order_by(['v'])};")
+    if shape == 11:  # correlated EXISTS / NOT EXISTS
+        neg = r.choice(["", "NOT "])
+        return (f"SELECT n_nationkey, n_name FROM nation n\n"
+                f"WHERE {neg}EXISTS (SELECT 1 FROM customer c"
+                f" WHERE c.c_nationkey = n.n_nationkey"
+                f" AND {int_pred(r, 'c.c_custkey')})\n"
+                f"{order_by(['n_nationkey'])};")
+    if shape == 12:  # three-way join
+        return (f"SELECT c.c_custkey, n.n_name, rg.r_name FROM customer c\n"
+                f"JOIN nation n ON c.c_nationkey = n.n_nationkey\n"
+                f"JOIN region rg ON n.n_regionkey = rg.r_regionkey\n"
+                f"WHERE {int_pred(r, 'c.c_custkey')} AND {str_pred(r, 'rg.r_name')}\n"
+                f"{order_by(['c.c_custkey'])} LIMIT 70;")
+    if shape == 13:  # string expression gauntlet
+        t = r.choice(list(TABLES))
+        sc = r.choice(TABLES[t]["strs"])
+        ic = TABLES[t]["ints"][0]
+        a, b = r.choice('aeio'), r.choice('nrs')
+        return (f"SELECT {ic}, UPPER({sc}) AS up, SUBSTR({sc}, 2, {r.randint(2, 5)}) AS mid,\n"
+                f"  REPLACE({sc}, '{a}', '_') AS rep, {sc} || '#' || '{b}' AS glued\n"
+                f"FROM {t} WHERE {int_pred(r, ic)}\n"
+                f"{order_by([ic])} LIMIT 50;")
+    if shape == 14:  # conditional aggregation + count distinct
+        t = r.choice(["customer", "orders"])
+        key = r.choice(TABLES[t]["strs"])
+        ic = TABLES[t]["ints"][0]
+        m = r.randint(2, 5)
+        return (f"SELECT {key}, COUNT(DISTINCT {ic} % {m}) AS ndist,\n"
+                f"  SUM(CASE WHEN {ic} % {m} = 0 THEN 1 ELSE 0 END) AS hits,\n"
+                f"  COUNT(*) AS cnt\n"
+                f"FROM {t} WHERE {int_pred(r, ic)}\n"
+                f"GROUP BY {key} {order_by([key])};")
+    if shape == 15:  # correlated scalar subquery in the select list
+        return (f"SELECT n_nationkey, n_name,\n"
+                f"  (SELECT COUNT(*) FROM customer c"
+                f" WHERE c.c_nationkey = n.n_nationkey"
+                f" AND {int_pred(r, 'c.c_custkey')}) AS n_cust\n"
+                f"FROM nation n\n{order_by(['n_nationkey'])};")
+    if shape == 16:  # NOT IN over a non-null key subquery
+        return (f"SELECT c_custkey, c_nationkey FROM customer\n"
+                f"WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation"
+                f" WHERE {int_pred(r, 'n_nationkey')})\n"
+                f"AND {int_pred(r, 'c_custkey')}\n"
+                f"{order_by(['c_custkey'])} LIMIT 60;")
+    if shape == 17:  # aggregate-in-FROM subquery joined back
+        m = r.randint(2, 6)
+        return (f"SELECT a.bucket, a.cnt, a.total FROM (\n"
+                f"  SELECT o_custkey % {m} AS bucket, COUNT(*) AS cnt,"
+                f" SUM(o_orderkey) AS total\n"
+                f"  FROM orders WHERE {int_pred(r, 'o_orderkey')}\n"
+                f"  GROUP BY o_custkey % {m}\n"
+                f") a WHERE a.cnt > {r.randint(1, 4)}\n"
+                f"{order_by(['a.bucket'])};")
     if shape == 0:  # filter + project (+ scalar exprs)
         t = r.choice(list(TABLES))
         ic, sc = r.choice(TABLES[t]["ints"]), r.choice(TABLES[t]["strs"])
