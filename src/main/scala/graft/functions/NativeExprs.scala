@@ -30,6 +30,14 @@ object NativeExprs {
       val n = if (exprs.length > 1) intLit("ngram_hash_set")(exprs(1), "n") else 3
       NgramHashSet(exprs.head, n)
     },
+    "gram_hashes" -> { exprs =>
+      val n = if (exprs.length > 1) intLit("gram_hashes")(exprs(1), "n") else 1
+      GramHashes(exprs.head, n)
+    },
+    "gram_hashes_upto" -> { exprs =>
+      val n = if (exprs.length > 1) intLit("gram_hashes_upto")(exprs(1), "n") else 2
+      GramHashes(exprs.head, n, upto = true)
+    },
     "lsh_bucket" -> { exprs =>
       val lit = intLit("lsh_bucket") _
       val nBits = if (exprs.length > 1) lit(exprs(1), "nBits") else 4

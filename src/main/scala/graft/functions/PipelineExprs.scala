@@ -169,6 +169,87 @@ object NgramHashSet {
   }
 }
 
+/** gram_hashes(s, n) -> ARRAY<BIGINT> — poly31 hashes of the word n-grams
+  * of s IN POSITION ORDER, with repeats, one native pass: the occurrence-
+  * counting sibling of [[NgramHashSet]] (same hash spec — fold codepoints,
+  * space = 32 joins words, mod 1e9+7 — so the same DuckDB poly31 spelling
+  * replays it), but no sort, no dedupe, and an EMPTY array (not the '_'
+  * sentinel) when the text has fewer than n words. Feeds frequency-feature
+  * operators (DSIR importance weights) where each gram occurrence counts.
+  *
+  * Why native: the SQL spelling explodes gram STRINGS and folds each one
+  * char-by-char through an interpreted AGGREGATE lambda — the dominant
+  * cost of the first q_pipeline_dsir bench entry (6.9s at sf0.1). This
+  * computes the hashes without ever materializing a gram string. */
+case class GramHashes(child: Expression, shingleN: Int, upto: Boolean = false)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if shingleN > 0 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure("gram_hashes: n must be positive")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"gram_hashes expects STRING, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    GramHashes.compute(input.asInstanceOf[UTF8String], shingleN, upto)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GramHashes.compute($c, $shingleN, $upto);")
+
+  override protected def withNewChildInternal(newChild: Expression): GramHashes =
+    copy(child = newChild)
+  override def prettyName: String = if (upto) "gram_hashes_upto" else "gram_hashes"
+}
+
+object GramHashes {
+  private final val P = 1000000007L
+
+  /** upto = false: hashes of the word n-grams of `text`, in position order,
+    * with repeats. upto = true: the concatenation for sizes 1..n — one
+    * native call instead of CONCAT(gram_hashes(s,1), gram_hashes(s,2), …),
+    * which matters because a generator over a non-trivial child expression
+    * re-evaluates it per OUTPUT row (the q_pipeline_dsir bench found
+    * explode(CONCAT(...)) ~10x slower than explode(one_call(...))). */
+  def compute(text: UTF8String, n: Int, upto: Boolean): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    val lo = if (upto) 1 else n
+    var total = 0
+    var g = lo
+    while (g <= n) { if (words.length >= g) total += words.length - g + 1; g += 1 }
+    val out = new Array[Long](total)
+    var k = 0
+    g = lo
+    while (g <= n) {
+      var i = 0
+      val m = words.length - g + 1
+      while (i < m) {
+        var h = 0L
+        var d = 0
+        while (d < g) {
+          if (d > 0) h = (h * 31L + 32L) % P
+          val w = words(i + d)
+          var c = 0
+          while (c < w.length) {
+            val cp = w.codePointAt(c)
+            h = (h * 31L + cp) % P
+            c += Character.charCount(cp)
+          }
+          d += 1
+        }
+        out(k) = h
+        k += 1
+        i += 1
+      }
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** norm_text(s) -> STRING — text normalization for dedup in one native
   * pass: lowercase, replace every char outside [a-z0-9 ] with a space,
   * squeeze space runs, trim. Bit-identical to the SQL spec

@@ -411,33 +411,44 @@ object TextAnalysis {
   def dsirWeights(corpus: DataFrame, target: DataFrame, raw: DataFrame,
                   idCol: String, textCol: String, buckets: Int = 1 << 17): DataFrame = {
     require(buckets >= 2, s"need buckets >= 2, got $buckets")
-    val poly31 =
-      "AGGREGATE(FILTER(SPLIT(__g, ''), c -> c <> ''), CAST(0 AS BIGINT), (a, c) -> (a * 31 + ASCII(c)) % 1000000007)"
+    graft.functions.TajoFunctions.register(corpus.sparkSession)
+    // native one-pass gram hashing (graft.functions.GramHashes) — same
+    // poly31 spec the DuckDB oracle folds over the gram strings, but no
+    // gram string is ever materialized and no interpreted lambda runs
+    // (bit-equality property-tested in PropertiesSpec)
     def feats(df: DataFrame, extra: Column*) = df
-      .select(extra :+ split(lower(col(textCol)), " ").as("__t"): _*)
-      .withColumn("__g", explode(expr(
-        """CONCAT(__t, CASE WHEN SIZE(__t) >= 2
-          |  THEN TRANSFORM(SEQUENCE(0, SIZE(__t) - 2),
-          |    i -> CONCAT(__t[i], ' ', __t[i + 1]))
-          |  ELSE ARRAY() END)""".stripMargin)))
-      .select(extra :+ expr(s"$poly31 % $buckets").as("__f"): _*)
+      .withColumn("__h", explode(expr(s"gram_hashes_upto(LOWER($textCol), 2)")))
+      .select(extra :+ expr(s"__h % $buckets").as("__f"): _*)
     def model(df: DataFrame, cntCol: String, totCol: String) = {
       val f = feats(df)
       (f.groupBy(col("__f")).agg(count("*").cast("bigint").as(cntCol)),
         f.agg(count("*").cast("bigint").as(totCol)))
     }
+    // the corpus reduces to per-(doc, bucket) counts FIRST — the only
+    // corpus-sized shuffle carries distinct (id, bucket) pairs (bounded by
+    // docs x min(grams, B)), not gram occurrences, and the per-occurrence
+    // weight becomes cnt * weight(bucket)
+    val docFeats = feats(corpus, col(idCol))
+      .groupBy(col(idCol), col("__f"))
+      .agg(count("*").cast("bigint").as("__c"))
     // total columns spelled with distinct letters, not just distinct case —
     // Spark resolves identifiers case-insensitively
     val (tCnt, tTot) = model(target, "__ct", "__ttot")
-    val (rCnt, rTot) = model(raw, "__cr", "__rtot")
-    feats(corpus, col(idCol))
+    // raw model: when the raw distribution IS the corpus (the common DSIR
+    // setup), fold docFeats again instead of re-exploding the whole corpus
+    val (rCnt, rTot) =
+      if (raw eq corpus)
+        (docFeats.groupBy(col("__f")).agg(sum(col("__c")).cast("bigint").as("__cr")),
+          docFeats.agg(sum(col("__c")).cast("bigint").as("__rtot")))
+      else model(raw, "__cr", "__rtot")
+    docFeats
       .join(tCnt, Seq("__f"), "left")
       .join(rCnt, Seq("__f"), "left")
       .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
       .groupBy(col(idCol))
-      .agg(count("*").cast("bigint").as("n_feats"),
-        expr(s"""SUM((1000000 * (COALESCE(__ct, 0) + 1)) DIV (__ttot + $buckets)
-                |  - (1000000 * (COALESCE(__cr, 0) + 1)) DIV (__rtot + $buckets))"""
+      .agg(sum(col("__c")).cast("bigint").as("n_feats"),
+        expr(s"""SUM(__c * ((1000000 * (COALESCE(__ct, 0) + 1)) DIV (__ttot + $buckets)
+                |  - (1000000 * (COALESCE(__cr, 0) + 1)) DIV (__rtot + $buckets)))"""
           .stripMargin).cast("bigint").as("dsir_score"))
       .join(corpus.select(col(idCol)), Seq(idCol), "right")
       .select(col(idCol),

@@ -119,6 +119,25 @@ class PropertiesSpec extends AnyFunSuite {
     assert(df.filter("spec <> native").count() == 0)
   }
 
+  test("native gram_hashes equals in-order poly31 over SQL grams, with repeats") {
+    graft.functions.TajoFunctions.register(spark)
+    val texts = Seq.fill(40)(randText(25)) ++ Seq("a b", "", "a  b   c d", "x y z x y z")
+    for (n <- Seq(1, 2, 3)) {
+      val sh = HashSpec.shingles("SPLIT(s, ' ')", n)
+      val df = texts.toDF("s").select(
+        expr(s"CASE WHEN SIZE(SPLIT(s, ' ')) >= $n THEN TRANSFORM($sh, s0 -> ${HashSpec.poly31("s0")}) ELSE ARRAY() END").as("spec"),
+        expr(s"gram_hashes(s, $n)").as("native"))
+      assert(df.filter("spec <> native").count() == 0, s"n=$n")
+    }
+    // short text: empty array, not the ngram_hash_set sentinel
+    assert(spark.sql("SELECT SIZE(gram_hashes('one', 2))").as[Int].head() == 0)
+    // the one-call upto variant is exactly the concatenation of sizes 1..n
+    val up = texts.toDF("s").select(
+      expr("CONCAT(gram_hashes(s, 1), gram_hashes(s, 2))").as("spec"),
+      expr("gram_hashes_upto(s, 2)").as("native"))
+    assert(up.filter("spec <> native").count() == 0)
+  }
+
   test("native vec_dot equals the SQL sequential fold bit-exactly") {
     graft.functions.TajoFunctions.register(spark)
     val vecs = Seq.fill(30)((Array.fill(64)(rnd.nextFloat() * 2 - 1), Array.fill(64)(rnd.nextFloat() * 2 - 1)))
