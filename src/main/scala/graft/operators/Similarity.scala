@@ -284,8 +284,13 @@ object Similarity {
     * quadratic per cluster, never per corpus — the SemDeDup trade: raise
     * nBits so clusters stay bounded (K = 2^nBits grows free, the centroid
     * table is still tiny), exactly how the paper scales it. */
-  def semDedup(vectors: DataFrame, idCol: String, vecCol: String,
-               threshold: Double = 0.35, nBits: Int = 4, dim: Int = 64): DataFrame = {
+  /** Shared IVF-cell clustering + best-centroid assignment (fixed-point
+    * BIGINT centroids, argmax cosine with a smallest-cell tie-break):
+    * the common first phase of [[semDedup]] and [[semanticSort]]. Returns
+    * one row per vector with its cell, its cosine to that centroid, and
+    * the normalized vector/norm for downstream per-cell work. */
+  private def cellAssign(vectors: DataFrame, idCol: String, vecCol: String,
+                         nBits: Int, dim: Int): DataFrame = {
     graft.functions.TajoFunctions.register(vectors.sparkSession)
     val base = withNorm(vectors, idCol, vecCol)
       .withColumn("__cell0", expr(HashSpec.lshBucketNative("__vec", nBits, dim)))
@@ -296,13 +301,36 @@ object Similarity {
       .groupBy("cid")
       .agg(expr("TRANSFORM(SORT_ARRAY(COLLECT_LIST(STRUCT(i, m))), s -> s.m)").as("cvec"))
       .withColumn("cnrm", expr(s"SQRT(${HashSpec.dotNative("cvec", "cvec")})"))
-    val assigned = base.crossJoin(broadcast(cent))
+    base.crossJoin(broadcast(cent))
       .withColumn("__score", expr(s"${HashSpec.dotNative("__vec", "cvec")} / cnrm"))
       .groupBy(col(idCol))
       .agg(max(struct(col("__score").as("s"), (lit(0) - col("cid")).as("nc"),
         col("__vec").as("v"), col("__nrm").as("n"))).as("b"))
       .select(col(idCol), (lit(0) - col("b.nc")).as("cell"),
-        col("b.v").as("__vec"), col("b.n").as("__nrm"))
+        col("b.s").as("__score"), col("b.v").as("__vec"), col("b.n").as("__nrm"))
+  }
+
+  /** Semantic sort for in-context pretraining (Shi et al. 2023: training
+    * sequences built from ADJACENT related documents beat random order):
+    * cluster the corpus into IVF cells and emit the deterministic sort key
+    * (cell, sim_ppm DESC, id) — materializing that order co-locates each
+    * cell's documents, most-central first, so downstream packing fills
+    * training sequences with semantically related neighbors. `sim_ppm` is
+    * the floored-ppm cosine to the assigned centroid — exact integers, so
+    * engines agree on every ordering decision (ties broken by id).
+    *
+    * Scale: same shape as [[semDedup]]'s assignment phase — K-row centroid
+    * broadcast, per-vector argmax, no pair join at all; materializing the
+    * order is one range exchange on the emitted key. */
+  def semanticSort(vectors: DataFrame, idCol: String, vecCol: String,
+                   nBits: Int = 4, dim: Int = 64): DataFrame =
+    cellAssign(vectors, idCol, vecCol, nBits, dim)
+      .select(col(idCol), col("cell").cast("bigint").as("cell"),
+        expr("CAST(FLOOR(__score * 1000000) AS BIGINT)").as("sim_ppm"))
+
+  def semDedup(vectors: DataFrame, idCol: String, vecCol: String,
+               threshold: Double = 0.35, nBits: Int = 4, dim: Int = 64): DataFrame = {
+    val assigned = cellAssign(vectors, idCol, vecCol, nBits, dim).drop("__score")
     val x = assigned.select(col(idCol).as("__i"), col("cell"),
       col("__vec").as("vx"), col("__nrm").as("nx"))
     val y = assigned.select(col(idCol).as("__j"), col("cell"),

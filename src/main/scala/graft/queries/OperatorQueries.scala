@@ -354,6 +354,55 @@ object OperatorQueries {
          |ORDER BY a.vec_id""".stripMargin
     })
 
+  // Semantic sort (Similarity.semanticSort): the per-cell doc ordering is
+  // fingerprinted as md5 over the id sequence in (sim_ppm DESC, id) order,
+  // so the oracle validates EVERY ordering decision (cell assignment,
+  // centroid cosine, tie-break) without materializing a global rank.
+  private val qSemanticSort = df("q_op_semantic_sort",
+    (spark, dir) => {
+      val vecs = Tables.table(spark, dir, "embeddings")
+      Similarity.semanticSort(vecs, "vec_id", "embedding")
+        .groupBy("cell")
+        .agg(count("*").cast("bigint").as("n_docs"),
+          min("sim_ppm").as("min_sim"), max("sim_ppm").as("max_sim"),
+          md5(expr("""ARRAY_JOIN(TRANSFORM(
+            |ARRAY_SORT(COLLECT_LIST(STRUCT(-sim_ppm AS ns, vec_id))),
+            |s -> CAST(s.vec_id AS STRING)), ',')""".stripMargin)).as("order_md5"))
+        .orderBy("cell")
+    },
+    Some {
+      import PipelineQueries.{duckDot, duckHp, bucketExpr}
+      s"""WITH base AS (
+         |  SELECT vec_id, embedding,
+         |    SQRT(${duckDot("embedding", "embedding")}) AS nrm,
+         |    ${bucketExpr(duckHp, "embedding")} AS cell0
+         |  FROM embeddings
+         |), centel AS (
+         |  SELECT cell0 AS cid, i,
+         |    SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS m
+         |  FROM base CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) dims
+         |  GROUP BY cell0, i
+         |), cent AS (
+         |  SELECT cid, list(m ORDER BY i) AS cvec FROM centel GROUP BY cid
+         |), cent2 AS (
+         |  SELECT cid, cvec, SQRT(${duckDot("cvec", "cvec")}) AS cnrm FROM cent
+         |), scored AS (
+         |  SELECT b.vec_id, c.cid,
+         |    ${duckDot("b.embedding", "c.cvec")} / c.cnrm AS s,
+         |    ROW_NUMBER() OVER (PARTITION BY b.vec_id
+         |      ORDER BY ${duckDot("b.embedding", "c.cvec")} / c.cnrm DESC, c.cid) AS rr
+         |  FROM base b CROSS JOIN cent2 c
+         |), a AS (
+         |  SELECT vec_id, CAST(cid AS BIGINT) AS cell,
+         |    CAST(FLOOR(s * 1000000) AS BIGINT) AS sim_ppm
+         |  FROM scored WHERE rr = 1
+         |)
+         |SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  MIN(sim_ppm) AS min_sim, MAX(sim_ppm) AS max_sim,
+         |  md5(string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY sim_ppm DESC, vec_id)) AS order_md5
+         |FROM a GROUP BY cell ORDER BY cell""".stripMargin
+    })
+
   // Decontamination (Dedup.decontaminate): drop corpus docs that n-gram-
   // overlap a benchmark set. Benchmark side = doc_id % 10 == 0; the oracle
   // replays the identical band-join + integer-ppm Jaccard gate and counts
@@ -810,7 +859,8 @@ object OperatorQueries {
            |FROM s GROUP BY id ORDER BY doc_id""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(
-    qMinhashApi, qAnnApi, qAnnIvf, qAnnIvf2, qAnnPq, qAnnIvfPq, qSemDedup, qQualityApi, qMultimodalApi,
+    qMinhashApi, qAnnApi, qAnnIvf, qAnnIvf2, qAnnPq, qAnnIvfPq, qSemDedup, qSemanticSort,
+    qQualityApi, qMultimodalApi,
     qMultimodalPatches, qMultimodalDecode, qMultimodalAudio,
     qDecontaminate, qBpeApi, qBpeEncode, qEmbedPool, qSaltedJoin, qAsofJoin, qRangeJoin,
     qDedupClusters, qStreamHourly, qStreamSessions, qStreamDedup)

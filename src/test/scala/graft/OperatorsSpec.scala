@@ -538,6 +538,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(saturated == exact)
   }
 
+  test("semanticSort: same cell assignment as semDedup, similar vectors adjacent") {
+    val rng = new scala.util.Random(7)
+    // two well-separated families of vectors + per-vector jitter
+    def vec(center: Int): Array[Float] = Array.tabulate(64) { i =>
+      (if (center == 0) math.sin(i / 3.0) else math.cos(i / 2.0)).toFloat +
+        (rng.nextFloat() - 0.5f) * 0.1f
+    }
+    val vecs = (0L until 40L).map(i => (i, vec((i % 2).toInt))).toDF("vec_id", "embedding")
+    val sorted = graft.operators.Similarity.semanticSort(vecs, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val dedup = graft.operators.Similarity.semDedup(vecs, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getAs[Number]("cell").longValue()).toMap
+    assert(sorted.keySet == dedup.keySet)
+    assert(sorted.forall { case (id, (cell, _)) => dedup(id) == cell },
+      "semanticSort and semDedup must assign identical cells")
+    // materialized order groups the two families into contiguous runs
+    val order = sorted.toSeq.sortBy { case (id, (cell, sim)) => (cell, -sim, id) }
+      .map { case (id, _) => (id % 2).toInt }
+    val transitions = order.sliding(2).count(p => p.length == 2 && p(0) != p(1))
+    assert(transitions <= 3, s"families interleaved: $order")
+  }
+
   test("decodeAudio: JDK WAV roundtrip recovers format + exact quartile energies; non-audio falls back") {
     implicit val s = spark
     val ids = Seq(3L, 7L).toDF("doc_id")
