@@ -236,18 +236,37 @@ object Dedup {
     *
     * Candidate-set broadcasts are bounded by |true dups| + fpp·|batch|,
     * both knowable in advance; nothing corpus-sized is ever collected. */
-  def incrementalBloom(newDocs: DataFrame, seenDigests: DataFrame,
-                       idCol: String, textCol: String,
-                       expectedItems: Long = 1L << 20,
-                       fpp: Double = 0.01): DataFrame = {
-    graft.functions.TajoFunctions.register(newDocs.sparkSession)
+  /** One narrow pass over a digest table folds it into a serialized Bloom
+    * sketch (numBits/8 bytes — the only thing that ever reaches the
+    * driver). Build it ONCE when a snapshot closes and reuse it for every
+    * subsequent [[incrementalBloom]] batch; rebuilding per batch works but
+    * re-scans the seen table. */
+  def buildDigestSketch(seenDigests: DataFrame,
+                        expectedItems: Long = 1L << 20,
+                        fpp: Double = 0.01): Array[Byte] = {
+    graft.functions.TajoFunctions.register(seenDigests.sparkSession)
     val numBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(expectedItems, fpp)
-    val batch = newDocs.select(col(idCol), md5(col(textCol)).as("digest"))
-    val keepers = batch.groupBy(col("digest")).agg(min(col(idCol)).as(idCol))
-    val sketch: Array[Byte] = seenDigests
+    seenDigests
       .select(call_function("bloom_agg", xxhash64(col("digest")),
         lit(expectedItems), lit(numBits)).as("b"))
       .head.getAs[Array[Byte]](0)
+  }
+
+  def incrementalBloom(newDocs: DataFrame, seenDigests: DataFrame,
+                       idCol: String, textCol: String,
+                       expectedItems: Long = 1L << 20,
+                       fpp: Double = 0.01): DataFrame =
+    incrementalBloomWith(newDocs, seenDigests,
+      buildDigestSketch(seenDigests, expectedItems, fpp), idCol, textCol)
+
+  /** The per-batch half of [[incrementalBloom]], against a prebuilt (and
+    * typically persisted) sketch from [[buildDigestSketch]]. */
+  def incrementalBloomWith(newDocs: DataFrame, seenDigests: DataFrame,
+                           sketch: Array[Byte],
+                           idCol: String, textCol: String): DataFrame = {
+    graft.functions.TajoFunctions.register(newDocs.sparkSession)
+    val batch = newDocs.select(col(idCol), md5(col(textCol)).as("digest"))
+    val keepers = batch.groupBy(col("digest")).agg(min(col(idCol)).as(idCol))
     val mightContain =
       call_function("bloom_might_contain", lit(sketch), xxhash64(col("digest")))
     val candidates = keepers.filter(mightContain).select(col("digest"))

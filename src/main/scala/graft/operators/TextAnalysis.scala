@@ -384,6 +384,31 @@ object TextAnalysis {
         expr("CASE WHEN n_bigrams > 0 THEN __s DIV n_bigrams END").as("lm_ppm"))
   }
 
+  /** Tokenizer-vocabulary coverage: per-document in-vocabulary and
+    * out-of-vocabulary token statistics against a vocab table (one `token`
+    * per row) — the standard pre-flight check before committing a
+    * tokenizer to a corpus (high OOV ppm = wrong language mix, encoding
+    * damage, or a vocab trained on the wrong distribution).
+    *
+    * Scale: one token explode, one equi-join on the token, one groupBy
+    * doc. The vocab side is vocabulary-sized by definition (a tokenizer
+    * ships 32k-256k entries) so AQE broadcasts it — never a forced hint,
+    * so an unexpectedly huge vocab degrades to a shuffle join. */
+  def vocabCoverage(docs: DataFrame, vocab: DataFrame,
+                    idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(split(lower(col(textCol)), " ")).as("__w"))
+    val v = vocab.select(lower(col("token")).as("__w")).distinct()
+      .withColumn("__in", lit(1))
+    toks.join(v, Seq("__w"), "left")
+      .groupBy(col(idCol))
+      .agg(count("*").cast("bigint").as("n_tokens"),
+        sum(when(col("__in").isNotNull, 1L).otherwise(0L))
+          .cast("bigint").as("in_vocab"),
+        expr("CAST((1000000 * SUM(CASE WHEN __in IS NULL THEN 1 ELSE 0 END)) DIV COUNT(*) AS BIGINT)")
+          .as("oov_ppm"))
+  }
+
   /** DSIR-style hashed n-gram importance weights (Xie et al. 2023, "Data
     * Selection for Language Models via Importance Resampling"): score every
     * corpus document by how much more it looks like a TARGET distribution

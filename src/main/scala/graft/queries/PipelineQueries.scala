@@ -263,6 +263,39 @@ object PipelineQueries {
            |WHERE b.digest NOT IN (SELECT digest FROM seen)
            |ORDER BY b.doc_id""".stripMargin))
 
+  // Vocabulary coverage (TextAnalysis.vocabCoverage): the vocab is the
+  // corpus's own top-500 tokens by (count DESC, token) — deterministically
+  // derived in both engines — so real OOV mass exists at every scale and
+  // the join, the keep/drop per token, and the ppm arithmetic all carry
+  // driver evidence.
+  private val qVocabCoverage = df("q_text_vocab_coverage",
+    (sp, dir) => {
+      val docs = graft.engine.Tables.table(sp, dir, "documents")
+      val vocab = docs
+        .select(explode(org.apache.spark.sql.functions.split(
+          lower(col("text")), " ")).as("token"))
+        .groupBy("token").agg(count("*").as("__c"))
+        .orderBy(col("__c").desc, col("token")).limit(500)
+        .select("token")
+      graft.operators.TextAnalysis.vocabCoverage(docs, vocab, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+           |  FROM documents
+           |), vocab AS (
+           |  SELECT w AS token FROM (
+           |    SELECT w, COUNT(*) AS c FROM toks GROUP BY w
+           |    ORDER BY c DESC, w LIMIT 500
+           |  )
+           |)
+           |SELECT t.doc_id,
+           |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           |  CAST(SUM(CASE WHEN v.token IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS in_vocab,
+           |  CAST((1000000 * SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS oov_ppm
+           |FROM toks t LEFT JOIN vocab v ON t.w = v.token
+           |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin))
+
   // DSIR-style hashed n-gram importance selection (TextAnalysis.dsirWeights):
   // target = src0 docs, raw = the whole corpus, features = poly31-hashed
   // unigram+bigram buckets (B = 4096 so bucket collisions genuinely occur and
@@ -1599,5 +1632,5 @@ object PipelineQueries {
     qChunks, qCdcChunks, qPii, qRepetition, qEndToEnd,
     qUrls, qHistogram, qAnnInt8, qTfIdf, qTopNgrams,
     qTopKPerGroup, qShuffle, qPack, qPackFfd, qTemperatureMix, qQualityGate,
-    qDsir, qEpochSchedule)
+    qDsir, qEpochSchedule, qVocabCoverage)
 }

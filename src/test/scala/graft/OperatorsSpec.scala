@@ -630,6 +630,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(500L)._2 > 0 && fills.exists(r => r.getAs[Long]("fill") == 2000L))
   }
 
+  test("vocabCoverage: per-doc OOV accounting against a vocab table") {
+    val docs = Seq(
+      (1L, "the cat sat"),            // all in vocab
+      (2L, "the dog sat"),            // 1 OOV of 3
+      (3L, "zz qq")                   // all OOV
+    ).toDF("doc_id", "text")
+    val vocab = Seq("the", "cat", "sat", "CAT").toDF("token") // dup after lower
+    val r = TextAnalysis.vocabCoverage(docs, vocab, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r(1L) == ((3L, 3L, 0L)))
+    assert(r(2L) == ((3L, 2L, 333333L)))
+    assert(r(3L) == ((2L, 0L, 1000000L)))
+  }
+
+  test("incrementalBloomWith: a prebuilt sketch reused across two batches stays exact") {
+    val seen = (1L to 500L).map(i => s"seen $i").toDF("text")
+      .select(md5($"text").as("digest"))
+    val sketch = Dedup.buildDigestSketch(seen, expectedItems = 2048, fpp = 0.01)
+    val b1 = (400L to 600L).map(i => (i, s"seen $i")).toDF("doc_id", "text")
+    val b2 = (550L to 700L).map(i => (i, s"seen $i")).toDF("doc_id", "text")
+    for (b <- Seq(b1, b2)) {
+      val exact = Dedup.incrementalExact(b, seen, "doc_id", "text")
+        .collect().map(_.getLong(0)).toSet
+      val got = Dedup.incrementalBloomWith(b, seen, sketch, "doc_id", "text")
+        .collect().map(_.getLong(0)).toSet
+      assert(got == exact)
+    }
+  }
+
   test("dsirWeights: target-like docs outscore junk, feature count is grams") {
     val corpus = Seq(
       (1L, "alpha beta gamma"),          // target-like
