@@ -558,6 +558,55 @@ object OperatorQueries {
          |FROM enc ORDER BY doc_id""".stripMargin
     })
 
+  // End-to-end tokenize -> pack: REAL per-doc token counts from the BPE
+  // encoder feed first-fit-decreasing packing — the composition a training
+  // batch builder actually runs (counting whitespace tokens under-fills
+  // sequences; counting tokenizer output is the contract). Oracle chains
+  // the proven BPE-encode replay into the proven FFD recursive CTE.
+  private val qTokenizePack = df("q_pipeline_tokenize_pack",
+    (spark, dir) => {
+      val docs = Tables.table(spark, dir, "documents")
+      val enc = Bpe.encode(docs, "doc_id", "text", bpeFixedMerges)
+        .select(col("doc_id"), col("n_tokens"))
+      graft.operators.Packing.packFfd(enc, "doc_id", "n_tokens",
+          budget = 1024L, blockSize = 100L)
+        .join(enc, "doc_id")
+        .select(col("doc_id"), col("n_tokens"), col("pack_block"), col("ffd_bin"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val replaced = bpeFixedMerges.sortBy(_.rank).foldLeft(
+        "' ' || regexp_replace(w, '(.)', '\\1  ', 'g') || '</w> '") {
+        case (acc, m) => s"replace($acc, ' ${m.a}  ${m.b} ', ' ${m.a}${m.b} ')"
+      }
+      s"""WITH RECURSIVE enc AS (
+         |  SELECT doc_id, CAST(len(flatten(list_transform(
+         |    list_filter(string_split(lower(text), ' '), w -> w <> ''),
+         |    w -> string_split(trim($replaced), '  ')))) AS BIGINT) AS tok
+         |  FROM documents
+         |), ranked AS (
+         |  SELECT doc_id AS id, tok, doc_id // 100 AS blk,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id // 100 ORDER BY tok DESC, doc_id) AS rn
+         |  FROM enc
+         |), fold AS (
+         |  SELECT blk, rn, id, tok, CAST(1 AS BIGINT) AS bin, [1024 - tok] AS rems
+         |  FROM ranked WHERE rn = 1
+         |  UNION ALL
+         |  SELECT r.blk, r.rn, r.id, r.tok,
+         |    CASE WHEN p.pos = 0 THEN CAST(len(f.rems) + 1 AS BIGINT)
+         |         ELSE CAST(p.pos AS BIGINT) END,
+         |    CASE WHEN p.pos = 0 THEN list_append(f.rems, 1024 - r.tok)
+         |         ELSE list_transform(f.rems,
+         |           (x, i) -> CASE WHEN i = p.pos THEN x - r.tok ELSE x END) END
+         |  FROM fold f
+         |  JOIN ranked r ON r.blk = f.blk AND r.rn = f.rn + 1
+         |  CROSS JOIN LATERAL (
+         |    SELECT list_position(list_transform(f.rems, x -> x >= r.tok), true) AS pos) p
+         |)
+         |SELECT id AS doc_id, tok AS n_tokens, blk AS pack_block, bin AS ffd_bin
+         |FROM fold ORDER BY doc_id""".stripMargin
+    })
+
   private val qMultimodalApi = df("q_op_multimodal_api",
     (spark, dir) => {
       implicit val s = spark
@@ -862,6 +911,6 @@ object OperatorQueries {
     qMinhashApi, qAnnApi, qAnnIvf, qAnnIvf2, qAnnPq, qAnnIvfPq, qSemDedup, qSemanticSort,
     qQualityApi, qMultimodalApi,
     qMultimodalPatches, qMultimodalDecode, qMultimodalAudio,
-    qDecontaminate, qBpeApi, qBpeEncode, qEmbedPool, qSaltedJoin, qAsofJoin, qRangeJoin,
+    qDecontaminate, qBpeApi, qBpeEncode, qTokenizePack, qEmbedPool, qSaltedJoin, qAsofJoin, qRangeJoin,
     qDedupClusters, qStreamHourly, qStreamSessions, qStreamDedup)
 }
