@@ -344,6 +344,40 @@ object Similarity {
         col("dup_of").isNull.cast("int").as("kept"), col("dup_of"))
   }
 
+  /** Hard-negative mining for contrastive training (the classic DPR/e5
+    * recipe: the most useful negatives are the most SIMILAR examples with
+    * a different label): for each anchor vector, the k nearest neighbors
+    * by cosine whose label differs, searched within the anchor's IVF cell.
+    *
+    * Cell-restricted search is the point, not a shortcut — hard negatives
+    * live near the anchor by definition, and the nBits knob bounds the
+    * per-cell candidate set exactly like [[semDedup]] (quadratic per cell,
+    * never per corpus; raise nBits to shrink cells). Returns
+    * (anchor id, rank, negative id, sim_ppm) with a deterministic
+    * (cosine DESC, id) rank; sim_ppm is the floored-ppm cosine so both
+    * engines agree on every ranking decision. */
+  def hardNegatives(vectors: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, k: Int = 4,
+                    nBits: Int = 4, dim: Int = 64): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val assigned = cellAssign(vectors, idCol, vecCol, nBits, dim).drop("__score")
+      .join(vectors.select(col(idCol), col(labelCol)), Seq(idCol))
+    val a = assigned.select(col(idCol).as("anchor"), col("cell"),
+      col(labelCol).as("__la"), col("__vec").as("va"), col("__nrm").as("na"))
+    val n = assigned.select(col(idCol).as("negative"), col("cell"),
+      col(labelCol).as("__ln"), col("__vec").as("vn"), col("__nrm").as("nn"))
+    val w = Window.partitionBy(col("anchor"))
+      .orderBy(col("sim_ppm").desc, col("negative"))
+    a.join(n, Seq("cell"))
+      .filter(col("__la") =!= col("__ln"))
+      .withColumn("sim_ppm", expr(
+        s"CAST(FLOOR(${HashSpec.dotNative("va", "vn")} / (na * nn) * 1000000) AS BIGINT)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("anchor"), col("rank").cast("bigint").as("rank"),
+        col("negative"), col("sim_ppm"))
+  }
+
   /** Element-wise mean pooling of vectors per group — the chunk-embeddings
     * → document-embedding step of an embedding pipeline. Fixed-point
     * BIGINT element sums keep the aggregation engine-exact AND mergeable

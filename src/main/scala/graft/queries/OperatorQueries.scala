@@ -403,6 +403,53 @@ object OperatorQueries {
          |FROM a GROUP BY cell ORDER BY cell""".stripMargin
     })
 
+  // Hard-negative mining (Similarity.hardNegatives): every (anchor, rank,
+  // negative, sim_ppm) row replayed — cell assignment, cross-label pair
+  // cosines, and the per-anchor (sim DESC, id) ranking boundary.
+  private val qHardNegatives = df("q_op_hard_negatives",
+    (spark, dir) => {
+      val vecs = Tables.table(spark, dir, "embeddings")
+      Similarity.hardNegatives(vecs, "vec_id", "embedding", "label", k = 3)
+        .orderBy("anchor", "rank")
+    },
+    Some {
+      import PipelineQueries.{duckDot, duckHp, bucketExpr}
+      s"""WITH base AS (
+         |  SELECT vec_id, label, embedding,
+         |    SQRT(${duckDot("embedding", "embedding")}) AS nrm,
+         |    ${bucketExpr(duckHp, "embedding")} AS cell0
+         |  FROM embeddings
+         |), centel AS (
+         |  SELECT cell0 AS cid, i,
+         |    SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS m
+         |  FROM base CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) dims
+         |  GROUP BY cell0, i
+         |), cent AS (
+         |  SELECT cid, list(m ORDER BY i) AS cvec FROM centel GROUP BY cid
+         |), cent2 AS (
+         |  SELECT cid, cvec, SQRT(${duckDot("cvec", "cvec")}) AS cnrm FROM cent
+         |), scored AS (
+         |  SELECT b.vec_id, b.label, b.embedding, b.nrm, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY b.vec_id
+         |      ORDER BY ${duckDot("b.embedding", "c.cvec")} / c.cnrm DESC, c.cid) AS rr
+         |  FROM base b CROSS JOIN cent2 c
+         |), a AS (
+         |  SELECT vec_id, label, embedding, nrm, cid AS cell FROM scored WHERE rr = 1
+         |), pairs AS (
+         |  SELECT x.vec_id AS anchor, y.vec_id AS negative,
+         |    CAST(FLOOR(${duckDot("x.embedding", "y.embedding")}
+         |      / (x.nrm * y.nrm) * 1000000) AS BIGINT) AS sim_ppm
+         |  FROM a x JOIN a y ON x.cell = y.cell AND x.label <> y.label
+         |), rk AS (
+         |  SELECT anchor, negative, sim_ppm,
+         |    ROW_NUMBER() OVER (PARTITION BY anchor
+         |      ORDER BY sim_ppm DESC, negative) AS rank
+         |  FROM pairs
+         |)
+         |SELECT anchor, CAST(rank AS BIGINT) AS rank, negative, sim_ppm
+         |FROM rk WHERE rank <= 3 ORDER BY anchor, rank""".stripMargin
+    })
+
   // Decontamination (Dedup.decontaminate): drop corpus docs that n-gram-
   // overlap a benchmark set. Benchmark side = doc_id % 10 == 0; the oracle
   // replays the identical band-join + integer-ppm Jaccard gate and counts
@@ -909,7 +956,7 @@ object OperatorQueries {
 
   val all: Seq[QueryDef] = Seq(
     qMinhashApi, qAnnApi, qAnnIvf, qAnnIvf2, qAnnPq, qAnnIvfPq, qSemDedup, qSemanticSort,
-    qQualityApi, qMultimodalApi,
+    qHardNegatives, qQualityApi, qMultimodalApi,
     qMultimodalPatches, qMultimodalDecode, qMultimodalAudio,
     qDecontaminate, qBpeApi, qBpeEncode, qTokenizePack, qEmbedPool, qSaltedJoin, qAsofJoin, qRangeJoin,
     qDedupClusters, qStreamHourly, qStreamSessions, qStreamDedup)

@@ -538,6 +538,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(saturated == exact)
   }
 
+  test("hardNegatives: nearest cross-label neighbors only, never same label, ranked by cosine") {
+    val rng = new scala.util.Random(11)
+    def vec(center: Int): Array[Float] = Array.tabulate(64) { i =>
+      (if (center == 0) math.sin(i / 3.0) else math.cos(i / 2.0)).toFloat +
+        (rng.nextFloat() - 0.5f) * 0.05f
+    }
+    // family 0 split across two labels -> hard negatives for an "a0" anchor
+    // are the very similar "b0" vectors, not the far-away family-1 ones
+    val rows = (0L until 20L).map(i => (i, vec(0), if (i % 2 == 0) "a0" else "b0")) ++
+      (20L until 40L).map(i => (i, vec(1), "c1"))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val r = Similarity.hardNegatives(df, "vec_id", "embedding", "label", k = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    val labels = rows.map(t => t._1 -> t._3).toMap
+    assert(r.nonEmpty)
+    assert(r.forall { case (a, _, n, _) => labels(a) != labels(n) })
+    // per anchor: ranks contiguous from 1, sims non-increasing
+    r.groupBy(_._1).foreach { case (a, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq, s"anchor $a")
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sortBy(-_).toSeq, s"anchor $a")
+    }
+    // a family-0 anchor's negatives are family-0 opposite-label vectors
+    val fam0 = r.filter(_._1 < 20L)
+    assert(fam0.nonEmpty && fam0.forall(_._3 < 20L),
+      "hard negatives must come from the similar family, not the distant one")
+  }
+
   test("semanticSort: same cell assignment as semDedup, similar vectors adjacent") {
     val rng = new scala.util.Random(7)
     // two well-separated families of vectors + per-vector jitter
