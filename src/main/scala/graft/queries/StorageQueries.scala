@@ -443,8 +443,27 @@ object StorageQueries {
            |  CAST(MAX(o_orderkey) AS BIGINT) AS max_key
            |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
 
+  // WebDataset-style tar shards (graft.sources.TarShards): write the
+  // documents table into 8 ustar archives, read them back through the
+  // binaryFile source with checksum-verified header parsing, and compare
+  // every member byte-for-byte (md5 of the text) plus the deterministic
+  // pmod shard assignment against the source table.
+  private val qTarShards = df("q_store_tar_shards",
+    (spark, dir) => {
+      val out = scratch("tar_shards")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val docs = Tables.table(spark, dir, "documents")
+      graft.sources.TarShards.write(docs, "doc_id", "text", out, shards = 8)
+      graft.sources.TarShards.read(spark, out)
+        .select(col("doc_id"), col("shard").cast("bigint").as("shard"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, doc_id % 8 AS shard, md5(text) AS text_md5
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     qCtas, qInsert, qPartitioned, qCsv, qJsonSelfDesc, qOrc, qNested,
     qNestedDdl, qBucketedJoin, qJdbc, qPartitionMgmt, qIndex, qAvro,
-    qSeqFile, qRegex, qRcFile, qInsertReader, qRawFile)
+    qSeqFile, qRegex, qRcFile, qInsertReader, qRawFile, qTarShards)
 }
