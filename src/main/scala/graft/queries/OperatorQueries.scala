@@ -605,6 +605,42 @@ object OperatorQueries {
          |FROM enc ORDER BY doc_id""".stripMargin
     })
 
+  // Video container decode (Multimodal.decodeVideo): real RIFF/AVI chunk
+  // walking over the ASCII-payload fixture — geometry from avih, every
+  // extracted frame's byte length and md5 replayed closed-form in DuckDB.
+  // The MJPEG path (frames decoded by ImageIO) is spec-covered; this query
+  // pins the container layer the driver can replay without a codec.
+  private val qMultimodalVideo = df("q_op_multimodal_video",
+    (spark, dir) => {
+      implicit val s = spark
+      val docs = Tables.table(spark, dir, "documents").filter(col("doc_id") < 40)
+      val media = Multimodal.syntheticAviAsciiTable(docs, "doc_id", k = 4)
+      Multimodal.decodeVideo(media).toDF()
+        .select(col("id").as("doc_id"),
+          col("width").cast("bigint").as("width"),
+          col("height").cast("bigint").as("height"),
+          col("n_frames").cast("bigint").as("n_frames"),
+          col("frame_idx").cast("bigint").as("frame_idx"),
+          col("frame_bytes"), col("frame_md5"))
+        .repartition(1).sortWithinPartitions("doc_id", "frame_idx")
+    },
+    Some("""WITH ids AS (
+           |  SELECT doc_id FROM documents WHERE doc_id < 40
+           |), f AS (
+           |  SELECT doc_id, g.i,
+           |    repeat('frame:' || doc_id || ':' || g.i || ':',
+           |      CAST(3 + (doc_id + g.i) % 5 AS INT)) AS s
+           |  FROM ids, LATERAL (SELECT unnest(range(0, 4)) AS i) g
+           |)
+           |SELECT doc_id,
+           |  CAST(64 + (doc_id * 7) % 64 AS BIGINT) AS width,
+           |  CAST(48 + (doc_id * 13) % 48 AS BIGINT) AS height,
+           |  CAST(4 AS BIGINT) AS n_frames,
+           |  CAST(i AS BIGINT) AS frame_idx,
+           |  CAST(length(s) AS BIGINT) AS frame_bytes,
+           |  md5(s) AS frame_md5
+           |FROM f ORDER BY doc_id, frame_idx""".stripMargin))
+
   // End-to-end tokenize -> pack: REAL per-doc token counts from the BPE
   // encoder feed first-fit-decreasing packing — the composition a training
   // batch builder actually runs (counting whitespace tokens under-fills
@@ -957,7 +993,7 @@ object OperatorQueries {
   val all: Seq[QueryDef] = Seq(
     qMinhashApi, qAnnApi, qAnnIvf, qAnnIvf2, qAnnPq, qAnnIvfPq, qSemDedup, qSemanticSort,
     qHardNegatives, qQualityApi, qMultimodalApi,
-    qMultimodalPatches, qMultimodalDecode, qMultimodalAudio,
+    qMultimodalPatches, qMultimodalDecode, qMultimodalAudio, qMultimodalVideo,
     qDecontaminate, qBpeApi, qBpeEncode, qTokenizePack, qEmbedPool, qSaltedJoin, qAsofJoin, qRangeJoin,
     qDedupClusters, qStreamHourly, qStreamSessions, qStreamDedup)
 }

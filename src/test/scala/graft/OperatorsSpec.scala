@@ -611,6 +611,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!f.audio_ok && f.n_samples == 0L && f.n_bytes == 16L)
   }
 
+  test("decodeVideo: real MJPEG AVI frames decode via ImageIO; ASCII fixture replayable; junk skipped") {
+    implicit val s = spark
+    val ids = Seq(3L, 10L).toDF("doc_id")
+    // real motion-JPEG: every frame is a decodable JPEG with the container's geometry
+    val mj = Multimodal.decodeVideo(Multimodal.syntheticMjpegTable(ids, "doc_id", k = 3)).collect()
+    assert(mj.length == 6)
+    for (f <- mj) {
+      val (w, h) = ((64 + (f.id * 7) % 64).toInt, (48 + (f.id * 13) % 48).toInt)
+      assert(f.width == w && f.height == h && f.n_frames == 3)
+      assert(f.frame_ok && f.dec_w == w && f.dec_h == h, s"frame $f")
+    }
+    // ASCII fixture: container parsing exact, payload closed-form, no codec
+    val as = Multimodal.decodeVideo(Multimodal.syntheticAviAsciiTable(ids, "doc_id", k = 2)).collect()
+    for (f <- as) {
+      val sstr = s"frame:${f.id}:${f.frame_idx}:" * (3 + ((f.id + f.frame_idx) % 5)).toInt
+      assert(f.frame_bytes == sstr.getBytes("UTF-8").length.toLong)
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(sstr.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      assert(f.frame_md5 == md && !f.frame_ok)
+    }
+    // junk bytes: not a RIFF -> zero rows, no crash
+    val junk = Seq((7L, "definitely not avi".getBytes("UTF-8"))).toDF("id", "payload")
+    assert(Multimodal.decodeVideo(junk).collect().isEmpty)
+  }
+
   test("epochSchedule: caps at maxEpochs, redistributes leftover, never exceeds budget") {
     // three sources: 1000 / 400 / 100 tokens, budget 1200, maxEpochs 2
     // fair = 400; small caps at 200 -> a1 = (400, 400, 200), L = 200
