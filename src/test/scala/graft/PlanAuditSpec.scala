@@ -181,6 +181,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("cell"), p)
   }
 
+  test("q_op_hard_negatives: pair join equi on the cell, centroids the only cross join") {
+    val p = plan("q_op_hard_negatives")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("cell"), p)
+    // per-anchor top-k runs through the rank-filter pushdown
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q_op_semantic_sort: assignment phase never joins data-sized inputs") {
+    val p = plan("q_op_semantic_sort")
+    assert(!p.contains("CartesianProduct"), p)
+    // formatted mode prints each node twice (tree + details): one centroid
+    // cross join = 2 mentions
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, p)
+  }
+
   test("q_dedup_simhash_pairs: banded equi-join, never an all-pairs comparison") {
     val p = plan("q_dedup_simhash_pairs")
     // pigeonhole band join: pairs come from an equi-join on the (band,
