@@ -263,6 +263,42 @@ object PipelineQueries {
            |WHERE b.digest NOT IN (SELECT digest FROM seen)
            |ORDER BY b.doc_id""".stripMargin))
 
+  // Per-source data card ("Datasheets for Datasets"-style corpus summary):
+  // docs, tokens, exact-dup mass, language mix, and the median length in
+  // one per-source row — the release artifact a corpus ships with. Pure
+  // composition of replayable pieces (langid CASE, md5 dup accounting,
+  // PERCENTILE == quantile_cont), so the whole card is oracle-exact.
+  private val qDataCard = df("q_pipeline_datacard",
+    (sp, dir) => {
+      val docs = graft.engine.Tables.table(sp, dir, "documents")
+      val lang = graft.operators.TextAnalysis.languageId(docs, "doc_id", "text")
+        .select(col("doc_id"), col("lang_pred"))
+      docs.select(col("doc_id"), col("source"), md5(col("text")).as("__h"),
+          size(org.apache.spark.sql.functions.split(col("text"), " "))
+            .cast("bigint").as("__toks"))
+        .join(lang, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum(col("__toks")).cast("bigint").as("n_tokens"),
+          (count(lit(1)) - countDistinct(col("__h"))).cast("bigint").as("exact_dup_docs"),
+          sum(when(col("lang_pred") === "en", 1L).otherwise(0L))
+            .cast("bigint").as("en_docs"),
+          expr("PERCENTILE(__toks, 0.5)").as("med_tokens"))
+        .orderBy("source")
+    },
+    Some(s"""WITH base AS (
+            |  SELECT doc_id, source, md5(text) AS h,
+            |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+            |    ${langCase(re => s"len(regexp_extract_all(LOWER(text), $re))")} AS lang_pred
+            |  FROM documents
+            |)
+            |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            |  CAST(SUM(toks) AS BIGINT) AS n_tokens,
+            |  CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS exact_dup_docs,
+            |  CAST(SUM(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en_docs,
+            |  quantile_cont(toks, 0.5) AS med_tokens
+            |FROM base GROUP BY source ORDER BY source""".stripMargin))
+
   // Vocabulary coverage (TextAnalysis.vocabCoverage): the vocab is the
   // corpus's own top-500 tokens by (count DESC, token) — deterministically
   // derived in both engines — so real OOV mass exists at every scale and
@@ -1632,5 +1668,5 @@ object PipelineQueries {
     qChunks, qCdcChunks, qPii, qRepetition, qEndToEnd,
     qUrls, qHistogram, qAnnInt8, qTfIdf, qTopNgrams,
     qTopKPerGroup, qShuffle, qPack, qPackFfd, qTemperatureMix, qQualityGate,
-    qDsir, qEpochSchedule, qVocabCoverage)
+    qDsir, qEpochSchedule, qVocabCoverage, qDataCard)
 }
