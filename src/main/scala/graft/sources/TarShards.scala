@@ -69,7 +69,7 @@ object TarShards {
     * (shard-00000.tar, ...), one member `<id>.txt` per row in ascending id
     * order. Returns nothing; read back with [[read]]. */
   def write(docs: DataFrame, idCol: String, textCol: String,
-            outDir: String, shards: Int): Unit = {
+            outDir: String, shards: Int, compress: Boolean = false): Unit = {
     require(shards >= 1, s"need shards >= 1, got $shards")
     val spark = docs.sparkSession
     val hconf = new org.apache.spark.util.SerializableConfiguration(
@@ -83,7 +83,7 @@ object TarShards {
       .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
         val fs = new Path(out).getFileSystem(hconf.value)
         var current = -1
-        var os: org.apache.hadoop.fs.FSDataOutputStream = null
+        var os: java.io.OutputStream = null
         def close(): Unit = if (os != null) {
           os.write(new Array[Byte](2 * Block)) // end-of-archive marker
           os.close(); os = null
@@ -93,7 +93,11 @@ object TarShards {
           if (shard != current) {
             close()
             current = shard
-            os = fs.create(new Path(out, f"shard-$shard%05d.tar"), true)
+            val suffix = if (compress) ".tar.gz" else ".tar"
+            val raw = fs.create(new Path(out, f"shard-$shard%05d$suffix"), true)
+            // the JDK gzip header carries MTIME = 0, so compressed shards
+            // stay byte-identical across runs like the plain ones
+            os = if (compress) new java.util.zip.GZIPOutputStream(raw) else raw
           }
           val bytes = r.getString(1).getBytes(StandardCharsets.UTF_8)
           os.write(headerFor(s"${r.getLong(0)}.txt", bytes.length.toLong))
@@ -110,10 +114,15 @@ object TarShards {
     * shard via the binaryFile source; header checksums are verified. */
   def read(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(s"$dir/*.tar")
+    spark.read.format("binaryFile").load(s"$dir/*.tar*")
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
-      .flatMap { case (path, bytes) =>
+      .flatMap { case (path, raw) =>
+        val bytes =
+          if (path.endsWith(".gz"))
+            new java.util.zip.GZIPInputStream(
+              new java.io.ByteArrayInputStream(raw)).readAllBytes()
+          else raw
         val shard = "shard-(\\d+)\\.tar".r.findFirstMatchIn(path)
           .map(_.group(1).toInt).getOrElse(-1)
         val outRows = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Int)]

@@ -34,6 +34,33 @@ class TarShardsSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized round trip incl. block-boundary sizes; gzip shards too") {
+    val rng = new scala.util.Random(99)
+    val texts = (0 until 60).map { i =>
+      val n = Seq(0, 1, 511, 512, 513, 1023, 1024, 1025)(i % 8) + rng.nextInt(40)
+      (i.toLong, rng.alphanumeric.take(n).mkString + (if (i % 3 == 0) "\né¥\t" else ""))
+    }
+    val docs = texts.toDF("doc_id", "text")
+    for ((gz, name) <- Seq((false, "rand"), (true, "randgz"))) {
+      val out = tmp(name)
+      TarShards.write(docs, "doc_id", "text", out, shards = 4, compress = gz)
+      val back = TarShards.read(spark, out)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(back == texts.toMap, s"gz=$gz")
+    }
+    // gzip shards are byte-stable across runs too
+    val g1 = tmp("gzstable1"); val g2 = tmp("gzstable2")
+    TarShards.write(docs, "doc_id", "text", g1, 2, compress = true)
+    TarShards.write(docs.repartition(5), "doc_id", "text", g2, 2, compress = true)
+    for (s <- 0 until 2) {
+      val a = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(g1, f"shard-$s%05d.tar.gz"))
+      val b = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(g2, f"shard-$s%05d.tar.gz"))
+      assert(java.util.Arrays.equals(a, b), s"gz shard $s differs")
+    }
+  }
+
   test("archives are valid ustar for an independent reader and byte-stable across runs") {
     val docs = (0L until 20L).map(i => (i, s"document number $i body")).toDF("doc_id", "text")
     val o1 = tmp("stable1"); val o2 = tmp("stable2")
