@@ -384,6 +384,56 @@ object TextAnalysis {
         expr("CASE WHEN n_bigrams > 0 THEN __s DIV n_bigrams END").as("lm_ppm"))
   }
 
+  /** HTML boilerplate strip (WET-extraction-lite, the CommonCrawl
+    * HTML -> text step): drop script/style blocks, strip the remaining
+    * tags, decode the common entities, and whitespace-normalize — the
+    * rule-based core of trafilatura-style extraction, as a pure chained
+    * regex projection (no DOM, engine-portable patterns: no backrefs, no
+    * lookaround, so Java regex and RE2 agree). Returns (id, clean text,
+    * html_chars_removed).
+    *
+    * Scale: per-row projection, scan speed, no shuffle. */
+  def stripHtml(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val steps: Column => Column = raw => {
+      val noScript = regexp_replace(raw, "(?is)<script[^>]*>.*?</script>", " ")
+      val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+      val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
+      val ent = Seq("&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<",
+        "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'")
+        .foldLeft(noTags) { case (c, (from, to)) => regexp_replace(c, java.util.regex.Pattern.quote(from), to) }
+      trim(regexp_replace(ent, "\\s+", " "))
+    }
+    docs.select(col(idCol), steps(col(textCol)).as("clean_text"))
+      .join(docs.select(col(idCol), length(col(textCol)).cast("bigint").as("__raw")), Seq(idCol))
+      .select(col(idCol), col("clean_text"),
+        (col("__raw") - length(col("clean_text"))).cast("bigint").as("html_chars_removed"))
+  }
+
+  /** Mojibake repair (ftfy-lite): detect and fix the classic
+    * UTF-8-decoded-as-Latin-1 damage ("é" rendered as "Ã©"). Detection
+    * counts the telltale lead bytes Ã/Â per million chars; repair replaces
+    * the common two-char sequences back to their intended code points —
+    * exact string replaces, replayable in any engine. Returns
+    * (id, mojibake_ppm, fixed text). */
+  def fixMojibake(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val pairs = Seq(
+      "Ã©" -> "é", // é
+      "Ã¨" -> "è", // è
+      "Ã¼" -> "ü", // ü
+      "Ã¶" -> "ö", // ö
+      "Ã±" -> "ñ", // ñ
+      "Ã¤" -> "ä", // ä
+      "Â " -> " ")      // non-breaking space
+    val fixed = pairs.foldLeft(t) { case (c, (from, to)) =>
+      regexp_replace(c, java.util.regex.Pattern.quote(from), to)
+    }
+    docs.select(col(idCol),
+      when(length(t) > 0, expr(s"1000000 * (LENGTH($textCol) - LENGTH(REGEXP_REPLACE($textCol, '[ÃÂ]', ''))) DIV LENGTH($textCol)")
+        .cast("bigint")).otherwise(lit(0L)).as("mojibake_ppm"),
+      fixed.as("fixed_text"))
+  }
+
   /** Tokenizer-vocabulary coverage: per-document in-vocabulary and
     * out-of-vocabulary token statistics against a vocab table (one `token`
     * per row) — the standard pre-flight check before committing a

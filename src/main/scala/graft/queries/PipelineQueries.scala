@@ -263,6 +263,89 @@ object PipelineQueries {
            |WHERE b.digest NOT IN (SELECT digest FROM seen)
            |ORDER BY b.doc_id""".stripMargin))
 
+  // HTML boilerplate strip (TextAnalysis.stripHtml): both engines wrap every
+  // document in the same deterministic HTML shell (script with a '<' inside,
+  // style block, heading, entities) and replay the identical regex/entity
+  // chain — clean-text md5 + length + removed-char accounting all compared.
+  private val qStripHtml = df("q_text_strip_html",
+    (sp, dir) => {
+      val docs = graft.engine.Tables.table(sp, dir, "documents")
+      val html = docs.select(col("doc_id"), concat(
+        lit("<html><head><script type=\"text/javascript\">var x = 1 < 2;</script>" +
+          "<style>p { color: red }</style></head><body><h1>Doc "),
+        col("doc_id"), lit("</h1><p>"), col("text"),
+        lit("</p><div>&amp; &lt;tail&gt; &quot;q&quot; &#39;s&#39; &nbsp;</div></body></html>"))
+        .as("text"))
+      graft.operators.TextAnalysis.stripHtml(html, "doc_id", "text")
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+          length(col("clean_text")).cast("bigint").as("clean_len"),
+          col("html_chars_removed"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH h AS (
+           |  SELECT doc_id,
+           |    '<html><head><script type="text/javascript">var x = 1 < 2;</script>' ||
+           |    '<style>p { color: red }</style></head><body><h1>Doc ' || doc_id ||
+           |    '</h1><p>' || text ||
+           |    '</p><div>&amp; &lt;tail&gt; &quot;q&quot; &#39;s&#39; &nbsp;</div></body></html>' AS x
+           |  FROM documents
+           |), s AS (
+           |  SELECT doc_id, CAST(length(x) AS BIGINT) AS raw_len,
+           |    trim(regexp_replace(
+           |      replace(replace(replace(replace(replace(replace(
+           |        regexp_replace(
+           |          regexp_replace(
+           |            regexp_replace(x, '<script[^>]*>.*?</script>', ' ', 'gis'),
+           |            '<style[^>]*>.*?</style>', ' ', 'gis'),
+           |          '<[^>]*>', ' ', 'g'),
+           |        '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+           |        '&quot;', '"'), '&#39;', CHR(39)),
+           |      '\s+', ' ', 'g')) AS clean
+           |  FROM h
+           |)
+           |SELECT doc_id, md5(clean) AS clean_md5,
+           |  CAST(length(clean) AS BIGINT) AS clean_len,
+           |  CAST(raw_len - length(clean) AS BIGINT) AS html_chars_removed
+           |FROM s ORDER BY doc_id""".stripMargin))
+
+  // Mojibake repair (TextAnalysis.fixMojibake): docs with doc_id % 5 = 0 get
+  // every 'e' damaged into the classic UTF-8-as-Latin-1 two-char sequence in
+  // both engines; detection ppm and the repaired text md5 must match.
+  private val qMojibake = df("q_text_mojibake",
+    (sp, dir) => {
+      val docs = graft.engine.Tables.table(sp, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+            regexp_replace(col("text"), "e", "Ã©"))
+            .otherwise(col("text")).as("text"))
+      graft.operators.TextAnalysis.fixMojibake(docs, "doc_id", "text")
+        .select(col("doc_id"), col("mojibake_ppm"),
+          md5(col("fixed_text")).as("fixed_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 5 = 0
+           |      THEN replace(text, 'e', CHR(195) || CHR(169))
+           |      ELSE text END AS x
+           |  FROM documents
+           |)
+           |SELECT doc_id,
+           |  CASE WHEN length(x) > 0
+           |    THEN CAST(1000000 * (length(x) -
+           |      length(regexp_replace(x, '[' || CHR(195) || CHR(194) || ']', '', 'g')))
+           |      // length(x) AS BIGINT)
+           |    ELSE 0 END AS mojibake_ppm,
+           |  md5(replace(replace(replace(replace(replace(replace(replace(x,
+           |    CHR(195) || CHR(169), CHR(233)),
+           |    CHR(195) || CHR(168), CHR(232)),
+           |    CHR(195) || CHR(188), CHR(252)),
+           |    CHR(195) || CHR(182), CHR(246)),
+           |    CHR(195) || CHR(177), CHR(241)),
+           |    CHR(195) || CHR(164), CHR(228)),
+           |    CHR(194) || CHR(160), CHR(32))) AS fixed_md5
+           |FROM d ORDER BY doc_id""".stripMargin))
+
   // Per-source data card ("Datasheets for Datasets"-style corpus summary):
   // docs, tokens, exact-dup mass, language mix, and the median length in
   // one per-source row — the release artifact a corpus ships with. Pure
@@ -1668,5 +1751,5 @@ object PipelineQueries {
     qChunks, qCdcChunks, qPii, qRepetition, qEndToEnd,
     qUrls, qHistogram, qAnnInt8, qTfIdf, qTopNgrams,
     qTopKPerGroup, qShuffle, qPack, qPackFfd, qTemperatureMix, qQualityGate,
-    qDsir, qEpochSchedule, qVocabCoverage, qDataCard)
+    qDsir, qEpochSchedule, qVocabCoverage, qDataCard, qStripHtml, qMojibake)
 }

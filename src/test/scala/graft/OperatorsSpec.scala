@@ -683,6 +683,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(500L)._2 > 0 && fills.exists(r => r.getAs[Long]("fill") == 2000L))
   }
 
+  test("stripHtml: script/style blocks, tags, entities, whitespace — all handled") {
+    val docs = Seq(
+      (1L, "<html><script>if (a < b) { x(); }</script><style>p{}</style>" +
+        "<p>Hello &amp; welcome</p><div>to &lt;graft&gt;</div></html>"),
+      (2L, "no markup at all"),
+      (3L, "broken <unclosed and &nbsp; entity")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.stripHtml(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> (x.getString(1), x.getLong(2))).toMap
+    assert(r(1L)._1 == "Hello & welcome to <graft>")
+    assert(r(2L)._1 == "no markup at all" && r(2L)._2 == 0L)
+    // a stray '<' with no closing '>' is NOT a tag — the text survives
+    assert(r(3L)._1 == "broken <unclosed and entity", s"got '${r(3L)._1}'")
+  }
+
+  test("fixMojibake: detects lead-byte ppm and repairs the classic pairs") {
+    val docs = Seq(
+      (1L, "cafÃ© naÃ¯ve"),   // Ã© damaged, Ã¯ not in the fix list
+      (2L, "clean ascii text")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.fixMojibake(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getString(2))).toMap
+    assert(r(1L)._2 == "café naÃ¯ve", s"got '${r(1L)._2}'")
+    // 12 chars, 2 mojibake lead bytes
+    assert(r(1L)._1 == 1000000L * 2 / 12, s"ppm ${r(1L)._1}")
+    assert(r(2L) == ((0L, "clean ascii text")))
+  }
+
   test("vocabCoverage: per-doc OOV accounting against a vocab table") {
     val docs = Seq(
       (1L, "the cat sat"),            // all in vocab
