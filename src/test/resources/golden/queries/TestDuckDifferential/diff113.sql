@@ -1,0 +1,6 @@
+SELECT a.bucket, a.cnt, a.total FROM (
+  SELECT o_custkey % 4 AS bucket, COUNT(*) AS cnt, SUM(o_orderkey) AS total
+  FROM orders WHERE o_orderkey IN (1009, 1012, 1026)
+  GROUP BY o_custkey % 4
+) a WHERE a.cnt > 2
+ORDER BY a.bucket NULLS FIRST;

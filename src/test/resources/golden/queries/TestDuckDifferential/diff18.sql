@@ -1,3 +1,3 @@
-SELECT r_regionkey, r_name, r_regionkey + 5 AS bumped, LENGTH(r_name) AS slen FROM region
-WHERE (r_regionkey BETWEEN 2 AND 4 AND r_name >= 'E')
-ORDER BY r_regionkey NULLS FIRST, r_name NULLS FIRST, bumped NULLS FIRST, slen NULLS FIRST LIMIT 50;
+SELECT EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) AS p, COUNT(*) AS cnt, MIN(o_orderkey) AS lo
+FROM orders WHERE o_orderkey % 4 = 1
+GROUP BY EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) ORDER BY p NULLS FIRST;

@@ -1,4 +1,3 @@
-SELECT c.c_custkey, n.n_name FROM customer c
-JOIN nation n ON c.c_nationkey = n.n_nationkey
-WHERE c.c_custkey BETWEEN 75 AND 116
-ORDER BY c.c_custkey NULLS FIRST, n.n_name NULLS FIRST LIMIT 60;
+SELECT c_custkey, c_nationkey FROM customer
+WHERE c_custkey * 5 > (SELECT COUNT(*) FROM orders WHERE o_orderkey BETWEEN 431 AND 530)
+ORDER BY c_custkey NULLS FIRST LIMIT 50;

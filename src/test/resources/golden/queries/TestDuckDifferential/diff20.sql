@@ -1,3 +1,4 @@
-SELECT c_mktsegment, COUNT(*) AS cnt, SUM(c_nationkey) AS total, MIN(c_nationkey) AS lo, MAX(c_nationkey) AS hi
-FROM customer WHERE c_nationkey > 4
-GROUP BY c_mktsegment ORDER BY c_mktsegment NULLS FIRST;
+SELECT c.c_custkey, o.o_orderkey FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey AND o.o_orderkey > c.c_custkey + 17
+WHERE c.c_custkey BETWEEN 29 AND 32
+ORDER BY c.c_custkey NULLS FIRST, o.o_orderkey NULLS FIRST LIMIT 80;

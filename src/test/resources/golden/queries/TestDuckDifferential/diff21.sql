@@ -1,3 +1,3 @@
-SELECT n.n_nationkey, r.r_name FROM nation n
-LEFT JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_regionkey >= 2
-ORDER BY n.n_nationkey NULLS FIRST, r.r_name NULLS FIRST;
+SELECT n_nationkey % 6 AS g, MIN(n_name) AS lo, MAX(n_name) AS hi, SUM(LENGTH(n_name)) AS lensum
+FROM nation WHERE SUBSTR(n_name, 1, 1) <> 'q'
+GROUP BY n_nationkey % 6 ORDER BY g NULLS FIRST;

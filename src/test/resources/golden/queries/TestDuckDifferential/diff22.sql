@@ -1,4 +1,4 @@
-SELECT r_regionkey AS v, 'a' AS tag FROM region WHERE r_regionkey > 1
-UNION ALL
-SELECT r_regionkey AS v, 'b' AS tag FROM region WHERE r_regionkey <= 3
-ORDER BY v NULLS FIRST, tag NULLS FIRST LIMIT 80;
+SELECT CASE WHEN o_custkey % 4 = 0 THEN 'z' WHEN o_custkey % 4 = 1 THEN 'o' ELSE 'r' END AS cls,
+  COUNT(*) AS cnt, SUM(o_orderkey) AS s
+FROM orders WHERE o_orderkey > 293
+GROUP BY CASE WHEN o_custkey % 4 = 0 THEN 'z' WHEN o_custkey % 4 = 1 THEN 'o' ELSE 'r' END ORDER BY cls NULLS FIRST;

@@ -1,4 +1,2 @@
-SELECT o_orderkey, CAST(o_orderdate AS DATE) AS odate,
-  CASE WHEN o_orderkey % 3 = 0 THEN 'tri' WHEN o_orderkey % 6 = 1 THEN 'mod' ELSE 'rest' END AS cls
-FROM orders WHERE o_orderkey > 964
-ORDER BY o_orderkey NULLS FIRST LIMIT 70;
+SELECT r_regionkey FROM region WHERE r_regionkey IN (2, 5, 19)
+ORDER BY r_regionkey NULLS FIRST LIMIT 23 OFFSET 9;

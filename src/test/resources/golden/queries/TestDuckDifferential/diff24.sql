@@ -1,4 +1,3 @@
-SELECT c_custkey, c_mktsegment FROM customer
-WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_nationkey BETWEEN 3 AND 7)
-AND c_name LIKE '%a%'
-ORDER BY c_custkey NULLS FIRST LIMIT 60;
+SELECT c_custkey, c_mktsegment, c_custkey + 2 AS bumped, LENGTH(c_mktsegment) AS slen FROM customer
+WHERE (c_custkey % 7 = 1 AND LENGTH(c_mktsegment) > 4)
+ORDER BY c_custkey NULLS FIRST, c_mktsegment NULLS FIRST, bumped NULLS FIRST, slen NULLS FIRST LIMIT 50;

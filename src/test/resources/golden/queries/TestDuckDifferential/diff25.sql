@@ -1,4 +1,4 @@
-SELECT o_orderpriority, COUNT(*) AS cnt FROM orders
-WHERE o_custkey BETWEEN 63 AND 70
-GROUP BY o_orderpriority HAVING COUNT(*) > 2
-ORDER BY o_orderpriority NULLS FIRST;
+SELECT c.c_custkey, n.n_name FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c.c_custkey IN (92, 95, 109)
+ORDER BY c.c_custkey NULLS FIRST, n.n_name NULLS FIRST LIMIT 60;

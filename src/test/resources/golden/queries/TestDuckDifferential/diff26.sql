@@ -1,3 +1,3 @@
-SELECT DISTINCT o_orderstatus, o_custkey % 7 AS bucket FROM orders
-WHERE LENGTH(o_orderstatus) > 5
-ORDER BY o_orderstatus NULLS FIRST, bucket NULLS FIRST LIMIT 40;
+SELECT c_mktsegment, COUNT(*) AS cnt, SUM(c_nationkey) AS total, MIN(c_nationkey) AS lo, MAX(c_nationkey) AS hi
+FROM customer WHERE c_nationkey BETWEEN 4 AND 9
+GROUP BY c_mktsegment ORDER BY c_mktsegment NULLS FIRST;

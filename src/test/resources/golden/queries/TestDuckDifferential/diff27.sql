@@ -1,5 +1,3 @@
-SELECT c_custkey, c_name,
-  ROW_NUMBER() OVER (PARTITION BY c_name ORDER BY c_custkey) AS rn,
-  RANK() OVER (ORDER BY c_custkey % 7, c_custkey) AS rk
-FROM customer WHERE c_custkey BETWEEN 52 AND 101
-ORDER BY c_custkey NULLS FIRST LIMIT 60;
+SELECT n.n_nationkey, r.r_name FROM nation n
+LEFT JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_regionkey >= 4
+ORDER BY n.n_nationkey NULLS FIRST, r.r_name NULLS FIRST;

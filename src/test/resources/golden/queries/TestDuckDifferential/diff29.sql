@@ -1,3 +1,4 @@
-SELECT n_nationkey, n_name FROM nation n
-WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey AND c.c_custkey % 3 = 0)
-ORDER BY n_nationkey NULLS FIRST;
+SELECT o_orderkey, CAST(o_orderdate AS DATE) AS odate,
+  CASE WHEN o_orderkey % 3 = 0 THEN 'tri' WHEN o_orderkey % 6 = 1 THEN 'mod' ELSE 'rest' END AS cls
+FROM orders WHERE o_orderkey <= 188
+ORDER BY o_orderkey NULLS FIRST LIMIT 70;

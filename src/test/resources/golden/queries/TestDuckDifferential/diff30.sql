@@ -1,5 +1,4 @@
-SELECT c.c_custkey, n.n_name, rg.r_name FROM customer c
-JOIN nation n ON c.c_nationkey = n.n_nationkey
-JOIN region rg ON n.n_regionkey = rg.r_regionkey
-WHERE c.c_custkey <= 42 AND SUBSTR(rg.r_name, 1, 1) <> 'z'
-ORDER BY c.c_custkey NULLS FIRST LIMIT 70;
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_nationkey > 1)
+AND SUBSTR(c_name, 1, 1) <> 'x'
+ORDER BY c_custkey NULLS FIRST LIMIT 60;

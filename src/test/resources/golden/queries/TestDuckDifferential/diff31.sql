@@ -1,4 +1,4 @@
-SELECT r_regionkey, UPPER(r_name) AS up, SUBSTR(r_name, 2, 3) AS mid,
-  REPLACE(r_name, 'i', '_') AS rep, r_name || '#' || 'r' AS glued
-FROM region WHERE r_regionkey % 6 = 1
-ORDER BY r_regionkey NULLS FIRST LIMIT 50;
+SELECT o_orderpriority, COUNT(*) AS cnt FROM orders
+WHERE o_custkey BETWEEN 70 AND 85
+GROUP BY o_orderpriority HAVING COUNT(*) > 2
+ORDER BY o_orderpriority NULLS FIRST;

@@ -1,5 +1,3 @@
-SELECT o_orderpriority, COUNT(DISTINCT o_orderkey % 4) AS ndist,
-  SUM(CASE WHEN o_orderkey % 4 = 0 THEN 1 ELSE 0 END) AS hits,
-  COUNT(*) AS cnt
-FROM orders WHERE o_orderkey % 7 = 0
-GROUP BY o_orderpriority ORDER BY o_orderpriority NULLS FIRST;
+SELECT DISTINCT c_mktsegment, c_nationkey % 9 AS bucket FROM customer
+WHERE LENGTH(c_mktsegment) > 7
+ORDER BY c_mktsegment NULLS FIRST, bucket NULLS FIRST LIMIT 40;

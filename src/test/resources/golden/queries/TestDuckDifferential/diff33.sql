@@ -1,4 +1,5 @@
-SELECT n_nationkey, n_name,
-  (SELECT COUNT(*) FROM customer c WHERE c.c_nationkey = n.n_nationkey AND c.c_custkey BETWEEN 43 AND 46) AS n_cust
-FROM nation n
-ORDER BY n_nationkey NULLS FIRST;
+SELECT c_custkey, c_name,
+  ROW_NUMBER() OVER (PARTITION BY c_name ORDER BY c_custkey) AS rn,
+  RANK() OVER (ORDER BY c_custkey % 7, c_custkey) AS rk
+FROM customer WHERE c_custkey BETWEEN 43 AND 46
+ORDER BY c_custkey NULLS FIRST LIMIT 60;

@@ -1,4 +1,4 @@
-SELECT c_custkey, c_nationkey FROM customer
-WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_nationkey IN (1, 4, 18))
-AND c_custkey BETWEEN 18 AND 54
-ORDER BY c_custkey NULLS FIRST LIMIT 60;
+SELECT n_regionkey AS v FROM nation WHERE n_nationkey > 1
+EXCEPT
+SELECT r_regionkey AS v FROM region WHERE r_regionkey >= 3
+ORDER BY v NULLS FIRST;

@@ -1,6 +1,3 @@
-SELECT a.bucket, a.cnt, a.total FROM (
-  SELECT o_custkey % 6 AS bucket, COUNT(*) AS cnt, SUM(o_orderkey) AS total
-  FROM orders WHERE o_orderkey > 1030
-  GROUP BY o_custkey % 6
-) a WHERE a.cnt > 1
-ORDER BY a.bucket NULLS FIRST;
+SELECT n_nationkey, n_name FROM nation n
+WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey AND c.c_custkey BETWEEN 56 AND 67)
+ORDER BY n_nationkey NULLS FIRST;

@@ -1,3 +1,5 @@
-SELECT c_custkey, c_mktsegment, c_custkey + 3 AS bumped, LENGTH(c_mktsegment) AS slen FROM customer
-WHERE (c_custkey BETWEEN 103 AND 108 AND LENGTH(c_name) > 8)
-ORDER BY c_custkey NULLS FIRST, c_mktsegment NULLS FIRST, bumped NULLS FIRST, slen NULLS FIRST LIMIT 50;
+SELECT c.c_custkey, n.n_name, rg.r_name FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region rg ON n.n_regionkey = rg.r_regionkey
+WHERE c.c_custkey IN (96, 99, 113) AND LENGTH(rg.r_name) > 4
+ORDER BY c.c_custkey NULLS FIRST LIMIT 70;

@@ -1,4 +1,4 @@
-SELECT c.c_custkey, n.n_name FROM customer c
-JOIN nation n ON c.c_nationkey = n.n_nationkey
-WHERE c.c_custkey <= 64
-ORDER BY c.c_custkey NULLS FIRST, n.n_name NULLS FIRST LIMIT 60;
+SELECT n_nationkey, UPPER(n_name) AS up, SUBSTR(n_name, 2, 2) AS mid,
+  REPLACE(n_name, 'e', '_') AS rep, n_name || '#' || 'n' AS glued
+FROM nation WHERE n_nationkey <= 15
+ORDER BY n_nationkey NULLS FIRST LIMIT 50;

@@ -1,3 +1,4 @@
-SELECT n.n_nationkey, r.r_name FROM nation n
-LEFT JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_regionkey >= 4
-ORDER BY n.n_nationkey NULLS FIRST, r.r_name NULLS FIRST;
+SELECT n_nationkey, n_name,
+  (SELECT COUNT(*) FROM customer c WHERE c.c_nationkey = n.n_nationkey AND c.c_custkey IN (100, 103, 117)) AS n_cust
+FROM nation n
+ORDER BY n_nationkey NULLS FIRST;

@@ -1,4 +1,4 @@
-SELECT r_regionkey AS v, 'a' AS tag FROM region WHERE r_regionkey IN (0, 3, 17)
-UNION ALL
-SELECT r_regionkey AS v, 'b' AS tag FROM region WHERE r_regionkey IN (1, 4, 18)
-ORDER BY v NULLS FIRST, tag NULLS FIRST LIMIT 80;
+SELECT c_custkey, c_nationkey FROM customer
+WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_nationkey > 15)
+AND c_custkey IN (51, 54, 68)
+ORDER BY c_custkey NULLS FIRST LIMIT 60;

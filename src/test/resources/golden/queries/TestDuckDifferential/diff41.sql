@@ -1,4 +1,6 @@
-SELECT o_orderkey, CAST(o_orderdate AS DATE) AS odate,
-  CASE WHEN o_orderkey % 3 = 0 THEN 'tri' WHEN o_orderkey % 4 = 1 THEN 'mod' ELSE 'rest' END AS cls
-FROM orders WHERE o_orderkey % 4 = 1
-ORDER BY o_orderkey NULLS FIRST LIMIT 70;
+SELECT a.bucket, a.cnt, a.total FROM (
+  SELECT o_custkey % 2 AS bucket, COUNT(*) AS cnt, SUM(o_orderkey) AS total
+  FROM orders WHERE o_orderkey IN (346, 349, 363)
+  GROUP BY o_custkey % 2
+) a WHERE a.cnt > 4
+ORDER BY a.bucket NULLS FIRST;

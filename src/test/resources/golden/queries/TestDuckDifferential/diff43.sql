@@ -1,4 +1,3 @@
-SELECT o_orderpriority, COUNT(*) AS cnt FROM orders
-WHERE o_custkey > 2
-GROUP BY o_orderpriority HAVING COUNT(*) > 3
-ORDER BY o_orderpriority NULLS FIRST;
+SELECT c_custkey, c_nationkey FROM customer
+WHERE c_custkey * 6 > (SELECT COUNT(*) FROM orders WHERE o_orderkey % 4 = 1)
+ORDER BY c_custkey NULLS FIRST LIMIT 50;

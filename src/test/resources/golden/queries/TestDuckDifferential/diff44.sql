@@ -1,3 +1,4 @@
-SELECT DISTINCT c_mktsegment, c_nationkey % 3 AS bucket FROM customer
-WHERE SUBSTR(c_mktsegment, 1, 1) <> 'x'
-ORDER BY c_mktsegment NULLS FIRST, bucket NULLS FIRST LIMIT 40;
+SELECT c.c_custkey, o.o_orderkey FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey AND o.o_orderkey > c.c_custkey + 20
+WHERE c.c_custkey <= 121
+ORDER BY c.c_custkey NULLS FIRST, o.o_orderkey NULLS FIRST LIMIT 80;

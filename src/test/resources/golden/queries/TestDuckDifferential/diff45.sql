@@ -1,5 +1,3 @@
-SELECT c_custkey, c_mktsegment,
-  ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_custkey) AS rn,
-  RANK() OVER (ORDER BY c_custkey % 6, c_custkey) AS rk
-FROM customer WHERE c_custkey IN (37, 40, 54)
-ORDER BY c_custkey NULLS FIRST LIMIT 60;
+SELECT c_custkey % 2 AS g, MIN(c_name) AS lo, MAX(c_name) AS hi, SUM(LENGTH(c_name)) AS lensum
+FROM customer WHERE c_name >= 'F'
+GROUP BY c_custkey % 2 ORDER BY g NULLS FIRST;

@@ -1,4 +1,4 @@
-SELECT n_regionkey AS v FROM nation WHERE n_nationkey > 3
-EXCEPT
-SELECT r_regionkey AS v FROM region WHERE r_regionkey >= 1
-ORDER BY v NULLS FIRST;
+SELECT CASE WHEN o_custkey % 3 = 0 THEN 'z' WHEN o_custkey % 3 = 1 THEN 'o' ELSE 'r' END AS cls,
+  COUNT(*) AS cnt, SUM(o_orderkey) AS s
+FROM orders WHERE o_orderkey IN (642, 645, 659)
+GROUP BY CASE WHEN o_custkey % 3 = 0 THEN 'z' WHEN o_custkey % 3 = 1 THEN 'o' ELSE 'r' END ORDER BY cls NULLS FIRST;

@@ -1,3 +1,2 @@
-SELECT n_nationkey, n_name FROM nation n
-WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey AND c.c_custkey IN (93, 96, 110))
-ORDER BY n_nationkey NULLS FIRST;
+SELECT n_nationkey FROM nation WHERE n_nationkey % 6 = 1
+ORDER BY n_nationkey NULLS FIRST LIMIT 23 OFFSET 11;

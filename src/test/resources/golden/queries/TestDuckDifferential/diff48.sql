@@ -1,5 +1,3 @@
-SELECT c.c_custkey, n.n_name, rg.r_name FROM customer c
-JOIN nation n ON c.c_nationkey = n.n_nationkey
-JOIN region rg ON n.n_regionkey = rg.r_regionkey
-WHERE c.c_custkey IN (15, 18, 32) AND LENGTH(rg.r_name) > 7
-ORDER BY c.c_custkey NULLS FIRST LIMIT 70;
+SELECT n_regionkey, n_name, n_regionkey + 5 AS bumped, LENGTH(n_name) AS slen FROM nation
+WHERE (LENGTH(n_name) > 5 OR n_nationkey IN (5, 8, 22))
+ORDER BY n_regionkey NULLS FIRST, n_name NULLS FIRST, bumped NULLS FIRST, slen NULLS FIRST LIMIT 50;

@@ -1,4 +1,4 @@
-SELECT o_orderkey, UPPER(o_orderstatus) AS up, SUBSTR(o_orderstatus, 2, 3) AS mid,
-  REPLACE(o_orderstatus, 'i', '_') AS rep, o_orderstatus || '#' || 's' AS glued
-FROM orders WHERE o_orderkey IN (695, 698, 712)
-ORDER BY o_orderkey NULLS FIRST LIMIT 50;
+SELECT c.c_custkey, n.n_name FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c.c_custkey IN (15, 18, 32)
+ORDER BY c.c_custkey NULLS FIRST, n.n_name NULLS FIRST LIMIT 60;

@@ -1,5 +1,3 @@
-SELECT c_mktsegment, COUNT(DISTINCT c_custkey % 5) AS ndist,
-  SUM(CASE WHEN c_custkey % 5 = 0 THEN 1 ELSE 0 END) AS hits,
-  COUNT(*) AS cnt
-FROM customer WHERE c_custkey % 7 = 0
-GROUP BY c_mktsegment ORDER BY c_mktsegment NULLS FIRST;
+SELECT o_orderstatus, COUNT(*) AS cnt, SUM(o_custkey) AS total, MIN(o_custkey) AS lo, MAX(o_custkey) AS hi
+FROM orders WHERE o_custkey BETWEEN 57 AND 77
+GROUP BY o_orderstatus ORDER BY o_orderstatus NULLS FIRST;

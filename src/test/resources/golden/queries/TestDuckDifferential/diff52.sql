@@ -1,4 +1,4 @@
-SELECT c_custkey, c_nationkey FROM customer
-WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_nationkey BETWEEN 1 AND 5)
-AND c_custkey <= 27
-ORDER BY c_custkey NULLS FIRST LIMIT 60;
+SELECT c_custkey AS v, 'a' AS tag FROM customer WHERE c_custkey IN (30, 33, 47)
+UNION ALL
+SELECT c_custkey AS v, 'b' AS tag FROM customer WHERE c_custkey % 2 = 1
+ORDER BY v NULLS FIRST, tag NULLS FIRST LIMIT 80;

@@ -1,6 +1,4 @@
-SELECT a.bucket, a.cnt, a.total FROM (
-  SELECT o_custkey % 6 AS bucket, COUNT(*) AS cnt, SUM(o_orderkey) AS total
-  FROM orders WHERE o_orderkey BETWEEN 444 AND 452
-  GROUP BY o_custkey % 6
-) a WHERE a.cnt > 1
-ORDER BY a.bucket NULLS FIRST;
+SELECT o_orderkey, CAST(o_orderdate AS DATE) AS odate,
+  CASE WHEN o_orderkey % 3 = 0 THEN 'tri' WHEN o_orderkey % 4 = 1 THEN 'mod' ELSE 'rest' END AS cls
+FROM orders WHERE o_orderkey <= 1027
+ORDER BY o_orderkey NULLS FIRST LIMIT 70;

@@ -1,3 +1,4 @@
-SELECT o_orderkey, o_orderpriority, o_orderkey + 9 AS bumped, LENGTH(o_orderpriority) AS slen FROM orders
-WHERE (o_orderpriority >= 'B' AND o_orderkey BETWEEN 82 AND 175)
-ORDER BY o_orderkey NULLS FIRST, o_orderpriority NULLS FIRST, bumped NULLS FIRST, slen NULLS FIRST LIMIT 50;
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_nationkey BETWEEN 1 AND 5)
+AND LENGTH(c_name) > 4
+ORDER BY c_custkey NULLS FIRST LIMIT 60;

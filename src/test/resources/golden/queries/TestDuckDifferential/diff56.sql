@@ -1,3 +1,3 @@
-SELECT o_orderstatus, COUNT(*) AS cnt, SUM(o_custkey) AS total, MIN(o_custkey) AS lo, MAX(o_custkey) AS hi
-FROM orders WHERE o_custkey > 47
-GROUP BY o_orderstatus ORDER BY o_orderstatus NULLS FIRST;
+SELECT DISTINCT o_orderpriority, o_orderkey % 6 AS bucket FROM orders
+WHERE o_orderpriority LIKE '%e%'
+ORDER BY o_orderpriority NULLS FIRST, bucket NULLS FIRST LIMIT 40;

@@ -1,3 +1,5 @@
-SELECT n.n_nationkey, r.r_name FROM nation n
-LEFT JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_regionkey >= 3
-ORDER BY n.n_nationkey NULLS FIRST, r.r_name NULLS FIRST;
+SELECT c_custkey, c_name,
+  ROW_NUMBER() OVER (PARTITION BY c_name ORDER BY c_custkey) AS rn,
+  RANK() OVER (ORDER BY c_custkey % 4, c_custkey) AS rk
+FROM customer WHERE c_custkey <= 68
+ORDER BY c_custkey NULLS FIRST LIMIT 60;

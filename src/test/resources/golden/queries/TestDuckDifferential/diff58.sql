@@ -1,4 +1,4 @@
-SELECT o_orderkey AS v, 'a' AS tag FROM orders WHERE o_orderkey IN (865, 868, 882)
-UNION ALL
-SELECT o_orderkey AS v, 'b' AS tag FROM orders WHERE o_orderkey <= 1235
-ORDER BY v NULLS FIRST, tag NULLS FIRST LIMIT 80;
+SELECT n_regionkey AS v FROM nation WHERE n_nationkey > 9
+UNION
+SELECT r_regionkey AS v FROM region WHERE r_regionkey >= 1
+ORDER BY v NULLS FIRST;

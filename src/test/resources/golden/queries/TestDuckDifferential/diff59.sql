@@ -1,4 +1,3 @@
-SELECT o_orderkey, CAST(o_orderdate AS DATE) AS odate,
-  CASE WHEN o_orderkey % 3 = 0 THEN 'tri' WHEN o_orderkey % 4 = 1 THEN 'mod' ELSE 'rest' END AS cls
-FROM orders WHERE o_orderkey IN (658, 661, 675)
-ORDER BY o_orderkey NULLS FIRST LIMIT 70;
+SELECT n_nationkey, n_name FROM nation n
+WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey AND c.c_custkey IN (11, 14, 28))
+ORDER BY n_nationkey NULLS FIRST;

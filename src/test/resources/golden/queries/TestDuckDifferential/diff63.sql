@@ -1,5 +1,4 @@
-SELECT o_orderkey, o_orderstatus,
-  ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS rn,
-  RANK() OVER (ORDER BY o_orderkey % 3, o_orderkey) AS rk
-FROM orders WHERE o_orderkey % 2 = 1
-ORDER BY o_orderkey NULLS FIRST LIMIT 60;
+SELECT n_nationkey, n_name,
+  (SELECT COUNT(*) FROM customer c WHERE c.c_nationkey = n.n_nationkey AND c.c_custkey > 3) AS n_cust
+FROM nation n
+ORDER BY n_nationkey NULLS FIRST;

@@ -1,3 +1,6 @@
-SELECT n_nationkey, n_name FROM nation n
-WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey AND c.c_custkey IN (7, 10, 24))
-ORDER BY n_nationkey NULLS FIRST;
+SELECT a.bucket, a.cnt, a.total FROM (
+  SELECT o_custkey % 6 AS bucket, COUNT(*) AS cnt, SUM(o_orderkey) AS total
+  FROM orders WHERE o_orderkey % 4 = 1
+  GROUP BY o_custkey % 6
+) a WHERE a.cnt > 1
+ORDER BY a.bucket NULLS FIRST;

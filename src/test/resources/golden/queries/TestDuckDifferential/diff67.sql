@@ -1,4 +1,3 @@
-SELECT n_nationkey, UPPER(n_name) AS up, SUBSTR(n_name, 2, 2) AS mid,
-  REPLACE(n_name, 'e', '_') AS rep, n_name || '#' || 's' AS glued
-FROM nation WHERE n_nationkey % 5 = 0
-ORDER BY n_nationkey NULLS FIRST LIMIT 50;
+SELECT c_custkey, c_nationkey FROM customer
+WHERE c_custkey * 3 > (SELECT COUNT(*) FROM orders WHERE o_orderkey % 6 = 1)
+ORDER BY c_custkey NULLS FIRST LIMIT 50;

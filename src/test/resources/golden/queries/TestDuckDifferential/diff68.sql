@@ -1,5 +1,4 @@
-SELECT c_mktsegment, COUNT(DISTINCT c_custkey % 4) AS ndist,
-  SUM(CASE WHEN c_custkey % 4 = 0 THEN 1 ELSE 0 END) AS hits,
-  COUNT(*) AS cnt
-FROM customer WHERE c_custkey > 66
-GROUP BY c_mktsegment ORDER BY c_mktsegment NULLS FIRST;
+SELECT c.c_custkey, o.o_orderkey FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey AND o.o_orderkey > c.c_custkey + 9
+WHERE c.c_custkey IN (7, 10, 24)
+ORDER BY c.c_custkey NULLS FIRST, o.o_orderkey NULLS FIRST LIMIT 80;

@@ -1,4 +1,3 @@
-SELECT n_nationkey, n_name,
-  (SELECT COUNT(*) FROM customer c WHERE c.c_nationkey = n.n_nationkey AND c.c_custkey IN (92, 95, 109)) AS n_cust
-FROM nation n
-ORDER BY n_nationkey NULLS FIRST;
+SELECT o_orderkey % 4 AS g, MIN(o_orderstatus) AS lo, MAX(o_orderstatus) AS hi, SUM(LENGTH(o_orderstatus)) AS lensum
+FROM orders WHERE o_orderstatus LIKE '%u%'
+GROUP BY o_orderkey % 4 ORDER BY g NULLS FIRST;

@@ -1,4 +1,4 @@
-SELECT c_custkey, c_nationkey FROM customer
-WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_nationkey % 3 = 1)
-AND c_custkey > 61
-ORDER BY c_custkey NULLS FIRST LIMIT 60;
+SELECT CASE WHEN o_custkey % 5 = 0 THEN 'z' WHEN o_custkey % 5 = 1 THEN 'o' ELSE 'r' END AS cls,
+  COUNT(*) AS cnt, SUM(o_orderkey) AS s
+FROM orders WHERE o_orderkey % 3 = 0
+GROUP BY CASE WHEN o_custkey % 5 = 0 THEN 'z' WHEN o_custkey % 5 = 1 THEN 'o' ELSE 'r' END ORDER BY cls NULLS FIRST;

@@ -1,6 +1,2 @@
-SELECT a.bucket, a.cnt, a.total FROM (
-  SELECT o_custkey % 6 AS bucket, COUNT(*) AS cnt, SUM(o_orderkey) AS total
-  FROM orders WHERE o_orderkey % 6 = 1
-  GROUP BY o_custkey % 6
-) a WHERE a.cnt > 3
-ORDER BY a.bucket NULLS FIRST;
+SELECT n_nationkey FROM nation WHERE n_nationkey % 5 = 0
+ORDER BY n_nationkey NULLS FIRST LIMIT 23 OFFSET 2;

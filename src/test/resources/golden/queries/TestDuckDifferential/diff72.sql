@@ -1,3 +1,3 @@
-SELECT r_regionkey, r_name, r_regionkey + 8 AS bumped, LENGTH(r_name) AS slen FROM region
-WHERE (r_regionkey <= 3 OR r_name LIKE '%i%')
-ORDER BY r_regionkey NULLS FIRST, r_name NULLS FIRST, bumped NULLS FIRST, slen NULLS FIRST LIMIT 50;
+SELECT c_nationkey, c_mktsegment, c_nationkey + 1 AS bumped, LENGTH(c_mktsegment) AS slen FROM customer
+WHERE (SUBSTR(c_name, 1, 1) <> 'x' OR c_custkey IN (92, 95, 109))
+ORDER BY c_nationkey NULLS FIRST, c_mktsegment NULLS FIRST, bumped NULLS FIRST, slen NULLS FIRST LIMIT 50;

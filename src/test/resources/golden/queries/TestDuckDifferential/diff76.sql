@@ -1,4 +1,4 @@
-SELECT o_orderkey AS v, 'a' AS tag FROM orders WHERE o_orderkey IN (997, 1000, 1014)
+SELECT n_regionkey AS v, 'a' AS tag FROM nation WHERE n_regionkey BETWEEN 2 AND 4
 UNION ALL
-SELECT o_orderkey AS v, 'b' AS tag FROM orders WHERE o_orderkey BETWEEN 833 AND 1257
+SELECT n_regionkey AS v, 'b' AS tag FROM nation WHERE n_regionkey IN (0, 3, 17)
 ORDER BY v NULLS FIRST, tag NULLS FIRST LIMIT 80;

@@ -1,3 +1,3 @@
-SELECT DISTINCT c_mktsegment, c_nationkey % 3 AS bucket FROM customer
-WHERE c_mktsegment >= 'E'
+SELECT DISTINCT c_mktsegment, c_nationkey % 8 AS bucket FROM customer
+WHERE LENGTH(c_mktsegment) > 7
 ORDER BY c_mktsegment NULLS FIRST, bucket NULLS FIRST LIMIT 40;

@@ -1,5 +1,5 @@
-SELECT c_mktsegment, COUNT(DISTINCT c_custkey % 5) AS ndist,
-  SUM(CASE WHEN c_custkey % 5 = 0 THEN 1 ELSE 0 END) AS hits,
+SELECT o_orderstatus, COUNT(DISTINCT o_orderkey % 2) AS ndist,
+  SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS hits,
   COUNT(*) AS cnt
-FROM customer WHERE c_custkey % 2 = 1
-GROUP BY c_mktsegment ORDER BY c_mktsegment NULLS FIRST;
+FROM orders WHERE o_orderkey <= 1207
+GROUP BY o_orderstatus ORDER BY o_orderstatus NULLS FIRST;

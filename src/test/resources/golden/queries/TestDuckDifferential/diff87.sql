@@ -1,4 +1,4 @@
 SELECT n_nationkey, n_name,
-  (SELECT COUNT(*) FROM customer c WHERE c.c_nationkey = n.n_nationkey AND c.c_custkey IN (80, 83, 97)) AS n_cust
+  (SELECT COUNT(*) FROM customer c WHERE c.c_nationkey = n.n_nationkey AND c.c_custkey % 6 = 0) AS n_cust
 FROM nation n
 ORDER BY n_nationkey NULLS FIRST;

@@ -1,4 +1,4 @@
 SELECT c_custkey, c_nationkey FROM customer
-WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_nationkey <= 12)
-AND c_custkey <= 48
+WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_nationkey > 11)
+AND c_custkey IN (31, 34, 48)
 ORDER BY c_custkey NULLS FIRST LIMIT 60;

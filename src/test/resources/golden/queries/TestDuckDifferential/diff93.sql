@@ -1,0 +1,3 @@
+SELECT n_nationkey % 3 AS g, MIN(n_name) AS lo, MAX(n_name) AS hi, SUM(LENGTH(n_name)) AS lensum
+FROM nation WHERE SUBSTR(n_name, 1, 1) <> 'x'
+GROUP BY n_nationkey % 3 ORDER BY g NULLS FIRST;

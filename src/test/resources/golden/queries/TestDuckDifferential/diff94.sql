@@ -1,0 +1,4 @@
+SELECT CASE WHEN o_custkey % 3 = 0 THEN 'z' WHEN o_custkey % 3 = 1 THEN 'o' ELSE 'r' END AS cls,
+  COUNT(*) AS cnt, SUM(o_orderkey) AS s
+FROM orders WHERE o_orderkey > 660
+GROUP BY CASE WHEN o_custkey % 3 = 0 THEN 'z' WHEN o_custkey % 3 = 1 THEN 'o' ELSE 'r' END ORDER BY cls NULLS FIRST;

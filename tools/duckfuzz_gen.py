@@ -20,7 +20,7 @@ SF = "/root/testdata/sf0.001"
 SUITE = "TestDuckDifferential"
 QDIR = f"src/test/resources/golden/queries/{SUITE}"
 RDIR = f"src/test/resources/golden/results/{SUITE}"
-N_CASES = 90
+N_CASES = 120
 
 TABLES = {
     "nation": {"ints": ["n_nationkey", "n_regionkey"], "strs": ["n_name"]},
@@ -72,7 +72,50 @@ def order_by(cols):
 
 
 def gen_case(r, i):
-    shape = i % 18
+    shape = i % 24
+    if shape == 18:  # date part extraction + group
+        part = r.choice(["YEAR", "MONTH"])
+        return (f"SELECT EXTRACT({part} FROM CAST(o_orderdate AS DATE)) AS p,"
+                f" COUNT(*) AS cnt, MIN(o_orderkey) AS lo\n"
+                f"FROM orders WHERE {int_pred(r, 'o_orderkey')}\n"
+                f"GROUP BY EXTRACT({part} FROM CAST(o_orderdate AS DATE))"
+                f" {order_by(['p'])};")
+    if shape == 19:  # scalar aggregate subquery comparison
+        m = r.randint(2, 9)
+        return (f"SELECT c_custkey, c_nationkey FROM customer\n"
+                f"WHERE c_custkey * {m} > (SELECT COUNT(*) FROM orders"
+                f" WHERE {int_pred(r, 'o_orderkey')})\n"
+                f"{order_by(['c_custkey'])} LIMIT 50;")
+    if shape == 20:  # join with an extra non-equi residual
+        k = r.randint(1, 20)
+        return (f"SELECT c.c_custkey, o.o_orderkey FROM customer c\n"
+                f"JOIN orders o ON c.c_custkey = o.o_custkey"
+                f" AND o.o_orderkey > c.c_custkey + {k}\n"
+                f"WHERE {int_pred(r, 'c.c_custkey')}\n"
+                f"{order_by(['c.c_custkey', 'o.o_orderkey'])} LIMIT 80;")
+    if shape == 21:  # min/max over strings + length arithmetic
+        t = r.choice(list(TABLES))
+        sc = r.choice(TABLES[t]["strs"])
+        ic = TABLES[t]["ints"][0]
+        m = r.randint(2, 6)
+        return (f"SELECT {ic} % {m} AS g, MIN({sc}) AS lo,"
+                f" MAX({sc}) AS hi, SUM(LENGTH({sc})) AS lensum\n"
+                f"FROM {t} WHERE {str_pred(r, sc)}\n"
+                f"GROUP BY {ic} % {m} {order_by(['g'])};")
+    if shape == 22:  # CASE expression as the grouping key
+        m = r.randint(3, 5)
+        return (f"SELECT CASE WHEN o_custkey % {m} = 0 THEN 'z'"
+                f" WHEN o_custkey % {m} = 1 THEN 'o' ELSE 'r' END AS cls,\n"
+                f"  COUNT(*) AS cnt, SUM(o_orderkey) AS s\n"
+                f"FROM orders WHERE {int_pred(r, 'o_orderkey')}\n"
+                f"GROUP BY CASE WHEN o_custkey % {m} = 0 THEN 'z'"
+                f" WHEN o_custkey % {m} = 1 THEN 'o' ELSE 'r' END"
+                f" {order_by(['cls'])};")
+    if shape == 23:  # LIMIT + OFFSET over a total order
+        t = r.choice(list(TABLES))
+        ic = TABLES[t]["ints"][0]
+        return (f"SELECT {ic} FROM {t} WHERE {int_pred(r, ic)}\n"
+                f"{order_by([ic])} LIMIT {r.randint(5, 25)} OFFSET {r.randint(1, 15)};")
     if shape == 9:  # window rank family over a unique order -> deterministic
         t = r.choice(["customer", "orders"])
         key = TABLES[t]["ints"][0]
