@@ -384,6 +384,26 @@ object TextAnalysis {
         expr("CASE WHEN n_bigrams > 0 THEN __s DIV n_bigrams END").as("lm_ppm"))
   }
 
+  /** Rule-based sentence split: one row per sentence with its position —
+    * the granularity below paragraphs that chunking, sub-document dedup,
+    * and span extraction want. A sentence is a maximal run of
+    * non-terminator characters plus its trailing [.!?]+ run (the pattern
+    * `[^.!?]+[.!?]*`, portable across Java regex and RE2 — no lookaround),
+    * trimmed; runs that trim to nothing are dropped but keep their gap in
+    * `sent_idx` (the index is the position in the raw split, so callers
+    * can reassemble).
+    *
+    * Scale: per-row extract + explode, no shuffle. */
+  def sentences(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), posexplode(
+        expr(s"REGEXP_EXTRACT_ALL($textCol, '[^.!?]+[.!?]*', 0)"))
+        .as(Seq("sent_idx", "__s")))
+      .select(col(idCol), col("sent_idx").cast("bigint").as("sent_idx"),
+        trim(col("__s")).as("sentence"))
+      .filter(col("sentence") =!= "")
+      .withColumn("n_chars", length(col("sentence")).cast("bigint"))
+
   /** HTML boilerplate strip (WET-extraction-lite, the CommonCrawl
     * HTML -> text step): drop script/style blocks, strip the remaining
     * tags, decode the common entities, and whitespace-normalize — the

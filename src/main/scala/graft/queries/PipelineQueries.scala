@@ -263,6 +263,35 @@ object PipelineQueries {
            |WHERE b.digest NOT IN (SELECT digest FROM seen)
            |ORDER BY b.doc_id""".stripMargin))
 
+  // Sentence split (TextAnalysis.sentences): both engines first inject the
+  // same deterministic terminators (the single-line corpus has none), then
+  // replay the identical extract-all pattern, the raw-split indices, the
+  // trim, and the empty-run drop.
+  private val qSentences = df("q_text_sentences",
+    (sp, dir) => {
+      val docs = graft.engine.Tables.table(sp, dir, "documents")
+        .select(col("doc_id"),
+          concat(regexp_replace(col("text"), " the ", ". The "), lit("!")).as("text"))
+      graft.operators.TextAnalysis.sentences(docs, "doc_id", "text")
+        .select(col("doc_id"), col("sent_idx"), col("n_chars"),
+          md5(col("sentence")).as("sent_md5"))
+        .orderBy("doc_id", "sent_idx")
+    },
+    Some("""WITH d AS (
+           |  SELECT doc_id, regexp_replace(text, ' the ', '. The ', 'g') || '!' AS x
+           |  FROM documents
+           |), arrs AS (
+           |  SELECT doc_id, regexp_extract_all(x, '[^.!?]+[.!?]*') AS a FROM d
+           |), s AS (
+           |  SELECT doc_id, g.i - 1 AS sent_idx, trim(a[g.i]) AS sentence
+           |  FROM arrs, LATERAL (SELECT unnest(range(1, len(a) + 1)) AS i) g
+           |)
+           |SELECT doc_id, CAST(sent_idx AS BIGINT) AS sent_idx,
+           |  CAST(length(sentence) AS BIGINT) AS n_chars,
+           |  md5(sentence) AS sent_md5
+           |FROM s WHERE sentence <> ''
+           |ORDER BY doc_id, sent_idx""".stripMargin))
+
   // HTML boilerplate strip (TextAnalysis.stripHtml): both engines wrap every
   // document in the same deterministic HTML shell (script with a '<' inside,
   // style block, heading, entities) and replay the identical regex/entity
@@ -1751,5 +1780,6 @@ object PipelineQueries {
     qChunks, qCdcChunks, qPii, qRepetition, qEndToEnd,
     qUrls, qHistogram, qAnnInt8, qTfIdf, qTopNgrams,
     qTopKPerGroup, qShuffle, qPack, qPackFfd, qTemperatureMix, qQualityGate,
-    qDsir, qEpochSchedule, qVocabCoverage, qDataCard, qStripHtml, qMojibake)
+    qDsir, qEpochSchedule, qVocabCoverage, qDataCard, qStripHtml, qMojibake,
+    qSentences)
 }

@@ -683,6 +683,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(500L)._2 > 0 && fills.exists(r => r.getAs[Long]("fill") == 2000L))
   }
 
+  test("sentences: terminator runs, trimming, gap-preserving indices") {
+    val docs = Seq(
+      (1L, "One sentence. Two!! Three?No four..."),
+      (2L, "no terminator at all"),
+      (3L, "...")                          // only terminators -> no sentences
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.sentences(docs, "doc_id", "text")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2)))
+    assert(r.filter(_._1 == 1L).map(t => (t._2, t._3)).toSeq == Seq(
+      (0L, "One sentence."), (1L, "Two!!"), (2L, "Three?"), (3L, "No four...")))
+    assert(r.filter(_._1 == 2L).map(_._3).toSeq == Seq("no terminator at all"))
+    assert(!r.exists(_._1 == 3L))
+  }
+
   test("stripHtml: script/style blocks, tags, entities, whitespace — all handled") {
     val docs = Seq(
       (1L, "<html><script>if (a < b) { x(); }</script><style>p{}</style>" +
