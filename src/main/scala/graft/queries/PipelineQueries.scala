@@ -292,6 +292,43 @@ object PipelineQueries {
            |FROM s WHERE sentence <> ''
            |ORDER BY doc_id, sent_idx""".stripMargin))
 
+  // Sentence-level dedup: sentences feeding the keep-first-occurrence rule
+  // (the sub-paragraph granularity of MassiveText-style dedup) — global
+  // first occupant of each distinct sentence survives, later repeats are
+  // dropped; per-doc survival accounting oracle-checked. One md5 shuffle,
+  // same scale shape as paragraphDedup.
+  private val qDedupSentences = df("q_dedup_sentences",
+    (sp, dir) => {
+      val docs = graft.engine.Tables.table(sp, dir, "documents")
+        .select(col("doc_id"),
+          concat(regexp_replace(col("text"), " the ", ". The "), lit("!")).as("text"))
+      val sents = graft.operators.TextAnalysis.sentences(docs, "doc_id", "text")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("sentence"))).orderBy(col("doc_id"), col("sent_idx"))
+      sents.withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("bigint").as("n_sents"),
+          sum(when(col("__rn") === 1, 1L).otherwise(0L)).cast("bigint").as("kept_sents"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (
+           |  SELECT doc_id, regexp_replace(text, ' the ', '. The ', 'g') || '!' AS x
+           |  FROM documents
+           |), arrs AS (
+           |  SELECT doc_id, regexp_extract_all(x, '[^.!?]+[.!?]*') AS a FROM d
+           |), s AS (
+           |  SELECT doc_id, g.i - 1 AS sent_idx, trim(a[g.i]) AS sentence
+           |  FROM arrs, LATERAL (SELECT unnest(range(1, len(a) + 1)) AS i) g
+           |), nonempty AS (
+           |  SELECT doc_id, sent_idx, sentence,
+           |    ROW_NUMBER() OVER (PARTITION BY md5(sentence)
+           |      ORDER BY doc_id, sent_idx) AS rn
+           |  FROM s WHERE sentence <> ''
+           |)
+           |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sents,
+           |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_sents
+           |FROM nonempty GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   // HTML boilerplate strip (TextAnalysis.stripHtml): both engines wrap every
   // document in the same deterministic HTML shell (script with a '<' inside,
   // style block, heading, entities) and replay the identical regex/entity
@@ -1781,5 +1818,5 @@ object PipelineQueries {
     qUrls, qHistogram, qAnnInt8, qTfIdf, qTopNgrams,
     qTopKPerGroup, qShuffle, qPack, qPackFfd, qTemperatureMix, qQualityGate,
     qDsir, qEpochSchedule, qVocabCoverage, qDataCard, qStripHtml, qMojibake,
-    qSentences)
+    qSentences, qDedupSentences)
 }
