@@ -292,6 +292,83 @@ object PipelineQueries {
            |FROM s WHERE sentence <> ''
            |ORDER BY doc_id, sent_idx""".stripMargin))
 
+  // End-to-end ingest pipeline: the raw-web half of curation — documents
+  // arrive as mojibake-damaged HTML; stripHtml -> fixMojibake -> sentence
+  // stats produce the clean text a quality pipeline (q_pipeline_curate)
+  // would consume. Every stage's transform chain is replayed in DuckDB, so
+  // the composition — not just the pieces — carries driver evidence.
+  private val qIngest = df("q_pipeline_ingest",
+    (sp, dir) => {
+      import graft.operators.TextAnalysis
+      val docs = graft.engine.Tables.table(sp, dir, "documents")
+      val raw = docs.select(col("doc_id"), concat(
+        lit("<html><head><script>var x = 1 < 2;</script></head><body><p>"),
+        when(col("doc_id") % 5 === 0,
+          regexp_replace(regexp_replace(col("text"), " the ", ". The "), "e", "Ã©"))
+          .otherwise(regexp_replace(col("text"), " the ", ". The ")),
+        lit(".</p><div>&amp; tail</div></body></html>")).as("text"))
+      val stripped = TextAnalysis.stripHtml(raw, "doc_id", "text")
+        .select(col("doc_id"), col("clean_text").as("text"))
+      val fixed = TextAnalysis.fixMojibake(stripped, "doc_id", "text")
+      val sents = TextAnalysis
+        .sentences(fixed.select(col("doc_id"), col("fixed_text").as("text")),
+          "doc_id", "text")
+        .groupBy("doc_id").agg(count(lit(1)).cast("bigint").as("n_sents"))
+      fixed.join(sents, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("mojibake_ppm"),
+          coalesce(col("n_sents"), lit(0L)).as("n_sents"),
+          md5(col("fixed_text")).as("clean_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH raw AS (
+           |  SELECT doc_id,
+           |    '<html><head><script>var x = 1 < 2;</script></head><body><p>' ||
+           |    CASE WHEN doc_id % 5 = 0
+           |      THEN replace(regexp_replace(text, ' the ', '. The ', 'g'), 'e', CHR(195) || CHR(169))
+           |      ELSE regexp_replace(text, ' the ', '. The ', 'g') END ||
+           |    '.</p><div>&amp; tail</div></body></html>' AS x
+           |  FROM documents
+           |), stripped AS (
+           |  SELECT doc_id,
+           |    trim(regexp_replace(
+           |      replace(replace(replace(replace(replace(replace(
+           |        regexp_replace(
+           |          regexp_replace(
+           |            regexp_replace(x, '<script[^>]*>.*?</script>', ' ', 'gis'),
+           |            '<style[^>]*>.*?</style>', ' ', 'gis'),
+           |          '<[^>]*>', ' ', 'g'),
+           |        '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+           |        '&quot;', '"'), '&#39;', CHR(39)),
+           |      '\s+', ' ', 'g')) AS x
+           |  FROM raw
+           |), fixed AS (
+           |  SELECT doc_id,
+           |    CASE WHEN length(x) > 0
+           |      THEN CAST(1000000 * (length(x) -
+           |        length(regexp_replace(x, '[' || CHR(195) || CHR(194) || ']', '', 'g')))
+           |        // length(x) AS BIGINT)
+           |      ELSE 0 END AS mojibake_ppm,
+           |    replace(replace(replace(replace(replace(replace(replace(x,
+           |      CHR(195) || CHR(169), CHR(233)),
+           |      CHR(195) || CHR(168), CHR(232)),
+           |      CHR(195) || CHR(188), CHR(252)),
+           |      CHR(195) || CHR(182), CHR(246)),
+           |      CHR(195) || CHR(177), CHR(241)),
+           |      CHR(195) || CHR(164), CHR(228)),
+           |      CHR(194) || CHR(160), CHR(32)) AS y
+           |  FROM stripped
+           |), sc AS (
+           |  SELECT f.doc_id, COUNT(*) AS n_sents FROM fixed f,
+           |    LATERAL (SELECT unnest(regexp_extract_all(f.y, '[^.!?]+[.!?]*')) AS s) g
+           |  WHERE trim(g.s) <> ''
+           |  GROUP BY f.doc_id
+           |)
+           |SELECT f.doc_id, f.mojibake_ppm,
+           |  CAST(COALESCE(sc.n_sents, 0) AS BIGINT) AS n_sents,
+           |  md5(f.y) AS clean_md5
+           |FROM fixed f LEFT JOIN sc ON f.doc_id = sc.doc_id
+           |ORDER BY f.doc_id""".stripMargin))
+
   // Sentence-level dedup: sentences feeding the keep-first-occurrence rule
   // (the sub-paragraph granularity of MassiveText-style dedup) — global
   // first occupant of each distinct sentence survives, later repeats are
@@ -1818,5 +1895,5 @@ object PipelineQueries {
     qUrls, qHistogram, qAnnInt8, qTfIdf, qTopNgrams,
     qTopKPerGroup, qShuffle, qPack, qPackFfd, qTemperatureMix, qQualityGate,
     qDsir, qEpochSchedule, qVocabCoverage, qDataCard, qStripHtml, qMojibake,
-    qSentences, qDedupSentences)
+    qSentences, qDedupSentences, qIngest)
 }
