@@ -37,6 +37,22 @@ object Dedup {
     docs.select(col(idCol), expr(HashSpec.minhashNative(textCol, k, shingleN)).as("sig"))
   }
 
+  /** LSH band planner: choose (bands, rowsPerBand) for a k-hash signature
+    * so the S-curve threshold (1/b)^(1/r) — the Jaccard similarity at
+    * which a pair's candidate probability crosses ~1/2 (Leskovec/Rajaraman
+    * /Ullman, Mining of Massive Datasets ch. 3) — lands closest to the
+    * caller's target. Scans the divisors of k (b*r must tile the
+    * signature), ties broken toward more bands (higher recall). Pure
+    * driver-side arithmetic; feed the result to [[minhashBands]]. */
+  def planBands(k: Int, targetJaccard: Double): (Int, Int) = {
+    require(k >= 2 && targetJaccard > 0 && targetJaccard < 1,
+      s"need k >= 2 and target in (0,1), got k=$k t=$targetJaccard")
+    val options = for (b <- 1 to k if k % b == 0) yield (b, k / b)
+    options.minBy { case (b, r) =>
+      (math.abs(math.pow(1.0 / b, 1.0 / r) - targetJaccard), -b)
+    }
+  }
+
   /** LSH band rows: (id, band, band_key); join on (band, band_key) to get
     * candidate pairs. bands*rowsPerBand must equal the signature length. */
   def minhashBands(sigs: DataFrame, idCol: String,

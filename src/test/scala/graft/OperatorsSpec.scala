@@ -739,6 +739,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(3L) == ((2L, 0L, 1000000L)))
   }
 
+  test("planBands: S-curve thresholds, divisor tiling, recall-leaning ties") {
+    // k=16: (8 bands, 2 rows) threshold (1/8)^(1/2) ~ 0.354 — the repo's
+    // own default pairing for ~0.35-target dedup
+    assert(Dedup.planBands(16, 0.35) == ((8, 2)))
+    // high target -> few bands, long rows
+    val (bHi, rHi) = Dedup.planBands(16, 0.9)
+    assert(bHi * rHi == 16 && math.pow(1.0 / bHi, 1.0 / rHi) > 0.6)
+    // low target -> many bands
+    val (bLo, rLo) = Dedup.planBands(16, 0.05)
+    assert(bLo * rLo == 16 && bLo >= 8)
+    // every choice tiles the signature
+    for (k <- Seq(12, 16, 24, 64); t <- Seq(0.2, 0.5, 0.8)) {
+      val (b, r) = Dedup.planBands(k, t)
+      assert(b * r == k, s"k=$k t=$t -> ($b,$r)")
+    }
+  }
+
   test("incrementalBloomWith: a prebuilt sketch reused across two batches stays exact") {
     val seen = (1L to 500L).map(i => s"seen $i").toDF("text")
       .select(md5($"text").as("digest"))
