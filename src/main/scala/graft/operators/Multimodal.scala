@@ -358,19 +358,35 @@ object Multimodal {
         else {
           var width = 0; var height = 0; var nFrames = 0
           val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)] // (off, len)
-          def walk(off0: Int, end: Int): Unit = {
+          // size fields are untrusted: clamp every scan end to the real
+          // payload, reject negative (high-bit) sizes, and stop at the
+          // first chunk that overruns — a truncated/corrupt tail yields
+          // the frames parsed so far instead of an exception or a
+          // backwards-stepping infinite loop
+          def walk(off0: Int, end0: Int): Unit = {
+            val end = math.min(end0, bytes.length)
             var off = off0
-            while (off + 8 <= end) {
+            var ok = true
+            while (ok && off + 8 <= end) {
               val cc = fourcc(off); val sz = u32(off + 4)
               val body = off + 8
-              if (cc == "LIST") walk(body + 4, body + sz)
-              else if (cc == "avih" && sz >= 40) {
-                nFrames = u32(body + 16); width = u32(body + 32); height = u32(body + 36)
-              } else if (cc.endsWith("dc") || cc.endsWith("db")) frames += ((body, sz))
-              off = body + sz + (sz % 2)
+              if (sz < 0) ok = false // high-bit size: corrupt, stop
+              else {
+                if (cc == "LIST" && sz >= 4)
+                  // recurse with a clamped end: a truncated tail still
+                  // yields every complete child chunk before the cut
+                  walk(body + 4, math.min(body.toLong + sz, end.toLong).toInt)
+                else if (body.toLong + sz <= end) {
+                  if (cc == "avih" && sz >= 40) {
+                    nFrames = u32(body + 16); width = u32(body + 32); height = u32(body + 36)
+                  } else if (cc.endsWith("dc") || cc.endsWith("db")) frames += ((body, sz))
+                } else ok = false // leaf chunk overruns the payload: stop
+                val next = body.toLong + sz + (sz % 2)
+                if (next > end) ok = false else off = next.toInt
+              }
             }
           }
-          walk(12, 12 + u32(4) - 4)
+          walk(12, 12 + math.max(0, u32(4) - 4))
           frames.iterator.zipWithIndex.map { case ((foff, flen), i) =>
             val fb = java.util.Arrays.copyOfRange(bytes, foff, foff + flen)
             val md = java.security.MessageDigest.getInstance("MD5").digest(fb)

@@ -148,23 +148,26 @@ object Packing {
   def packFfd(df: DataFrame, idCol: String, tokensCol: String,
               budget: Long, blockSize: Long): DataFrame = {
     require(budget > 0 && blockSize > 0, "budget and blockSize must be positive")
-    // distinct lambda variable (fr) — this expression is re-evaluated inside
-    // the rems-update TRANSFORM lambda, where `r` is already bound
-    val firstFit = "ARRAY_POSITION(TRANSFORM(acc.rems, fr -> fr >= d.t), true)"
+    // the first-fit scan runs ONCE per placement: its result binds as a
+    // lambda variable (the single-element TRANSFORM trick — SQL has no
+    // `let`), so the rems-update lambda stays O(bins) instead of
+    // re-evaluating an O(bins) scan per element (O(bins^2) per doc)
     val fold = s"""
       |AGGREGATE(
       |  ARRAY_SORT(COLLECT_LIST(STRUCT(-__t AS negt, __id AS id, __t AS t))),
       |  NAMED_STRUCT(
       |    'rems', CAST(ARRAY() AS ARRAY<BIGINT>),
       |    'asg',  CAST(ARRAY() AS ARRAY<STRUCT<id: BIGINT, bin: BIGINT>>)),
-      |  (acc, d) -> IF($firstFit = 0,
-      |    NAMED_STRUCT(
-      |      'rems', CONCAT(acc.rems, ARRAY($budget - d.t)),
-      |      'asg',  CONCAT(acc.asg, ARRAY(NAMED_STRUCT(
-      |        'id', d.id, 'bin', CAST(SIZE(acc.rems) + 1 AS BIGINT))))),
-      |    NAMED_STRUCT(
-      |      'rems', TRANSFORM(acc.rems, (r, i) -> IF(i = $firstFit - 1, r - d.t, r)),
-      |      'asg',  CONCAT(acc.asg, ARRAY(NAMED_STRUCT('id', d.id, 'bin', $firstFit))))))
+      |  (acc, d) -> ELEMENT_AT(TRANSFORM(
+      |    ARRAY(ARRAY_POSITION(TRANSFORM(acc.rems, fr -> fr >= d.t), true)),
+      |    p -> IF(p = 0,
+      |      NAMED_STRUCT(
+      |        'rems', CONCAT(acc.rems, ARRAY($budget - d.t)),
+      |        'asg',  CONCAT(acc.asg, ARRAY(NAMED_STRUCT(
+      |          'id', d.id, 'bin', CAST(SIZE(acc.rems) + 1 AS BIGINT))))),
+      |      NAMED_STRUCT(
+      |        'rems', TRANSFORM(acc.rems, (r, i) -> IF(i = p - 1, r - d.t, r)),
+      |        'asg',  CONCAT(acc.asg, ARRAY(NAMED_STRUCT('id', d.id, 'bin', p)))))), 1))
       |""".stripMargin
     df.select(
         col(idCol).cast("bigint").as("__id"),

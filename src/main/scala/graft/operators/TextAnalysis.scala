@@ -418,13 +418,18 @@ object TextAnalysis {
       val noScript = regexp_replace(raw, "(?is)<script[^>]*>.*?</script>", " ")
       val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
       val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
-      val ent = Seq("&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<",
-        "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'")
+      // `&amp;` decodes LAST: decoding it first would turn entity-escaped
+      // markup shown as text ("&amp;lt;b&amp;gt;") into live '<b>' tags —
+      // the classic double-unescape bug
+      val ent = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+        "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
         .foldLeft(noTags) { case (c, (from, to)) => regexp_replace(c, java.util.regex.Pattern.quote(from), to) }
       trim(regexp_replace(ent, "\\s+", " "))
     }
-    docs.select(col(idCol), steps(col(textCol)).as("clean_text"))
-      .join(docs.select(col(idCol), length(col(textCol)).cast("bigint").as("__raw")), Seq(idCol))
+    // clean text and raw length come from the same row — one shuffle-free
+    // projection, no self-join (which would also multiply duplicate ids)
+    docs.select(col(idCol), steps(col(textCol)).as("clean_text"),
+        length(col(textCol)).cast("bigint").as("__raw"))
       .select(col(idCol), col("clean_text"),
         (col("__raw") - length(col("clean_text"))).cast("bigint").as("html_chars_removed"))
   }
@@ -449,7 +454,9 @@ object TextAnalysis {
       regexp_replace(c, java.util.regex.Pattern.quote(from), to)
     }
     docs.select(col(idCol),
-      when(length(t) > 0, expr(s"1000000 * (LENGTH($textCol) - LENGTH(REGEXP_REPLACE($textCol, '[ÃÂ]', ''))) DIV LENGTH($textCol)")
+      // the lead-byte count must widen BEFORE the 1e6 multiply — LENGTH is
+      // 32-bit and a heavily damaged multi-KB doc overflows INT
+      when(length(t) > 0, expr(s"1000000 * CAST(LENGTH($textCol) - LENGTH(REGEXP_REPLACE($textCol, '[ÃÂ]', '')) AS BIGINT) DIV LENGTH($textCol)")
         .cast("bigint")).otherwise(lit(0L)).as("mojibake_ppm"),
       fixed.as("fixed_text"))
   }
@@ -515,9 +522,10 @@ object TextAnalysis {
       .withColumn("__h", explode(expr(s"gram_hashes_upto(LOWER($textCol), 2)")))
       .select(extra :+ expr(s"__h % $buckets").as("__f"): _*)
     def model(df: DataFrame, cntCol: String, totCol: String) = {
-      val f = feats(df)
-      (f.groupBy(col("__f")).agg(count("*").cast("bigint").as(cntCol)),
-        f.agg(count("*").cast("bigint").as(totCol)))
+      // the gram total is the sum of the at-most-B-row count table — never
+      // a second explode pass over the corpus
+      val cnt = feats(df).groupBy(col("__f")).agg(count("*").cast("bigint").as(cntCol))
+      (cnt, cnt.agg(coalesce(sum(col(cntCol)), lit(0L)).cast("bigint").as(totCol)))
     }
     // the corpus reduces to per-(doc, bucket) counts FIRST — the only
     // corpus-sized shuffle carries distinct (id, bucket) pairs (bounded by
@@ -534,7 +542,7 @@ object TextAnalysis {
     val (rCnt, rTot) =
       if (raw eq corpus)
         (docFeats.groupBy(col("__f")).agg(sum(col("__c")).cast("bigint").as("__cr")),
-          docFeats.agg(sum(col("__c")).cast("bigint").as("__rtot")))
+          docFeats.agg(coalesce(sum(col("__c")), lit(0L)).cast("bigint").as("__rtot")))
       else model(raw, "__cr", "__rtot")
     docFeats
       .join(tCnt, Seq("__f"), "left")

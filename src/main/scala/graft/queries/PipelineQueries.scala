@@ -337,8 +337,8 @@ object PipelineQueries {
            |            regexp_replace(x, '<script[^>]*>.*?</script>', ' ', 'gis'),
            |            '<style[^>]*>.*?</style>', ' ', 'gis'),
            |          '<[^>]*>', ' ', 'g'),
-           |        '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
-           |        '&quot;', '"'), '&#39;', CHR(39)),
+           |        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+           |        '&quot;', '"'), '&#39;', CHR(39)), '&amp;', '&'),
            |      '\s+', ' ', 'g')) AS x
            |  FROM raw
            |), fixed AS (
@@ -441,8 +441,8 @@ object PipelineQueries {
            |            regexp_replace(x, '<script[^>]*>.*?</script>', ' ', 'gis'),
            |            '<style[^>]*>.*?</style>', ' ', 'gis'),
            |          '<[^>]*>', ' ', 'g'),
-           |        '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
-           |        '&quot;', '"'), '&#39;', CHR(39)),
+           |        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+           |        '&quot;', '"'), '&#39;', CHR(39)), '&amp;', '&'),
            |      '\s+', ' ', 'g')) AS clean
            |  FROM h
            |)

@@ -38,6 +38,8 @@ object TarShards {
     def oct(off: Int, width: Int, v: Long): Unit =
       put(off, ("%0" + (width - 1) + "o").format(v)) // NUL-terminated by the zero fill
     require(name.getBytes(StandardCharsets.US_ASCII).length <= 100, s"name too long: $name")
+    // 12-byte octal size field holds 11 digits: 8 GiB - 1 max per member
+    require(size >= 0 && size <= (1L << 33) - 1, s"member too large for ustar: $size")
     put(0, name)
     oct(100, 8, 420L)      // mode 0644
     oct(108, 8, 0L)        // uid
@@ -88,24 +90,30 @@ object TarShards {
           os.write(new Array[Byte](2 * Block)) // end-of-archive marker
           os.close(); os = null
         }
-        it.foreach { r =>
-          val shard = r.getInt(2)
-          if (shard != current) {
-            close()
-            current = shard
-            val suffix = if (compress) ".tar.gz" else ".tar"
-            val raw = fs.create(new Path(out, f"shard-$shard%05d$suffix"), true)
-            // the JDK gzip header carries MTIME = 0, so compressed shards
-            // stay byte-identical across runs like the plain ones
-            os = if (compress) new java.util.zip.GZIPOutputStream(raw) else raw
+        try {
+          it.foreach { r =>
+            val shard = r.getInt(2)
+            if (shard != current) {
+              close()
+              current = shard
+              val suffix = if (compress) ".tar.gz" else ".tar"
+              val raw = fs.create(new Path(out, f"shard-$shard%05d$suffix"), true)
+              // the JDK gzip header carries MTIME = 0, so compressed shards
+              // stay byte-identical across runs like the plain ones
+              os = if (compress) new java.util.zip.GZIPOutputStream(raw) else raw
+            }
+            val bytes = r.getString(1).getBytes(StandardCharsets.UTF_8)
+            os.write(headerFor(s"${r.getLong(0)}.txt", bytes.length.toLong))
+            os.write(bytes)
+            val pad = (Block - bytes.length % Block) % Block
+            if (pad > 0) os.write(new Array[Byte](pad))
           }
-          val bytes = r.getString(1).getBytes(StandardCharsets.UTF_8)
-          os.write(headerFor(s"${r.getLong(0)}.txt", bytes.length.toLong))
-          os.write(bytes)
-          val pad = (Block - bytes.length % Block) % Block
-          if (pad > 0) os.write(new Array[Byte](pad))
+          close()
+        } finally {
+          // failure path: release the fd without the end marker — the task
+          // retry recreates the file from scratch (fs.create overwrites)
+          if (os != null) os.close()
         }
-        close()
       }
   }
 

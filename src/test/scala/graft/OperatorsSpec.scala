@@ -710,6 +710,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(2L)._1 == "no markup at all" && r(2L)._2 == 0L)
     // a stray '<' with no closing '>' is NOT a tag — the text survives
     assert(r(3L)._1 == "broken <unclosed and entity", s"got '${r(3L)._1}'")
+    // entity-escaped markup shown as text must NOT double-unescape into
+    // live tags: &amp; decodes last
+    val esc = Seq((9L, "<p>use &amp;lt;b&amp;gt; for bold</p>")).toDF("doc_id", "text")
+    val cleaned = TextAnalysis.stripHtml(esc, "doc_id", "text").collect()(0).getString(1)
+    assert(cleaned == "use &lt;b&gt; for bold", s"got '$cleaned'")
+  }
+
+  test("fixMojibake: ppm survives >2147 damaged chars (BIGINT widening)") {
+    val big = Seq((1L, "Ã©" * 3000)).toDF("doc_id", "text") // 6000 chars, 3000 leads
+    val r = TextAnalysis.fixMojibake(big, "doc_id", "text").collect()(0)
+    assert(r.getLong(1) == 500000L, s"ppm ${r.getLong(1)}")
+    assert(r.getString(2) == "é" * 3000)
+  }
+
+  test("decodeVideo: truncated and hostile-size AVIs yield partial frames, never hang or throw") {
+    implicit val s = spark
+    val good = graft.operators.Multimodal
+      .syntheticAviAsciiTable(Seq(5L).toDF("doc_id"), "doc_id", k = 4)
+      .select("id", "payload").collect()(0)
+    val bytes = good.getAs[Array[Byte]](1)
+    // cut mid-frame: parse what fits, drop the rest
+    val cut = Seq((5L, java.util.Arrays.copyOfRange(bytes, 0, bytes.length - 37)))
+      .toDF("id", "payload")
+    val partial = graft.operators.Multimodal.decodeVideo(cut).collect()
+    assert(partial.length < 4 && partial.forall(_.frame_ok == false))
+    // corrupt a chunk size to a huge/high-bit value: must terminate cleanly
+    val evil = bytes.clone()
+    evil(bytes.length - 20) = 0xff.toByte; evil(bytes.length - 19) = 0xff.toByte
+    evil(bytes.length - 18) = 0xff.toByte; evil(bytes.length - 17) = 0xff.toByte
+    val hostile = Seq((5L, evil)).toDF("id", "payload")
+    graft.operators.Multimodal.decodeVideo(hostile).collect() // no hang, no throw
   }
 
   test("fixMojibake: detects lead-byte ppm and repairs the classic pairs") {
