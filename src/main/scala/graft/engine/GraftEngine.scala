@@ -353,6 +353,17 @@ class GraftEngine(val spark: SparkSession) {
     spark.emptyDataFrame
   }
 
+  /** Reader-format view schemas must not carry CHAR/VARCHAR — Spark
+    * rejects them in createDataFrame/view schemas, and the container
+    * formats these tables map to (avro/sequencefile/rcfile) have no
+    * fixed-length char type anyway: they store plain strings, so CHAR(n)
+    * padding is not honored on these formats (the same storage-semantics
+    * trade the text formats make with NULL vs ''). */
+  private def readerSchemaFromDDL(ddl: String): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.catalyst.util.CharVarcharUtils
+      .replaceCharVarcharWithString(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+
   /** CREATE TABLE t (cols) USING avro|sequencefile|rcfile [WITH (...)] —
     * a MANAGED reader-format table without AS SELECT (reference:
     * TestSQLAnalyzer/positive/create_table_2.sql): created EMPTY, exactly
@@ -371,7 +382,7 @@ class GraftEngine(val spark: SparkSession) {
     val fmt = m.group(3).toLowerCase
     val props = "'([^']*)'\\s*=\\s*'([^']*)'".r.findAllMatchIn(s)
       .map(kv => kv.group(1) -> unescapeUnicode(kv.group(2))).toMap
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+    val schema = readerSchemaFromDDL(
       splitTypeList(m.group(2)).map { d =>
         val (n, t) = splitDecl(d); s"$n ${mapType(t)}"
       }.mkString(", "))
@@ -529,7 +540,7 @@ class GraftEngine(val spark: SparkSession) {
       .getOrElse(throw new IllegalArgumentException(
         s"external $fmt table needs a LOCATION: $s"))
     val declared = columnList(s).map { case (open, close) =>
-      org.apache.spark.sql.types.StructType.fromDDL(
+      readerSchemaFromDDL(
         splitTypeList(s.substring(open + 1, close)).map { d =>
           val (n, t) = splitDecl(d); s"$n ${mapType(t)}"
         }.mkString(", "))

@@ -25,7 +25,8 @@ class DdlFuzzSpec extends AnyFunSuite {
       spelling: String,
       gen: scala.util.Random => (String, Any),
       okJsonText: Boolean = true,
-      nullableInText: Boolean = true)
+      nullableInText: Boolean = true,
+      okAvro: Boolean = true)
 
   private val types: Seq[FuzzType] = Seq(
     FuzzType("INT4", r => { val v = r.nextInt(100000) - 50000; (v.toString, v) }),
@@ -49,10 +50,12 @@ class DdlFuzzSpec extends AnyFunSuite {
         r.nextInt(24), r.nextInt(60), r.nextInt(60))
       (s"TIMESTAMP '${t.toString.replace('T', ' ')}'", java.sql.Timestamp.valueOf(t))
     }),
+    // CHAR padding is only pinned on formats whose readers honor it —
+    // avro stores plain strings (see GraftEngine.readerSchemaFromDDL)
     FuzzType("CHAR(5)", r => {
       val w = Seq("ab", "abcde", "x")(r.nextInt(3))
       (s"'$w'", w.padTo(5, ' ').mkString)
-    }, okJsonText = false),
+    }, okJsonText = false, okAvro = false),
     FuzzType("VARCHAR(20)", r => {
       val w = Seq("short", "twenty-char-maximum!")(r.nextInt(2))
       (s"'$w'", w)
@@ -80,7 +83,8 @@ class DdlFuzzSpec extends AnyFunSuite {
   private def runSeed(seed: Int, format: String): Unit = {
     val r = new scala.util.Random(seed)
     val jsonOrText = format == "JSON" || format == "TEXT"
-    val pool = types.filter(t => !jsonOrText || t.okJsonText)
+    val pool = types.filter(t => (!jsonOrText || t.okJsonText) &&
+      (format != "AVRO" || t.okAvro))
     val nCols = 3 + r.nextInt(3)
     val cols = (0 until nCols).map { i =>
       val t = pool(r.nextInt(pool.length))
@@ -124,6 +128,6 @@ class DdlFuzzSpec extends AnyFunSuite {
     engine.sql(s"DROP TABLE $table")
   }
 
-  for (format <- Seq("PARQUET", "ORC", "JSON", "TEXT"); seed <- 1 to 5)
+  for (format <- Seq("PARQUET", "ORC", "JSON", "TEXT", "AVRO"); seed <- 1 to 10)
     test(s"fuzz round trip: $format seed $seed") { runSeed(seed, format) }
 }
