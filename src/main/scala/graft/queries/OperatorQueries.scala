@@ -3,7 +3,7 @@ package graft.queries
 import graft.QueryDef
 import graft.QueryDef.df
 import graft.engine.Tables
-import graft.operators.{AsofJoin, Bpe, Dedup, Multimodal, RangeJoin, Similarity, Skew, TextAnalysis}
+import graft.operators.{AsofJoin, Bpe, Dedup, LinkGraph, Multimodal, RangeJoin, Similarity, Sketches, Skew, TextAnalysis}
 import graft.streaming.EventStreams
 import org.apache.spark.sql.functions._
 
@@ -990,7 +990,101 @@ object OperatorQueries {
            |  CAST(SUM(CASE WHEN t * 4 // n = 3 THEN v * v ELSE 0 END) AS BIGINT) AS e3
            |FROM s GROUP BY id ORDER BY doc_id""".stripMargin))
 
+  // Canonical-URL dedup (LinkGraph.urlDedup): six messy spellings of the
+  // same page URL (case, www, default port, utm params, fragment, a real
+  // query param) synthesized per doc; the canonicalization SQL is EMITTED
+  // for both dialects by LinkGraph.canonicalUrlSql, so Spark and DuckDB
+  // normalize through literally the same regex chain.
+  private def urlCaseSql(div: String) =
+    s"""CASE doc_id % 6
+       |  WHEN 0 THEN 'https://' || source || '.Example.COM/p/' || (doc_id $div 6) || '/'
+       |  WHEN 1 THEN 'https://www.' || source || '.example.com/p/' || (doc_id $div 6)
+       |  WHEN 2 THEN 'HTTPS://' || source || '.example.com:443/p/' || (doc_id $div 6) || '?utm_source=feed&utm_medium=rss'
+       |  WHEN 3 THEN 'https://' || source || '.example.com/p/' || (doc_id $div 6) || '#sec-' || lang
+       |  WHEN 4 THEN 'https://' || source || '.example.com/p/' || (doc_id $div 6) || '?id=' || lang || '&ref=hp'
+       |  ELSE 'http://' || source || '.example.com:80/p/' || (doc_id $div 6) || '?id=' || lang
+       |END""".stripMargin
+  private val qUrlDedup = df("q_op_url_dedup",
+    (spark, dir) => {
+      val docs = Tables.table(spark, dir, "documents")
+      val urls = docs.select(col("doc_id"), expr(urlCaseSql("DIV")).as("url"))
+      LinkGraph.urlDedup(urls, "doc_id", "url")
+        .select(col("canonical_url"), col("keeper").cast("bigint").as("keeper"),
+          col("n_dups").cast("bigint").as("n_dups"))
+        .orderBy("canonical_url")
+    },
+    Some(s"""WITH u AS (
+            |  SELECT doc_id, ${urlCaseSql("//")} AS url FROM documents
+            |), c AS (
+            |  SELECT doc_id, ${LinkGraph.canonicalUrlSql("url", spark = false)} AS canonical_url FROM u
+            |)
+            |SELECT canonical_url, CAST(MIN(doc_id) AS BIGINT) AS keeper,
+            |  CAST(COUNT(*) AS BIGINT) AS n_dups
+            |FROM c GROUP BY canonical_url ORDER BY canonical_url""".stripMargin))
+
+  // Host-graph PageRank (LinkGraph.domainEdges + pageRank): every doc links
+  // its own source host to a lang-CDN host and a shared hub host; 5
+  // fixed-point integer iterations replayed by DuckDB via the generated
+  // unrolled CTE chain (LinkGraph.pageRankOracleCtes) — a single DIV or
+  // join deviation anywhere in the iteration hash-mismatches.
+  private def pageTextSql(mod: String) =
+    s"'visit https://' || source || '.example.com/p/' || doc_id || " +
+      s"' or http://cdn-' || lang || '.mirror.net/a see https://hub' || ($mod) || '.portal.org/x ' || text"
+  private val hostRe = "^[A-Za-z]+://([^/?#:]+)"
+  private val qPageRank = df("q_op_pagerank",
+    (spark, dir) => {
+      val docs = Tables.table(spark, dir, "documents")
+      val pages = docs.select(col("doc_id"),
+        expr("'https://' || source || '.example.com/p/' || doc_id").as("url"),
+        expr(pageTextSql("doc_id % 3")).as("text2"))
+      val edges = LinkGraph.domainEdges(pages, "url", "text2")
+      LinkGraph.pageRank(edges, iterations = 5)
+        .select(col("domain"), col("rank_fp").cast("bigint").as("rank_fp"))
+        .orderBy(col("rank_fp").desc, col("domain"))
+    },
+    Some(s"""WITH p AS (
+            |  SELECT doc_id, 'https://' || source || '.example.com/p/' || doc_id AS url,
+            |    ${pageTextSql("doc_id % 3")} AS text2
+            |  FROM documents
+            |), links AS (
+            |  SELECT lower(regexp_extract(${LinkGraph.canonicalUrlSql("url", spark = false)}, '$hostRe', 1)) AS src,
+            |    unnest(regexp_extract_all(text2, 'https?://[^ ]+')) AS u
+            |  FROM p
+            |), edges AS (
+            |  SELECT src, lower(regexp_extract(u, '$hostRe', 1)) AS dst,
+            |    CAST(COUNT(*) AS BIGINT) AS w
+            |  FROM links
+            |  WHERE src <> '' AND lower(regexp_extract(u, '$hostRe', 1)) <> ''
+            |  GROUP BY src, dst
+            |),
+            |${LinkGraph.pageRankOracleCtes(iterations = 5, dampingPpm = 850000L, scale = 1000000000000L)}
+            |SELECT d AS domain, CAST(r AS BIGINT) AS rank_fp
+            |FROM rank5 ORDER BY rank_fp DESC, domain""".stripMargin))
+
+  // Mergeable HLL distinct-count sketches (Sketches.distinctTokensBySource):
+  // per-(source, shard) sketches union per source + a corpus rollup. The
+  // oracle's exact COUNT(DISTINCT) is a legitimate exact check because the
+  // sketch stays in its sparse (coupon-exact) regime at this vocabulary
+  // size — the regime bound and the large-n approximate accuracy are both
+  // pinned in SketchesSpec.
+  private val qHllTokens = df("q_op_hll_tokens",
+    (spark, dir) => {
+      val docs = Tables.table(spark, dir, "documents")
+      Sketches.distinctTokensBySource(docs, "doc_id", "text").orderBy("source")
+    },
+    Some("""WITH t AS (
+           |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+           |)
+           |SELECT * FROM (
+           |  SELECT source, CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct_est
+           |  FROM t GROUP BY source
+           |  UNION ALL
+           |  SELECT '~all~' AS source, CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct_est
+           |  FROM t
+           |) ORDER BY source""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
+    qUrlDedup, qPageRank, qHllTokens,
     qMinhashApi, qAnnApi, qAnnIvf, qAnnIvf2, qAnnPq, qAnnIvfPq, qSemDedup, qSemanticSort,
     qHardNegatives, qQualityApi, qMultimodalApi,
     qMultimodalPatches, qMultimodalDecode, qMultimodalAudio, qMultimodalVideo,

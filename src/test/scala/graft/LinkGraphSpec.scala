@@ -1,0 +1,124 @@
+package graft
+
+import graft.operators.{LinkGraph, Sketches}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LinkGraphSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def canon(url: String): String =
+    Seq(url).toDF("url").select(LinkGraph.canonicalUrl("url").as("c")).head.getString(0)
+
+  test("canonicalUrl normalizes case, www, default port, tracking params, fragment, trailing slash") {
+    assert(canon("HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&id=3&utm_campaign=y#frag")
+      === "https://example.com/a/b?id=3")
+    assert(canon("http://example.com:80/") === "http://example.com")
+    assert(canon("http://example.com:8080/x") === "http://example.com:8080/x")
+    assert(canon("https://example.com/a?utm_a=1") === "https://example.com/a")
+    assert(canon("https://example.com/a?ref=hp&x=1") === "https://example.com/a?x=1")
+    assert(canon("https://example.com/a?ref=a&ref=b") === "https://example.com/a")
+    // 'xref' is NOT a tracking param (the (^|&) guard), sub.www is not a www prefix
+    assert(canon("https://example.com/a?xref=1") === "https://example.com/a?xref=1")
+    assert(canon("https://sub.www.example.com/") === "https://sub.www.example.com")
+    // https default-port stripping is scheme-gated: :443 on http survives
+    assert(canon("http://example.com:443/x") === "http://example.com:443/x")
+    assert(canon("not a url") === "not a url")
+  }
+
+  test("urlDedup collapses canonical variants to one keeper with a dup count") {
+    val docs = Seq(
+      (1L, "https://www.Example.com/p/1/"),
+      (2L, "https://example.com/p/1?utm_source=a"),
+      (3L, "HTTPS://example.com:443/p/1#top"),
+      (4L, "https://example.com/p/2"),
+      (5L, "http://example.com/p/1")).toDF("doc_id", "url")
+    val got = LinkGraph.urlDedup(docs, "doc_id", "url")
+      .orderBy("canonical_url")
+      .as[(String, Long, Long)].collect.toSeq
+    assert(got === Seq(
+      ("http://example.com/p/1", 5L, 1L),
+      ("https://example.com/p/1", 1L, 3L),
+      ("https://example.com/p/2", 4L, 1L)))
+  }
+
+  test("domainEdges extracts weighted host pairs from page text") {
+    val pages = Seq(
+      ("https://a.com/x", "see https://b.com/1 and https://b.com/2 plus http://c.org/z words"),
+      ("https://WWW.a.com/y", "only https://b.com/3 here"),
+      ("https://b.com/z", "back to https://a.com/home")).toDF("url", "text")
+    val got = LinkGraph.domainEdges(pages, "url", "text")
+      .orderBy("src", "dst").as[(String, String, Long)].collect.toSeq
+    assert(got === Seq(("a.com", "b.com", 3L), ("a.com", "c.org", 1L), ("b.com", "a.com", 1L)))
+  }
+
+  /** Independent model replay of the fixed-point recurrence. */
+  private def modelPageRank(edges: Seq[(String, String, Long)], iters: Int,
+                            damp: Long = 850000L, scale: Long = 1000000000000L): Map[String, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val n = nodes.size
+    val wout = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    val base = (1000000L - damp) * (scale / n) / 1000000L
+    var rank = nodes.map(_ -> scale / n).toMap
+    for (_ <- 1 to iters) {
+      val contrib = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      for ((s, d, w) <- edges) contrib(d) += rank(s) * w / wout(s)
+      rank = nodes.map(v => v -> (base + damp * contrib(v) / 1000000L)).toMap
+    }
+    rank
+  }
+
+  test("pageRank matches the integer model bit-for-bit, dangling mass evaporates") {
+    // c is dangling (no outlinks); b is the hub
+    val edges = Seq(
+      ("a", "b", 2L), ("a", "c", 1L), ("b", "a", 1L), ("b", "c", 1L), ("d", "b", 3L))
+    val got = LinkGraph.pageRank(edges.toDF("src", "dst", "w"), iterations = 5)
+      .as[(String, Long)].collect.toMap
+    val want = modelPageRank(edges, 5)
+    assert(got === want)
+    // dangling c and sourceless d leak mass: total strictly below the scale
+    assert(got.values.sum < 1000000000000L)
+    assert(got("b") > got("a") && got("b") > got("d"))
+  }
+
+  test("pageRank iteration count changes results (fixed-iteration semantics)") {
+    val edges = Seq(("a", "b", 1L), ("b", "a", 1L), ("b", "c", 1L), ("c", "a", 1L))
+    val df = edges.toDF("src", "dst", "w")
+    val r3 = LinkGraph.pageRank(df, iterations = 3).as[(String, Long)].collect.toMap
+    val r5 = LinkGraph.pageRank(df, iterations = 5).as[(String, Long)].collect.toMap
+    assert(r3 === modelPageRank(edges, 3))
+    assert(r5 === modelPageRank(edges, 5))
+    assert(r3 !== r5)
+  }
+
+  test("hll sketches: sparse regime is exact, merged or monolithic") {
+    val n = 1600
+    val vals = spark.range(n).select(concat(lit("v"), col("id")).as("v"),
+      pmod(col("id"), lit(8)).as("shard"))
+    val mono = vals.agg(Sketches.estimate(hll_sketch_agg(col("v"), lit(21))).as("e")).head.getLong(0)
+    val merged = Sketches.mergeSketches(
+        Sketches.distinctSketch(vals, Seq("shard"), col("v"), lgK = 21), Seq.empty)
+      .select(Sketches.estimate(col("sketch"))).head.getLong(0)
+    assert(mono === n.toLong)
+    assert(merged === n.toLong)
+  }
+
+  test("hll sketches: dense regime stays within published error at n=100k") {
+    val n = 100000L
+    val est = spark.range(n).select(concat(lit("v"), col("id")).as("v"))
+      .agg(Sketches.estimate(hll_sketch_agg(col("v"), lit(14))).as("e")).head.getLong(0)
+    assert(math.abs(est - n).toDouble / n < 0.02, s"estimate $est vs $n")
+  }
+
+  test("distinctTokensBySource matches exact distinct counts on testdata") {
+    val docs = graft.engine.Tables.table(spark, sfDir, "documents")
+    val got = Sketches.distinctTokensBySource(docs, "doc_id", "text")
+      .as[(String, Long)].collect.toMap
+    val toks = docs.select(col("source"), explode(split(col("text"), " ")).as("tok"))
+    val exact = toks.groupBy("source").agg(countDistinct("tok").as("n"))
+      .as[(String, Long)].collect.toMap +
+      ("~all~" -> toks.select("tok").distinct.count())
+    assert(got === exact)
+  }
+}

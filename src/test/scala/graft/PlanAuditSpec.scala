@@ -357,4 +357,45 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("MapPartitions".r.findAllIn(p).size >= 2, p)
     assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
   }
+
+  test("q_op_url_dedup: canonicalization at scan speed, ONE shuffle on the canonical URL") {
+    val p = plan("q_op_url_dedup")
+    // per-row regex projection + partial/final hash agg; the only exchanges
+    // are the dedup hashpartitioning and the final presentation sort
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("hashpartitioning(canonical_url"), p)
+    // two exchanges total: the dedup hashpartitioning + the ORDER BY range
+    // sort for presentation; exactly one hash shuffle
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size == 2, p)
+    assert("hashpartitioning\\(".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q_op_hll_tokens: sketches aggregate partial+final, only sketch bytes shuffle") {
+    val p = plan("q_op_hll_tokens")
+    // HLL sketch agg is object-hash-aggregated: per-partition partial
+    // sketches merge after a shuffle of k-byte sketches, never raw tokens;
+    // two levels (per-shard, then union per-source / rollup)
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 4, p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("pageRank iteration: contribution sum is partial+final on dst, rank table stays node-sized") {
+    // pin the per-iteration subplan (the registered query's final plan is
+    // checkpoint scans by design — lineage truncation IS the discipline)
+    import org.apache.spark.sql.functions._
+    val edges = graft.engine.Tables.table(spark, sfDir, "documents").limit(200)
+      .select(concat(lit("s"), col("doc_id") % 7).as("src"),
+        concat(lit("d"), col("doc_id") % 11).as("dst"), lit(1L).as("w"))
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+    val wout = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+    val rank = edges.select(col("src").as("d")).distinct.withColumn("r", lit(1000L))
+    val contrib = edges.join(wout, "src").join(rank, col("src") === col("d"))
+      .select(col("dst"), expr("r * w DIV wout").as("c"))
+      .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
+    val p = contrib.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
