@@ -158,6 +158,87 @@ object LinkGraph {
     rank.select(col("d").as("domain"), col("r").as("rank_fp"))
   }
 
+  /** Parse robots.txt bodies into per-host allow/disallow prefix rules for
+    * one crawler agent, per RFC 9309's group semantics:
+    *   - comments (`#...`) stripped, blank/other lines ignored;
+    *   - consecutive `User-agent:` lines open ONE group that owns the
+    *     `Allow:`/`Disallow:` lines after them;
+    *   - a crawler obeys the most specific matching group set: groups
+    *     naming it exactly (case-insensitive) if any exist, else the `*`
+    *     groups; ALL groups at that specificity merge;
+    *   - an empty `Disallow:` value means "no restriction" — such rules
+    *     (and empty `Allow:`) drop out here, leaving default-allow.
+    * Simplification vs the RFC (documented): rule values are treated as
+    * literal path PREFIXES — the `*` wildcard / `$` anchor extensions are
+    * not interpreted (the overwhelming majority of real rules are plain
+    * prefixes).
+    *
+    * Everything is line-window arithmetic (lag + running sum over
+    * (host, line#)) and string ops that replay verbatim in DuckDB.
+    * Output: (host, allow: boolean, prefix).
+    *
+    * Scale: robots bodies are host-sized (one small text per host) — the
+    * whole parse is dimension-sized next to a corpus, and the window
+    * partitions by host, so no global ordering exists anywhere. */
+  def robotsRules(robots: DataFrame, agent: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("host").orderBy("ln")
+    val typed = robots
+      .select(col("host"), posexplode(split(col("txt"), "\n")).as(Seq("ln", "raw")))
+      .select(col("host"), col("ln"),
+        trim(regexp_replace(col("raw"), "#.*", "")).as("line"))
+      .filter(col("line") =!= "")
+      .select(col("host"), col("ln"),
+        lower(trim(regexp_extract(col("line"), "^([^:]+):", 1))).as("kind"),
+        trim(regexp_extract(col("line"), "^[^:]+:(.*)", 1)).as("value"))
+      .filter(col("kind").isin("user-agent", "allow", "disallow"))
+    val grouped = typed
+      .withColumn("prev_kind", lag(col("kind"), 1).over(w))
+      .withColumn("grp_start",
+        (col("kind") === "user-agent" &&
+          (col("prev_kind").isNull || col("prev_kind") =!= "user-agent")).cast("int"))
+      .withColumn("grp", sum(col("grp_start")).over(w))
+    val groupSpec = grouped.filter(col("kind") === "user-agent")
+      .groupBy("host", "grp")
+      .agg(max(when(lower(col("value")) === agent.toLowerCase, 2)
+        .when(col("value") === "*", 1).otherwise(0)).as("spec"))
+    val bestSpec = groupSpec.groupBy("host").agg(max(col("spec")).as("best_spec"))
+    grouped.filter(col("kind").isin("allow", "disallow") && col("value") =!= "")
+      .join(groupSpec, Seq("host", "grp"))
+      .join(bestSpec, Seq("host"))
+      .filter(col("spec") === col("best_spec") && col("spec") > 0)
+      .select(col("host"), (col("kind") === "allow").as("allow"),
+        col("value").as("prefix"))
+  }
+
+  /** Apply [[robotsRules]] to a URL table: per URL, the LONGEST matching
+    * prefix rule decides (allow wins a length tie — the RFC's ordering);
+    * no matching rule, or no robots for the host, means allowed. Matching
+    * is on the URL's path ('' normalizes to '/'), host without port.
+    *
+    * Scale: rules are dimension-sized (a few rules per crawled host) and
+    * broadcast; the per-URL work is a broadcast join + one partitioned
+    * window over the URL's own matches — the corpus never shuffles on
+    * itself. Output: (id, host, path, allowed). */
+  def robotsGate(urls: DataFrame, rules: DataFrame, idCol: String,
+                 urlCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = urls.select(col(idCol),
+      expr(s"lower(regexp_extract($urlCol, '^[A-Za-z]+://([^/?#:]+)', 1))").as("host"),
+      expr(s"CASE WHEN regexp_extract(regexp_replace($urlCol, '^[A-Za-z]+://[^/?#]*', ''), '^([^?#]*)', 1) = '' THEN '/' " +
+        s"ELSE regexp_extract(regexp_replace($urlCol, '^[A-Za-z]+://[^/?#]*', ''), '^([^?#]*)', 1) END").as("path"))
+    val best = parts.join(broadcast(rules), Seq("host"))
+      .filter(expr("substr(path, 1, length(prefix)) = prefix"))
+      .withColumn("rn", row_number().over(Window.partitionBy(idCol)
+        .orderBy(length(col("prefix")).desc,
+          when(col("allow"), 0).otherwise(1), col("prefix"))))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("allow"))
+    parts.join(best, Seq(idCol), "left")
+      .select(col(idCol), col("host"), col("path"),
+        coalesce(col("allow"), lit(true)).as("allowed"))
+  }
+
   /** DuckDB replay of [[pageRank]] over `edges` (a CTE named `edges` with
     * columns src, dst, w must be in scope): unrolled iterations, `//` for
     * DIV, same integer arithmetic. Returns the chain of CTE bodies after

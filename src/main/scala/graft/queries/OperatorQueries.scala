@@ -1083,8 +1083,108 @@ object OperatorQueries {
            |  FROM t
            |) ORDER BY source""".stripMargin))
 
+  // robots.txt gate (LinkGraph.robotsRules + robotsGate): RFC 9309 group
+  // semantics — consecutive User-agent lines share a group, agent-specific
+  // groups override '*', longest matching prefix decides, allow wins ties,
+  // hosts without robots default-allow. The ENTIRE parse (comment strip,
+  // line typing, lag/running-sum grouping, specificity merge) and the gate
+  // window are replayed in DuckDB, so a single grouping or tie-break
+  // deviation hash-mismatches.
+  // the path case cycles on (doc_id DIV 10) so it decorrelates from the
+  // source assignment (doc_id % 10 in the synthetic data) — every
+  // (host-kind, path) combination occurs, so both verdicts appear
+  private def robotsUrlSql(div: String) =
+    s"""CASE (doc_id $div 10) % 5
+       |  WHEN 0 THEN 'https://' || source || '.example.com/private/doc' || doc_id
+       |  WHEN 1 THEN 'https://' || source || '.example.com/private/ok/doc' || doc_id
+       |  WHEN 2 THEN 'https://' || source || '.example.com/p/1'
+       |  WHEN 3 THEN 'https://' || source || '.example.com/p/10'
+       |  ELSE 'https://' || source || '.example.com'
+       |END""".stripMargin
+  private val qRobotsGate = df("q_op_robots_gate",
+    (spark, dir) => {
+      val docs = Tables.table(spark, dir, "documents")
+      val hosts = docs.select(col("source")).distinct()
+        .filter(expr("ascii(right(source, 1)) % 3 <> 2"))
+      val robots = hosts.select(
+        concat(col("source"), lit(".example.com")).as("host"),
+        concat(lit("# robots for "), col("source"), lit("\n"),
+          lit("User-agent: *\nDisallow: /private\nAllow: /private/ok\nDisallow:\n"),
+          when(expr("ascii(right(source, 1)) % 2 = 0"),
+            lit("User-agent: graftbot\nUser-agent: otherbot\nDisallow: /p/1\nAllow: /p/10"))
+            .otherwise(lit(""))).as("txt"))
+      val urls = docs.select(col("doc_id"), expr(robotsUrlSql("DIV")).as("url"))
+      val rules = LinkGraph.robotsRules(robots, "graftbot")
+      LinkGraph.robotsGate(urls, rules, "doc_id", "url").orderBy("doc_id")
+    },
+    Some(s"""WITH hosts AS (
+            |  SELECT DISTINCT source FROM documents
+            |  WHERE ascii(right(source, 1)) % 3 <> 2
+            |), rob AS (
+            |  SELECT source || '.example.com' AS host,
+            |    '# robots for ' || source || chr(10) ||
+            |    'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10) ||
+            |    'Allow: /private/ok' || chr(10) || 'Disallow:' || chr(10) ||
+            |    CASE WHEN ascii(right(source, 1)) % 2 = 0
+            |      THEN 'User-agent: graftbot' || chr(10) || 'User-agent: otherbot' || chr(10) ||
+            |           'Disallow: /p/1' || chr(10) || 'Allow: /p/10'
+            |      ELSE '' END AS txt
+            |  FROM hosts
+            |), lns AS (
+            |  SELECT host, g.i - 1 AS ln, trim(regexp_replace(a[g.i], '#.*', '', 'g')) AS line
+            |  FROM (SELECT host, string_split(txt, chr(10)) AS a FROM rob),
+            |       LATERAL (SELECT unnest(range(1, len(a) + 1)) AS i) g
+            |), kept AS (
+            |  SELECT host, ln,
+            |    lower(trim(regexp_extract(line, '^([^:]+):', 1))) AS kind,
+            |    trim(regexp_extract(line, '^[^:]+:(.*)', 1)) AS value
+            |  FROM lns WHERE line <> ''
+            |    AND lower(trim(regexp_extract(line, '^([^:]+):', 1)))
+            |      IN ('user-agent', 'allow', 'disallow')
+            |), grouped AS (
+            |  SELECT *, SUM(CASE WHEN kind = 'user-agent'
+            |      AND (prev_kind IS NULL OR prev_kind <> 'user-agent') THEN 1 ELSE 0 END)
+            |      OVER (PARTITION BY host ORDER BY ln) AS grp
+            |  FROM (SELECT *, lag(kind) OVER (PARTITION BY host ORDER BY ln) AS prev_kind
+            |        FROM kept)
+            |), gspec AS (
+            |  SELECT host, grp, MAX(CASE WHEN lower(value) = 'graftbot' THEN 2
+            |    WHEN value = '*' THEN 1 ELSE 0 END) AS spec
+            |  FROM grouped WHERE kind = 'user-agent' GROUP BY host, grp
+            |), best AS (
+            |  SELECT host, MAX(spec) AS best_spec FROM gspec GROUP BY host
+            |), rules AS (
+            |  SELECT g.host, g.kind = 'allow' AS allow, g.value AS prefix
+            |  FROM grouped g
+            |  JOIN gspec s ON g.host = s.host AND g.grp = s.grp
+            |  JOIN best b ON g.host = b.host
+            |  WHERE g.kind IN ('allow', 'disallow') AND g.value <> ''
+            |    AND s.spec = b.best_spec AND s.spec > 0
+            |), urls AS (
+            |  SELECT doc_id, ${robotsUrlSql("//")} AS url FROM documents
+            |), parts AS (
+            |  SELECT doc_id,
+            |    lower(regexp_extract(url, '^[A-Za-z]+://([^/?#:]+)', 1)) AS host,
+            |    CASE WHEN regexp_extract(regexp_replace(url, '^[A-Za-z]+://[^/?#]*', '', 'g'), '^([^?#]*)', 1) = ''
+            |      THEN '/'
+            |      ELSE regexp_extract(regexp_replace(url, '^[A-Za-z]+://[^/?#]*', '', 'g'), '^([^?#]*)', 1)
+            |    END AS path
+            |  FROM urls
+            |), matched AS (
+            |  SELECT p.doc_id, r.allow,
+            |    row_number() OVER (PARTITION BY p.doc_id
+            |      ORDER BY length(r.prefix) DESC,
+            |        CASE WHEN r.allow THEN 0 ELSE 1 END, r.prefix) AS rn
+            |  FROM parts p JOIN rules r ON p.host = r.host
+            |  WHERE substr(p.path, 1, length(r.prefix)) = r.prefix
+            |)
+            |SELECT p.doc_id, p.host, p.path, COALESCE(m.allow, TRUE) AS allowed
+            |FROM parts p
+            |LEFT JOIN (SELECT doc_id, allow FROM matched WHERE rn = 1) m USING (doc_id)
+            |ORDER BY p.doc_id""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
-    qUrlDedup, qPageRank, qHllTokens,
+    qUrlDedup, qPageRank, qHllTokens, qRobotsGate,
     qMinhashApi, qAnnApi, qAnnIvf, qAnnIvf2, qAnnPq, qAnnIvfPq, qSemDedup, qSemanticSort,
     qHardNegatives, qQualityApi, qMultimodalApi,
     qMultimodalPatches, qMultimodalDecode, qMultimodalAudio, qMultimodalVideo,

@@ -92,6 +92,48 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(r3 !== r5)
   }
 
+  test("robotsRules: group semantics — multi-UA groups, specificity override, empty Disallow dropped") {
+    val robots = Seq(
+      // host a: * group AND a graftbot-specific group -> only the specific
+      // group's rules bind graftbot (spec 2 beats 1)
+      ("a.com", "User-agent: *\nDisallow: /all\n\nUser-agent: graftbot\nUser-agent: otherbot\nDisallow: /g\nAllow: /g/ok"),
+      // host b: only a * group; empty Disallow means no restriction
+      ("b.com", "# hi\nUser-agent: *\nDisallow: /x\nDisallow:\nCrawl-delay: 5"),
+      // host c: case-insensitive field names and agent match
+      ("c.com", "USER-AGENT: GraftBot\ndisallow: /c")).toDF("host", "txt")
+    val rules = LinkGraph.robotsRules(robots, "graftbot")
+      .orderBy("host", "prefix").as[(String, Boolean, String)].collect.toSeq
+    assert(rules === Seq(
+      ("a.com", false, "/g"), ("a.com", true, "/g/ok"),
+      ("b.com", false, "/x"),
+      ("c.com", false, "/c")))
+  }
+
+  test("robotsGate: longest prefix wins, default allow without rules or robots") {
+    val rules = Seq(
+      ("a.com", false, "/private"), ("a.com", true, "/private/ok"),
+      ("a.com", false, "/private/ok/no")).toDF("host", "allow", "prefix")
+    val urls = Seq(
+      (1L, "https://a.com/private/x"),
+      (2L, "https://a.com/private/ok/y"),
+      (3L, "https://a.com/private/ok/nope"),
+      (4L, "https://a.com/public"),
+      (5L, "https://a.com"),
+      (6L, "https://other.com/private/x")).toDF("id", "url")
+    val got = LinkGraph.robotsGate(urls, rules, "id", "url")
+      .select("id", "allowed").as[(Long, Boolean)].collect.toMap
+    assert(got === Map(1L -> false, 2L -> true, 3L -> false, 4L -> true,
+      5L -> true, 6L -> true))
+    // path normalization: bare host is '/'
+    val paths = LinkGraph.robotsGate(urls, rules, "id", "url")
+      .select("id", "path").as[(Long, String)].collect.toMap
+    assert(paths(5L) === "/")
+    // query strings are not part of the matched path
+    val q = Seq((9L, "https://a.com/private/x?skip=/public")).toDF("id", "url")
+    assert(LinkGraph.robotsGate(q, rules, "id", "url")
+      .select("allowed").head.getBoolean(0) === false)
+  }
+
   test("hll sketches: sparse regime is exact, merged or monolithic") {
     val n = 1600
     val vals = spark.range(n).select(concat(lit("v"), col("id")).as("v"),

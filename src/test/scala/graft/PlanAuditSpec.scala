@@ -381,6 +381,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_op_robots_gate: rules broadcast to the corpus, corpus never sort-merge-joins itself") {
+    val p = plan("q_op_robots_gate")
+    // the rules side is dimension-sized and explicitly broadcast; the only
+    // window is partitioned by the URL id (per-URL match ranking)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("pageRank iteration: contribution sum is partial+final on dst, rank table stays node-sized") {
     // pin the per-iteration subplan (the registered query's final plan is
     // checkpoint scans by design — lineage truncation IS the discipline)
