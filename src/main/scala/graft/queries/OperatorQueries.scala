@@ -1183,8 +1183,59 @@ object OperatorQueries {
             |LEFT JOIN (SELECT doc_id, allow FROM matched WHERE rn = 1) m USING (doc_id)
             |ORDER BY p.doc_id""".stripMargin))
 
+  // Quality-classifier distillation (Distill.perceptron): 4 batch-
+  // perceptron rounds in BIGINT over permil text features, learning a
+  // linear weak-label rule; training replays bit-for-bit in DuckDB via the
+  // generated unrolled CTE chain (Distill.perceptronOracleCtes) — a single
+  // misclassification-set or update deviation in ANY round shifts the
+  // final weights and hash-mismatches the per-source agreement counts.
+  private val distillFs = Seq("f0", "f1", "f2", "f3", "f4")
+  private def distillFeatSql(spark: Boolean) = {
+    val (sz, dis, flt, div) =
+      if (spark) ("size", "array_distinct", "filter", "DIV")
+      else ("len", "list_distinct", "list_filter", "//")
+    val split = if (spark) "split(text, ' ')" else "string_split(text, ' ')"
+    s"""SELECT doc_id, source,
+       |  CAST(1000 AS BIGINT) AS f0,
+       |  CAST(LEAST(length(text), 1000) AS BIGINT) AS f1,
+       |  CAST(LEAST($sz($split), 1000) AS BIGINT) AS f2,
+       |  CAST((1000 * $sz($dis($split))) $div $sz($split) AS BIGINT) AS f3,
+       |  CAST((1000 * $sz($flt($split, t -> t IN ('the', 'a')))) $div $sz($split) AS BIGINT) AS f4
+       |FROM documents""".stripMargin
+  }
+  private def distillLabel =
+    "CASE WHEN 2 * f3 + f4 > 700 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END"
+  private val qDistill = df("q_op_distill",
+    (spark, dir) => {
+      import graft.operators.Distill
+      val feat = spark.sql(
+        s"SELECT *, $distillLabel AS y FROM (${distillFeatSql(spark = true)}) AS feat0")
+      val w = Distill.perceptron(feat, "y", distillFs, iterations = 4)
+      Distill.score(feat, w, distillFs)
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("pred") === (col("y") === 1), 1L).otherwise(0L)).as("n_agree"),
+          sum(when(col("pred"), 1L).otherwise(0L)).as("n_pos_pred"))
+        .orderBy("source")
+    },
+    Some(s"""WITH feat0 AS (
+            |  ${distillFeatSql(spark = false)}
+            |), feat AS (
+            |  SELECT *, $distillLabel AS y FROM feat0
+            |),
+            |${graft.operators.Distill.perceptronOracleCtes("y", distillFs, iterations = 4)},
+            |scored AS (
+            |  SELECT f.source, f.y,
+            |    (w.w0 * f0 + w.w1 * f1 + w.w2 * f2 + w.w3 * f3 + w.w4 * f4) AS margin
+            |  FROM feat f, w4 w
+            |)
+            |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            |  CAST(SUM(CASE WHEN (margin > 0) = (y = 1) THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+            |  CAST(SUM(CASE WHEN margin > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos_pred
+            |FROM scored GROUP BY source ORDER BY source""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
-    qUrlDedup, qPageRank, qHllTokens, qRobotsGate,
+    qUrlDedup, qPageRank, qHllTokens, qRobotsGate, qDistill,
     qMinhashApi, qAnnApi, qAnnIvf, qAnnIvf2, qAnnPq, qAnnIvfPq, qSemDedup, qSemanticSort,
     qHardNegatives, qQualityApi, qMultimodalApi,
     qMultimodalPatches, qMultimodalDecode, qMultimodalAudio, qMultimodalVideo,

@@ -134,6 +134,39 @@ class LinkGraphSpec extends AnyFunSuite {
       .select("allowed").head.getBoolean(0) === false)
   }
 
+  /** Independent model replay of the batch-perceptron recurrence. */
+  private def modelPerceptron(rows: Seq[(Long, Array[Long])], iters: Int): Array[Long] = {
+    val k = rows.head._2.length
+    val w = Array.fill(k)(0L)
+    for (_ <- 1 to iters) {
+      val d = Array.fill(k)(0L)
+      for ((y, x) <- rows; if y * x.zip(w).map { case (a, b) => a * b }.sum <= 0)
+        for (i <- 0 until k) d(i) += y * x(i)
+      for (i <- 0 until k) w(i) += d(i)
+    }
+    w
+  }
+
+  test("perceptron matches the integer model and learns a separable rule") {
+    import graft.operators.Distill
+    // y = sign(x1 - x2) with a margin — linearly separable
+    val rows = (1 to 40).map { i =>
+      val x1 = (i * 7) % 19; val x2 = (i * 11) % 17
+      val y = if (x1 - x2 > 0) 1L else -1L
+      (y, Array(1L, x1.toLong, x2.toLong))
+    }.filter { case (_, x) => x(1) != x(2) }
+    val feat = rows.map { case (y, x) => (y, x(0), x(1), x(2)) }.toDF("y", "f0", "f1", "f2")
+    val fs = Seq("f0", "f1", "f2")
+    val w = Distill.perceptron(feat, "y", fs, iterations = 8)
+    val got = w.select(col("w0"), col("w1"), col("w2")).as[(Long, Long, Long)].head
+    val want = modelPerceptron(rows, 8)
+    assert(got === ((want(0), want(1), want(2))))
+    // after 8 rounds the learned boundary reproduces most of the rule
+    val scored = Distill.score(feat, w, fs)
+    val agree = scored.filter(col("pred") === (col("y") === 1)).count()
+    assert(agree >= (rows.size * 8) / 10, s"$agree of ${rows.size}")
+  }
+
   test("hll sketches: sparse regime is exact, merged or monolithic") {
     val n = 1600
     val vals = spark.range(n).select(concat(lit("v"), col("id")).as("v"),
