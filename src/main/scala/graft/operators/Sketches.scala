@@ -46,6 +46,59 @@ object Sketches {
   def estimate(sketchCol: Column): Column =
     hll_sketch_estimate(sketchCol).cast("bigint")
 
+  /** Count-min sketch hash plane: depth rows of (multiplier, offset) for
+    * the universal-hash family h_j(H) = ((a_j·H + b_j) mod P) mod width,
+    * seeded from ONE base hash H (the standard CMS construction). Prime
+    * constants are part of the spec so oracles replay them. */
+  val CmsP = 1000000007L
+  val CmsA: Seq[Long] = Seq(1299709L, 15485863L, 32452843L, 49979687L, 67867967L)
+  val CmsB: Seq[Long] = Seq(104729L, 1299721L, 15485867L, 86028121L, 104395301L)
+
+  /** Build count-min counters from a base-hash occurrence stream: one row
+    * per (j, bucket) with the occurrence count — depth×width rows TOTAL,
+    * no matter the corpus size. Unlike HLL, every arithmetic step here is
+    * integer-exact, so estimates replay bit-for-bit in any engine.
+    *
+    * Mergeability: counters are plain sums — counters(A ∪ B) =
+    * counters(A) + counters(B) bucket-wise (spec-pinned), so shards/days
+    * sketch independently and ADD.
+    *
+    * Scale: the input is one narrow column of BIGINTs (e.g. native
+    * `gram_hashes(text, 1)` exploded — codegen'd, no string shuffle); the
+    * only shuffle is the partial+final count on (j, bucket), whose key
+    * space is depth×width — thousands of rows from petabytes of input. */
+  def countMinCounters(hashes: DataFrame, hCol: String,
+                       width: Int = 512, depth: Int = 3): DataFrame = {
+    require(depth >= 1 && depth <= CmsA.length && width > 0)
+    val planes = (0 until depth).map { j =>
+      struct(lit(j).as("j"),
+        (((lit(CmsA(j)) * col(hCol) + lit(CmsB(j))) % CmsP) % width).as("bucket"))
+    }
+    hashes.select(explode(array(planes: _*)).as("p"))
+      .groupBy(col("p.j").as("j"), col("p.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Point-estimate occurrence counts for query keys against CMS counters:
+    * est(H) = MIN over j of counter[j][h_j(H)] — an overestimate by at
+    * most the collision mass (never an underestimate; spec-pinned).
+    * `queries` carries the base hash in `hCol` plus any passthrough
+    * columns; counters are depth×width-sized and broadcast. */
+  def countMinEstimate(counters: DataFrame, queries: DataFrame, hCol: String,
+                       width: Int = 512, depth: Int = 3): DataFrame = {
+    require(depth >= 1 && depth <= CmsA.length && width > 0)
+    val keyCols = queries.columns.filter(_ != hCol)
+    val planes = (0 until depth).map { j =>
+      struct(lit(j).as("j"),
+        (((lit(CmsA(j)) * col(hCol) + lit(CmsB(j))) % CmsP) % width).as("bucket"))
+    }
+    queries.select(col("*"), explode(array(planes: _*)).as("p"))
+      .select((keyCols.map(col) :+ col("p.j").as("j") :+ col("p.bucket").as("bucket")): _*)
+      .join(broadcast(counters), Seq("j", "bucket"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(min(col("c")).as("cms_est"))
+  }
+
   /** Distinct whitespace-tokens per source, sketched per (source, shard)
     * and MERGED per source plus a corpus-wide `__all__` rollup — the exact
     * shape of a production run, where each ingest shard sketches

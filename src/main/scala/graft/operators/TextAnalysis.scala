@@ -583,4 +583,39 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("ngram"))
       .limit(k)
   }
+
+  /** Inverted-index build: per term, document frequency, total term
+    * frequency, and a CAPPED posting list — the top `k` documents by
+    * (tf DESC, id ASC), fingerprinted as md5 over the comma-joined id
+    * sequence so the full ordering is oracle-checkable without comparing
+    * array cells. The index-shard build step of a search/retrieval
+    * pipeline (BM25-style retrieval needs exactly (df, tf, postings)).
+    *
+    * Scale: one partial+final (term, doc) count, one partial+final
+    * per-term stat agg, and a PARTITIONED window for the cap — Spark
+    * rewrites the rank filter into WindowGroupLimit, so only k rows per
+    * term survive the sort (plan-pinned). Posting lists are bounded at k
+    * BY CONSTRUCTION — no term, however common, yields an unbounded row.
+    * The ordered fingerprint avoids collect_list's nondeterminism: the
+    * struct array sorts by (-tf, id) before joining, bit-equal to the
+    * oracle's ORDER BY inside string_agg. */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1)
+    val tf = docs.select(col(idCol).as("__d"),
+        explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("term"), col("__d")).agg(count(lit(1)).as("tf"))
+    val stats = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"))
+    val postings = tf
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("term")).orderBy(col("tf").desc, col("__d"))))
+      .filter(col("rk") <= k)
+      .groupBy(col("term"))
+      .agg(md5(concat_ws(",",
+        transform(sort_array(collect_list(struct((-col("tf")).as("nt"), col("__d").as("d")))),
+          x => x.getField("d").cast("string")))).as("postings_md5"))
+    stats.join(postings, Seq("term"))
+  }
 }

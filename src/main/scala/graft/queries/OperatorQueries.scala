@@ -1234,8 +1234,81 @@ object OperatorQueries {
             |  CAST(SUM(CASE WHEN margin > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos_pred
             |FROM scored GROUP BY source ORDER BY source""".stripMargin))
 
+  // Count-min heavy-hitter sketch (Sketches.countMinCounters/Estimate):
+  // unlike HLL, every CMS step is integer-exact — base poly31 hash (the
+  // native gram_hashes expression), affine plane hashes, bucket counts,
+  // min-estimate — so DuckDB replays estimates bit-for-bit including
+  // collision overestimates. Queried for the exact top-20 tokens.
+  private val qCountMin = df("q_op_countmin",
+    (spark, dir) => {
+      import graft.operators.Sketches
+      graft.functions.TajoFunctions.register(spark)
+      val docs = Tables.table(spark, dir, "documents")
+      val occ = docs.select(explode(expr("gram_hashes(text, 1)")).as("h"))
+      val counters = Sketches.countMinCounters(occ, "h")
+      val top = docs.select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("tok")).limit(20)
+        .withColumn("h", expr("element_at(gram_hashes(tok, 1), 1)"))
+      Sketches.countMinEstimate(counters, top, "h")
+        .select(col("tok"), col("exact_n"), col("cms_est"))
+        .orderBy("tok")
+    },
+    Some(s"""WITH toks AS (
+            |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+            |), occ AS (
+            |  SELECT ${PipelineQueries.duckPoly31("tok")} AS h FROM toks
+            |), plane(j, a, b) AS (
+            |  VALUES (0, 1299709, 104729), (1, 15485863, 1299721), (2, 32452843, 15485867)
+            |), cnt AS (
+            |  SELECT p.j, ((p.a * o.h + p.b) % 1000000007) % 512 AS bucket,
+            |    CAST(COUNT(*) AS BIGINT) AS c
+            |  FROM occ o, plane p GROUP BY 1, 2
+            |), top AS (
+            |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_n FROM toks GROUP BY tok
+            |  ORDER BY exact_n DESC, tok LIMIT 20
+            |), qh AS (
+            |  SELECT tok, exact_n, ${PipelineQueries.duckPoly31("tok")} AS h FROM top
+            |)
+            |SELECT q.tok, q.exact_n, MIN(c.c) AS cms_est
+            |FROM qh q, plane p, cnt c
+            |WHERE c.j = p.j AND c.bucket = ((p.a * q.h + p.b) % 1000000007) % 512
+            |GROUP BY q.tok, q.exact_n
+            |ORDER BY q.tok""".stripMargin))
+
+  // Inverted-index build (TextAnalysis.invertedIndex): per-term df /
+  // total tf / capped top-10 posting list by (tf DESC, doc) — the ordered
+  // posting sequence fingerprinted as md5, so the oracle checks the FULL
+  // ranking, not just membership.
+  private val qInvertedIndex = df("q_op_inverted_index",
+    (spark, dir) => {
+      val docs = Tables.table(spark, dir, "documents")
+      TextAnalysis.invertedIndex(docs, "doc_id", "text", k = 10)
+        .select(col("term"), col("df").cast("bigint").as("df"),
+          col("total_tf").cast("bigint").as("total_tf"), col("postings_md5"))
+        .orderBy("term")
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+           |), tf AS (
+           |  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2
+           |), st AS (
+           |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+           |    CAST(SUM(tf) AS BIGINT) AS total_tf
+           |  FROM tf GROUP BY term
+           |), rk AS (
+           |  SELECT *, row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rk
+           |  FROM tf
+           |), pk AS (
+           |  SELECT term,
+           |    md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY tf DESC, doc_id)) AS postings_md5
+           |  FROM rk WHERE rk <= 10 GROUP BY term
+           |)
+           |SELECT s.term, s.df, s.total_tf, p.postings_md5
+           |FROM st s JOIN pk p USING (term) ORDER BY s.term""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
-    qUrlDedup, qPageRank, qHllTokens, qRobotsGate, qDistill,
+    qUrlDedup, qPageRank, qHllTokens, qRobotsGate, qDistill, qCountMin, qInvertedIndex,
     qMinhashApi, qAnnApi, qAnnIvf, qAnnIvf2, qAnnPq, qAnnIvfPq, qSemDedup, qSemanticSort,
     qHardNegatives, qQualityApi, qMultimodalApi,
     qMultimodalPatches, qMultimodalDecode, qMultimodalAudio, qMultimodalVideo,

@@ -186,6 +186,45 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(math.abs(est - n).toDouble / n < 0.02, s"estimate $est vs $n")
   }
 
+  test("count-min sketch: never underestimates, exact at ample width, counters merge by addition") {
+    import graft.operators.Sketches
+    val occ = spark.range(3000)
+      .select((col("id") % 37).as("k"))          // 37 keys, ~81 occurrences each
+      .select((col("k") * 2654435761L % 1000000007L).as("h"), col("k"))
+    val exact = occ.groupBy("k", "h").agg(count(lit(1)).as("exact_n"))
+    // narrow width forces collisions -> overestimates, never under
+    val narrow = Sketches.countMinEstimate(
+      Sketches.countMinCounters(occ.select("h"), "h", width = 16),
+      exact, "h", width = 16)
+    assert(narrow.filter(col("cms_est") < col("exact_n")).count() === 0)
+    // ample width: 37 keys across 65536 buckets x 3 planes -> exact on this data
+    val wide = Sketches.countMinEstimate(
+      Sketches.countMinCounters(occ.select("h"), "h", width = 65536),
+      exact, "h", width = 65536)
+    assert(wide.filter(col("cms_est") =!= col("exact_n")).count() === 0)
+    // mergeability: counters of two halves sum bucket-wise to the whole
+    val whole = Sketches.countMinCounters(occ.select("h"), "h", width = 64)
+    val halves = Sketches.countMinCounters(occ.filter(col("h") % 2 === 0).select("h"), "h", width = 64)
+      .unionAll(Sketches.countMinCounters(occ.filter(col("h") % 2 =!= 0).select("h"), "h", width = 64))
+      .groupBy("j", "bucket").agg(sum(col("c")).as("c"))
+    assert(whole.as[(Long, Long, Long)].collect.toSet ===
+      halves.as[(Long, Long, Long)].collect.toSet)
+  }
+
+  test("invertedIndex: df/tf stats over all docs, postings capped and rank-ordered") {
+    import org.apache.commons.codec.digest.DigestUtils
+    val docs = Seq(
+      (1L, "a b a"), (2L, "a a a b"), (3L, "b c"), (4L, "a")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.invertedIndex(docs, "doc_id", "text", k = 2)
+      .orderBy("term").as[(String, Long, Long, String)].collect.toSeq
+    // a: tf 2@1, 3@2, 1@4 -> df 3, total 6, top2 by (tf desc, id) = [2, 1]
+    // b: tf 1@1, 1@2, 1@3 -> df 3, total 3, top2 = [1, 2]; c: [3]
+    assert(got === Seq(
+      ("a", 3L, 6L, DigestUtils.md5Hex("2,1")),
+      ("b", 3L, 3L, DigestUtils.md5Hex("1,2")),
+      ("c", 1L, 1L, DigestUtils.md5Hex("3"))))
+  }
+
   test("distinctTokensBySource matches exact distinct counts on testdata") {
     val docs = graft.engine.Tables.table(spark, sfDir, "documents")
     val got = Sketches.distinctTokensBySource(docs, "doc_id", "text")

@@ -389,6 +389,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q_op_inverted_index: posting cap pushed into the window sort (WindowGroupLimit)") {
+    val p = plan("q_op_inverted_index")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("pageRank iteration: contribution sum is partial+final on dst, rank table stays node-sized") {
     // pin the per-iteration subplan (the registered query's final plan is
     // checkpoint scans by design — lineage truncation IS the discipline)
