@@ -618,4 +618,52 @@ object TextAnalysis {
           x => x.getField("d").cast("string")))).as("postings_md5"))
     stats.join(postings, Seq("term"))
   }
+
+  /** Integer BM25 variant ("bm25-lite"): rank documents for a set of query
+    * terms with the BM25 tf saturation + length normalization shape, in
+    * parts-per-million BIGINT arithmetic so scoring replays bit-for-bit in
+    * any engine:
+    *
+    *   avgdl_micro = (1e6 · Σdl) DIV n_docs
+    *   dl_ppm      = (1e6 · dl · 1e6) DIV avgdl_micro          (dl/avgdl)
+    *   dlnorm      = (1e6 - b) + (b · dl_ppm) DIV 1e6
+    *   tfc         = (tf · (1e6 + k1) · 1e6) DIV (tf · 1e6 + (k1 · dlnorm) DIV 1e6)
+    *   idf         = (1e6 · (n_docs - df + 1)) DIV (df + 1)
+    *   score       = Σ_terms (idf · tfc) DIV 1e6
+    *
+    * The idf is the integer rational surrogate for the float
+    * ln((N-df+.5)/(df+.5)) — same monotone ordering in df, no libm ln in
+    * the pipeline (cross-engine ln is NOT bit-stable; the same trade as
+    * lmScore/dsirWeights). Overflow bound: idf ≤ 1e6·N, tfc ≤ 2.2e6, so
+    * BIGINT holds through N ≈ 10^12 docs.
+    *
+    * Scale: query terms and their df table are query-sized broadcasts; the
+    * corpus contributes one token explode filtered BY the broadcast (a
+    * semi-join at scan speed — only query-term occurrences survive), one
+    * doc-length aggregation, and the final per-doc sum; top-k plans as
+    * TakeOrderedAndProject, never a global sort. */
+  def bm25Lite(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: DataFrame, k1Ppm: Long = 1200000L,
+               bPpm: Long = 750000L, topK: Int = 20): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(split(col(textCol), " ")).as("term"))
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val totals = dl.agg(sum(col("dl")).as("total_tok"), count(lit(1)).as("n_docs"))
+    val tf = toks.join(broadcast(queryTerms), Seq("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(dl, Seq(idCol))
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(totals))
+      .withColumn("avgdl_micro", expr("(1000000 * total_tok) DIV n_docs"))
+      .withColumn("dl_ppm", expr("(1000000 * dl * 1000000) DIV avgdl_micro"))
+      .withColumn("dlnorm", expr(s"(1000000 - $bPpm) + ($bPpm * dl_ppm) DIV 1000000"))
+      .withColumn("tfc", expr(
+        s"(tf * ${1000000L + k1Ppm} * 1000000) DIV (tf * 1000000 + ($k1Ppm * dlnorm) DIV 1000000)"))
+      .withColumn("idf", expr("(1000000 * (n_docs - df + 1)) DIV (df + 1)"))
+      .withColumn("s", expr("(idf * tfc) DIV 1000000"))
+      .groupBy(col(idCol)).agg(sum(col("s")).as("score_ppm"))
+      .orderBy(col("score_ppm").desc, col(idCol))
+      .limit(topK)
+  }
 }

@@ -1307,8 +1307,56 @@ object OperatorQueries {
            |SELECT s.term, s.df, s.total_tf, p.postings_md5
            |FROM st s JOIN pk p USING (term) ORDER BY s.term""".stripMargin))
 
+  // Integer BM25 retrieval (TextAnalysis.bm25Lite): tf saturation + length
+  // normalization in ppm BIGINT arithmetic (integer-rational idf — no libm
+  // ln, which is not bit-stable cross-engine); query = the corpus top-3
+  // tokens, derived deterministically. The oracle replays avgdl/dl-norm/
+  // tf-saturation/idf/sum/top-20 exactly.
+  private val qBm25 = df("q_op_bm25",
+    (spark, dir) => {
+      val docs = Tables.table(spark, dir, "documents")
+      val toks = docs.select(explode(split(col("text"), " ")).as("term"))
+      val qterms = toks.groupBy("term").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term")).limit(3).select("term")
+      TextAnalysis.bm25Lite(docs, "doc_id", "text", qterms)
+        .select(col("doc_id"), col("score_ppm").cast("bigint").as("score_ppm"))
+        .orderBy(col("score_ppm").desc, col("doc_id"))
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+           |), qterms AS (
+           |  SELECT term FROM (
+           |    SELECT term, COUNT(*) AS n FROM toks GROUP BY term
+           |    ORDER BY n DESC, term LIMIT 3
+           |  )
+           |), dl AS (
+           |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+           |), totals AS (
+           |  SELECT CAST(SUM(dl) AS BIGINT) AS total_tok,
+           |    CAST(COUNT(*) AS BIGINT) AS n_docs FROM dl
+           |), tf AS (
+           |  SELECT t.doc_id, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+           |  FROM toks t JOIN qterms q USING (term) GROUP BY t.doc_id, t.term
+           |), dfreq AS (
+           |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+           |), scored AS (
+           |  SELECT tf.doc_id,
+           |    ((1000000 * (x.n_docs - d.df + 1)) // (d.df + 1)
+           |      * ((tf.tf * 2200000 * 1000000)
+           |         // (tf.tf * 1000000
+           |            + (1200000 * ((1000000 - 750000)
+           |               + (750000 * ((1000000 * dl.dl * 1000000)
+           |                  // ((1000000 * x.total_tok) // x.n_docs))) // 1000000))
+           |              // 1000000))
+           |    ) // 1000000 AS s
+           |  FROM tf JOIN dl USING (doc_id) JOIN dfreq d USING (term), totals x
+           |)
+           |SELECT doc_id, CAST(SUM(s) AS BIGINT) AS score_ppm
+           |FROM scored GROUP BY doc_id
+           |ORDER BY score_ppm DESC, doc_id LIMIT 20""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
-    qUrlDedup, qPageRank, qHllTokens, qRobotsGate, qDistill, qCountMin, qInvertedIndex,
+    qUrlDedup, qPageRank, qHllTokens, qRobotsGate, qDistill, qCountMin, qInvertedIndex, qBm25,
     qMinhashApi, qAnnApi, qAnnIvf, qAnnIvf2, qAnnPq, qAnnIvfPq, qSemDedup, qSemanticSort,
     qHardNegatives, qQualityApi, qMultimodalApi,
     qMultimodalPatches, qMultimodalDecode, qMultimodalAudio, qMultimodalVideo,

@@ -225,6 +225,40 @@ class LinkGraphSpec extends AnyFunSuite {
       ("c", 1L, 1L, DigestUtils.md5Hex("3"))))
   }
 
+  test("bm25Lite matches the integer model; rarer terms and shorter docs score higher") {
+    val docs = Seq(
+      (1L, "x y common common"), (2L, "x common"), (3L, "common common common"),
+      (4L, "y z z"), (5L, "z")).toDF("doc_id", "text")
+    val q = Seq("x", "z").toDF("term")
+    val got = graft.operators.TextAnalysis.bm25Lite(docs, "doc_id", "text", q, topK = 10)
+      .as[(Long, Long)].collect.toMap
+    // independent integer model
+    val corpus = Map(1L -> Seq("x", "y", "common", "common"), 2L -> Seq("x", "common"),
+      3L -> Seq("common", "common", "common"), 4L -> Seq("y", "z", "z"), 5L -> Seq("z"))
+    val nDocs = corpus.size.toLong
+    val totalTok = corpus.values.map(_.size.toLong).sum
+    val avgdlMicro = 1000000L * totalTok / nDocs
+    val dfm = Map("x" -> 2L, "z" -> 2L)
+    val want = corpus.flatMap { case (d, ts) =>
+      val dl = ts.size.toLong
+      val s = Seq("x", "z").flatMap { t =>
+        val tf = ts.count(_ == t).toLong
+        if (tf == 0) None else {
+          val dlPpm = 1000000L * dl * 1000000L / avgdlMicro
+          val dlnorm = 250000L + 750000L * dlPpm / 1000000L
+          val tfc = tf * 2200000L * 1000000L / (tf * 1000000L + 1200000L * dlnorm / 1000000L)
+          val idf = 1000000L * (nDocs - dfm(t) + 1) / (dfm(t) + 1)
+          Some(idf * tfc / 1000000L)
+        }
+      }
+      if (s.isEmpty) None else Some(d -> s.sum)
+    }
+    assert(got === want)
+    // doc 5 ("z" alone, shortest) must outrank doc 4 ("z z" in a longer doc
+    // scores higher tf but the rare-term ordering holds for equal tf docs 1 vs 2
+    assert(got(2L) > got(1L)) // same tf of x, shorter doc wins
+  }
+
   test("distinctTokensBySource matches exact distinct counts on testdata") {
     val docs = graft.engine.Tables.table(spark, sfDir, "documents")
     val got = Sketches.distinctTokensBySource(docs, "doc_id", "text")

@@ -396,6 +396,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q_op_bm25: query terms broadcast, top-k is TakeOrderedAndProject, no global sort") {
+    val p = plan("q_op_bm25")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("pageRank iteration: contribution sum is partial+final on dst, rank table stays node-sized") {
     // pin the per-iteration subplan (the registered query's final plan is
     // checkpoint scans by design — lineage truncation IS the discipline)
