@@ -293,6 +293,28 @@ object Dedup {
       .select(col(idCol), col("digest"))
   }
 
+  /** Crawl snapshot diff: classify every document id across two corpus
+    * snapshots as added / removed / modified / unchanged by comparing
+    * content digests — the delta report that decides how much of an
+    * incremental ingest actually needs to re-run (added+modified feed
+    * [[incrementalExact]]; removed feeds tombstoning).
+    *
+    * Scale: both sides reduce to (id, 16-byte digest) projections at scan
+    * speed, then ONE full-outer hash join on the id — no text ever
+    * shuffles. Output is one row per id; aggregate it per status for the
+    * report (the registered query does). */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame,
+                   idCol: String, textCol: String): DataFrame = {
+    val o = oldDocs.select(col(idCol).as("id"), md5(col(textCol)).as("__od"))
+    val n = newDocs.select(col(idCol).as("id"), md5(col(textCol)).as("__nd"))
+    o.join(n, Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("__od").isNull, "added")
+          .when(col("__nd").isNull, "removed")
+          .when(col("__od") =!= col("__nd"), "modified")
+          .otherwise("unchanged").as("status"))
+  }
+
   /** Paragraph-level dedup (MassiveText/RefinedWeb-style): exact-dedup at
     * sub-document granularity, then reassemble. A paragraph OCCURRENCE
     * survives iff it is the globally first occurrence of that exact

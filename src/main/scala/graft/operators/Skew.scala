@@ -40,4 +40,28 @@ object Skew {
     salted.groupBy(col(key), col("__salt")).agg(count("*").as("__partial"))
       .groupBy(col(key)).agg(sum("__partial").as("cnt"))
   }
+
+  /** Pre-shuffle skew diagnosis for a prospective join/agg key: per-key
+    * row counts reduced to the numbers that decide a plan — key count,
+    * max/total rows, the hot key itself, skew ratio (max over mean, ppm),
+    * and the salt factor [[saltedJoin]] would need to flatten the hot key
+    * to ~mean (max DIV mean, floored at 1). Run it on a 100 TB input
+    * BEFORE committing to a partitioning: it is one partial+final count
+    * on the key and a second tiny aggregation over the per-key counts —
+    * strictly cheaper than the shuffle it de-risks, and the output is one
+    * row. Ties on the hot key break by key value (min), so the report is
+    * deterministic. */
+  def diagnoseKey(df: DataFrame, key: String): DataFrame = {
+    val perKey = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+    perKey.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("n")).as("n_rows"),
+        max(col("n")).as("max_n"),
+        min(struct(negate(col("n")).as("nn"), col(key).cast("string").as("k")))
+          .as("__hot"))
+      .select(col("n_keys"), col("n_rows"), col("max_n"),
+        col("__hot.k").as("hot_key"),
+        expr("(1000000 * max_n) DIV (n_rows DIV n_keys)").as("skew_ppm"),
+        greatest(lit(1L), expr("max_n DIV (n_rows DIV n_keys)")).as("suggested_salts"))
+  }
 }

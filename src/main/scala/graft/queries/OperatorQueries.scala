@@ -1355,8 +1355,71 @@ object OperatorQueries {
            |FROM scored GROUP BY doc_id
            |ORDER BY score_ppm DESC, doc_id LIMIT 20""".stripMargin))
 
+  // Crawl snapshot diff (Dedup.snapshotDiff): added/removed/modified/
+  // unchanged by digest across two snapshots; the fixture derives an "old"
+  // snapshot that exercises all four statuses (dropped %7 ids -> added,
+  // extra shifted ids -> removed, %5 text edits -> modified).
+  private val qSnapshotDiff = df("q_op_snapshot_diff",
+    (spark, dir) => {
+      val docs = Tables.table(spark, dir, "documents")
+      val old = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v1")))
+            .otherwise(col("text")).as("text"))
+        .unionAll(docs.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.snapshotDiff(old, docs, "doc_id", "text")
+        .groupBy("status").agg(count(lit(1)).as("n_docs"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+        .orderBy("status")
+    },
+    Some("""WITH old AS (
+           |  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' v1' ELSE text END AS text
+           |  FROM documents WHERE doc_id % 7 <> 0
+           |  UNION ALL
+           |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 11 = 0
+           |), o AS (
+           |  SELECT doc_id AS id, md5(text) AS od FROM old
+           |), n AS (
+           |  SELECT doc_id AS id, md5(text) AS nd FROM documents
+           |), d AS (
+           |  SELECT id,
+           |    CASE WHEN od IS NULL THEN 'added' WHEN nd IS NULL THEN 'removed'
+           |         WHEN od <> nd THEN 'modified' ELSE 'unchanged' END AS status
+           |  FROM o FULL OUTER JOIN n USING (id)
+           |)
+           |SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(MIN(id) AS BIGINT) AS min_id, CAST(MAX(id) AS BIGINT) AS max_id
+           |FROM d GROUP BY status ORDER BY status""".stripMargin))
+
+  // Pre-shuffle skew diagnosis (Skew.diagnoseKey): the one-row report
+  // (key count, hot key, skew ratio, suggested salt factor) a planner
+  // reads BEFORE committing a 100 TB join to a partitioning. The fixture
+  // funnels a third of lineitem onto one hot key.
+  private val qSkewDiag = df("q_op_skew_diag",
+    (spark, dir) => {
+      val li = Tables.table(spark, dir, "lineitem")
+      val keyed = li.select(
+        expr("CASE WHEN l_orderkey % 3 = 0 THEN 0 ELSE l_suppkey END").as("k"))
+      Skew.diagnoseKey(keyed, "k")
+    },
+    Some("""WITH keyed AS (
+           |  SELECT CASE WHEN l_orderkey % 3 = 0 THEN 0 ELSE l_suppkey END AS k
+           |  FROM lineitem
+           |), pk AS (
+           |  SELECT k, CAST(COUNT(*) AS BIGINT) AS n FROM keyed GROUP BY k
+           |)
+           |SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           |  CAST(SUM(n) AS BIGINT) AS n_rows,
+           |  CAST(MAX(n) AS BIGINT) AS max_n,
+           |  (SELECT CAST(k AS VARCHAR) FROM pk ORDER BY n DESC, CAST(k AS VARCHAR) LIMIT 1) AS hot_key,
+           |  CAST((1000000 * MAX(n)) // (SUM(n) // COUNT(*)) AS BIGINT) AS skew_ppm,
+           |  CAST(GREATEST(1, MAX(n) // (SUM(n) // COUNT(*))) AS BIGINT) AS suggested_salts
+           |FROM pk""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     qUrlDedup, qPageRank, qHllTokens, qRobotsGate, qDistill, qCountMin, qInvertedIndex, qBm25,
+    qSnapshotDiff, qSkewDiag,
     qMinhashApi, qAnnApi, qAnnIvf, qAnnIvf2, qAnnPq, qAnnIvfPq, qSemDedup, qSemanticSort,
     qHardNegatives, qQualityApi, qMultimodalApi,
     qMultimodalPatches, qMultimodalDecode, qMultimodalAudio, qMultimodalVideo,

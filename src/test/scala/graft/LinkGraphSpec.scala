@@ -259,6 +259,23 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(got(2L) > got(1L)) // same tf of x, shorter doc wins
   }
 
+  test("snapshotDiff classifies added/removed/modified/unchanged by digest") {
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val neu = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.snapshotDiff(old, neu, "doc_id", "text")
+      .as[(Long, String)].collect.toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "modified", 3L -> "removed", 4L -> "added"))
+  }
+
+  test("diagnoseKey reports the hot key, skew ratio, and a salt factor") {
+    val df = (Seq.fill(60)(("hot", 1)) ++ Seq(("a", 1), ("b", 1), ("c", 1), ("d", 1)))
+      .toDF("k", "v")
+    val r = graft.operators.Skew.diagnoseKey(df, "k")
+      .as[(Long, Long, Long, String, Long, Long)].head
+    // 5 keys, 64 rows, mean 12 (integer), max 60 -> skew 5_000_000 ppm, salts 5
+    assert(r === ((5L, 64L, 60L, "hot", 5000000L, 5L)))
+  }
+
   test("distinctTokensBySource matches exact distinct counts on testdata") {
     val docs = graft.engine.Tables.table(spark, sfDir, "documents")
     val got = Sketches.distinctTokensBySource(docs, "doc_id", "text")
