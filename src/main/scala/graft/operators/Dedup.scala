@@ -305,14 +305,19 @@ object Dedup {
     * report (the registered query does). */
   def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame,
                    idCol: String, textCol: String): DataFrame = {
-    val o = oldDocs.select(col(idCol).as("id"), md5(col(textCol)).as("__od"))
-    val n = newDocs.select(col(idCol).as("id"), md5(col(textCol)).as("__nd"))
+    // presence is tracked by explicit flags, NOT digest nullability:
+    // md5(NULL text) is NULL, and a null digest must read as "present with
+    // null content" (modified/unchanged), never as absent
+    val o = oldDocs.select(col(idCol).as("id"), md5(col(textCol)).as("__od"),
+      lit(true).as("__oin"))
+    val n = newDocs.select(col(idCol).as("id"), md5(col(textCol)).as("__nd"),
+      lit(true).as("__nin"))
     o.join(n, Seq("id"), "full_outer")
       .select(col("id"),
-        when(col("__od").isNull, "added")
-          .when(col("__nd").isNull, "removed")
-          .when(col("__od") =!= col("__nd"), "modified")
-          .otherwise("unchanged").as("status"))
+        when(col("__oin").isNull, "added")
+          .when(col("__nin").isNull, "removed")
+          .when(col("__od") <=> col("__nd"), "unchanged")
+          .otherwise("modified").as("status"))
   }
 
   /** Paragraph-level dedup (MassiveText/RefinedWeb-style): exact-dedup at

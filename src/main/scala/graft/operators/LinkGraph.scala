@@ -141,6 +141,8 @@ object LinkGraph {
     val nodes = edges.select(col("src").as("d"))
       .union(edges.select(col("dst").as("d"))).distinct().localCheckpoint()
     val n = nodes.count()
+    if (n == 0) // empty graph: empty rank table, not a driver-side / by zero
+      return nodes.select(col("d").as("domain"), lit(0L).as("rank_fp"))
     val base = (1000000L - dampingPpm) * (scale / n) / 1000000L
     val edgesW = edges
       .join(edges.groupBy(col("src")).agg(sum(col("w")).as("wout")), "src")
@@ -217,26 +219,29 @@ object LinkGraph {
     * is on the URL's path ('' normalizes to '/'), host without port.
     *
     * Scale: rules are dimension-sized (a few rules per crawled host) and
-    * broadcast; the per-URL work is a broadcast join + one partitioned
-    * window over the URL's own matches — the corpus never shuffles on
-    * itself. Output: (id, host, path, allowed). */
+    * broadcast; the winning rule is selected by ONE partial+final
+    * aggregation with an ordering-encoded max struct (match flag, prefix
+    * length, allow-wins, prefix), so each URL's candidates combine
+    * map-side and only one row per URL crosses the single shuffle — the
+    * corpus never joins itself. Output: (id, host, path, allowed). */
   def robotsGate(urls: DataFrame, rules: DataFrame, idCol: String,
                  urlCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val parts = urls.select(col(idCol),
       expr(s"lower(regexp_extract($urlCol, '^[A-Za-z]+://([^/?#:]+)', 1))").as("host"),
       expr(s"CASE WHEN regexp_extract(regexp_replace($urlCol, '^[A-Za-z]+://[^/?#]*', ''), '^([^?#]*)', 1) = '' THEN '/' " +
         s"ELSE regexp_extract(regexp_replace($urlCol, '^[A-Za-z]+://[^/?#]*', ''), '^([^?#]*)', 1) END").as("path"))
-    val best = parts.join(broadcast(rules), Seq("host"))
-      .filter(expr("substr(path, 1, length(prefix)) = prefix"))
-      .withColumn("rn", row_number().over(Window.partitionBy(idCol)
-        .orderBy(length(col("prefix")).desc,
-          when(col("allow"), 0).otherwise(1), col("prefix"))))
-      .filter(col("rn") === 1)
-      .select(col(idCol), col("allow"))
-    parts.join(best, Seq(idCol), "left")
+    // left join keeps rule-less hosts (one null-rule row); the best struct
+    // orders by (matched, prefix length, allow, prefix) so max() picks the
+    // RFC winner, and a tie at (length, allow) is verdict-identical
+    parts.join(broadcast(rules), Seq("host"), "left")
+      .withColumn("__m",
+        col("prefix").isNotNull && expr("substr(path, 1, length(prefix)) = prefix"))
+      .groupBy(col(idCol), col("host"), col("path"))
+      .agg(max(struct(col("__m").as("m"),
+        coalesce(length(col("prefix")), lit(-1)).as("len"),
+        coalesce(col("allow"), lit(false)).as("allow"))).as("__best"))
       .select(col(idCol), col("host"), col("path"),
-        coalesce(col("allow"), lit(true)).as("allowed"))
+        when(col("__best.m"), col("__best.allow")).otherwise(lit(true)).as("allowed"))
   }
 
   /** DuckDB replay of [[pageRank]] over `edges` (a CTE named `edges` with

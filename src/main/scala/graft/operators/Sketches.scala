@@ -67,14 +67,23 @@ object Sketches {
     * `gram_hashes(text, 1)` exploded — codegen'd, no string shuffle); the
     * only shuffle is the partial+final count on (j, bucket), whose key
     * space is depth×width — thousands of rows from petabytes of input. */
+  /** Plane buckets for a base hash, with the hash first normalized into
+    * [0, P) via pmod so ANY BIGINT input (xxhash64's full signed range
+    * included) is valid: a·h would overflow BIGINT for |h| > ~1.4e11 and
+    * Java-style % would emit negative buckets. For hashes already in
+    * [0, P) — poly31 — pmod is the identity, so oracles spell the plane
+    * hash without it. */
+  private def cmsPlanes(hCol: String, width: Int, depth: Int) =
+    (0 until depth).map { j =>
+      struct(lit(j).as("j"),
+        (((lit(CmsA(j)) * pmod(col(hCol), lit(CmsP)) + lit(CmsB(j))) % CmsP) % width)
+          .as("bucket"))
+    }
+
   def countMinCounters(hashes: DataFrame, hCol: String,
                        width: Int = 512, depth: Int = 3): DataFrame = {
     require(depth >= 1 && depth <= CmsA.length && width > 0)
-    val planes = (0 until depth).map { j =>
-      struct(lit(j).as("j"),
-        (((lit(CmsA(j)) * col(hCol) + lit(CmsB(j))) % CmsP) % width).as("bucket"))
-    }
-    hashes.select(explode(array(planes: _*)).as("p"))
+    hashes.select(explode(array(cmsPlanes(hCol, width, depth): _*)).as("p"))
       .groupBy(col("p.j").as("j"), col("p.bucket").as("bucket"))
       .agg(count(lit(1)).as("c"))
   }
@@ -88,19 +97,20 @@ object Sketches {
                        width: Int = 512, depth: Int = 3): DataFrame = {
     require(depth >= 1 && depth <= CmsA.length && width > 0)
     val keyCols = queries.columns.filter(_ != hCol)
-    val planes = (0 until depth).map { j =>
-      struct(lit(j).as("j"),
-        (((lit(CmsA(j)) * col(hCol) + lit(CmsB(j))) % CmsP) % width).as("bucket"))
-    }
-    queries.select(col("*"), explode(array(planes: _*)).as("p"))
+    queries.select(col("*"), explode(array(cmsPlanes(hCol, width, depth): _*)).as("p"))
       .select((keyCols.map(col) :+ col("p.j").as("j") :+ col("p.bucket").as("bucket")): _*)
-      .join(broadcast(counters), Seq("j", "bucket"))
+      // LEFT join: a plane bucket no occurrence ever hit has an implicit
+      // zero counter — it must participate in the min (an inner join would
+      // skip it, overestimating unseen keys, and a key with ALL planes
+      // empty would vanish instead of estimating 0)
+      .join(broadcast(counters), Seq("j", "bucket"), "left")
       .groupBy(keyCols.map(col): _*)
-      .agg(min(col("c")).as("cms_est"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("cms_est"))
   }
 
   /** Distinct whitespace-tokens per source, sketched per (source, shard)
-    * and MERGED per source plus a corpus-wide `__all__` rollup — the exact
+    * and MERGED per source plus a corpus-wide `~all~` rollup (tilde so the
+    * rollup sorts after every source name) — the exact
     * shape of a production run, where each ingest shard sketches
     * independently and only sketches meet. `shards` here simulates the
     * independent writers. Output: (source, n_distinct_est), rollup last. */

@@ -61,7 +61,11 @@ object Skew {
           .as("__hot"))
       .select(col("n_keys"), col("n_rows"), col("max_n"),
         col("__hot.k").as("hot_key"),
-        expr("(1000000 * max_n) DIV (n_rows DIV n_keys)").as("skew_ppm"),
-        greatest(lit(1L), expr("max_n DIV (n_rows DIV n_keys)")).as("suggested_salts"))
+        // empty input leaves n_keys = 0: report NULLs, don't let ANSI mode
+        // turn the planning probe itself into a DIVIDE_BY_ZERO failure
+        expr("CASE WHEN n_keys = 0 THEN NULL " +
+          "ELSE (1000000 * max_n) DIV (n_rows DIV n_keys) END").as("skew_ppm"),
+        expr("CASE WHEN n_keys = 0 THEN NULL " +
+          "ELSE GREATEST(1L, max_n DIV (n_rows DIV n_keys)) END").as("suggested_salts"))
   }
 }

@@ -634,8 +634,12 @@ object TextAnalysis {
     * The idf is the integer rational surrogate for the float
     * ln((N-df+.5)/(df+.5)) — same monotone ordering in df, no libm ln in
     * the pipeline (cross-engine ln is NOT bit-stable; the same trade as
-    * lmScore/dsirWeights). Overflow bound: idf ≤ 1e6·N, tfc ≤ 2.2e6, so
-    * BIGINT holds through N ≈ 10^12 docs.
+    * lmScore/dsirWeights). Overflow bounds: idf ≤ 1e6·N, tfc ≤ 2.2e6, so
+    * BIGINT holds through N ≈ 10^12 docs; per-doc tf and dl are CLAMPED
+    * (LEAST at 4e6 / 8e6) before entering the products — tf·2.2e6·1e6 and
+    * 1e6·dl·1e6 would overflow BIGINT (an ANSI-mode job abort) for a
+    * pathological multi-million-token spam doc, and BM25's saturation
+    * makes the clamp a no-op semantically (tfc is flat long before 4e6).
     *
     * Scale: query terms and their df table are query-sized broadcasts; the
     * corpus contributes one token explode filtered BY the broadcast (a
@@ -655,11 +659,17 @@ object TextAnalysis {
     tf.join(dl, Seq(idCol))
       .join(broadcast(dfreq), Seq("term"))
       .crossJoin(broadcast(totals))
-      .withColumn("avgdl_micro", expr("(1000000 * total_tok) DIV n_docs"))
-      .withColumn("dl_ppm", expr("(1000000 * dl * 1000000) DIV avgdl_micro"))
+      // identical to (1e6*total_tok) DIV n_docs but never forms the 1e6·Σdl
+      // product (BIGINT overflow past 9.2e12 total tokens): with
+      // total = q·n + r, (1e6·total) DIV n = 1e6·q + (1e6·r) DIV n exactly
+      .withColumn("avgdl_micro", expr(
+        "1000000 * (total_tok DIV n_docs) + (1000000 * (total_tok % n_docs)) DIV n_docs"))
+      .withColumn("__dl", expr("LEAST(dl, 8000000L)"))
+      .withColumn("__tf", expr("LEAST(tf, 4000000L)"))
+      .withColumn("dl_ppm", expr("(1000000 * __dl * 1000000) DIV avgdl_micro"))
       .withColumn("dlnorm", expr(s"(1000000 - $bPpm) + ($bPpm * dl_ppm) DIV 1000000"))
       .withColumn("tfc", expr(
-        s"(tf * ${1000000L + k1Ppm} * 1000000) DIV (tf * 1000000 + ($k1Ppm * dlnorm) DIV 1000000)"))
+        s"(__tf * ${1000000L + k1Ppm} * 1000000) DIV (__tf * 1000000 + ($k1Ppm * dlnorm) DIV 1000000)"))
       .withColumn("idf", expr("(1000000 * (n_docs - df + 1)) DIV (df + 1)"))
       .withColumn("s", expr("(idf * tfc) DIV 1000000"))
       .groupBy(col(idCol)).agg(sum(col("s")).as("score_ppm"))

@@ -1342,11 +1342,12 @@ object OperatorQueries {
            |), scored AS (
            |  SELECT tf.doc_id,
            |    ((1000000 * (x.n_docs - d.df + 1)) // (d.df + 1)
-           |      * ((tf.tf * 2200000 * 1000000)
-           |         // (tf.tf * 1000000
+           |      * ((LEAST(tf.tf, 4000000) * 2200000 * 1000000)
+           |         // (LEAST(tf.tf, 4000000) * 1000000
            |            + (1200000 * ((1000000 - 750000)
-           |               + (750000 * ((1000000 * dl.dl * 1000000)
-           |                  // ((1000000 * x.total_tok) // x.n_docs))) // 1000000))
+           |               + (750000 * ((1000000 * LEAST(dl.dl, 8000000) * 1000000)
+           |                  // (1000000 * (x.total_tok // x.n_docs)
+           |                     + (1000000 * (x.total_tok % x.n_docs)) // x.n_docs))) // 1000000))
            |              // 1000000))
            |    ) // 1000000 AS s
            |  FROM tf JOIN dl USING (doc_id) JOIN dfreq d USING (term), totals x

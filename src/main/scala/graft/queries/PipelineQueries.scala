@@ -34,7 +34,7 @@ object PipelineQueries {
   // combining sequences or multi-codepoint graphemes would hash
   // differently. The hash spec is defined over the codepoint fold; the
   // DuckDB spelling is the oracle approximation valid on this domain.
-  private[queries] def sparkPoly31(arg: String): String =
+  private def sparkPoly31(arg: String): String =
     s"AGGREGATE(FILTER(SPLIT($arg, ''), c -> c <> ''), CAST(0 AS BIGINT), (a, c) -> (a * 31 + ASCII(c)) % 1000000007)"
   private[queries] def duckPoly31(arg: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($arg, ''), c -> CAST(ascii(c) AS BIGINT))), (a, c) -> (a * 31 + c) % 1000000007)"

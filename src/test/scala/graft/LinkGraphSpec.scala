@@ -276,6 +276,29 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(r === ((5L, 64L, 60L, "hot", 5000000L, 5L)))
   }
 
+  test("review regressions: unseen CMS keys, null-text diff, empty diagnose/pagerank inputs") {
+    import graft.operators.{Dedup, LinkGraph, Sketches, Skew}
+    // CMS: a key whose buckets were never hit estimates 0 (left join +
+    // implicit zero counter), and full-64-bit / negative hashes are valid
+    val counters = Sketches.countMinCounters(
+      Seq(5L, 5L, 9L).toDF("h"), "h", width = 65536)
+    val unseen = Sketches.countMinEstimate(counters,
+      Seq((-1234567890123456789L, "miss")).toDF("h", "k"), "h", width = 65536)
+    assert(unseen.select("cms_est").head.getLong(0) === 0L)
+    // snapshotDiff: null text is presence-with-null-content, not absence
+    val o = Seq((1L, Option.empty[String]), (2L, Some("x"))).toDF("doc_id", "text")
+    val n = Seq((1L, Option.empty[String]), (2L, Option.empty[String])).toDF("doc_id", "text")
+    val d = Dedup.snapshotDiff(o, n, "doc_id", "text").as[(Long, String)].collect.toMap
+    assert(d === Map(1L -> "unchanged", 2L -> "modified"))
+    // diagnoseKey: empty input reports nulls, no ANSI divide-by-zero
+    val empty = Skew.diagnoseKey(Seq.empty[(String, Int)].toDF("k", "v"), "k")
+    val row = empty.head
+    assert(row.getLong(0) === 0L && row.isNullAt(4) && row.isNullAt(5))
+    // pageRank: empty edge set yields an empty rank table, not / by zero
+    assert(LinkGraph.pageRank(Seq.empty[(String, String, Long)].toDF("src", "dst", "w"))
+      .count() === 0L)
+  }
+
   test("distinctTokensBySource matches exact distinct counts on testdata") {
     val docs = graft.engine.Tables.table(spark, sfDir, "documents")
     val got = Sketches.distinctTokensBySource(docs, "doc_id", "text")
