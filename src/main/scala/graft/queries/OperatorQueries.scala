@@ -803,6 +803,20 @@ object OperatorQueries {
            |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
            |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  // Streaming distinct-count via mergeable HLL sketches (EventStreams.
+  // hourlyDistinctUsers): per-hour state is one k-byte sketch, not a user
+  // set. Exact oracle is legitimate in the sparse coupon regime (see the
+  // operator scaladoc + SketchesSpec pin).
+  private val qStreamDistinct = df("q_stream_distinct",
+    (spark, dir) => {
+      val agg = EventStreams.hourlyDistinctUsers(EventStreams.readEvents(spark, dir))
+      EventStreams.runToMemoryTable(agg, "graft_stream_distinct")
+        .orderBy("hour")
+    },
+    Some("""SELECT DATE_TRUNC('HOUR', ts) AS hour,
+           |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_est
+           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+
   // Duplicate-cluster assignment over the MinHash candidate pairs:
   // iterative min-label propagation on the Spark side; the oracle computes
   // the same components with a recursive transitive closure in DuckDB.
@@ -1425,5 +1439,5 @@ object OperatorQueries {
     qHardNegatives, qQualityApi, qMultimodalApi,
     qMultimodalPatches, qMultimodalDecode, qMultimodalAudio, qMultimodalVideo,
     qDecontaminate, qBpeApi, qBpeEncode, qTokenizePack, qEmbedPool, qSaltedJoin, qAsofJoin, qRangeJoin,
-    qDedupClusters, qStreamHourly, qStreamSessions, qStreamDedup)
+    qDedupClusters, qStreamHourly, qStreamSessions, qStreamDedup, qStreamDistinct)
 }

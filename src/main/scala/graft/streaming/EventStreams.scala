@@ -137,6 +137,21 @@ object EventStreams {
     * the finite verify source and saves ~24 store setups per batch. (On a
     * real cluster the caller sizes shuffle partitions to the stream volume
     * before starting the query — this override only scopes the demo sink.) */
+  /** Streaming distinct users per hour via a MERGEABLE HLL sketch — the
+    * unbounded-stream shape of a distinct count: per-hour state is one
+    * k-byte sketch (bounded, watermark-expired), never a user set, and the
+    * same sketches union with batch/backfill sketches (Sketches.
+    * mergeSketches). The driver oracle compares against DuckDB's exact
+    * COUNT(DISTINCT): legitimate because per-hour user cardinality (≤166
+    * at sf0.1) is deep inside the lgK=21 sparse coupon-EXACT regime — the
+    * same measured bound SketchesSpec pins (exact through n=4000). */
+  def hourlyDistinctUsers(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(hll_sketch_agg(col("user_id"), lit(21)).as("sk"))
+      .select(col("window.start").as("hour"),
+        hll_sketch_estimate(col("sk")).cast("bigint").as("n_users_est"))
+
   def runToMemoryTable(agg: DataFrame, name: String,
                        mode: String = "complete"): DataFrame = {
     val spark = agg.sparkSession

@@ -1,0 +1,5 @@
+SELECT c_custkey, c_mktsegment,
+  SUM(c_custkey) OVER (PARTITION BY c_mktsegment ORDER BY c_custkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+FROM customer WHERE c_custkey IN (80, 83, 97)
+ORDER BY c_custkey NULLS FIRST LIMIT 70;

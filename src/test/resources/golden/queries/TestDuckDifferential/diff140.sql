@@ -1,0 +1,6 @@
+SELECT v, COUNT(*) AS cnt FROM (
+  SELECT n_regionkey AS v FROM nation WHERE n_nationkey > 1
+  UNION ALL SELECT r_regionkey AS v FROM region
+  UNION ALL SELECT c_nationkey % 5 AS v FROM customer WHERE c_custkey < 80
+) u WHERE v >= 1
+GROUP BY v ORDER BY v NULLS FIRST;

@@ -20,7 +20,7 @@ SF = "/root/testdata/sf0.001"
 SUITE = "TestDuckDifferential"
 QDIR = f"src/test/resources/golden/queries/{SUITE}"
 RDIR = f"src/test/resources/golden/results/{SUITE}"
-N_CASES = 120
+N_CASES = 160
 
 TABLES = {
     "nation": {"ints": ["n_nationkey", "n_regionkey"], "strs": ["n_name"]},
@@ -72,7 +72,76 @@ def order_by(cols):
 
 
 def gen_case(r, i):
-    shape = i % 24
+    # cases 0-119 keep their original shape mapping AND their position in
+    # the shared RNG stream, so regeneration is byte-stable; 120+ rotate
+    # through the appended shapes 24-31
+    shape = i % 24 if i < 120 else 24 + (i - 120) % 8
+    if shape == 24:  # ROLLUP with null super-aggregate rows
+        m = r.randint(2, 5)
+        return (f"SELECT o_orderpriority, o_custkey % {m} AS b,"
+                f" COUNT(*) AS cnt, SUM(o_orderkey) AS s\n"
+                f"FROM orders WHERE {int_pred(r, 'o_orderkey')}\n"
+                f"GROUP BY ROLLUP (o_orderpriority, o_custkey % {m})\n"
+                f"{order_by(['o_orderpriority', 'b', 'cnt'])};")
+    if shape == 25:  # FULL OUTER JOIN with coalesced key
+        k1, k2 = r.randint(0, 12), r.randint(1, 4)
+        return (f"SELECT COALESCE(n.n_regionkey, -1) AS nk,"
+                f" COALESCE(r.r_regionkey, -1) AS rk, n.n_name, r.r_name\n"
+                f"FROM (SELECT * FROM nation WHERE n_nationkey > {k1}) n\n"
+                f"FULL OUTER JOIN (SELECT * FROM region WHERE r_regionkey >= {k2}) r\n"
+                f"ON n.n_regionkey = r.r_regionkey\n"
+                f"{order_by(['nk', 'rk', 'n.n_name', 'r.r_name'])};")
+    if shape == 26:  # running-frame window sum over a unique order
+        t = r.choice(["customer", "orders"])
+        ic = TABLES[t]["ints"][0]
+        part = r.choice(TABLES[t]["strs"])
+        return (f"SELECT {ic}, {part},\n"
+                f"  SUM({ic}) OVER (PARTITION BY {part} ORDER BY {ic}\n"
+                f"    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run\n"
+                f"FROM {t} WHERE {int_pred(r, ic)}\n"
+                f"{order_by([ic])} LIMIT 70;")
+    if shape == 27:  # left join + IS NULL (manual anti join)
+        k = r.randint(3, 20)
+        return (f"SELECT c.c_custkey, c.c_nationkey FROM customer c\n"
+                f"LEFT JOIN orders o ON c.c_custkey = o.o_custkey"
+                f" AND o.o_orderkey < {k * 10}\n"
+                f"WHERE o.o_orderkey IS NULL AND {int_pred(r, 'c.c_custkey')}\n"
+                f"{order_by(['c.c_custkey'])} LIMIT 60;")
+    if shape == 28:  # 3-branch UNION ALL re-aggregated
+        a, b, c = r.randint(0, 8), r.randint(3, 12), r.randint(1, 3)
+        return (f"SELECT v, COUNT(*) AS cnt FROM (\n"
+                f"  SELECT n_regionkey AS v FROM nation WHERE n_nationkey > {a}\n"
+                f"  UNION ALL SELECT r_regionkey AS v FROM region\n"
+                f"  UNION ALL SELECT c_nationkey % 5 AS v FROM customer"
+                f" WHERE c_custkey < {b * 10}\n"
+                f") u WHERE v >= {c - 1}\nGROUP BY v {order_by(['v'])};")
+    if shape == 29:  # lag/lead with defaults over a unique order
+        t = r.choice(["customer", "orders"])
+        ic = TABLES[t]["ints"][0]
+        d = r.randint(1, 3)
+        return (f"SELECT {ic},\n"
+                f"  LAG({ic}, {d}, -1) OVER (ORDER BY {ic}) AS prev,\n"
+                f"  LEAD({ic}, 1, -2) OVER (ORDER BY {ic}) AS nxt\n"
+                f"FROM {t} WHERE {int_pred(r, ic)}\n"
+                f"{order_by([ic])} LIMIT 60;")
+    if shape == 30:  # arithmetic over two scalar subqueries + CASE
+        k = r.randint(2, 9)
+        return (f"SELECT n_nationkey, n_name,\n"
+                f"  CASE WHEN n_nationkey * {k} >\n"
+                f"    (SELECT COUNT(*) FROM customer WHERE {int_pred(r, 'c_custkey')})\n"
+                f"    - (SELECT MIN(r_regionkey) FROM region)\n"
+                f"  THEN 'big' ELSE 'small' END AS cls\n"
+                f"FROM nation\n{order_by(['n_nationkey'])};")
+    if shape == 31:  # window over a joined derived table
+        m = r.randint(2, 5)
+        return (f"SELECT x.nk, x.cnt,\n"
+                f"  RANK() OVER (ORDER BY x.cnt DESC, x.nk) AS rk\n"
+                f"FROM (\n"
+                f"  SELECT c.c_nationkey AS nk, COUNT(*) AS cnt\n"
+                f"  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey\n"
+                f"  WHERE c.c_custkey % {m} = 0\n"
+                f"  GROUP BY c.c_nationkey\n"
+                f") x {order_by(['x.nk'])};")
     if shape == 18:  # date part extraction + group
         part = r.choice(["YEAR", "MONTH"])
         return (f"SELECT EXTRACT({part} FROM CAST(o_orderdate AS DATE)) AS p,"
