@@ -239,6 +239,90 @@ object TpchQueries {
       |ORDER BY numwait DESC, s_name
       |LIMIT 100""".stripMargin)
 
-  val all: Seq[QueryDef] = Seq(q4, q6, q7, q9, q10, q11, q12, q13, q15, q16,
-    q17, q18, q19, q21, q22)
+  // Q2/Q20 need the partsupp table the driver's testdata does not ship.
+  // Rather than leaving them unrunnable, partsupp is SYNTHESIZED as a
+  // deterministic CTE (4 suppliers per part, key/cost/availqty from pure
+  // integer arithmetic over the actual key domains — the same synthesis
+  // idiom as the pipeline URL fixtures), spelled identically in both
+  // engines, so the full Q2/Q20 query logic is oracle-verified; only the
+  // partsupp DATA is synthetic. Costs stay integer cents to keep the
+  // correlated MIN exact.
+  private val partsuppCte =
+    """partsupp AS (
+      |  SELECT p_partkey AS ps_partkey,
+      |    ((p_partkey * 7 + i.i * 13) % (SELECT COUNT(*) FROM supplier))
+      |      + (SELECT MIN(s_suppkey) FROM supplier) AS ps_suppkey,
+      |    CAST(((p_partkey * 31 + i.i * 17) % 90000) + 100 AS BIGINT) AS ps_supplycost_cents,
+      |    CAST(((p_partkey * 13 + i.i * 7) % 9999) + 1 AS BIGINT) AS ps_availqty
+      |  FROM part CROSS JOIN
+      |    (SELECT 0 AS i UNION ALL SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3) i
+      |)""".stripMargin
+
+  // Q2 — minimum-cost supplier per part in a region (the reference's own
+  // benchmark query, TestTPCH.java:34-67): correlated MIN over the
+  // region-restricted partsupp. Output adapted to the available supplier
+  // columns (no s_address/s_phone/s_comment/p_mfgr in the testdata).
+  private val q2 = shared("q2_min_cost_supplier",
+    s"""WITH $partsuppCte
+       |SELECT s_acctbal, s_name, n_name, p_partkey, ps.ps_suppkey, ps_supplycost_cents
+       |FROM partsupp ps
+       |JOIN part ON p_partkey = ps_partkey
+       |JOIN supplier ON s_suppkey = ps.ps_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE p_type = 'ECONOMY' AND r_name = 'EUROPE'
+       |  AND ps_supplycost_cents = (
+       |    SELECT MIN(ps2.ps_supplycost_cents) FROM partsupp ps2
+       |    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+       |    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+       |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+       |    WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+       |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, ps.ps_suppkey
+       |LIMIT 100""".stripMargin)
+
+  // Q20 — potential part promotion: suppliers whose availqty exceeds half
+  // their shipped quantity of promotable parts; quantity sums routed
+  // through DECIMAL per the determinism contract.
+  private val q20 = shared("q20_potential_promotion",
+    s"""WITH $partsuppCte
+       |SELECT s_name, s_suppkey FROM supplier
+       |JOIN nation ON s_nationkey = n_nationkey
+       |WHERE n_name = 'NATION_1' AND s_suppkey IN (
+       |  SELECT ps_suppkey FROM partsupp
+       |  WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+       |    AND CAST(2 * ps_availqty AS DECIMAL(38,6)) > (
+       |      SELECT SUM(CAST(l_quantity AS DECIMAL(38,6))) FROM lineitem
+       |      WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+       |        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'))
+       |ORDER BY s_name, s_suppkey""".stripMargin)
+
+  // Q8 — national market share: needs NO partsupp, only columns the
+  // testdata ships; the share is a division of two DECIMAL-routed sums
+  // cast to DOUBLE (IEEE division of identical operands is bit-stable —
+  // the temperatureMix precedent).
+  private val q8 = shared("q8_market_share",
+    """SELECT o_year,
+      |  CAST(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume END) AS DOUBLE)
+      |    / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+      |FROM (
+      |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+      |    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)) AS volume,
+      |    n2.n_name AS nation
+      |  FROM part
+      |  JOIN lineitem ON p_partkey = l_partkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |  JOIN region ON n1.n_regionkey = r_regionkey
+      |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |  WHERE r_name = 'ASIA'
+      |    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+      |                        AND TIMESTAMP '1997-12-31 00:00:00'
+      |    AND p_type = 'PROMO'
+      |) t GROUP BY o_year ORDER BY o_year""".stripMargin)
+
+  val all: Seq[QueryDef] = Seq(q2, q4, q6, q7, q8, q9, q10, q11, q12, q13, q15, q16,
+    q17, q18, q19, q20, q21, q22)
 }
