@@ -803,6 +803,64 @@ object OperatorQueries {
            |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
            |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  // Entity resolution (EntityResolution.resolve): blocked fuzzy matching —
+  // prefix+length-bucket blocking, in-block Levenshtein, best match per
+  // left record. The right system is the left with deterministic tail
+  // typos (replace / drop / append), so matches, misses, and length-bucket
+  // boundaries all occur; the oracle replays blocking, scoring, and the
+  // best-match window.
+  private def erNameSql(div: String) =
+    s"'u' || (doc_id $div 2) || 'x' || lang"
+  private val qEntityRes = df("q_op_entity_resolution",
+    (spark, dir) => {
+      import graft.operators.EntityResolution
+      val docs = Tables.table(spark, dir, "documents")
+      val leftE = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("id"), expr(erNameSql("DIV")).as("name"))
+      val rightE = docs.filter(col("doc_id") % 2 === 1)
+        .select((col("doc_id") + 100000L).as("id"), expr(erNameSql("DIV")).as("u"))
+        .select(col("id"), expr(
+          """CASE (id % 3)
+            |  WHEN 0 THEN SUBSTR(u, 1, LENGTH(u) - 1) || '_'
+            |  WHEN 1 THEN SUBSTR(u, 1, LENGTH(u) - 1)
+            |  ELSE u || 'q'
+            |END""".stripMargin).as("name"))
+      EntityResolution.resolve(leftE, rightE, "id", "id", "name", "name")
+        .orderBy("lid")
+    },
+    Some("""WITH l AS (
+           |  SELECT doc_id AS lid, 'u' || (doc_id // 2) || 'x' || lang AS nl
+           |  FROM documents WHERE doc_id % 2 = 0
+           |), r0 AS (
+           |  SELECT doc_id + 100000 AS rid, 'u' || (doc_id // 2) || 'x' || lang AS u
+           |  FROM documents WHERE doc_id % 2 = 1
+           |), r AS (
+           |  SELECT rid, CASE (rid % 3)
+           |    WHEN 0 THEN SUBSTR(u, 1, LENGTH(u) - 1) || '_'
+           |    WHEN 1 THEN SUBSTR(u, 1, LENGTH(u) - 1)
+           |    ELSE u || 'q'
+           |  END AS nr FROM r0
+           |), lb AS (
+           |  SELECT lid, nl, b FROM (
+           |    SELECT lid, nl,
+           |      LOWER(SUBSTR(nl, 1, 4)) || '|' || ((LENGTH(nl) - 2) // 4) AS b1,
+           |      LOWER(SUBSTR(nl, 1, 4)) || '|' || ((LENGTH(nl) + 2) // 4) AS b2
+           |    FROM l
+           |  ), LATERAL (SELECT UNNEST(list_distinct([b1, b2])) AS b)
+           |), rb AS (
+           |  SELECT rid, nr, LOWER(SUBSTR(nr, 1, 4)) || '|' || (LENGTH(nr) // 4) AS b FROM r
+           |), scored AS (
+           |  SELECT lb.lid, rb.rid, levenshtein(lb.nl, rb.nr) AS dist
+           |  FROM lb JOIN rb USING (b)
+           |  WHERE levenshtein(lb.nl, rb.nr) <= 2
+           |), best AS (
+           |  SELECT lid, rid, dist,
+           |    row_number() OVER (PARTITION BY lid ORDER BY dist, rid) AS rn
+           |  FROM scored
+           |)
+           |SELECT lid, rid, CAST(dist AS BIGINT) AS dist
+           |FROM best WHERE rn = 1 ORDER BY lid""".stripMargin))
+
   // Streaming distinct-count via mergeable HLL sketches (EventStreams.
   // hourlyDistinctUsers): per-hour state is one k-byte sketch, not a user
   // set. Exact oracle is legitimate in the sparse coupon regime (see the
@@ -1434,7 +1492,7 @@ object OperatorQueries {
 
   val all: Seq[QueryDef] = Seq(
     qUrlDedup, qPageRank, qHllTokens, qRobotsGate, qDistill, qCountMin, qInvertedIndex, qBm25,
-    qSnapshotDiff, qSkewDiag,
+    qSnapshotDiff, qSkewDiag, qEntityRes,
     qMinhashApi, qAnnApi, qAnnIvf, qAnnIvf2, qAnnPq, qAnnIvfPq, qSemDedup, qSemanticSort,
     qHardNegatives, qQualityApi, qMultimodalApi,
     qMultimodalPatches, qMultimodalDecode, qMultimodalAudio, qMultimodalVideo,

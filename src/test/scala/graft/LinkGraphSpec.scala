@@ -299,6 +299,21 @@ class LinkGraphSpec extends AnyFunSuite {
       .count() === 0L)
   }
 
+  test("entityResolution: best match per left, boundary recall, prefix-typo trade") {
+    import graft.operators.EntityResolution
+    val l = Seq((1L, "martinez"), (2L, "anderson"), (3L, "chen")).toDF("id", "name")
+    val r = Seq(
+      (10L, "martinez_"),   // dist 1, length 9 vs 8 — crosses the /4 bucket edge
+      (11L, "martinez__"),  // dist 2 — outranked by 10
+      (20L, "andersen"),    // dist 1
+      (30L, "xhen"),        // dist 1 BUT prefix block differs -> unmatched (trade)
+      (40L, "zzzzz")).toDF("id", "name")
+    val m = EntityResolution.resolve(l, r, "id", "id", "name", "name")
+      .as[(Long, Long, Long)].collect.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(m === Map(1L -> ((10L, 1L)), 2L -> ((20L, 1L))))
+    assert(!m.contains(3L)) // documented prefix-blocking miss
+  }
+
   test("distinctTokensBySource matches exact distinct counts on testdata") {
     val docs = graft.engine.Tables.table(spark, sfDir, "documents")
     val got = Sketches.distinctTokensBySource(docs, "doc_id", "text")
