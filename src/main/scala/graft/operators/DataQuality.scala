@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-quality gates — the assertion layer a pipeline runs BEFORE
+  * training jobs consume a snapshot (column profiling, key uniqueness,
+  * referential integrity, accepted ranges; the Great-Expectations /
+  * dbt-test shapes). Reference scope: Tajo validates at the TYPE level
+  * only (`tajo-plan/src/main/java/org/apache/tajo/plan/verifier/
+  * PreLogicalPlanVerifier.java:47`); content-level validation is a
+  * pipeline extension.
+  *
+  * Every check returns ROWS (rule, counts, verdict) rather than throwing:
+  * a 100 TB validation run must report everything it finds in one pass,
+  * not die at the first violation. All counts are exact aggregations —
+  * each check is one scan + one partial+final agg (or one anti-join for
+  * integrity), nothing driver-sized. */
+object DataQuality {
+
+  /** Per-column profile: rows, nulls, distinct, min/max rendered as
+    * strings (engine-portable across numeric/string/date columns). One
+    * aggregation per column over one scan each — at scale, prefer
+    * profiling only the columns a contract names. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.map { c =>
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("string").as("min_v"),
+        max(col(c)).cast("string").as("max_v"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_v"), col("max_v"))
+    }.reduce(_ unionAll _)
+
+  /** Key-uniqueness check: rows whose key occurs more than once, reduced
+    * to (n_dup_keys, n_dup_rows, sample hot key). */
+  def checkUnique(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val perKey = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+    perKey.agg(
+        coalesce(count(lit(1)), lit(0L)).as("n_dup_keys"),
+        coalesce(sum(col("n")), lit(0L)).as("n_dup_rows"),
+        min(concat_ws("|", keys.map(k => col(k).cast("string")): _*)).as("sample_key"))
+      .select(lit(keys.mkString(",")).as("rule"), col("n_dup_keys"),
+        col("n_dup_rows"), coalesce(col("sample_key"), lit("")).as("sample_key"),
+        (col("n_dup_keys") === 0).as("pass"))
+  }
+
+  /** Referential-integrity check: child keys with no parent — ONE
+    * left-anti hash join (parent side broadcast when dimension-sized). */
+  def checkRefIntegrity(child: DataFrame, childKey: String,
+                        parent: DataFrame, parentKey: String): DataFrame = {
+    val orphans = child.select(col(childKey))
+      .join(parent.select(col(parentKey).as(childKey)), Seq(childKey), "left_anti")
+    orphans.agg(
+        coalesce(count(lit(1)), lit(0L)).as("n_orphans"),
+        min(col(childKey)).cast("string").as("sample_key"))
+      .select(lit(s"$childKey->$parentKey").as("rule"), col("n_orphans"),
+        coalesce(col("sample_key"), lit("")).as("sample_key"),
+        (col("n_orphans") === 0).as("pass"))
+  }
+
+  /** Accepted-range check over a numeric column (inclusive bounds). */
+  def checkRange(df: DataFrame, c: String, lo: Long, hi: Long): DataFrame =
+    df.agg(
+        sum(when(col(c).isNull || col(c) < lo || col(c) > hi, 1L).otherwise(0L))
+          .as("n_violations"),
+        count(lit(1)).as("n_rows"))
+      .select(lit(s"$c in [$lo,$hi]").as("rule"), col("n_violations"),
+        col("n_rows"), (col("n_violations") === 0).as("pass"))
+}

@@ -861,6 +861,85 @@ object OperatorQueries {
            |SELECT lid, rid, CAST(dist AS BIGINT) AS dist
            |FROM best WHERE rn = 1 ORDER BY lid""".stripMargin))
 
+  // Data-quality gates (DataQuality.*): per-column profile + the
+  // uniqueness / referential-integrity / range checks a pipeline asserts
+  // before a snapshot is consumed. Both queries are exact aggregations /
+  // anti-joins with string-rendered extrema, replayed in DuckDB.
+  private val qDqProfile = df("q_op_dq_profile",
+    (spark, dir) => {
+      import graft.operators.DataQuality
+      val orders = Tables.table(spark, dir, "orders")
+      DataQuality.profile(orders,
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"))
+        .orderBy("col_name")
+    },
+    Some(Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate")
+      .map(c =>
+        s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(MIN($c) AS VARCHAR) AS min_v, CAST(MAX($c) AS VARCHAR) AS max_v
+           |FROM orders""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")))
+
+  private val qDqChecks = df("q_op_dq_checks",
+    (spark, dir) => {
+      import graft.operators.DataQuality
+      val orders = Tables.table(spark, dir, "orders")
+      val customer = Tables.table(spark, dir, "customer")
+      val lineitem = Tables.table(spark, dir, "lineitem")
+      val u = DataQuality.checkUnique(orders, Seq("o_orderkey"))
+        .select(col("rule"), col("n_dup_keys").as("n_bad"),
+          col("sample_key").as("detail"), col("pass"))
+      val fk1 = DataQuality.checkRefIntegrity(orders, "o_custkey", customer, "c_custkey")
+        .select(col("rule"), col("n_orphans").as("n_bad"),
+          col("sample_key").as("detail"), col("pass"))
+      val fk2 = DataQuality.checkRefIntegrity(lineitem, "l_orderkey", orders, "o_orderkey")
+        .select(col("rule"), col("n_orphans").as("n_bad"),
+          col("sample_key").as("detail"), col("pass"))
+      val rngPass = DataQuality.checkRange(orders, "o_custkey", 0L, 1000000L)
+        .select(col("rule"), col("n_violations").as("n_bad"),
+          col("n_rows").cast("string").as("detail"), col("pass"))
+      val rngFail = DataQuality.checkRange(orders, "o_orderkey", 0L, 10L)
+        .select(col("rule"), col("n_violations").as("n_bad"),
+          col("n_rows").cast("string").as("detail"), col("pass"))
+      u.unionAll(fk1).unionAll(fk2).unionAll(rngPass).unionAll(rngFail)
+        .orderBy("rule")
+    },
+    Some("""SELECT 'o_orderkey' AS rule,
+           |  CAST(COALESCE(COUNT(*), 0) AS BIGINT) AS n_bad,
+           |  COALESCE(CAST(MIN(k) AS VARCHAR), '') AS detail,
+           |  COUNT(*) = 0 AS pass
+           |FROM (SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders
+           |      GROUP BY o_orderkey HAVING COUNT(*) > 1)
+           |UNION ALL
+           |SELECT 'o_custkey->c_custkey',
+           |  CAST(COUNT(*) AS BIGINT),
+           |  COALESCE(CAST(MIN(o_custkey) AS VARCHAR), ''), COUNT(*) = 0
+           |FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+           |UNION ALL
+           |SELECT 'l_orderkey->o_orderkey',
+           |  CAST(COUNT(*) AS BIGINT),
+           |  COALESCE(CAST(MIN(l_orderkey) AS VARCHAR), ''), COUNT(*) = 0
+           |FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+           |UNION ALL
+           |SELECT 'o_custkey in [0,1000000]',
+           |  CAST(SUM(CASE WHEN o_custkey IS NULL OR o_custkey < 0 OR o_custkey > 1000000
+           |    THEN 1 ELSE 0 END) AS BIGINT),
+           |  CAST(COUNT(*) AS VARCHAR),
+           |  SUM(CASE WHEN o_custkey IS NULL OR o_custkey < 0 OR o_custkey > 1000000
+           |    THEN 1 ELSE 0 END) = 0
+           |FROM orders
+           |UNION ALL
+           |SELECT 'o_orderkey in [0,10]',
+           |  CAST(SUM(CASE WHEN o_orderkey IS NULL OR o_orderkey < 0 OR o_orderkey > 10
+           |    THEN 1 ELSE 0 END) AS BIGINT),
+           |  CAST(COUNT(*) AS VARCHAR),
+           |  SUM(CASE WHEN o_orderkey IS NULL OR o_orderkey < 0 OR o_orderkey > 10
+           |    THEN 1 ELSE 0 END) = 0
+           |FROM orders
+           |ORDER BY rule""".stripMargin))
+
   // Streaming distinct-count via mergeable HLL sketches (EventStreams.
   // hourlyDistinctUsers): per-hour state is one k-byte sketch, not a user
   // set. Exact oracle is legitimate in the sparse coupon regime (see the
@@ -1492,7 +1571,7 @@ object OperatorQueries {
 
   val all: Seq[QueryDef] = Seq(
     qUrlDedup, qPageRank, qHllTokens, qRobotsGate, qDistill, qCountMin, qInvertedIndex, qBm25,
-    qSnapshotDiff, qSkewDiag, qEntityRes,
+    qSnapshotDiff, qSkewDiag, qEntityRes, qDqProfile, qDqChecks,
     qMinhashApi, qAnnApi, qAnnIvf, qAnnIvf2, qAnnPq, qAnnIvfPq, qSemDedup, qSemanticSort,
     qHardNegatives, qQualityApi, qMultimodalApi,
     qMultimodalPatches, qMultimodalDecode, qMultimodalAudio, qMultimodalVideo,

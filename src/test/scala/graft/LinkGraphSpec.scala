@@ -314,6 +314,24 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(!m.contains(3L)) // documented prefix-blocking miss
   }
 
+  test("dataQuality checks: dup keys, orphans, range violations incl. nulls") {
+    import graft.operators.DataQuality
+    val t = Seq((1L, Some(10L)), (1L, Some(20L)), (2L, Some(999L)), (3L, Option.empty[Long]))
+      .toDF("k", "v")
+    val u = DataQuality.checkUnique(t, Seq("k")).head
+    assert(u.getLong(1) === 1L && u.getLong(2) === 2L && u.getString(3) === "1"
+      && !u.getBoolean(4))
+    val parent = Seq(1L, 2L).toDF("pk")
+    val ri = DataQuality.checkRefIntegrity(t, "k", parent, "pk").head
+    assert(ri.getLong(1) === 1L && ri.getString(2) === "3" && !ri.getBoolean(3))
+    val rng = DataQuality.checkRange(t, "v", 0L, 100L).head
+    // 999 out of range + NULL counts as a violation
+    assert(rng.getLong(1) === 2L && !rng.getBoolean(3))
+    val prof = DataQuality.profile(t, Seq("k", "v")).orderBy("col_name")
+      .collect.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(prof.toSeq === Seq(("k", 4L, 0L, 3L), ("v", 4L, 1L, 3L)))
+  }
+
   test("distinctTokensBySource matches exact distinct counts on testdata") {
     val docs = graft.engine.Tables.table(spark, sfDir, "documents")
     val got = Sketches.distinctTokensBySource(docs, "doc_id", "text")
