@@ -462,8 +462,68 @@ object StorageQueries {
     Some("""SELECT doc_id, doc_id % 8 AS shard, md5(text) AS text_md5
            |FROM documents ORDER BY doc_id""".stripMargin))
 
+  // Z-order clustering (Layout.zorderWrite): lineitem range-laid by the
+  // (l_partkey, l_suppkey) morton code. The oracle recomputes the SAME
+  // pure-integer morton arithmetic from the source table and aggregates
+  // per code bucket — a single interleave-term deviation, or any row lost
+  // in the rewrite, hash-mismatches. The two-dimensional row-group
+  // skipping payoff is pinned in LayoutSpec.
+  private val qZorder = df("q_store_zorder",
+    (spark, dir) => {
+      import graft.operators.Layout
+      val li = Tables.table(spark, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+      val back = Layout.zorderWrite(li, "l_partkey", "l_suppkey",
+        scratch("zorder_lineitem"), files = 8)
+      // recompute the code from the READ-BACK data (content-preserving
+      // rewrite => identical stats); the oracle spells the same arithmetic
+      // with scalar subqueries over the source table
+      val stats = Layout.zStats(back, "l_partkey", "l_suppkey")
+      back.select(expr(Layout.scaledMortonSql("l_partkey", "l_suppkey", stats)).as("z"),
+          col("l_orderkey"))
+        .groupBy(expr("z DIV 4096").as("zb"))
+        .agg(count(lit(1)).as("n"), sum(col("z")).as("sum_z"),
+          sum(col("l_orderkey")).as("sum_ok"))
+        .orderBy("zb")
+    },
+    Some {
+      def mm(f: String, c: String) = s"(SELECT CAST($f($c) AS BIGINT) FROM lineitem)"
+      def scaled(c: String) =
+        s"((($c - ${mm("MIN", c)}) * 255) // GREATEST(1, ${mm("MAX", c)} - ${mm("MIN", c)}))"
+      val z = graft.operators.Layout.mortonSql(
+        scaled("l_partkey"), scaled("l_suppkey"), bits = 8, spark = false)
+      s"""WITH coded AS (
+         |  SELECT $z AS z, l_orderkey FROM lineitem
+         |)
+         |SELECT z // 4096 AS zb, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(z) AS BIGINT) AS sum_z, CAST(SUM(l_orderkey) AS BIGINT) AS sum_ok
+         |FROM coded GROUP BY 1 ORDER BY zb""".stripMargin
+    })
+
+  // Small-file compaction (Layout.compact): 64 scattered files rewritten
+  // to target-sized ones; the oracle checks content preservation against
+  // the source table, LayoutSpec checks the file arithmetic.
+  private val qCompact = df("q_store_compact",
+    (spark, dir) => {
+      import graft.operators.Layout
+      val smallDir = scratch("compact_small")
+      val outDir = scratch("compact_out")
+      Tables.table(spark, dir, "orders").repartition(64)
+        .write.mode(SaveMode.Overwrite).parquet(smallDir)
+      val back = Layout.compact(spark, smallDir, outDir, targetBytes = 512L * 1024)
+      back.agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("sum_key"),
+          countDistinct(col("o_orderstatus")).as("n_status"))
+        .select(col("n_rows"), col("sum_key"), col("n_status"))
+    },
+    Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           |  CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_status
+           |FROM orders""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     qCtas, qInsert, qPartitioned, qCsv, qJsonSelfDesc, qOrc, qNested,
     qNestedDdl, qBucketedJoin, qJdbc, qPartitionMgmt, qIndex, qAvro,
-    qSeqFile, qRegex, qRcFile, qInsertReader, qRawFile, qTarShards)
+    qSeqFile, qRegex, qRcFile, qInsertReader, qRawFile, qTarShards,
+    qZorder, qCompact)
 }

@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.Layout
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LayoutSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmp(name: String) =
+    s"${System.getProperty("java.io.tmpdir")}/graft_layout_test/$name"
+
+  test("morton code interleaves bits; model replay") {
+    def model(a: Long, b: Long, bits: Int): Long =
+      (0 until bits).map(i => (((a >> i) & 1) << (2 * i)) | (((b >> i) & 1) << (2 * i + 1))).sum
+    val df = spark.range(200).select((col("id") % 19).as("a"), (col("id") % 13).as("b"))
+    val got = df.select(col("a"), col("b"),
+      expr(Layout.mortonSql("a", "b", bits = 8)).as("z")).collect()
+    got.foreach { r =>
+      assert(r.getLong(2) === model(r.getLong(0), r.getLong(1), 8), r.toString)
+    }
+  }
+
+  test("z-order layout prunes row groups on BOTH dimensions") {
+    val li = graft.engine.Tables.table(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+    val path = tmp("zorder")
+    val back = Layout.zorderWrite(li, "l_partkey", "l_suppkey", path, files = 32)
+    val total = back.count()
+    for (pred <- Seq("l_partkey < 40", "l_suppkey < 3",
+                     "l_partkey < 100 AND l_suppkey < 5")) {
+      val q = spark.read.parquet(path).filter(pred)
+      q.collect()
+      val scan = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get
+      val scanned = scan.metrics("numOutputRows").value
+      assert(scanned < total / 2,
+        s"expected 2-dim row-group skipping for [$pred]: scanned=$scanned total=$total")
+    }
+    // content preserved by the rewrite
+    assert(back.agg(sum("l_orderkey")).head.getLong(0) ===
+      li.agg(sum("l_orderkey")).head.getLong(0))
+  }
+
+  test("compact rewrites many small files into the computed target count") {
+    val orders = graft.engine.Tables.table(spark, sfDir, "orders")
+    val smallDir = tmp("small"); val outDir = tmp("compacted")
+    orders.repartition(32).write.mode("overwrite").parquet(smallDir)
+    def parquetFiles(d: String) =
+      new java.io.File(d).listFiles.count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles(smallDir) === 32)
+    val back = Layout.compact(spark, smallDir, outDir, targetBytes = 256L * 1024)
+    val fs = new org.apache.hadoop.fs.Path(smallDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(smallDir)).getLength
+    val want = math.max(1, ((bytes + 256L * 1024 - 1) / (256L * 1024)).toInt)
+    assert(parquetFiles(outDir) === want)
+    assert(back.count() === orders.count())
+  }
+}
