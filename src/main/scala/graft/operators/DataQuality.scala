@@ -19,41 +19,56 @@ import org.apache.spark.sql.functions._
 object DataQuality {
 
   /** Per-column profile: rows, nulls, distinct, min/max rendered as
-    * strings (engine-portable across numeric/string/date columns). One
-    * aggregation per column over one scan each — at scale, prefer
-    * profiling only the columns a contract names. */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame =
-    cols.map { c =>
-      df.agg(
-        count(lit(1)).as("n_rows"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
-        countDistinct(col(c)).as("n_distinct"),
-        min(col(c)).cast("string").as("min_v"),
-        max(col(c)).cast("string").as("max_v"))
-        .select(lit(c).as("col_name"), col("n_rows"), col("n_null"),
-          col("n_distinct"), col("min_v"), col("max_v"))
-    }.reduce(_ unionAll _)
+    * strings (engine-portable across numeric/string/date columns). ONE
+    * scan total: every column's five aggregates evaluate in a single
+    * partial+final aggregation, and the one result row (bounded: one row,
+    * 5·|cols| cells) pivots to row-per-column on the driver. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+      countDistinct(col(c)).as(s"nd_$c"),
+      min(col(c)).cast("string").as(s"mn_$c"),
+      max(col(c)).cast("string").as(s"mx_$c")))
+    val r = df.agg(aggs.head, aggs.tail: _*).head
+    val rows = cols.map { c =>
+      (c, r.getAs[Long]("n_rows"), r.getAs[Long](s"nn_$c"), r.getAs[Long](s"nd_$c"),
+        r.getAs[String](s"mn_$c"), r.getAs[String](s"mx_$c"))
+    }
+    df.sparkSession.createDataFrame(rows)
+      .toDF("col_name", "n_rows", "n_null", "n_distinct", "min_v", "max_v")
+  }
 
   /** Key-uniqueness check: rows whose key occurs more than once, reduced
-    * to (n_dup_keys, n_dup_rows, sample hot key). */
+    * to (n_dup_keys, n_dup_rows, sample hot key). A NULL key part renders
+    * as the explicit '<null>' token in the sample (concat_ws would
+    * silently DROP it, making a duplicated NULL key indistinguishable
+    * from an empty string). */
   def checkUnique(df: DataFrame, keys: Seq[String]): DataFrame = {
     val perKey = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
       .filter(col("n") > 1)
     perKey.agg(
         coalesce(count(lit(1)), lit(0L)).as("n_dup_keys"),
         coalesce(sum(col("n")), lit(0L)).as("n_dup_rows"),
-        min(concat_ws("|", keys.map(k => col(k).cast("string")): _*)).as("sample_key"))
+        min(concat_ws("|",
+          keys.map(k => coalesce(col(k).cast("string"), lit("<null>"))): _*))
+          .as("sample_key"))
       .select(lit(keys.mkString(",")).as("rule"), col("n_dup_keys"),
         col("n_dup_rows"), coalesce(col("sample_key"), lit("")).as("sample_key"),
         (col("n_dup_keys") === 0).as("pass"))
   }
 
   /** Referential-integrity check: child keys with no parent — ONE
-    * left-anti hash join (parent side broadcast when dimension-sized). */
+    * left-anti hash join (parent side broadcast when dimension-sized).
+    * SQL FK semantics: NULL child keys are skipped (a nullable FK is
+    * satisfied by NULL), and NULL parent keys never match anything —
+    * both sides filter NULLs so the check agrees with a `NOT IN` oracle
+    * spelled with the same IS NOT NULL guards. */
   def checkRefIntegrity(child: DataFrame, childKey: String,
                         parent: DataFrame, parentKey: String): DataFrame = {
-    val orphans = child.select(col(childKey))
-      .join(parent.select(col(parentKey).as(childKey)), Seq(childKey), "left_anti")
+    val orphans = child.select(col(childKey)).filter(col(childKey).isNotNull)
+      .join(parent.select(col(parentKey).as(childKey)).filter(col(childKey).isNotNull),
+        Seq(childKey), "left_anti")
     orphans.agg(
         coalesce(count(lit(1)), lit(0L)).as("n_orphans"),
         min(col(childKey)).cast("string").as("sample_key"))

@@ -910,18 +910,20 @@ object OperatorQueries {
            |  CAST(COALESCE(COUNT(*), 0) AS BIGINT) AS n_bad,
            |  COALESCE(CAST(MIN(k) AS VARCHAR), '') AS detail,
            |  COUNT(*) = 0 AS pass
-           |FROM (SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders
+           |FROM (SELECT COALESCE(CAST(o_orderkey AS VARCHAR), '<null>') AS k FROM orders
            |      GROUP BY o_orderkey HAVING COUNT(*) > 1)
            |UNION ALL
            |SELECT 'o_custkey->c_custkey',
            |  CAST(COUNT(*) AS BIGINT),
            |  COALESCE(CAST(MIN(o_custkey) AS VARCHAR), ''), COUNT(*) = 0
-           |FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+           |FROM orders WHERE o_custkey IS NOT NULL
+           |  AND o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)
            |UNION ALL
            |SELECT 'l_orderkey->o_orderkey',
            |  CAST(COUNT(*) AS BIGINT),
            |  COALESCE(CAST(MIN(l_orderkey) AS VARCHAR), ''), COUNT(*) = 0
-           |FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+           |FROM lineitem WHERE l_orderkey IS NOT NULL
+           |  AND l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL)
            |UNION ALL
            |SELECT 'o_custkey in [0,1000000]',
            |  CAST(SUM(CASE WHEN o_custkey IS NULL OR o_custkey < 0 OR o_custkey > 1000000

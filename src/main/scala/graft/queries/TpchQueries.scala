@@ -303,7 +303,8 @@ object TpchQueries {
   // the temperatureMix precedent).
   private val q8 = shared("q8_market_share",
     """SELECT o_year,
-      |  CAST(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume END) AS DOUBLE)
+      |  CAST(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+      |                     ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
       |    / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
       |FROM (
       |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,

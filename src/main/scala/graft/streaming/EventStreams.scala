@@ -128,15 +128,6 @@ object EventStreams {
       }
   }
 
-  /** Run a streaming aggregation to completion against the (finite) file
-    * source and return the result table — used by tests and demos; a real
-    * deployment would writeStream to kafka/parquet with a checkpoint dir.
-    *
-    * The number of state-store instances is frozen from
-    * spark.sql.shuffle.partitions at the first micro-batch; 8 is plenty for
-    * the finite verify source and saves ~24 store setups per batch. (On a
-    * real cluster the caller sizes shuffle partitions to the stream volume
-    * before starting the query — this override only scopes the demo sink.) */
   /** Streaming distinct users per hour via a MERGEABLE HLL sketch — the
     * unbounded-stream shape of a distinct count: per-hour state is one
     * k-byte sketch (bounded, watermark-expired), never a user set, and the
@@ -150,8 +141,17 @@ object EventStreams {
       .groupBy(window(col("ts"), "1 hour"))
       .agg(hll_sketch_agg(col("user_id"), lit(21)).as("sk"))
       .select(col("window.start").as("hour"),
-        hll_sketch_estimate(col("sk")).cast("bigint").as("n_users_est"))
+        graft.operators.Sketches.estimate(col("sk")).as("n_users_est"))
 
+  /** Run a streaming aggregation to completion against the (finite) file
+    * source and return the result table — used by tests and demos; a real
+    * deployment would writeStream to kafka/parquet with a checkpoint dir.
+    *
+    * The number of state-store instances is frozen from
+    * spark.sql.shuffle.partitions at the first micro-batch; 8 is plenty for
+    * the finite verify source and saves ~24 store setups per batch. (On a
+    * real cluster the caller sizes shuffle partitions to the stream volume
+    * before starting the query — this override only scopes the demo sink.) */
   def runToMemoryTable(agg: DataFrame, name: String,
                        mode: String = "complete"): DataFrame = {
     val spark = agg.sparkSession

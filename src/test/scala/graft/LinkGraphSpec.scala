@@ -330,6 +330,15 @@ class LinkGraphSpec extends AnyFunSuite {
     val prof = DataQuality.profile(t, Seq("k", "v")).orderBy("col_name")
       .collect.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(prof.toSeq === Seq(("k", 4L, 0L, 3L), ("v", 4L, 1L, 3L)))
+    // NULL semantics: a duplicated NULL key samples as '<null>', a NULL
+    // child FK is satisfied (SQL FK semantics), NULL parent keys never match
+    val tn = Seq(Option.empty[Long], Option.empty[Long], Some(7L)).toDF("k")
+    val un = DataQuality.checkUnique(tn, Seq("k")).head
+    assert(un.getLong(1) === 1L && un.getString(3) === "<null>")
+    val rin = DataQuality.checkRefIntegrity(tn, "k",
+      Seq(Option.empty[Long]).toDF("pk"), "pk").head
+    assert(rin.getLong(1) === 1L && rin.getString(2) === "7" && !rin.getBoolean(3))
+    intercept[IllegalArgumentException](DataQuality.profile(tn, Seq.empty))
   }
 
   test("distinctTokensBySource matches exact distinct counts on testdata") {
