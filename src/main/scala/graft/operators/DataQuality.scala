@@ -19,20 +19,30 @@ import org.apache.spark.sql.functions._
 object DataQuality {
 
   /** Per-column profile: rows, nulls, distinct, min/max rendered as
-    * strings (engine-portable across numeric/string/date columns). ONE
-    * scan total: every column's five aggregates evaluate in a single
-    * partial+final aggregation, and the one result row (bounded: one row,
-    * 5·|cols| cells) pivots to row-per-column on the driver. */
+    * strings (engine-portable across numeric/string/date columns). TWO
+    * scans total, both Expand-free: one partial+final aggregation for
+    * count/nulls/min/max across every column at once, and one exploded
+    * (column, stringified value) pass for the distinct counts — putting
+    * N countDistincts in one agg would Expand the input N× (measured 4.4s
+    * vs 1.5s on orders at sf0.1), and one scan per column re-reads the
+    * table N times. Stringification is injective on the profiled types
+    * (ints/strings/timestamps), so distinct counts are exact; min/max
+    * compare NATIVELY before the cast (lexicographic "10" < "9" never
+    * enters). Results pivot from one bounded driver row. */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
-      countDistinct(col(c)).as(s"nd_$c"),
       min(col(c)).cast("string").as(s"mn_$c"),
       max(col(c)).cast("string").as(s"mx_$c")))
     val r = df.agg(aggs.head, aggs.tail: _*).head
-    val rows = cols.map { c =>
-      (c, r.getAs[Long]("n_rows"), r.getAs[Long](s"nn_$c"), r.getAs[Long](s"nd_$c"),
+    val nd = df.select(posexplode(array(
+        cols.map(c => col(c).cast("string")): _*)).as(Seq("ci", "v")))
+      .filter(col("v").isNotNull)
+      .groupBy("ci").agg(countDistinct(col("v")).as("nd"))
+      .collect().map(x => x.getInt(0) -> x.getLong(1)).toMap
+    val rows = cols.zipWithIndex.map { case (c, i) =>
+      (c, r.getAs[Long]("n_rows"), r.getAs[Long](s"nn_$c"), nd.getOrElse(i, 0L),
         r.getAs[String](s"mn_$c"), r.getAs[String](s"mx_$c"))
     }
     df.sparkSession.createDataFrame(rows)
