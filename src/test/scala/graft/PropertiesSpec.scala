@@ -198,4 +198,100 @@ class PropertiesSpec extends AnyFunSuite {
     val cnt = Skew.saltedCount(fact, "k", 8).collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(cnt == (1 to 2000).groupBy(_ % 7).view.mapValues(_.size.toLong).toMap)
   }
+
+  test("canonicalUrl is idempotent on random messy URLs") {
+    import graft.operators.LinkGraph
+    def randUrl(): String = {
+      val scheme = if (rnd.nextBoolean()) "https" else "HTTP"
+      val www = if (rnd.nextBoolean()) "www." else ""
+      val host = s"$www${randWord()}.${randWord()}.com"
+      val port = rnd.nextInt(4) match {
+        case 0 => ":80"; case 1 => ":443"; case 2 => s":${8000 + rnd.nextInt(999)}"
+        case _ => "" }
+      val path = (0 to rnd.nextInt(3)).map(_ => randWord()).mkString("/", "/", "")
+      val slash = if (rnd.nextBoolean()) "/" else ""
+      val query = rnd.nextInt(4) match {
+        case 0 => s"?utm_source=${randWord()}&id=${rnd.nextInt(99)}"
+        case 1 => s"?ref=${randWord()}"
+        case 2 => s"?a=${rnd.nextInt(9)}&fbclid=${randWord()}&b=2"
+        case _ => "" }
+      val frag = if (rnd.nextBoolean()) s"#${randWord()}" else ""
+      s"$scheme://$host$port$path$slash$query$frag"
+    }
+    val urls = Seq.fill(60)(randUrl())
+    val once = urls.toDF("url").select(LinkGraph.canonicalUrl("url").as("c"))
+      .as[String].collect().toSeq
+    val twice = once.toDF("url").select(LinkGraph.canonicalUrl("url").as("c"))
+      .as[String].collect().toSeq
+    assert(twice == once)
+    // canonical form carries no fragment/tracking, and no DEFAULT port —
+    // :80 on https (and :443 on http) is a real nonstandard port and stays
+    once.foreach { u =>
+      assert(!u.contains("#"), u)
+      if (u.startsWith("http://")) assert(!u.matches("http://[^/?]*:80(/|\\?|$).*") &&
+        !u.endsWith(":80"), u)
+      if (u.startsWith("https://")) assert(!u.matches("https://[^/?]*:443(/|\\?|$).*") &&
+        !u.endsWith(":443"), u)
+      assert(!u.contains("utm_") && !u.contains("fbclid"), u)
+    }
+  }
+
+  test("count-min never underestimates and is exact at ample width, random inputs") {
+    import graft.operators.Sketches
+    val vals = Seq.fill(3000)(rnd.nextInt(200).toLong)
+    val exact = vals.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val hashes = vals.map(v => v * 2654435761L % 1000000007L)
+    val queries = exact.keys.toSeq.map(k =>
+      (k * 2654435761L % 1000000007L, k)).toDF("h", "k")
+    for (w <- Seq(32, 1 << 16)) {
+      val est = Sketches.countMinEstimate(
+        Sketches.countMinCounters(hashes.toDF("h"), "h", width = w),
+        queries, "h", width = w)
+        .as[(Long, Long)].collect().toMap
+      exact.foreach { case (k, n) =>
+        assert(est(k) >= n, s"w=$w k=$k underestimated: ${est(k)} < $n")
+      }
+      if (w == (1 << 16)) exact.foreach { case (k, n) =>
+        assert(est(k) === n, s"ample width should be exact for k=$k")
+      }
+    }
+  }
+
+  test("scaled morton is a bijection on the rank grid and order-embeds both dims") {
+    import graft.operators.Layout
+    val pts = for (a <- 0 until 32; b <- 0 until 32) yield (a.toLong, b.toLong)
+    val got = pts.toDF("a", "b")
+      .select(expr(Layout.mortonSql("a", "b", bits = 5)).as("z"))
+      .as[Long].collect()
+    assert(got.distinct.length === 1024)           // bijective on 5-bit pairs
+    assert(got.min === 0L && got.max === 1023L)    // onto [0, 2^10)
+  }
+
+  test("perceptron: Spark training equals the Scala model on random separable data") {
+    import graft.operators.Distill
+    for (seed <- Seq(1, 2, 3)) {
+      val r2 = new scala.util.Random(seed)
+      val rows = (1 to 60).map { _ =>
+        val x1 = r2.nextInt(50).toLong; val x2 = r2.nextInt(50).toLong
+        (if (3 * x1 - 2 * x2 + 5 > 0) 1L else -1L, 1L, x1, x2)
+      }
+      val feat = rows.toDF("y", "f0", "f1", "f2")
+      val w = Distill.perceptron(feat, "y", Seq("f0", "f1", "f2"), iterations = 6)
+        .as[(Long, Long, Long)].head
+      val model = {
+        val ws = Array(0L, 0L, 0L)
+        for (_ <- 1 to 6) {
+          val d = Array(0L, 0L, 0L)
+          rows.foreach { case (y, f0, f1, f2) =>
+            if (y * (ws(0) * f0 + ws(1) * f1 + ws(2) * f2) <= 0) {
+              d(0) += y * f0; d(1) += y * f1; d(2) += y * f2
+            }
+          }
+          for (i <- 0 until 3) ws(i) += d(i)
+        }
+        (ws(0), ws(1), ws(2))
+      }
+      assert(w === model, s"seed=$seed")
+    }
+  }
 }
