@@ -112,5 +112,37 @@ object EventsQueries {
       |GROUP BY f.cohort, week_n
       |ORDER BY cohort, week_n""".stripMargin)
 
-  val all: Seq[QueryDef] = Seq(qWindowAgg, qSliding, qSessionize, qPivot, qFunnel, qRetention)
+  // SCD2-style validity intervals: collapse each user's event stream into
+  // state rows [valid_from, valid_to) per event_type RUN (consecutive
+  // identical states merge; a change opens a new row, the last row is open
+  // with NULL valid_to) — the slowly-changing-dimension build every
+  // warehouse runs on top of a change stream. Gaps-and-islands via two
+  // windows: a change flag, a running island id, then one agg per island.
+  // Scale: both windows and the aggregation partition by user — no global
+  // ordering anywhere; per-user state is the only sort key.
+  private val qScd2 = shared("q_events_scd2",
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_type,
+      |    CASE WHEN LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |           OR LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |              <> event_type THEN 1 ELSE 0 END AS chg,
+      |    event_id
+      |  FROM events
+      |), islands AS (
+      |  SELECT user_id, ts, event_type,
+      |    SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seg
+      |  FROM flagged
+      |), states AS (
+      |  SELECT user_id, event_type, seg,
+      |    MIN(ts) AS valid_from, COUNT(*) AS n_events
+      |  FROM islands GROUP BY user_id, event_type, seg
+      |)
+      |SELECT user_id, event_type, CAST(seg AS BIGINT) AS seg, valid_from,
+      |  LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, seg) AS valid_to,
+      |  CAST(n_events AS BIGINT) AS n_events
+      |FROM states
+      |ORDER BY user_id, valid_from, seg""".stripMargin)
+
+  val all: Seq[QueryDef] = Seq(qWindowAgg, qSliding, qSessionize, qPivot, qFunnel,
+    qRetention, qScd2)
 }
