@@ -1883,7 +1883,70 @@ object PipelineQueries {
            |FROM scrub
            |ORDER BY doc_id""".stripMargin))
 
+  // End-to-end retrieval: exact-dedup -> length gate -> integer BM25 over
+  // the SURVIVING corpus for the survivors' top-3 tokens. The composition
+  // matters: df/dl/avgdl and the query terms are all computed over the
+  // gated corpus, so a dedup or gate deviation shifts every score — the
+  // whole chain is replayed in DuckDB, not just the pieces.
+  private val qRetrieval = df("q_pipeline_retrieval",
+    (spark, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = graft.engine.Tables.table(spark, dir, "documents")
+      val keepers = docs.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val survivors = docs.join(keepers, Seq("doc_id"), "left_semi")
+        .filter(expr("SIZE(SPLIT(text, ' ')) >= 30"))
+        .select("doc_id", "text")
+      val qterms = survivors
+        .select(explode(org.apache.spark.sql.functions.split(col("text"), " ")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term")).limit(3).select("term")
+      graft.operators.TextAnalysis.bm25Lite(survivors, "doc_id", "text", qterms)
+        .select(col("doc_id"), col("score_ppm").cast("bigint").as("score_ppm"))
+        .orderBy(col("score_ppm").desc, col("doc_id"))
+    },
+    Some("""WITH keepers AS (
+           |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+           |), survivors AS (
+           |  SELECT d.doc_id, d.text FROM documents d
+           |  WHERE d.doc_id IN (SELECT doc_id FROM keepers)
+           |    AND len(string_split(d.text, ' ')) >= 30
+           |), toks AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM survivors
+           |), qterms AS (
+           |  SELECT term FROM (
+           |    SELECT term, COUNT(*) AS n FROM toks GROUP BY term
+           |    ORDER BY n DESC, term LIMIT 3
+           |  )
+           |), dl AS (
+           |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+           |), totals AS (
+           |  SELECT CAST(SUM(dl) AS BIGINT) AS total_tok,
+           |    CAST(COUNT(*) AS BIGINT) AS n_docs FROM dl
+           |), tf AS (
+           |  SELECT t.doc_id, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+           |  FROM toks t JOIN qterms q USING (term) GROUP BY t.doc_id, t.term
+           |), dfreq AS (
+           |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+           |), scored AS (
+           |  SELECT tf.doc_id,
+           |    ((1000000 * (x.n_docs - d.df + 1)) // (d.df + 1)
+           |      * ((LEAST(tf.tf, 4000000) * 2200000 * 1000000)
+           |         // (LEAST(tf.tf, 4000000) * 1000000
+           |            + (1200000 * ((1000000 - 750000)
+           |               + (750000 * ((1000000 * LEAST(dl.dl, 8000000) * 1000000)
+           |                  // (1000000 * (x.total_tok // x.n_docs)
+           |                     + (1000000 * (x.total_tok % x.n_docs)) // x.n_docs))) // 1000000))
+           |              // 1000000))
+           |    ) // 1000000 AS s
+           |  FROM tf JOIN dl USING (doc_id) JOIN dfreq d USING (term), totals x
+           |)
+           |SELECT doc_id, CAST(SUM(s) AS BIGINT) AS score_ppm
+           |FROM scored GROUP BY doc_id
+           |ORDER BY score_ppm DESC, doc_id LIMIT 20""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
+    qRetrieval,
     qDedupExact, qDedupNorm, qMinhashSig, qMinhashPairs, qMinhashCorpus, qSimhash,
     qSimhashPairs, qLmScore, qParagraphDedup, qIncrementalDedup, qIncrementalBloom,
     qDecontaminateExact, qSubstringSpans, qSubstringScrub,
