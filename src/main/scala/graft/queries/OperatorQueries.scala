@@ -942,6 +942,69 @@ object OperatorQueries {
            |FROM orders
            |ORDER BY rule""".stripMargin))
 
+  // WordPiece greedy encode (WordPiece.vocab/encode): the BERT-family
+  // tokenizer next to BPE. The oracle replays BOTH halves in DuckDB — the
+  // deterministic vocab derivation (chars + top words/prefixes/
+  // continuations with explicit tie-breaks) and the greedy longest-match
+  // walk itself via a recursive CTE whose step picks the longest matching
+  // piece with a correlated ORDER BY length DESC LIMIT 1.
+  private val qWordPiece = df("q_op_wordpiece",
+    (spark, dir) => {
+      import graft.operators.WordPiece
+      import spark.implicits._
+      val docs = Tables.table(spark, dir, "documents")
+      val v = WordPiece.vocab(docs, "doc_id", "text").as[(String, Boolean)].collect().toSeq
+      WordPiece.encode(docs, "doc_id", "text", v)
+        .select(explode(col("pieces")).as("piece"))
+        .groupBy("piece").agg(count(lit(1)).as("cnt"))
+        .orderBy("piece")
+    },
+    Some("""WITH RECURSIVE toks AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+           |), words AS (
+           |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM toks GROUP BY w
+           |), chars AS (
+           |  SELECT DISTINCT substr(w, g.i, 1) AS p
+           |  FROM words, LATERAL (SELECT unnest(range(1, length(w) + 1)) AS i) g
+           |), topw AS (
+           |  SELECT w AS p FROM words ORDER BY freq DESC, w LIMIT 30
+           |), pref2 AS (
+           |  SELECT p FROM (
+           |    SELECT substr(w, 1, 2) AS p, SUM(freq) AS s FROM words
+           |    WHERE length(w) >= 2 GROUP BY 1
+           |  ) ORDER BY s DESC, p LIMIT 30
+           |), cont2 AS (
+           |  SELECT p FROM (
+           |    SELECT substr(w, g.i, 2) AS p, SUM(freq) AS s
+           |    FROM words, LATERAL (SELECT unnest(range(2, length(w))) AS i) g
+           |    WHERE length(w) >= 3 GROUP BY 1
+           |  ) ORDER BY s DESC, p LIMIT 30
+           |), vocab AS (
+           |  SELECT DISTINCT p, TRUE AS ini FROM (
+           |    SELECT p FROM chars UNION ALL SELECT p FROM topw UNION ALL SELECT p FROM pref2)
+           |  UNION ALL
+           |  SELECT DISTINCT p, FALSE FROM (
+           |    SELECT p FROM chars UNION ALL SELECT p FROM cont2)
+           |), enc AS (
+           |  SELECT doc_id, w, 1 AS pos, CAST(NULL AS VARCHAR) AS piece FROM toks
+           |  UNION ALL
+           |  SELECT e.doc_id, e.w,
+           |    e.pos + length((SELECT v.p FROM vocab v
+           |      WHERE v.ini = (e.pos = 1)
+           |        AND substr(e.w, e.pos, length(v.p)) = v.p
+           |      ORDER BY length(v.p) DESC, v.p LIMIT 1)),
+           |    (SELECT v.p FROM vocab v
+           |      WHERE v.ini = (e.pos = 1)
+           |        AND substr(e.w, e.pos, length(v.p)) = v.p
+           |      ORDER BY length(v.p) DESC, v.p LIMIT 1)
+           |  FROM enc e WHERE e.pos <= length(e.w)
+           |)
+           |SELECT CASE WHEN pos - length(piece) = 1 THEN piece
+           |            ELSE '##' || piece END AS piece,
+           |  CAST(COUNT(*) AS BIGINT) AS cnt
+           |FROM enc WHERE piece IS NOT NULL
+           |GROUP BY 1 ORDER BY piece""".stripMargin))
+
   // Streaming distinct-count via mergeable HLL sketches (EventStreams.
   // hourlyDistinctUsers): per-hour state is one k-byte sketch, not a user
   // set. Exact oracle is legitimate in the sparse coupon regime (see the
@@ -1573,7 +1636,7 @@ object OperatorQueries {
 
   val all: Seq[QueryDef] = Seq(
     qUrlDedup, qPageRank, qHllTokens, qRobotsGate, qDistill, qCountMin, qInvertedIndex, qBm25,
-    qSnapshotDiff, qSkewDiag, qEntityRes, qDqProfile, qDqChecks,
+    qSnapshotDiff, qSkewDiag, qEntityRes, qDqProfile, qDqChecks, qWordPiece,
     qMinhashApi, qAnnApi, qAnnIvf, qAnnIvf2, qAnnPq, qAnnIvfPq, qSemDedup, qSemanticSort,
     qHardNegatives, qQualityApi, qMultimodalApi,
     qMultimodalPatches, qMultimodalDecode, qMultimodalAudio, qMultimodalVideo,

@@ -341,6 +341,30 @@ class LinkGraphSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](DataQuality.profile(tn, Seq.empty))
   }
 
+  test("wordPiece: greedy longest-match-first with ##continuations, full coverage") {
+    import graft.operators.WordPiece
+    val vocab = Seq(
+      ("a", true), ("b", true), ("c", true), ("ab", true), ("abc", true),
+      ("a", false), ("b", false), ("c", false), ("bc", false))
+    val docs = Seq((1L, "abcab cba b")).toDF("doc_id", "text")
+    val got = WordPiece.encode(docs, "doc_id", "text", vocab)
+      .select("pieces").as[Seq[String]].head
+    // abcab -> abc + ##ab? 'ab' is initial-only; continuation set has a,b,c,bc
+    //   abc (longest initial), then ##a, ##b; cba -> c, ##b, ##a; b -> b
+    assert(got === Seq("abc", "##a", "##b", "c", "##b", "##a", "b"))
+    // derived vocab covers every char both ways -> n_pieces is always > 0
+    val d2 = graft.engine.Tables.table(spark, sfDir, "documents")
+    val v = WordPiece.vocab(d2, "doc_id", "text").as[(String, Boolean)].collect().toSeq
+    val enc = WordPiece.encode(d2, "doc_id", "text", v)
+    assert(enc.filter(col("n_pieces") === 0 || col("pieces").isNull).count() === 0L)
+    // lossless-encode structural check: piece char mass equals text char mass
+    val mass = enc.select(expr(
+      "AGGREGATE(pieces, 0L, (acc, p) -> acc + LENGTH(REPLACE(p, '##', '')))").as("m"))
+      .agg(sum("m")).head.getLong(0)
+    val charMass = d2.select(sum(expr("LENGTH(REPLACE(text, ' ', ''))"))).head.getLong(0)
+    assert(mass === charMass, "encode must consume every character exactly once")
+  }
+
   test("distinctTokensBySource matches exact distinct counts on testdata") {
     val docs = graft.engine.Tables.table(spark, sfDir, "documents")
     val got = Sketches.distinctTokensBySource(docs, "doc_id", "text")
