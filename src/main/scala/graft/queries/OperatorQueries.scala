@@ -1019,6 +1019,44 @@ object OperatorQueries {
            |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_est
            |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  // Streaming count-min heavy hitters (EventStreams.userCountMinCounters):
+  // sketch state is depth x width rows no matter the stream length; the
+  // stream-built counters estimate the top-20 users and the oracle replays
+  // the IDENTICAL plane arithmetic batch-side (collisions and all).
+  private val qStreamCountMin = df("q_stream_countmin",
+    (spark, dir) => {
+      import graft.operators.Sketches
+      val counters = EventStreams.runToMemoryTable(
+        EventStreams.userCountMinCounters(EventStreams.readEvents(spark, dir)),
+        "graft_stream_cms")
+      val events = graft.engine.Tables.table(spark, dir, "events")
+      val top = events.groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("user_id")).limit(20)
+        .withColumn("h", col("user_id") * 2654435761L % Sketches.CmsP)
+      Sketches.countMinEstimate(counters, top, "h")
+        .select(col("user_id"), col("exact_n"), col("cms_est"))
+        .orderBy("user_id")
+    },
+    Some("""WITH occ AS (
+           |  SELECT (user_id * 2654435761) % 1000000007 AS h FROM events
+           |), plane(j, a, b) AS (
+           |  VALUES (0, 1299709, 104729), (1, 15485863, 1299721), (2, 32452843, 15485867)
+           |), cnt AS (
+           |  SELECT p.j, ((p.a * o.h + p.b) % 1000000007) % 512 AS bucket,
+           |    CAST(COUNT(*) AS BIGINT) AS c
+           |  FROM occ o, plane p GROUP BY 1, 2
+           |), top AS (
+           |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n FROM events
+           |  GROUP BY user_id ORDER BY exact_n DESC, user_id LIMIT 20
+           |), qh AS (
+           |  SELECT user_id, exact_n, (user_id * 2654435761) % 1000000007 AS h FROM top
+           |)
+           |SELECT q.user_id, q.exact_n, MIN(c.c) AS cms_est
+           |FROM qh q, plane p, cnt c
+           |WHERE c.j = p.j AND c.bucket = ((p.a * q.h + p.b) % 1000000007) % 512
+           |GROUP BY q.user_id, q.exact_n
+           |ORDER BY q.user_id""".stripMargin))
+
   // Duplicate-cluster assignment over the MinHash candidate pairs:
   // iterative min-label propagation on the Spark side; the oracle computes
   // the same components with a recursive transitive closure in DuckDB.
@@ -1641,5 +1679,5 @@ object OperatorQueries {
     qHardNegatives, qQualityApi, qMultimodalApi,
     qMultimodalPatches, qMultimodalDecode, qMultimodalAudio, qMultimodalVideo,
     qDecontaminate, qBpeApi, qBpeEncode, qTokenizePack, qEmbedPool, qSaltedJoin, qAsofJoin, qRangeJoin,
-    qDedupClusters, qStreamHourly, qStreamSessions, qStreamDedup, qStreamDistinct)
+    qDedupClusters, qStreamHourly, qStreamSessions, qStreamDedup, qStreamDistinct, qStreamCountMin)
 }

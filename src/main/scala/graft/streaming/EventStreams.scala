@@ -143,6 +143,30 @@ object EventStreams {
       .select(col("window.start").as("hour"),
         graft.operators.Sketches.estimate(col("sk")).as("n_users_est"))
 
+  /** Streaming count-min counters over the user stream — heavy-hitter
+    * tracking with STATE BOUNDED BY CONSTRUCTION: the aggregation keys are
+    * (plane, bucket), so state is depth×width counter rows no matter how
+    * long the stream runs (contrast dropDuplicates' distinct-key state).
+    * The base hash is the portable (user_id · 2654435761) mod P spelling,
+    * so the whole sketch — including collision overestimates — replays
+    * bit-for-bit in a batch engine; counters also merge ADDITIVELY with
+    * batch-built counters from [[graft.operators.Sketches]] (same planes,
+    * same constants). */
+  def userCountMinCounters(events: DataFrame, width: Int = 512,
+                           depth: Int = 3): DataFrame = {
+    val hashed = events.select(
+      (col("user_id") * 2654435761L % graft.operators.Sketches.CmsP).as("h"))
+    val planes = (0 until depth).map { j =>
+      struct(lit(j).as("j"),
+        (((lit(graft.operators.Sketches.CmsA(j)) * pmod(col("h"),
+          lit(graft.operators.Sketches.CmsP)) + lit(graft.operators.Sketches.CmsB(j)))
+          % graft.operators.Sketches.CmsP) % width).as("bucket"))
+    }
+    hashed.select(explode(array(planes: _*)).as("p"))
+      .groupBy(col("p.j").as("j"), col("p.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+  }
+
   /** Run a streaming aggregation to completion against the (finite) file
     * source and return the result table — used by tests and demos; a real
     * deployment would writeStream to kafka/parquet with a checkpoint dir.
