@@ -31,13 +31,24 @@ object DataQuality {
     * enters). Results pivot from one bounded driver row. */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
+    // injective per-type rendering for the distinct pass: a bare string
+    // cast under-counts BINARY (invalid UTF-8 collapses to replacement
+    // chars) and over-counts DOUBLE (-0.0 vs 0.0 stringify differently
+    // while aggregation normalizes them equal); hex() and +0.0 restore
+    // agreement with native distinct semantics (double->string is
+    // shortest-round-trip, hence injective on distinct normalized values)
+    def render(c: String) = df.schema(c).dataType match {
+      case org.apache.spark.sql.types.BinaryType => hex(col(c))
+      case org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.FloatType => (col(c) + lit(0.0)).cast("string")
+      case _ => col(c).cast("string")
+    }
     val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
       min(col(c)).cast("string").as(s"mn_$c"),
       max(col(c)).cast("string").as(s"mx_$c")))
     val r = df.agg(aggs.head, aggs.tail: _*).head
-    val nd = df.select(posexplode(array(
-        cols.map(c => col(c).cast("string")): _*)).as(Seq("ci", "v")))
+    val nd = df.select(posexplode(array(cols.map(render): _*)).as(Seq("ci", "v")))
       .filter(col("v").isNotNull)
       .groupBy("ci").agg(countDistinct(col("v")).as("nd"))
       .collect().map(x => x.getInt(0) -> x.getLong(1)).toMap

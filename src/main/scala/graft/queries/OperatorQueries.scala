@@ -953,7 +953,7 @@ object OperatorQueries {
       import graft.operators.WordPiece
       import spark.implicits._
       val docs = Tables.table(spark, dir, "documents")
-      val v = WordPiece.vocab(docs, "doc_id", "text").as[(String, Boolean)].collect().toSeq
+      val v = WordPiece.vocab(docs, "text").as[(String, Boolean)].collect().toSeq
       WordPiece.encode(docs, "doc_id", "text", v)
         .select(explode(col("pieces")).as("piece"))
         .groupBy("piece").agg(count(lit(1)).as("cnt"))
@@ -962,7 +962,8 @@ object OperatorQueries {
     Some("""WITH RECURSIVE toks AS (
            |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
            |), words AS (
-           |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM toks GROUP BY w
+           |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM toks
+           |  WHERE w <> '' GROUP BY w
            |), chars AS (
            |  SELECT DISTINCT substr(w, g.i, 1) AS p
            |  FROM words, LATERAL (SELECT unnest(range(1, length(w) + 1)) AS i) g
@@ -1032,13 +1033,15 @@ object OperatorQueries {
       val events = graft.engine.Tables.table(spark, dir, "events")
       val top = events.groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
         .orderBy(col("exact_n").desc, col("user_id")).limit(20)
-        .withColumn("h", col("user_id") * 2654435761L % Sketches.CmsP)
+        .withColumn("h",
+          pmod(col("user_id"), lit(Sketches.CmsP)) * lit(2654435761L % Sketches.CmsP)
+            % Sketches.CmsP)
       Sketches.countMinEstimate(counters, top, "h")
         .select(col("user_id"), col("exact_n"), col("cms_est"))
         .orderBy("user_id")
     },
     Some("""WITH occ AS (
-           |  SELECT (user_id * 2654435761) % 1000000007 AS h FROM events
+           |  SELECT ((user_id % 1000000007 + 1000000007) % 1000000007) * 654435747 % 1000000007 AS h FROM events
            |), plane(j, a, b) AS (
            |  VALUES (0, 1299709, 104729), (1, 15485863, 1299721), (2, 32452843, 15485867)
            |), cnt AS (
@@ -1049,7 +1052,7 @@ object OperatorQueries {
            |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n FROM events
            |  GROUP BY user_id ORDER BY exact_n DESC, user_id LIMIT 20
            |), qh AS (
-           |  SELECT user_id, exact_n, (user_id * 2654435761) % 1000000007 AS h FROM top
+           |  SELECT user_id, exact_n, ((user_id % 1000000007 + 1000000007) % 1000000007) * 654435747 % 1000000007 AS h FROM top
            |)
            |SELECT q.user_id, q.exact_n, MIN(c.c) AS cms_est
            |FROM qh q, plane p, cnt c

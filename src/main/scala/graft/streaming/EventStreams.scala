@@ -154,17 +154,17 @@ object EventStreams {
     * same constants). */
   def userCountMinCounters(events: DataFrame, width: Int = 512,
                            depth: Int = 3): DataFrame = {
+    val P = graft.operators.Sketches.CmsP
+    // base hash normalized into [0, P) BEFORE the multiply so neither
+    // engine overflows (pmod(id) < P and 2654435761 % P < P keep the
+    // product under 2^63 for ANY user_id, negative included) — the oracle
+    // spells the identical pmod/multiply/mod chain
     val hashed = events.select(
-      (col("user_id") * 2654435761L % graft.operators.Sketches.CmsP).as("h"))
-    val planes = (0 until depth).map { j =>
-      struct(lit(j).as("j"),
-        (((lit(graft.operators.Sketches.CmsA(j)) * pmod(col("h"),
-          lit(graft.operators.Sketches.CmsP)) + lit(graft.operators.Sketches.CmsB(j)))
-          % graft.operators.Sketches.CmsP) % width).as("bucket"))
-    }
-    hashed.select(explode(array(planes: _*)).as("p"))
-      .groupBy(col("p.j").as("j"), col("p.bucket").as("bucket"))
-      .agg(count(lit(1)).as("c"))
+      (pmod(col("user_id"), lit(P)) * lit(2654435761L % P) % P).as("h"))
+    // the counter build itself IS Sketches.countMinCounters — one
+    // implementation, so stream- and batch-built counters stay plane-
+    // identical and merge additively by construction
+    graft.operators.Sketches.countMinCounters(hashed, "h", width, depth)
   }
 
   /** Run a streaming aggregation to completion against the (finite) file

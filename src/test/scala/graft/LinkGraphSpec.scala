@@ -354,12 +354,12 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(got === Seq("abc", "##a", "##b", "c", "##b", "##a", "b"))
     // derived vocab covers every char both ways -> n_pieces is always > 0
     val d2 = graft.engine.Tables.table(spark, sfDir, "documents")
-    val v = WordPiece.vocab(d2, "doc_id", "text").as[(String, Boolean)].collect().toSeq
+    val v = WordPiece.vocab(d2, "text").as[(String, Boolean)].collect().toSeq
     val enc = WordPiece.encode(d2, "doc_id", "text", v)
     assert(enc.filter(col("n_pieces") === 0 || col("pieces").isNull).count() === 0L)
     // lossless-encode structural check: piece char mass equals text char mass
     val mass = enc.select(expr(
-      "AGGREGATE(pieces, 0L, (acc, p) -> acc + LENGTH(REPLACE(p, '##', '')))").as("m"))
+      "AGGREGATE(pieces, 0L, (acc, p) -> acc + LENGTH(regexp_replace(p, '^##', '')))").as("m"))
       .agg(sum("m")).head.getLong(0)
     val charMass = d2.select(sum(expr("LENGTH(REPLACE(text, ' ', ''))"))).head.getLong(0)
     assert(mass === charMass, "encode must consume every character exactly once")
