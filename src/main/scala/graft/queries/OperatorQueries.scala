@@ -1006,6 +1006,81 @@ object OperatorQueries {
            |FROM enc WHERE piece IS NOT NULL
            |GROUP BY 1 ORDER BY piece""".stripMargin))
 
+  // Unigram-LM tokenizer (Unigram.vocab/encode): Viterbi-style DP
+  // segmentation — min piece count, then max integer score, then
+  // leftmost-longest — vs WordPiece's greedy commit. The oracle replays
+  // BOTH halves: the integer-scored vocab (chars + top substrings by
+  // occurrence-mass × length) and the DP itself — a backward recursive
+  // CTE carrying the dp arrays, then a forward walk that reconstructs
+  // the unique optimal segmentation piece by piece.
+  private val qUnigram = df("q_op_unigram",
+    (spark, dir) => {
+      import graft.operators.Unigram
+      import spark.implicits._
+      val docs = Tables.table(spark, dir, "documents")
+      val v = Unigram.vocab(docs, "text").as[(String, Long)].collect().toSeq
+      Unigram.encode(docs, "doc_id", "text", v)
+        .select(explode(col("pieces")).as("piece"))
+        .groupBy("piece").agg(count(lit(1)).as("cnt"))
+        .orderBy("piece")
+    },
+    Some("""WITH RECURSIVE toks AS (
+           |  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+           |), words AS (
+           |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM toks
+           |  WHERE w <> '' GROUP BY w
+           |), chars AS (
+           |  SELECT substr(w, g.i, 1) AS p, SUM(freq) AS s
+           |  FROM words, LATERAL (SELECT unnest(range(1, length(w) + 1)) AS i) g
+           |  GROUP BY 1
+           |), multi AS (
+           |  SELECT p, s FROM (
+           |    SELECT substr(w, g.i, k.k) AS p, SUM(freq * k.k) AS s
+           |    FROM words,
+           |      (SELECT unnest([2, 3]) AS k) k,
+           |      LATERAL (SELECT unnest(range(1, length(w) - k.k + 2)) AS i) g
+           |    WHERE length(w) >= k.k GROUP BY 1
+           |  ) ORDER BY s DESC, p LIMIT 40
+           |), vocab AS (
+           |  SELECT p, CAST(s AS BIGINT) AS s FROM chars
+           |  UNION ALL
+           |  SELECT p, CAST(s AS BIGINT) FROM multi
+           |), dp AS (
+           |  SELECT w, length(w) + 1 AS pos,
+           |    CAST([0] AS BIGINT[]) AS dpc, CAST([0] AS BIGINT[]) AS dps
+           |  FROM words
+           |  UNION ALL
+           |  SELECT w, np, list_prepend(bc, dpc),
+           |    list_prepend((SELECT MAX(v.s + st.dps[length(v.p)]) FROM vocab v
+           |       WHERE substr(st.w, st.np, length(v.p)) = v.p
+           |         AND 1 + st.dpc[length(v.p)] = st.bc), dps)
+           |  FROM (
+           |    SELECT d.w, d.pos - 1 AS np, d.dpc, d.dps,
+           |      (SELECT MIN(1 + d.dpc[length(v.p)]) FROM vocab v
+           |        WHERE substr(d.w, d.pos - 1, length(v.p)) = v.p) AS bc
+           |    FROM dp d WHERE d.pos > 1
+           |  ) st
+           |), dpfinal AS (
+           |  SELECT w, dpc, dps FROM dp WHERE pos = 1
+           |), walk AS (
+           |  SELECT w, 1 AS pos, CAST(NULL AS VARCHAR) AS piece, dpc, dps
+           |  FROM dpfinal
+           |  UNION ALL
+           |  SELECT r.w, r.pos + length(ch.p), ch.p, r.dpc, r.dps
+           |  FROM walk r, LATERAL (
+           |    SELECT v.p FROM vocab v
+           |    WHERE substr(r.w, r.pos, length(v.p)) = v.p
+           |      AND 1 + r.dpc[r.pos + length(v.p)] = r.dpc[r.pos]
+           |      AND v.s + r.dps[r.pos + length(v.p)] = r.dps[r.pos]
+           |    ORDER BY length(v.p) DESC, v.p LIMIT 1
+           |  ) ch
+           |  WHERE r.pos <= length(r.w)
+           |)
+           |SELECT wp.piece, CAST(SUM(wd.freq) AS BIGINT) AS cnt
+           |FROM (SELECT w, piece FROM walk WHERE piece IS NOT NULL) wp
+           |JOIN words wd USING (w)
+           |GROUP BY 1 ORDER BY piece""".stripMargin))
+
   // Streaming distinct-count via mergeable HLL sketches (EventStreams.
   // hourlyDistinctUsers): per-hour state is one k-byte sketch, not a user
   // set. Exact oracle is legitimate in the sparse coupon regime (see the
@@ -1094,6 +1169,25 @@ object OperatorQueries {
 
   // Streaming exact dedup (append mode: each distinct key is emitted
   // exactly once, incrementally) — oracle is the batch DISTINCT.
+  // Stream-stream inner join (EventStreams.clickPurchaseAttribution):
+  // purchases attributed to same-user clicks in the preceding 30 minutes,
+  // both sides watermarked so buffered state stays bounded. The finite
+  // file source arrives as one micro-batch, so the append-mode result is
+  // exactly the batch join the oracle spells.
+  private val qStreamJoin = df("q_stream_join",
+    (spark, dir) => {
+      val joined = EventStreams.clickPurchaseAttribution(
+        EventStreams.readEvents(spark, dir))
+      EventStreams.runToMemoryTable(joined, "graft_stream_join", mode = "append")
+        .orderBy("click_id", "purchase_id")
+    },
+    Some("""SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+           |FROM events c JOIN events p
+           |  ON p.user_id = c.user_id AND c.event_type = 'click'
+           | AND p.event_type = 'purchase'
+           | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+           |ORDER BY click_id, purchase_id""".stripMargin))
+
   private val qStreamDedup = df("q_stream_dedup",
     (spark, dir) => {
       val keys = EventStreams.dedupKeys(EventStreams.readEvents(spark, dir))
@@ -1677,10 +1771,10 @@ object OperatorQueries {
 
   val all: Seq[QueryDef] = Seq(
     qUrlDedup, qPageRank, qHllTokens, qRobotsGate, qDistill, qCountMin, qInvertedIndex, qBm25,
-    qSnapshotDiff, qSkewDiag, qEntityRes, qDqProfile, qDqChecks, qWordPiece,
+    qSnapshotDiff, qSkewDiag, qEntityRes, qDqProfile, qDqChecks, qWordPiece, qUnigram,
     qMinhashApi, qAnnApi, qAnnIvf, qAnnIvf2, qAnnPq, qAnnIvfPq, qSemDedup, qSemanticSort,
     qHardNegatives, qQualityApi, qMultimodalApi,
     qMultimodalPatches, qMultimodalDecode, qMultimodalAudio, qMultimodalVideo,
     qDecontaminate, qBpeApi, qBpeEncode, qTokenizePack, qEmbedPool, qSaltedJoin, qAsofJoin, qRangeJoin,
-    qDedupClusters, qStreamHourly, qStreamSessions, qStreamDedup, qStreamDistinct, qStreamCountMin)
+    qDedupClusters, qStreamHourly, qStreamSessions, qStreamDedup, qStreamDistinct, qStreamCountMin, qStreamJoin)
 }
