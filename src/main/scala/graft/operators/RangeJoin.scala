@@ -38,4 +38,40 @@ object RangeJoin {
         l(pointCol) >= r(startCol) && l(pointCol) <= r(endCol))
       .drop("__bucket")
   }
+
+  /** Interval-overlap join: pair each left interval [lStart, lEnd] with
+    * every right interval [rStart, rEnd] that overlaps it (closed-interval
+    * `lStart <= rEnd AND rStart <= lEnd`) under an equi-key — the span
+    * merge/containment primitive (dedup span reconciliation, session vs
+    * promo windows, validity-interval alignment).
+    *
+    * Both sides explode onto the grid buckets they cover, so an
+    * overlapping pair meets in EVERY shared bucket; the join keeps only
+    * the canonical meeting — the later interval's start bucket
+    * (`greatest(trunc(lStart), trunc(rStart))`), which both sides cover
+    * exactly when they overlap at bucket granularity — so each pair
+    * survives once and no post-join dedup shuffle is needed.
+    *
+    * Scale: shuffle volume is (|left| + |right|) * avg_buckets_per_interval
+    * hash-partitioned on (key, bucket) — linear, never O(n*m); the same
+    * bucket-width trade as [[pointInInterval]] applies to BOTH sides. */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+                      leftKey: String, rightKey: String,
+                      lStart: String, lEnd: String,
+                      rStart: String, rEnd: String,
+                      bucket: String = "1 month"): DataFrame = {
+    val unit = bucket.trim.split("\\s+").last.toUpperCase.stripSuffix("S")
+    def trunc(c: Column) = date_trunc(unit, c)
+    val l = left.withColumn("__bucket",
+      explode(sequence(trunc(col(lStart)), trunc(col(lEnd)),
+        expr(s"INTERVAL $bucket"))))
+    val r = right.withColumn("__bucket",
+      explode(sequence(trunc(col(rStart)), trunc(col(rEnd)),
+        expr(s"INTERVAL $bucket"))))
+    l.join(r, l("__bucket") === r("__bucket") &&
+        l(leftKey) === r(rightKey) &&
+        l(lStart) <= r(rEnd) && r(rStart) <= l(lEnd) &&
+        l("__bucket") === greatest(trunc(l(lStart)), trunc(r(rStart))))
+      .drop("__bucket")
+  }
 }

@@ -1006,6 +1006,45 @@ object OperatorQueries {
            |FROM enc WHERE piece IS NOT NULL
            |GROUP BY 1 ORDER BY piece""".stripMargin))
 
+  // Interval-overlap join (RangeJoin.intervalOverlap): click attention
+  // windows vs purchase windows for the same user — each overlapping pair
+  // meets exactly once in its canonical grid bucket (the later interval's
+  // start bucket), so the grid join needs no post-dedup. The oracle is the
+  // plain overlap join.
+  private val qIntervalJoin = df("q_op_interval_join",
+    (spark, dir) => {
+      val clicks = Tables.table(spark, dir, "events")
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("c_start"), expr("ts + INTERVAL 45 MINUTE").as("c_end"))
+      val purchases = Tables.table(spark, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("p_start"), expr("ts + INTERVAL 30 MINUTE").as("p_end"))
+      RangeJoin.intervalOverlap(clicks, purchases,
+          "user_id", "p_user", "c_start", "c_end", "p_start", "p_end",
+          bucket = "1 hour")
+        .groupBy("click_id")
+        .agg(count(lit(1)).as("n_overlaps"), min("purchase_id").as("first_purchase"))
+        .orderBy("click_id")
+    },
+    Some("""WITH l AS (
+           |  SELECT event_id AS click_id, user_id, ts AS c_start,
+           |         ts + INTERVAL 45 MINUTE AS c_end
+           |  FROM events WHERE event_type = 'click'
+           |), r AS (
+           |  SELECT event_id AS purchase_id, user_id AS p_user, ts AS p_start,
+           |         ts + INTERVAL 30 MINUTE AS p_end
+           |  FROM events WHERE event_type = 'purchase'
+           |)
+           |SELECT l.click_id, CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+           |       MIN(r.purchase_id) AS first_purchase
+           |FROM l JOIN r
+           |  ON l.user_id = r.p_user
+           | AND l.c_start <= r.p_end AND r.p_start <= l.c_end
+           |GROUP BY l.click_id
+           |ORDER BY l.click_id""".stripMargin))
+
   // Unigram-LM tokenizer (Unigram.vocab/encode): Viterbi-style DP
   // segmentation — min piece count, then max integer score, then
   // leftmost-longest — vs WordPiece's greedy commit. The oracle replays
@@ -1775,6 +1814,6 @@ object OperatorQueries {
     qMinhashApi, qAnnApi, qAnnIvf, qAnnIvf2, qAnnPq, qAnnIvfPq, qSemDedup, qSemanticSort,
     qHardNegatives, qQualityApi, qMultimodalApi,
     qMultimodalPatches, qMultimodalDecode, qMultimodalAudio, qMultimodalVideo,
-    qDecontaminate, qBpeApi, qBpeEncode, qTokenizePack, qEmbedPool, qSaltedJoin, qAsofJoin, qRangeJoin,
+    qDecontaminate, qBpeApi, qBpeEncode, qTokenizePack, qEmbedPool, qSaltedJoin, qAsofJoin, qRangeJoin, qIntervalJoin,
     qDedupClusters, qStreamHourly, qStreamSessions, qStreamDedup, qStreamDistinct, qStreamCountMin, qStreamJoin)
 }

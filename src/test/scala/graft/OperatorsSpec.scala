@@ -257,6 +257,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Set((1L, 10L), (1L, 11L), (2L, 10L)))
   }
 
+  test("interval overlap join equals the naive overlap join, each pair exactly once") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val lhs = Seq(
+      (1L, "k1", ts("2020-01-10 00:00:00"), ts("2020-02-05 00:00:00")), // spans Jan->Feb
+      (2L, "k1", ts("2020-03-01 00:00:00"), ts("2020-03-02 00:00:00")), // no overlap
+      (3L, "k1", ts("2020-01-31 00:00:00"), ts("2020-02-01 00:00:00")),
+      (4L, "k2", ts("2020-01-10 00:00:00"), ts("2020-12-31 00:00:00"))  // wrong key
+    ).toDF("lid", "lk", "ls", "le")
+    val rhs = Seq(
+      (10L, "k1", ts("2020-02-01 00:00:00"), ts("2020-02-20 00:00:00")), // touches 3's end
+      (11L, "k1", ts("2020-01-01 00:00:00"), ts("2020-01-10 00:00:00")), // touches 1's start
+      (12L, "k3", ts("2020-01-01 00:00:00"), ts("2020-12-31 00:00:00"))
+    ).toDF("rid", "rk", "rs", "re")
+    // one row per (lid, rid) — the canonical-bucket guard must prevent the
+    // multi-bucket pair (1,10) from appearing once per shared month
+    val rows = RangeJoin.intervalOverlap(lhs, rhs, "lk", "rk", "ls", "le", "rs", "re")
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows.size == rows.toSet.size, s"pair emitted twice: $rows")
+    val want = lhs.as[(Long, String, Timestamp, Timestamp)].collect().flatMap {
+      case (lid, lk, ls, le) =>
+        rhs.as[(Long, String, Timestamp, Timestamp)].collect().collect {
+          case (rid, rk, rs, re) if rk == lk && !ls.after(re) && !rs.after(le) =>
+            (lid, rid)
+        }
+    }.toSet
+    assert(rows.toSet == want)
+    assert(want == Set((1L, 10L), (1L, 11L), (3L, 10L)))
+  }
+
   test("duplicate clusters merge transitively (A~B, B~C, no A~C edge)") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
       .toDF("d1", "d2")

@@ -403,6 +403,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_op_interval_join: grid overlap join stays an equi-join, no nested loop") {
+    val p = plan("q_op_interval_join")
+    // the bucket explode turns interval overlap into an equi-join on
+    // (key, bucket) with residual filters — a cartesian or BNLJ here means
+    // the grid rewrite silently degraded to the O(n*m) plan it exists to avoid
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Generate"), p) // the bucket explode stays a generator
+  }
+
   test("pageRank iteration: contribution sum is partial+final on dst, rank table stays node-sized") {
     // pin the per-iteration subplan (the registered query's final plan is
     // checkpoint scans by design — lineage truncation IS the discipline)
