@@ -78,6 +78,30 @@ object Sampling {
       .filter(col("group_rank") <= k)
   }
 
+  /** Weighted sample of exactly k rows without replacement — priority
+    * sampling (Duffield/Lund/Thorup, JACM 2007): each row draws priority
+    * q = w / u with u uniform in (0, 1]; the k highest-priority rows form
+    * the sample, so inclusion probability rises with weight and the scheme
+    * admits an unbiased subset-sum estimator. Here u is the deterministic
+    * [[knuth32]] hash scaled into (0, 2^32] and the division is exact
+    * integer arithmetic — `pri = w * 2^32 DIV (h + 1)` — so the sample
+    * replays bit-identically in any engine. Weights are clamped to
+    * 2^31 - 1 (keeps w * 2^32 < 2^63 — document weights beyond that lose
+    * proportionality, not determinism); non-positive weights are dropped
+    * (they can never be sampled).
+    *
+    * Scale: a narrow projection plus top-k — Spark plans the
+    * ORDER BY + LIMIT as TakeOrderedAndProject (per-partition heaps, k
+    * rows to the driver-side merge), never a global sort. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int): DataFrame =
+    df.filter(col(weightCol) > 0)
+      .withColumn("sample_pri", expr(
+        s"(LEAST($weightCol, 2147483647) * 4294967296) DIV " +
+        s"(pmod(($idCol % 1000000007) * 2654435761, 4294967296) + 1)"))
+      .orderBy(col("sample_pri").desc, col(idCol))
+      .limit(k)
+
   /** Deterministic global shuffle: order the corpus by the Knuth hash of a
     * stable id (id as tiebreak). Training pipelines need a reproducible
     * permutation before sharding; `ORDER BY rand()` changes run-over-run

@@ -3,7 +3,7 @@ package graft.queries
 import graft.QueryDef
 import graft.QueryDef.df
 import graft.engine.Tables
-import graft.operators.{AsofJoin, Bpe, Dedup, LinkGraph, Multimodal, RangeJoin, Similarity, Sketches, Skew, TextAnalysis}
+import graft.operators.{AsofJoin, Bpe, Dedup, LinkGraph, Multimodal, RangeJoin, Sampling, Similarity, Sketches, Skew, TextAnalysis}
 import graft.streaming.EventStreams
 import org.apache.spark.sql.functions._
 
@@ -1006,6 +1006,23 @@ object OperatorQueries {
            |FROM enc WHERE piece IS NOT NULL
            |GROUP BY 1 ORDER BY piece""".stripMargin))
 
+  // Weighted sampling without replacement (Sampling.weightedSample):
+  // priority sampling — pri = w * 2^32 DIV (knuth32(id) + 1), top-k by
+  // priority — integer-exact, so the oracle replays the identical
+  // arithmetic and LIMIT.
+  private val qWeightedSample = df("q_op_weighted_sample",
+    (spark, dir) => {
+      val docs = Tables.table(spark, dir, "documents")
+      Sampling.weightedSample(docs, "doc_id", "n_chars", 50)
+        .select(col("doc_id"), col("n_chars"), col("sample_pri"))
+        .orderBy(col("sample_pri").desc, col("doc_id"))
+    },
+    Some("""SELECT doc_id, n_chars,
+           |  (LEAST(n_chars, 2147483647) * 4294967296) //
+           |  (((doc_id % 1000000007) * 2654435761) % 4294967296 + 1) AS sample_pri
+           |FROM documents WHERE n_chars > 0
+           |ORDER BY sample_pri DESC, doc_id LIMIT 50""".stripMargin))
+
   // Interval-overlap join (RangeJoin.intervalOverlap): click attention
   // windows vs purchase windows for the same user — each overlapping pair
   // meets exactly once in its canonical grid bucket (the later interval's
@@ -1814,6 +1831,6 @@ object OperatorQueries {
     qMinhashApi, qAnnApi, qAnnIvf, qAnnIvf2, qAnnPq, qAnnIvfPq, qSemDedup, qSemanticSort,
     qHardNegatives, qQualityApi, qMultimodalApi,
     qMultimodalPatches, qMultimodalDecode, qMultimodalAudio, qMultimodalVideo,
-    qDecontaminate, qBpeApi, qBpeEncode, qTokenizePack, qEmbedPool, qSaltedJoin, qAsofJoin, qRangeJoin, qIntervalJoin,
+    qDecontaminate, qBpeApi, qBpeEncode, qTokenizePack, qEmbedPool, qSaltedJoin, qAsofJoin, qRangeJoin, qIntervalJoin, qWeightedSample,
     qDedupClusters, qStreamHourly, qStreamSessions, qStreamDedup, qStreamDistinct, qStreamCountMin, qStreamJoin)
 }

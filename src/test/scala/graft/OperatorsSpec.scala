@@ -257,6 +257,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Set((1L, 10L), (1L, 11L), (2L, 10L)))
   }
 
+  test("weighted sample: integer priority replay, weight-monotone, top-k plan") {
+    val rows = (1L to 400L).map(id => (id, (id % 13) * 100 + 1))
+    val df = rows.toDF("id", "w")
+    val got = Sampling.weightedSample(df, "id", "w", 25)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    // local replay of the exact arithmetic
+    def pri(id: Long, w: Long): Long =
+      (math.min(w, 2147483647L) * 4294967296L) /
+        (Math.floorMod((id % 1000000007L) * 2654435761L, 4294967296L) + 1L)
+    val want = rows.map { case (id, w) => (id, pri(id, w)) }
+      .sortBy { case (id, p) => (-p, id) }.take(25).map(_._1)
+    assert(got === want)
+    // same hash, bigger weight -> never lower priority
+    assert(pri(7L, 500L) >= pri(7L, 100L))
+    // zero/negative weights can never be sampled
+    val withZero = (rows :+ (9999L, 0L) :+ (9998L, -5L)).toDF("id", "w")
+    val ids = Sampling.weightedSample(withZero, "id", "w", 1000)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(9999L) && !ids.contains(9998L))
+    // top-k must be a heap merge, not a global sort
+    val p = Sampling.weightedSample(df, "id", "w", 25)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("interval overlap join equals the naive overlap join, each pair exactly once") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)
