@@ -584,6 +584,48 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Collocation / phrase detection: rank adjacent lowercased word pairs
+    * by the word2vec phrase score (Mikolov et al. 2013),
+    * `(f_ab - delta) * N / (f_a * f_b)`, in integer micro units. The
+    * score is computed as two integer divisions —
+    * `s1 = (f_ab - delta) * 1e6 DIV f_a` (s1 <= 1e6 because f_ab <= f_a),
+    * then `score_ppm = s1 * N DIV f_b` — so every intermediate stays
+    * far inside int64 at any corpus size and the ranking replays
+    * bit-identically in SQL. Pairs seen `delta` times or fewer are
+    * discarded (the discounting that kills rare-pair noise). Adjacency
+    * is over the non-empty token sequence.
+    *
+    * Scale: two partial+final counts (unigrams, bigrams), one broadcast
+    * 1-row token total, and two equi-joins of the bigram table against
+    * the unigram table (both shuffle-partitioned on the word — nothing
+    * data-sized is force-broadcast); top-k is TakeOrderedAndProject. */
+  def collocations(docs: DataFrame, idCol: String, textCol: String,
+                   delta: Long = 5L, k: Int = 30): DataFrame = {
+    require(delta >= 0 && k >= 1, s"need delta >= 0 and k >= 1, got $delta/$k")
+    val toks = docs.select(
+      expr(s"FILTER(SPLIT(LOWER($textCol), ' '), t -> t <> '')").as("__w"))
+    val uni = toks.select(explode(col("__w")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    val bi = toks.select(explode(expr(
+      """CASE WHEN SIZE(__w) >= 2
+        |  THEN TRANSFORM(SEQUENCE(0, SIZE(__w) - 2),
+        |    i -> STRUCT(__w[i] AS w1, __w[i + 1] AS w2))
+        |  ELSE ARRAY() END""".stripMargin)).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("fab"))
+    val n = toks.agg(sum(size(col("__w"))).cast("long").as("n_tokens"))
+    bi.filter(col("fab") > delta)
+      .join(uni.select(col("w").as("w1"), col("f").as("fa")), "w1")
+      .join(uni.select(col("w").as("w2"), col("f").as("fb")), "w2")
+      .crossJoin(broadcast(n))
+      .withColumn("score_ppm",
+        expr(s"((fab - $delta) * 1000000 DIV fa) * n_tokens DIV fb"))
+      .select(col("w1"), col("w2"), col("fab").cast("bigint").as("fab"),
+        col("score_ppm").cast("bigint").as("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Inverted-index build: per term, document frequency, total term
     * frequency, and a CAPPED posting list — the top `k` documents by
     * (tf DESC, id ASC), fingerprinted as md5 over the comma-joined id

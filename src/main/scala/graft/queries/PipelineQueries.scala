@@ -1435,6 +1435,40 @@ object PipelineQueries {
            |SELECT ngram, CAST(COUNT(*) AS BIGINT) AS cnt FROM g
            |GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin))
 
+  // Collocation / phrase detection (TextAnalysis.collocations): adjacent
+  // pairs ranked by the word2vec phrase score in integer micro units —
+  // two-step integer division keeps every intermediate inside int64, so
+  // the oracle replays the identical arithmetic and ordering.
+  private val qCollocations = df("q_text_collocations",
+    (spark, dir) => graft.operators.TextAnalysis
+      .collocations(graft.engine.Tables.table(spark, dir, "documents"),
+        "doc_id", "text"),
+    Some("""WITH a AS (
+           |  SELECT list_filter(string_split(lower(text), ' '), t -> t <> '') AS w
+           |  FROM documents
+           |), u AS (
+           |  SELECT wd, CAST(COUNT(*) AS BIGINT) AS f
+           |  FROM (SELECT unnest(w) AS wd FROM a) GROUP BY wd
+           |), b AS (
+           |  SELECT p.w1 AS w1, p.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS fab
+           |  FROM (
+           |    SELECT unnest(list_transform(range(1, len(w)),
+           |      i -> struct_pack(w1 := w[i], w2 := w[i + 1]))) AS p
+           |    FROM a WHERE len(w) >= 2
+           |  ) GROUP BY 1, 2
+           |), n AS (
+           |  SELECT CAST(SUM(len(w)) AS BIGINT) AS n_tokens FROM a
+           |)
+           |SELECT b.w1, b.w2, b.fab,
+           |  CAST(((b.fab - 5) * 1000000 // ua.f) * n.n_tokens // ub.f AS BIGINT)
+           |    AS score_ppm
+           |FROM b
+           |JOIN u ua ON ua.wd = b.w1
+           |JOIN u ub ON ub.wd = b.w2
+           |CROSS JOIN n
+           |WHERE b.fab > 5
+           |ORDER BY score_ppm DESC, w1, w2 LIMIT 30""".stripMargin))
+
   // URL extraction + per-domain stats (TextAnalysis.urlStats). The
   // synthetic corpus holds no URLs, so both engines inject the same
   // deterministic URLs from document fields first — the extraction,
@@ -1955,7 +1989,7 @@ object PipelineQueries {
     qTextStats, qGopher, qCurate, qShardPlan, qSpanCorruption, qBlocklist,
     qLangId, qTokens, qFingerprint, qMultimodal,
     qChunks, qCdcChunks, qPii, qRepetition, qEndToEnd,
-    qUrls, qHistogram, qAnnInt8, qTfIdf, qTopNgrams,
+    qUrls, qHistogram, qAnnInt8, qTfIdf, qTopNgrams, qCollocations,
     qTopKPerGroup, qShuffle, qPack, qPackFfd, qTemperatureMix, qQualityGate,
     qDsir, qEpochSchedule, qVocabCoverage, qDataCard, qStripHtml, qMojibake,
     qSentences, qDedupSentences, qIngest)

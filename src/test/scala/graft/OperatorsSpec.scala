@@ -257,6 +257,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Set((1L, 10L), (1L, 11L), (2L, 10L)))
   }
 
+  test("collocations: word2vec phrase score, rare-pair discount, exact integers") {
+    val docs = (0L until 10L).map(i => (i, "new york new york city")).toDF("doc_id", "text")
+    // per doc: [new, york, new, york, city] -> N=50; f(new)=f(york)=20,
+    // f(city)=10; fab: (new,york)=20, (york,new)=10, (york,city)=10
+    val got = TextAnalysis.collocations(docs, "doc_id", "text", delta = 5L, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    // (new,york):  s1 = 15e6/20 = 750000;  *50/20 = 1875000
+    // (york,city): s1 =  5e6/20 = 250000;  *50/10 = 1250000
+    // (york,new):  s1 =  5e6/20 = 250000;  *50/20 =  625000
+    assert(got === Seq(
+      ("new", "york", 20L, 1875000L),
+      ("york", "city", 10L, 1250000L),
+      ("york", "new", 10L, 625000L)))
+    // delta at the pair count kills it: fab must EXCEED delta
+    val none = TextAnalysis.collocations(docs, "doc_id", "text", delta = 20L, k = 10)
+    assert(none.count() === 0L)
+  }
+
   test("weighted sample: integer priority replay, weight-monotone, top-k plan") {
     val rows = (1L to 400L).map(id => (id, (id % 13) * 100 + 1))
     val df = rows.toDF("id", "w")
