@@ -78,6 +78,29 @@ object Sampling {
       .filter(col("group_rank") <= k)
   }
 
+  /** Leakage-safe train/val/test split: near-duplicate documents MUST
+    * land in the same split, or held-out metrics are contaminated by
+    * training-set twins of the eval docs. Every doc draws its split from
+    * the knuth32 hash of its duplicate-cluster representative
+    * (`clusters` = [[Dedup.duplicateClusters]] output `(doc_id, keeper)`)
+    * instead of its own id, so a whole cluster moves as one unit;
+    * unclustered docs draw on their own id — identical to [[split]].
+    *
+    * Scale: one left equi-join corpus -> cluster table (pair-derived,
+    * far smaller than the corpus; AQE free to broadcast it) plus the
+    * same narrow hash projection as [[split]] — no extra shuffle of the
+    * corpus beyond the join. */
+  def leakageSafeSplit(df: DataFrame, idCol: String, clusters: DataFrame,
+                       splits: Seq[(String, Double)],
+                       splitCol: String = "split"): DataFrame = {
+    val keyed = df.join(
+        clusters.select(col("doc_id").as("__cid"), col("keeper").as("__keeper")),
+        df(idCol) === col("__cid"), "left")
+      .withColumn("__split_key", coalesce(col("__keeper"), df(idCol)))
+      .drop("__cid", "__keeper")
+    split(keyed, "__split_key", splits, splitCol).drop("__split_key")
+  }
+
   /** Weighted sample of exactly k rows without replacement — priority
     * sampling (Duffield/Lund/Thorup, JACM 2007): each row draws priority
     * q = w / u with u uniform in (0, 1]; the k highest-priority rows form

@@ -1217,14 +1217,62 @@ object OperatorQueries {
          |ORDER BY doc_id""".stripMargin
     })
 
-  // (Stream-stream watermarked join lives in EventStreams
-  // .clickPurchaseAttribution, batch-equivalence-tested in StreamingSpec;
-  // it is deliberately NOT a registry query — its ~10s of per-run
-  // state-store setup is fixed overhead, not data-dependent work, and
-  // would dominate the bench without adding correctness signal.)
+  // Leakage-safe split (Sampling.leakageSafeSplit): near-duplicate docs
+  // draw their train/val/test assignment from their cluster keeper's
+  // hash, so a cluster can never straddle a split boundary. Output: per-
+  // split counts plus the number of clusters spanning >1 split (must be
+  // 0 by construction — the oracle recomputes it independently).
+  private val qLeakageSplit = df("q_pipeline_leakage_split",
+    (spark, dir) => {
+      val docs = Tables.table(spark, dir, "documents")
+      val sigs = Dedup.minhashSignature(docs, "doc_id", "text")
+      val pairs = Dedup.minhashCandidates(Dedup.minhashBands(sigs, "doc_id"), "doc_id")
+      val clusters = Dedup.duplicateClusters(pairs)
+      val assigned = Sampling.leakageSafeSplit(docs, "doc_id", clusters,
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      val counts = assigned.groupBy("split")
+        .agg(count(lit(1)).cast("bigint").as("n"))
+        .select(col("split").as("label"), col("n"))
+      val violations = assigned.join(clusters, "doc_id")
+        .groupBy("keeper").agg(countDistinct(col("split")).as("ns"))
+        .filter(col("ns") > 1)
+        .agg(count(lit(1)).cast("bigint").as("n"))
+        .select(lit("violations").as("label"), col("n"))
+      counts.unionAll(violations).orderBy("label")
+    },
+    Some {
+      val base = graft.queries.PipelineQueries.minhashCandsDuckSql
+      s"""${base.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |edges AS (
+         |  SELECT d1 AS a, d2 AS b FROM cands
+         |  UNION SELECT d2 AS a, d1 AS b FROM cands
+         |), reach AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+         |), keepers AS (
+         |  SELECT a AS doc_id, LEAST(a, MIN(b)) AS keeper
+         |  FROM reach GROUP BY a
+         |), assigned AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN ((COALESCE(k.keeper, d.doc_id) % 1000000007)
+         |               * 2654435761) % 4294967296 < 3435973836 THEN 'train'
+         |         WHEN ((COALESCE(k.keeper, d.doc_id) % 1000000007)
+         |               * 2654435761) % 4294967296 < 3865470566 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents d LEFT JOIN keepers k USING (doc_id)
+         |)
+         |SELECT label, n FROM (
+         |  SELECT split AS label, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM assigned GROUP BY 1
+         |  UNION ALL
+         |  SELECT 'violations', CAST(COUNT(*) AS BIGINT) FROM (
+         |    SELECT k.keeper FROM assigned a JOIN keepers k USING (doc_id)
+         |    GROUP BY k.keeper HAVING COUNT(DISTINCT a.split) > 1
+         |  )
+         |) ORDER BY label""".stripMargin
+    })
 
-  // Streaming exact dedup (append mode: each distinct key is emitted
-  // exactly once, incrementally) — oracle is the batch DISTINCT.
   // Stream-stream inner join (EventStreams.clickPurchaseAttribution):
   // purchases attributed to same-user clicks in the preceding 30 minutes,
   // both sides watermarked so buffered state stays bounded. The finite
@@ -1244,6 +1292,8 @@ object OperatorQueries {
            | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
            |ORDER BY click_id, purchase_id""".stripMargin))
 
+  // Streaming exact dedup (append mode: each distinct key is emitted
+  // exactly once, incrementally) — oracle is the batch DISTINCT.
   private val qStreamDedup = df("q_stream_dedup",
     (spark, dir) => {
       val keys = EventStreams.dedupKeys(EventStreams.readEvents(spark, dir))
@@ -1832,5 +1882,5 @@ object OperatorQueries {
     qHardNegatives, qQualityApi, qMultimodalApi,
     qMultimodalPatches, qMultimodalDecode, qMultimodalAudio, qMultimodalVideo,
     qDecontaminate, qBpeApi, qBpeEncode, qTokenizePack, qEmbedPool, qSaltedJoin, qAsofJoin, qRangeJoin, qIntervalJoin, qWeightedSample,
-    qDedupClusters, qStreamHourly, qStreamSessions, qStreamDedup, qStreamDistinct, qStreamCountMin, qStreamJoin)
+    qDedupClusters, qLeakageSplit, qStreamHourly, qStreamSessions, qStreamDedup, qStreamDistinct, qStreamCountMin, qStreamJoin)
 }

@@ -257,6 +257,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Set((1L, 10L), (1L, 11L), (2L, 10L)))
   }
 
+  test("leakage-safe split keeps clusters whole where the naive split would straddle") {
+    def h(id: Long): Long = Math.floorMod((id % 1000000007L) * 2654435761L, 4294967296L)
+    val trainBound = 3435973836L // floor(0.8 * 2^32)
+    // find a doc pair the NAIVE split separates: one hashes train, one not
+    val inTrain = (1L to 500L).find(h(_) < trainBound).get
+    val outTrain = (1L to 500L).find(h(_) >= trainBound).get
+    val docs = (1L to 500L).toDF("doc_id")
+    val pairs = Seq((inTrain, outTrain)).toDF("d1", "d2")
+    val clusters = Dedup.duplicateClusters(pairs)
+    val naive = Sampling.split(docs, "doc_id", Seq(("train", 0.8), ("rest", 0.2)))
+    val naiveSplits = naive.filter(col("doc_id").isin(inTrain, outTrain))
+      .select("split").distinct().count()
+    assert(naiveSplits === 2L, "fixture must straddle under the naive split")
+    val safe = Sampling.leakageSafeSplit(docs, "doc_id", clusters,
+      Seq(("train", 0.8), ("rest", 0.2)))
+    val safeSplits = safe.filter(col("doc_id").isin(inTrain, outTrain))
+      .select("split").distinct().collect().map(_.getString(0)).toSeq
+    assert(safeSplits.size === 1, s"cluster must move as one unit, got $safeSplits")
+    // the shared draw is the keeper's (min id) own draw
+    val keeperSplit = safe.filter(col("doc_id") === math.min(inTrain, outTrain))
+      .select("split").head.getString(0)
+    assert(safeSplits === Seq(keeperSplit))
+    // docs outside any cluster keep their naive assignment
+    val others = naive.withColumnRenamed("split", "naive_split")
+      .join(safe, "doc_id")
+      .filter(!col("doc_id").isin(inTrain, outTrain))
+      .filter(col("naive_split") =!= col("split")).count()
+    assert(others === 0L)
+  }
+
   test("collocations: word2vec phrase score, rare-pair discount, exact integers") {
     val docs = (0L until 10L).map(i => (i, "new york new york city")).toDF("doc_id", "text")
     // per doc: [new, york, new, york, city] -> N=50; f(new)=f(york)=20,
