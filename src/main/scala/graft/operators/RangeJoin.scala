@@ -16,18 +16,33 @@ import org.apache.spark.sql.functions._
   * bucket — the point's own — so no dedup is needed.
   *
   * Scale: shuffle volume is |left| + |right| * avg_buckets_per_interval,
-  * hash-partitioned — linear in executors, no O(n*m) blowup. Pick
-  * `bucket` (default 1 month) close to the typical interval length: too
-  * fine multiplies interval replication, too coarse packs unrelated rows
+  * hash-partitioned — linear in executors, no O(n*m) blowup. Pick the
+  * bucket UNIT (hour/day/month — always a count of one, see
+  * [[bucketUnit]]) close to the typical interval length: too fine
+  * multiplies interval replication, too coarse packs unrelated rows
   * into one bucket and shifts work to the residual filter.
   */
 object RangeJoin {
+
+  /** The bucket spec must be exactly ONE truncation unit ("1 hour",
+    * "1 month"): a multi-unit grid ("2 hours") would start each row's
+    * sequence at its own truncated start, so two rows' grids misalign and
+    * overlapping pairs silently never meet. The granularity knob is the
+    * UNIT, not a count. */
+  private def bucketUnit(bucket: String): String = {
+    val parts = bucket.trim.split("\\s+")
+    require(parts.length == 1 || parts.head == "1",
+      s"bucket must be one truncation unit (e.g. '1 hour', '1 month'), got " +
+      s"'$bucket' — multi-unit grids step from each row's own truncated " +
+      "start, misalign across rows, and silently drop matches")
+    parts.last.toUpperCase.stripSuffix("S")
+  }
 
   def pointInInterval(left: DataFrame, right: DataFrame,
                       leftKey: String, rightKey: String,
                       pointCol: String, startCol: String, endCol: String,
                       bucket: String = "1 month"): DataFrame = {
-    val unit = bucket.trim.split("\\s+").last.toUpperCase.stripSuffix("S")
+    val unit = bucketUnit(bucket)
     def trunc(c: Column) = date_trunc(unit, c)
     val l = left.withColumn("__bucket", trunc(col(pointCol)))
     val r = right.withColumn("__bucket",
@@ -60,7 +75,7 @@ object RangeJoin {
                       lStart: String, lEnd: String,
                       rStart: String, rEnd: String,
                       bucket: String = "1 month"): DataFrame = {
-    val unit = bucket.trim.split("\\s+").last.toUpperCase.stripSuffix("S")
+    val unit = bucketUnit(bucket)
     def trunc(c: Column) = date_trunc(unit, c)
     val l = left.withColumn("__bucket",
       explode(sequence(trunc(col(lStart)), trunc(col(lEnd)),

@@ -589,15 +589,23 @@ object TextAnalysis {
     * `(f_ab - delta) * N / (f_a * f_b)`, in integer micro units. The
     * score is computed as two integer divisions —
     * `s1 = (f_ab - delta) * 1e6 DIV f_a` (s1 <= 1e6 because f_ab <= f_a),
-    * then `score_ppm = s1 * N DIV f_b` — so every intermediate stays
-    * far inside int64 at any corpus size and the ranking replays
-    * bit-identically in SQL. Pairs seen `delta` times or fewer are
-    * discarded (the discounting that kills rare-pair noise). Adjacency
-    * is over the non-empty token sequence.
+    * then `score_ppm = s1 * N DIV f_b`, evaluated in the exact split form
+    * `s1 * (N DIV f_b) + (s1 * (N MOD f_b)) DIV f_b` so the largest
+    * intermediate is s1 * (N DIV f_b) — i.e. at most the SCORE itself,
+    * never s1 * N. The ranking replays bit-identically in SQL (the oracle
+    * may spell the plain `s1 * N DIV f_b`; the split form is the same
+    * value by the division identity). int64-safe whenever every reported
+    * score is below 2^63 — guaranteed for corpora up to ~9.2e12 tokens,
+    * and far beyond for any pair whose words aren't vanishingly rare;
+    * past that, raise `delta` (score ~ (f_ab-delta)*N/(f_a*f_b), so junk
+    * pairs of two ultra-rare words are what explode first). Pairs seen
+    * `delta` times or fewer are discarded (the discounting that kills
+    * rare-pair noise). Adjacency is over the non-empty token sequence.
     *
-    * Scale: two partial+final counts (unigrams, bigrams), one broadcast
-    * 1-row token total, and two equi-joins of the bigram table against
-    * the unigram table (both shuffle-partitioned on the word — nothing
+    * Scale: two partial+final counts (unigrams, bigrams) — the token
+    * total N is SUM(f) over the already-built unigram table, NOT a third
+    * corpus scan — and two equi-joins of the bigram table against the
+    * unigram table (both shuffle-partitioned on the word — nothing
     * data-sized is force-broadcast); top-k is TakeOrderedAndProject. */
   def collocations(docs: DataFrame, idCol: String, textCol: String,
                    delta: Long = 5L, k: Int = 30): DataFrame = {
@@ -613,13 +621,14 @@ object TextAnalysis {
         |  ELSE ARRAY() END""".stripMargin)).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("fab"))
-    val n = toks.agg(sum(size(col("__w"))).cast("long").as("n_tokens"))
+    val n = uni.agg(sum(col("f")).cast("long").as("n_tokens"))
     bi.filter(col("fab") > delta)
       .join(uni.select(col("w").as("w1"), col("f").as("fa")), "w1")
       .join(uni.select(col("w").as("w2"), col("f").as("fb")), "w2")
       .crossJoin(broadcast(n))
-      .withColumn("score_ppm",
-        expr(s"((fab - $delta) * 1000000 DIV fa) * n_tokens DIV fb"))
+      .withColumn("__s1", expr(s"(fab - $delta) * 1000000 DIV fa"))
+      .withColumn("score_ppm", expr(
+        "__s1 * (n_tokens DIV fb) + (__s1 * (n_tokens % fb)) DIV fb"))
       .select(col("w1"), col("w2"), col("fab").cast("bigint").as("fab"),
         col("score_ppm").cast("bigint").as("score_ppm"))
       .orderBy(col("score_ppm").desc, col("w1"), col("w2"))

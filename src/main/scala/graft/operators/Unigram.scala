@@ -40,10 +40,7 @@ object Unigram {
   def vocab(docs: DataFrame, textCol: String,
             maxLen: Int = 3, topPieces: Int = 40): DataFrame = {
     require(maxLen >= 2, "maxLen must be >= 2")
-    val words = docs
-      .select(explode(split(col(textCol), " ")).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy("w").agg(count(lit(1)).as("freq"))
+    val words = WordPiece.wordFreqs(docs, textCol)
     val chars = words
       .select(col("freq"), explode(expr("FILTER(SPLIT(w, ''), c -> c <> '')")).as("p"))
       .groupBy("p").agg(sum(col("freq")).as("score"))

@@ -26,15 +26,20 @@ import org.apache.spark.sql.functions._
   * class as Bpe's merge table. */
 object WordPiece {
 
-  /** Deterministic demo vocab: (bare piece, isInitial). Empty "words"
-    * from repeated/leading separators are dropped — a zero-length piece
-    * can never match, so it would only burn a top-words slot. */
-  def vocab(docs: DataFrame, textCol: String,
-            topWords: Int = 30, topPrefix: Int = 30, topCont: Int = 30): DataFrame = {
-    val words = docs
-      .select(explode(split(col(textCol), " ")).as("w"))
+  /** Shared tokenizer-vocab base: (word, freq) over space-split tokens,
+    * empty words from repeated/leading separators dropped (a zero-length
+    * piece can never match — it would only burn a vocab slot). One place
+    * holds that invariant for every tokenizer family ([[WordPiece]],
+    * [[Unigram]]) and their oracles. */
+  private[operators] def wordFreqs(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("freq"))
+
+  /** Deterministic demo vocab: (bare piece, isInitial). */
+  def vocab(docs: DataFrame, textCol: String,
+            topWords: Int = 30, topPrefix: Int = 30, topCont: Int = 30): DataFrame = {
+    val words = wordFreqs(docs, textCol)
     val chars = words
       .select(explode(expr("FILTER(SPLIT(w, ''), c -> c <> '')")).as("p"))
       .distinct()

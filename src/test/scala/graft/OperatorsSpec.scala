@@ -358,6 +358,15 @@ class OperatorsSpec extends AnyFunSuite {
     }.toSet
     assert(rows.toSet == want)
     assert(want == Set((1L, 10L), (1L, 11L), (3L, 10L)))
+    // multi-unit buckets misalign the per-row grids -> must be rejected
+    intercept[IllegalArgumentException] {
+      RangeJoin.intervalOverlap(lhs, rhs, "lk", "rk", "ls", "le", "rs", "re",
+        bucket = "2 hours")
+    }
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(lhs, rhs, "lk", "rk", "ls", "rs", "re",
+        bucket = "3 days")
+    }
   }
 
   test("duplicate clusters merge transitively (A~B, B~C, no A~C edge)") {
