@@ -1292,6 +1292,26 @@ object OperatorQueries {
            | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
            |ORDER BY click_id, purchase_id""".stripMargin))
 
+  // Custom stateful streaming (EventStreams.userActivity,
+  // mapGroupsWithState): per-user running profile maintained across
+  // micro-batches. The finite source arrives as one batch, so the final
+  // state equals the batch aggregate. total_value is a running DOUBLE sum
+  // (arrival-order float addition — DuckDB's parallel SUM reorders too),
+  // so BOTH sides round through DECIMAL(18,2); n_events/last_ts are exact.
+  private val qStreamActivity = df("q_stream_activity",
+    (spark, dir) => {
+      val acts = EventStreams.userActivity(EventStreams.readEvents(spark, dir)).toDF()
+      EventStreams.runToMemoryTable(acts, "graft_stream_activity", mode = "update")
+        .select(col("user_id"), col("n_events"),
+          expr("CAST(CAST(total_value AS DECIMAL(18,2)) AS DOUBLE)").as("total_value"),
+          col("last_ts"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           |  CAST(CAST(SUM(value) AS DECIMAL(18,2)) AS DOUBLE) AS total_value,
+           |  MAX(ts) AS last_ts
+           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+
   // Streaming exact dedup (append mode: each distinct key is emitted
   // exactly once, incrementally) — oracle is the batch DISTINCT.
   private val qStreamDedup = df("q_stream_dedup",
@@ -1882,5 +1902,5 @@ object OperatorQueries {
     qHardNegatives, qQualityApi, qMultimodalApi,
     qMultimodalPatches, qMultimodalDecode, qMultimodalAudio, qMultimodalVideo,
     qDecontaminate, qBpeApi, qBpeEncode, qTokenizePack, qEmbedPool, qSaltedJoin, qAsofJoin, qRangeJoin, qIntervalJoin, qWeightedSample,
-    qDedupClusters, qLeakageSplit, qStreamHourly, qStreamSessions, qStreamDedup, qStreamDistinct, qStreamCountMin, qStreamJoin)
+    qDedupClusters, qLeakageSplit, qStreamHourly, qStreamSessions, qStreamDedup, qStreamDistinct, qStreamCountMin, qStreamJoin, qStreamActivity)
 }
