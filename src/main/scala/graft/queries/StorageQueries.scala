@@ -75,6 +75,42 @@ object StorageQueries {
            |FROM events WHERE event_type IN ('click', 'purchase')
            |GROUP BY event_type ORDER BY event_type""".stripMargin))
 
+  // Dynamic partition pruning: the selective filter lives on the DIM side,
+  // so only runtime pruning (Spark's DPP — broadcast the filtered dim keys
+  // into the fact scan's partition filter) can skip the fact's partition
+  // directories; static pruning can't see through the join. THE 100 TB
+  // star-join discipline — at scale this is the difference between
+  // scanning 2 partitions and scanning all of them. Plan pinned in
+  // PlanAuditSpec (dynamicpruning expression present in the fact scan).
+  private val qDpp = df("q_store_dpp",
+    (spark, dir) => {
+      import spark.implicits._
+      val out = scratch("orders_by_priority")
+      Tables.table(spark, dir, "orders")
+        .write.mode(SaveMode.Overwrite).partitionBy("o_orderpriority").parquet(out)
+      val fact = spark.read.parquet(out)
+      // the dim must be a REAL scan (not a constant-folded LocalRelation),
+      // or the selective filter disappears before DPP's heuristic sees it
+      val dimOut = scratch("priority_dim")
+      Seq(("1-URGENT", 1L), ("2-HIGH", 1L), ("3-MEDIUM", 0L),
+        ("4-NOT SPECIFIED", 0L), ("5-LOW", 0L)).toDF("pri", "flag")
+        .write.mode(SaveMode.Overwrite).parquet(dimOut)
+      val dim = spark.read.parquet(dimOut)
+      fact.join(dim.filter(col("flag") === 1L), col("o_orderpriority") === col("pri"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast("decimal(38,6)")).cast("double").as("sum_price"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""WITH dim(pri, flag) AS (VALUES
+           |  ('1-URGENT', 1), ('2-HIGH', 1), ('3-MEDIUM', 0),
+           |  ('4-NOT SPECIFIED', 0), ('5-LOW', 0))
+           |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS cnt,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+           |FROM orders JOIN dim ON o_orderpriority = pri
+           |WHERE flag = 1
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
   // Delimited-text serde with Tajo's text.delimiter / text.null options
   // (StorageConstants.java:45-46) → Spark csv sep/nullValue round trip.
   private val qCsv = df("q_store_csv_text",
@@ -525,5 +561,5 @@ object StorageQueries {
     qCtas, qInsert, qPartitioned, qCsv, qJsonSelfDesc, qOrc, qNested,
     qNestedDdl, qBucketedJoin, qJdbc, qPartitionMgmt, qIndex, qAvro,
     qSeqFile, qRegex, qRcFile, qInsertReader, qRawFile, qTarShards,
-    qZorder, qCompact)
+    qZorder, qCompact, qDpp)
 }

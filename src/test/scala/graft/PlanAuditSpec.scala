@@ -403,6 +403,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_store_dpp: dim-side filter prunes fact partitions at runtime") {
+    val p = plan("q_store_dpp")
+    // the fact scan's PartitionFilters must carry a dynamicpruning
+    // expression fed by the filtered dim — static pruning cannot see
+    // through the join, so its absence means the full fact scans
+    assert(p.toLowerCase.contains("dynamicpruning"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_op_interval_join: grid overlap join stays an equi-join, no nested loop") {
     val p = plan("q_op_interval_join")
     // the bucket explode turns interval overlap into an equi-join on
