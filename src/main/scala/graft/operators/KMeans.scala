@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd k-means over an `Array[Float]` embedding column in
+  * fixed-point BIGINT arithmetic — the iterative-training showcase next
+  * to [[LinkGraph.pageRank]] and [[Distill.perceptron]]: every iteration
+  * is bit-replayable in any SQL engine (reference scope: Tajo has no ML
+  * operators; clustering is a pipeline extension).
+  *
+  * Determinism choices, all integer-exact:
+  *  - vectors are encoded as `FLOOR((x + 2) * 1e6)` micro units. The +2
+  *    shift keeps every value (range here ±0.58) strictly positive, so
+  *    centroid means never divide a negative sum — Spark's `DIV`
+  *    truncates toward zero while DuckDB's `//` floors, and positive
+  *    dividends are the one place they agree. Squared-L2 distances are
+  *    shift-invariant, so assignments are unaffected.
+  *  - init: the k vectors with the smallest ids (rank 0..k-1).
+  *  - assign: integer argmin of squared L2; ties break to the smaller
+  *    centroid id (min over (dist, cid) structs).
+  *  - update: elementwise `SUM DIV count` per cluster; clusters that
+  *    lose every member drop out (the standard Lloyd degeneracy choice),
+  *    identically in both engines.
+  *
+  * Scale: the centroid table is k×dims values — driver-sized BY
+  * CONSTRUCTION (every real k-means pulls it; the Bpe-merge-table class
+  * of bounded pull), so each round collects the k×dims cell means and
+  * re-broadcasts them as a literal relation: lineage is cut for free and
+  * a round is exactly ONE distributed job — a corpus projection (the
+  * argmin folds over the k broadcast centroids via zip_with/aggregate
+  * HOFs, no explode join, no pair shuffle) feeding a partial+final
+  * elementwise aggregate of k×dims cells. Nothing data-sized reaches
+  * the driver. */
+object KMeans {
+
+  /** Final assignments after `iters` Lloyd rounds:
+    * (idCol, cluster, dist) with dist the integer squared-L2 distance in
+    * shifted micro units to the final centroid. */
+  def lloyd(vecs: DataFrame, idCol: String, vecCol: String,
+            k: Int, iters: Int): DataFrame = {
+    require(k >= 1 && iters >= 1, s"need k >= 1 and iters >= 1, got $k/$iters")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    // the inner CAST to DOUBLE is load-bearing: float32 + int stays FLOAT
+    // in Spark but promotes to DOUBLE in DuckDB — both sides must do the
+    // arithmetic in IEEE double for the FLOOR to land identically
+    val ev = vecs.select(col(idCol),
+      expr(s"TRANSFORM($vecCol, x -> " +
+        "CAST(FLOOR((CAST(x AS DOUBLE) + 2) * 1000000) AS BIGINT))").as("e"))
+      .localCheckpoint()
+    // k×dims values per round on the driver — bounded by construction
+    var centroids: Seq[(Long, Seq[Long])] = ev.orderBy(col(idCol)).limit(k)
+      .select(col("e")).as[Seq[Long]].collect().toSeq
+      .zipWithIndex.map { case (e, i) => (i.toLong, e) }
+    // the k centroids inline as a literal array-of-structs, so the argmin
+    // is ONE per-row projection — ARRAY_MIN over (dist, cid) structs is
+    // exactly the (distance, smaller-cid) tie-break — with no crossJoin,
+    // no aggregate, and no shuffle in the assign at all
+    def centroidLit: String = centroids.map { case (cid, c) =>
+      s"STRUCT(CAST($cid AS BIGINT) AS cid, ARRAY(${c.mkString("L,")}L) AS c)"
+    }.mkString("ARRAY(", ",", ")")
+    def assign(): DataFrame = ev
+      .withColumn("best", expr(
+        s"""ARRAY_MIN(TRANSFORM($centroidLit, ct -> STRUCT(
+           |  AGGREGATE(ZIP_WITH(e, ct.c, (a, b) -> (a - b) * (a - b)),
+           |            0L, (acc, x) -> acc + x) AS dist,
+           |  ct.cid AS cid)))""".stripMargin))
+      .select(col(idCol), col("e"),
+        col("best.cid").as("cluster"), col("best.dist").as("dist"))
+    var i = 0
+    while (i < iters) {
+      val cells = assign()
+        .select(col("cluster").as("cid"), posexplode(col("e")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos")
+        .agg(expr("SUM(v) DIV COUNT(*)").as("m"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      centroids = cells.groupBy(_._1).toSeq.sortBy(_._1).map { case (cid, cs) =>
+        (cid, cs.sortBy(_._2).map(_._3).toSeq)
+      }
+      i += 1
+    }
+    assign().select(col(idCol), col("cluster"), col("dist"))
+  }
+
+  /** DuckDB replay of [[lloyd]]: unrolled iterations over a CTE `ev`
+    * (vec_id, e LIST<BIGINT>) that must be in scope. Ends in an
+    * `assign$iters` CTE with columns (vec_id, cluster, dist). `dims` is
+    * the embedding length. */
+  def oracleCtes(k: Int, iters: Int, dims: Int): String = {
+    def assignCte(name: String, from: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, e, cid AS cluster, dist FROM (
+         |    SELECT v.vec_id, v.e, c.cid,
+         |      list_sum(list_transform(range(1, ${dims + 1}),
+         |        j -> (v.e[j] - c.c[j]) * (v.e[j] - c.c[j]))) AS dist,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+         |        list_sum(list_transform(range(1, ${dims + 1}),
+         |          j -> (v.e[j] - c.c[j]) * (v.e[j] - c.c[j]))), c.cid) AS rn
+         |    FROM ev v CROSS JOIN $from c
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      s"""${assignCte(s"a$i", s"c${i - 1}")},
+         |c$i AS (
+         |  SELECT cid, list(m ORDER BY pos) AS c FROM (
+         |    SELECT a.cluster AS cid, g.pos,
+         |      CAST(SUM(a.e[g.pos]) AS BIGINT) // COUNT(*) AS m
+         |    FROM a$i a, LATERAL (SELECT unnest(range(1, ${dims + 1})) AS pos) g
+         |    GROUP BY 1, 2
+         |  ) GROUP BY cid
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""c0 AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, e AS c
+       |  FROM (SELECT vec_id, e FROM ev ORDER BY vec_id LIMIT $k)
+       |),
+       |$iterCtes,
+       |${assignCte(s"assign$iters", s"c$iters")}""".stripMargin
+  }
+}

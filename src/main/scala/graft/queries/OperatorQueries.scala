@@ -1006,6 +1006,28 @@ object OperatorQueries {
            |FROM enc WHERE piece IS NOT NULL
            |GROUP BY 1 ORDER BY piece""".stripMargin))
 
+  // Distributed Lloyd k-means (KMeans.lloyd): 3 full training iterations
+  // in fixed-point BIGINT, replayed bit-for-bit by generated unrolled
+  // DuckDB CTEs (the pageRank/perceptron discipline) — any assignment,
+  // tie-break, centroid-mean, or empty-cluster deviation hash-mismatches.
+  private val qKmeans = df("q_op_kmeans",
+    (spark, dir) => {
+      val vecs = Tables.table(spark, dir, "embeddings")
+      graft.operators.KMeans.lloyd(vecs, "vec_id", "embedding", k = 8, iters = 3)
+        .select(col("vec_id"), col("cluster").cast("bigint").as("cluster"),
+          col("dist").cast("bigint").as("dist"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH ev AS (
+            |  SELECT vec_id, list_transform(embedding,
+            |    x -> CAST(FLOOR((CAST(x AS DOUBLE) + 2) * 1000000) AS BIGINT)) AS e
+            |  FROM embeddings
+            |),
+            |${graft.operators.KMeans.oracleCtes(k = 8, iters = 3, dims = 64)}
+            |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+            |  CAST(dist AS BIGINT) AS dist
+            |FROM assign3 ORDER BY vec_id""".stripMargin))
+
   // Weighted sampling without replacement (Sampling.weightedSample):
   // priority sampling — pri = w * 2^32 DIV (knuth32(id) + 1), top-k by
   // priority — integer-exact, so the oracle replays the identical
@@ -1901,6 +1923,6 @@ object OperatorQueries {
     qMinhashApi, qAnnApi, qAnnIvf, qAnnIvf2, qAnnPq, qAnnIvfPq, qSemDedup, qSemanticSort,
     qHardNegatives, qQualityApi, qMultimodalApi,
     qMultimodalPatches, qMultimodalDecode, qMultimodalAudio, qMultimodalVideo,
-    qDecontaminate, qBpeApi, qBpeEncode, qTokenizePack, qEmbedPool, qSaltedJoin, qAsofJoin, qRangeJoin, qIntervalJoin, qWeightedSample,
+    qDecontaminate, qBpeApi, qBpeEncode, qTokenizePack, qEmbedPool, qSaltedJoin, qAsofJoin, qRangeJoin, qIntervalJoin, qWeightedSample, qKmeans,
     qDedupClusters, qLeakageSplit, qStreamHourly, qStreamSessions, qStreamDedup, qStreamDistinct, qStreamCountMin, qStreamJoin, qStreamActivity)
 }

@@ -257,6 +257,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Set((1L, 10L), (1L, 11L), (2L, 10L)))
   }
 
+  test("kmeans lloyd converges to the obvious 2-cluster split on a hand-checked fixture") {
+    import graft.operators.KMeans
+    val vecs = Seq(
+      (1L, Array(0.0f, 0.0f)), (2L, Array(0.1f, 0.0f)),
+      (3L, Array(0.4f, 0.4f)), (4L, Array(0.5f, 0.4f))
+    ).toDF("vec_id", "embedding")
+    // init = vecs 1,2; after round 1 the centroid of {2,3,4} drifts right,
+    // round 2 pulls 2 back to cluster 0 -> the natural split
+    val got = KMeans.lloyd(vecs, "vec_id", "embedding", k = 2, iters = 2)
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L))
+    // distances are exact shifted-micro integers: cluster-0 centroid x =
+    // (2000000 + 2100000) DIV 2 = 2050000, so v1's dx = 50000, dist = dx^2
+    val d1 = KMeans.lloyd(vecs, "vec_id", "embedding", k = 2, iters = 2)
+      .filter(col("vec_id") === 1L).head.getLong(2)
+    assert(d1 === 50000L * 50000L)
+    // determinism: two runs, same assignment and distance
+    val again = KMeans.lloyd(vecs, "vec_id", "embedding", k = 2, iters = 2)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val first = KMeans.lloyd(vecs, "vec_id", "embedding", k = 2, iters = 2)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(again === first)
+  }
+
   test("leakage-safe split keeps clusters whole where the naive split would straddle") {
     def h(id: Long): Long = Math.floorMod((id % 1000000007L) * 2654435761L, 4294967296L)
     val trainBound = 3435973836L // floor(0.8 * 2^32)
