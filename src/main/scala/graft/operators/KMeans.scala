@@ -45,9 +45,17 @@ object KMeans {
     // the inner CAST to DOUBLE is load-bearing: float32 + int stays FLOAT
     // in Spark but promotes to DOUBLE in DuckDB — both sides must do the
     // arithmetic in IEEE double for the FLOOR to land identically
+    // the ASSERT_TRUE enforces the shift precondition PER ROW at scan
+    // speed (returns NULL when satisfied, so the COALESCE-subtract is a
+    // no-op): a value <= -2 would make centroid-mean dividends negative,
+    // where Spark's DIV (truncate) and DuckDB's // (floor) silently
+    // diverge — fail loudly instead
     val ev = vecs.select(col(idCol),
       expr(s"TRANSFORM($vecCol, x -> " +
-        "CAST(FLOOR((CAST(x AS DOUBLE) + 2) * 1000000) AS BIGINT))").as("e"))
+        "CAST(FLOOR((CAST(x AS DOUBLE) + 2) * 1000000) AS BIGINT) - " +
+        "COALESCE(CAST(ASSERT_TRUE(CAST(x AS DOUBLE) > -2.0, " +
+        "'KMeans.lloyd requires every vector value > -2 (fixed-point shift " +
+        "precondition)') AS BIGINT), 0L))").as("e"))
       .localCheckpoint()
     // k×dims values per round on the driver — bounded by construction
     var centroids: Seq[(Long, Seq[Long])] = ev.orderBy(col(idCol)).limit(k)

@@ -1317,20 +1317,24 @@ object OperatorQueries {
   // Custom stateful streaming (EventStreams.userActivity,
   // mapGroupsWithState): per-user running profile maintained across
   // micro-batches. The finite source arrives as one batch, so the final
-  // state equals the batch aggregate. total_value is a running DOUBLE sum
-  // (arrival-order float addition — DuckDB's parallel SUM reorders too),
-  // so BOTH sides round through DECIMAL(18,2); n_events/last_ts are exact.
+  // state equals the batch aggregate. The running double sum accumulates
+  // in arrival order (and DuckDB's parallel SUM reorders too), so the
+  // value is quantized to integer CENTS before the operator: integer-
+  // valued doubles of this magnitude add EXACTLY in any order (all sums
+  // << 2^53), making the comparison deterministic — no rounding-boundary
+  // flake, unlike a post-hoc DECIMAL round of a float accumulation.
   private val qStreamActivity = df("q_stream_activity",
     (spark, dir) => {
-      val acts = EventStreams.userActivity(EventStreams.readEvents(spark, dir)).toDF()
+      val cents = EventStreams.readEvents(spark, dir)
+        .withColumn("value", expr("CAST(FLOOR(value * 100) AS DOUBLE)"))
+      val acts = EventStreams.userActivity(cents).toDF()
       EventStreams.runToMemoryTable(acts, "graft_stream_activity", mode = "update")
         .select(col("user_id"), col("n_events"),
-          expr("CAST(CAST(total_value AS DECIMAL(18,2)) AS DOUBLE)").as("total_value"),
-          col("last_ts"))
+          col("total_value").as("total_cents"), col("last_ts"))
         .orderBy("user_id")
     },
     Some("""SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
-           |  CAST(CAST(SUM(value) AS DECIMAL(18,2)) AS DOUBLE) AS total_value,
+           |  CAST(SUM(FLOOR(value * 100)) AS DOUBLE) AS total_cents,
            |  MAX(ts) AS last_ts
            |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
 

@@ -20,10 +20,13 @@ import org.apache.spark.sql.functions._
   */
 object StorageQueries {
 
-  private def scratch(name: String): String = {
-    val d = s"${System.getProperty("java.io.tmpdir")}/graft_store/$name"
-    d
-  }
+  // per-JVM namespace: two concurrent sessions (bench + verify on one box)
+  // must not clobber each other's staged tables mid-read — the same
+  // defect class the RENAME COLUMN staging fix closed with a UUID suffix.
+  // Stable within the JVM so write-then-read inside one query holds.
+  private val jvmId = java.util.UUID.randomUUID().toString.take(8)
+  private def scratch(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_store-$jvmId/$name"
 
   // CTAS (CREATE TABLE AS SELECT ... USING PARQUET) + read back.
   private val qCtas = df("q_store_ctas",

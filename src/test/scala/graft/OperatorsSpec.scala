@@ -265,21 +265,26 @@ class OperatorsSpec extends AnyFunSuite {
     ).toDF("vec_id", "embedding")
     // init = vecs 1,2; after round 1 the centroid of {2,3,4} drifts right,
     // round 2 pulls 2 back to cluster 0 -> the natural split
-    val got = KMeans.lloyd(vecs, "vec_id", "embedding", k = 2, iters = 2)
+    val first = KMeans.lloyd(vecs, "vec_id", "embedding", k = 2, iters = 2)
       .orderBy("vec_id").collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(first.map(t => t._1 -> t._2).toMap ===
+      Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L))
     // distances are exact shifted-micro integers: cluster-0 centroid x =
     // (2000000 + 2100000) DIV 2 = 2050000, so v1's dx = 50000, dist = dx^2
-    val d1 = KMeans.lloyd(vecs, "vec_id", "embedding", k = 2, iters = 2)
-      .filter(col("vec_id") === 1L).head.getLong(2)
-    assert(d1 === 50000L * 50000L)
-    // determinism: two runs, same assignment and distance
+    assert(first.head._3 === 50000L * 50000L)
+    // determinism: a second full run reproduces assignments AND distances
     val again = KMeans.lloyd(vecs, "vec_id", "embedding", k = 2, iters = 2)
-      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
-    val first = KMeans.lloyd(vecs, "vec_id", "embedding", k = 2, iters = 2)
-      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(again === first)
+    // the fixed-point shift precondition fails loudly, not silently
+    val bad = Seq((1L, Array(-3.0f, 0.0f)), (2L, Array(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      KMeans.lloyd(bad, "vec_id", "embedding", k = 1, iters = 1).collect()
+    }
+    assert(e.getMessage != null)
   }
 
   test("leakage-safe split keeps clusters whole where the naive split would straddle") {
