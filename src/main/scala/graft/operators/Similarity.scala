@@ -38,6 +38,25 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos_sim", "rnk")
   }
 
+  /** Recall@k of an approximate ANN result against the exact brute-force
+    * ground truth — "measure, don't guess" for the IVF/LSH recall knobs
+    * (nProbe, bands): per query, the number of exact top-k neighbors the
+    * approximate search recovered, and the recall as an integer ppm floor
+    * division. Both inputs are (query_id, neighbor_id, ...) top-k tables.
+    *
+    * Scale: one equi-join on (query, neighbor) between two k-per-query
+    * tables (both probe-set-sized, NOT corpus-sized) + one partial+final
+    * count — evaluating recall costs the brute-force ground truth on the
+    * PROBE SAMPLE only, the standard way recall is audited at scale. */
+  def annRecall(ann: DataFrame, exact: DataFrame): DataFrame =
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(ann.select(col("query_id"), col("neighbor_id"))
+          .withColumn("hit", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("k"), sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .withColumn("recall_ppm", expr("hits * 1000000 DIV k"))
+
   /** IVF (inverted-file) ANN: the corpus-vs-corpus scale path.
     *
     * Unlike [[bruteForceTopK]]/[[lshTopK]], NOTHING here broadcasts the

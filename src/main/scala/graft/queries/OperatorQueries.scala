@@ -100,6 +100,70 @@ object OperatorQueries {
          |ORDER BY query_id, rnk""".stripMargin
     })
 
+  // ANN recall audit (Similarity.annRecall): recall@5 of nProbe=1 IVF
+  // against the exact brute-force ground truth — the "measure, don't
+  // guess" companion to the nProbe knob. The oracle replays BOTH search
+  // algorithms (the full IVF cell pipeline AND the exact top-k) plus the
+  // hit-count join, all integer-exact at the recall_ppm floor division.
+  private val qAnnRecall = df("q_ann_recall",
+    (spark, dir) => {
+      val vecs = Tables.table(spark, dir, "embeddings")
+      val probes = vecs.filter(col("vec_id") < 20)
+      val ivf = Similarity.ivfTopK(vecs, probes, "vec_id", "embedding", k = 5)
+      val exact = Similarity.bruteForceTopK(vecs, probes, "vec_id", "embedding", k = 5)
+      Similarity.annRecall(ivf, exact)
+        .select(col("query_id"), col("k").cast("bigint").as("k"),
+          col("hits").cast("bigint").as("hits"),
+          col("recall_ppm").cast("bigint").as("recall_ppm"))
+        .orderBy("query_id")
+    },
+    Some {
+      import PipelineQueries.{duckDot, duckHp, bucketExpr}
+      s"""WITH base AS (
+         |  SELECT vec_id, embedding,
+         |    SQRT(${duckDot("embedding", "embedding")}) AS nrm,
+         |    ${bucketExpr(duckHp, "embedding")} AS cell0
+         |  FROM embeddings
+         |), centel AS (
+         |  SELECT cell0 AS cid, i,
+         |    SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS m
+         |  FROM base CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) dims
+         |  GROUP BY cell0, i
+         |), cent AS (
+         |  SELECT cid, list(m ORDER BY i) AS cvec FROM centel GROUP BY cid
+         |), cent2 AS (
+         |  SELECT cid, cvec, SQRT(${duckDot("cvec", "cvec")}) AS cnrm FROM cent
+         |), scored AS (
+         |  SELECT b.vec_id, b.embedding, b.nrm, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY b.vec_id
+         |      ORDER BY ${duckDot("b.embedding", "c.cvec")} / c.cnrm DESC, c.cid) AS rr
+         |  FROM base b CROSS JOIN cent2 c
+         |), a AS (
+         |  SELECT vec_id, embedding, nrm, cid AS cell FROM scored WHERE rr = 1
+         |), q AS (SELECT * FROM a WHERE vec_id < 20),
+         |ivf AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC, c.vec_id) AS rnk
+         |    FROM q JOIN a c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+         |  ) t WHERE rnk <= 5
+         |), exact AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC, c.vec_id) AS rnk
+         |    FROM q JOIN base c ON q.vec_id <> c.vec_id
+         |  ) t WHERE rnk <= 5
+         |)
+         |SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS k,
+         |  CAST(COUNT(i.neighbor_id) AS BIGINT) AS hits,
+         |  CAST(COUNT(i.neighbor_id) * 1000000 // COUNT(*) AS BIGINT) AS recall_ppm
+         |FROM exact e LEFT JOIN ivf i
+         |  ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+         |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+    })
+
   // nProbe=2 IVF: each probe scans its two nearest cells (candidates stay
   // disjoint — every corpus vector lives in exactly one cell), the recall
   // knob of the IVF design. Oracle = same pipeline with rr <= 2 probes.
@@ -1924,7 +1988,7 @@ object OperatorQueries {
   val all: Seq[QueryDef] = Seq(
     qUrlDedup, qPageRank, qHllTokens, qRobotsGate, qDistill, qCountMin, qInvertedIndex, qBm25,
     qSnapshotDiff, qSkewDiag, qEntityRes, qDqProfile, qDqChecks, qWordPiece, qUnigram,
-    qMinhashApi, qAnnApi, qAnnIvf, qAnnIvf2, qAnnPq, qAnnIvfPq, qSemDedup, qSemanticSort,
+    qMinhashApi, qAnnApi, qAnnIvf, qAnnIvf2, qAnnRecall, qAnnPq, qAnnIvfPq, qSemDedup, qSemanticSort,
     qHardNegatives, qQualityApi, qMultimodalApi,
     qMultimodalPatches, qMultimodalDecode, qMultimodalAudio, qMultimodalVideo,
     qDecontaminate, qBpeApi, qBpeEncode, qTokenizePack, qEmbedPool, qSaltedJoin, qAsofJoin, qRangeJoin, qIntervalJoin, qWeightedSample, qKmeans,
