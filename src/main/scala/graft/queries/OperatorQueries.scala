@@ -875,6 +875,40 @@ object OperatorQueries {
   // best-match window.
   private def erNameSql(div: String) =
     s"'u' || (doc_id $div 2) || 'x' || lang"
+  // Shared DuckDB replay of the ER fixture + blocking + Levenshtein +
+  // best-match window, ending in a `best` CTE (lid, rid, dist, rn).
+  private val erOracleBase: String =
+    """l AS (
+      |  SELECT doc_id AS lid, 'u' || (doc_id // 2) || 'x' || lang AS nl
+      |  FROM documents WHERE doc_id % 2 = 0
+      |), r0 AS (
+      |  SELECT doc_id + 100000 AS rid, 'u' || (doc_id // 2) || 'x' || lang AS u
+      |  FROM documents WHERE doc_id % 2 = 1
+      |), r AS (
+      |  SELECT rid, CASE (rid % 3)
+      |    WHEN 0 THEN SUBSTR(u, 1, LENGTH(u) - 1) || '_'
+      |    WHEN 1 THEN SUBSTR(u, 1, LENGTH(u) - 1)
+      |    ELSE u || 'q'
+      |  END AS nr FROM r0
+      |), lb AS (
+      |  SELECT lid, nl, b FROM (
+      |    SELECT lid, nl,
+      |      LOWER(SUBSTR(nl, 1, 4)) || '|' || ((LENGTH(nl) - 2) // 4) AS b1,
+      |      LOWER(SUBSTR(nl, 1, 4)) || '|' || ((LENGTH(nl) + 2) // 4) AS b2
+      |    FROM l
+      |  ), LATERAL (SELECT UNNEST(list_distinct([b1, b2])) AS b)
+      |), rb AS (
+      |  SELECT rid, nr, LOWER(SUBSTR(nr, 1, 4)) || '|' || (LENGTH(nr) // 4) AS b FROM r
+      |), scored AS (
+      |  SELECT lb.lid, rb.rid, levenshtein(lb.nl, rb.nr) AS dist
+      |  FROM lb JOIN rb USING (b)
+      |  WHERE levenshtein(lb.nl, rb.nr) <= 2
+      |), best AS (
+      |  SELECT lid, rid, dist,
+      |    row_number() OVER (PARTITION BY lid ORDER BY dist, rid) AS rn
+      |  FROM scored
+      |)""".stripMargin
+
   private val qEntityRes = df("q_op_entity_resolution",
     (spark, dir) => {
       import graft.operators.EntityResolution
@@ -892,38 +926,56 @@ object OperatorQueries {
       EntityResolution.resolve(leftE, rightE, "id", "id", "name", "name")
         .orderBy("lid")
     },
-    Some("""WITH l AS (
-           |  SELECT doc_id AS lid, 'u' || (doc_id // 2) || 'x' || lang AS nl
-           |  FROM documents WHERE doc_id % 2 = 0
-           |), r0 AS (
-           |  SELECT doc_id + 100000 AS rid, 'u' || (doc_id // 2) || 'x' || lang AS u
-           |  FROM documents WHERE doc_id % 2 = 1
-           |), r AS (
-           |  SELECT rid, CASE (rid % 3)
-           |    WHEN 0 THEN SUBSTR(u, 1, LENGTH(u) - 1) || '_'
-           |    WHEN 1 THEN SUBSTR(u, 1, LENGTH(u) - 1)
-           |    ELSE u || 'q'
-           |  END AS nr FROM r0
-           |), lb AS (
-           |  SELECT lid, nl, b FROM (
-           |    SELECT lid, nl,
-           |      LOWER(SUBSTR(nl, 1, 4)) || '|' || ((LENGTH(nl) - 2) // 4) AS b1,
-           |      LOWER(SUBSTR(nl, 1, 4)) || '|' || ((LENGTH(nl) + 2) // 4) AS b2
-           |    FROM l
-           |  ), LATERAL (SELECT UNNEST(list_distinct([b1, b2])) AS b)
-           |), rb AS (
-           |  SELECT rid, nr, LOWER(SUBSTR(nr, 1, 4)) || '|' || (LENGTH(nr) // 4) AS b FROM r
-           |), scored AS (
-           |  SELECT lb.lid, rb.rid, levenshtein(lb.nl, rb.nr) AS dist
-           |  FROM lb JOIN rb USING (b)
-           |  WHERE levenshtein(lb.nl, rb.nr) <= 2
-           |), best AS (
-           |  SELECT lid, rid, dist,
-           |    row_number() OVER (PARTITION BY lid ORDER BY dist, rid) AS rn
-           |  FROM scored
-           |)
-           |SELECT lid, rid, CAST(dist AS BIGINT) AS dist
-           |FROM best WHERE rn = 1 ORDER BY lid""".stripMargin))
+    Some(s"""WITH $erOracleBase
+            |SELECT lid, rid, CAST(dist AS BIGINT) AS dist
+            |FROM best WHERE rn = 1 ORDER BY lid""".stripMargin))
+
+  // Golden-record composition: ER matches -> transitive duplicate
+  // clusters -> one canonical record per entity cluster (the keeper's
+  // name, the cluster size). The oracle chains the full ER replay into
+  // the recursive-CTE closure and the canonical-record pick.
+  private val qGoldenRecord = df("q_op_golden_record",
+    (spark, dir) => {
+      import graft.operators.EntityResolution
+      val docs = Tables.table(spark, dir, "documents")
+      val leftE = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("id"), expr(erNameSql("DIV")).as("name"))
+      val rightE = docs.filter(col("doc_id") % 2 === 1)
+        .select((col("doc_id") + 100000L).as("id"), expr(erNameSql("DIV")).as("u"))
+        .select(col("id"), expr(
+          """CASE (id % 3)
+            |  WHEN 0 THEN SUBSTR(u, 1, LENGTH(u) - 1) || '_'
+            |  WHEN 1 THEN SUBSTR(u, 1, LENGTH(u) - 1)
+            |  ELSE u || 'q'
+            |END""".stripMargin).as("name"))
+      val matches = EntityResolution.resolve(leftE, rightE, "id", "id", "name", "name")
+      val clusters = Dedup.duplicateClusters(
+        matches.select(col("lid").as("d1"), col("rid").as("d2")))
+      val entities = leftE.unionAll(rightE)
+      clusters.groupBy("keeper").agg(count(lit(1)).as("n_members"))
+        .join(entities, col("keeper") === col("id"))
+        .select(col("keeper"), col("n_members").cast("bigint").as("n_members"),
+          col("name").as("canonical_name"))
+        .orderBy("keeper")
+    },
+    Some(s"""WITH RECURSIVE $erOracleBase,
+            |edges AS (
+            |  SELECT lid AS a, rid AS b FROM best WHERE rn = 1
+            |  UNION SELECT rid, lid FROM best WHERE rn = 1
+            |), reach AS (
+            |  SELECT a, b FROM edges
+            |  UNION
+            |  SELECT t.a, e.b FROM reach t JOIN edges e ON t.b = e.a
+            |), keepers AS (
+            |  SELECT a AS id, LEAST(a, MIN(b)) AS keeper FROM reach GROUP BY a
+            |), ent AS (
+            |  SELECT lid AS id, nl AS name FROM l
+            |  UNION ALL SELECT rid, nr FROM r
+            |)
+            |SELECT k.keeper, CAST(COUNT(*) AS BIGINT) AS n_members,
+            |  e.name AS canonical_name
+            |FROM keepers k JOIN ent e ON e.id = k.keeper
+            |GROUP BY k.keeper, e.name ORDER BY k.keeper""".stripMargin))
 
   // Data-quality gates (DataQuality.*): per-column profile + the
   // uniqueness / referential-integrity / range checks a pipeline asserts
@@ -1987,7 +2039,7 @@ object OperatorQueries {
 
   val all: Seq[QueryDef] = Seq(
     qUrlDedup, qPageRank, qHllTokens, qRobotsGate, qDistill, qCountMin, qInvertedIndex, qBm25,
-    qSnapshotDiff, qSkewDiag, qEntityRes, qDqProfile, qDqChecks, qWordPiece, qUnigram,
+    qSnapshotDiff, qSkewDiag, qEntityRes, qGoldenRecord, qDqProfile, qDqChecks, qWordPiece, qUnigram,
     qMinhashApi, qAnnApi, qAnnIvf, qAnnIvf2, qAnnRecall, qAnnPq, qAnnIvfPq, qSemDedup, qSemanticSort,
     qHardNegatives, qQualityApi, qMultimodalApi,
     qMultimodalPatches, qMultimodalDecode, qMultimodalAudio, qMultimodalVideo,

@@ -257,6 +257,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Set((1L, 10L), (1L, 11L), (2L, 10L)))
   }
 
+  test("annRecall counts hits against ground truth, integer ppm") {
+    val ann = Seq((1L, 10L), (1L, 11L), (2L, 20L)).toDF("query_id", "neighbor_id")
+    val exact = Seq((1L, 10L), (1L, 12L), (1L, 13L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "neighbor_id")
+    val got = Similarity.annRecall(ann, exact).orderBy("query_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // q1: 1 of 3 exact recovered (11 is a spurious extra, not a hit);
+    // q2: 1 of 2
+    assert(got === Seq((1L, 3L, 1L, 333333L), (2L, 2L, 1L, 500000L)))
+  }
+
   test("kmeans lloyd converges to the obvious 2-cluster split on a hand-checked fixture") {
     import graft.operators.KMeans
     val vecs = Seq(
