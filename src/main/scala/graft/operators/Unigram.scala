@@ -55,6 +55,63 @@ object Unigram {
     chars.unionAll(multi).select(col("p"), col("score").cast("long"))
   }
 
+  /** One EM-style refinement round (the SentencePiece training shape,
+    * integer-exact): segment the corpus with the current vocab (E-step),
+    * re-score every piece by its ACTUAL usage count in the optimal
+    * segmentations (M-step), drop multi-char pieces the DP never chose,
+    * and keep every single char (score 0 if unused) so encoding stays
+    * total. The returned vocab feeds [[encode]] for the refined
+    * segmentation. Usage counts are bounded by the vocab size — the same
+    * bounded driver pull as the vocab itself. */
+  def refine(docs: DataFrame, idCol: String, textCol: String,
+             vocabRows: Seq[(String, Long)]): Seq[(String, Long)] = {
+    val usage = encode(docs, idCol, textCol, vocabRows)
+      .select(explode(col("pieces")).as("p"))
+      .groupBy("p").agg(count(lit(1)).as("u"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val chars = vocabRows.collect { case (p, _) if p.length == 1 =>
+      (p, usage.getOrElse(p, 0L)) }
+    val multi = vocabRows.collect { case (p, _) if p.length >= 2 && usage.contains(p) =>
+      (p, usage(p)) }
+    chars ++ multi
+  }
+
+  /** DuckDB replay of the DP + reconstruction against a vocab CTE
+    * `$vocabCte` (columns p, s), over the `words` CTE (w, freq): emits
+    * `dp$sfx`, `dpfinal$sfx`, `walk$sfx` — walk rows carry (w, piece). */
+  def oracleDpCtes(vocabCte: String, sfx: String): String =
+    s"""dp$sfx AS (
+       |  SELECT w, length(w) + 1 AS pos,
+       |    CAST([0] AS BIGINT[]) AS dpc, CAST([0] AS BIGINT[]) AS dps
+       |  FROM words
+       |  UNION ALL
+       |  SELECT w, np, list_prepend(bc, dpc),
+       |    list_prepend((SELECT MAX(v.s + st.dps[length(v.p)]) FROM $vocabCte v
+       |       WHERE substr(st.w, st.np, length(v.p)) = v.p
+       |         AND 1 + st.dpc[length(v.p)] = st.bc), dps)
+       |  FROM (
+       |    SELECT d.w, d.pos - 1 AS np, d.dpc, d.dps,
+       |      (SELECT MIN(1 + d.dpc[length(v.p)]) FROM $vocabCte v
+       |        WHERE substr(d.w, d.pos - 1, length(v.p)) = v.p) AS bc
+       |    FROM dp$sfx d WHERE d.pos > 1
+       |  ) st
+       |), dpfinal$sfx AS (
+       |  SELECT w, dpc, dps FROM dp$sfx WHERE pos = 1
+       |), walk$sfx AS (
+       |  SELECT w, 1 AS pos, CAST(NULL AS VARCHAR) AS piece, dpc, dps
+       |  FROM dpfinal$sfx
+       |  UNION ALL
+       |  SELECT r.w, r.pos + length(ch.p), ch.p, r.dpc, r.dps
+       |  FROM walk$sfx r, LATERAL (
+       |    SELECT v.p FROM $vocabCte v
+       |    WHERE substr(r.w, r.pos, length(v.p)) = v.p
+       |      AND 1 + r.dpc[r.pos + length(v.p)] = r.dpc[r.pos]
+       |      AND v.s + r.dps[r.pos + length(v.p)] = r.dps[r.pos]
+       |    ORDER BY length(v.p) DESC, v.p LIMIT 1
+       |  ) ch
+       |  WHERE r.pos <= length(r.w)
+       |)""".stripMargin
+
   /** Viterbi-style encode against a collected (piece, score) vocab;
     * returns (id, pieces, n_pieces). dp(i) over suffix positions holds
     * (min piece count, max score at that count); the forward walk takes

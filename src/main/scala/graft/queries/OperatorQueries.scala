@@ -1207,6 +1207,32 @@ object OperatorQueries {
   // occurrence-mass × length) and the DP itself — a backward recursive
   // CTE carrying the dp arrays, then a forward walk that reconstructs
   // the unique optimal segmentation piece by piece.
+  // Shared DuckDB replay of the Unigram vocab derivation: toks, words,
+  // chars (p, s), multi, vocab (p, s).
+  private val unigramVocabCtes: String =
+    """toks AS (
+      |  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+      |), words AS (
+      |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM toks
+      |  WHERE w <> '' GROUP BY w
+      |), chars AS (
+      |  SELECT substr(w, g.i, 1) AS p, SUM(freq) AS s
+      |  FROM words, LATERAL (SELECT unnest(range(1, length(w) + 1)) AS i) g
+      |  GROUP BY 1
+      |), multi AS (
+      |  SELECT p, s FROM (
+      |    SELECT substr(w, g.i, k.k) AS p, SUM(freq * k.k) AS s
+      |    FROM words,
+      |      (SELECT unnest([2, 3]) AS k) k,
+      |      LATERAL (SELECT unnest(range(1, length(w) - k.k + 2)) AS i) g
+      |    WHERE length(w) >= k.k GROUP BY 1
+      |  ) ORDER BY s DESC, p LIMIT 40
+      |), vocab AS (
+      |  SELECT p, CAST(s AS BIGINT) AS s FROM chars
+      |  UNION ALL
+      |  SELECT p, CAST(s AS BIGINT) FROM multi
+      |)""".stripMargin
+
   private val qUnigram = df("q_op_unigram",
     (spark, dir) => {
       import graft.operators.Unigram
@@ -1218,62 +1244,46 @@ object OperatorQueries {
         .groupBy("piece").agg(count(lit(1)).as("cnt"))
         .orderBy("piece")
     },
-    Some("""WITH RECURSIVE toks AS (
-           |  SELECT unnest(string_split(text, ' ')) AS w FROM documents
-           |), words AS (
-           |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM toks
-           |  WHERE w <> '' GROUP BY w
-           |), chars AS (
-           |  SELECT substr(w, g.i, 1) AS p, SUM(freq) AS s
-           |  FROM words, LATERAL (SELECT unnest(range(1, length(w) + 1)) AS i) g
-           |  GROUP BY 1
-           |), multi AS (
-           |  SELECT p, s FROM (
-           |    SELECT substr(w, g.i, k.k) AS p, SUM(freq * k.k) AS s
-           |    FROM words,
-           |      (SELECT unnest([2, 3]) AS k) k,
-           |      LATERAL (SELECT unnest(range(1, length(w) - k.k + 2)) AS i) g
-           |    WHERE length(w) >= k.k GROUP BY 1
-           |  ) ORDER BY s DESC, p LIMIT 40
-           |), vocab AS (
-           |  SELECT p, CAST(s AS BIGINT) AS s FROM chars
-           |  UNION ALL
-           |  SELECT p, CAST(s AS BIGINT) FROM multi
-           |), dp AS (
-           |  SELECT w, length(w) + 1 AS pos,
-           |    CAST([0] AS BIGINT[]) AS dpc, CAST([0] AS BIGINT[]) AS dps
-           |  FROM words
-           |  UNION ALL
-           |  SELECT w, np, list_prepend(bc, dpc),
-           |    list_prepend((SELECT MAX(v.s + st.dps[length(v.p)]) FROM vocab v
-           |       WHERE substr(st.w, st.np, length(v.p)) = v.p
-           |         AND 1 + st.dpc[length(v.p)] = st.bc), dps)
-           |  FROM (
-           |    SELECT d.w, d.pos - 1 AS np, d.dpc, d.dps,
-           |      (SELECT MIN(1 + d.dpc[length(v.p)]) FROM vocab v
-           |        WHERE substr(d.w, d.pos - 1, length(v.p)) = v.p) AS bc
-           |    FROM dp d WHERE d.pos > 1
-           |  ) st
-           |), dpfinal AS (
-           |  SELECT w, dpc, dps FROM dp WHERE pos = 1
-           |), walk AS (
-           |  SELECT w, 1 AS pos, CAST(NULL AS VARCHAR) AS piece, dpc, dps
-           |  FROM dpfinal
-           |  UNION ALL
-           |  SELECT r.w, r.pos + length(ch.p), ch.p, r.dpc, r.dps
-           |  FROM walk r, LATERAL (
-           |    SELECT v.p FROM vocab v
-           |    WHERE substr(r.w, r.pos, length(v.p)) = v.p
-           |      AND 1 + r.dpc[r.pos + length(v.p)] = r.dpc[r.pos]
-           |      AND v.s + r.dps[r.pos + length(v.p)] = r.dps[r.pos]
-           |    ORDER BY length(v.p) DESC, v.p LIMIT 1
-           |  ) ch
-           |  WHERE r.pos <= length(r.w)
-           |)
-           |SELECT wp.piece, CAST(SUM(wd.freq) AS BIGINT) AS cnt
-           |FROM (SELECT w, piece FROM walk WHERE piece IS NOT NULL) wp
-           |JOIN words wd USING (w)
-           |GROUP BY 1 ORDER BY piece""".stripMargin))
+    Some(s"""WITH RECURSIVE $unigramVocabCtes,
+            |${graft.operators.Unigram.oracleDpCtes("vocab", "0")}
+            |SELECT wp.piece, CAST(SUM(wd.freq) AS BIGINT) AS cnt
+            |FROM (SELECT w, piece FROM walk0 WHERE piece IS NOT NULL) wp
+            |JOIN words wd USING (w)
+            |GROUP BY 1 ORDER BY piece""".stripMargin))
+
+  // One EM-style refinement round (Unigram.refine): segment with the
+  // MDL-scored vocab, re-score every piece by actual usage, drop unused
+  // multi-char pieces, re-segment. The oracle chains TWO full DP replays
+  // with the usage-count M-step between them.
+  private val qUnigramEm = df("q_op_unigram_em",
+    (spark, dir) => {
+      import graft.operators.Unigram
+      import spark.implicits._
+      val docs = Tables.table(spark, dir, "documents")
+      val v0 = Unigram.vocab(docs, "text").as[(String, Long)].collect().toSeq
+      val v1 = Unigram.refine(docs, "doc_id", "text", v0)
+      Unigram.encode(docs, "doc_id", "text", v1)
+        .select(explode(col("pieces")).as("piece"))
+        .groupBy("piece").agg(count(lit(1)).as("cnt"))
+        .orderBy("piece")
+    },
+    Some(s"""WITH RECURSIVE $unigramVocabCtes,
+            |${graft.operators.Unigram.oracleDpCtes("vocab", "0")},
+            |usage AS (
+            |  SELECT wp.piece AS p, CAST(SUM(wd.freq) AS BIGINT) AS s
+            |  FROM (SELECT w, piece FROM walk0 WHERE piece IS NOT NULL) wp
+            |  JOIN words wd USING (w) GROUP BY 1
+            |), vocab2 AS (
+            |  SELECT c.p, COALESCE(u.s, 0) AS s
+            |  FROM chars c LEFT JOIN usage u ON u.p = c.p
+            |  UNION ALL
+            |  SELECT u.p, u.s FROM usage u WHERE length(u.p) >= 2
+            |),
+            |${graft.operators.Unigram.oracleDpCtes("vocab2", "1")}
+            |SELECT wp.piece, CAST(SUM(wd.freq) AS BIGINT) AS cnt
+            |FROM (SELECT w, piece FROM walk1 WHERE piece IS NOT NULL) wp
+            |JOIN words wd USING (w)
+            |GROUP BY 1 ORDER BY piece""".stripMargin))
 
   // Streaming distinct-count via mergeable HLL sketches (EventStreams.
   // hourlyDistinctUsers): per-hour state is one k-byte sketch, not a user
@@ -2039,7 +2049,7 @@ object OperatorQueries {
 
   val all: Seq[QueryDef] = Seq(
     qUrlDedup, qPageRank, qHllTokens, qRobotsGate, qDistill, qCountMin, qInvertedIndex, qBm25,
-    qSnapshotDiff, qSkewDiag, qEntityRes, qGoldenRecord, qDqProfile, qDqChecks, qWordPiece, qUnigram,
+    qSnapshotDiff, qSkewDiag, qEntityRes, qGoldenRecord, qDqProfile, qDqChecks, qWordPiece, qUnigram, qUnigramEm,
     qMinhashApi, qAnnApi, qAnnIvf, qAnnIvf2, qAnnRecall, qAnnPq, qAnnIvfPq, qSemDedup, qSemanticSort,
     qHardNegatives, qQualityApi, qMultimodalApi,
     qMultimodalPatches, qMultimodalDecode, qMultimodalAudio, qMultimodalVideo,

@@ -75,6 +75,23 @@ class UnigramSpec extends AnyFunSuite {
     }
   }
 
+  test("EM refinement: usage-scored vocab stays total/lossless, unused pieces drop") {
+    val docs = graft.engine.Tables.table(spark, sfDir, "documents")
+    val v0 = Unigram.vocab(docs, "text").as[(String, Long)].collect().toSeq
+    val v1 = Unigram.refine(docs, "doc_id", "text", v0)
+    // every single char survives (totality), no new pieces appear
+    assert(v1.count(_._1.length == 1) === v0.count(_._1.length == 1))
+    assert(v1.map(_._1).toSet.subsetOf(v0.map(_._1).toSet))
+    // multi-char survivors all have positive usage
+    assert(v1.filter(_._1.length >= 2).forall(_._2 > 0))
+    val e = Unigram.encode(docs, "doc_id", "text", v1)
+    val mass = e.select(expr(
+      "AGGREGATE(pieces, 0L, (acc, p) -> acc + LENGTH(p))").as("m"))
+      .agg(sum("m")).head.getLong(0)
+    val charMass = docs.select(sum(expr("LENGTH(REPLACE(text, ' ', ''))"))).head.getLong(0)
+    assert(mass === charMass, "refined encode must stay lossless")
+  }
+
   test("corpus encode is total and lossless on derived vocab") {
     val docs = graft.engine.Tables.table(spark, sfDir, "documents")
     val v = Unigram.vocab(docs, "text").as[(String, Long)].collect().toSeq
