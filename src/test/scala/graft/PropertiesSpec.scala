@@ -294,4 +294,88 @@ class PropertiesSpec extends AnyFunSuite {
       assert(w === model, s"seed=$seed")
     }
   }
+
+  test("intervalOverlap equals the naive overlap join on random interval sets") {
+    import graft.operators.RangeJoin
+    import java.sql.Timestamp
+    val r = new scala.util.Random(7)
+    def ts(dayOffset: Int): Timestamp =
+      Timestamp.valueOf(java.time.LocalDateTime.of(2021, 1, 1, 0, 0).plusHours(dayOffset.toLong))
+    for (trial <- 0 until 3) {
+      val keys = Seq("a", "b", "c")
+      def mk(n: Int, idBase: Long) = (0 until n).map { i =>
+        val s = r.nextInt(24 * 60)
+        (idBase + i, keys(r.nextInt(keys.size)), ts(s), ts(s + r.nextInt(72)))
+      }
+      val ls = mk(40, 0L)
+      val rs = mk(40, 1000L)
+      val lhs = ls.toDF("lid", "lk", "ls", "le")
+      val rhs = rs.toDF("rid", "rk", "rs", "re")
+      val got = RangeJoin.intervalOverlap(lhs, rhs, "lk", "rk", "ls", "le", "rs", "re",
+          bucket = "1 day")
+        .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+      assert(got.size === got.toSet.size, s"trial $trial: duplicate pair")
+      val want = (for {
+        (lid, lk, s1, e1) <- ls
+        (rid, rk, s2, e2) <- rs
+        if rk == lk && !s1.after(e2) && !s2.after(e1)
+      } yield (lid, rid)).toSet
+      assert(got.toSet === want, s"trial $trial")
+    }
+  }
+
+  test("weightedSample equals the local priority model on random weights") {
+    import graft.operators.Sampling
+    val r = new scala.util.Random(11)
+    def pri(id: Long, w: Long): Long =
+      (math.min(w, 2147483647L) * 4294967296L) /
+        (Math.floorMod((id % 1000000007L) * 2654435761L, 4294967296L) + 1L)
+    for (trial <- 0 until 3) {
+      val rows = (0 until 300).map(_ => (r.nextLong(1L << 50), 1L + r.nextInt(10000)))
+        .distinctBy(_._1)
+      val got = Sampling.weightedSample(rows.toDF("id", "w"), "id", "w", 40)
+        .select("id").collect().map(_.getLong(0)).toSeq
+      val want = rows.map { case (id, w) => (id, pri(id, w)) }
+        .sortBy { case (id, p) => (-p, id) }.take(40).map(_._1)
+      assert(got === want, s"trial $trial")
+    }
+  }
+
+  test("kmeans lloyd equals a plain-Scala Lloyd model on random vectors") {
+    import graft.operators.KMeans
+    val r = new scala.util.Random(13)
+    for (trial <- 0 until 2) {
+      val dims = 4
+      val vecs = (0 until 60).map(i =>
+        (i.toLong, Array.fill(dims)((r.nextDouble() * 1.6 - 0.8).toFloat)))
+      val k = 3; val iters = 2
+      val got = KMeans.lloyd(vecs.toDF("vec_id", "embedding"), "vec_id", "embedding",
+          k, iters).orderBy("vec_id").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+      // independent Scala model of the exact integer algorithm
+      val enc = vecs.map { case (id, v) =>
+        id -> v.map(x => math.floor((x.toDouble + 2) * 1e6).toLong).toSeq
+      }
+      var cents: Seq[(Long, Seq[Long])] =
+        enc.sortBy(_._1).take(k).zipWithIndex.map { case ((_, e), i) => (i.toLong, e) }
+      def assign(): Seq[(Long, Long, Long)] = enc.map { case (id, e) =>
+        val best = cents.map { case (cid, c) =>
+          (e.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, cid)
+        }.min
+        (id, best._2, best._1)
+      }
+      for (_ <- 0 until iters) {
+        val a = assign()
+        val byCluster = a.zip(enc).groupBy(_._1._2)
+        cents = byCluster.toSeq.sortBy(_._1).map { case (cid, members) =>
+          val es = members.map(_._2._2)
+          (cid, (0 until dims).map(j => {
+            val s = es.map(_(j)).sum
+            s / es.size // sums are positive by the +2 shift
+          }))
+        }
+      }
+      assert(got === assign().sortBy(_._1), s"trial $trial")
+    }
+  }
 }
