@@ -1,0 +1,3 @@
+SELECT c_custkey, NTILE(7) OVER (ORDER BY c_custkey) AS tile
+FROM customer WHERE c_custkey BETWEEN 45 AND 71
+ORDER BY c_custkey NULLS FIRST LIMIT 80;

@@ -1,0 +1,4 @@
+SELECT c_custkey % 50 AS v FROM customer WHERE c_custkey > 19
+INTERSECT
+SELECT o_custkey % 50 AS v FROM orders WHERE o_orderkey % 6 = 0
+ORDER BY v NULLS FIRST;

@@ -20,7 +20,7 @@ SF = "/root/testdata/sf0.001"
 SUITE = "TestDuckDifferential"
 QDIR = f"src/test/resources/golden/queries/{SUITE}"
 RDIR = f"src/test/resources/golden/results/{SUITE}"
-N_CASES = 160
+N_CASES = 200
 
 TABLES = {
     "nation": {"ints": ["n_nationkey", "n_regionkey"], "strs": ["n_name"]},
@@ -73,9 +73,68 @@ def order_by(cols):
 
 def gen_case(r, i):
     # cases 0-119 keep their original shape mapping AND their position in
-    # the shared RNG stream, so regeneration is byte-stable; 120+ rotate
-    # through the appended shapes 24-31
-    shape = i % 24 if i < 120 else 24 + (i - 120) % 8
+    # the shared RNG stream, so regeneration is byte-stable; 120-159
+    # rotate through the appended shapes 24-31, 160+ through 32-39
+    shape = (i % 24 if i < 120
+             else 24 + (i - 120) % 8 if i < 160
+             else 32 + (i - 160) % 8)
+    if shape == 32:  # INTERSECT of two key projections
+        m, k = r.randint(2, 6), r.randint(0, 60)
+        return (f"SELECT c_custkey % 50 AS v FROM customer"
+                f" WHERE c_custkey > {k}\n"
+                f"INTERSECT\n"
+                f"SELECT o_custkey % 50 AS v FROM orders"
+                f" WHERE o_orderkey % {m} = 0\n"
+                f"{order_by(['v'])};")
+    if shape == 33:  # EXCEPT with a narrowing predicate
+        k = r.randint(5, 100)
+        return (f"SELECT c_nationkey AS v FROM customer WHERE c_custkey < {k + 40}\n"
+                f"EXCEPT\n"
+                f"SELECT n_nationkey AS v FROM nation"
+                f" WHERE {int_pred(r, 'n_nationkey')}\n"
+                f"{order_by(['v'])};")
+    if shape == 34:  # GROUPING SETS incl. the grand total
+        m = r.randint(2, 5)
+        return (f"SELECT o_orderstatus, o_custkey % {m} AS b, COUNT(*) AS cnt\n"
+                f"FROM orders WHERE {int_pred(r, 'o_orderkey')}\n"
+                f"GROUP BY GROUPING SETS ((o_orderstatus), (o_custkey % {m}), ())\n"
+                f"{order_by(['o_orderstatus', 'b', 'cnt'])};")
+    if shape == 35:  # correlated EXISTS
+        k = r.randint(2, 12)
+        return (f"SELECT n_nationkey, n_name FROM nation n\n"
+                f"WHERE EXISTS (SELECT 1 FROM customer c"
+                f" WHERE c.c_nationkey = n.n_nationkey"
+                f" AND c.c_custkey % {k} = 0)\n"
+                f"{order_by(['n_nationkey'])};")
+    if shape == 36:  # NTILE over a unique order
+        b = r.randint(2, 7)
+        return (f"SELECT c_custkey, NTILE({b}) OVER (ORDER BY c_custkey) AS tile\n"
+                f"FROM customer WHERE {int_pred(r, 'c_custkey')}\n"
+                f"{order_by(['c_custkey'])} LIMIT 80;")
+    if shape == 37:  # self-join pairs within a region
+        k = r.randint(0, 12)
+        return (f"SELECT a.n_name AS n1, b.n_name AS n2\n"
+                f"FROM nation a JOIN nation b\n"
+                f"  ON a.n_regionkey = b.n_regionkey"
+                f" AND a.n_nationkey < b.n_nationkey\n"
+                f"WHERE a.n_nationkey > {k}\n"
+                f"{order_by(['n1', 'n2'])};")
+    if shape == 38:  # string expression chain
+        c = r.choice(["c_name", "c_mktsegment"])
+        return (f"SELECT c_custkey,"
+                f" UPPER(SUBSTR({c}, 1, {r.randint(3, 6)})) AS pre,\n"
+                f"  LENGTH(REPLACE({c}, '{r.choice('aeo')}', '')) AS shrunk\n"
+                f"FROM customer WHERE {str_pred(r, c)}\n"
+                f"{order_by(['c_custkey'])} LIMIT 70;")
+    if shape == 39:  # HAVING with two aggregate predicates
+        m = r.randint(2, 6)
+        return (f"SELECT o_custkey % {m} AS b, COUNT(*) AS cnt,"
+                f" MAX(o_orderkey) AS hi\n"
+                f"FROM orders WHERE {int_pred(r, 'o_orderkey')}\n"
+                f"GROUP BY o_custkey % {m}\n"
+                f"HAVING COUNT(*) > {r.randint(1, 5)}"
+                f" AND MIN(o_orderkey) < {r.randint(200, 1200)}\n"
+                f"{order_by(['b'])};")
     if shape == 24:  # ROLLUP with null super-aggregate rows
         m = r.randint(2, 5)
         return (f"SELECT o_orderpriority, o_custkey % {m} AS b,"
