@@ -49,8 +49,11 @@ object Similarity {
     * count — evaluating recall costs the brute-force ground truth on the
     * PROBE SAMPLE only, the standard way recall is audited at scale. */
   def annRecall(ann: DataFrame, exact: DataFrame): DataFrame =
-    exact.select(col("query_id"), col("neighbor_id"))
-      .join(ann.select(col("query_id"), col("neighbor_id"))
+    // distinct BOTH sides: a multi-probe ANN shape can emit the same
+    // (query, neighbor) once per probe/band, and a fanned-out left join
+    // would inflate k and hits together (recall_ppm could exceed 1e6)
+    exact.select(col("query_id"), col("neighbor_id")).distinct()
+      .join(ann.select(col("query_id"), col("neighbor_id")).distinct()
           .withColumn("hit", lit(1L)),
         Seq("query_id", "neighbor_id"), "left")
       .groupBy("query_id")

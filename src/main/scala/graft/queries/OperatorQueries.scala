@@ -54,6 +54,37 @@ object OperatorQueries {
   // nearest-cell equi-join. The oracle replays the identical integer/
   // sequential-double arithmetic, so the cell assignment and top-k match
   // bit-for-bit.
+  /** Shared DuckDB replay of the IVF cell pipeline (LSH-seeded cells,
+    * fixed-point centroid build, best-cell re-assignment), ending in an
+    * `a` CTE (vec_id, embedding, nrm, cell) with `scored` still in scope
+    * for nProbe>1 probe selection. One source of truth for every ANN
+    * oracle that rides the same pipeline (the erOracleBase discipline). */
+  private def ivfOracleBase: String = {
+    import PipelineQueries.{duckDot, duckHp, bucketExpr}
+    s"""base AS (
+       |  SELECT vec_id, embedding,
+       |    SQRT(${duckDot("embedding", "embedding")}) AS nrm,
+       |    ${bucketExpr(duckHp, "embedding")} AS cell0
+       |  FROM embeddings
+       |), centel AS (
+       |  SELECT cell0 AS cid, i,
+       |    SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS m
+       |  FROM base CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) dims
+       |  GROUP BY cell0, i
+       |), cent AS (
+       |  SELECT cid, list(m ORDER BY i) AS cvec FROM centel GROUP BY cid
+       |), cent2 AS (
+       |  SELECT cid, cvec, SQRT(${duckDot("cvec", "cvec")}) AS cnrm FROM cent
+       |), scored AS (
+       |  SELECT b.vec_id, b.embedding, b.nrm, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY b.vec_id
+       |      ORDER BY ${duckDot("b.embedding", "c.cvec")} / c.cnrm DESC, c.cid) AS rr
+       |  FROM base b CROSS JOIN cent2 c
+       |), a AS (
+       |  SELECT vec_id, embedding, nrm, cid AS cell FROM scored WHERE rr = 1
+       |)""".stripMargin
+  }
+
   private val qAnnIvf = df("q_ann_ivf",
     (spark, dir) => {
       val vecs = Tables.table(spark, dir, "embeddings")
@@ -66,29 +97,8 @@ object OperatorQueries {
         .orderBy("query_id", "rnk")
     },
     Some {
-      import PipelineQueries.{duckDot, duckHp, bucketExpr}
-      s"""WITH base AS (
-         |  SELECT vec_id, embedding,
-         |    SQRT(${duckDot("embedding", "embedding")}) AS nrm,
-         |    ${bucketExpr(duckHp, "embedding")} AS cell0
-         |  FROM embeddings
-         |), centel AS (
-         |  SELECT cell0 AS cid, i,
-         |    SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS m
-         |  FROM base CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) dims
-         |  GROUP BY cell0, i
-         |), cent AS (
-         |  SELECT cid, list(m ORDER BY i) AS cvec FROM centel GROUP BY cid
-         |), cent2 AS (
-         |  SELECT cid, cvec, SQRT(${duckDot("cvec", "cvec")}) AS cnrm FROM cent
-         |), scored AS (
-         |  SELECT b.vec_id, b.embedding, b.nrm, c.cid,
-         |    ROW_NUMBER() OVER (PARTITION BY b.vec_id
-         |      ORDER BY ${duckDot("b.embedding", "c.cvec")} / c.cnrm DESC, c.cid) AS rr
-         |  FROM base b CROSS JOIN cent2 c
-         |), a AS (
-         |  SELECT vec_id, embedding, nrm, cid AS cell FROM scored WHERE rr = 1
-         |), q AS (SELECT * FROM a WHERE vec_id < 20)
+      import PipelineQueries.duckDot
+      s"""WITH $ivfOracleBase, q AS (SELECT * FROM a WHERE vec_id < 20)
          |SELECT * FROM (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          |    CAST(q.cell AS BIGINT) AS cell,
@@ -118,29 +128,8 @@ object OperatorQueries {
         .orderBy("query_id")
     },
     Some {
-      import PipelineQueries.{duckDot, duckHp, bucketExpr}
-      s"""WITH base AS (
-         |  SELECT vec_id, embedding,
-         |    SQRT(${duckDot("embedding", "embedding")}) AS nrm,
-         |    ${bucketExpr(duckHp, "embedding")} AS cell0
-         |  FROM embeddings
-         |), centel AS (
-         |  SELECT cell0 AS cid, i,
-         |    SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS m
-         |  FROM base CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) dims
-         |  GROUP BY cell0, i
-         |), cent AS (
-         |  SELECT cid, list(m ORDER BY i) AS cvec FROM centel GROUP BY cid
-         |), cent2 AS (
-         |  SELECT cid, cvec, SQRT(${duckDot("cvec", "cvec")}) AS cnrm FROM cent
-         |), scored AS (
-         |  SELECT b.vec_id, b.embedding, b.nrm, c.cid,
-         |    ROW_NUMBER() OVER (PARTITION BY b.vec_id
-         |      ORDER BY ${duckDot("b.embedding", "c.cvec")} / c.cnrm DESC, c.cid) AS rr
-         |  FROM base b CROSS JOIN cent2 c
-         |), a AS (
-         |  SELECT vec_id, embedding, nrm, cid AS cell FROM scored WHERE rr = 1
-         |), q AS (SELECT * FROM a WHERE vec_id < 20),
+      import PipelineQueries.duckDot
+      s"""WITH $ivfOracleBase, q AS (SELECT * FROM a WHERE vec_id < 20),
          |ivf AS (
          |  SELECT query_id, neighbor_id FROM (
          |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -179,29 +168,8 @@ object OperatorQueries {
         .orderBy("query_id", "rnk")
     },
     Some {
-      import PipelineQueries.{duckDot, duckHp, bucketExpr}
-      s"""WITH base AS (
-         |  SELECT vec_id, embedding,
-         |    SQRT(${duckDot("embedding", "embedding")}) AS nrm,
-         |    ${bucketExpr(duckHp, "embedding")} AS cell0
-         |  FROM embeddings
-         |), centel AS (
-         |  SELECT cell0 AS cid, i,
-         |    SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS m
-         |  FROM base CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) dims
-         |  GROUP BY cell0, i
-         |), cent AS (
-         |  SELECT cid, list(m ORDER BY i) AS cvec FROM centel GROUP BY cid
-         |), cent2 AS (
-         |  SELECT cid, cvec, SQRT(${duckDot("cvec", "cvec")}) AS cnrm FROM cent
-         |), scored AS (
-         |  SELECT b.vec_id, b.embedding, b.nrm, c.cid,
-         |    ROW_NUMBER() OVER (PARTITION BY b.vec_id
-         |      ORDER BY ${duckDot("b.embedding", "c.cvec")} / c.cnrm DESC, c.cid) AS rr
-         |  FROM base b CROSS JOIN cent2 c
-         |), a AS (
-         |  SELECT vec_id, embedding, nrm, cid AS cell FROM scored WHERE rr = 1
-         |), q AS (
+      import PipelineQueries.duckDot
+      s"""WITH $ivfOracleBase, q AS (
          |  SELECT vec_id, embedding, nrm, cid AS cell FROM scored
          |  WHERE rr <= 2 AND vec_id < 20
          |)
@@ -909,20 +877,30 @@ object OperatorQueries {
       |  FROM scored
       |)""".stripMargin
 
+  /** Shared Spark-side ER fixture (the oracle mirror is [[erOracleBase]]):
+    * even docs on the left, odd docs shifted +100000 on the right with a
+    * deterministic per-id name mutation. ONE construction site so both ER
+    * queries audit the identical fixture. */
+  private def erFixture(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val docs = Tables.table(spark, dir, "documents")
+    val leftE = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("id"), expr(erNameSql("DIV")).as("name"))
+    val rightE = docs.filter(col("doc_id") % 2 === 1)
+      .select((col("doc_id") + 100000L).as("id"), expr(erNameSql("DIV")).as("u"))
+      .select(col("id"), expr(
+        """CASE (id % 3)
+          |  WHEN 0 THEN SUBSTR(u, 1, LENGTH(u) - 1) || '_'
+          |  WHEN 1 THEN SUBSTR(u, 1, LENGTH(u) - 1)
+          |  ELSE u || 'q'
+          |END""".stripMargin).as("name"))
+    (leftE, rightE)
+  }
+
   private val qEntityRes = df("q_op_entity_resolution",
     (spark, dir) => {
       import graft.operators.EntityResolution
-      val docs = Tables.table(spark, dir, "documents")
-      val leftE = docs.filter(col("doc_id") % 2 === 0)
-        .select(col("doc_id").as("id"), expr(erNameSql("DIV")).as("name"))
-      val rightE = docs.filter(col("doc_id") % 2 === 1)
-        .select((col("doc_id") + 100000L).as("id"), expr(erNameSql("DIV")).as("u"))
-        .select(col("id"), expr(
-          """CASE (id % 3)
-            |  WHEN 0 THEN SUBSTR(u, 1, LENGTH(u) - 1) || '_'
-            |  WHEN 1 THEN SUBSTR(u, 1, LENGTH(u) - 1)
-            |  ELSE u || 'q'
-            |END""".stripMargin).as("name"))
+      val (leftE, rightE) = erFixture(spark, dir)
       EntityResolution.resolve(leftE, rightE, "id", "id", "name", "name")
         .orderBy("lid")
     },
@@ -937,17 +915,7 @@ object OperatorQueries {
   private val qGoldenRecord = df("q_op_golden_record",
     (spark, dir) => {
       import graft.operators.EntityResolution
-      val docs = Tables.table(spark, dir, "documents")
-      val leftE = docs.filter(col("doc_id") % 2 === 0)
-        .select(col("doc_id").as("id"), expr(erNameSql("DIV")).as("name"))
-      val rightE = docs.filter(col("doc_id") % 2 === 1)
-        .select((col("doc_id") + 100000L).as("id"), expr(erNameSql("DIV")).as("u"))
-        .select(col("id"), expr(
-          """CASE (id % 3)
-            |  WHEN 0 THEN SUBSTR(u, 1, LENGTH(u) - 1) || '_'
-            |  WHEN 1 THEN SUBSTR(u, 1, LENGTH(u) - 1)
-            |  ELSE u || 'q'
-            |END""".stripMargin).as("name"))
+      val (leftE, rightE) = erFixture(spark, dir)
       val matches = EntityResolution.resolve(leftE, rightE, "id", "id", "name", "name")
       val clusters = Dedup.duplicateClusters(
         matches.select(col("lid").as("d1"), col("rid").as("d2")))

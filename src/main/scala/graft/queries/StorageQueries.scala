@@ -23,10 +23,15 @@ object StorageQueries {
   // per-JVM namespace: two concurrent sessions (bench + verify on one box)
   // must not clobber each other's staged tables mid-read — the same
   // defect class the RENAME COLUMN staging fix closed with a UUID suffix.
-  // Stable within the JVM so write-then-read inside one query holds.
+  // Stable within the JVM so write-then-read inside one query holds; the
+  // shutdown hook reclaims the whole tree so repeated runs can't fill
+  // /tmp with one parquet forest per JVM.
   private val jvmId = java.util.UUID.randomUUID().toString.take(8)
-  private def scratch(name: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_store-$jvmId/$name"
+  private val scratchRoot =
+    s"${System.getProperty("java.io.tmpdir")}/graft_store-$jvmId"
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scratchRoot))))
+  private def scratch(name: String): String = s"$scratchRoot/$name"
 
   // CTAS (CREATE TABLE AS SELECT ... USING PARQUET) + read back.
   private val qCtas = df("q_store_ctas",

@@ -266,6 +266,13 @@ class OperatorsSpec extends AnyFunSuite {
     // q1: 1 of 3 exact recovered (11 is a spurious extra, not a hit);
     // q2: 1 of 2
     assert(got === Seq((1L, 3L, 1L, 333333L), (2L, 2L, 1L, 500000L)))
+    // duplicate (query, neighbor) rows (multi-probe shapes) must not
+    // inflate k or hits
+    val dup = ann.unionAll(ann)
+    val got2 = Similarity.annRecall(dup, exact.unionAll(exact))
+      .orderBy("query_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got2 === got)
   }
 
   test("kmeans lloyd converges to the obvious 2-cluster split on a hand-checked fixture") {
@@ -295,7 +302,13 @@ class OperatorsSpec extends AnyFunSuite {
     val e = intercept[Exception] {
       KMeans.lloyd(bad, "vec_id", "embedding", k = 1, iters = 1).collect()
     }
-    assert(e.getMessage != null)
+    // pin the GUARD, not just "it threw": an unrelated analysis error
+    // must not satisfy this test
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("requires every vector value > -2")),
+      s"wrong failure: ${messages(e)}")
   }
 
   test("leakage-safe split keeps clusters whole where the naive split would straddle") {
