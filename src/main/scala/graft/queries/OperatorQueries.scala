@@ -153,6 +153,52 @@ object OperatorQueries {
          |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
     })
 
+  // The knob-vs-recall measurement pair to q_ann_recall: the SAME audit at
+  // nProbe=2 — recall@5 should strictly improve over the nProbe=1 number,
+  // turning "nProbe is the recall knob" from a claim into two data points.
+  private val qAnnRecall2 = df("q_ann_recall2",
+    (spark, dir) => {
+      val vecs = Tables.table(spark, dir, "embeddings")
+      val probes = vecs.filter(col("vec_id") < 20)
+      val ivf2 = Similarity.ivfTopK(vecs, probes, "vec_id", "embedding",
+        k = 5, nProbe = 2)
+      val exact = Similarity.bruteForceTopK(vecs, probes, "vec_id", "embedding", k = 5)
+      Similarity.annRecall(ivf2, exact)
+        .select(col("query_id"), col("k").cast("bigint").as("k"),
+          col("hits").cast("bigint").as("hits"),
+          col("recall_ppm").cast("bigint").as("recall_ppm"))
+        .orderBy("query_id")
+    },
+    Some {
+      import PipelineQueries.duckDot
+      s"""WITH $ivfOracleBase, q AS (
+         |  SELECT vec_id, embedding, nrm, cid AS cell FROM scored
+         |  WHERE rr <= 2 AND vec_id < 20
+         |),
+         |ivf AS (
+         |  SELECT DISTINCT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC, c.vec_id) AS rnk
+         |    FROM q JOIN a c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+         |  ) t WHERE rnk <= 5
+         |), exact AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC, c.vec_id) AS rnk
+         |    FROM (SELECT DISTINCT vec_id, embedding, nrm FROM q) q
+         |    JOIN base c ON q.vec_id <> c.vec_id
+         |  ) t WHERE rnk <= 5
+         |)
+         |SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS k,
+         |  CAST(COUNT(i.neighbor_id) AS BIGINT) AS hits,
+         |  CAST(COUNT(i.neighbor_id) * 1000000 // COUNT(*) AS BIGINT) AS recall_ppm
+         |FROM exact e LEFT JOIN ivf i
+         |  ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+         |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+    })
+
   // nProbe=2 IVF: each probe scans its two nearest cells (candidates stay
   // disjoint — every corpus vector lives in exactly one cell), the recall
   // knob of the IVF design. Oracle = same pipeline with rr <= 2 probes.
@@ -2018,7 +2064,7 @@ object OperatorQueries {
   val all: Seq[QueryDef] = Seq(
     qUrlDedup, qPageRank, qHllTokens, qRobotsGate, qDistill, qCountMin, qInvertedIndex, qBm25,
     qSnapshotDiff, qSkewDiag, qEntityRes, qGoldenRecord, qDqProfile, qDqChecks, qWordPiece, qUnigram, qUnigramEm,
-    qMinhashApi, qAnnApi, qAnnIvf, qAnnIvf2, qAnnRecall, qAnnPq, qAnnIvfPq, qSemDedup, qSemanticSort,
+    qMinhashApi, qAnnApi, qAnnIvf, qAnnIvf2, qAnnRecall, qAnnRecall2, qAnnPq, qAnnIvfPq, qSemDedup, qSemanticSort,
     qHardNegatives, qQualityApi, qMultimodalApi,
     qMultimodalPatches, qMultimodalDecode, qMultimodalAudio, qMultimodalVideo,
     qDecontaminate, qBpeApi, qBpeEncode, qTokenizePack, qEmbedPool, qSaltedJoin, qAsofJoin, qRangeJoin, qIntervalJoin, qWeightedSample, qKmeans,
