@@ -266,6 +266,16 @@ object CoreQueries {
       |SELECT s_nationkey AS k FROM supplier
       |ORDER BY k""".stripMargin)
 
+  // q_except's honest answer on this data is zero rows (every customer
+  // nation also hosts a supplier) — a bug that dropped ALL rows would
+  // still pass it. This companion is non-empty at every SF, so the
+  // EXCEPT operator has a rows>0 driver check too.
+  private val qExcept2 = shared("q_except_nonempty",
+    """SELECT c_nationkey AS k FROM customer
+      |EXCEPT
+      |SELECT n_nationkey AS k FROM nation WHERE n_regionkey <> 2
+      |ORDER BY k""".stripMargin)
+
   // ---- subqueries (InSubqueryRewriteRule → semi/anti; scalar subqueries)
 
   private val qExists = shared("q_exists_correlated",
@@ -400,7 +410,7 @@ object CoreQueries {
     qAggDistinct, qRollup, qCube, qGroupingSets, qHaving, qStddev,
     qWindowRank, qWindowOffset, qWindowRunning, qWindowRange, qWindowCume,
     qSortLimit, qSortNulls,
-    qUnionAll, qUnionDistinct, qIntersect, qExcept,
+    qUnionAll, qUnionDistinct, qIntersect, qExcept, qExcept2,
     qExists, qScalarSub, qInSubUncorrelated,
     qCaseWhen, qDistinct, qEvalExpr, qNullSemantics, qMath2, qPercentile)
 }
