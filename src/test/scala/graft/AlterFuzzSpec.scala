@@ -94,6 +94,6 @@ class AlterFuzzSpec extends AnyFunSuite {
     engine.sql(s"DROP TABLE $table")
   }
 
-  for (format <- Seq("PARQUET", "JSON", "TEXT"); seed <- 1 to 6)
+  for (format <- Seq("PARQUET", "JSON", "TEXT"); seed <- 1 to 10)
     test(s"alter fuzz: $format seed $seed") { runSeed(seed, format) }
 }

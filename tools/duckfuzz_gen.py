@@ -20,7 +20,7 @@ SF = "/root/testdata/sf0.001"
 SUITE = "TestDuckDifferential"
 QDIR = f"src/test/resources/golden/queries/{SUITE}"
 RDIR = f"src/test/resources/golden/results/{SUITE}"
-N_CASES = 200
+N_CASES = 240
 
 TABLES = {
     "nation": {"ints": ["n_nationkey", "n_regionkey"], "strs": ["n_name"]},
@@ -74,10 +74,80 @@ def order_by(cols):
 def gen_case(r, i):
     # cases 0-119 keep their original shape mapping AND their position in
     # the shared RNG stream, so regeneration is byte-stable; 120-159
-    # rotate through the appended shapes 24-31, 160+ through 32-39
+    # rotate through the appended shapes 24-31, 160-199 through 32-39,
+    # 200+ through 40-47
     shape = (i % 24 if i < 120
              else 24 + (i - 120) % 8 if i < 160
-             else 32 + (i - 160) % 8)
+             else 32 + (i - 160) % 8 if i < 200
+             else 40 + (i - 200) % 8)
+    if shape == 40:  # date arithmetic bucketing
+        d = r.randint(1, 90)
+        return (f"SELECT CAST(CAST(o_orderdate AS DATE)"
+                f" + INTERVAL '{d}' DAY AS DATE) AS shifted,\n"
+                f"  COUNT(*) AS cnt, MIN(o_orderkey) AS lo\n"
+                f"FROM orders WHERE {int_pred(r, 'o_orderkey')}\n"
+                f"GROUP BY 1 {order_by(['shifted'])} LIMIT 60;")
+    if shape == 41:  # nested CASE classification
+        a, b = r.randint(5, 15), r.randint(30, 80)
+        return (f"SELECT CASE WHEN c_custkey < {a} THEN 'lo'\n"
+                f"  WHEN c_custkey < {b} THEN CASE WHEN c_nationkey % 2 = 0"
+                f" THEN 'mid-even' ELSE 'mid-odd' END\n"
+                f"  ELSE 'hi' END AS cls, COUNT(*) AS cnt\n"
+                f"FROM customer WHERE {str_pred(r, 'c_name')}\n"
+                f"GROUP BY 1 {order_by(['cls'])};")
+    if shape == 42:  # IN over a grouped-HAVING subquery
+        t = r.randint(2, 10)
+        return (f"SELECT c_custkey, c_nationkey FROM customer\n"
+                f"WHERE c_nationkey IN (\n"
+                f"  SELECT n_nationkey FROM nation JOIN customer"
+                f" ON c_nationkey = n_nationkey\n"
+                f"  GROUP BY n_nationkey HAVING COUNT(*) > {t}\n"
+                f") AND {int_pred(r, 'c_custkey')}\n"
+                f"{order_by(['c_custkey'])} LIMIT 70;")
+    if shape == 43:  # UNION ALL of two aggregates
+        m = r.randint(2, 6)
+        return (f"SELECT 'by_nation' AS src, CAST(c_nationkey AS BIGINT) AS g,"
+                f" COUNT(*) AS cnt FROM customer GROUP BY c_nationkey\n"
+                f"UNION ALL\n"
+                f"SELECT 'by_mod', CAST(o_custkey % {m} AS BIGINT), COUNT(*)\n"
+                f"FROM orders WHERE {int_pred(r, 'o_orderkey')}"
+                f" GROUP BY o_custkey % {m}\n"
+                f"{order_by(['src', 'g'])};")
+    if shape == 44:  # small cross join + filter
+        k = r.randint(1, 3)
+        return (f"SELECT n.n_nationkey, r.r_regionkey FROM nation n\n"
+                f"CROSS JOIN region r\n"
+                f"WHERE n.n_regionkey <> r.r_regionkey"
+                f" AND r.r_regionkey >= {k}\n"
+                f"{order_by(['n.n_nationkey', 'r.r_regionkey'])};")
+    if shape == 45:  # COALESCE/NULLIF integer arithmetic
+        m = r.randint(2, 5)
+        return (f"SELECT o_orderkey,"
+                f" COALESCE(NULLIF(o_custkey % {m}, 0), -1) AS bucket\n"
+                f"FROM orders WHERE {int_pred(r, 'o_orderkey')}\n"
+                f"{order_by(['o_orderkey'])} LIMIT 80;")
+    if shape == 46:  # MIN/MAX window frame over a unique order
+        t = r.choice(["customer", "orders"])
+        ic = TABLES[t]["ints"][0]
+        w = r.randint(1, 4)
+        return (f"SELECT {ic},\n"
+                f"  MIN({ic}) OVER (ORDER BY {ic}"
+                f" ROWS BETWEEN {w} PRECEDING AND CURRENT ROW) AS lo,\n"
+                f"  MAX({ic}) OVER (ORDER BY {ic}"
+                f" ROWS BETWEEN CURRENT ROW AND {w} FOLLOWING) AS hi\n"
+                f"FROM {t} WHERE {int_pred(r, ic)}\n"
+                f"{order_by([ic])} LIMIT 70;")
+    if shape == 47:  # EXISTS + NOT EXISTS combined
+        a, b = r.randint(2, 8), r.randint(400, 1400)
+        return (f"SELECT n_nationkey, n_name FROM nation n\n"
+                f"WHERE EXISTS (SELECT 1 FROM customer c"
+                f" WHERE c.c_nationkey = n.n_nationkey"
+                f" AND c.c_custkey % {a} = 0)\n"
+                f"  AND NOT EXISTS (SELECT 1 FROM customer c2\n"
+                f"    JOIN orders o ON o.o_custkey = c2.c_custkey\n"
+                f"    WHERE c2.c_nationkey = n.n_nationkey"
+                f" AND o.o_orderkey > {b})\n"
+                f"{order_by(['n_nationkey'])};")
     if shape == 32:  # INTERSECT of two key projections
         m, k = r.randint(2, 6), r.randint(0, 60)
         return (f"SELECT c_custkey % 50 AS v FROM customer"
