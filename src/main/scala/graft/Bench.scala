@@ -34,6 +34,10 @@ object Bench {
     // a regression that breaks a query must not masquerade as a speedup.
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     val retried = scala.collection.mutable.ArrayBuffer.empty[String]
+    // First-attempt time of every retried query: makes the retry policy's
+    // effect auditable per round — a reproducible slow first run (cold write
+    // path) reads differently from one-off JVM contention.
+    val firstAttempt = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val clean = scala.collection.mutable.ArrayBuffer.empty[Double]
     var retriesLeft = 20
     def timeOnce(q: QueryDef): Double = {
@@ -58,6 +62,7 @@ object Bench {
       if (t > 0 && clean.length >= 8 && t > 3 * med && t > 1.0 && retriesLeft > 0) {
         retriesLeft -= 1
         retried += q.name
+        firstAttempt(q.name) = t
         val t2 = timeOnce(q)
         if (t2 > 0 && t2 < t) t = t2
       }
@@ -81,10 +86,12 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val retryJson = retried.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val firstJson = firstAttempt.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     // total stays the sf-dir-only sum so round-over-round comparisons hold
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"retried":$retryJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"retried":$retryJson,"first":$firstJson,"sf":"$sfDir"}"""
     println(line)
     // Persist too: the driver's stdout tail capture truncates long lines.
     val out = java.nio.file.Paths.get("target/bench.json")

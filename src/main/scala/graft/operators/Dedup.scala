@@ -302,7 +302,13 @@ object Dedup {
     * Scale: both sides reduce to (id, 16-byte digest) projections at scan
     * speed, then ONE full-outer hash join on the id — no text ever
     * shuffles. Output is one row per id; aggregate it per status for the
-    * report (the registered query does). */
+    * report (the registered query does).
+    *
+    * Precondition: `idCol` must be UNIQUE within each snapshot. Duplicate
+    * ids fan out through the full-outer join (an id with m old × n new
+    * rows emits m·n status rows), multi-counting that document in the
+    * report. Pre-aggregate to one digest per id (e.g. keep max ingest
+    * timestamp) before calling if the source allows repeats. */
   def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame,
                    idCol: String, textCol: String): DataFrame = {
     // presence is tracked by explicit flags, NOT digest nullability:

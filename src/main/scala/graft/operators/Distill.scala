@@ -42,12 +42,15 @@ object Distill {
     var w = spark.range(1)
       .select(fCols.indices.map(i => lit(0L).as(s"w$i")): _*)
     for (_ <- 1 to iterations) {
+      // coalesce: a global agg over ZERO rows yields NULL sums, which would
+      // turn every weight NULL — empty input must keep zero weights (the
+      // oracle CTE's LEFT JOIN spelling pins the same degenerate behavior)
       val delta = feat.crossJoin(broadcast(w))
         .withColumn("__m", col(yCol) * expr(marginSql))
         .agg(
-          sum(when(col("__m") <= 0, col(yCol) * col(fCols.head)).otherwise(0L)).as("d0"),
+          coalesce(sum(when(col("__m") <= 0, col(yCol) * col(fCols.head)).otherwise(0L)), lit(0L)).as("d0"),
           fCols.zipWithIndex.tail.map { case (f, i) =>
-            sum(when(col("__m") <= 0, col(yCol) * col(f)).otherwise(0L)).as(s"d$i")
+            coalesce(sum(when(col("__m") <= 0, col(yCol) * col(f)).otherwise(0L)), lit(0L)).as(s"d$i")
           }: _*)
       w = w.crossJoin(broadcast(delta))
         .select(fCols.indices.map(i => (col(s"w$i") + col(s"d$i")).as(s"w$i")): _*)
@@ -75,13 +78,17 @@ object Distill {
     val marginSql = fCols.zipWithIndex.map { case (f, i) => s"w.w$i * $f" }.mkString(" + ")
     val iters = (1 to iterations).map { t =>
       val deltas = fCols.zipWithIndex.map { case (f, i) =>
-        s"CAST(SUM(CASE WHEN $yCol * ($marginSql) <= 0 THEN $yCol * $f ELSE 0 END) AS BIGINT) AS d$i"
+        s"CAST(COALESCE(SUM(CASE WHEN $yCol * ($marginSql) <= 0 THEN $yCol * $f ELSE 0 END), 0) AS BIGINT) AS d$i"
       }.mkString(",\n    ")
       val groupW = fCols.indices.map(i => s"w.w$i").mkString(", ")
       val next = fCols.indices.map(i => s"w.w$i + d.d$i AS w$i").mkString(", ")
+      // LEFT JOIN (not comma join): an empty feat must still produce one
+      // delta row per weight row (all zeros via the NULL-extended CASE →
+      // ELSE 0 → COALESCE), matching Spark's coalesced global agg — a
+      // comma join + GROUP BY would yield an EMPTY delta CTE instead
       s"""d$t AS (
          |  SELECT $deltas
-         |  FROM feat, w${t - 1} w GROUP BY $groupW
+         |  FROM w${t - 1} w LEFT JOIN feat ON TRUE GROUP BY $groupW
          |),
          |w$t AS (SELECT $next FROM w${t - 1} w, d$t d)""".stripMargin
     }.mkString(",\n")

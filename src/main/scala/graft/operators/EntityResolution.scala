@@ -39,9 +39,14 @@ object EntityResolution {
       s"need lenBucket >= 2*maxDist for exact boundary recall, got $lenBucket < ${2 * maxDist}")
     def blk(name: String, bucket: String) =
       concat(lower(substring(col(name), 1, prefix)), lit("|"), expr(bucket))
+    // GREATEST clamp: for names shorter than maxDist the raw dividend goes
+    // negative, where Spark's DIV truncates toward zero but DuckDB's //
+    // floors (0 vs -1) — clamping to 0 keeps both engines on the same block
+    // key (a right-side name of length < lenBucket lands in bucket 0 too,
+    // so boundary recall is preserved)
     val l = left.select(col(idL).as("lid"), col(nameL).as("__nl"),
         array_distinct(array(
-          blk(nameL, s"(length($nameL) - $maxDist) DIV $lenBucket"),
+          blk(nameL, s"GREATEST(0, length($nameL) - $maxDist) DIV $lenBucket"),
           blk(nameL, s"(length($nameL) + $maxDist) DIV $lenBucket"))).as("__blks"))
       .select(col("lid"), col("__nl"), explode(col("__blks")).as("__blk"))
     val r = right.select(col(idR).as("rid"), col(nameR).as("__nr"),

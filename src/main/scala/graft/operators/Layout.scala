@@ -38,6 +38,9 @@ object Layout {
   def zStats(df: DataFrame, colA: String, colB: String): (Long, Long, Long, Long) = {
     val r = df.agg(min(col(colA)).cast("long"), max(col(colA)).cast("long"),
       min(col(colB)).cast("long"), max(col(colB)).cast("long")).head
+    require(!r.isNullAt(0) && !r.isNullAt(2),
+      s"zStats($colA, $colB): input is empty or the key columns are all-NULL — " +
+        "z-order needs at least one non-NULL value per clustering key")
     (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
   }
 

@@ -87,27 +87,39 @@ object Similarity {
     * lopsided. `nProbe` > 1 scans each probe's nProbe nearest cells
     * (candidates stay disjoint — every corpus vector lives in exactly one
     * cell), trading nProbe× probe-side join fan-out for recall.
+    *
+    * `iters` = Lloyd refinement rounds for the centroids (the KMeans.lloyd
+    * loop specialized to the IVF fixed-point discipline): each extra round
+    * is one corpus-wide partial+final aggregation plus one K-row broadcast
+    * re-assignment — linear cost, no extra shuffle class. Trained centroids
+    * tighten cells so a query's true neighbors co-locate more often; on
+    * embeddings with real cluster structure this is the cheap recall knob,
+    * on isotropic-random vectors (the synthetic fixture) the measured gain
+    * is small and nProbe is the knob that pays (see ROADMAP.md recall
+    * curve). iters=1 reproduces the original single-refinement behavior.
     */
   def ivfTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
               vecCol: String, k: Int = 10, nBits: Int = 4, dim: Int = 64,
-              nProbe: Int = 1): DataFrame = {
+              nProbe: Int = 1, iters: Int = 1): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
     graft.functions.TajoFunctions.register(corpus.sparkSession)
     def initial(df: DataFrame) = withNorm(df, idCol, vecCol)
       .withColumn("__cell0", expr(HashSpec.lshBucketNative("__vec", nBits, dim)))
     val c0 = initial(corpus)
-    // fixed-point elementwise centroid sums per initial cell
+    // fixed-point elementwise centroid sums per assigned cell
     // The K-row centroid table feeds BOTH assignment branches (corpus and
     // probes); the branches share one canonical subplan, so Spark's
     // exchange reuse evaluates the corpus-wide aggregation once
     // (OperatorsSpec pins the ReusedExchange; an eager localCheckpoint was
     // measured slower — it serializes an extra job before the main query).
-    val cent = c0
-      .select(col("__cell0").as("cid"), posexplode(col("__vec")).as(Seq("i", "x")))
+    def centroids(assigned: DataFrame, cellCol: String): DataFrame = assigned
+      .select(col(cellCol).as("cid"), posexplode(col("__vec")).as(Seq("i", "x")))
       .groupBy("cid", "i")
       .agg(sum(expr("CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)")).as("m"))
       .groupBy("cid")
       .agg(expr("TRANSFORM(SORT_ARRAY(COLLECT_LIST(STRUCT(i, m))), s -> s.m)").as("cvec"))
       .withColumn("cnrm", expr(s"SQRT(${HashSpec.dotNative("cvec", "cvec")})"))
+    var cent = centroids(c0, "__cell0")
     def scored(df: DataFrame): DataFrame =
       df.crossJoin(broadcast(cent))
         .withColumn("__score", expr(s"${HashSpec.dotNative("__vec", "cvec")} / cnrm"))
@@ -128,6 +140,10 @@ object Similarity {
           Window.partitionBy(col(idCol)).orderBy(col("__score").desc, col("cid"))))
         .filter(col("__cr") <= n)
         .select(col(idCol), col("cid").as("cell"), col("__vec"), col("__nrm"))
+    // Lloyd rounds 2..iters: re-centroid over the previous round's
+    // assignment, then the next `scored`/`assign` closes over the new table
+    for (_ <- 2 to iters)
+      cent = centroids(assign(c0), "cell")
     val ca = assign(c0)
       .select(col(idCol).as("neighbor_id"), col("cell"), col("__vec").as("vc"), col("__nrm").as("nc"))
     val qa = assignTopN(initial(probes), nProbe)

@@ -78,7 +78,13 @@ object WordPiece {
           var l = math.min(maxLen, w.length - pos)
           while (l > 1 && !set.contains(w.substring(pos, pos + l))) l -= 1
           val piece = w.substring(pos, pos + l)
-          // single chars are always in vocab, so l >= 1 always matches
+          // Fallback contract: when the vocab was trained on THIS corpus,
+          // every single char is in vocab, so the l=1 piece always matches.
+          // With a CROSS-CORPUS vocab, an unseen character is still emitted
+          // as its own (out-of-vocab) piece rather than dropped or turned
+          // into an [UNK] sentinel — encoding stays total and lossless, the
+          // same explicit pass-through contract as Unigram.encode's
+          // single-char fallback.
           out += (if (pos == 0) piece else "##" + piece)
           pos += l
         }

@@ -59,30 +59,46 @@ object OperatorQueries {
     * `a` CTE (vec_id, embedding, nrm, cell) with `scored` still in scope
     * for nProbe>1 probe selection. One source of truth for every ANN
     * oracle that rides the same pipeline (the erOracleBase discipline). */
-  private def ivfOracleBase: String = {
+  private def ivfOracleBase: String = ivfOracleRounds(1)
+
+  /** Same replay generalized to `iters` Lloyd rounds (Similarity.ivfTopK's
+    * `iters` knob): round 1 groups the fixed-point centroid sums by the LSH
+    * seed cell, every later round by the PREVIOUS round's argmax
+    * assignment. Only the FINAL round's `scored`/`a` keep the unsuffixed
+    * names the downstream oracle SQL consumes, so iters=1 reproduces the
+    * original text shape. */
+  private def ivfOracleRounds(iters: Int): String = {
     import PipelineQueries.{duckDot, duckHp, bucketExpr}
-    s"""base AS (
-       |  SELECT vec_id, embedding,
-       |    SQRT(${duckDot("embedding", "embedding")}) AS nrm,
-       |    ${bucketExpr(duckHp, "embedding")} AS cell0
-       |  FROM embeddings
-       |), centel AS (
-       |  SELECT cell0 AS cid, i,
-       |    SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS m
-       |  FROM base CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) dims
-       |  GROUP BY cell0, i
-       |), cent AS (
-       |  SELECT cid, list(m ORDER BY i) AS cvec FROM centel GROUP BY cid
-       |), cent2 AS (
-       |  SELECT cid, cvec, SQRT(${duckDot("cvec", "cvec")}) AS cnrm FROM cent
-       |), scored AS (
-       |  SELECT b.vec_id, b.embedding, b.nrm, c.cid,
-       |    ROW_NUMBER() OVER (PARTITION BY b.vec_id
-       |      ORDER BY ${duckDot("b.embedding", "c.cvec")} / c.cnrm DESC, c.cid) AS rr
-       |  FROM base b CROSS JOIN cent2 c
-       |), a AS (
-       |  SELECT vec_id, embedding, nrm, cid AS cell FROM scored WHERE rr = 1
-       |)""".stripMargin
+    def nm(t: Int, base: String) = if (t == iters) base else s"${base}_$t"
+    val head =
+      s"""base AS (
+         |  SELECT vec_id, embedding,
+         |    SQRT(${duckDot("embedding", "embedding")}) AS nrm,
+         |    ${bucketExpr(duckHp, "embedding")} AS cell0
+         |  FROM embeddings
+         |)""".stripMargin
+    val rounds = (1 to iters).map { t =>
+      val src = if (t == 1) "base" else nm(t - 1, "a")
+      val key = if (t == 1) "cell0" else "cell"
+      s"""${nm(t, "centel")} AS (
+         |  SELECT $key AS cid, i,
+         |    SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS m
+         |  FROM $src CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) dims
+         |  GROUP BY $key, i
+         |), ${nm(t, "cent")} AS (
+         |  SELECT cid, list(m ORDER BY i) AS cvec FROM ${nm(t, "centel")} GROUP BY cid
+         |), ${nm(t, "cent2")} AS (
+         |  SELECT cid, cvec, SQRT(${duckDot("cvec", "cvec")}) AS cnrm FROM ${nm(t, "cent")}
+         |), ${nm(t, "scored")} AS (
+         |  SELECT b.vec_id, b.embedding, b.nrm, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY b.vec_id
+         |      ORDER BY ${duckDot("b.embedding", "c.cvec")} / c.cnrm DESC, c.cid) AS rr
+         |  FROM base b CROSS JOIN ${nm(t, "cent2")} c
+         |), ${nm(t, "a")} AS (
+         |  SELECT vec_id, embedding, nrm, cid AS cell FROM ${nm(t, "scored")} WHERE rr = 1
+         |)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n")
   }
 
   private val qAnnIvf = df("q_ann_ivf",
@@ -907,7 +923,7 @@ object OperatorQueries {
       |), lb AS (
       |  SELECT lid, nl, b FROM (
       |    SELECT lid, nl,
-      |      LOWER(SUBSTR(nl, 1, 4)) || '|' || ((LENGTH(nl) - 2) // 4) AS b1,
+      |      LOWER(SUBSTR(nl, 1, 4)) || '|' || (GREATEST(0, LENGTH(nl) - 2) // 4) AS b1,
       |      LOWER(SUBSTR(nl, 1, 4)) || '|' || ((LENGTH(nl) + 2) // 4) AS b2
       |    FROM l
       |  ), LATERAL (SELECT UNNEST(list_distinct([b1, b2])) AS b)

@@ -146,6 +146,42 @@ object StorageQueries {
            |  CASE WHEN c_mktsegment = 'BUILDING' THEN NULL ELSE c_mktsegment END AS c_mktsegment
            |FROM customer ORDER BY c_custkey""".stripMargin))
 
+  // Multi-char text delimiter + non-default null token THROUGH THE DDL
+  // PATH: the reference's DelimitedTextFile accepts multibyte delimiters
+  // and a configurable null literal (tajo-storage/tajo-storage-hdfs/src/
+  // main/java/org/apache/tajo/storage/text/DelimitedTextFile.java; props
+  // StorageConstants.java:45-46). q_store_csv_text covers the single-char
+  // round trip via DataFrame options; this one proves the Tajo DDL
+  // spelling (`USING TEXT WITH ('text.delimiter'='~|~', 'text.null'=
+  // '@NULL@')`) maps onto Spark's uniVocity multi-char `sep` and
+  // `nullValue`, and that the catalog read-back restores the NULLs.
+  private val qCsvMultichar = df("q_store_csv_multichar",
+    (spark, dir) => {
+      val out = scratch("csv_multichar")
+      Tables.table(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"),
+          when(col("s_nationkey") % 5 === 0, lit(null: String))
+            .otherwise(col("s_name")).as("alt_name"),
+          col("s_nationkey"))
+        .write.mode(SaveMode.Overwrite)
+        .option("sep", "~|~").option("nullValue", "@NULL@")
+        .csv(out)
+      val engine = new graft.engine.GraftEngine(spark)
+      engine.sql("DROP TABLE IF EXISTS graft_csv_multichar")
+      engine.sql(
+        s"""CREATE EXTERNAL TABLE graft_csv_multichar (
+           |  s_suppkey INT8, s_name TEXT, alt_name TEXT, s_nationkey INT4
+           |) USING TEXT WITH ('text.delimiter'='~|~', 'text.null'='@NULL@')
+           |LOCATION '$out'""".stripMargin)
+      engine.sql(
+        """SELECT s_suppkey, s_name, alt_name, s_nationkey
+          |FROM graft_csv_multichar ORDER BY s_suppkey""".stripMargin)
+    },
+    Some("""SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+           |  CASE WHEN s_nationkey % 5 = 0 THEN NULL ELSE s_name END AS alt_name,
+           |  s_nationkey
+           |FROM supplier ORDER BY s_suppkey""".stripMargin))
+
   // Self-describing JSON: write line-JSON without a schema, read back with
   // inference (TableDesc.schema optional, reference:
   // tajo-catalog/tajo-catalog-common/src/main/java/org/apache/tajo/catalog/TableDesc.java:40).
@@ -298,6 +334,72 @@ object StorageQueries {
         .orderBy("n_nationkey")
     },
     Some("SELECT * FROM nation WHERE n_nationkey >= 5 ORDER BY n_nationkey"))
+
+  // JDBC DSv2 pushdown: aggregate + top-N composed into the REMOTE SQL —
+  // the reference's SQLBuilder discipline (tajo-storage/tajo-storage-jdbc/
+  // .../SQLBuilder.java builds projection/predicate/groupby/limit remote
+  // statements). Spark's V1 jdbc() path pushes only filters; the DSv2
+  // JDBCTableCatalog with pushDownAggregate/pushDownLimit pushes the
+  // GROUP BY aggregation and the ORDER BY+LIMIT into Derby itself —
+  // at scale, the difference between moving |groups| rows and moving the
+  // whole remote table through a single JDBC pipe. GraftDerbyDialect
+  // supplies the FETCH FIRST clause Derby needs for the limit half.
+  // PlanAuditSpec pins PushedAggregates/PushedGroupByExpressions in the
+  // v2 scan so a silent fallback to full-table pull fails CI.
+  private val qJdbcAgg = df("q_store_jdbc_agg",
+    (spark, dir) => {
+      org.apache.spark.sql.jdbc.GraftDerbyDialect.register()
+      val url = "jdbc:derby:memory:graftdb_agg;create=true"
+      val props = new java.util.Properties()
+      props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      // bounded slice regardless of sf: the Derby side is the fixture, the
+      // pushdown plan shape is the subject
+      Tables.table(spark, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .filter(col("o_orderkey") <= 2000)
+        .write.mode(SaveMode.Overwrite)
+        // Spark's default Derby mapping for StringType is CLOB, which Derby
+        // refuses in GROUP BY — the remote aggregate would silently fall
+        // back to a full-table pull; VARCHAR keeps the pushdown eligible
+        .option("createTableColumnTypes", "o_orderstatus VARCHAR(16)")
+        .jdbc(url, "orders_jdbc", props)
+      spark.conf.set("spark.sql.catalog.graftderby",
+        "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+      spark.conf.set("spark.sql.catalog.graftderby.url", url)
+      spark.conf.set("spark.sql.catalog.graftderby.driver",
+        "org.apache.derby.jdbc.EmbeddedDriver")
+      spark.conf.set("spark.sql.catalog.graftderby.pushDownAggregate", "true")
+      spark.conf.set("spark.sql.catalog.graftderby.pushDownLimit", "true")
+      // Derby stores the unquoted created name upper-cased; the V2 catalog
+      // quotes identifiers, so the Spark-side name must match that case
+      val agg = spark.sql(
+        """SELECT o_orderstatus, COUNT(*) AS cnt, MAX(o_orderkey) AS max_key
+          |FROM graftderby.`ORDERS_JDBC`
+          |GROUP BY o_orderstatus""".stripMargin)
+      val topn = spark.sql(
+        """SELECT o_orderkey, o_orderstatus
+          |FROM graftderby.`ORDERS_JDBC` ORDER BY o_orderkey LIMIT 10""".stripMargin)
+      // one result set proving both pushdowns end-to-end: the aggregate
+      // rows plus the top-N rows re-aggregated into a comparable shape
+      agg.unionAll(
+          topn.groupBy("o_orderstatus")
+            .agg(count(lit(1)).as("cnt"), max(col("o_orderkey")).as("max_key")))
+        .orderBy("o_orderstatus", "cnt")
+    },
+    Some("""WITH bounded AS (
+           |  SELECT * FROM orders WHERE o_orderkey <= 2000
+           |), agg AS (
+           |  SELECT o_orderstatus, COUNT(*) AS cnt, MAX(o_orderkey) AS max_key
+           |  FROM bounded GROUP BY o_orderstatus
+           |), topn AS (
+           |  SELECT o_orderkey, o_orderstatus FROM bounded
+           |  ORDER BY o_orderkey LIMIT 10
+           |), tagg AS (
+           |  SELECT o_orderstatus, COUNT(*) AS cnt, MAX(o_orderkey) AS max_key
+           |  FROM topn GROUP BY o_orderstatus
+           |)
+           |SELECT * FROM (SELECT * FROM agg UNION ALL SELECT * FROM tagg)
+           |ORDER BY o_orderstatus, cnt""".stripMargin))
 
   // Bucketed co-located join: both sides written bucketBy(8) on the join
   // key, so the sort-merge join reads bucket-aligned files with NO shuffle
@@ -566,8 +668,8 @@ object StorageQueries {
            |FROM orders""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(
-    qCtas, qInsert, qPartitioned, qCsv, qJsonSelfDesc, qOrc, qNested,
-    qNestedDdl, qBucketedJoin, qJdbc, qPartitionMgmt, qIndex, qAvro,
+    qCtas, qInsert, qPartitioned, qCsv, qCsvMultichar, qJsonSelfDesc, qOrc, qNested,
+    qNestedDdl, qBucketedJoin, qJdbc, qJdbcAgg, qPartitionMgmt, qIndex, qAvro,
     qSeqFile, qRegex, qRcFile, qInsertReader, qRawFile, qTarShards,
     qZorder, qCompact, qDpp)
 }

@@ -421,6 +421,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("Generate"), p) // the bucket explode stays a generator
   }
 
+  test("q_store_jdbc_agg: aggregate + top-N composed into the remote Derby SQL") {
+    val p = plan("q_store_jdbc_agg")
+    // the GROUP BY aggregation runs inside Derby: the v2 scan carries the
+    // pushed aggregate functions and group-by expressions — without them
+    // the whole remote table streams through the JDBC pipe
+    assert(p.contains("PushedAggregates"), p)
+    assert("PushedAggregates: \\[[^\\]]*COUNT".r.findFirstIn(p).nonEmpty, p)
+    assert("PushedAggregates: \\[[^\\]]*MAX".r.findFirstIn(p).nonEmpty, p)
+    assert(p.contains("PushedGroupByExpressions"), p)
+    // ORDER BY + LIMIT pushes as remote top-N (GraftDerbyDialect's
+    // FETCH FIRST clause) — only 10 rows cross the wire
+    assert(p.contains("PushedTopN") || p.contains("PushedLimit"), p)
+  }
+
   test("pageRank iteration: contribution sum is partial+final on dst, rank table stays node-sized") {
     // pin the per-iteration subplan (the registered query's final plan is
     // checkpoint scans by design — lineage truncation IS the discipline)
