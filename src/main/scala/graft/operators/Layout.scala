@@ -32,6 +32,57 @@ object Layout {
     }.mkString("(", " + ", ")")
   }
 
+  /** N-ary morton interleave: bit `i` of dimension `d` lands at code
+    * position `i * k + d`, the straight generalization of the 2-dim code
+    * (to which it degenerates at k=2, LayoutSpec pins the equivalence).
+    * Same pure DIV/%/multiply arithmetic, so Spark and DuckDB evaluate the
+    * identical spelling. Code fits in k·bits ≤ 62 bits. */
+  def mortonSqlN(cols: Seq[String], bits: Int = 8, spark: Boolean = true): String = {
+    val k = cols.length
+    require(k >= 2 && bits >= 1 && k * bits <= 62,
+      s"need 2+ dims and k*bits <= 62, got k=$k bits=$bits")
+    val div = if (spark) "DIV" else "//"
+    (for { i <- 0 until bits; (c, d) <- cols.zipWithIndex } yield {
+      val p = 1L << i; val q = 1L << (i * k + d)
+      s"((($c) $div $p) % 2) * $q"
+    }).mkString("(", " + ", ")")
+  }
+
+  /** N-ary min/max stats (one narrow aggregation, 2k scalars to the
+    * driver), with the all-NULL/empty guard. */
+  def zStatsN(df: DataFrame, cols: Seq[String]): Seq[(Long, Long)] = {
+    val aggs = cols.flatMap(c => Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+    val r = df.agg(aggs.head, aggs.tail: _*).head
+    cols.indices.map { i =>
+      require(!r.isNullAt(2 * i),
+        s"zStatsN(${cols(i)}): input is empty or the key column is all-NULL")
+      (r.getLong(2 * i), r.getLong(2 * i + 1))
+    }
+  }
+
+  /** N-ary morton code over min/max-normalized keys. */
+  def scaledMortonSqlN(cols: Seq[String], stats: Seq[(Long, Long)],
+                       bits: Int = 8, spark: Boolean = true): String =
+    mortonSqlN(cols.zip(stats).map { case (c, (mn, mx)) =>
+      scaleSql(c, mn, mx, bits, spark) }, bits, spark)
+
+  /** Z-order a table on `cols` (2 or more dimensions) into `files`
+    * range-clustered parquet files — same cost shape as [[zorderWrite]]:
+    * one stats aggregation + one range exchange on the code. More
+    * dimensions split the per-dimension resolution (k·bits ≤ 62), the
+    * standard OPTIMIZE ZORDER trade: each added key dilutes, but every key
+    * prunes. */
+  def zorderWriteN(df: DataFrame, cols: Seq[String], path: String,
+                   files: Int = 8, bits: Int = 8): DataFrame = {
+    val stats = zStatsN(df, cols)
+    df.withColumn("__z", expr(scaledMortonSqlN(cols, stats, bits)))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
   /** Min/max stats for the two clustering keys — four scalars to the
     * driver (bounded; the same driver-scalar class as pageRank's node
     * count). */

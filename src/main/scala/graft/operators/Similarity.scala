@@ -307,6 +307,109 @@ object Similarity {
         col("cell"), col("adot_micro"), col("rnk").cast("bigint").as("rnk"))
   }
 
+  /** IVF-PQ with RESIDUAL encoding — the canonical IVFADC layout (Jégou et
+    * al. 2011): vectors are PQ-coded relative to their cell centroid
+    * (x − c), not raw, so the codebooks spend their 2^pqBits entries on the
+    * small within-cell displacements instead of the whole embedding space —
+    * the standard precision upgrade over [[ivfPqTopK]]'s raw-vector coding.
+    * Scoring is the canonical L2 ADC: the query's residual (w.r.t. ITS
+    * assigned cell — the same cell its candidates come from) precomputes a
+    * (m × 2^pqBits) table of per-subspace squared distances, and candidates
+    * rank by the summed table lookups, ASCENDING (returns l2_micro — the
+    * micro-unit integer distance — so smaller is nearer).
+    *
+    * Engine-exact by construction: cell means use the pmod floor-division
+    * identity `(mc - pmod(mc, cnt)) / cnt` (Spark's DIV truncates toward
+    * zero while DuckDB's // floors — on the NEGATIVE sums an embedding's
+    * components produce, the two disagree by one micro unit, which here
+    * would leak into the OUTPUT distances, not just a ranking tie);
+    * residuals are then single IEEE double subtractions, per-subspace
+    * distances left-fold in both engines, and each ADC entry floors to
+    * BIGINT micro units before the final integer sum.
+    *
+    * Scale: identical shape to [[ivfPqTopK]] — centroid/codebook/ADC tables
+    * all bounded broadcasts, corpus touched once to assign + once to code,
+    * candidates shuffle only within the probe's cell. */
+  def ivfPqResidualTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+                        vecCol: String, k: Int = 10, nBits: Int = 4,
+                        dim: Int = 64, m: Int = 8, pqBits: Int = 4): DataFrame = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    graft.functions.TajoFunctions.register(corpus.sparkSession)
+    val subDim = dim / m
+    // ---- IVF half: assignment by SUM centroids (scale-invariant cosine,
+    // identical to ivfPqTopK), mean centroids kept alongside for residuals
+    def initial(df: DataFrame) = withNorm(df, idCol, vecCol)
+      .withColumn("__cell0", expr(HashSpec.lshBucketNative("__vec", nBits, dim)))
+    val c0 = initial(corpus)
+    val cent = c0
+      .select(col("__cell0").as("cid"), posexplode(col("__vec")).as(Seq("i", "x")))
+      .groupBy("cid", "i")
+      .agg(sum(expr("CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)")).as("mc"),
+        count("*").as("cnt"))
+      .withColumn("mm", expr("(mc - ((mc % cnt) + cnt) % cnt) DIV cnt"))
+      .groupBy("cid")
+      .agg(expr("TRANSFORM(SORT_ARRAY(COLLECT_LIST(STRUCT(i, mc))), s -> s.mc)").as("ivec"),
+        expr("TRANSFORM(SORT_ARRAY(COLLECT_LIST(STRUCT(i, mm))), s -> s.mm)").as("mvec"))
+      .withColumn("inrm", expr(s"SQRT(${HashSpec.dotNative("ivec", "ivec")})"))
+    def assign(df: DataFrame): DataFrame = df.crossJoin(broadcast(cent))
+      .withColumn("__score", expr(s"${HashSpec.dotNative("__vec", "ivec")} / inrm"))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("__score").as("s"), (lit(0) - col("cid")).as("nc"))).as("b"))
+      .select(col(idCol), (lit(0) - col("b.nc")).as("cell"))
+    // ---- residuals: x − mean(cell), exact double subtraction of the
+    // micro-unit integer mean
+    def resid(df: DataFrame, cells: DataFrame, as: String) = df
+      .select(col(idCol), col(vecCol).as("__v"))
+      .join(cells.withColumnRenamed(idCol, "___ri"), col(idCol) === col("___ri"))
+      .join(broadcast(cent.select(col("cid").as("cell"), col("mvec"))), Seq("cell"))
+      .withColumn("rvec", expr(
+        "ZIP_WITH(__v, mvec, (x, c) -> CAST(x AS DOUBLE) - CAST(c AS DOUBLE) / 1000000)"))
+      .select(col(idCol).as(as), col("cell"), col("rvec"))
+    val corpusCells = assign(c0)
+    val probeCells = assign(initial(probes))
+    val cres = resid(corpus, corpusCells, "__cid")
+    val qres = resid(probes, probeCells, "__qid")
+    // ---- PQ half over residual subvectors
+    def subs(df: DataFrame, as: String) = df.select(col(as), col("cell"),
+      posexplode(expr(
+        s"TRANSFORM(SEQUENCE(0, ${m - 1}), s -> SLICE(rvec, s * $subDim + 1, $subDim))"))
+        .as(Seq("s", "sub")))
+    val csubs = subs(cres, "__cid")
+    val codebook = csubs
+      .withColumn("cell0", expr(s"lsh_bucket(sub, $pqBits, $subDim)"))
+      .select(col("s"), col("cell0").as("cid"), posexplode(col("sub")).as(Seq("i", "x")))
+      .groupBy("s", "cid", "i")
+      .agg(sum(expr("CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)")).as("ms"),
+        count("*").as("cnt"))
+      .withColumn("mm", expr("(ms - ((ms % cnt) + cnt) % cnt) DIV cnt"))
+      .groupBy("s", "cid")
+      .agg(expr("TRANSFORM(SORT_ARRAY(COLLECT_LIST(STRUCT(i, mm))), t -> t.mm)").as("cvec"))
+    val l2 = "AGGREGATE(ZIP_WITH(sub, cvec, (x, c) -> " +
+      "(CAST(x AS DOUBLE) - CAST(c AS DOUBLE) / 1000000) * " +
+      "(CAST(x AS DOUBLE) - CAST(c AS DOUBLE) / 1000000)), " +
+      "CAST(0 AS DOUBLE), (a, v) -> a + v)"
+    val codes = csubs.join(broadcast(codebook), Seq("s"))
+      .withColumn("d2", expr(l2))
+      .groupBy(col("__cid"), col("cell"), col("s"))
+      .agg(min(struct(col("d2"), col("cid"))).as("b"))
+      .select(col("__cid"), col("cell"), col("s"), col("b.cid").as("code"))
+    // ADC: per (query, subspace, centroid) squared distance, micro units
+    val adc = subs(qres, "__qid").join(broadcast(codebook), Seq("s"))
+      .withColumn("pd", expr(s"CAST(FLOOR(($l2) * 1000000) AS BIGINT)"))
+      .select(col("__qid"), col("cell").as("__qcell"), col("s"), col("cid"), col("pd"))
+    codes.join(broadcast(adc),
+        codes("s") === adc("s") && codes("code") === adc("cid") &&
+          codes("cell") === adc("__qcell"))
+      .filter(col("__qid") =!= col("__cid"))
+      .groupBy(col("__qid"), col("__cid"), col("cell"))
+      .agg(sum(col("pd")).as("l2_micro"))
+      .withColumn("rnk", row_number().over(Window.partitionBy("__qid")
+        .orderBy(col("l2_micro").asc, col("__cid"))))
+      .filter(col("rnk") <= k)
+      .select(col("__qid").as("query_id"), col("__cid").as("neighbor_id"),
+        col("cell"), col("l2_micro"), col("rnk").cast("bigint").as("rnk"))
+  }
+
   /** SemDeDup (Abbas et al. 2023): semantic dedup of a corpus by its
     * embeddings. Vectors are k-means-style clustered (the same
     * deterministic LSH-seeded, fixed-point-centroid assignment the IVF

@@ -646,6 +646,46 @@ object StorageQueries {
          |FROM coded GROUP BY 1 ORDER BY zb""".stripMargin
     })
 
+  // 3-dim Z-order (Layout.zorderWriteN): the same morton discipline over
+  // (l_partkey, l_suppkey, l_quantity) — each added key dilutes the
+  // per-dimension resolution (3 dims x 8 bits = 24-bit codes) but every
+  // key prunes; LayoutSpec measures the per-dimension skip ratios. The
+  // oracle replays the scaled interleave with scalar-subquery stats.
+  private val qZorder3 = df("q_store_zorder3",
+    (spark, dir) => {
+      import graft.operators.Layout
+      val li = Tables.table(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity").cast("bigint").as("l_qty"))
+      val cols = Seq("l_partkey", "l_suppkey", "l_qty")
+      val back = Layout.zorderWriteN(li, cols, scratch("zorder3_lineitem"), files = 8)
+      val stats = Layout.zStatsN(back, cols)
+      back.select(expr(Layout.scaledMortonSqlN(cols, stats)).as("z"),
+          col("l_orderkey"))
+        .groupBy(expr("z DIV 262144").as("zb"))
+        .agg(count(lit(1)).as("n"), sum(col("z")).as("sum_z"),
+          sum(col("l_orderkey")).as("sum_ok"))
+        .orderBy("zb")
+    },
+    Some {
+      def mm(f: String, c: String) = s"(SELECT CAST($f($c) AS BIGINT) FROM src)"
+      def scaled(c: String) =
+        s"((($c - ${mm("MIN", c)}) * 255) // GREATEST(1, ${mm("MAX", c)} - ${mm("MIN", c)}))"
+      val z = graft.operators.Layout.mortonSqlN(
+        Seq(scaled("l_partkey"), scaled("l_suppkey"), scaled("l_qty")),
+        bits = 8, spark = false)
+      s"""WITH src AS (
+         |  SELECT l_orderkey, l_partkey, l_suppkey,
+         |    CAST(l_quantity AS BIGINT) AS l_qty
+         |  FROM lineitem
+         |), coded AS (
+         |  SELECT $z AS z, l_orderkey FROM src
+         |)
+         |SELECT z // 262144 AS zb, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(z) AS BIGINT) AS sum_z, CAST(SUM(l_orderkey) AS BIGINT) AS sum_ok
+         |FROM coded GROUP BY 1 ORDER BY zb""".stripMargin
+    })
+
   // Small-file compaction (Layout.compact): 64 scattered files rewritten
   // to target-sized ones; the oracle checks content preservation against
   // the source table, LayoutSpec checks the file arithmetic.
@@ -671,5 +711,5 @@ object StorageQueries {
     qCtas, qInsert, qPartitioned, qCsv, qCsvMultichar, qJsonSelfDesc, qOrc, qNested,
     qNestedDdl, qBucketedJoin, qJdbc, qJdbcAgg, qPartitionMgmt, qIndex, qAvro,
     qSeqFile, qRegex, qRcFile, qInsertReader, qRawFile, qTarShards,
-    qZorder, qCompact, qDpp)
+    qZorder, qZorder3, qCompact, qDpp)
 }
