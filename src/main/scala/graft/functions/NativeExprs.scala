@@ -18,6 +18,7 @@ object NativeExprs {
 
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "simhash32" -> (exprs => SimHash32(exprs.head)),
+    "simhash60" -> (exprs => SimHash60(exprs.head)),
     "norm_text" -> (exprs => NormText(exprs.head)),
     "vec_dot" -> (exprs => VecDot(exprs(0), exprs(1))),
     "minhash_sig" -> { exprs =>

@@ -182,6 +182,38 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Wide-fingerprint near-dup pairs — the SCALE path of
+    * [[simhashNearDups]]: 60-bit simhash with 4 x 15-bit pigeonhole bands.
+    * Same guaranteed recall argument (hamming <= maxHamming < bands means
+    * one band slice is error-free), but the band space grows 2^8 -> 2^15
+    * buckets, so expected candidate pairs fall 128x at the same corpus —
+    * the sf1 stress measured the 32-bit version super-linear (n²/256
+    * in-bucket pairs, exponent 1.68/decade); this is the Manku et al. 2007
+    * layout (64-bit fingerprints, multi-bit band tables) that keeps
+    * simhash dedup linear-ish until buckets saturate again at ~10^6+ docs
+    * per band value, when you widen the fingerprint further. */
+  def simhashNearDupsWide(docs: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(60 % bands == 0, s"bands must divide 60, got $bands")
+    require(maxHamming < bands,
+      s"pigeonhole needs maxHamming < bands, got $maxHamming >= $bands")
+    val width = 60 / bands
+    val mask = (1L << width) - 1
+    val sh = docs.select(col(idCol),
+      expr(s"simhash60(SPLIT($textCol, ' '))").as("simhash"))
+    val banded = sh.select(col(idCol), col("simhash"),
+      explode(expr(s"TRANSFORM(SEQUENCE(0, ${bands - 1}), " +
+        s"b -> STRUCT(b AS band, SHIFTRIGHT(simhash, b * $width) & $mask AS slice))")).as("bs"))
+      .select(col(idCol), col("simhash"), col("bs.band"), col("bs.slice"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.slice") === col("b.slice") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast("bigint").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Exact n-gram Jaccard for candidate pairs (verification pass after
     * LSH), over native one-pass shingle hash sets. */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, idCol: String,

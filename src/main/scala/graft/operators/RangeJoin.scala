@@ -89,4 +89,61 @@ object RangeJoin {
         l("__bucket") === greatest(trunc(l(lStart)), trunc(r(rStart))))
       .drop("__bucket")
   }
+
+  /** Distribution-rank (CDF) count join: for every left row, the COUNT of
+    * right values strictly below the left value — the scalable spelling of
+    * the `JOIN ON rightVal < leftVal` theta join, which Spark (like the
+    * reference's cross-join+filter) can only plan as a nested loop: the
+    * sf1 stress measured that shape at exponent 1.69/decade (O(n·m) pairs
+    * by definition). Here it decomposes into
+    *
+    *   1. bucket the right values on a fixed width (one hash aggregation);
+    *   2. prefix-sum the BUCKET table (bounded by value-range/width — the
+    *      precondition, same class as the morton stats — so the single
+    *      unpartitioned window is over a bounded table, never the data);
+    *   3. every left row = its bucket's prefix (broadcast lookup)
+    *      + an equi-join on the ONE shared bucket for the residual strict
+    *      compare (per-left fan-out = one bucket's occupancy, the width
+    *      knob).
+    *
+    * Values below/above the right range short-circuit to 0/total. Returns
+    * the left rows (keyed by the UNIQUE `leftKey`) with `asCol` appended;
+    * zero-count rows are kept (filter afterwards for inner-join
+    * semantics). Shuffle volume is |left| + |right| — linear. */
+  def cdfCountJoin(left: DataFrame, leftKey: String, leftVal: String,
+                   right: DataFrame, rightVal: String,
+                   bucketWidth: Double, asCol: String = "below_count"): DataFrame = {
+    require(bucketWidth > 0, s"need bucketWidth > 0, got $bucketWidth")
+    import org.apache.spark.sql.expressions.Window
+    def b(c: String) = expr(s"CAST(FLOOR(($c) / $bucketWidth) AS BIGINT)")
+    val rb = right.select(b(rightVal).as("__b"), col(rightVal).as("__v"))
+    val counts = rb.groupBy("__b").agg(count(lit(1)).as("__c"))
+    // three driver scalars (bounded), for the clamp and the densify range
+    val s = rb.agg(min("__b"), max("__b"), count(lit(1))).head
+    if (s.isNullAt(0)) // empty right side: every left count is 0
+      return left.withColumn(asCol, lit(0L))
+    val (minB, maxB, total) = (s.getLong(0), s.getLong(1), s.getLong(2))
+    // densified bucket table: absent buckets still carry their prefix, so
+    // a left value landing in an empty bucket reads the right base count
+    val prefix = left.sparkSession.range(minB, maxB + 1)
+      .select(col("id").as("__b"))
+      .join(counts, Seq("__b"), "left")
+      .na.fill(0L, Seq("__c"))
+      .withColumn("__below", coalesce(sum("__c").over(
+        Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val l = left.withColumn("__lb", b(leftVal))
+    val base = l
+      .join(broadcast(prefix.select(col("__b").as("__lb"), col("__below"))), Seq("__lb"), "left")
+      .withColumn("__base",
+        when(col("__lb") < minB, lit(0L))
+          .when(col("__lb") > maxB, lit(total))
+          .otherwise(col("__below")))
+    val within = l.select(col(leftKey).as("__wk"), col("__lb"), col(leftVal).as("__lv"))
+      .join(rb.withColumnRenamed("__b", "__lb"), Seq("__lb"))
+      .filter(col("__v") < col("__lv"))
+      .groupBy("__wk").agg(count(lit(1)).as("__win"))
+    base.join(within, base(leftKey) === within("__wk"), "left")
+      .withColumn(asCol, col("__base") + coalesce(col("__win"), lit(0L)))
+      .drop("__lb", "__below", "__base", "__wk", "__win")
+  }
 }

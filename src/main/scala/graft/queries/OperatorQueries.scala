@@ -1351,6 +1351,29 @@ object OperatorQueries {
   // meets exactly once in its canonical grid bucket (the later interval's
   // start bucket), so the grid join needs no post-dedup. The oracle is the
   // plain overlap join.
+  // The scalable spelling of q_join_nonequi (RangeJoin.cdfCountJoin):
+  // same result as the `supplier JOIN part ON p_retailprice < s_acctbal`
+  // theta join — which Spark can only plan as a nested loop, measured
+  // exponent 1.69/decade at the sf1 stress — via right-side bucket
+  // counts + a bounded prefix sum + a one-bucket residual join. The
+  // oracle is the IDENTICAL quadratic SQL, so the linear plan is proven
+  // equal to the theta join row for row.
+  private val qJoinNonEquiCdf = df("q_join_nonequi_cdf",
+    (spark, dir) => {
+      import graft.operators.RangeJoin
+      val supplier = Tables.table(spark, dir, "supplier")
+      val part = Tables.table(spark, dir, "part")
+      RangeJoin.cdfCountJoin(supplier, "s_suppkey", "s_acctbal",
+          part, "p_retailprice", bucketWidth = 5.0, asCol = "cheaper_parts")
+        .filter(col("cheaper_parts") > 0) // inner-join semantics of the oracle
+        .select(col("s_suppkey"), col("cheaper_parts"))
+        .orderBy("s_suppkey")
+    },
+    Some("""SELECT s_suppkey, COUNT(*) AS cheaper_parts
+           |FROM supplier JOIN part ON p_retailprice < s_acctbal
+           |GROUP BY s_suppkey
+           |ORDER BY s_suppkey""".stripMargin))
+
   private val qIntervalJoin = df("q_op_interval_join",
     (spark, dir) => {
       val clicks = Tables.table(spark, dir, "events")
@@ -2240,6 +2263,6 @@ object OperatorQueries {
     qAnnIvfPqResidual, qSemDedup, qSemanticSort,
     qHardNegatives, qQualityApi, qMultimodalApi,
     qMultimodalPatches, qMultimodalDecode, qMultimodalAudio, qMultimodalVideo,
-    qDecontaminate, qBpeApi, qBpeEncode, qTokenizePack, qEmbedPool, qSaltedJoin, qAsofJoin, qRangeJoin, qIntervalJoin, qWeightedSample, qKmeans,
+    qDecontaminate, qBpeApi, qBpeEncode, qTokenizePack, qEmbedPool, qSaltedJoin, qAsofJoin, qRangeJoin, qIntervalJoin, qJoinNonEquiCdf, qWeightedSample, qKmeans,
     qDedupClusters, qLeakageSplit, qStreamHourly, qStreamSessions, qStreamDedup, qStreamDistinct, qStreamCountMin, qStreamJoin, qStreamActivity)
 }

@@ -231,6 +231,41 @@ object PipelineQueries {
        |WHERE bit_count(xor(a.sh, b.sh)) <= 3
        |ORDER BY d1, d2""".stripMargin))
 
+  // Wide-fingerprint near-dup pairs (Dedup.simhashNearDupsWide): 60-bit
+  // simhash, 4 x 15-bit pigeonhole bands — the scale path the sf1 stress
+  // demanded (32-bit banding measured exponent 1.68/decade; the wide band
+  // space cuts in-bucket candidates 128x at identical hamming<=3 recall).
+  // Oracle = brute-force O(n²) hamming over the replayed 60-bit
+  // fingerprints, independently proving the wide banding loses no pair.
+  private def duckSimhash60Ctes: String =
+    s"""hs60 AS (
+       |  SELECT doc_id,
+       |    list_transform(string_split(text, ' '),
+       |      t -> ((${duckPoly31("t")} * 2654435761) % 4294967296) +
+       |           (((${duckPoly31("t")} * 2246822519) % 268435456) * 4294967296)) AS gs
+       |  FROM documents
+       |), shs60 AS (
+       |SELECT doc_id,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), range(0, 60)),
+       |    (acc, j) -> acc + CASE WHEN
+       |      list_reduce(list_prepend(CAST(0 AS BIGINT), gs),
+       |        (v, g) -> v + CASE WHEN ((g >> j) & 1) = 1 THEN 1 ELSE -1 END) > 0
+       |      THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS sh
+       |FROM hs60)""".stripMargin
+
+  private val qSimhashPairs60 = QueryDef.df("q_dedup_simhash_pairs60",
+    (sp, dir) => {
+      val docs = sp.table("documents")
+      graft.operators.Dedup.simhashNearDupsWide(docs, "doc_id", "text")
+        .orderBy("d1", "d2")
+    },
+    Some(s"""WITH $duckSimhash60Ctes
+       |SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+       |FROM shs60 a JOIN shs60 b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+       |ORDER BY d1, d2""".stripMargin))
+
   // Incremental snapshot dedup (Dedup.incrementalExact). The synthetic
   // corpus has no exact dups, so a naive split would admit everything and
   // the check would be vacuous (the zero-row-oracle trap): instead the
@@ -1982,7 +2017,7 @@ object PipelineQueries {
   val all: Seq[QueryDef] = Seq(
     qRetrieval,
     qDedupExact, qDedupNorm, qMinhashSig, qMinhashPairs, qMinhashCorpus, qSimhash,
-    qSimhashPairs, qLmScore, qParagraphDedup, qIncrementalDedup, qIncrementalBloom,
+    qSimhashPairs, qSimhashPairs60, qLmScore, qParagraphDedup, qIncrementalDedup, qIncrementalBloom,
     qDecontaminateExact, qSubstringSpans, qSubstringScrub,
     qSample, qSampleStratified, qInterleave, qSplit,
     qNgramJaccard, qEmbDedup, qAnnBrute, qAnnLsh,
