@@ -97,11 +97,25 @@ object Similarity {
     * on isotropic-random vectors (the synthetic fixture) the measured gain
     * is small and nProbe is the knob that pays (see ROADMAP.md recall
     * curve). iters=1 reproduces the original single-refinement behavior.
+    *
+    * `corpusAssign` = index-side redundancy (spill-tree / FLANN-style
+    * multi-assignment): each CORPUS vector is indexed in its
+    * `corpusAssign` nearest cells, so a true neighbor sitting just across
+    * a Voronoi boundary is still reachable from the probe's cells. Storage
+    * and scan cost scale by the factor r; on the isotropic synthetic
+    * fixture this is the knob that lifts 256-cell recall@5 past 70% at
+    * nProbe=16 (single-assignment tops out near 58% there — see
+    * SCALING.md). With r > 1 a (query, neighbor) pair can co-occur in
+    * several probed cells, so candidates collapse through one extra
+    * (query, neighbor) groupBy before the top-k window (cos_sim is
+    * identical across the duplicates; the surviving `cell` is the
+    * smallest, purely for determinism).
     */
   def ivfTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
               vecCol: String, k: Int = 10, nBits: Int = 4, dim: Int = 64,
-              nProbe: Int = 1, iters: Int = 1): DataFrame = {
+              nProbe: Int = 1, iters: Int = 1, corpusAssign: Int = 1): DataFrame = {
     require(iters >= 1, s"need iters >= 1, got $iters")
+    require(corpusAssign >= 1, s"need corpusAssign >= 1, got $corpusAssign")
     graft.functions.TajoFunctions.register(corpus.sparkSession)
     def initial(df: DataFrame) = withNorm(df, idCol, vecCol)
       .withColumn("__cell0", expr(HashSpec.lshBucketNative("__vec", nBits, dim)))
@@ -144,13 +158,20 @@ object Similarity {
     // assignment, then the next `scored`/`assign` closes over the new table
     for (_ <- 2 to iters)
       cent = centroids(assign(c0), "cell")
-    val ca = assign(c0)
+    val ca = assignTopN(c0, corpusAssign)
       .select(col(idCol).as("neighbor_id"), col("cell"), col("__vec").as("vc"), col("__nrm").as("nc"))
     val qa = assignTopN(initial(probes), nProbe)
       .select(col(idCol).as("query_id"), col("cell"), col("__vec").as("vq"), col("__nrm").as("nq"))
-    ca.join(qa, Seq("cell")) // both sides shuffle on cell — no probe broadcast
+    val joined = ca.join(qa, Seq("cell")) // both sides shuffle on cell — no probe broadcast
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sim", expr(s"${HashSpec.dotNative("vq", "vc")} / (nq * nc)"))
+    // r=1 keeps the original single-cell pair stream; r>1 collapses the
+    // multi-assignment duplicates (identical cos_sim, lowest cell wins)
+    val paired =
+      if (corpusAssign <= 1) joined
+      else joined.groupBy(col("query_id"), col("neighbor_id"))
+        .agg(min(col("cell")).as("cell"), max(col("cos_sim")).as("cos_sim"))
+    paired
       .withColumn("rnk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))))
       .filter(col("rnk") <= k)
@@ -329,11 +350,34 @@ object Similarity {
     *
     * Scale: identical shape to [[ivfPqTopK]] — centroid/codebook/ADC tables
     * all bounded broadcasts, corpus touched once to assign + once to code,
-    * candidates shuffle only within the probe's cell. */
+    * candidates shuffle only within the probe's cell.
+    *
+    * `nProbe` — multi-probe: each query builds one residual + ADC table
+    * PER probed cell (its nProbe nearest — the canonical IVFADC
+    * formulation, where residuals are always relative to the cell being
+    * scanned), widening the candidate set from corpus/K to nProbe·corpus/K
+    * at nProbe× ADC-table cost. Candidate (query, neighbor) pairs stay
+    * unique — a corpus vector lives in exactly one cell.
+    *
+    * `rerank` > 0 — IVFADC+R (Jégou et al. 2011, "re-ranking with source
+    * coding"): the top-`rerank` ADC candidates per query are re-scored by
+    * EXACT cosine against the raw vectors and the top-k of that re-ranking
+    * is returned (schema becomes (query_id, neighbor_id, cell, cos_sim,
+    * rnk) — exact scores, not l2_micro). Cost: one id-equi-join of
+    * probes×rerank candidate rows against the corpus — bounded by the
+    * probe count, never corpus×corpus. Measured on the sf0.1 fixture
+    * (full table in SCALING.md): raw 32-bit ADC recall@5 is 6.6%;
+    * nProbe=8 + rerank=50 reaches 36.2% (code quality binds, not cell
+    * pruning); richer codes m=16/pqBits=8 (16-byte codes, 16x
+    * compression) reach 71.5% there, and rerank=200 recovers the
+    * nProbe=8 cell ceiling (74.8%) EXACTLY — the canonical IVFADC+R
+    * result: spend bits or spend re-ranking, the ceiling is the cells. */
   def ivfPqResidualTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
                         vecCol: String, k: Int = 10, nBits: Int = 4,
-                        dim: Int = 64, m: Int = 8, pqBits: Int = 4): DataFrame = {
+                        dim: Int = 64, m: Int = 8, pqBits: Int = 4,
+                        nProbe: Int = 1, rerank: Int = 0): DataFrame = {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
+    require(nProbe >= 1, s"need nProbe >= 1, got $nProbe")
     graft.functions.TajoFunctions.register(corpus.sparkSession)
     val subDim = dim / m
     // ---- IVF half: assignment by SUM centroids (scale-invariant cosine,
@@ -356,8 +400,19 @@ object Similarity {
       .groupBy(col(idCol))
       .agg(max(struct(col("__score").as("s"), (lit(0) - col("cid")).as("nc"))).as("b"))
       .select(col(idCol), (lit(0) - col("b.nc")).as("cell"))
+    // top-n cells per probe (windowed, probe side only — the corpus always
+    // single-assigns; same discipline as ivfTopK.assignTopN)
+    def assignTopN(df: DataFrame, n: Int): DataFrame =
+      if (n <= 1) assign(df)
+      else df.crossJoin(broadcast(cent))
+        .withColumn("__score", expr(s"${HashSpec.dotNative("__vec", "ivec")} / inrm"))
+        .withColumn("__cr", row_number().over(
+          Window.partitionBy(col(idCol)).orderBy(col("__score").desc, col("cid"))))
+        .filter(col("__cr") <= n)
+        .select(col(idCol), col("cid").as("cell"))
     // ---- residuals: x − mean(cell), exact double subtraction of the
-    // micro-unit integer mean
+    // micro-unit integer mean (one row per (vector, assigned cell) — the
+    // probe side carries nProbe rows, each with its own per-cell residual)
     def resid(df: DataFrame, cells: DataFrame, as: String) = df
       .select(col(idCol), col(vecCol).as("__v"))
       .join(cells.withColumnRenamed(idCol, "___ri"), col(idCol) === col("___ri"))
@@ -366,7 +421,7 @@ object Similarity {
         "ZIP_WITH(__v, mvec, (x, c) -> CAST(x AS DOUBLE) - CAST(c AS DOUBLE) / 1000000)"))
       .select(col(idCol).as(as), col("cell"), col("rvec"))
     val corpusCells = assign(c0)
-    val probeCells = assign(initial(probes))
+    val probeCells = assignTopN(initial(probes), nProbe)
     val cres = resid(corpus, corpusCells, "__cid")
     val qres = resid(probes, probeCells, "__qid")
     // ---- PQ half over residual subvectors
@@ -397,7 +452,8 @@ object Similarity {
     val adc = subs(qres, "__qid").join(broadcast(codebook), Seq("s"))
       .withColumn("pd", expr(s"CAST(FLOOR(($l2) * 1000000) AS BIGINT)"))
       .select(col("__qid"), col("cell").as("__qcell"), col("s"), col("cid"), col("pd"))
-    codes.join(broadcast(adc),
+    val kAdc = if (rerank > 0) rerank else k
+    val adcTop = codes.join(broadcast(adc),
         codes("s") === adc("s") && codes("code") === adc("cid") &&
           codes("cell") === adc("__qcell"))
       .filter(col("__qid") =!= col("__cid"))
@@ -405,9 +461,29 @@ object Similarity {
       .agg(sum(col("pd")).as("l2_micro"))
       .withColumn("rnk", row_number().over(Window.partitionBy("__qid")
         .orderBy(col("l2_micro").asc, col("__cid"))))
-      .filter(col("rnk") <= k)
+      .filter(col("rnk") <= kAdc)
       .select(col("__qid").as("query_id"), col("__cid").as("neighbor_id"),
         col("cell"), col("l2_micro"), col("rnk").cast("bigint").as("rnk"))
+    if (rerank <= 0) adcTop
+    else {
+      // IVFADC+R: exact-cosine re-rank of the rerank-sized shortlist —
+      // an id-equi-join against the raw vectors (probes-bounded), then
+      // one window; the ADC integer rnk decided the shortlist, the exact
+      // double decides the final order.
+      val cn = withNorm(corpus, idCol, vecCol)
+        .select(col(idCol).as("___nid"), col("__vec").as("vc"), col("__nrm").as("nc"))
+      val qn = withNorm(probes, idCol, vecCol)
+        .select(col(idCol).as("___qid"), col("__vec").as("vq"), col("__nrm").as("nq"))
+      adcTop
+        .join(cn, col("neighbor_id") === col("___nid"))
+        .join(broadcast(qn), col("query_id") === col("___qid"))
+        .withColumn("cos_sim", expr(s"${HashSpec.dotNative("vq", "vc")} / (nq * nc)"))
+        .withColumn("rrk", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("cos_sim").desc, col("neighbor_id"))))
+        .filter(col("rrk") <= k)
+        .select(col("query_id"), col("neighbor_id"), col("cell"),
+          col("cos_sim"), col("rrk").cast("bigint").as("rnk"))
+    }
   }
 
   /** SemDeDup (Abbas et al. 2023): semantic dedup of a corpus by its

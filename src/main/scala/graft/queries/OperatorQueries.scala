@@ -67,14 +67,14 @@ object OperatorQueries {
     * assignment. Only the FINAL round's `scored`/`a` keep the unsuffixed
     * names the downstream oracle SQL consumes, so iters=1 reproduces the
     * original text shape. */
-  private def ivfOracleRounds(iters: Int): String = {
-    import PipelineQueries.{duckDot, duckHp, bucketExpr}
+  private def ivfOracleRounds(iters: Int, nBits: Int = 4): String = {
+    import PipelineQueries.{duckDot, duckHp, bucketExprN}
     def nm(t: Int, base: String) = if (t == iters) base else s"${base}_$t"
     val head =
       s"""base AS (
          |  SELECT vec_id, embedding,
          |    SQRT(${duckDot("embedding", "embedding")}) AS nrm,
-         |    ${bucketExpr(duckHp, "embedding")} AS cell0
+         |    ${bucketExprN(duckHp, "embedding", nBits)} AS cell0
          |  FROM embeddings
          |)""".stripMargin
     val rounds = (1 to iters).map { t =>
@@ -272,6 +272,77 @@ object OperatorQueries {
   private val qAnnRecall8 = annRecallQuery("q_ann_recall8", nProbe = 8, iters = 1)
   private val qAnnRecallLloyd = annRecallQuery("q_ann_recall_lloyd", nProbe = 2, iters = 3)
 
+  // 256-cell recall family (VERDICT r6 #2): the same audit at a realistic
+  // index size — nBits=8 (256 cells), Lloyd-trained centroids (iters=3),
+  // nProbe=16 = 6% of cells probed — plus the corpusAssign redundancy knob
+  // (spill-tree / FLANN-style multi-assignment: each corpus vector indexed
+  // in its r nearest cells). On the isotropic fixture single assignment
+  // tops out near 58% recall@5 at this operating point — a data-property
+  // ceiling, not an implementation artifact (a NumPy replica of ideal
+  // float k-means measures the same 57.8%; isotropic Gaussians put a
+  // query's true neighbors in near-uniformly many Voronoi cells) — and
+  // r=2/r=3 lift it past 70%/78% at 2x/3x index size, probing still 6% of
+  // cells. Measured curve: SCALING.md. The oracle replays all three Lloyd
+  // rounds at 256 cells, the r-wide corpus assignment, the duplicate-pair
+  // collapse (MAX over identical cosines), and both rankings.
+  private def annRecall256Query(name: String, nProbe: Int, iters: Int,
+                                corpusAssign: Int): QueryDef =
+    df(name,
+      (spark, dir) => {
+        val vecs = Tables.table(spark, dir, "embeddings")
+        val probes = vecs.filter(col("vec_id") < 20)
+        val ivf = Similarity.ivfTopK(vecs, probes, "vec_id", "embedding",
+          k = 5, nBits = 8, nProbe = nProbe, iters = iters, corpusAssign = corpusAssign)
+        val exact = Similarity.bruteForceTopK(vecs, probes, "vec_id", "embedding", k = 5)
+        Similarity.annRecall(ivf, exact)
+          .select(col("query_id"), col("k").cast("bigint").as("k"),
+            col("hits").cast("bigint").as("hits"),
+            col("recall_ppm").cast("bigint").as("recall_ppm"))
+          .orderBy("query_id")
+      },
+      Some {
+        import PipelineQueries.duckDot
+        s"""WITH ${ivfOracleRounds(iters, nBits = 8)}, q AS (
+           |  SELECT vec_id, embedding, nrm, cid AS cell FROM scored
+           |  WHERE rr <= $nProbe AND vec_id < 20
+           |), ac AS (
+           |  SELECT vec_id, embedding, nrm, cid AS cell FROM scored WHERE rr <= $corpusAssign
+           |),
+           |ivf AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+           |    FROM (
+           |      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |        MAX(${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm)) AS sim
+           |      FROM q JOIN ac c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+           |      GROUP BY q.vec_id, c.vec_id
+           |    ) p
+           |  ) t WHERE rnk <= 5
+           |), exact AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+           |        ORDER BY ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC, c.vec_id) AS rnk
+           |    FROM (SELECT DISTINCT vec_id, embedding, nrm FROM q) q
+           |    JOIN base c ON q.vec_id <> c.vec_id
+           |  ) t WHERE rnk <= 5
+           |)
+           |SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS k,
+           |  CAST(COUNT(i.neighbor_id) AS BIGINT) AS hits,
+           |  CAST(COUNT(i.neighbor_id) * 1000000 // COUNT(*) AS BIGINT) AS recall_ppm
+           |FROM exact e LEFT JOIN ivf i
+           |  ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+           |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+      })
+
+  private val qAnnRecall256 =
+    annRecall256Query("q_ann_recall256", nProbe = 16, iters = 3, corpusAssign = 1)
+  private val qAnnRecall256R2 =
+    annRecall256Query("q_ann_recall256_r2", nProbe = 16, iters = 3, corpusAssign = 2)
+  private val qAnnRecall256R3 =
+    annRecall256Query("q_ann_recall256_r3", nProbe = 16, iters = 3, corpusAssign = 3)
+
   // nProbe=2 IVF: each probe scans its two nearest cells (candidates stay
   // disjoint — every corpus vector lives in exactly one cell), the recall
   // knob of the IVF design. Oracle = same pipeline with rr <= 2 probes.
@@ -461,16 +532,19 @@ object OperatorQueries {
   // The oracle replays cell assignment, the pmod-exact mean centroids,
   // residuals, residual codebooks, codes, the query distance tables, and
   // the ascending ranking — every emitted l2_micro integer is recomputed.
-  private val qAnnIvfPqResidual = df("q_ann_ivfpq_residual",
-    (spark, dir) => {
-      val vecs = Tables.table(spark, dir, "embeddings")
-      val probes = vecs.filter(col("vec_id") < 20)
-      Similarity.ivfPqResidualTopK(vecs, probes, "vec_id", "embedding", k = 5)
-        .select(col("query_id"), col("neighbor_id"),
-          col("cell").cast("bigint").as("cell"), col("l2_micro"), col("rnk"))
-        .orderBy("query_id", "rnk")
-    },
-    Some {
+  /** Shared DuckDB replay of the FULL residual IVF-PQ (IVFADC) pipeline —
+    * cell assignment, pmod-exact mean centroids, residuals, residual
+    * codebooks, codes, query ADC tables — ending in a `scored` CTE of
+    * (query_id, neighbor_id, cell, l2_micro) candidate scores. One source
+    * of truth for the replay oracle AND the ADC-recall audit (the
+    * erOracleBase / ivfOracleRounds discipline).
+    *
+    * `nProbe` = 1 emits the original single-probe text (query residuals
+    * ride the shared single-assignment `pcell`); nProbe > 1 adds the
+    * multi-probe query chain — qcells (the probe's nProbe nearest cells
+    * from iscored), per-probed-cell residuals, subvectors — and points
+    * `adc` at it, mirroring Similarity.ivfPqResidualTopK's nProbe knob. */
+  private def ivfPqResidualOracleCtes(nProbe: Int = 1): String = {
       import PipelineQueries.{duckDot, duckHp, bucketExpr}
       def hp8(v: String, j: Int): String =
         s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, 8), i -> CAST($v[i + 1] AS DOUBLE) * (((i * 37 + $j * 101) % 11) - 5))), (s, x) -> s + x)"
@@ -480,7 +554,7 @@ object OperatorQueries {
         "list_transform(range(1, 9), i -> " +
         s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE) / 1000000) * " +
         s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE) / 1000000))), (a, v) -> a + v)"
-      s"""WITH ibase AS (
+      s"""ibase AS (
          |  SELECT vec_id, embedding,
          |    ${bucketExpr(duckHp, "embedding")} AS cell0
          |  FROM embeddings
@@ -533,10 +607,31 @@ object OperatorQueries {
          |    SELECT vec_id, cell, s, cid,
          |      ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rr
          |    FROM d) t WHERE rr = 1
-         |), adc AS (
-         |  SELECT q.vec_id AS qid, q.cell AS qcell, q.s, b.cid,
-         |    CAST(FLOOR((${l2("q.sub", "b.cvec")}) * 1000000) AS BIGINT) AS pd
-         |  FROM pcell q JOIN cb b ON q.s = b.s WHERE q.vec_id < 20
+         |), ${
+        if (nProbe <= 1)
+          s"""adc AS (
+             |  SELECT q.vec_id AS qid, q.cell AS qcell, q.s, b.cid,
+             |    CAST(FLOOR((${l2("q.sub", "b.cvec")}) * 1000000) AS BIGINT) AS pd
+             |  FROM pcell q JOIN cb b ON q.s = b.s WHERE q.vec_id < 20""".stripMargin
+        else
+          s"""qcells AS (
+             |  SELECT vec_id, cid AS cell FROM iscored
+             |  WHERE rr <= $nProbe AND vec_id < 20
+             |), qres AS (
+             |  SELECT e.vec_id, qc.cell,
+             |    list_transform(range(1, 65), i ->
+             |      CAST(e.embedding[i] AS DOUBLE) - CAST(c.mvec[i] AS DOUBLE) / 1000000) AS rvec
+             |  FROM embeddings e
+             |  JOIN qcells qc ON e.vec_id = qc.vec_id
+             |  JOIN icent2 c ON qc.cell = c.cid
+             |), qsub AS (
+             |  SELECT vec_id, cell, s, rvec[s * 8 + 1 : s * 8 + 8] AS sub
+             |  FROM qres, (SELECT unnest(range(0, 8)) AS s)
+             |), adc AS (
+             |  SELECT q.vec_id AS qid, q.cell AS qcell, q.s, b.cid,
+             |    CAST(FLOOR((${l2("q.sub", "b.cvec")}) * 1000000) AS BIGINT) AS pd
+             |  FROM qsub q JOIN cb b ON q.s = b.s""".stripMargin
+      }
          |), scored AS (
          |  SELECT a.qid AS query_id, c.vec_id AS neighbor_id, c.cell,
          |    CAST(SUM(a.pd) AS BIGINT) AS l2_micro
@@ -544,13 +639,122 @@ object OperatorQueries {
          |  JOIN adc a ON c.s = a.s AND c.code = a.cid AND c.cell = a.qcell
          |  WHERE a.qid <> c.vec_id
          |  GROUP BY a.qid, c.vec_id, c.cell
-         |)
+         |)""".stripMargin
+  }
+
+  private val qAnnIvfPqResidual = df("q_ann_ivfpq_residual",
+    (spark, dir) => {
+      val vecs = Tables.table(spark, dir, "embeddings")
+      val probes = vecs.filter(col("vec_id") < 20)
+      Similarity.ivfPqResidualTopK(vecs, probes, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          col("cell").cast("bigint").as("cell"), col("l2_micro"), col("rnk"))
+        .orderBy("query_id", "rnk")
+    },
+    Some {
+      s"""WITH ${ivfPqResidualOracleCtes()}
          |SELECT query_id, neighbor_id, CAST(cell AS BIGINT) AS cell, l2_micro, rnk FROM (
          |  SELECT query_id, neighbor_id, cell, l2_micro,
          |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
          |      ORDER BY l2_micro ASC, neighbor_id) AS BIGINT) AS rnk
          |  FROM scored) t
          |WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin
+    })
+
+  // ADC approximation quality (VERDICT r6 #2, second half): recall@5 of
+  // the residual IVF-PQ search against the EXACT brute-force cosine
+  // ground truth — the hash-exact replay above proves the engine computes
+  // IVFADC faithfully; this query measures what IVFADC's compressed,
+  // cell-pruned ranking is WORTH against the uncompressed answer (both
+  // the cell-pruning loss and the 64x PQ compression loss land here).
+  // Oracle = the same full-pipeline replay composed with the exact top-k
+  // and the recall join. Note the ground truth ranks by cosine while
+  // IVFADC ranks by residual L2 — the operating-point recall therefore
+  // also absorbs the metric mismatch on unnormalized vectors, exactly as
+  // a user switching search backends would experience it.
+  private val qAnnIvfPqRecall = df("q_ann_ivfpq_recall",
+    (spark, dir) => {
+      val vecs = Tables.table(spark, dir, "embeddings")
+      val probes = vecs.filter(col("vec_id") < 20)
+      val adc = Similarity.ivfPqResidualTopK(vecs, probes, "vec_id", "embedding", k = 5)
+      val exact = Similarity.bruteForceTopK(vecs, probes, "vec_id", "embedding", k = 5)
+      Similarity.annRecall(adc, exact)
+        .select(col("query_id"), col("k").cast("bigint").as("k"),
+          col("hits").cast("bigint").as("hits"),
+          col("recall_ppm").cast("bigint").as("recall_ppm"))
+        .orderBy("query_id")
+    },
+    Some {
+      import PipelineQueries.duckDot
+      s"""WITH ${ivfPqResidualOracleCtes()}, ivf AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY l2_micro ASC, neighbor_id) AS rnk
+         |    FROM scored) t WHERE rnk <= 5
+         |), vb AS (
+         |  SELECT vec_id, embedding, SQRT(${duckDot("embedding", "embedding")}) AS nrm
+         |  FROM embeddings
+         |), exact AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC, c.vec_id) AS rnk
+         |    FROM (SELECT * FROM vb WHERE vec_id < 20) q
+         |    JOIN vb c ON q.vec_id <> c.vec_id
+         |  ) t WHERE rnk <= 5
+         |)
+         |SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS k,
+         |  CAST(COUNT(i.neighbor_id) AS BIGINT) AS hits,
+         |  CAST(COUNT(i.neighbor_id) * 1000000 // COUNT(*) AS BIGINT) AS recall_ppm
+         |FROM exact e LEFT JOIN ivf i
+         |  ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+         |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+    })
+
+  // IVFADC+R (Similarity.ivfPqResidualTopK nProbe/rerank knobs): multi-
+  // probe ADC shortlist (nProbe=4 cells, top-50 by integer l2_micro) then
+  // exact-cosine re-ranking of the shortlist — the Jégou et al. 2011
+  // re-ranking layout. The oracle replays the multi-probe query chain
+  // (per-probed-cell residuals and ADC tables), the integer shortlist
+  // cut, and the double-exact re-ranking; measured recall effect is in
+  // SCALING.md (rerank recovers the cell ceiling when codes are rich).
+  private val qAnnIvfAdcRerank = df("q_ann_ivfadc_rerank",
+    (spark, dir) => {
+      val vecs = Tables.table(spark, dir, "embeddings")
+      val probes = vecs.filter(col("vec_id") < 20)
+      Similarity.ivfPqResidualTopK(vecs, probes, "vec_id", "embedding",
+        k = 5, nProbe = 4, rerank = 50)
+        .select(col("query_id"), col("neighbor_id"),
+          col("cell").cast("bigint").as("cell"),
+          expr("CAST(CAST(cos_sim AS DECIMAL(18,10)) AS DOUBLE)").as("cos_sim"),
+          col("rnk"))
+        .orderBy("query_id", "rnk")
+    },
+    Some {
+      import PipelineQueries.duckDot
+      s"""WITH ${ivfPqResidualOracleCtes(nProbe = 4)}, cand AS (
+         |  SELECT query_id, neighbor_id, cell FROM (
+         |    SELECT query_id, neighbor_id, cell,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY l2_micro ASC, neighbor_id) AS rnk
+         |    FROM scored) t WHERE rnk <= 50
+         |), vb AS (
+         |  SELECT vec_id, embedding, SQRT(${duckDot("embedding", "embedding")}) AS nrm
+         |  FROM embeddings
+         |)
+         |SELECT query_id, neighbor_id, CAST(cell AS BIGINT) AS cell,
+         |  CAST(CAST(cos AS DECIMAL(18,10)) AS DOUBLE) AS cos_sim, rnk
+         |FROM (
+         |  SELECT c.query_id, c.neighbor_id, c.cell,
+         |    ${duckDot("q.embedding", "n.embedding")} / (q.nrm * n.nrm) AS cos,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY c.query_id
+         |      ORDER BY ${duckDot("q.embedding", "n.embedding")} / (q.nrm * n.nrm) DESC, c.neighbor_id) AS BIGINT) AS rnk
+         |  FROM cand c
+         |  JOIN vb q ON c.query_id = q.vec_id
+         |  JOIN vb n ON c.neighbor_id = n.vec_id
+         |) t WHERE rnk <= 5
          |ORDER BY query_id, rnk""".stripMargin
     })
 
@@ -2260,7 +2464,8 @@ object OperatorQueries {
     qSnapshotDiff, qSkewDiag, qEntityRes, qGoldenRecord, qDqProfile, qDqChecks, qWordPiece, qUnigram, qUnigramEm,
     qMinhashApi, qAnnApi, qAnnIvf, qAnnIvf2, qAnnRecall, qAnnRecall2,
     qAnnRecall4, qAnnRecall8, qAnnRecallLloyd, qAnnPq, qAnnIvfPq,
-    qAnnIvfPqResidual, qSemDedup, qSemanticSort,
+    qAnnRecall256, qAnnRecall256R2, qAnnRecall256R3,
+    qAnnIvfPqResidual, qAnnIvfPqRecall, qAnnIvfAdcRerank, qSemDedup, qSemanticSort,
     qHardNegatives, qQualityApi, qMultimodalApi,
     qMultimodalPatches, qMultimodalDecode, qMultimodalAudio, qMultimodalVideo,
     qDecontaminate, qBpeApi, qBpeEncode, qTokenizePack, qEmbedPool, qSaltedJoin, qAsofJoin, qRangeJoin, qIntervalJoin, qJoinNonEquiCdf, qWeightedSample, qKmeans,

@@ -843,7 +843,12 @@ object PipelineQueries {
   private[queries] def duckHp(v: String, j: Int): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, 64), i -> CAST($v[i + 1] AS DOUBLE) * (((i * 37 + $j * 101) % 11) - 5))), (s, x) -> s + x)"
   private[queries] def bucketExpr(dot: (String, Int) => String, v: String): String =
-    (0 to 3).map(j => s"(CASE WHEN ${dot(v, j)} > 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
+    bucketExprN(dot, v, 4)
+  /** nBits-generalized sign-bit bucket (2^nBits cells) — same hyperplane
+    * family, the 4-bit form above is the nBits=4 instance (text-identical,
+    * so the pre-existing 16-cell oracles keep their exact SQL). */
+  private[queries] def bucketExprN(dot: (String, Int) => String, v: String, nBits: Int): String =
+    (0 until nBits).map(j => s"(CASE WHEN ${dot(v, j)} > 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
 
   private val qAnnLsh = split("q_ann_lsh",
     s"""WITH v AS (
