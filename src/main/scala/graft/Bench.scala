@@ -26,6 +26,21 @@ object Bench {
       """SELECT w, COUNT(*) FROM (
         |  SELECT EXPLODE(SPLIT(text, ' ')) w FROM documents LIMIT 100
         |) GROUP BY w ORDER BY w LIMIT 5""".stripMargin).collect()
+    // The FIRST streaming query in a JVM additionally pays micro-batch
+    // engine + state-store-provider init and streaming codegen (measured
+    // solo: q_stream_join 6.0s cold vs 2.8-3.0s steady — SCALING.md
+    // "variance adjudications"); prime it on the tiny sf0.001 events so
+    // the stream entries measure steady state like everything else.
+    val tinyDir = sfDir.replaceAll("sf[0-9.]+$", "sf0.001")
+    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(tinyDir)))
+      try {
+        val ev = graft.streaming.EventStreams.readEvents(spark, tinyDir)
+        graft.streaming.EventStreams.runToMemoryTable(
+          graft.streaming.EventStreams.clickPurchaseAttribution(ev),
+          "graft_warmup_stream", mode = "append").count()
+      } catch { case e: Throwable =>
+        System.err.println(s"BENCH stream warm-up skipped: ${e.getMessage}") }
+    graft.engine.Tables.register(spark, sfDir)
 
     // Optional comma-separated name filter for focused perf iteration.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
@@ -82,7 +97,34 @@ object Bench {
       (System.nanoTime() - s1t0) / 1e9
     } catch { case _: Throwable => -1.0 }
     val withS1 = results :+ ("q_dedup_substring_spans_stride1_sf001" -> s1)
-    val qs = withS1.map { case (k, v) => "\"" + k + "\":" + v }
+
+    // sf1 smoke (VERDICT r7 #5): a fixed super-linearity canary — headline
+    // queries + the two operators the sf1 stress once exposed as quadratic
+    // (now in their linear spellings) + the 256-cell recall pipeline — run
+    // at the locally generated sf1 every round, so a regression in a scale
+    // exponent or the recall path can't return silently. Gated on the sf1
+    // fixture existing (tools/gen_sf.py 1 tools/sf1) and skippable via
+    // SPARK_GRAFT_NO_SF1 for focused local iteration.
+    val sf1Dir = "tools/sf1"
+    val sf1Smoke: Seq[(String, Double)] =
+      if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(sf1Dir)) ||
+          sys.env.contains("SPARK_GRAFT_NO_SF1") || only.isDefined) Seq.empty
+      else {
+        graft.engine.Tables.register(spark, sf1Dir)
+        Seq("q1_agg", "q3_join_topk", "q5_join_multi", "q6_forecast_revenue",
+            "q_join_nonequi_cdf", "q_dedup_simhash_pairs60", "q_ann_recall256")
+          .flatMap(n => SparkEntry.registry.find(_.name == n)).map { q =>
+            val t0 = System.nanoTime()
+            val t = try { q.run(spark, sf1Dir).count(); (System.nanoTime() - t0) / 1e9 }
+              catch { case e: Throwable =>
+                System.err.println(s"BENCH SF1 FAIL ${q.name}: ${e.getMessage}")
+                errors += s"sf1:${q.name}"; -1.0 }
+            q.name -> t
+          }
+      }
+
+    def qmap(m: Seq[(String, Double)], dp: Int = 9) = m
+      .map { case (k, v) => "\"" + k + "\":" + BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP) }
       .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val retryJson = retried.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -90,13 +132,34 @@ object Bench {
       .mkString("{", ",", "}")
     // total stays the sf-dir-only sum so round-over-round comparisons hold
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"retried":$retryJson,"first":$firstJson,"sf":"$sfDir"}"""
-    println(line)
-    // Persist too: the driver's stdout tail capture truncates long lines.
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(withS1)},"errors":$errJson,"retried":$retryJson,"first":$firstJson,"sf1_smoke":${qmap(sf1Smoke)},"sf":"$sfDir"}"""
+    // Persist the FULL record to a file — the driver's stdout capture keeps
+    // only the last ~2000 characters, which a 230-entry map never fits.
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
-    java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(out, (fullLine + "\n").getBytes("UTF-8"))
+    // stdout gets ONE compact line sized to survive that tail capture
+    // (VERDICT r7 #3: BENCH_r*.json carried parsed:null for two rounds
+    // because the full line overflowed it): total + every error + the
+    // retry count + a FIXED headline subset at 3dp + the sf1 smoke. The
+    // fixed membership keeps round-over-round per-query comparison stable;
+    // the full per-query map lives in target/bench.json ("full" pointer).
+    val headline = Seq(
+      "q1_agg", "q2_scan_filter", "q3_join_topk", "q5_join_multi",
+      "q6_forecast_revenue", "q_sort_limit", "q_window_rank", "q_grouping_sets",
+      "q_store_partitioned", "q_store_jdbc_agg", "q_dedup_exact",
+      "q_dedup_minhash_pairs", "q_dedup_simhash_pairs60",
+      "q_dedup_substring_spans", "q_op_semdedup", "q_ann_ivf",
+      "q_ann_ivfpq_residual", "q_ann_ivfadc_rerank", "q_ann_recall256_r3",
+      "q_text_tfidf", "q_op_bpe_api", "q_op_multimodal_patches",
+      "q_pipeline_sample", "q_pipeline_curate", "q_join_nonequi_cdf",
+      "q_stream_join", "q_stream_hourly", "q_op_kmeans", "q_func_python_udf",
+      "q_dedup_substring_spans_stride1_sf001")
+    val hl = withS1.filter(p => headline.contains(p._1))
+    val compact =
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","n":${withS1.length},"errors":$errJson,"retries":${retried.length},"queries":${qmap(hl, 3)},"sf1_smoke":${qmap(sf1Smoke, 3)},"sf":"$sfDir","full":"target/bench.json"}"""
+    println(compact)
     spark.stop()
   }
 }

@@ -103,9 +103,12 @@ object Similarity {
     * `corpusAssign` nearest cells, so a true neighbor sitting just across
     * a Voronoi boundary is still reachable from the probe's cells. Storage
     * and scan cost scale by the factor r; on the isotropic synthetic
-    * fixture this is the knob that lifts 256-cell recall@5 past 70% at
-    * nProbe=16 (single-assignment tops out near 58% there — see
-    * SCALING.md). With r > 1 a (query, neighbor) pair can co-occur in
+    * fixture this is the knob that lifts 256-cell recall@5 from 53% to
+    * 69%/78%/84% at r=2/3/4, nProbe=16 held fixed (200-probe sf0.1 set —
+    * SCALING.md; the 20-probe oracle subset reads a few points higher,
+    * ~58% single-assign, and a NumPy ideal-float k-means replica measures
+    * the same, so the ceiling is a data property, not an implementation
+    * artifact). With r > 1 a (query, neighbor) pair can co-occur in
     * several probed cells, so candidates collapse through one extra
     * (query, neighbor) groupBy before the top-k window (cos_sim is
     * identical across the duplicates; the surviving `cell` is the
@@ -378,6 +381,10 @@ object Similarity {
                         nProbe: Int = 1, rerank: Int = 0): DataFrame = {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     require(nProbe >= 1, s"need nProbe >= 1, got $nProbe")
+    // A shortlist smaller than k would silently truncate the result set —
+    // misconfiguration must fail loudly, not return k' < k neighbors.
+    require(rerank == 0 || rerank >= k,
+      s"rerank=$rerank must be 0 (off) or >= k=$k (shortlist size)")
     graft.functions.TajoFunctions.register(corpus.sparkSession)
     val subDim = dim / m
     // ---- IVF half: assignment by SUM centroids (scale-invariant cosine,
@@ -395,8 +402,12 @@ object Similarity {
       .agg(expr("TRANSFORM(SORT_ARRAY(COLLECT_LIST(STRUCT(i, mc))), s -> s.mc)").as("ivec"),
         expr("TRANSFORM(SORT_ARRAY(COLLECT_LIST(STRUCT(i, mm))), s -> s.mm)").as("mvec"))
       .withColumn("inrm", expr(s"SQRT(${HashSpec.dotNative("ivec", "ivec")})"))
-    def assign(df: DataFrame): DataFrame = df.crossJoin(broadcast(cent))
+    // One scored (vector x centroid) subplan shared by both assignment
+    // spellings — the K-row centroid table is broadcast, so this is a
+    // map-side fan-out of K rows per vector, never a shuffle.
+    def scored(df: DataFrame): DataFrame = df.crossJoin(broadcast(cent))
       .withColumn("__score", expr(s"${HashSpec.dotNative("__vec", "ivec")} / inrm"))
+    def assign(df: DataFrame): DataFrame = scored(df)
       .groupBy(col(idCol))
       .agg(max(struct(col("__score").as("s"), (lit(0) - col("cid")).as("nc"))).as("b"))
       .select(col(idCol), (lit(0) - col("b.nc")).as("cell"))
@@ -404,8 +415,7 @@ object Similarity {
     // single-assigns; same discipline as ivfTopK.assignTopN)
     def assignTopN(df: DataFrame, n: Int): DataFrame =
       if (n <= 1) assign(df)
-      else df.crossJoin(broadcast(cent))
-        .withColumn("__score", expr(s"${HashSpec.dotNative("__vec", "ivec")} / inrm"))
+      else scored(df)
         .withColumn("__cr", row_number().over(
           Window.partitionBy(col(idCol)).orderBy(col("__score").desc, col("cid"))))
         .filter(col("__cr") <= n)

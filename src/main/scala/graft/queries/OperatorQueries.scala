@@ -277,12 +277,14 @@ object OperatorQueries {
   // nProbe=16 = 6% of cells probed — plus the corpusAssign redundancy knob
   // (spill-tree / FLANN-style multi-assignment: each corpus vector indexed
   // in its r nearest cells). On the isotropic fixture single assignment
-  // tops out near 58% recall@5 at this operating point — a data-property
-  // ceiling, not an implementation artifact (a NumPy replica of ideal
-  // float k-means measures the same 57.8%; isotropic Gaussians put a
-  // query's true neighbors in near-uniformly many Voronoi cells) — and
-  // r=2/r=3 lift it past 70%/78% at 2x/3x index size, probing still 6% of
-  // cells. Measured curve: SCALING.md. The oracle replays all three Lloyd
+  // tops out at 53% recall@5 on the 200-probe measurement set (58% on
+  // this query's 20-probe subset) at this operating point — a
+  // data-property ceiling, not an implementation artifact (a NumPy
+  // replica of ideal float k-means measures the same 57.8% there;
+  // isotropic Gaussians put a query's true neighbors in near-uniformly
+  // many Voronoi cells) — and r=2/3/4 lift it to 69%/78%/84% at r-times
+  // index size, probing still 6% of cells. Measured curve: SCALING.md.
+  // The oracle replays all three Lloyd
   // rounds at 256 cells, the r-wide corpus assignment, the duplicate-pair
   // collapse (MAX over identical cosines), and both rankings.
   private def annRecall256Query(name: String, nProbe: Int, iters: Int,
