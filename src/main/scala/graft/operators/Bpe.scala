@@ -120,13 +120,16 @@ object Bpe {
     val spark = docs.sparkSession
     import spark.implicits._
     val ordered = merges.sortBy(_.rank).map(m => (m.a, m.b)).toArray
-    val enc = udf((text: String) =>
-      if (text == null) Seq.empty[String]
-      else text.toLowerCase.split(" ").filter(_.nonEmpty).toSeq.flatMap { w =>
-        var syms = w.split("").filter(_.nonEmpty) :+ EndOfWord
-        ordered.foreach { case (a, b) => syms = mergeOnce(syms, a, b) }
-        syms.toSeq
-      })
+    // The full merge-list replay runs once per DISTINCT word per task via
+    // WordMemo (memo key is the raw word; lowercasing inside keeps the
+    // pre-memo text.toLowerCase semantics — splitting on ' ' first is
+    // equivalent because the space IS the case-mapping context boundary).
+    val enc = udf(new WordMemo({ raw =>
+      val w = raw.toLowerCase
+      var syms = w.split("").filter(_.nonEmpty) :+ EndOfWord
+      ordered.foreach { case (a, b) => syms = mergeOnce(syms, a, b) }
+      syms.toSeq
+    }))
     docs.select(col(idCol), enc(col(textCol)).as("tokens"))
       .withColumn("n_tokens", size($"tokens").cast("bigint"))
   }

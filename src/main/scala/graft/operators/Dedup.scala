@@ -100,35 +100,181 @@ object Dedup {
     * (the canonical "keeper"). Pairs alone under-dedupe — A~B and B~C must
     * collapse to one cluster even when A~C was never emitted.
     *
-    * Algorithm: iterative min-label propagation — each round every node
-    * takes the min of its own label and its neighbors' labels (one join +
-    * one aggregation per round, all shuffle-on-key). Rounds needed = the
-    * component diameter, which for LSH duplicate clusters is tiny; capped
-    * by maxIter. localCheckpoint truncates the loop's lineage so plans stay
-    * flat. The driver loop is control flow only — the single scalar pulled
-    * per round is the convergence count.
+    * Two-phase algorithm, both phases published MapReduce-CC shapes:
+    *
+    * Phase 1 — min-label propagation, [[propRounds]] rounds max. Each
+    * round every node takes the min of its own and its neighbors' labels:
+    * one edge join + one aggregation, the cheapest possible round. This
+    * converges in (diameter + 1) rounds, and LSH duplicate clusters are
+    * almost always tiny-diameter — at sf0.1 the whole fixture converges
+    * here and phase 2 never runs.
+    *
+    * Phase 2 — if phase 1 hit its cap, contract the graph by the current
+    * labels (label groups are connected by construction, so contraction
+    * preserves components; after k collapse rounds the residual graph is
+    * a small fraction of the input) and run alternating large-star /
+    * small-star contraction (Kiveris, Lattanzi, Mirrokni, Rastogi,
+    * Vassilvitskii — "Connected Components in MapReduce and Beyond", SoCC
+    * 2014) on the residual. Each large-star step connects every
+    * strictly-larger neighbor of a node to the minimum of its closed
+    * neighborhood; each small-star step does the same for the
+    * smaller-or-equal neighbors; the paper proves O(log² n) rounds —
+    * independent of component DIAMETER. At the fixed point every
+    * component is a star rooted at its minimum id; composing star keepers
+    * back through the phase-1 labels yields the global keeper map.
+    *
+    * Why not one phase? Star contraction alone pays ~6 shuffles per round
+    * even when the graph is trivially small-diameter (measured 2.8s ->
+    * 5.7s at sf0.1); propagation alone needs diameter rounds over the FULL
+    * edge set, and near-dup chains (doc A copied to B, B to C, ...) give
+    * real corpora diameters in the tens — the sf1 fixture needs 15
+    * full-edge-set propagation rounds vs 4 propagation + 4 residual star
+    * rounds under the hybrid (SCALING.md §7). Pointer jumping does NOT fix
+    * propagation: jumps only help while label CHAINS exist, and
+    * min-propagation keeps labels pointing directly at the current
+    * champion, so chains never form on random-id graphs.
+    *
+    * The star loop's per-round convergence probe is a count +
+    * order-independent bit_xor-of-xxhash64 checksum (one scalar pair to
+    * the driver); only when the signature repeats does an exact symmetric
+    * anti-join confirm the fixed point — by then the edge set is
+    * star-sized.
+    *
+    * Stats detachment (the [[detachStats]] call at each round boundary) is
+    * load-bearing: Spark's localCheckpoint carries the ORIGIN plan's
+    * statistics into the replacement LogicalRDD, and a join's default size
+    * estimate is the PRODUCT of its children's — so the carried BigInt
+    * estimate compounds multiplicatively round over round until Catalyst's
+    * stats visitor spends minutes multiplying million-bit BigIntegers and
+    * PLANNING, not execution, becomes the bottleneck (observed stall at
+    * sf1 with a deeper per-round plan). Rebuilding from the materialized
+    * RDD drops originStats back to the default; AQE re-plans joins from
+    * runtime sizes, so nothing is lost on the execution side.
     */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+    // 5 = diameter-4 clusters converge (detection costs the +1 round) —
+    // covers the LSH near-dup graphs seen in practice; anything deeper
+    // falls through to contraction
+    val propRounds = math.min(5, maxIter)
+    // directed edges both ways for the propagation phase
+    val edges = detachStats(pairs
+      .select(col("d1").as("a"), col("d2").as("b"))
       .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
-      .distinct().localCheckpoint()
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
+      .filter(col("a") =!= col("b")).distinct())
+    var labels = detachStats(edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id")))
     var i = 0
     var converged = false
-    while (i < maxIter && !converged) {
+    while (i < propRounds && !converged) {
       val neighborMin = edges.join(labels, edges("b") === labels("id"))
         .groupBy(edges("a").as("nid")).agg(min("label").as("nmin"))
-      val updated = labels.join(neighborMin, labels("id") === neighborMin("nid"), "left")
-        .select(labels("id"),
-          least(labels("label"), coalesce(col("nmin"), labels("label"))).as("next"),
-          labels("label").as("prev"))
-        .localCheckpoint()
+      val updated = detachStats(
+        labels.join(neighborMin, labels("id") === col("nid"), "left")
+          .select(labels("id"),
+            least(labels("label"), coalesce(col("nmin"), labels("label"))).as("next"),
+            labels("label").as("prev")))
       converged = updated.filter(col("next") < col("prev")).isEmpty
       labels = updated.select(col("id"), col("next").as("label"))
       i += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] prop round=$i converged=$converged")
     }
-    labels.select(col("id").as("doc_id"), col("label").as("keeper"))
+    if (converged)
+      labels.select(col("id").as("doc_id"), col("label").as("keeper"))
+    else {
+      // contract by current labels (components preserved) and finish with
+      // star rounds on the much smaller residual graph
+      val la = labels.select(col("id").as("ia"), col("label").as("lu"))
+      val lb = labels.select(col("id").as("ib"), col("label").as("lv"))
+      val contracted = detachStats(edges
+        .join(la, col("a") === col("ia")).join(lb, col("b") === col("ib"))
+        .select(least(col("lu"), col("lv")).as("u"),
+          greatest(col("lu"), col("lv")).as("v"))
+        .filter(col("u") =!= col("v")).distinct())
+      val star = starContract(contracted, maxIter - propRounds)
+      labels.join(star, labels("label") === star("doc_id"), "left")
+        .select(labels("id").as("doc_id"),
+          coalesce(star("keeper"), labels("label")).as("keeper"))
+    }
+  }
+
+  /** Alternating large-star/small-star fixed point over canonical (u < v)
+    * edges; returns (doc_id, keeper) for every node appearing in `edges0`
+    * (see [[duplicateClusters]] for the algorithm and citations). */
+  private def starContract(edges0: DataFrame, maxRounds: Int): DataFrame = {
+    var edges = edges0
+    val allNodes = detachStats(
+      edges.select(col("u").as("id")).union(edges.select(col("v").as("id")))
+        .distinct())
+
+    def bothDirs(ed: DataFrame): DataFrame =
+      ed.select(col("u").as("a"), col("v").as("b"))
+        .union(ed.select(col("v").as("a"), col("u").as("b")))
+
+    // large-star: for every node a, connect each neighbor b > a to
+    // m = min(N(a) ∪ {a}); edges with b < a are emitted from b's own group
+    def largeStar(ed: DataFrame): DataFrame = {
+      val nb = bothDirs(ed)
+      val m = nb.groupBy("a").agg(min("b").as("mb"))
+        .select(col("a").as("ma"), least(col("a"), col("mb")).as("m"))
+      nb.join(m, col("a") === col("ma"))
+        .filter(col("b") > col("a"))
+        .select(col("m").as("u"), col("b").as("v"))   // m <= a < b
+        .distinct()
+    }
+
+    // small-star: for every node a, connect its strictly-smaller neighbors
+    // and a itself to m = min of those smaller neighbors
+    def smallStar(ed: DataFrame): DataFrame = {
+      val nb = bothDirs(ed).filter(col("b") < col("a"))
+      val m = nb.groupBy("a").agg(min("b").as("mb"))
+      val redirected = nb.join(m, "a")
+        .filter(col("b") =!= col("mb"))
+        .select(col("mb").as("u"), col("b").as("v"))  // mb < b
+      val anchor = m.select(col("mb").as("u"), col("a").as("v"))
+      redirected.union(anchor).distinct()
+    }
+
+    def sig(ed: DataFrame): (Long, Long) = {
+      val r = ed.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var prev = edges
+    var prevSig = sig(edges)
+    var i = 0
+    var converged = false
+    while (i < maxRounds && !converged) {
+      edges = detachStats(smallStar(largeStar(prev)))
+      val s = sig(edges)
+      if (s == prevSig)
+        converged = edges.exceptAll(prev).isEmpty && prev.exceptAll(edges).isEmpty
+      prev = edges
+      prevSig = s
+      i += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] star round=$i edges=${s._1} converged=$converged")
+    }
+    // fixed point: every component is a star (root u = component min); the
+    // min-agg is a no-op there (each v has exactly one edge) and guards the
+    // output shape if the maxIter cap ever fires pre-fixpoint
+    val members = edges.groupBy(col("v").as("doc_id"))
+      .agg(min("u").as("keeper"))
+    val roots = allNodes.join(members, allNodes("id") === members("doc_id"), "left_anti")
+      .select(col("id").as("doc_id"), col("id").as("keeper"))
+    members.union(roots)
+  }
+
+  /** localCheckpoint, then rebuild the Dataset from the materialized RDD so
+    * the new LogicalRDD carries NO origin statistics (see
+    * [[duplicateClusters]]: carried stats compound multiplicatively across
+    * loop rounds until BigInteger arithmetic stalls the planner). The
+    * decode/re-encode of the small label table is noise next to the edge
+    * join each round. */
+  private def detachStats(df: DataFrame): DataFrame = {
+    val mat = df.localCheckpoint()
+    mat.sparkSession.createDataFrame(mat.rdd, mat.schema)
   }
 
   /** End of the dedup pipeline: keep one representative per duplicate
@@ -374,24 +520,33 @@ object Dedup {
     * shuffle back on the doc id for reassembly. No self-join, no driver
     * state; boilerplate-heavy keys are AQE skew candidates only. */
   def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
-                     sep: String = "\n\n"): DataFrame = {
+                     sep: String = "\n\n",
+                     carryCols: Seq[String] = Nil): DataFrame = {
     val quoted = java.util.regex.Pattern.quote(sep)
+    // Single pass over the input: SPLIT always yields at least one element
+    // (empty text -> [""]), so every doc appears in the explode and
+    // total_paras is a COUNT inside the same per-doc aggregate — no second
+    // evaluation of `docs` and no join back (which matters when the input
+    // is itself an expensive pipeline, e.g. q_pipeline_curate's gated
+    // subplan). `carryCols` are doc-level columns (functionally dependent
+    // on the id) carried through the aggregate for the same reason.
     val paras = docs
-      .select(col(idCol), posexplode(split(col(textCol), quoted)).as(Seq("pos", "p")))
+      .select(col(idCol) +: carryCols.map(col) :+
+        posexplode(split(col(textCol), quoted)).as(Seq("pos", "p")): _*)
     val firstOcc = Window.partitionBy(md5(col("p"))).orderBy(col(idCol), col("pos"))
-    val kept = paras.withColumn("__rn", row_number().over(firstOcc))
-      .filter(col("__rn") === 1)
     val sepLit = sep.replace("\\", "\\\\").replace("'", "\\'")
-    val reassembled = kept.groupBy(col(idCol))
-      .agg(count("*").cast("bigint").as("kept_paras"),
-        expr(s"ARRAY_JOIN(TRANSFORM(ARRAY_SORT(COLLECT_LIST(STRUCT(pos, p))), s -> s.p), '$sepLit')")
-          .as("__text"))
-    docs.select(col(idCol),
-        size(split(col(textCol), quoted)).cast("bigint").as("total_paras"))
-      .join(reassembled, Seq(idCol), "left")
-      .select(col(idCol), col("total_paras"),
-        coalesce(col("kept_paras"), lit(0L)).as("kept_paras"),
-        coalesce(col("__text"), lit("")).as("text"))
+    val aggs = Seq(
+      count(lit(1)).cast("bigint").as("total_paras"),
+      sum(when(col("__rn") === 1, 1L).otherwise(0L)).cast("bigint").as("kept_paras"),
+      expr(s"""ARRAY_JOIN(TRANSFORM(ARRAY_SORT(
+              |  COLLECT_LIST(CASE WHEN __rn = 1 THEN STRUCT(pos, p) END)),
+              |  s -> s.p), '$sepLit')""".stripMargin).as("text")) ++
+      carryCols.map(c => first(col(c)).as(c))
+    paras.withColumn("__rn", row_number().over(firstOcc))
+      .groupBy(col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol) +: col("total_paras") +: col("kept_paras") +:
+        col("text") +: carryCols.map(col): _*)
   }
 
   /** Decontamination: drop corpus documents whose n-gram Jaccard overlap
@@ -463,7 +618,14 @@ object Dedup {
     * more than once corpus-wide (one aggregation on the hash — uniform
     * keys, no skew), then merge each document's surviving windows into
     * maximal spans with a gaps-and-islands window (new island when a
-    * window starts past the previous reach). Cost is linear in
+    * window starts past the previous reach). "Kept more than once" is a
+    * COUNT(*) OVER (PARTITION BY hash) — one pass over the windows, so the
+    * explode+md5 subplan (the dominant cost) is evaluated once; the
+    * aggregate+self-join spelling of the same predicate evaluates it twice
+    * and shuffles the window table a third time for the join (measured
+    * 29.4s -> 6.8s at sf1, 3.1s -> ~1.3s at sf0.1; SCALING.md §7). WindowExec's spillable per-key buffer keeps a
+    * pathologically repeated window (boilerplate seen millions of times)
+    * from pinning memory. Cost is linear in
     * characters/stride — the same work ExactSubstr's suffix array pays,
     * but as two shuffles on derived keys with no driver-side state;
     * `stride > 1` trades span-boundary precision for proportionally less
@@ -481,8 +643,10 @@ object Dedup {
         col(textCol))
       .select(col(idCol), col("__s").cast("bigint").as("start"),
         md5(expr(s"SUBSTRING($textCol, __s + 1, $minLen)")).as("__h"))
-    val repeated = wins.groupBy("__h").count().filter(col("count") > 1).select("__h")
-    val flagged = wins.join(repeated, "__h").select(col(idCol), col("start"))
+    val flagged = wins
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy("__h")))
+      .filter(col("__cnt") > 1)
+      .select(col(idCol), col("start"))
     val w = Window.partitionBy(idCol).orderBy("start")
     flagged
       .withColumn("__new",

@@ -119,56 +119,62 @@ object Unigram {
     * optimal segmentation, so the result is the leftmost-longest optimum.
     * Characters absent from the vocab (possible only when the vocab was
     * derived from a different corpus) fall back to implicit score-0
-    * singletons so the encode stays total. */
+    * singletons so the encode stays total. The DP runs once per DISTINCT
+    * word per task via [[WordMemo]]. */
   def encode(docs: DataFrame, idCol: String, textCol: String,
              vocabRows: Seq[(String, Long)]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val vmap = vocabRows.toMap
     val maxLen = vocabRows.iterator.map(_._1.length).foldLeft(1)(math.max)
-    def pieceScore(p: String): Option[Long] =
-      vmap.get(p).orElse(if (p.length == 1) Some(0L) else None)
-    val enc = udf((text: String) =>
-      if (text == null) Seq.empty[String]
-      else text.split(" ").filter(_.nonEmpty).toSeq.flatMap { w =>
-        val n = w.length
-        val dpc = new Array[Long](n + 1)
-        val dps = new Array[Long](n + 1)
-        var i = n - 1
-        while (i >= 0) {
-          var bc = Long.MaxValue
-          var bs = Long.MinValue
-          var k = 1
-          val kMax = math.min(maxLen, n - i)
-          while (k <= kMax) {
-            pieceScore(w.substring(i, i + k)) match {
-              case Some(s) =>
-                val c = 1L + dpc(i + k)
-                val sc = s + dps(i + k)
-                if (c < bc || (c == bc && sc > bs)) { bc = c; bs = sc }
-              case None =>
-            }
-            k += 1
-          }
-          dpc(i) = bc
-          dps(i) = bs
-          i -= 1
-        }
-        val out = Seq.newBuilder[String]
-        var pos = 0
-        while (pos < n) {
-          var k = math.min(maxLen, n - pos)
-          var taken = false
-          while (!taken) {
-            val p = w.substring(pos, pos + k)
-            val ok = pieceScore(p).exists(s =>
-              1L + dpc(pos + k) == dpc(pos) && s + dps(pos + k) == dps(pos))
-            if (ok) { out += p; pos += k; taken = true } else k -= 1
-          }
-        }
-        out.result()
-      })
+    val enc = udf(new WordMemo(w => encodeWord(w, vmap, maxLen)))
     docs.select(col(idCol), enc(col(textCol)).as("pieces"))
       .withColumn("n_pieces", size($"pieces").cast("bigint"))
+  }
+
+  /** Absent multi-char pieces score Long.MinValue (impossible for real
+    * scores, which are non-negative counts); absent single chars fall back
+    * to the implicit score-0 singleton. */
+  private def pieceScore(vmap: Map[String, Long], p: String): Long =
+    vmap.getOrElse(p, if (p.length == 1) 0L else Long.MinValue)
+
+  private def encodeWord(w: String, vmap: Map[String, Long],
+                         maxLen: Int): Seq[String] = {
+    val n = w.length
+    val dpc = new Array[Long](n + 1)
+    val dps = new Array[Long](n + 1)
+    var i = n - 1
+    while (i >= 0) {
+      var bc = Long.MaxValue
+      var bs = Long.MinValue
+      var k = 1
+      val kMax = math.min(maxLen, n - i)
+      while (k <= kMax) {
+        val s = pieceScore(vmap, w.substring(i, i + k))
+        if (s != Long.MinValue) {
+          val c = 1L + dpc(i + k)
+          val sc = s + dps(i + k)
+          if (c < bc || (c == bc && sc > bs)) { bc = c; bs = sc }
+        }
+        k += 1
+      }
+      dpc(i) = bc
+      dps(i) = bs
+      i -= 1
+    }
+    val out = Seq.newBuilder[String]
+    var pos = 0
+    while (pos < n) {
+      var k = math.min(maxLen, n - pos)
+      var taken = false
+      while (!taken) {
+        val p = w.substring(pos, pos + k)
+        val s = pieceScore(vmap, p)
+        val ok = s != Long.MinValue &&
+          1L + dpc(pos + k) == dpc(pos) && s + dps(pos + k) == dps(pos)
+        if (ok) { out += p; pos += k; taken = true } else k -= 1
+      }
+    }
+    out.result()
   }
 }

@@ -68,28 +68,27 @@ object WordPiece {
     val initial = vocabRows.collect { case (p, true) => p }.toSet
     val cont = vocabRows.collect { case (p, false) => p }.toSet
     val maxLen = (initial.iterator ++ cont.iterator).map(_.length).foldLeft(1)(math.max)
-    val enc = udf((text: String) =>
-      if (text == null) Seq.empty[String]
-      else text.split(" ").filter(_.nonEmpty).toSeq.flatMap { w =>
-        val out = Seq.newBuilder[String]
-        var pos = 0
-        while (pos < w.length) {
-          val set = if (pos == 0) initial else cont
-          var l = math.min(maxLen, w.length - pos)
-          while (l > 1 && !set.contains(w.substring(pos, pos + l))) l -= 1
-          val piece = w.substring(pos, pos + l)
-          // Fallback contract: when the vocab was trained on THIS corpus,
-          // every single char is in vocab, so the l=1 piece always matches.
-          // With a CROSS-CORPUS vocab, an unseen character is still emitted
-          // as its own (out-of-vocab) piece rather than dropped or turned
-          // into an [UNK] sentinel — encoding stays total and lossless, the
-          // same explicit pass-through contract as Unigram.encode's
-          // single-char fallback.
-          out += (if (pos == 0) piece else "##" + piece)
-          pos += l
-        }
-        out.result()
-      })
+    // Greedy scan runs once per DISTINCT word per task via WordMemo.
+    val enc = udf(new WordMemo(w => {
+      val out = Seq.newBuilder[String]
+      var pos = 0
+      while (pos < w.length) {
+        val set = if (pos == 0) initial else cont
+        var l = math.min(maxLen, w.length - pos)
+        while (l > 1 && !set.contains(w.substring(pos, pos + l))) l -= 1
+        val piece = w.substring(pos, pos + l)
+        // Fallback contract: when the vocab was trained on THIS corpus,
+        // every single char is in vocab, so the l=1 piece always matches.
+        // With a CROSS-CORPUS vocab, an unseen character is still emitted
+        // as its own (out-of-vocab) piece rather than dropped or turned
+        // into an [UNK] sentinel — encoding stays total and lossless, the
+        // same explicit pass-through contract as Unigram.encode's
+        // single-char fallback.
+        out += (if (pos == 0) piece else "##" + piece)
+        pos += l
+      }
+      out.result()
+    }))
     docs.select(col(idCol), enc(col(textCol)).as("pieces"))
       .withColumn("n_pieces", size($"pieces").cast("bigint"))
   }

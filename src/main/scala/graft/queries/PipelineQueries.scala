@@ -938,9 +938,12 @@ object PipelineQueries {
           |  CHR(10), CHR(10),
           |  ARRAY_JOIN(SLICE(SPLIT(text, ' '), 9, SIZE(SPLIT(text, ' '))), ' '))""".stripMargin)
         .as("text"))
-      Dedup.paragraphDedup(paraDocs, "doc_id", "text")
+      // `source` rides through the dedup aggregate (carryCols) instead of a
+      // join back to paraDocs — paraDocs embeds the whole gated pipeline
+      // (structural gate + bigram LM + median gate), and the join spelling
+      // re-evaluated all of it a second time
+      Dedup.paragraphDedup(paraDocs, "doc_id", "text", carryCols = Seq("source"))
         .filter(col("kept_paras") > 0)
-        .join(paraDocs.select("doc_id", "source"), "doc_id")
         .groupBy("source")
         .agg(count("*").cast("bigint").as("n_curated"),
           sum("kept_paras").as("paras_kept"))
