@@ -114,8 +114,17 @@ object Bench {
         Seq("q1_agg", "q3_join_topk", "q5_join_multi", "q6_forecast_revenue",
             "q_join_nonequi_cdf", "q_dedup_simhash_pairs60", "q_ann_recall256")
           .flatMap(n => SparkEntry.registry.find(_.name == n)).map { q =>
-            val t0 = System.nanoTime()
-            val t = try { q.run(spark, sf1Dir).count(); (System.nanoTime() - t0) / 1e9 }
+            // min of 2 attempts: the smoke runs right after the full sf-dir
+            // registry, so attempt 1 absorbs the cold page cache for the
+            // sf1 files + post-run JVM state (measured 4x swings on the
+            // text-heavy canaries); the canary is for EXPONENT regressions,
+            // and a noise floor that wide would defeat it
+            def once(): Double = {
+              val t0 = System.nanoTime()
+              q.run(spark, sf1Dir).count()
+              (System.nanoTime() - t0) / 1e9
+            }
+            val t = try math.min(once(), once())
               catch { case e: Throwable =>
                 System.err.println(s"BENCH SF1 FAIL ${q.name}: ${e.getMessage}")
                 errors += s"sf1:${q.name}"; -1.0 }

@@ -361,13 +361,28 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard for candidate pairs (verification pass after
-    * LSH), over native one-pass shingle hash sets. */
+    * LSH), over native one-pass shingle hash sets.
+    *
+    * Shingle sets are built ONLY for documents that appear in a candidate
+    * pair (a semi-join prune through the pair table) and materialized once
+    * — LSH candidates cover a small fraction of any deduplicated corpus,
+    * so this turns a corpus-wide hash-and-shuffle (the naive spelling
+    * computed ngram_hash_set over ALL documents twice, and the planner
+    * even chose to BROADCAST the corpus-sized set table at small sf — a
+    * scale-killer shape at 100 TB) into two joins between pair-sized
+    * tables. The pair table is localCheckpoint'd: it is referenced three
+    * times (two id sides + the verify join), and candidates are
+    * pair-table-sized by design. */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, idCol: String,
                    textCol: String, shingleN: Int = 3): DataFrame = {
     graft.functions.TajoFunctions.register(docs.sparkSession)
-    val sh = docs.select(col(idCol),
-      expr(s"ngram_hash_set($textCol, $shingleN)").as("s"))
-    pairs
+    val cands = pairs.localCheckpoint()
+    val need = cands.select(col("d1").as(idCol))
+      .union(cands.select(col("d2").as(idCol))).distinct()
+    val sh = docs.join(need, Seq(idCol))
+      .select(col(idCol), expr(s"ngram_hash_set($textCol, $shingleN)").as("s"))
+      .localCheckpoint()
+    cands
       .join(sh.select(col(idCol).as("d1"), col("s").as("s1")), "d1")
       .join(sh.select(col(idCol).as("d2"), col("s").as("s2")), "d2")
       .select(col("d1"), col("d2"),

@@ -724,15 +724,22 @@ object PipelineQueries {
   // Jaccard over shingle HASH sets (native ngram_hash_set, one pass, no
   // shingle strings): equals string-set Jaccard because both engines hash
   // with the same poly31 spec — collisions, if any, collide identically.
-  private val qNgramJaccard = split("q_dedup_ngram_jaccard",
-    s"""$sparkSigs, bands AS ($bandsSpark), $sparkCands,
-       |shs AS (SELECT doc_id, ngram_hash_set(text, 3) AS s FROM documents)
-       |SELECT c.d1, c.d2,
-       |  CAST(SIZE(ARRAY_INTERSECT(x.s, y.s)) AS DOUBLE)
-       |    / SIZE(ARRAY_UNION(x.s, y.s)) AS jaccard
-       |FROM cands c JOIN shs x ON c.d1 = x.doc_id JOIN shs y ON c.d2 = y.doc_id
-       |ORDER BY c.d1, c.d2""".stripMargin,
-    s"""$duckSigs, bands AS ($bandsDuck),
+  // Spark side is the Dedup operator pipeline (not raw SQL) so the shingle
+  // sets are built only for candidate-pair docs and materialized once —
+  // the SQL spelling's doubly-referenced corpus-wide `shs` CTE recomputed
+  // ngram_hash_set for ALL documents twice and let the planner broadcast
+  // the corpus-sized set table (see Dedup.ngramJaccard's scaladoc).
+  private val qNgramJaccard = df("q_dedup_ngram_jaccard",
+    (sp, dir) => {
+      import graft.operators.Dedup
+      val docs = graft.engine.Tables.table(sp, dir, "documents")
+      val sigs = Dedup.minhashSignature(docs, "doc_id", "text")
+      val pairs = Dedup.minhashCandidates(Dedup.minhashBands(sigs, "doc_id"), "doc_id")
+      Dedup.ngramJaccard(docs, pairs, "doc_id", "text")
+        .select(col("d1"), col("d2"), col("jaccard"))
+        .orderBy("d1", "d2")
+    },
+    Some(s"""$duckSigs, bands AS ($bandsDuck),
        |cands AS (
        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
@@ -741,7 +748,7 @@ object PipelineQueries {
        |  CAST(len(list_filter(x.s, e -> list_contains(y.s, e))) AS DOUBLE)
        |    / len(list_distinct(list_concat(x.s, y.s))) AS jaccard
        |FROM cands c JOIN shs x ON c.d1 = x.doc_id JOIN shs y ON c.d2 = y.doc_id
-       |ORDER BY c.d1, c.d2""".stripMargin)
+       |ORDER BY c.d1, c.d2""".stripMargin))
 
   // ------------------------------------------------- deterministic sampling
   // Knuth-hash sampling: reproducible, engine-independent, repartition-

@@ -432,6 +432,20 @@ class OperatorsSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("duplicate clusters survive a deep chain (diameter >> propagation cap)") {
+    // path 0-1-...-79: diameter 79 forces the star-contraction phase —
+    // propagation alone would need 80 rounds, far past its 5-round cap and
+    // past maxIter; large-star/small-star must still land every node on
+    // keeper 0. Also a worst case for the id-order heuristics: reversed
+    // ids (the min is at the far end from high ids).
+    val n = 80
+    val pairs = spark.range(n - 1)
+      .selectExpr("id AS d1", "id + 1 AS d2")
+    val got = Dedup.duplicateClusters(pairs)
+    assert(got.count() === n.toLong)
+    assert(got.filter(col("keeper") =!= 0L).isEmpty, "all keepers must be 0")
+  }
+
   test("dropDuplicates keeps exactly one representative per cluster") {
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("d1", "d2")
     val clusters = Dedup.duplicateClusters(pairs)
