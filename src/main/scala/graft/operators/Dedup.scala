@@ -54,7 +54,14 @@ object Dedup {
   }
 
   /** LSH band rows: (id, band, band_key); join on (band, band_key) to get
-    * candidate pairs. bands*rowsPerBand must equal the signature length. */
+    * candidate pairs. bands*rowsPerBand must equal the signature length.
+    *
+    * NOTE on `band_key`'s type: BIGINT when rowsPerBand == 2 (the packed
+    * spelling below), STRING otherwise. Band tables produced under
+    * different rowsPerBand configs (or against a CONCAT_WS string-key
+    * spelling) must not be unioned/compared directly — cast `band_key` to
+    * STRING at any boundary where configs could mix. The key carries no
+    * meaning beyond equality within one config. */
   def minhashBands(sigs: DataFrame, idCol: String,
                    bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
     // One Generate (explode over a TRANSFORM) instead of a broadcast
@@ -559,11 +566,17 @@ object Dedup {
     // total_paras is a COUNT inside the same per-doc aggregate — no second
     // evaluation of `docs` and no join back (which matters when the input
     // is itself an expensive pipeline, e.g. q_pipeline_curate's gated
-    // subplan). `carryCols` are doc-level columns (functionally dependent
-    // on the id) carried through the aggregate for the same reason.
+    // subplan). NULL text coalesces to '' so those docs survive the
+    // explode too (split(NULL) would yield no rows and silently drop the
+    // doc) — they come back like all-duplicate docs: empty text, and
+    // kept_paras counts their single empty paragraph by first-occurrence
+    // like any other. `carryCols` are doc-level columns (functionally
+    // dependent on the id) carried through the aggregate for the same
+    // reason.
     val paras = docs
       .select(col(idCol) +: carryCols.map(col) :+
-        posexplode(split(col(textCol), quoted)).as(Seq("pos", "p")): _*)
+        posexplode(split(coalesce(col(textCol), lit("")), quoted))
+          .as(Seq("pos", "p")): _*)
     val firstOcc = Window.partitionBy(md5(col("p"))).orderBy(col(idCol), col("pos"))
     val sepLit = sep.replace("\\", "\\\\").replace("'", "\\'")
     val aggs = Seq(

@@ -1038,6 +1038,15 @@ class OperatorsSpec extends AnyFunSuite {
     val r2 = Dedup.paragraphDedup(s, "doc_id", "text", sep = " . ")
       .orderBy("doc_id").collect().map(_.getAs[String]("text"))
     assert(r2.toSeq == Seq("x . y", "z"))
+    // NULL-text docs survive (coalesced to ''): they behave like a doc
+    // with one empty paragraph, not like a dropped row (ADVICE r8)
+    val n = Seq((1L, "A"), (2L, null.asInstanceOf[String]), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val r3 = Dedup.paragraphDedup(n, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getAs[Long]("total_paras"),
+        x.getAs[Long]("kept_paras"), x.getAs[String]("text")))
+    assert(r3.toSeq == Seq((1L, 1L, 1L, "A"), (2L, 1L, 1L, ""), (3L, 1L, 0L, "")))
   }
 
   test("gopherRules: each rule trips on its crafted violation, clean doc passes") {
