@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses graft.Bench's one-line JSON record from captured
+// stdout. Two sbt behaviors broke that for three rounds (BENCH_r*.json
+// "parsed": null): the logger's "[info] " prefix on forked-run output,
+// and the trailing "[success] Total time" line landing after the JSON.
+// StdoutOutput hands the forked JVM sbt's raw stdout/stderr (no prefix);
+// showSuccess drops the success banner so the JSON line is last.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+showSuccess := false
+// showSuccess is read by sbt's command engine, not another setting —
+// exclude it from the unused-key lint so the bench stdout stays clean.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -8,6 +8,15 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = graft.engine.GraftSession.local(cpus, "graft-bench")
+    // The bounded prefix-sum windows (RangeJoin bucket CDF, Packing block
+    // offsets, the warm-up probe) legitimately run unpartitioned over
+    // O(buckets) rows, and WindowExec WARNs once per task — 50+ repeats
+    // buried real signal in the round-8 bench tail. Scoped to this bench
+    // main: library sessions keep the warning, where an unpartitioned
+    // window over row-scale input would be a genuine plan bug.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
 
     // Warm-up outside the timings: mount views, load parquet footers, prime
     // codegen — otherwise whichever query runs first absorbs ~6s of session
@@ -42,6 +51,29 @@ object Bench {
         System.err.println(s"BENCH stream warm-up skipped: ${e.getMessage}") }
     graft.engine.Tables.register(spark, sfDir)
 
+    // Committed per-query reference times (the previous round's clean sf0.1
+    // record, also the basis of SCALING.md §2's sf0.1 column). Loaded only
+    // when benching the sf0.1 fixture — at other scales the ratios are
+    // meaningless. Used for (a) the outlier-retry trigger below and (b) the
+    // vs_ref audit fields in the emitted record.
+    val refMap: Map[String, Double] =
+      if (!sfDir.stripSuffix("/").endsWith("sf0.1")) Map.empty
+      else try {
+        import org.json4s._
+        val p = java.nio.file.Paths.get("BENCH_sf01_ref.json")
+        if (!java.nio.file.Files.isRegularFile(p)) Map.empty
+        else org.json4s.jackson.JsonMethods.parse(
+          new String(java.nio.file.Files.readAllBytes(p), "UTF-8")) \ "queries" match {
+          case JObject(fields) => fields.collect {
+            case (k, JDouble(v)) => k -> v
+            case (k, JDecimal(v)) => k -> v.toDouble
+            case (k, JInt(v)) => k -> v.toDouble
+          }.toMap
+          case _ => Map.empty
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"BENCH ref load skipped: ${e.getMessage}"); Map.empty }
+
     // Optional comma-separated name filter for focused perf iteration.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = only.fold(SparkEntry.registry)(f => SparkEntry.registry.filter(q => f(q.name)))
@@ -68,13 +100,20 @@ object Bench {
       var t = timeOnce(q)
       // Outlier guard: this box runs other JVMs during driver rounds, and a
       // time-sliced query can read 5-10x its clean cost (see r3/r4 bench
-      // forensics). A query >3x the trailing median (and past an absolute
-      // floor) gets ONE warm re-run and records the min — a single
-      // contended measurement can no longer distort a round's record,
-      // while a real regression (reproducibly slow) still shows.
+      // forensics). Two triggers, either earns ONE warm re-run (min kept):
+      //  - >3x this query's committed reference time (BENCH_sf01_ref.json —
+      //    the criterion VERDICT r8 #1 asked for: it catches an in-run
+      //    outlier even when the run's own median is already inflated, the
+      //    hole that let q_op_range_join ship at 5.67s vs a 0.59s record);
+      //  - >3x the trailing in-run median, for queries without a reference.
+      // A real regression (reproducibly slow) still shows: the retry keeps
+      // the min of two honest measurements, and firstAttempt records what
+      // was discarded.
       val med = if (clean.isEmpty) 0.0
         else clean.sorted.apply(clean.length / 2)
-      if (t > 0 && clean.length >= 8 && t > 3 * med && t > 1.0 && retriesLeft > 0) {
+      val refSlow = refMap.get(q.name).exists(r => t > 3 * r && t - r > 0.3)
+      val medSlow = clean.length >= 8 && t > 3 * med && t > 1.0
+      if (t > 0 && (refSlow || medSlow) && retriesLeft > 0) {
         retriesLeft -= 1
         retried += q.name
         firstAttempt(q.name) = t
@@ -141,8 +180,24 @@ object Bench {
       .mkString("{", ",", "}")
     // total stays the sf-dir-only sum so round-over-round comparisons hold
     val total = results.map(_._2).filter(_ >= 0).sum
+    // Reference-relative audit (VERDICT r8 #1): every recorded time as a
+    // ratio over its committed reference. Floors (ref >= 0.1s, excess >=
+    // 0.3s) keep sub-100ms jitter out of the hot list; the full per-query
+    // ratio map goes to target/bench.json, the compact stdout line carries
+    // only the entries that matter (ratio > 1.5) plus the max.
+    val vsRef = withS1.collect {
+      case (k, v) if v > 0 && refMap.get(k).exists(_ >= 0.1) =>
+        k -> BigDecimal(v / refMap(k)).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val vsRefHot = vsRef
+      .filter { case (k, r) => r > 1.5 && withS1.toMap.apply(k) - refMap(k) > 0.3 }
+      .sortBy(-_._2).take(6) // cap: the compact line must stay within the
+                             // driver's 2000-char stdout tail
+    val vsRefMax = (vsRef.map(_._2) ++ Seq(0.0)).max
+    def ratioMap(m: Seq[(String, Double)]) = m
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(withS1)},"errors":$errJson,"retried":$retryJson,"first":$firstJson,"sf1_smoke":${qmap(sf1Smoke)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(withS1)},"errors":$errJson,"retried":$retryJson,"first":$firstJson,"vs_ref":${ratioMap(vsRef)},"sf1_smoke":${qmap(sf1Smoke)},"sf":"$sfDir"}"""
     // Persist the FULL record to a file — the driver's stdout capture keeps
     // only the last ~2000 characters, which a 230-entry map never fits.
     val out = java.nio.file.Paths.get("target/bench.json")
@@ -166,9 +221,19 @@ object Bench {
       "q_stream_join", "q_stream_hourly", "q_op_kmeans", "q_func_python_udf",
       "q_dedup_substring_spans_stride1_sf001")
     val hl = withS1.filter(p => headline.contains(p._1))
+    // `retried` names (not just the count) are the per-entry retry marker
+    // VERDICT r8 #1 asks to see next to any over-reference time; vs_ref_*
+    // is the reference-relative audit. Both are small in a healthy round;
+    // both are capped so the compact line stays inside the driver's
+    // 2000-char stdout tail (the full uncapped record is in target/).
+    val retryCompact = retried.take(16).map("\"" + _ + "\"").mkString("[", ",", "]")
     val compact =
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","n":${withS1.length},"errors":$errJson,"retries":${retried.length},"queries":${qmap(hl, 3)},"sf1_smoke":${qmap(sf1Smoke, 3)},"sf":"$sfDir","full":"target/bench.json"}"""
-    println(compact)
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","n":${withS1.length},"errors":$errJson,"retries":${retried.length},"retried":$retryCompact,"vs_ref_max":$vsRefMax,"vs_ref_hot":${ratioMap(vsRefHot)},"queries":${qmap(hl, 3)},"sf1_smoke":${qmap(sf1Smoke, 3)},"sf":"$sfDir","full":"target/bench.json"}"""
+    // Stop the session BEFORE printing: the JSON record must be the last
+    // stdout line the driver captures, with no shutdown logging after it
+    // (paired with build.sbt's StdoutOutput + showSuccess := false).
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(compact)
   }
 }
