@@ -69,6 +69,11 @@ object Multimodal {
   def decode(media: DataFrame)(implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.select("id", "payload").as[(Long, Array[Byte])].mapPartitions { it =>
+      // ImageIO's default stream cache spools every read through a temp
+      // FILE in java.io.tmpdir — per-image disk I/O that dwarfs the actual
+      // codec work on in-memory payloads. JVM-global flag, idempotent,
+      // cheap to re-set per task.
+      javax.imageio.ImageIO.setUseCache(false)
       it.map { case (id, bytes) =>
         val img =
           try {
@@ -124,6 +129,9 @@ object Multimodal {
     df.select(col(idCol).cast("long")).as[Long]
       .repartition(spark.sparkContext.defaultParallelism)
       .mapPartitions { it =>
+      // see decode: keep ImageIO off its temp-file stream cache — the
+      // write path otherwise spools every encoded PNG through disk
+      javax.imageio.ImageIO.setUseCache(false)
       it.map { id =>
         val w = (100 + (id * 7) % 500).toInt
         val h = (80 + (id * 13) % 400).toInt
