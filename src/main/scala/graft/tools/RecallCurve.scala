@@ -36,7 +36,14 @@ object RecallCurve {
 
     println("| cells | iters | nProbe | r (corpusAssign) | probed | index x | recall@5 |")
     println("|---|---|---|---|---|---|---|")
-    val grid = if (section == "adc") Seq.empty else Seq(
+    // section "sf1": the 3-4 headline 256-cell operating points re-measured
+    // on a 10x corpus (tools/sf1 embeddings, 20k vectors, same 200-probe
+    // set) — does the operating point hold as cells fill 10x denser, and
+    // does the corpusAssign lift survive? (VERDICT r8 #5 -> SCALING §1c)
+    val grid = if (section == "adc") Seq.empty
+    else if (section == "sf1")
+      Seq((8, 3, 16, 1), (8, 3, 32, 1), (8, 3, 16, 2), (8, 3, 16, 4))
+    else Seq(
       // the round-5/6 16-cell curve, re-measured on the wider probe set
       (4, 1, 1, 1), (4, 1, 2, 1), (4, 1, 4, 1), (4, 1, 8, 1), (4, 3, 2, 1),
       // 64 cells
@@ -58,16 +65,18 @@ object RecallCurve {
     // number next to the hash-exact replay, decomposed over the two
     // IVFADC knobs (multi-probe widens the cell ceiling, IVFADC+R exact
     // re-ranking recovers the PQ loss inside it).
-    println("\nIVFADC (16 cells, residual PQ) vs exact cosine:")
-    println("\n| m | pqBits | bits/vec | nProbe | rerank | recall@5 |")
-    println("|---|---|---|---|---|---|")
-    Seq((8, 4, 1, 0), (8, 4, 1, 50), (8, 4, 4, 0), (8, 4, 4, 50), (8, 4, 8, 50),
-        (8, 4, 16, 50), (8, 4, 8, 200), (16, 4, 8, 50), (8, 8, 8, 50),
-        (16, 8, 8, 50), (16, 8, 8, 200)).foreach { case (m, pqb, np, rr) =>
-      val adc = graft.operators.Similarity.ivfPqResidualTopK(
-        vecs, probes, "vec_id", "embedding", k = 5, m = m, pqBits = pqb,
-        nProbe = np, rerank = rr)
-      println(f"| $m | $pqb | ${m * pqb} | $np | $rr | ${100 * meanRecall(adc)}%.1f%% |")
+    if (section != "sf1") {
+      println("\nIVFADC (16 cells, residual PQ) vs exact cosine:")
+      println("\n| m | pqBits | bits/vec | nProbe | rerank | recall@5 |")
+      println("|---|---|---|---|---|---|")
+      Seq((8, 4, 1, 0), (8, 4, 1, 50), (8, 4, 4, 0), (8, 4, 4, 50), (8, 4, 8, 50),
+          (8, 4, 16, 50), (8, 4, 8, 200), (16, 4, 8, 50), (8, 8, 8, 50),
+          (16, 8, 8, 50), (16, 8, 8, 200)).foreach { case (m, pqb, np, rr) =>
+        val adc = graft.operators.Similarity.ivfPqResidualTopK(
+          vecs, probes, "vec_id", "embedding", k = 5, m = m, pqBits = pqb,
+          nProbe = np, rerank = rr)
+        println(f"| $m | $pqb | ${m * pqb} | $np | $rr | ${100 * meanRecall(adc)}%.1f%% |")
+      }
     }
     spark.stop()
   }
