@@ -86,7 +86,12 @@ object Bench {
     // path) reads differently from one-off JVM contention.
     val firstAttempt = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val clean = scala.collection.mutable.ArrayBuffer.empty[Double]
-    var retriesLeft = 20
+    // Budget sized so the reference-relative trigger (below) cannot exhaust
+    // it mid-run and leave late outliers unretried (the 20-entry budget hit
+    // its cap on every r8/r9 full run once ref-triggering landed, and 32
+    // still capped on a contended sf1 run); retries only ever LOWER
+    // recorded times, the cost is ~1-2s wall each.
+    var retriesLeft = 48
     def timeOnce(q: QueryDef): Double = {
       val t0 = System.nanoTime()
       try { q.run(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 } catch {

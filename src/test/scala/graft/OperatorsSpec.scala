@@ -1099,6 +1099,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq == Seq((1L, 2L, 0L)))
   }
 
+  test("simhashNearDupsWide: two-level banding finds exactly the brute-force hamming pairs") {
+    // fixture corpus + seeded near-dups (word-level perturbations of real
+    // docs) so qualifying pairs exist at several hamming distances and the
+    // check cannot pass vacuously
+    val base = Tables.table(spark, sfDir, "documents").limit(300)
+    val corpus = base.select("doc_id", "text").unionByName(
+      base.filter(col("doc_id") % 7 === 0).select(
+        (col("doc_id") + 100000L).as("doc_id"),
+        concat(col("text"), lit(" perturbednoise")).as("text")))
+    val got = Dedup.simhashNearDupsWide(corpus, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // Independent brute force over the collected 60-bit signatures —
+    // validates the TWO-level pigeonhole claim: hamming <= 3 implies a
+    // flip-free band AND, inside its residual, a flip-free sub-slice.
+    graft.functions.TajoFunctions.register(spark)
+    val sigs = corpus.select(col("doc_id"), expr("simhash60(SPLIT(text, ' '))"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (d1, s1) <- sigs; (d2, s2) <- sigs if d1 < d2
+      h = java.lang.Long.bitCount(s1 ^ s2) if h <= 3
+    } yield (d1, d2, h.toLong)).toSet
+    assert(got == brute)
+    assert(brute.nonEmpty, "seeded near-dups must produce qualifying pairs")
+    assert(brute.exists(_._3 > 0), "need at least one non-identical near-dup pair")
+  }
+
   test("lmScore: hand-computed add-one bigram ppm, short-doc NULL, cap semantics") {
     val train = Seq((10L, "a b a b")).toDF("doc_id", "text")
     // train: c1(a)=2, c1(b)=2, V=2; c2(a b)=2, c2(b a)=1
