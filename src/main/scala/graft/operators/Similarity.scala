@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -201,7 +201,9 @@ object Similarity {
     * queries * m * 2^nBits rows — both broadcast; the corpus is touched
     * once to code (explode by m, one agg) and once to scan. Nothing
     * data-sized broadcasts, the scan is a single shuffle on
-    * (query, neighbor) for the final sum. */
+    * (query, neighbor) for the final sum. Deployments persist `codebook`
+    * and `codes` (the index) and run only the scan per probe batch —
+    * SCALING §8b. */
   def pqTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
              vecCol: String, k: Int = 10, m: Int = 8, dim: Int = 64,
              nBits: Int = 4): DataFrame = {
@@ -261,7 +263,9 @@ object Similarity {
     * broadcasts; the corpus is read to assign + code (aggregation
     * pipelines), and the scan shuffles only (probe, neighbor, partial)
     * rows from the probe's own cell. Returns (query_id, neighbor_id,
-    * cell, adot_micro, rnk). */
+    * cell, adot_micro, rnk). Deployments persist `cent`/`codebook`/`codes`
+    * (the index) and run only the query half per probe batch — see
+    * SCALING §8b for why the composed demo does NOT checkpoint inline. */
   def ivfPqTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
                 vecCol: String, k: Int = 10, nBits: Int = 4, dim: Int = 64,
                 m: Int = 8, pqBits: Int = 4): DataFrame = {
@@ -353,7 +357,13 @@ object Similarity {
     *
     * Scale: identical shape to [[ivfPqTopK]] — centroid/codebook/ADC tables
     * all bounded broadcasts, corpus touched once to assign + once to code,
-    * candidates shuffle only within the probe's cell.
+    * candidates shuffle only within the probe's cell. A deployment
+    * persists the build half — `cent` (K rows), `codebook` (m·2^pqBits
+    * rows), `codes` (N·m rows) — and runs only the query half per batch;
+    * composed build+query in one DAG re-evaluates the build at each
+    * consumer, which the fixture-scale demo tolerates (SCALING §8b: an
+    * inline checkpoint was measured SLOWER at sf0.1/sf1 — concurrent
+    * re-evaluation beats serialized materialization on a small corpus).
     *
     * `nProbe` — multi-probe: each query builds one residual + ADC table
     * PER probed cell (its nProbe nearest — the canonical IVFADC
@@ -378,20 +388,114 @@ object Similarity {
   def ivfPqResidualTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
                         vecCol: String, k: Int = 10, nBits: Int = 4,
                         dim: Int = 64, m: Int = 8, pqBits: Int = 4,
-                        nProbe: Int = 1, rerank: Int = 0): DataFrame = {
+                        nProbe: Int = 1, rerank: Int = 0): DataFrame =
+    queryIvfPqResidual(
+      buildIvfPqResidualIndex(corpus, idCol, vecCol, nBits, dim, m, pqBits),
+      corpus, probes, idCol, vecCol, k, nBits, dim, m, nProbe, rerank)
+
+  /** The PERSISTED half of a residual IVF-PQ (IVFADC) index — the
+    * build/query split SCALING §8b prescribes for deployment (build once,
+    * store, query many times; the composed [[ivfPqResidualTopK]] demo
+    * re-evaluates the build at each consumer, fine at fixture scale,
+    * 16 corpus passes at 100 TB):
+    *
+    *  - `cent`:     K rows — (cid, ivec SUM-centroid, mvec mean-centroid,
+    *                inrm) — the cell router + residual base
+    *  - `codebook`: m·2^pqBits rows — (s, cid, cvec) per-subspace
+    *                residual centroids
+    *  - `codes`:    N·m rows — (__cid, cell, s, code), the compressed
+    *                corpus itself
+    *
+    * All three are plain DataFrames of parquet-serializable columns
+    * (BIGINTs, BIGINT arrays, one double) — `write(dir)` / `read(spark,
+    * dir)` round-trip them exactly, so a query against a re-read index is
+    * bit-identical to one against the freshly built tables
+    * (`OperatorsSpec` pins that equality end to end). */
+  final case class IvfPqResidualIndex(cent: DataFrame, codebook: DataFrame,
+                                      codes: DataFrame) {
+    def write(dir: String): Unit = {
+      cent.write.mode("overwrite").parquet(s"$dir/cent")
+      codebook.write.mode("overwrite").parquet(s"$dir/codebook")
+      codes.write.mode("overwrite").parquet(s"$dir/codes")
+    }
+  }
+
+  object IvfPqResidualIndex {
+    def read(spark: SparkSession, dir: String): IvfPqResidualIndex =
+      IvfPqResidualIndex(
+        spark.read.parquet(s"$dir/cent"),
+        spark.read.parquet(s"$dir/codebook"),
+        spark.read.parquet(s"$dir/codes"))
+  }
+
+  // ---- shared IVFADC plumbing (build + query halves compose these with
+  // identical expressions, so the split changes WHERE tables come from,
+  // never what they contain)
+  private def ivfInitial(df: DataFrame, idCol: String, vecCol: String,
+                         nBits: Int, dim: Int) =
+    withNorm(df, idCol, vecCol)
+      .withColumn("__cell0", expr(HashSpec.lshBucketNative("__vec", nBits, dim)))
+
+  // One scored (vector x centroid) subplan shared by both assignment
+  // spellings — the K-row centroid table is broadcast, so this is a
+  // map-side fan-out of K rows per vector, never a shuffle.
+  private def ivfScored(df: DataFrame, cent: DataFrame): DataFrame =
+    df.crossJoin(broadcast(cent))
+      .withColumn("__score", expr(s"${HashSpec.dotNative("__vec", "ivec")} / inrm"))
+
+  private def ivfAssign(df: DataFrame, cent: DataFrame, idCol: String): DataFrame =
+    ivfScored(df, cent)
+      .groupBy(col(idCol))
+      .agg(max(struct(col("__score").as("s"), (lit(0) - col("cid")).as("nc"))).as("b"))
+      .select(col(idCol), (lit(0) - col("b.nc")).as("cell"))
+
+  // top-n cells per probe (windowed, probe side only — the corpus always
+  // single-assigns; same discipline as ivfTopK.assignTopN)
+  private def ivfAssignTopN(df: DataFrame, cent: DataFrame, idCol: String,
+                            n: Int): DataFrame =
+    if (n <= 1) ivfAssign(df, cent, idCol)
+    else ivfScored(df, cent)
+      .withColumn("__cr", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("__score").desc, col("cid"))))
+      .filter(col("__cr") <= n)
+      .select(col(idCol), col("cid").as("cell"))
+
+  // residuals: x − mean(cell), exact double subtraction of the micro-unit
+  // integer mean (one row per (vector, assigned cell) — the probe side
+  // carries nProbe rows, each with its own per-cell residual)
+  private def ivfResid(df: DataFrame, cells: DataFrame, cent: DataFrame,
+                       idCol: String, vecCol: String, as: String) = df
+    .select(col(idCol), col(vecCol).as("__v"))
+    .join(cells.withColumnRenamed(idCol, "___ri"), col(idCol) === col("___ri"))
+    .join(broadcast(cent.select(col("cid").as("cell"), col("mvec"))), Seq("cell"))
+    .withColumn("rvec", expr(
+      "ZIP_WITH(__v, mvec, (x, c) -> CAST(x AS DOUBLE) - CAST(c AS DOUBLE) / 1000000)"))
+    .select(col(idCol).as(as), col("cell"), col("rvec"))
+
+  private def pqResidSubs(df: DataFrame, as: String, m: Int, subDim: Int) =
+    df.select(col(as), col("cell"),
+      posexplode(expr(
+        s"TRANSFORM(SEQUENCE(0, ${m - 1}), s -> SLICE(rvec, s * $subDim + 1, $subDim))"))
+        .as(Seq("s", "sub")))
+
+  private val pqResidL2 = "AGGREGATE(ZIP_WITH(sub, cvec, (x, c) -> " +
+    "(CAST(x AS DOUBLE) - CAST(c AS DOUBLE) / 1000000) * " +
+    "(CAST(x AS DOUBLE) - CAST(c AS DOUBLE) / 1000000)), " +
+    "CAST(0 AS DOUBLE), (a, v) -> a + v)"
+
+  /** Build the residual IVF-PQ index tables from a corpus — the half a
+    * deployment runs once and persists ([[IvfPqResidualIndex]]). Assignment
+    * by SUM centroids (scale-invariant cosine, identical to [[ivfPqTopK]]),
+    * mean centroids kept alongside for residuals; codebooks over per-cell
+    * residual subvectors; engine-exact fixed-point arithmetic throughout
+    * (see [[ivfPqResidualTopK]]'s determinism notes). */
+  def buildIvfPqResidualIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                              nBits: Int = 4, dim: Int = 64, m: Int = 8,
+                              pqBits: Int = 4): IvfPqResidualIndex = {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
-    require(nProbe >= 1, s"need nProbe >= 1, got $nProbe")
-    // A shortlist smaller than k would silently truncate the result set —
-    // misconfiguration must fail loudly, not return k' < k neighbors.
-    require(rerank == 0 || rerank >= k,
-      s"rerank=$rerank must be 0 (off) or >= k=$k (shortlist size)")
     graft.functions.TajoFunctions.register(corpus.sparkSession)
     val subDim = dim / m
-    // ---- IVF half: assignment by SUM centroids (scale-invariant cosine,
-    // identical to ivfPqTopK), mean centroids kept alongside for residuals
-    def initial(df: DataFrame) = withNorm(df, idCol, vecCol)
-      .withColumn("__cell0", expr(HashSpec.lshBucketNative("__vec", nBits, dim)))
-    val c0 = initial(corpus)
+    val c0 = ivfInitial(corpus, idCol, vecCol, nBits, dim)
     val cent = c0
       .select(col("__cell0").as("cid"), posexplode(col("__vec")).as(Seq("i", "x")))
       .groupBy("cid", "i")
@@ -402,44 +506,9 @@ object Similarity {
       .agg(expr("TRANSFORM(SORT_ARRAY(COLLECT_LIST(STRUCT(i, mc))), s -> s.mc)").as("ivec"),
         expr("TRANSFORM(SORT_ARRAY(COLLECT_LIST(STRUCT(i, mm))), s -> s.mm)").as("mvec"))
       .withColumn("inrm", expr(s"SQRT(${HashSpec.dotNative("ivec", "ivec")})"))
-    // One scored (vector x centroid) subplan shared by both assignment
-    // spellings — the K-row centroid table is broadcast, so this is a
-    // map-side fan-out of K rows per vector, never a shuffle.
-    def scored(df: DataFrame): DataFrame = df.crossJoin(broadcast(cent))
-      .withColumn("__score", expr(s"${HashSpec.dotNative("__vec", "ivec")} / inrm"))
-    def assign(df: DataFrame): DataFrame = scored(df)
-      .groupBy(col(idCol))
-      .agg(max(struct(col("__score").as("s"), (lit(0) - col("cid")).as("nc"))).as("b"))
-      .select(col(idCol), (lit(0) - col("b.nc")).as("cell"))
-    // top-n cells per probe (windowed, probe side only — the corpus always
-    // single-assigns; same discipline as ivfTopK.assignTopN)
-    def assignTopN(df: DataFrame, n: Int): DataFrame =
-      if (n <= 1) assign(df)
-      else scored(df)
-        .withColumn("__cr", row_number().over(
-          Window.partitionBy(col(idCol)).orderBy(col("__score").desc, col("cid"))))
-        .filter(col("__cr") <= n)
-        .select(col(idCol), col("cid").as("cell"))
-    // ---- residuals: x − mean(cell), exact double subtraction of the
-    // micro-unit integer mean (one row per (vector, assigned cell) — the
-    // probe side carries nProbe rows, each with its own per-cell residual)
-    def resid(df: DataFrame, cells: DataFrame, as: String) = df
-      .select(col(idCol), col(vecCol).as("__v"))
-      .join(cells.withColumnRenamed(idCol, "___ri"), col(idCol) === col("___ri"))
-      .join(broadcast(cent.select(col("cid").as("cell"), col("mvec"))), Seq("cell"))
-      .withColumn("rvec", expr(
-        "ZIP_WITH(__v, mvec, (x, c) -> CAST(x AS DOUBLE) - CAST(c AS DOUBLE) / 1000000)"))
-      .select(col(idCol).as(as), col("cell"), col("rvec"))
-    val corpusCells = assign(c0)
-    val probeCells = assignTopN(initial(probes), nProbe)
-    val cres = resid(corpus, corpusCells, "__cid")
-    val qres = resid(probes, probeCells, "__qid")
-    // ---- PQ half over residual subvectors
-    def subs(df: DataFrame, as: String) = df.select(col(as), col("cell"),
-      posexplode(expr(
-        s"TRANSFORM(SEQUENCE(0, ${m - 1}), s -> SLICE(rvec, s * $subDim + 1, $subDim))"))
-        .as(Seq("s", "sub")))
-    val csubs = subs(cres, "__cid")
+    val corpusCells = ivfAssign(c0, cent, idCol)
+    val cres = ivfResid(corpus, corpusCells, cent, idCol, vecCol, "__cid")
+    val csubs = pqResidSubs(cres, "__cid", m, subDim)
     val codebook = csubs
       .withColumn("cell0", expr(s"lsh_bucket(sub, $pqBits, $subDim)"))
       .select(col("s"), col("cell0").as("cid"), posexplode(col("sub")).as(Seq("i", "x")))
@@ -449,20 +518,42 @@ object Similarity {
       .withColumn("mm", expr("(ms - ((ms % cnt) + cnt) % cnt) DIV cnt"))
       .groupBy("s", "cid")
       .agg(expr("TRANSFORM(SORT_ARRAY(COLLECT_LIST(STRUCT(i, mm))), t -> t.mm)").as("cvec"))
-    val l2 = "AGGREGATE(ZIP_WITH(sub, cvec, (x, c) -> " +
-      "(CAST(x AS DOUBLE) - CAST(c AS DOUBLE) / 1000000) * " +
-      "(CAST(x AS DOUBLE) - CAST(c AS DOUBLE) / 1000000)), " +
-      "CAST(0 AS DOUBLE), (a, v) -> a + v)"
     val codes = csubs.join(broadcast(codebook), Seq("s"))
-      .withColumn("d2", expr(l2))
+      .withColumn("d2", expr(pqResidL2))
       .groupBy(col("__cid"), col("cell"), col("s"))
       .agg(min(struct(col("d2"), col("cid"))).as("b"))
       .select(col("__cid"), col("cell"), col("s"), col("b.cid").as("code"))
+    IvfPqResidualIndex(cent, codebook, codes)
+  }
+
+  /** Query a (possibly re-read) residual IVF-PQ index — the half a
+    * deployment runs per probe batch. `corpus` supplies raw vectors ONLY
+    * for the `rerank` exact-cosine pass (IVFADC+R); with rerank = 0 it
+    * never enters the plan. Semantics identical to [[ivfPqResidualTopK]]
+    * (which is literally build + this). */
+  def queryIvfPqResidual(index: IvfPqResidualIndex, corpus: DataFrame,
+                         probes: DataFrame, idCol: String, vecCol: String,
+                         k: Int = 10, nBits: Int = 4, dim: Int = 64,
+                         m: Int = 8, nProbe: Int = 1, rerank: Int = 0): DataFrame = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    require(nProbe >= 1, s"need nProbe >= 1, got $nProbe")
+    // A shortlist smaller than k would silently truncate the result set —
+    // misconfiguration must fail loudly, not return k' < k neighbors.
+    require(rerank == 0 || rerank >= k,
+      s"rerank=$rerank must be 0 (off) or >= k=$k (shortlist size)")
+    graft.functions.TajoFunctions.register(probes.sparkSession)
+    val subDim = dim / m
+    val cent = index.cent
+    val probeCells = ivfAssignTopN(
+      ivfInitial(probes, idCol, vecCol, nBits, dim), cent, idCol, nProbe)
+    val qres = ivfResid(probes, probeCells, cent, idCol, vecCol, "__qid")
     // ADC: per (query, subspace, centroid) squared distance, micro units
-    val adc = subs(qres, "__qid").join(broadcast(codebook), Seq("s"))
-      .withColumn("pd", expr(s"CAST(FLOOR(($l2) * 1000000) AS BIGINT)"))
+    val adc = pqResidSubs(qres, "__qid", m, subDim)
+      .join(broadcast(index.codebook), Seq("s"))
+      .withColumn("pd", expr(s"CAST(FLOOR(($pqResidL2) * 1000000) AS BIGINT)"))
       .select(col("__qid"), col("cell").as("__qcell"), col("s"), col("cid"), col("pd"))
     val kAdc = if (rerank > 0) rerank else k
+    val codes = index.codes
     val adcTop = codes.join(broadcast(adc),
         codes("s") === adc("s") && codes("code") === adc("cid") &&
           codes("cell") === adc("__qcell"))

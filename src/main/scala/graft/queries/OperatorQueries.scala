@@ -722,19 +722,26 @@ object OperatorQueries {
   // (per-probed-cell residuals and ADC tables), the integer shortlist
   // cut, and the double-exact re-ranking; measured recall effect is in
   // SCALING.md (rerank recovers the cell ceiling when codes are rich).
+  // The SAME oracle also gates q_ann_ivfadc_store below: a parquet
+  // round-trip of the index tables must not move a single bit.
+  private def ivfAdcRerankSelect(
+      out: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = out
+    .select(col("query_id"), col("neighbor_id"),
+      col("cell").cast("bigint").as("cell"),
+      expr("CAST(CAST(cos_sim AS DECIMAL(18,10)) AS DOUBLE)").as("cos_sim"),
+      col("rnk"))
+    .orderBy("query_id", "rnk")
+
   private val qAnnIvfAdcRerank = df("q_ann_ivfadc_rerank",
     (spark, dir) => {
       val vecs = Tables.table(spark, dir, "embeddings")
       val probes = vecs.filter(col("vec_id") < 20)
-      Similarity.ivfPqResidualTopK(vecs, probes, "vec_id", "embedding",
-        k = 5, nProbe = 4, rerank = 50)
-        .select(col("query_id"), col("neighbor_id"),
-          col("cell").cast("bigint").as("cell"),
-          expr("CAST(CAST(cos_sim AS DECIMAL(18,10)) AS DOUBLE)").as("cos_sim"),
-          col("rnk"))
-        .orderBy("query_id", "rnk")
+      ivfAdcRerankSelect(Similarity.ivfPqResidualTopK(vecs, probes, "vec_id",
+        "embedding", k = 5, nProbe = 4, rerank = 50))
     },
-    Some {
+    Some(ivfAdcRerankOracle))
+
+  private lazy val ivfAdcRerankOracle: String = {
       import PipelineQueries.duckDot
       s"""WITH ${ivfPqResidualOracleCtes(nProbe = 4)}, cand AS (
          |  SELECT query_id, neighbor_id, cell FROM (
@@ -758,7 +765,32 @@ object OperatorQueries {
          |  JOIN vb n ON c.neighbor_id = n.vec_id
          |) t WHERE rnk <= 5
          |ORDER BY query_id, rnk""".stripMargin
-    })
+  }
+
+  // Index persistence (Similarity.buildIvfPqResidualIndex / IvfPqResidualIndex
+  // write/read + queryIvfPqResidual): the build/query split a deployment
+  // actually runs — build the IVFADC index tables, WRITE them to parquet,
+  // read them back, and answer the same IVFADC+R query from the stored
+  // index. Same oracle as q_ann_ivfadc_rerank: the round-trip must be
+  // bit-exact (fixed-point BIGINT tables + one IEEE double column).
+  private val annIdxScratch = {
+    val d = s"${System.getProperty("java.io.tmpdir")}/graft_ann_idx-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))))
+    d
+  }
+  private val qAnnIvfAdcStore = df("q_ann_ivfadc_store",
+    (spark, dir) => {
+      val vecs = Tables.table(spark, dir, "embeddings")
+      val probes = vecs.filter(col("vec_id") < 20)
+      Similarity.buildIvfPqResidualIndex(vecs, "vec_id", "embedding")
+        .write(annIdxScratch)
+      val stored = Similarity.IvfPqResidualIndex.read(spark, annIdxScratch)
+      ivfAdcRerankSelect(Similarity.queryIvfPqResidual(stored, vecs, probes,
+        "vec_id", "embedding", k = 5, nProbe = 4, rerank = 50))
+    },
+    Some(ivfAdcRerankOracle))
 
   // SemDeDup (Similarity.semDedup): embedding-space semantic dedup —
   // cluster by the IVF cell assignment, drop any vector with a lower-id
@@ -2467,7 +2499,8 @@ object OperatorQueries {
     qMinhashApi, qAnnApi, qAnnIvf, qAnnIvf2, qAnnRecall, qAnnRecall2,
     qAnnRecall4, qAnnRecall8, qAnnRecallLloyd, qAnnPq, qAnnIvfPq,
     qAnnRecall256, qAnnRecall256R2, qAnnRecall256R3,
-    qAnnIvfPqResidual, qAnnIvfPqRecall, qAnnIvfAdcRerank, qSemDedup, qSemanticSort,
+    qAnnIvfPqResidual, qAnnIvfPqRecall, qAnnIvfAdcRerank, qAnnIvfAdcStore,
+    qSemDedup, qSemanticSort,
     qHardNegatives, qQualityApi, qMultimodalApi,
     qMultimodalPatches, qMultimodalDecode, qMultimodalAudio, qMultimodalVideo,
     qDecontaminate, qBpeApi, qBpeEncode, qTokenizePack, qEmbedPool, qSaltedJoin, qAsofJoin, qRangeJoin, qIntervalJoin, qJoinNonEquiCdf, qWeightedSample, qKmeans,

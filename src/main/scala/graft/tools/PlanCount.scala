@@ -1,0 +1,35 @@
+package graft.tools
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Scratch profiler: how many times does a query's EXECUTED plan scan its
+  * source files, and how many exchanges does it run? Re-evaluated subplans
+  * show up as repeated FileScans — the shape behind "this operator costs
+  * 3x its data". Usage: tools/run_main.sh graft.tools.PlanCount <query> [sfDir].
+  */
+object PlanCount {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse(sys.error("usage: PlanCount <query> [sfDir]"))
+    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val spark = graft.engine.GraftSession.local(32, s"plancount-$name")
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.engine.Tables.register(spark, sfDir)
+    val q = graft.SparkEntry.registry.find(_.name == name)
+      .getOrElse(sys.error(s"unknown query $name"))
+    val df = q.run(spark, sfDir)
+    df.count()
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: walk(a.executedPlan)
+      case _ => p +: (p.children.flatMap(walk) ++ p.subqueries.flatMap(walk))
+    }
+    val nodes = walk(df.queryExecution.executedPlan)
+    val counts = nodes.groupBy(_.nodeName).view.mapValues(_.size).toSeq
+      .filter { case (n, _) =>
+        n.contains("Scan") || n.contains("Exchange") || n.contains("Reused") ||
+          n.contains("Aggregate") || n.contains("Generate") || n.contains("Window") }
+      .sortBy(-_._2)
+    counts.foreach { case (n, c) => println(f"[plancount] $c%3d  $n") }
+    spark.stop()
+  }
+}

@@ -1099,6 +1099,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq == Seq((1L, 2L, 0L)))
   }
 
+  test("IvfPqResidualIndex: parquet round-trip query is bit-identical to the composed operator") {
+    import graft.operators.Similarity
+    val vecs = Tables.table(spark, sfDir, "embeddings")
+    val probes = vecs.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
+    try {
+      val idx = Similarity.buildIvfPqResidualIndex(vecs, "vec_id", "embedding")
+      idx.write(dir)
+      val stored = Similarity.IvfPqResidualIndex.read(spark, dir)
+      // ADC-only path (integer distances: equality must be exact)
+      val composedAdc = Similarity.ivfPqResidualTopK(
+        vecs, probes, "vec_id", "embedding", k = 5, nProbe = 4)
+      val storedAdc = Similarity.queryIvfPqResidual(
+        stored, vecs, probes, "vec_id", "embedding", k = 5, nProbe = 4)
+      assert(rows(storedAdc) == rows(composedAdc))
+      assert(rows(composedAdc).nonEmpty)
+      // IVFADC+R path (exact-cosine doubles: IEEE bits survive parquet)
+      val composedRr = Similarity.ivfPqResidualTopK(
+        vecs, probes, "vec_id", "embedding", k = 5, nProbe = 4, rerank = 10)
+      val storedRr = Similarity.queryIvfPqResidual(
+        stored, vecs, probes, "vec_id", "embedding", k = 5, nProbe = 4, rerank = 10)
+      assert(rows(storedRr) == rows(composedRr))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("simhashNearDupsWide: two-level banding finds exactly the brute-force hamming pairs") {
     // fixture corpus + seeded near-dups (word-level perturbations of real
     // docs) so qualifying pairs exist at several hamming distances and the
