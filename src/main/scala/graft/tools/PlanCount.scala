@@ -9,6 +9,21 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
   * 3x its data". Usage: tools/run_main.sh graft.tools.PlanCount <query> [sfDir].
   */
 object PlanCount {
+
+  /** Every node of an EXECUTED plan, descending through AQE re-plans and
+    * subqueries — the walk both this main and `ScanBudgetSpec` count over. */
+  def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => a +: allNodes(a.executedPlan)
+    case _ => p +: (p.children.flatMap(allNodes) ++ p.subqueries.flatMap(allNodes))
+  }
+
+  /** Number of file-source scans the executed plan runs — each one is a
+    * full read of some source; at 100 TB every extra count is an extra
+    * corpus pass, the re-evaluation defect class SCALING §8b documents. */
+  def fileScanCount(df: org.apache.spark.sql.DataFrame): Int =
+    allNodes(df.queryExecution.executedPlan)
+      .count(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+
   def main(args: Array[String]): Unit = {
     val name = args.headOption.getOrElse(sys.error("usage: PlanCount <query> [sfDir]"))
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
@@ -19,11 +34,7 @@ object PlanCount {
       .getOrElse(sys.error(s"unknown query $name"))
     val df = q.run(spark, sfDir)
     df.count()
-    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => a +: walk(a.executedPlan)
-      case _ => p +: (p.children.flatMap(walk) ++ p.subqueries.flatMap(walk))
-    }
-    val nodes = walk(df.queryExecution.executedPlan)
+    val nodes = allNodes(df.queryExecution.executedPlan)
     val counts = nodes.groupBy(_.nodeName).view.mapValues(_.size).toSeq
       .filter { case (n, _) =>
         n.contains("Scan") || n.contains("Exchange") || n.contains("Reused") ||

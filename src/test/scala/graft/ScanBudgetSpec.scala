@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.tools.PlanCount
+
+/** File-scan budgets for headline queries — the CI guard for the
+  * re-evaluation defect class (SCALING §8b): a lazily-composed subplan
+  * consumed N times re-reads its sources N times, which at 100 TB is N
+  * corpus passes. Every budget below is the MEASURED executed-plan scan
+  * count at the spec sf — multi-table joins legitimately scan once per
+  * table (q5_join_multi: 6 tables, 6 scans), single-pass rewrites scan
+  * once total (the round-8/9 dedup work), and the known-breadth pipelines
+  * carry their audited count. A failure means a plan change added a
+  * corpus pass; either restore the single evaluation or re-audit and
+  * raise the budget deliberately (with the SCALING note to match).
+  *
+  * Checkpoint-based operators (kmeans, bpe, clusters) are absent: their
+  * scans run during materialization, before the executed plan this spec
+  * walks, so a count here would measure nothing.
+  */
+class ScanBudgetSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val budgets: Seq[(String, Int)] = Seq(
+    // single-scan: one pass over one table, the strongest shape
+    "q1_agg" -> 1,
+    "q2_scan_filter" -> 1,
+    "q6_forecast_revenue" -> 1,
+    "q_sort_limit" -> 1,
+    "q_window_rank" -> 1,
+    "q_grouping_sets" -> 1,
+    "q_text_quality" -> 1,
+    "q_pipeline_sample" -> 1,
+    // the single-pass dedup rewrites (SCALING §7/§8a): one scan each —
+    // the self-join spellings they replaced scanned twice
+    "q_dedup_exact" -> 1,
+    "q_dedup_minhash_pairs" -> 1,
+    "q_dedup_simhash_pairs60" -> 1,
+    "q_dedup_substring_spans" -> 1,
+    // one scan per joined table / audited branch breadth
+    "q_op_asof_join" -> 2,
+    "q_op_range_join" -> 2,
+    "q_pipeline_tokenize_pack" -> 2,
+    "q3_join_topk" -> 3,
+    "q_text_tfidf" -> 3,
+    "q_join_nonequi_cdf" -> 4,
+    "q_ann_ivf" -> 4,
+    "q5_join_multi" -> 6,
+    "q_op_semdedup" -> 6,
+    // audited breadth: gopher gate + bigram LM (train + corpus sides) +
+    // median gate + paragraph dedup — wide by construction, pinned so it
+    // cannot silently widen further
+    "q_pipeline_curate" -> 16)
+
+  budgets.foreach { case (name, budget) =>
+    test(s"scan budget: $name runs <= $budget file scans") {
+      val q = SparkEntry.registry.find(_.name == name)
+        .getOrElse(fail(s"unknown query $name"))
+      val df = q.run(spark, sfDir)
+      df.count() // finalize AQE before walking the executed plan
+      val scans = PlanCount.fileScanCount(df)
+      assert(scans <= budget,
+        s"$name runs $scans file scans (budget $budget): a subplan is " +
+          "being re-evaluated — see SCALING §8b")
+    }
+  }
+}
