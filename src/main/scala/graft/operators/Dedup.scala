@@ -379,40 +379,35 @@ object Dedup {
     * Scale: shuffle volume is 16 rows x 24 bytes per doc (key + id + sig)
     * regardless of text size; bucket population thins as corpus diversity
     * grows (27-bit effective key space per (band, sub) table). Memory
-    * ceiling = one collected bucket (16 bytes/member), the same contract
-    * as [[minhashCandidates]]; if a refined bucket still saturates
-    * (~10^6+ docs sharing 27 signature bits), widen the fingerprint or
-    * add a third level on the sub-bucket residuals. */
+    * ceiling: one collected bucket array (16 bytes/member) during the
+    * shuffle, but the pair expansion materializes C(g, 2) candidate
+    * structs per g-member bucket before its hamming filter — fine for
+    * banding collisions (max refined bucket 400 at sf1), quadratic for a
+    * mega-group of IDENTICAL signatures (e.g. 10^5 copies of one
+    * boilerplate text), where the C(g, 2) hamming-0 pairs are also the
+    * required OUTPUT. Run exact dedup first (as every real pipeline
+    * does — [[exactDups]]/[[dropDuplicates]]) so identical-text groups
+    * never reach near-dup detection; if a refined bucket still saturates
+    * on genuinely distinct near-dups (~10^6 docs sharing 27 signature
+    * bits), widen the fingerprint or add a third level. NULL ids and
+    * NULL-text docs (NULL signature) are excluded up front — the join
+    * spelling this replaced dropped both via join-key semantics, and a
+    * NULL-signature group would otherwise collect every such doc into
+    * one degenerate bucket. */
   def simhashNearDupsWide(docs: DataFrame, idCol: String, textCol: String,
                           maxHamming: Int = 3, bands: Int = 4): DataFrame = {
     require(60 % bands == 0, s"bands must divide 60, got $bands")
     require(maxHamming < bands,
       s"pigeonhole needs maxHamming < bands, got $maxHamming >= $bands")
-    val width = 60 / bands
-    val mask = (1L << width) - 1
-    val nSub = maxHamming + 1
-    val resWidth = 60 - width
-    val subW = (resWidth + nSub - 1) / nSub
-    val idBits = 64 - java.lang.Long.numberOfLeadingZeros((bands * nSub - 1).toLong)
-    require(idBits + width + subW <= 63,
-      s"packed key needs $idBits+$width+$subW bits; reduce bands or maxHamming")
-    // residual of band b: the signature with b's slice bits compacted out
-    val res = s"((simhash & (SHIFTLEFT(CAST(1 AS BIGINT), b * $width) - 1)) | " +
-      s"SHIFTLEFT(SHIFTRIGHT(simhash, (b + 1) * $width), b * $width))"
-    // packed (band,sub | slice | subslice) key; the uniform subslice mask
-    // is safe because residual < 2^resWidth zero-fills the top sub-slice
-    val keys =
-      s"""FLATTEN(TRANSFORM(SEQUENCE(0, ${bands - 1}), b ->
-         |  TRANSFORM(SEQUENCE(0, ${nSub - 1}), k ->
-         |    SHIFTLEFT(CAST(b * $nSub + k AS BIGINT), ${width + subW})
-         |    | SHIFTLEFT(SHIFTRIGHT(simhash, b * $width) & $mask, $subW)
-         |    | (SHIFTRIGHT($res, k * $subW) & ${(1L << subW) - 1}))))""".stripMargin
+    graft.functions.TajoFunctions.register(docs.sparkSession)
     val sh = docs.select(col(idCol),
       expr(s"simhash60(SPLIT($textCol, ' '))").as("simhash"))
+      .filter(col(idCol).isNotNull && col("simhash").isNotNull)
     // one shuffle on the packed key; members sorted so ms[i].i < ms[j].i
     // makes every emitted pair (d1 < d2) without a post-sort
     val buckets = sh
-      .select(col(idCol), col("simhash"), explode(expr(keys)).as("bkey"))
+      .select(col(idCol), col("simhash"),
+        explode(expr(simhash60PackedKeys(maxHamming, bands))).as("bkey"))
       .groupBy("bkey")
       .agg(sort_array(collect_list(struct(col(idCol).as("i"), col("simhash").as("s"))))
         .as("ms"))
@@ -428,6 +423,32 @@ object Dedup {
     buckets.select(explode(pairsExpr).as("p"))
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"), col("p.hamming").as("hamming"))
       .distinct()
+  }
+
+  /** SQL for the two-level packed band keys over a `simhash` column —
+    * shared by [[simhashNearDupsWide]] and the `tools` SimhashProbe so the
+    * probe's bucket statistics always describe the SHIPPED key layout.
+    * Key = (band*nSub + k) | band slice | k-th residual sub-slice, packed
+    * into one BIGINT (4 + 15 + 12 bits at the defaults). */
+  private[graft] def simhash60PackedKeys(maxHamming: Int, bands: Int): String = {
+    val width = 60 / bands
+    val mask = (1L << width) - 1
+    val nSub = maxHamming + 1
+    val resWidth = 60 - width
+    val subW = (resWidth + nSub - 1) / nSub
+    val idBits = 64 - java.lang.Long.numberOfLeadingZeros((bands * nSub - 1).toLong)
+    require(idBits + width + subW <= 63,
+      s"packed key needs $idBits+$width+$subW bits; reduce bands or maxHamming")
+    // residual of band b: the signature with b's slice bits compacted out
+    val res = s"((simhash & (SHIFTLEFT(CAST(1 AS BIGINT), b * $width) - 1)) | " +
+      s"SHIFTLEFT(SHIFTRIGHT(simhash, (b + 1) * $width), b * $width))"
+    // the uniform subslice mask is safe: residual < 2^resWidth zero-fills
+    // the top sub-slice
+    s"""FLATTEN(TRANSFORM(SEQUENCE(0, ${bands - 1}), b ->
+       |  TRANSFORM(SEQUENCE(0, ${nSub - 1}), k ->
+       |    SHIFTLEFT(CAST(b * $nSub + k AS BIGINT), ${width + subW})
+       |    | SHIFTLEFT(SHIFTRIGHT(simhash, b * $width) & $mask, $subW)
+       |    | (SHIFTRIGHT($res, k * $subW) & ${(1L << subW) - 1}))))""".stripMargin
   }
 
   /** Exact n-gram Jaccard for candidate pairs (verification pass after

@@ -391,7 +391,7 @@ object Similarity {
                         nProbe: Int = 1, rerank: Int = 0): DataFrame =
     queryIvfPqResidual(
       buildIvfPqResidualIndex(corpus, idCol, vecCol, nBits, dim, m, pqBits),
-      corpus, probes, idCol, vecCol, k, nBits, dim, m, nProbe, rerank)
+      corpus, probes, idCol, vecCol, k, dim, m, nProbe, rerank)
 
   /** The PERSISTED half of a residual IVF-PQ (IVFADC) index — the
     * build/query split SCALING §8b prescribes for deployment (build once,
@@ -410,7 +410,13 @@ object Similarity {
     * (BIGINTs, BIGINT arrays, one double) — `write(dir)` / `read(spark,
     * dir)` round-trip them exactly, so a query against a re-read index is
     * bit-identical to one against the freshly built tables
-    * (`OperatorsSpec` pins that equality end to end). */
+    * (`OperatorsSpec` pins that equality end to end).
+    *
+    * To build AND store from a corpus, use [[writeIvfPqResidualIndex]]:
+    * `write` below runs three independent actions, so on LAZY tables each
+    * re-evaluates its shared upstream (codes' lineage contains codebook's
+    * contains cent's — ~3x the corpus reads); the staged writer persists
+    * each artifact once and derives the next from storage. */
   final case class IvfPqResidualIndex(cent: DataFrame, codebook: DataFrame,
                                       codes: DataFrame) {
     def write(dir: String): Unit = {
@@ -489,6 +495,34 @@ object Similarity {
     * mean centroids kept alongside for residuals; codebooks over per-cell
     * residual subvectors; engine-exact fixed-point arithmetic throughout
     * (see [[ivfPqResidualTopK]]'s determinism notes). */
+  private def ivfCentTable(c0: DataFrame): DataFrame = c0
+    .select(col("__cell0").as("cid"), posexplode(col("__vec")).as(Seq("i", "x")))
+    .groupBy("cid", "i")
+    .agg(sum(expr("CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)")).as("mc"),
+      count("*").as("cnt"))
+    .withColumn("mm", expr("(mc - ((mc % cnt) + cnt) % cnt) DIV cnt"))
+    .groupBy("cid")
+    .agg(expr("TRANSFORM(SORT_ARRAY(COLLECT_LIST(STRUCT(i, mc))), s -> s.mc)").as("ivec"),
+      expr("TRANSFORM(SORT_ARRAY(COLLECT_LIST(STRUCT(i, mm))), s -> s.mm)").as("mvec"))
+    .withColumn("inrm", expr(s"SQRT(${HashSpec.dotNative("ivec", "ivec")})"))
+
+  private def ivfResidCodebook(csubs: DataFrame, pqBits: Int, subDim: Int): DataFrame = csubs
+    .withColumn("cell0", expr(s"lsh_bucket(sub, $pqBits, $subDim)"))
+    .select(col("s"), col("cell0").as("cid"), posexplode(col("sub")).as(Seq("i", "x")))
+    .groupBy("s", "cid", "i")
+    .agg(sum(expr("CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)")).as("ms"),
+      count("*").as("cnt"))
+    .withColumn("mm", expr("(ms - ((ms % cnt) + cnt) % cnt) DIV cnt"))
+    .groupBy("s", "cid")
+    .agg(expr("TRANSFORM(SORT_ARRAY(COLLECT_LIST(STRUCT(i, mm))), t -> t.mm)").as("cvec"))
+
+  private def ivfResidCodes(csubs: DataFrame, codebook: DataFrame): DataFrame =
+    csubs.join(broadcast(codebook), Seq("s"))
+      .withColumn("d2", expr(pqResidL2))
+      .groupBy(col("__cid"), col("cell"), col("s"))
+      .agg(min(struct(col("d2"), col("cid"))).as("b"))
+      .select(col("__cid"), col("cell"), col("s"), col("b.cid").as("code"))
+
   def buildIvfPqResidualIndex(corpus: DataFrame, idCol: String, vecCol: String,
                               nBits: Int = 4, dim: Int = 64, m: Int = 8,
                               pqBits: Int = 4): IvfPqResidualIndex = {
@@ -496,34 +530,48 @@ object Similarity {
     graft.functions.TajoFunctions.register(corpus.sparkSession)
     val subDim = dim / m
     val c0 = ivfInitial(corpus, idCol, vecCol, nBits, dim)
-    val cent = c0
-      .select(col("__cell0").as("cid"), posexplode(col("__vec")).as(Seq("i", "x")))
-      .groupBy("cid", "i")
-      .agg(sum(expr("CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)")).as("mc"),
-        count("*").as("cnt"))
-      .withColumn("mm", expr("(mc - ((mc % cnt) + cnt) % cnt) DIV cnt"))
-      .groupBy("cid")
-      .agg(expr("TRANSFORM(SORT_ARRAY(COLLECT_LIST(STRUCT(i, mc))), s -> s.mc)").as("ivec"),
-        expr("TRANSFORM(SORT_ARRAY(COLLECT_LIST(STRUCT(i, mm))), s -> s.mm)").as("mvec"))
-      .withColumn("inrm", expr(s"SQRT(${HashSpec.dotNative("ivec", "ivec")})"))
+    val cent = ivfCentTable(c0)
     val corpusCells = ivfAssign(c0, cent, idCol)
     val cres = ivfResid(corpus, corpusCells, cent, idCol, vecCol, "__cid")
     val csubs = pqResidSubs(cres, "__cid", m, subDim)
-    val codebook = csubs
-      .withColumn("cell0", expr(s"lsh_bucket(sub, $pqBits, $subDim)"))
-      .select(col("s"), col("cell0").as("cid"), posexplode(col("sub")).as(Seq("i", "x")))
-      .groupBy("s", "cid", "i")
-      .agg(sum(expr("CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)")).as("ms"),
-        count("*").as("cnt"))
-      .withColumn("mm", expr("(ms - ((ms % cnt) + cnt) % cnt) DIV cnt"))
-      .groupBy("s", "cid")
-      .agg(expr("TRANSFORM(SORT_ARRAY(COLLECT_LIST(STRUCT(i, mm))), t -> t.mm)").as("cvec"))
-    val codes = csubs.join(broadcast(codebook), Seq("s"))
-      .withColumn("d2", expr(pqResidL2))
-      .groupBy(col("__cid"), col("cell"), col("s"))
-      .agg(min(struct(col("d2"), col("cid"))).as("b"))
-      .select(col("__cid"), col("cell"), col("s"), col("b.cid").as("code"))
+    val codebook = ivfResidCodebook(csubs, pqBits, subDim)
+    val codes = ivfResidCodes(csubs, codebook)
     IvfPqResidualIndex(cent, codebook, codes)
+  }
+
+  /** Build AND persist the index with each artifact materialized exactly
+    * once — the true build-once path a deployment runs. The lazy
+    * [[buildIvfPqResidualIndex]] + `index.write(dir)` spelling runs three
+    * independent actions whose lineages nest, costing ~3x the corpus
+    * reads; here each stage writes to storage and the NEXT stage reads the
+    * stored table, so the corpus is scanned exactly twice (centroid
+    * aggregation; assignment + residual sub-vectors, staged under
+    * `dir/_subs` and deleted after) and codebook/codes derive from the
+    * staged tables. Returns the index re-read from `dir` — queries against
+    * it are bit-identical to the composed operator (`OperatorsSpec`). */
+  def writeIvfPqResidualIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                              dir: String, nBits: Int = 4, dim: Int = 64,
+                              m: Int = 8, pqBits: Int = 4): IvfPqResidualIndex = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    graft.functions.TajoFunctions.register(corpus.sparkSession)
+    val spark = corpus.sparkSession
+    val subDim = dim / m
+    val c0 = ivfInitial(corpus, idCol, vecCol, nBits, dim)
+    ivfCentTable(c0).write.mode("overwrite").parquet(s"$dir/cent")
+    val cent = spark.read.parquet(s"$dir/cent")
+    val corpusCells = ivfAssign(c0, cent, idCol)
+    val cres = ivfResid(corpus, corpusCells, cent, idCol, vecCol, "__cid")
+    pqResidSubs(cres, "__cid", m, subDim)
+      .write.mode("overwrite").parquet(s"$dir/_subs")
+    val csubs = spark.read.parquet(s"$dir/_subs")
+    ivfResidCodebook(csubs, pqBits, subDim)
+      .write.mode("overwrite").parquet(s"$dir/codebook")
+    val codebook = spark.read.parquet(s"$dir/codebook")
+    ivfResidCodes(csubs, codebook)
+      .write.mode("overwrite").parquet(s"$dir/codes")
+    // the staged residual sub-vectors are scaffolding, not index surface
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$dir/_subs"))
+    IvfPqResidualIndex.read(spark, dir)
   }
 
   /** Query a (possibly re-read) residual IVF-PQ index — the half a
@@ -533,7 +581,7 @@ object Similarity {
     * (which is literally build + this). */
   def queryIvfPqResidual(index: IvfPqResidualIndex, corpus: DataFrame,
                          probes: DataFrame, idCol: String, vecCol: String,
-                         k: Int = 10, nBits: Int = 4, dim: Int = 64,
+                         k: Int = 10, dim: Int = 64,
                          m: Int = 8, nProbe: Int = 1, rerank: Int = 0): DataFrame = {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     require(nProbe >= 1, s"need nProbe >= 1, got $nProbe")
@@ -544,8 +592,11 @@ object Similarity {
     graft.functions.TajoFunctions.register(probes.sparkSession)
     val subDim = dim / m
     val cent = index.cent
+    // probes route by argmax cosine against the stored centroids — the
+    // build-time LSH seed (nBits) has no query-side role, so it is not a
+    // parameter here: a mismatched value could only mask misconfiguration
     val probeCells = ivfAssignTopN(
-      ivfInitial(probes, idCol, vecCol, nBits, dim), cent, idCol, nProbe)
+      withNorm(probes, idCol, vecCol), cent, idCol, nProbe)
     val qres = ivfResid(probes, probeCells, cent, idCol, vecCol, "__qid")
     // ADC: per (query, subspace, centroid) squared distance, micro units
     val adc = pqResidSubs(qres, "__qid", m, subDim)

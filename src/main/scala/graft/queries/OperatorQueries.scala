@@ -784,9 +784,8 @@ object OperatorQueries {
     (spark, dir) => {
       val vecs = Tables.table(spark, dir, "embeddings")
       val probes = vecs.filter(col("vec_id") < 20)
-      Similarity.buildIvfPqResidualIndex(vecs, "vec_id", "embedding")
-        .write(annIdxScratch)
-      val stored = Similarity.IvfPqResidualIndex.read(spark, annIdxScratch)
+      val stored = Similarity.writeIvfPqResidualIndex(
+        vecs, "vec_id", "embedding", annIdxScratch)
       ivfAdcRerankSelect(Similarity.queryIvfPqResidual(stored, vecs, probes,
         "vec_id", "embedding", k = 5, nProbe = 4, rerank = 50))
     },

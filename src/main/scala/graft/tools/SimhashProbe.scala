@@ -45,16 +45,9 @@ object SimhashProbe {
     val statsD = bkD.agg(count(lit(1)), max("count"),
       sum(col("count") * (col("count") - 1) / 2)).head()
     println(s"[probe] DISTINCT-sig buckets=${statsD.get(0)} maxBucket=${statsD.get(1)} candPairs=${statsD.get(2)}")
-    // two-level refined keys (the shipped layout): 16 packed keys per doc,
-    // candidate volume = sum of C(bucket, 2) over the packed-key buckets
-    val res = s"((simhash & (SHIFTLEFT(CAST(1 AS BIGINT), b * $width) - 1)) | " +
-      s"SHIFTLEFT(SHIFTRIGHT(simhash, (b + 1) * $width), b * $width))"
-    val keys =
-      s"""FLATTEN(TRANSFORM(SEQUENCE(0, 3), b ->
-         |  TRANSFORM(SEQUENCE(0, 3), k ->
-         |    SHIFTLEFT(CAST(b * 4 + k AS BIGINT), ${width + 12})
-         |    | SHIFTLEFT(SHIFTRIGHT(simhash, b * $width) & $mask, 12)
-         |    | (SHIFTRIGHT($res, k * 12) & 4095))))""".stripMargin
+    // two-level refined keys — the SHARED builder, so these statistics
+    // always describe the key layout simhashNearDupsWide actually ships
+    val keys = graft.operators.Dedup.simhash60PackedKeys(maxHamming = 3, bands = 4)
     val refined = sh.select(explode(expr(keys)).as("bkey")).groupBy("bkey").count()
     val refStats = refined.filter(col("count") > 1)
       .agg(count(lit(1)), max("count"),

@@ -1107,9 +1107,10 @@ class OperatorsSpec extends AnyFunSuite {
       df.collect().map(_.toSeq).toSet
     val dir = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
     try {
-      val idx = Similarity.buildIvfPqResidualIndex(vecs, "vec_id", "embedding")
-      idx.write(dir)
-      val stored = Similarity.IvfPqResidualIndex.read(spark, dir)
+      // the staged writer (each artifact materialized once, corpus scanned
+      // exactly twice) — the path q_ann_ivfadc_store ships
+      val stored = Similarity.writeIvfPqResidualIndex(vecs, "vec_id", "embedding", dir)
+      assert(!new java.io.File(s"$dir/_subs").exists, "staging scaffold must be cleaned up")
       // ADC-only path (integer distances: equality must be exact)
       val composedAdc = Similarity.ivfPqResidualTopK(
         vecs, probes, "vec_id", "embedding", k = 5, nProbe = 4)
@@ -1150,6 +1151,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == brute)
     assert(brute.nonEmpty, "seeded near-dups must produce qualifying pairs")
     assert(brute.exists(_._3 > 0), "need at least one non-identical near-dup pair")
+    // NULL text (NULL signature) and NULL ids are excluded, not collected
+    // into a degenerate NULL-key bucket (they also never pair with real
+    // docs — the join spelling this replaced dropped them via key
+    // semantics, and the oracle's bit_count(NULL) predicate agrees)
+    val withNulls = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, null.asInstanceOf[String]), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+      .unionByName(Seq(("x", "alpha beta gamma delta")).toDF("sid", "text")
+        .select(lit(null).cast("bigint").as("doc_id"), col("text")))
+    val nr = Dedup.simhashNearDupsWide(withNulls, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(nr == Set((1L, 2L, 0L)))
   }
 
   test("lmScore: hand-computed add-one bigram ppm, short-doc NULL, cap semantics") {

@@ -6,17 +6,21 @@ import graft.tools.PlanCount
 /** File-scan budgets for headline queries — the CI guard for the
   * re-evaluation defect class (SCALING §8b): a lazily-composed subplan
   * consumed N times re-reads its sources N times, which at 100 TB is N
-  * corpus passes. Every budget below is the MEASURED executed-plan scan
-  * count at the spec sf — multi-table joins legitimately scan once per
-  * table (q5_join_multi: 6 tables, 6 scans), single-pass rewrites scan
-  * once total (the round-8/9 dedup work), and the known-breadth pipelines
-  * carry their audited count. A failure means a plan change added a
-  * corpus pass; either restore the single evaluation or re-audit and
-  * raise the budget deliberately (with the SCALING note to match).
+  * corpus passes. Every budget below is the MEASURED scan count of the
+  * statically planned tree at the spec sf (see [[PlanCount.allNodes]]:
+  * scan multiplicity is decided at planning; AQE runtime reuse can only
+  * shrink it, so the static count is the honest upper bound and the
+  * queries never need executing here). Multi-table joins legitimately
+  * scan once per table (q5_join_multi: 6 tables, 6 scans), single-pass
+  * rewrites scan once total (the round-8/9 dedup work), and the
+  * known-breadth pipelines carry their audited count. A failure means a
+  * plan change added a corpus pass; either restore the single evaluation
+  * or re-audit and raise the budget deliberately (with the SCALING note
+  * to match).
   *
   * Checkpoint-based operators (kmeans, bpe, clusters) are absent: their
-  * scans run during materialization, before the executed plan this spec
-  * walks, so a count here would measure nothing.
+  * scans run during checkpoint materialization, outside the plan this
+  * spec walks, so a count here would measure nothing.
   */
 class ScanBudgetSpec extends AnyFunSuite {
   import TestSpark._
@@ -56,9 +60,7 @@ class ScanBudgetSpec extends AnyFunSuite {
     test(s"scan budget: $name runs <= $budget file scans") {
       val q = SparkEntry.registry.find(_.name == name)
         .getOrElse(fail(s"unknown query $name"))
-      val df = q.run(spark, sfDir)
-      df.count() // finalize AQE before walking the executed plan
-      val scans = PlanCount.fileScanCount(df)
+      val scans = PlanCount.fileScanCount(q.run(spark, sfDir))
       assert(scans <= budget,
         s"$name runs $scans file scans (budget $budget): a subplan is " +
           "being re-evaluated — see SCALING §8b")

@@ -19,6 +19,12 @@ import sys
 out, ins = sys.argv[1], sys.argv[2:]
 recs = [json.load(open(p)) for p in ins]
 
+# Bench's own "value" is the sf-dir-only sum (its comment: round-over-round
+# comparability), but its "queries" map also carries the fixed-sf0.01
+# ExactSubstr stride-1 entry — keep that entry in the merged map, exclude
+# it from the merged total so merged-vs-direct totals stay comparable.
+FIXED_SF_ENTRIES = {"q_dedup_substring_spans_stride1_sf001"}
+
 queries = {}
 for r in recs:
     for q, t in r["queries"].items():
@@ -33,10 +39,12 @@ for r in recs:
             continue
         smoke[q] = t if q not in smoke else min(smoke[q], t)
 
-errors = sorted({e for r in recs for e in r.get("errors", [])})
+# a query that failed in one run but has a valid time from another is a
+# recovered measurement, not a merged failure
+errors = sorted({e for r in recs for e in r.get("errors", [])} - set(queries))
 merged = {
     "metric": "total",
-    "value": sum(queries.values()),
+    "value": sum(t for q, t in queries.items() if q not in FIXED_SF_ENTRIES),
     "unit": "sec",
     "queries": queries,
     "errors": errors,
