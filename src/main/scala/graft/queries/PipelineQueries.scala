@@ -259,12 +259,32 @@ object PipelineQueries {
       graft.operators.Dedup.simhashNearDupsWide(docs, "doc_id", "text")
         .orderBy("d1", "d2")
     },
-    Some(s"""WITH $duckSimhash60Ctes
+    Some(simhash60BruteOracle))
+
+  private def simhash60BruteOracle: String =
+    s"""WITH $duckSimhash60Ctes
        |SELECT a.doc_id AS d1, b.doc_id AS d2,
        |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
        |FROM shs60 a JOIN shs60 b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.sh, b.sh)) <= 3
-       |ORDER BY d1, d2""".stripMargin))
+       |ORDER BY d1, d2""".stripMargin
+
+  // Streaming near-dup detection (StreamingDedup.nearDupPairs): the
+  // ingest-time spelling of the SAME two-level banding — per-bucket
+  // flatMapGroupsWithState, each arrival compared against the bucket's
+  // accumulated members. Gated by the IDENTICAL brute-force oracle as the
+  // batch query above: the streaming state machine must reproduce the
+  // batch pair set exactly (cross-band duplicates collapse at the sink).
+  private val qStreamNearDup = QueryDef.df("q_stream_neardup",
+    (sp, dir) => {
+      val docs = graft.streaming.StreamingDedup.readDocuments(sp, dir)
+      val pairs = graft.streaming.StreamingDedup.nearDupPairs(docs).toDF()
+      graft.streaming.EventStreams
+        .runToMemoryTable(pairs, "graft_stream_neardup", mode = "append")
+        .select(col("d1"), col("d2"), col("hamming")).distinct()
+        .orderBy("d1", "d2")
+    },
+    Some(simhash60BruteOracle))
 
   // Incremental snapshot dedup (Dedup.incrementalExact). The synthetic
   // corpus has no exact dups, so a naive split would admit everything and
@@ -2032,7 +2052,7 @@ object PipelineQueries {
   val all: Seq[QueryDef] = Seq(
     qRetrieval,
     qDedupExact, qDedupNorm, qMinhashSig, qMinhashPairs, qMinhashCorpus, qSimhash,
-    qSimhashPairs, qSimhashPairs60, qLmScore, qParagraphDedup, qIncrementalDedup, qIncrementalBloom,
+    qSimhashPairs, qSimhashPairs60, qStreamNearDup, qLmScore, qParagraphDedup, qIncrementalDedup, qIncrementalBloom,
     qDecontaminateExact, qSubstringSpans, qSubstringScrub,
     qSample, qSampleStratified, qInterleave, qSplit,
     qNgramJaccard, qEmbDedup, qAnnBrute, qAnnLsh,

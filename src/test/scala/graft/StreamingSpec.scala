@@ -75,4 +75,49 @@ class StreamingSpec extends AnyFunSuite {
     val total = rows.map(_.getAs[Long]("n_events")).sum
     assert(total == Tables.table(spark, sfDir, "events").count())
   }
+
+  test("streaming near-dup pairs equal the batch operator and are micro-batch-split invariant") {
+    import graft.streaming.StreamingDedup
+    // seeded near-dups so the pair set is non-trivial, split across TWO
+    // parquet files so maxFilesPerTrigger=1 forces two micro-batches —
+    // cross-batch pairs must come from state, same-batch pairs from the
+    // in-batch comparison; a state bug breaks one of the two runs
+    val base = Tables.table(spark, sfDir, "documents").limit(200)
+    val perturbed = base.filter(col("doc_id") % 5 === 0).select(
+      (col("doc_id") + 100000L).as("doc_id"),
+      concat(col("text"), lit(" tailnoise")).as("text"),
+      col("lang"), col("source"), col("n_chars"))
+    val dir = java.nio.file.Files.createTempDirectory("stream_neardup").toString
+    try {
+      // lay out two single-file directories, each holding a file named
+      // documents.parquet (what readDocuments' pathGlobFilter streams)
+      base.coalesce(1).write.parquet(s"$dir/part_a")
+      perturbed.coalesce(1).write.parquet(s"$dir/part_b")
+      new java.io.File(s"$dir/in1").mkdirs(); new java.io.File(s"$dir/in2").mkdirs()
+      Seq("part_a" -> "in1", "part_b" -> "in2").foreach { case (from, to) =>
+        val f = new java.io.File(s"$dir/$from").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(s"$dir/$to/documents.parquet"))
+      }
+      val union = spark.read.parquet(s"$dir/in1/documents.parquet", s"$dir/in2/documents.parquet")
+      val expected = graft.operators.Dedup
+        .simhashNearDupsWide(union, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(expected.nonEmpty, "seeded near-dups must produce pairs")
+      def streamed(maxFiles: Option[Int], glob: String, name: String): Set[(Long, Long, Long)] = {
+        var reader = spark.readStream.schema(StreamingDedup.docSchema)
+          .option("pathGlobFilter", "documents.parquet")
+        maxFiles.foreach(n => reader = reader.option("maxFilesPerTrigger", n.toString))
+        val docs = reader.parquet(s"$dir/$glob")
+        val pairs = StreamingDedup.nearDupPairs(docs).toDF()
+        EventStreams.runToMemoryTable(pairs, name, mode = "append")
+          .distinct().collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      }
+      val oneBatch = streamed(None, "in*", "t_neardup_1")
+      val twoBatch = streamed(Some(1), "in*", "t_neardup_2")
+      assert(oneBatch == expected, "single-batch stream must equal the batch operator")
+      assert(twoBatch == expected, "two-batch stream must equal the batch operator")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
 }
