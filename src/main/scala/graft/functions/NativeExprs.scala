@@ -51,6 +51,12 @@ object NativeExprs {
       val div = if (exprs.length > 2) lit(exprs(2), "div") else 64
       CdcChunks(exprs.head, w, div)
     },
+    "window_hashes" -> { exprs =>
+      val lit = intLit("window_hashes") _
+      val len = if (exprs.length > 1) lit(exprs(1), "len") else 50
+      val stride = if (exprs.length > 2) lit(exprs(2), "stride") else 1
+      WindowHashes(exprs.head, len, stride)
+    },
     // Spark's own runtime-filter sketch surfaced as a callable pair: the
     // aggregate folds xxhash64 values into a serialized BloomFilterImpl
     // (partial sketches OR-merge, so it is one narrow pass at any scale),

@@ -396,9 +396,6 @@ object Dedup {
     * one degenerate bucket. */
   def simhashNearDupsWide(docs: DataFrame, idCol: String, textCol: String,
                           maxHamming: Int = 3, bands: Int = 4): DataFrame = {
-    require(60 % bands == 0, s"bands must divide 60, got $bands")
-    require(maxHamming < bands,
-      s"pigeonhole needs maxHamming < bands, got $maxHamming >= $bands")
     graft.functions.TajoFunctions.register(docs.sparkSession)
     val sh = docs.select(col(idCol),
       expr(s"simhash60(SPLIT($textCol, ' '))").as("simhash"))
@@ -431,6 +428,14 @@ object Dedup {
     * Key = (band*nSub + k) | band slice | k-th residual sub-slice, packed
     * into one BIGINT (4 + 15 + 12 bits at the defaults). */
   private[graft] def simhash60PackedKeys(maxHamming: Int, bands: Int): String = {
+    // Validated HERE, in the shared builder, so every spelling that expands
+    // these keys (batch simhashNearDupsWide, streaming
+    // StreamingDedup.nearDupPairs, the tools probe) fails loudly on a
+    // configuration that breaks the two-level pigeonhole guarantee —
+    // with maxHamming >= bands qualifying pairs would be silently missed.
+    require(60 % bands == 0, s"bands must divide 60, got $bands")
+    require(maxHamming < bands,
+      s"pigeonhole needs maxHamming < bands, got $maxHamming >= $bands")
     val width = 60 / bands
     val mask = (1L << width) - 1
     val nSub = maxHamming + 1
@@ -725,17 +730,26 @@ object Dedup {
     * deduplicating-training-data line of work, expressed relationally
     * instead of via a suffix array).
     *
-    * Shape: explode each document into length-`minLen` char windows at
-    * `stride`, hash each window (md5 — engine-portable), keep hashes seen
-    * more than once corpus-wide (one aggregation on the hash — uniform
-    * keys, no skew), then merge each document's surviving windows into
-    * maximal spans with a gaps-and-islands window (new island when a
-    * window starts past the previous reach). "Kept more than once" is a
-    * COUNT(*) OVER (PARTITION BY hash) — one pass over the windows, so the
-    * explode+md5 subplan (the dominant cost) is evaluated once; the
+    * Shape: hash every length-`minLen` char window at `stride` in ONE
+    * rolling pass per document (`window_hashes` — Rabin-Karp, O(chars)
+    * regardless of minLen; the SUBSTRING+md5 spelling it replaced paid
+    * O(chars * minLen), which is what kept the guaranteed-detection
+    * stride-1 setting parked at sf0.01), keep hashes seen more than once
+    * corpus-wide (one aggregation on the 8-byte hash — uniform keys, no
+    * skew), then merge each document's surviving windows into maximal
+    * spans with a gaps-and-islands window (new island when a window
+    * starts past the previous reach). A repeated-window decision from
+    * hash equality tolerates 64-bit collisions (birthday ~5e-4
+    * corpus-wide at sf0.1 stride 1; a false span additionally needs the
+    * collision within minLen of a real one) — the DuckDB oracle computes
+    * the same spans from md5 windows, so a collision would fail the
+    * correctness gate rather than pass silently. "Kept more than once" is
+    * a COUNT(*) OVER (PARTITION BY hash) — one pass over the windows, so
+    * the window-hash subplan (the dominant cost) is evaluated once; the
     * aggregate+self-join spelling of the same predicate evaluates it twice
     * and shuffles the window table a third time for the join (measured
-    * 29.4s -> 6.8s at sf1, 3.1s -> ~1.3s at sf0.1; SCALING.md §7). WindowExec's spillable per-key buffer keeps a
+    * 29.4s -> 6.8s at sf1, 3.1s -> ~1.3s at sf0.1 on the md5 path;
+    * SCALING.md §7). WindowExec's spillable per-key buffer keeps a
     * pathologically repeated window (boilerplate seen millions of times)
     * from pinning memory. Cost is linear in
     * characters/stride — the same work ExactSubstr's suffix array pays,
@@ -748,13 +762,14 @@ object Dedup {
   def repeatedSubstringSpans(docs: DataFrame, idCol: String, textCol: String,
                              minLen: Int = 50, stride: Int = 1): DataFrame = {
     require(minLen > 0 && stride > 0, "minLen and stride must be positive")
+    graft.functions.TajoFunctions.register(docs.sparkSession)
     val wins = docs
       .filter(length(col(textCol)) >= minLen)
       .select(col(idCol),
-        explode(sequence(lit(0), length(col(textCol)) - minLen, lit(stride))).as("__s"),
-        col(textCol))
-      .select(col(idCol), col("__s").cast("bigint").as("start"),
-        md5(expr(s"SUBSTRING($textCol, __s + 1, $minLen)")).as("__h"))
+        posexplode(expr(s"window_hashes($textCol, $minLen, $stride)"))
+          .as(Seq("__i", "__h")))
+      .select(col(idCol), (col("__i").cast("bigint") * stride).as("start"),
+        col("__h"))
     val flagged = wins
       .withColumn("__cnt", count(lit(1)).over(Window.partitionBy("__h")))
       .filter(col("__cnt") > 1)

@@ -1928,6 +1928,54 @@ object PipelineQueries {
            |GROUP BY doc_id
            |ORDER BY doc_id""".stripMargin))
 
+  // The guaranteed-detection ExactSubstr setting: stride 1, every window
+  // hashed — Lee et al.'s actual semantics (a repeat is found regardless
+  // of offset alignment; stride 4 above only catches offsets differing by
+  // a multiple of 4). Viable at sf0.1+ since the rolling-hash rewrite
+  // (window_hashes is O(chars) total, not O(chars * minLen)); the oracle
+  // replays stride 1 with md5 windows, so the rolling hash's span set is
+  // independently confirmed window-for-window.
+  private val qSubstringSpansStride1 = df("q_dedup_substring_spans_stride1",
+    (spark, dir) => {
+      val docs = graft.engine.Tables.table(spark, dir, "documents")
+      graft.operators.Dedup.repeatedSubstringSpans(docs, "doc_id", "text",
+        minLen = 40, stride = 1)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum("span_len").as("covered_chars"),
+          max("span_len").as("max_span"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (
+           |  SELECT doc_id, CAST(t.s AS BIGINT) AS start,
+           |    md5(substr(text, CAST(t.s AS INT) + 1, 40)) AS h
+           |  FROM documents, UNNEST(range(0, length(text) - 40 + 1, 1)) AS t(s)
+           |  WHERE length(text) >= 40
+           |), rep AS (
+           |  SELECT h FROM w GROUP BY h HAVING COUNT(*) > 1
+           |), f AS (
+           |  SELECT doc_id, start FROM w WHERE h IN (SELECT h FROM rep)
+           |), isl AS (
+           |  SELECT doc_id, start,
+           |    CASE WHEN lag(start) OVER (PARTITION BY doc_id ORDER BY start) IS NULL THEN 1
+           |         WHEN start > lag(start) OVER (PARTITION BY doc_id ORDER BY start) + 40 THEN 1
+           |         ELSE 0 END AS new_island
+           |  FROM f
+           |), grp AS (
+           |  SELECT doc_id, start,
+           |    SUM(new_island) OVER (PARTITION BY doc_id ORDER BY start) AS island
+           |  FROM isl
+           |), spans AS (
+           |  SELECT doc_id, MIN(start) AS span_start, MAX(start) + 40 AS span_end
+           |  FROM grp GROUP BY doc_id, island
+           |)
+           |SELECT doc_id, COUNT(*) AS n_spans,
+           |  CAST(SUM(span_end - span_start) AS BIGINT) AS covered_chars,
+           |  CAST(MAX(span_end - span_start) AS BIGINT) AS max_span
+           |FROM spans
+           |GROUP BY doc_id
+           |ORDER BY doc_id""".stripMargin))
+
   // The apply step: scrub detected spans out of the text and md5 the
   // result. DuckDB rebuilds the same scrubbed string from gap segments
   // (string_agg over the inter-span gaps) — an independent construction
@@ -2053,7 +2101,7 @@ object PipelineQueries {
     qRetrieval,
     qDedupExact, qDedupNorm, qMinhashSig, qMinhashPairs, qMinhashCorpus, qSimhash,
     qSimhashPairs, qSimhashPairs60, qStreamNearDup, qLmScore, qParagraphDedup, qIncrementalDedup, qIncrementalBloom,
-    qDecontaminateExact, qSubstringSpans, qSubstringScrub,
+    qDecontaminateExact, qSubstringSpans, qSubstringSpansStride1, qSubstringScrub,
     qSample, qSampleStratified, qInterleave, qSplit,
     qNgramJaccard, qEmbDedup, qAnnBrute, qAnnLsh,
     qTextStats, qGopher, qCurate, qShardPlan, qSpanCorruption, qBlocklist,

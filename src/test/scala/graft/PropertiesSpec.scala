@@ -158,6 +158,37 @@ class PropertiesSpec extends AnyFunSuite {
     assert(df.filter("spec <> native").count() == 0)
   }
 
+  test("native window_hashes: rolling hash equals naive per-window refold at any stride") {
+    graft.functions.TajoFunctions.register(spark)
+    // independent model: refold each window from scratch in the same
+    // mod-2^64 polynomial ring (base = FNV prime) — the rolling
+    // subtraction in the native pass must reproduce it exactly
+    val B = 0x100000001b3L
+    def refold(s: String): Long = s.foldLeft(0L)((h, c) => h * B + c.toInt)
+    def naive(s: String, len: Int, stride: Int): Seq[Long] =
+      if (s.length < len) Seq.empty
+      else (0 to s.length - len by stride).map(i => refold(s.substring(i, i + len)))
+    val samples = Seq.fill(60)(randText(60)) :+ "" :+ "tiny" :+ ("x" * 64)
+    for ((len, stride) <- Seq((10, 1), (10, 3), (40, 1), (7, 7))) {
+      val got = samples.toDF("s")
+        .select(expr(s"window_hashes(s, $len, $stride)").as("h"))
+        .as[Seq[Long]].collect()
+      samples.zip(got).foreach { case (s, hs) =>
+        assert(hs == naive(s, len, stride), s"len=$len stride=$stride input: $s")
+      }
+    }
+    // the dedup contract: equal windows hash equal, and on non-adversarial
+    // text distinct windows hash distinct (spans from hash equality ==
+    // spans from string equality)
+    val doc = randText(300)
+    val hs = Seq(doc).toDF("s")
+      .select(expr("window_hashes(s, 20, 1)").as("h")).as[Seq[Long]].collect().head
+    val wins = (0 to doc.length - 20).map(i => doc.substring(i, i + 20))
+    assert(hs.zipWithIndex.forall { case (h, i) =>
+      wins.zipWithIndex.forall { case (w, j) => (h == hs(j)) == (w == wins(i)) }
+    })
+  }
+
   test("native cdc_chunks: rolling hash equals naive per-window refold; chunks rejoin") {
     graft.functions.TajoFunctions.register(spark)
     def naiveChunks(s: String, w: Int, div: Int): Seq[String] = {

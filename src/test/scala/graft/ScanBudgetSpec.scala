@@ -41,6 +41,7 @@ class ScanBudgetSpec extends AnyFunSuite {
     "q_dedup_minhash_pairs" -> 1,
     "q_dedup_simhash_pairs60" -> 1,
     "q_dedup_substring_spans" -> 1,
+    "q_dedup_substring_spans_stride1" -> 1,
     // one scan per joined table / audited branch breadth
     "q_op_asof_join" -> 2,
     "q_op_range_join" -> 2,
