@@ -30,10 +30,35 @@ import org.apache.spark.sql.types._
   *
   * Scale: state per bucket is its member list (16 bytes each) — the same
   * population the batch operator collects per bucket, sharded by key
-  * across executors and append-only. A production deployment bounds it
-  * with a state TTL (GroupStateTimeout.ProcessingTimeTimeout) or a
-  * per-bucket member cap at a documented recall trade, exactly the
-  * knobs the batch scaladoc prescribes for saturated buckets.
+  * across executors. Unbounded by default (exact batch parity), it is
+  * BOUNDED by two independent knobs, because a stream has no natural end
+  * and per-bucket memory must not grow with stream lifetime:
+  *
+  *  - `ttlMs` > 0 wires `GroupStateTimeout.ProcessingTimeTimeout`: a
+  *    bucket whose key receives no arrivals for `ttlMs` is dropped whole
+  *    at the next trigger. Recall trade: a pair whose two members arrive
+  *    more than `ttlMs` apart (with no other traffic on their shared
+  *    buckets) is missed — the standard freshness-horizon semantics of
+  *    windowed streaming dedup.
+  *  - `maxMembers` > 0 caps each bucket's list, evicting the OLDEST
+  *    members first (arrival order, newest kept). Recall trade: a pair is
+  *    missed only if, on EVERY bucket the two signatures share, the
+  *    earlier member was evicted before the later one arrived — emitted
+  *    pairs are always a subset of the batch operator's, and every
+  *    suppressed pair involves an evicted member (`StreamingSpec` pins
+  *    both properties against a replay of the eviction rule).
+  *
+  * Both default off, so the shipped `q_stream_neardup` query stays
+  * bit-equal to the batch operator and its brute-force oracle.
+  *
+  * Engine note on the TTL: with `ProcessingTimeTimeout` configured, Spark
+  * schedules micro-batches CONTINUOUSLY to sweep expired groups
+  * (`FlatMapGroupsWithStateExec.shouldRunAnotherBatch` is unconditionally
+  * true), so the query never reports quiescence —
+  * `StreamingQuery.processAllAvailable()` blocks forever. Drive a
+  * TTL-enabled stream by progress or `awaitTermination(timeout)`
+  * (`StreamingSpec` shows the pattern); leave `ttlMs = 0` for
+  * run-to-completion batch-parity jobs.
   */
 object StreamingDedup {
 
@@ -53,12 +78,17 @@ object StreamingDedup {
 
   final case class NearDupPair(d1: Long, d2: Long, hamming: Long)
 
-  def nearDupPairs(docs: DataFrame, maxHamming: Int = 3,
-                   bands: Int = 4): Dataset[NearDupPair] = {
+  def nearDupPairs(docs: DataFrame, maxHamming: Int = 3, bands: Int = 4,
+                   maxMembers: Int = 0, ttlMs: Long = 0L): Dataset[NearDupPair] = {
+    require(maxMembers >= 0, s"maxMembers must be >= 0 (0 = unbounded), got $maxMembers")
+    require(ttlMs >= 0L, s"ttlMs must be >= 0 (0 = no timeout), got $ttlMs")
     val spark = docs.sparkSession
     import spark.implicits._
     graft.functions.TajoFunctions.register(spark)
     val keys = graft.operators.Dedup.simhash60PackedKeys(maxHamming, bands)
+    val timeout =
+      if (ttlMs > 0L) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     val banded = docs
       .select(col("doc_id"), expr("simhash60(SPLIT(text, ' '))").as("simhash"))
       .filter(col("doc_id").isNotNull && col("simhash").isNotNull)
@@ -66,26 +96,37 @@ object StreamingDedup {
       .as[(Long, Long, Long)]
     banded.groupByKey(_._3)
       .flatMapGroupsWithState[List[(Long, Long)], NearDupPair](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeout) {
         (_: Long, rows: Iterator[(Long, Long, Long)],
          state: GroupState[List[(Long, Long)]]) =>
-          var members = state.getOption.getOrElse(Nil)
-          val out = scala.collection.mutable.ArrayBuffer.empty[NearDupPair]
-          // ascending id order makes the output batch-split invariant AND
-          // matches the batch operator's sorted in-bucket expansion
-          rows.map(r => (r._1, r._2)).toArray.sortBy(_._1).foreach {
-            case (id, sig) =>
-              members.foreach { case (oid, osig) =>
-                if (oid != id) {
-                  val h = java.lang.Long.bitCount(sig ^ osig).toLong
-                  if (h <= maxHamming)
-                    out += NearDupPair(math.min(id, oid), math.max(id, oid), h)
+          if (state.hasTimedOut) {
+            // idle past the TTL: drop the whole bucket (rows is empty here)
+            state.remove()
+            Iterator.empty
+          } else {
+            // members newest-first: prepend on arrival, so a cap keeps the
+            // most recent maxMembers and evicts the oldest
+            var members = state.getOption.getOrElse(Nil)
+            val out = scala.collection.mutable.ArrayBuffer.empty[NearDupPair]
+            // ascending id order makes the output batch-split invariant AND
+            // matches the batch operator's sorted in-bucket expansion
+            rows.map(r => (r._1, r._2)).toArray.sortBy(_._1).foreach {
+              case (id, sig) =>
+                members.foreach { case (oid, osig) =>
+                  if (oid != id) {
+                    val h = java.lang.Long.bitCount(sig ^ osig).toLong
+                    if (h <= maxHamming)
+                      out += NearDupPair(math.min(id, oid), math.max(id, oid), h)
+                  }
                 }
-              }
-              members = (id, sig) :: members
+                members = (id, sig) :: members
+                if (maxMembers > 0 && members.lengthCompare(maxMembers) > 0)
+                  members = members.take(maxMembers)
+            }
+            state.update(members)
+            if (ttlMs > 0L) state.setTimeoutDuration(ttlMs)
+            out.iterator
           }
-          state.update(members)
-          out.iterator
       }
   }
 }

@@ -120,4 +120,165 @@ class StreamingSpec extends AnyFunSuite {
       assert(twoBatch == expected, "two-batch stream must equal the batch operator")
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
+
+  test("streaming near-dup member cap: subset of batch, suppressions only via evictions") {
+    import graft.streaming.StreamingDedup
+    val cap = 1
+    val base = Tables.table(spark, sfDir, "documents").limit(200)
+    val perturbed = base.filter(col("doc_id") % 5 === 0).select(
+      (col("doc_id") + 100000L).as("doc_id"),
+      concat(col("text"), lit(" tailnoise")).as("text"),
+      col("lang"), col("source"), col("n_chars"))
+    val dir = java.nio.file.Files.createTempDirectory("stream_neardup_cap").toString
+    try {
+      base.unionAll(perturbed).coalesce(1).write.parquet(s"$dir/part")
+      new java.io.File(s"$dir/in").mkdirs()
+      val f = new java.io.File(s"$dir/part").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(s"$dir/in/documents.parquet"))
+      val union = spark.read.parquet(s"$dir/in/documents.parquet")
+      val batchPairs = graft.operators.Dedup
+        .simhashNearDupsWide(union, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(batchPairs.nonEmpty)
+
+      // replay the operator's documented eviction rule in plain Scala over
+      // the SAME banded rows (shared key builder), in the operator's
+      // single-batch processing order (ascending id per bucket) — the
+      // streamed capped output must match this replay exactly, which also
+      // proves subset-of-batch and localizes every suppression to an
+      // eviction
+      graft.functions.TajoFunctions.register(spark)
+      val keys = graft.operators.Dedup.simhash60PackedKeys(3, 4)
+      val banded = union
+        .select(col("doc_id"), expr("simhash60(SPLIT(text, ' '))").as("simhash"))
+        .filter(col("doc_id").isNotNull && col("simhash").isNotNull)
+        .select(col("doc_id"), col("simhash"), explode(expr(keys)).as("bkey"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val simulated = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+      val evicted = scala.collection.mutable.Set.empty[Long]
+      banded.groupBy(_._3).foreach { case (_, rows) =>
+        var members = List.empty[(Long, Long)]
+        rows.map(r => (r._1, r._2)).sortBy(_._1).foreach { case (id, sig) =>
+          members.foreach { case (oid, osig) =>
+            val h = java.lang.Long.bitCount(sig ^ osig).toLong
+            if (oid != id && h <= 3)
+              simulated += ((math.min(id, oid), math.max(id, oid), h))
+          }
+          members = (id, sig) :: members
+          if (members.lengthCompare(cap) > 0) {
+            members.drop(cap).foreach { case (eid, _) => evicted += eid }
+            members = members.take(cap)
+          }
+        }
+      }
+      val docs = spark.readStream.schema(StreamingDedup.docSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(s"$dir/in")
+      val capped = EventStreams.runToMemoryTable(
+        StreamingDedup.nearDupPairs(docs, maxMembers = cap).toDF(),
+        "t_neardup_cap", mode = "append")
+        .distinct().collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(capped == simulated.toSet,
+        "capped stream must equal the eviction-rule replay")
+      assert(capped.subsetOf(batchPairs),
+        "capped output must be a subset of the batch operator's pairs")
+      val suppressed = batchPairs -- capped
+      assert(suppressed.nonEmpty,
+        s"cap=$cap must actually suppress pairs on this fixture or the test is vacuous")
+      suppressed.foreach { case (d1, d2, _) =>
+        assert(evicted.contains(d1) || evicted.contains(d2),
+          s"suppressed pair ($d1,$d2) must involve an evicted member")
+      }
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("streaming near-dup TTL drops idle buckets: stale cross-batch pairs are not emitted") {
+    import graft.streaming.StreamingDedup
+    val base = Tables.table(spark, sfDir, "documents").limit(200)
+    val perturbed = base.filter(col("doc_id") % 5 === 0).select(
+      (col("doc_id") + 100000L).as("doc_id"),
+      concat(col("text"), lit(" tailnoise")).as("text"),
+      col("lang"), col("source"), col("n_chars"))
+    // the middle batch only exists to run a trigger AFTER the TTL deadline
+    // (ProcessingTimeTimeout evicts idle groups at the next executed batch)
+    val decoy = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(
+        900000L, "zq zx qv xw wz vq qz xz zw wq vx xq", "xx", "decoy", 35L)),
+      StreamingDedup.docSchema)
+    val dir = java.nio.file.Files.createTempDirectory("stream_neardup_ttl").toString
+    try {
+      Seq(base -> "b1", decoy -> "b2", perturbed -> "b3").foreach { case (df, n) =>
+        df.coalesce(1).write.parquet(s"$dir/part_$n")
+        new java.io.File(s"$dir/$n").mkdirs()
+        val f = new java.io.File(s"$dir/part_$n").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(s"$dir/$n/documents.parquet"))
+      }
+      // file-source batch order follows modification time — pin it
+      Seq("b1", "b2", "b3").zipWithIndex.foreach { case (n, i) =>
+        new java.io.File(s"$dir/$n/documents.parquet")
+          .setLastModified(1700000000000L + i * 60000L)
+      }
+      // precondition: the decoy must not share a band bucket with any base
+      // doc, or it would keep that bucket alive across the TTL and the
+      // expected set below would be wrong (deterministic data — checked once)
+      graft.functions.TajoFunctions.register(spark)
+      val keys = graft.operators.Dedup.simhash60PackedKeys(3, 4)
+      def bkeys(df: org.apache.spark.sql.DataFrame): Set[Long] = df
+        .select(expr("simhash60(SPLIT(text, ' '))").as("simhash"))
+        .select(explode(expr(keys)))
+        .collect().map(_.getLong(0)).toSet
+      assert(bkeys(spark.read.parquet(s"$dir/b2/documents.parquet"))
+        .intersect(bkeys(spark.read.parquet(s"$dir/b1/documents.parquet"))).isEmpty,
+        "decoy shares a bucket with the base batch — pick a different decoy text")
+      def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+        graft.operators.Dedup.simhashNearDupsWide(df, "doc_id", "text")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val b1 = spark.read.parquet(s"$dir/b1/documents.parquet")
+      val b3 = spark.read.parquet(s"$dir/b3/documents.parquet")
+      val within = pairsOf(b1) ++ pairsOf(b3)
+      val cross = pairsOf(b1.unionAll(b3)) -- within
+      assert(cross.nonEmpty, "fixture must have cross-batch pairs for the TTL to suppress")
+      val docs = spark.readStream.schema(StreamingDedup.docSchema)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/b*")
+      // 1ms TTL << one micro-batch, so every b1 bucket is idle-expired by
+      // the next trigger and removed before b3's near-dups of b1 arrive.
+      // Driven by source progress, NOT processAllAvailable: with
+      // ProcessingTimeTimeout the engine schedules timeout-sweep batches
+      // continuously, so the stream never reports quiescence (see the
+      // nearDupPairs scaladoc) — wait until all 241 source rows are
+      // consumed, then stop.
+      val totalRows = base.count() + 1 + perturbed.count()
+      val q = StreamingDedup.nearDupPairs(docs, ttlMs = 1L).toDF()
+        .writeStream.outputMode("append")
+        .format("memory").queryName("t_neardup_ttl").start()
+      try {
+        val deadline = System.currentTimeMillis() + 180000L
+        def consumed = q.recentProgress.map(_.numInputRows).sum
+        while (consumed < totalRows && System.currentTimeMillis() < deadline)
+          Thread.sleep(200)
+        assert(consumed >= totalRows, s"stream stalled: $consumed/$totalRows rows")
+        // one more sweep interval so the final batch's emits land in the sink
+        Thread.sleep(500)
+      } finally q.stop()
+      val got = spark.table("t_neardup_ttl")
+        .distinct().collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == within,
+        "TTL run must emit exactly the within-batch pairs: stale cross-batch pairs dropped")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("streaming near-dup validates banding like the batch operator") {
+    import graft.streaming.StreamingDedup
+    val docs = Tables.table(spark, sfDir, "documents").limit(1)
+    intercept[IllegalArgumentException] {
+      StreamingDedup.nearDupPairs(docs, maxHamming = 4, bands = 4)
+    }
+    intercept[IllegalArgumentException] {
+      StreamingDedup.nearDupPairs(docs, bands = 7)
+    }
+  }
 }
