@@ -544,11 +544,17 @@ object Similarity {
     * [[buildIvfPqResidualIndex]] + `index.write(dir)` spelling runs three
     * independent actions whose lineages nest, costing ~3x the corpus
     * reads; here each stage writes to storage and the NEXT stage reads the
-    * stored table, so the corpus is scanned exactly twice (centroid
-    * aggregation; assignment + residual sub-vectors, staged under
-    * `dir/_subs` and deleted after) and codebook/codes derive from the
-    * staged tables. Returns the index re-read from `dir` — queries against
-    * it are bit-identical to the composed operator (`OperatorsSpec`). */
+    * stored table, so the corpus is scanned exactly twice: once for the
+    * centroid aggregation, once for the `_subs` stage — whose single plan
+    * fuses assignment and residual by carrying the raw vector THROUGH the
+    * argmax aggregate (the composed `ivfResid` instead joins the
+    * assignment back to a second corpus select, which is the right shape
+    * when nothing is staged but a third scan here). Residual sub-vectors
+    * stage under `dir/_subs` and are deleted after; codebook/codes derive
+    * from the staged tables. Returns the index re-read from `dir` —
+    * queries against it are bit-identical to the composed operator
+    * (`OperatorsSpec`): assignment uses the same max-struct tie-break and
+    * the residual the same double arithmetic. */
   def writeIvfPqResidualIndex(corpus: DataFrame, idCol: String, vecCol: String,
                               dir: String, nBits: Int = 4, dim: Int = 64,
                               m: Int = 8, pqBits: Int = 4): IvfPqResidualIndex = {
@@ -559,8 +565,19 @@ object Similarity {
     val c0 = ivfInitial(corpus, idCol, vecCol, nBits, dim)
     ivfCentTable(c0).write.mode("overwrite").parquet(s"$dir/cent")
     val cent = spark.read.parquet(s"$dir/cent")
-    val corpusCells = ivfAssign(c0, cent, idCol)
-    val cres = ivfResid(corpus, corpusCells, cent, idCol, vecCol, "__cid")
+    // single-scan assign + residual: __vec rides through the aggregate
+    // (functionally dependent on the id — every fanned-out row of a group
+    // carries the same vector, so first() is deterministic here)
+    val assigned = ivfScored(c0, cent)
+      .groupBy(col(idCol))
+      .agg(max(struct(col("__score").as("s"), (lit(0) - col("cid")).as("nc"))).as("b"),
+        first(col("__vec")).as("__v"))
+      .select(col(idCol).as("__cid"), (lit(0) - col("b.nc")).as("cell"), col("__v"))
+    val cres = assigned
+      .join(broadcast(cent.select(col("cid").as("cell"), col("mvec"))), Seq("cell"))
+      .withColumn("rvec", expr(
+        "ZIP_WITH(__v, mvec, (x, c) -> CAST(x AS DOUBLE) - CAST(c AS DOUBLE) / 1000000)"))
+      .select(col("__cid"), col("cell"), col("rvec"))
     pqResidSubs(cres, "__cid", m, subDim)
       .write.mode("overwrite").parquet(s"$dir/_subs")
     val csubs = spark.read.parquet(s"$dir/_subs")
@@ -569,8 +586,13 @@ object Similarity {
     val codebook = spark.read.parquet(s"$dir/codebook")
     ivfResidCodes(csubs, codebook)
       .write.mode("overwrite").parquet(s"$dir/codes")
-    // the staged residual sub-vectors are scaffolding, not index surface
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$dir/_subs"))
+    // the staged residual sub-vectors are scaffolding, not index surface —
+    // deleted through the Hadoop FileSystem resolved from the path itself,
+    // so the cleanup works on any supported filesystem (HDFS/S3), not just
+    // local disk
+    val subsPath = new org.apache.hadoop.fs.Path(s"$dir/_subs")
+    subsPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(subsPath, true)
     IvfPqResidualIndex.read(spark, dir)
   }
 

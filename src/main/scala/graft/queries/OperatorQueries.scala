@@ -784,8 +784,12 @@ object OperatorQueries {
     (spark, dir) => {
       val vecs = Tables.table(spark, dir, "embeddings")
       val probes = vecs.filter(col("vec_id") < 20)
+      // fresh subdirectory per invocation: concurrent runs of this query in
+      // one JVM (parallel spec harnesses) must not race overwrite-vs-read
+      // on a shared index path; the shutdown hook removes the whole scratch
       val stored = Similarity.writeIvfPqResidualIndex(
-        vecs, "vec_id", "embedding", annIdxScratch)
+        vecs, "vec_id", "embedding",
+        s"$annIdxScratch/${java.util.UUID.randomUUID().toString.take(8)}")
       ivfAdcRerankSelect(Similarity.queryIvfPqResidual(stored, vecs, probes,
         "vec_id", "embedding", k = 5, nProbe = 4, rerank = 50))
     },
