@@ -186,18 +186,20 @@ object Bench {
     // total stays the sf-dir-only sum so round-over-round comparisons hold
     val total = results.map(_._2).filter(_ >= 0).sum
     // Reference-relative audit (VERDICT r8 #1): every recorded time as a
-    // ratio over its committed reference. Floors (ref >= 0.1s, excess >=
-    // 0.3s) keep sub-100ms jitter out of the hot list; the full per-query
-    // ratio map goes to target/bench.json, the compact stdout line carries
-    // only the entries that matter (ratio > 1.5) plus the max.
+    // ratio over its committed reference (entries with ref >= 0.1s). The
+    // full per-query ratio map goes to target/bench.json; the compact
+    // stdout line carries the max plus the 5 worst ratios (vs_ref_hot
+    // below — non-empty by design).
     val vsRef = withS1.collect {
       case (k, v) if v > 0 && refMap.get(k).exists(_ >= 0.1) =>
         k -> BigDecimal(v / refMap(k)).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
     }
-    val vsRefHot = vsRef
-      .filter { case (k, r) => r > 1.5 && withS1.toMap.apply(k) - refMap(k) > 0.3 }
-      .sortBy(-_._2).take(6) // cap: the compact line must stay within the
-                             // driver's 2000-char stdout tail
+    // vs_ref_hot is non-empty BY DESIGN (VERDICT r9 #4): always the 5 worst
+    // reference-relative ratios, not just the ones past a threshold — a
+    // slow-creep regression on a sub-second query (ratio 1.3-3x, under the
+    // retry trigger) must be visible in the compact line before it ever
+    // crosses the 3x retry bar. In a healthy round the list reads ~1.0-1.2x.
+    val vsRefHot = vsRef.sortBy(-_._2).take(5)
     val vsRefMax = (vsRef.map(_._2) ++ Seq(0.0)).max
     def ratioMap(m: Seq[(String, Double)]) = m
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

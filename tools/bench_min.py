@@ -19,6 +19,16 @@ import sys
 out, ins = sys.argv[1], sys.argv[2:]
 recs = [json.load(open(p)) for p in ins]
 
+# Min-merging only makes sense over runs of the SAME scale fixture, and the
+# final totals line formats every input's "value" — check both up front so a
+# mixed-sf or partial record fails loudly instead of committing a mislabeled
+# merge.
+for p, r in zip(ins, recs):
+    assert isinstance(r.get("sf"), str), f"{p}: missing 'sf' — record predates the sf field?"
+    assert isinstance(r.get("value"), (int, float)), f"{p}: non-numeric 'value'"
+sfs = {r["sf"] for r in recs}
+assert len(sfs) == 1, f"refusing to merge records from different sf dirs: {sorted(sfs)}"
+
 # Bench's own "value" is the sf-dir-only sum (its comment: round-over-round
 # comparability), but its "queries" map also carries the fixed-sf0.01
 # ExactSubstr stride-1 entry — keep that entry in the merged map, exclude
