@@ -43,6 +43,15 @@ object RecallCurve {
     val grid = if (section == "adc") Seq.empty
     else if (section == "sf1")
       Seq((8, 3, 16, 1), (8, 3, 32, 1), (8, 3, 16, 2), (8, 3, 16, 4))
+    // section "sf1cells": the cell-scaling rule measured, not advised
+    // (VERDICT r9 #3) — SCALING §1c prescribes growing `cells` with corpus
+    // size; these points hold the probed RATIO at the 256/16 operating
+    // point's 6.3% while the grid scales 2x/4x on the 10x corpus, so
+    // vectors-per-probed-cell drops back toward the sf0.1 density. The
+    // claim to verify: recall at the scaled grid >= the fixed-256-grid
+    // sf1 point, at equal probe cost.
+    else if (section == "sf1cells")
+      Seq((9, 3, 32, 1), (9, 3, 32, 4), (10, 3, 64, 1), (10, 3, 64, 4))
     else Seq(
       // the round-5/6 16-cell curve, re-measured on the wider probe set
       (4, 1, 1, 1), (4, 1, 2, 1), (4, 1, 4, 1), (4, 1, 8, 1), (4, 3, 2, 1),
@@ -65,7 +74,7 @@ object RecallCurve {
     // number next to the hash-exact replay, decomposed over the two
     // IVFADC knobs (multi-probe widens the cell ceiling, IVFADC+R exact
     // re-ranking recovers the PQ loss inside it).
-    if (section != "sf1") {
+    if (section != "sf1" && section != "sf1cells") {
       println("\nIVFADC (16 cells, residual PQ) vs exact cosine:")
       println("\n| m | pqBits | bits/vec | nProbe | rerank | recall@5 |")
       println("|---|---|---|---|---|---|")
