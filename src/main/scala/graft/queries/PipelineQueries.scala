@@ -697,6 +697,87 @@ object PipelineQueries {
            |WHERE b.digest NOT IN (SELECT digest FROM seen)
            |ORDER BY b.doc_id""".stripMargin))
 
+  // Incremental NEAR-dup via a persisted MinHash index
+  // (Dedup.writeMinhashIndex / incrementalNearDups): the fuzzy sibling of
+  // the digest anti-join above, and the near-dup counterpart of
+  // q_ann_ivfadc_store's build/query split — the corpus is banded and
+  // signed ONCE into parquet, and every future batch checks against the
+  // stored tables without rescanning corpus text. The batch carries exact
+  // recrawls under new ids (expect 16/16 signature agreement) and
+  // tail-perturbed near-dups (partial agreement >= the 8/16 threshold).
+  // The oracle replays BOTH sides' signature chains, the banding, the
+  // candidate join, and the per-position agreement count.
+  private val mhIdxScratch = {
+    val d = s"${System.getProperty("java.io.tmpdir")}/graft_mh_idx-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))))
+    d
+  }
+  private def duckSigChain(src: String, sfx: String): String =
+    s"""toks_$sfx AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM $src
+       |), sh_$sfx AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(w) >= 3
+       |      THEN list_transform(range(1, len(w) - 1),
+       |             i -> concat_ws(' ', w[i], w[i + 1], w[i + 2]))
+       |      ELSE ['_'] END AS shingles
+       |  FROM toks_$sfx
+       |), hs_$sfx AS (
+       |  SELECT doc_id, list_transform(shingles, s -> ${duckPoly31("s")}) AS hvals FROM sh_$sfx
+       |), sigs_$sfx AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, 16),
+       |      i -> list_min(list_transform(hvals, h -> ((2 * i + 1) * h + 7919 * i + 1) % 1000000007))) AS sig
+       |  FROM hs_$sfx
+       |), bands_$sfx AS (
+       |  SELECT doc_id, band,
+       |    CONCAT_WS('-', sig[2 * band + 1], sig[2 * band + 2]) AS band_key
+       |  FROM sigs_$sfx CROSS JOIN (SELECT * FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) t(band)) b
+       |)""".stripMargin
+  private val qMinhashIndex = df("q_dedup_minhash_index",
+    (sp, dir) => {
+      val docs = graft.engine.Tables.table(sp, dir, "documents")
+      val corpus = docs.filter(col("doc_id") < 200)
+      val batch = docs.filter(col("doc_id").between(150, 199))
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+        .unionAll(docs.filter(col("doc_id") < 150 && col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 200000L).as("doc_id"),
+            concat(col("text"), lit(" tailnoise")).as("text")))
+      val idx = graft.operators.Dedup.writeMinhashIndex(
+        corpus, "doc_id", "text",
+        s"$mhIdxScratch/${java.util.UUID.randomUUID().toString.take(8)}")
+      graft.operators.Dedup.incrementalNearDups(idx, batch, "doc_id", "text")
+        .orderBy("new_id", "corpus_id")
+    },
+    Some(s"""WITH corpus AS (
+            |  SELECT doc_id, text FROM documents WHERE doc_id < 200
+            |), batch AS (
+            |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+            |  WHERE doc_id BETWEEN 150 AND 199
+            |  UNION ALL
+            |  SELECT doc_id + 200000, text || ' tailnoise' FROM documents
+            |  WHERE doc_id < 150 AND doc_id % 7 = 0
+            |), ${duckSigChain("corpus", "c")},
+            |${duckSigChain("batch", "b")},
+            |cand AS (
+            |  SELECT DISTINCT bb.doc_id AS new_id, bc.doc_id AS corpus_id
+            |  FROM bands_b bb JOIN bands_c bc
+            |    ON bb.band = bc.band AND bb.band_key = bc.band_key
+            |  WHERE bb.doc_id <> bc.doc_id
+            |)
+            |SELECT new_id, corpus_id, sig_matches,
+            |  CAST(sig_matches AS DOUBLE) / 16 AS est_jaccard
+            |FROM (
+            |  SELECT c.new_id, c.corpus_id,
+            |    CAST(len(list_filter(range(1, 17), i -> sb.sig[i] = sc.sig[i])) AS BIGINT) AS sig_matches
+            |  FROM cand c
+            |  JOIN sigs_b sb ON c.new_id = sb.doc_id
+            |  JOIN sigs_c sc ON c.corpus_id = sc.doc_id
+            |) t WHERE sig_matches >= 8
+            |ORDER BY new_id, corpus_id""".stripMargin))
+
   // Paragraph-level dedup (Dedup.paragraphDedup). The synthetic corpus is
   // single-line, so both engines first split every doc into the same two
   // paragraphs (first 8 words, rest) — near-dup docs share their first
@@ -2101,6 +2182,7 @@ object PipelineQueries {
     qRetrieval,
     qDedupExact, qDedupNorm, qMinhashSig, qMinhashPairs, qMinhashCorpus, qSimhash,
     qSimhashPairs, qSimhashPairs60, qStreamNearDup, qLmScore, qParagraphDedup, qIncrementalDedup, qIncrementalBloom,
+    qMinhashIndex,
     qDecontaminateExact, qSubstringSpans, qSubstringSpansStride1, qSubstringScrub,
     qSample, qSampleStratified, qInterleave, qSplit,
     qNgramJaccard, qEmbDedup, qAnnBrute, qAnnLsh,

@@ -1127,6 +1127,48 @@ class OperatorsSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("MinhashIndex: stored-index incremental near-dups equal the composed pipeline") {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val corpus = docs.filter($"doc_id" < 150)
+    // exact recrawls under new ids (16/16 agreement) + tail-perturbed
+    // near-dups (partial agreement) + genuinely new docs (no pairs)
+    val batch = docs.filter($"doc_id".between(120, 149))
+      .select(($"doc_id" + 10000L).as("doc_id"), $"text")
+      .unionAll(docs.filter($"doc_id" < 120 && $"doc_id" % 5 === 0)
+        .select(($"doc_id" + 20000L).as("doc_id"),
+          concat($"text", lit(" tail")).as("text")))
+      .unionAll(docs.filter($"doc_id".between(300, 320))
+        .select(($"doc_id" + 30000L).as("doc_id"), $"text"))
+    val dir = java.nio.file.Files.createTempDirectory("mh_idx").toString
+    try {
+      val idx = Dedup.writeMinhashIndex(corpus, "doc_id", "text", dir)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+      val stored = Dedup.incrementalNearDups(idx, batch, "doc_id", "text")
+      // composed spelling: the same functions over in-memory tables — the
+      // parquet round trip must not change a single value
+      val lazyIdx = Dedup.MinhashIndex(
+        Dedup.minhashBands(Dedup.minhashSignature(corpus, "doc_id", "text"), "doc_id"),
+        Dedup.minhashSignature(corpus, "doc_id", "text"))
+      assert(rows(stored) == rows(Dedup.incrementalNearDups(lazyIdx, batch, "doc_id", "text")))
+      val got = stored.collect()
+      assert(got.nonEmpty)
+      // every exact recrawl is found with full signature agreement
+      val recrawls = got.filter(r => r.getLong(0) >= 10000 && r.getLong(0) < 20000)
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val expectedRecrawl = (120L to 149L).map(i => (i + 10000L, i, 16L)).toSet
+      assert(expectedRecrawl.subsetOf(recrawls.toSet),
+        "each exact recrawl must match its original at 16/16")
+      // genuinely new docs produce no pairs at the default threshold
+      assert(!got.exists(_.getLong(0) >= 30000), "novel docs must not match")
+      // threshold contract: every emitted pair meets minMatches and
+      // est_jaccard is exactly matches/16
+      got.foreach { r =>
+        assert(r.getLong(2) >= 8L)
+        assert(r.getDouble(3) == r.getLong(2).toDouble / 16.0)
+      }
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("simhashNearDupsWide: two-level banding finds exactly the brute-force hamming pairs") {
     // fixture corpus + seeded near-dups (word-level perturbations of real
     // docs) so qualifying pairs exist at several hamming distances and the
