@@ -221,7 +221,8 @@ object Bench {
       "q6_forecast_revenue", "q_sort_limit", "q_window_rank", "q_grouping_sets",
       "q_store_partitioned", "q_store_jdbc_agg", "q_dedup_exact",
       "q_dedup_minhash_pairs", "q_dedup_simhash_pairs60",
-      "q_dedup_substring_spans", "q_op_semdedup", "q_ann_ivf",
+      "q_dedup_substring_spans", "q_dedup_substring_spans_stride1",
+      "q_dedup_minhash_index", "q_op_semdedup", "q_ann_ivf",
       "q_ann_ivfpq_residual", "q_ann_ivfadc_rerank", "q_ann_recall256_r3",
       "q_text_tfidf", "q_op_bpe_api", "q_op_multimodal_patches",
       "q_pipeline_sample", "q_pipeline_curate", "q_join_nonequi_cdf",

@@ -545,6 +545,14 @@ object CdcChunks {
   * CHARACTER (classic Rabin-Karp over mod-2^64 polynomial hashing, base
   * FNV-prime), O(chars) regardless of len, emitting 8-byte keys instead of
   * 32-hex-char digests — less work AND a 4x smaller shuffle.
+  *
+  * Memory: the result materializes ~(chars/stride) longs per ROW before
+  * the consumer's posexplode streams it — same O(chars) class as the
+  * SEQUENCE array the md5 spelling exploded, but 8 bytes per window at
+  * stride 1. Normal web/book documents (<= tens of MB) are fine; for
+  * pathological multi-100MB single documents, pre-chunk
+  * (TextAnalysis.chunk / cdc_chunks) before span detection, as every
+  * suffix-array ExactSubstr implementation also must.
   */
 case class WindowHashes(child: Expression, len: Int, stride: Int)
     extends UnaryExpression {

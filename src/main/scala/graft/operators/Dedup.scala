@@ -186,6 +186,31 @@ object Dedup {
       .select("new_id", "corpus_id", "sig_matches", "est_jaccard")
   }
 
+  /** Fold a new batch INTO a stored [[MinhashIndex]] — the maintenance
+    * half of the incremental loop: check the batch
+    * ([[incrementalNearDups]]), ingest the survivors, then append them so
+    * the NEXT batch dedupes against them too. Parquet append of
+    * batch-sized sig/band tables — no read-modify-write, no corpus
+    * rescan; safe because both tables are pure unions keyed by doc id
+    * (callers keep ids unique across batches, same contract as
+    * [[incrementalExact]]'s seen table). Returns the index re-read from
+    * `dir`. Build params must match [[writeMinhashIndex]]'s. */
+  def appendMinhashIndex(batch: DataFrame, idCol: String, textCol: String,
+                         dir: String, k: Int = 16, shingleN: Int = 3,
+                         bands: Int = 8, rowsPerBand: Int = 2): MinhashIndex = {
+    require(bands * rowsPerBand == k,
+      s"bands * rowsPerBand must equal k, got $bands * $rowsPerBand != $k")
+    val spark = batch.sparkSession
+    minhashSignature(batch, idCol, textCol, k, shingleN)
+      .write.mode("append").parquet(s"$dir/sigs")
+    // bands derive from the just-appended sigs rows recomputed here — a
+    // batch-sized expression, cheaper than locating the new parquet files
+    minhashBands(minhashSignature(batch, idCol, textCol, k, shingleN),
+        idCol, bands, rowsPerBand)
+      .write.mode("append").parquet(s"$dir/bands")
+    MinhashIndex.read(spark, dir)
+  }
+
   /** Corpus-level MinHash sketch per group: elementwise minimum of the
     * per-doc signatures, i.e. the MinHash of the UNION of all shingle sets
     * in the group. Sketches are mergeable (min is associative/commutative),

@@ -778,6 +778,57 @@ object PipelineQueries {
             |) t WHERE sig_matches >= 8
             |ORDER BY new_id, corpus_id""".stripMargin))
 
+  // The maintenance half of the incremental loop (Dedup.appendMinhashIndex):
+  // batch1 is checked and then APPENDED to the stored index, and batch2 —
+  // perturbed near-dups of batch1's docs — must match BOTH the original
+  // corpus docs and the appended batch1 recrawls. The oracle's index side
+  // is corpus UNION batch1, proving the append actually extended the
+  // stored tables rather than rebuilding or dropping them.
+  private val qMinhashIndexAppend = df("q_dedup_minhash_index_append",
+    (sp, dir) => {
+      val docs = graft.engine.Tables.table(sp, dir, "documents")
+      val corpus = docs.filter(col("doc_id") < 200)
+      val batch1 = docs.filter(col("doc_id").between(150, 199))
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      val batch2 = docs.filter(col("doc_id").between(150, 199) && col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          concat(col("text"), lit(" tailnoise")).as("text"))
+      val idxDir = s"$mhIdxScratch/${java.util.UUID.randomUUID().toString.take(8)}"
+      graft.operators.Dedup.writeMinhashIndex(corpus, "doc_id", "text", idxDir)
+      val appended = graft.operators.Dedup.appendMinhashIndex(
+        batch1, "doc_id", "text", idxDir)
+      graft.operators.Dedup.incrementalNearDups(appended, batch2, "doc_id", "text")
+        .orderBy("new_id", "corpus_id")
+    },
+    Some(s"""WITH corpus0 AS (
+            |  SELECT doc_id, text FROM documents WHERE doc_id < 200
+            |), corpus AS (
+            |  SELECT doc_id, text FROM corpus0
+            |  UNION ALL
+            |  SELECT doc_id + 100000, text FROM documents
+            |  WHERE doc_id BETWEEN 150 AND 199
+            |), batch AS (
+            |  SELECT doc_id + 300000 AS doc_id, text || ' tailnoise' AS text
+            |  FROM documents WHERE doc_id BETWEEN 150 AND 199 AND doc_id % 3 = 0
+            |), ${duckSigChain("corpus", "c")},
+            |${duckSigChain("batch", "b")},
+            |cand AS (
+            |  SELECT DISTINCT bb.doc_id AS new_id, bc.doc_id AS corpus_id
+            |  FROM bands_b bb JOIN bands_c bc
+            |    ON bb.band = bc.band AND bb.band_key = bc.band_key
+            |  WHERE bb.doc_id <> bc.doc_id
+            |)
+            |SELECT new_id, corpus_id, sig_matches,
+            |  CAST(sig_matches AS DOUBLE) / 16 AS est_jaccard
+            |FROM (
+            |  SELECT c.new_id, c.corpus_id,
+            |    CAST(len(list_filter(range(1, 17), i -> sb.sig[i] = sc.sig[i])) AS BIGINT) AS sig_matches
+            |  FROM cand c
+            |  JOIN sigs_b sb ON c.new_id = sb.doc_id
+            |  JOIN sigs_c sc ON c.corpus_id = sc.doc_id
+            |) t WHERE sig_matches >= 8
+            |ORDER BY new_id, corpus_id""".stripMargin))
+
   // Paragraph-level dedup (Dedup.paragraphDedup). The synthetic corpus is
   // single-line, so both engines first split every doc into the same two
   // paragraphs (first 8 words, rest) — near-dup docs share their first
@@ -2182,7 +2233,7 @@ object PipelineQueries {
     qRetrieval,
     qDedupExact, qDedupNorm, qMinhashSig, qMinhashPairs, qMinhashCorpus, qSimhash,
     qSimhashPairs, qSimhashPairs60, qStreamNearDup, qLmScore, qParagraphDedup, qIncrementalDedup, qIncrementalBloom,
-    qMinhashIndex,
+    qMinhashIndex, qMinhashIndexAppend,
     qDecontaminateExact, qSubstringSpans, qSubstringSpansStride1, qSubstringScrub,
     qSample, qSampleStratified, qInterleave, qSplit,
     qNgramJaccard, qEmbDedup, qAnnBrute, qAnnLsh,

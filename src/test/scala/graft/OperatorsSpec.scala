@@ -1169,6 +1169,40 @@ class OperatorsSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("MinhashIndex append: next batch matches appended docs, prior results unchanged") {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val corpus = docs.filter($"doc_id" < 100)
+    val batch1 = docs.filter($"doc_id".between(80, 99))
+      .select(($"doc_id" + 10000L).as("doc_id"), $"text")
+    val batch2 = docs.filter($"doc_id".between(80, 99) && $"doc_id" % 2 === 0)
+      .select(($"doc_id" + 20000L).as("doc_id"), concat($"text", lit(" tail")).as("text"))
+    val dir = java.nio.file.Files.createTempDirectory("mh_idx_app").toString
+    try {
+      val idx0 = Dedup.writeMinhashIndex(corpus, "doc_id", "text", dir)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+      val before = rows(Dedup.incrementalNearDups(idx0, batch2, "doc_id", "text"))
+      val idx1 = Dedup.appendMinhashIndex(batch1, "doc_id", "text", dir)
+      val after = rows(Dedup.incrementalNearDups(idx1, batch2, "doc_id", "text"))
+      // pre-append pairs all survive (append only ADDS index rows)
+      assert(before.subsetOf(after))
+      // batch1 recrawls carry the IDENTICAL signature as their corpus
+      // originals (same text), so after the append every match against an
+      // original must be mirrored by a match against its recrawl with the
+      // same sig_matches — the appended rows are genuinely in the index
+      val pairs = after.map(r => ((r(0).asInstanceOf[Long],
+        r(1).asInstanceOf[Long]), r(2).asInstanceOf[Long]))
+      val vsOriginal = pairs.filter { case ((_, cid), _) => cid >= 80L && cid < 100L }
+      assert(vsOriginal.nonEmpty, "batch2 must match some corpus originals")
+      vsOriginal.foreach { case ((nid, cid), m) =>
+        assert(pairs.contains(((nid, cid + 10000L), m)),
+          s"match ($nid, $cid, $m) has no mirrored match on the appended recrawl")
+      }
+      // a fresh read of the directory sees the same appended index
+      assert(rows(Dedup.incrementalNearDups(
+        Dedup.MinhashIndex.read(spark, dir), batch2, "doc_id", "text")) == after)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("simhashNearDupsWide: two-level banding finds exactly the brute-force hamming pairs") {
     // fixture corpus + seeded near-dups (word-level perturbations of real
     // docs) so qualifying pairs exist at several hamming distances and the
