@@ -184,6 +184,12 @@ object Dedup {
       .filter(col("sig_matches") >= minMatches)
       .withColumn("est_jaccard", col("sig_matches") / lit(k.toDouble))
       .select("new_id", "corpus_id", "sig_matches", "est_jaccard")
+      // candidate-sized dedup: duplicate index rows (a retried
+      // appendMinhashIndex after partial failure) must not duplicate
+      // output pairs — this is what makes the append idempotent at read
+      // time; duplicates carry identical sig values, so any survivor is
+      // the right row
+      .dropDuplicates("new_id", "corpus_id")
   }
 
   /** Fold a new batch INTO a stored [[MinhashIndex]] — the maintenance
@@ -191,22 +197,31 @@ object Dedup {
     * ([[incrementalNearDups]]), ingest the survivors, then append them so
     * the NEXT batch dedupes against them too. Parquet append of
     * batch-sized sig/band tables — no read-modify-write, no corpus
-    * rescan; safe because both tables are pure unions keyed by doc id
-    * (callers keep ids unique across batches, same contract as
-    * [[incrementalExact]]'s seen table). Returns the index re-read from
-    * `dir`. Build params must match [[writeMinhashIndex]]'s. */
+    * rescan. The batch signatures are materialized ONCE
+    * (localCheckpoint) and both appended tables derive from that one
+    * evaluation — a non-deterministic batch plan (sample(), generated
+    * ids) can therefore never persist a bands table inconsistent with
+    * the sigs table. Callers keep ids unique across batches (same
+    * contract as [[incrementalExact]]'s seen table).
+    *
+    * Failure semantics: the two appends are not atomic. A partial
+    * failure (sigs landed, bands did not) only MISSES detections — band
+    * rows are what generate candidates — and the recovery is to re-run
+    * the same append: the resulting duplicate index rows are harmless to
+    * queries because [[incrementalNearDups]] deduplicates per
+    * (new_id, corpus_id) after its verify join, so a retried append is
+    * idempotent at read time. Returns the index re-read from `dir`.
+    * Build params must match [[writeMinhashIndex]]'s. */
   def appendMinhashIndex(batch: DataFrame, idCol: String, textCol: String,
                          dir: String, k: Int = 16, shingleN: Int = 3,
                          bands: Int = 8, rowsPerBand: Int = 2): MinhashIndex = {
     require(bands * rowsPerBand == k,
       s"bands * rowsPerBand must equal k, got $bands * $rowsPerBand != $k")
     val spark = batch.sparkSession
-    minhashSignature(batch, idCol, textCol, k, shingleN)
-      .write.mode("append").parquet(s"$dir/sigs")
-    // bands derive from the just-appended sigs rows recomputed here — a
-    // batch-sized expression, cheaper than locating the new parquet files
-    minhashBands(minhashSignature(batch, idCol, textCol, k, shingleN),
-        idCol, bands, rowsPerBand)
+    val bsigs = minhashSignature(batch, idCol, textCol, k, shingleN)
+      .localCheckpoint()
+    bsigs.write.mode("append").parquet(s"$dir/sigs")
+    minhashBands(bsigs, idCol, bands, rowsPerBand)
       .write.mode("append").parquet(s"$dir/bands")
     MinhashIndex.read(spark, dir)
   }

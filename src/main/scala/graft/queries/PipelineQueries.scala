@@ -73,26 +73,32 @@ object PipelineQueries {
   private def duckSigs: String = duckSigsFor("documents")
 
   /** The signature CTE chain over any table with (doc_id, text) — shared
-    * with cross-table consumers (decontamination oracle). Leaves `hs` and
-    * `sigs` in scope for the caller's WITH chain. */
-  private[queries] def duckSigsFor(table: String): String =
-    s"""WITH toks AS (
+    * with cross-table consumers (decontamination oracle, the index-query
+    * oracles). Leaves `hs$sfx` and `sigs$sfx` in scope for the caller's
+    * WITH chain; the suffix lets one oracle instantiate the SAME spec
+    * twice (corpus + batch sides) without the hash constants ever
+    * existing in two copies. */
+  private[queries] def duckSigCtes(table: String, sfx: String = ""): String =
+    s"""toks$sfx AS (
        |  SELECT doc_id, string_split(text, ' ') AS w FROM $table
-       |), sh AS (
+       |), sh$sfx AS (
        |  SELECT doc_id,
        |    CASE WHEN len(w) >= 3
        |      THEN list_transform(range(1, len(w) - 1),
        |             i -> concat_ws(' ', w[i], w[i + 1], w[i + 2]))
        |      ELSE ['_'] END AS shingles
-       |  FROM toks
-       |), hs AS (
-       |  SELECT doc_id, list_transform(shingles, s -> ${duckPoly31("s")}) AS hvals FROM sh
-       |), sigs AS (
+       |  FROM toks$sfx
+       |), hs$sfx AS (
+       |  SELECT doc_id, list_transform(shingles, s -> ${duckPoly31("s")}) AS hvals FROM sh$sfx
+       |), sigs$sfx AS (
        |  SELECT doc_id,
        |    list_transform(range(0, 16),
        |      i -> list_min(list_transform(hvals, h -> ((2 * i + 1) * h + 7919 * i + 1) % 1000000007))) AS sig
-       |  FROM hs
+       |  FROM hs$sfx
        |)""".stripMargin
+
+  private[queries] def duckSigsFor(table: String): String =
+    "WITH " + duckSigCtes(table)
 
   private val bandsSpark =
     """SELECT doc_id, band,
@@ -707,6 +713,12 @@ object PipelineQueries {
   // tail-perturbed near-dups (partial agreement >= the 8/16 threshold).
   // The oracle replays BOTH sides' signature chains, the banding, the
   // candidate join, and the per-position agreement count.
+  // Per-invocation UUID subdirs accumulate under this root until the
+  // shutdown hook fires — accepted: each index is a fixed 200-doc fixture
+  // slice (KBs), so even a full bench's retries stay far below any tmpdir
+  // pressure; the UUID-per-invocation isolation (no overwrite-vs-read race
+  // between concurrent runs) is worth more than eager cleanup, which would
+  // reintroduce exactly that race for the PREVIOUS invocation's reader.
   private val mhIdxScratch = {
     val d = s"${System.getProperty("java.io.tmpdir")}/graft_mh_idx-" +
       java.util.UUID.randomUUID().toString.take(8)
@@ -714,24 +726,11 @@ object PipelineQueries {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))))
     d
   }
+  // The shared signature chain (duckSigCtes — single copy of the hash
+  // spec) plus the 8x2 band CTE, suffixed so one oracle instantiates both
+  // the corpus and batch sides.
   private def duckSigChain(src: String, sfx: String): String =
-    s"""toks_$sfx AS (
-       |  SELECT doc_id, string_split(text, ' ') AS w FROM $src
-       |), sh_$sfx AS (
-       |  SELECT doc_id,
-       |    CASE WHEN len(w) >= 3
-       |      THEN list_transform(range(1, len(w) - 1),
-       |             i -> concat_ws(' ', w[i], w[i + 1], w[i + 2]))
-       |      ELSE ['_'] END AS shingles
-       |  FROM toks_$sfx
-       |), hs_$sfx AS (
-       |  SELECT doc_id, list_transform(shingles, s -> ${duckPoly31("s")}) AS hvals FROM sh_$sfx
-       |), sigs_$sfx AS (
-       |  SELECT doc_id,
-       |    list_transform(range(0, 16),
-       |      i -> list_min(list_transform(hvals, h -> ((2 * i + 1) * h + 7919 * i + 1) % 1000000007))) AS sig
-       |  FROM hs_$sfx
-       |), bands_$sfx AS (
+    s"""${duckSigCtes(src, s"_$sfx")}, bands_$sfx AS (
        |  SELECT doc_id, band,
        |    CONCAT_WS('-', sig[2 * band + 1], sig[2 * band + 2]) AS band_key
        |  FROM sigs_$sfx CROSS JOIN (SELECT * FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) t(band)) b

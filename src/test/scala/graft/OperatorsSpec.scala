@@ -1132,13 +1132,18 @@ class OperatorsSpec extends AnyFunSuite {
     val corpus = docs.filter($"doc_id" < 150)
     // exact recrawls under new ids (16/16 agreement) + tail-perturbed
     // near-dups (partial agreement) + genuinely new docs (no pairs)
+    // novel docs are CONSTRUCTED (not sampled from the fixture, whose
+    // generator plants dups at random ids — a fixture slice could
+    // accidentally contain a near-dup of the corpus)
+    val novel = (0 until 20).map(i => (30000L + i,
+      (0 until 30).map(j => s"novelword${i}x$j").mkString(" ")))
+      .toDF("doc_id", "text")
     val batch = docs.filter($"doc_id".between(120, 149))
       .select(($"doc_id" + 10000L).as("doc_id"), $"text")
       .unionAll(docs.filter($"doc_id" < 120 && $"doc_id" % 5 === 0)
         .select(($"doc_id" + 20000L).as("doc_id"),
           concat($"text", lit(" tail")).as("text")))
-      .unionAll(docs.filter($"doc_id".between(300, 320))
-        .select(($"doc_id" + 30000L).as("doc_id"), $"text"))
+      .unionAll(novel)
     val dir = java.nio.file.Files.createTempDirectory("mh_idx").toString
     try {
       val idx = Dedup.writeMinhashIndex(corpus, "doc_id", "text", dir)
@@ -1200,6 +1205,11 @@ class OperatorsSpec extends AnyFunSuite {
       // a fresh read of the directory sees the same appended index
       assert(rows(Dedup.incrementalNearDups(
         Dedup.MinhashIndex.read(spark, dir), batch2, "doc_id", "text")) == after)
+      // retry idempotence: a re-run append (the documented recovery after
+      // a partial failure) duplicates index rows but must not change
+      // query output — the verify join dedupes per (new_id, corpus_id)
+      val idx2 = Dedup.appendMinhashIndex(batch1, "doc_id", "text", dir)
+      assert(rows(Dedup.incrementalNearDups(idx2, batch2, "doc_id", "text")) == after)
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
