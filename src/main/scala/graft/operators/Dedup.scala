@@ -226,6 +226,44 @@ object Dedup {
     MinhashIndex.read(spark, dir)
   }
 
+  /** Compact a stored [[MinhashIndex]] in place: drop tombstoned ids
+    * (documents deleted from the corpus — their index rows would keep
+    * matching forever) and collapse duplicate rows left by retried
+    * [[appendMinhashIndex]] runs. The rewrite is index-sized (the tables
+    * are K+bands BIGINTs per doc, never corpus text) and staged: the
+    * compacted tables write to sibling `_*_compact` directories FROM the
+    * live files, then swap in via two renames — a reader holding the old
+    * file list finishes against the old files, new reads see the
+    * compacted index. Not concurrency-safe against a SIMULTANEOUS
+    * append (the standard LSM-style compaction contract: quiesce writers
+    * or serialize compactions with appends). */
+  def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                          dropIds: Option[DataFrame] = None,
+                          idCol: String = "doc_id"): MinhashIndex = {
+    val conf = spark.sessionState.newHadoopConf()
+    def swap(name: String, compact: DataFrame => DataFrame): Unit = {
+      val live = new org.apache.hadoop.fs.Path(s"$dir/$name")
+      val stage = new org.apache.hadoop.fs.Path(s"$dir/_${name}_compact")
+      val old = new org.apache.hadoop.fs.Path(s"$dir/_${name}_old")
+      // the stage write executes against the CURRENT live files; the
+      // renames only happen after it is fully materialized
+      compact(spark.read.parquet(live.toString))
+        .write.mode("overwrite").parquet(stage.toString)
+      val fs = live.getFileSystem(conf)
+      fs.delete(old, true)
+      require(fs.rename(live, old) && fs.rename(stage, live),
+        s"compaction swap failed for $live — index left under $old")
+      fs.delete(old, true)
+    }
+    def prune(df: DataFrame, dedupCols: Seq[String]): DataFrame =
+      dropIds.fold(df)(ids =>
+          df.join(ids.select(col(idCol)).distinct(), Seq(idCol), "left_anti"))
+        .dropDuplicates(dedupCols)
+    swap("sigs", df => prune(df, Seq(idCol)))
+    swap("bands", df => prune(df, Seq(idCol, "band", "band_key")))
+    MinhashIndex.read(spark, dir)
+  }
+
   /** Corpus-level MinHash sketch per group: elementwise minimum of the
     * per-doc signatures, i.e. the MinHash of the UNION of all shingle sets
     * in the group. Sketches are mergeable (min is associative/commutative),

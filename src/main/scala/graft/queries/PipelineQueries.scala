@@ -828,6 +828,62 @@ object PipelineQueries {
             |) t WHERE sig_matches >= 8
             |ORDER BY new_id, corpus_id""".stripMargin))
 
+  // Compaction with tombstones (Dedup.compactMinhashIndex): the lifecycle
+  // end of the index story — batch1 recrawls are appended, the ORIGINALS
+  // they replace are tombstoned, a duplicate append simulates a retried
+  // partial failure, and compaction both applies the drops and collapses
+  // the duplicates. batch2's near-dups must then match ONLY the appended
+  // recrawls: the oracle's index side is (corpus minus the dropped ids)
+  // UNION batch1, so a drop that failed to take effect, or a duplicate
+  // that survived into the pair output, both fail the hash compare.
+  private val qMinhashIndexCompact = df("q_dedup_minhash_index_compact",
+    (sp, dir) => {
+      val docs = graft.engine.Tables.table(sp, dir, "documents")
+      val corpus = docs.filter(col("doc_id") < 200)
+      val batch1 = docs.filter(col("doc_id").between(150, 199))
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      val batch2 = docs.filter(col("doc_id").between(150, 199) && col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          concat(col("text"), lit(" tailnoise")).as("text"))
+      val idxDir = s"$mhIdxScratch/${java.util.UUID.randomUUID().toString.take(8)}"
+      graft.operators.Dedup.writeMinhashIndex(corpus, "doc_id", "text", idxDir)
+      graft.operators.Dedup.appendMinhashIndex(batch1, "doc_id", "text", idxDir)
+      // a second identical append = the documented retry after a partial
+      // failure; compaction must collapse it without changing results
+      graft.operators.Dedup.appendMinhashIndex(batch1, "doc_id", "text", idxDir)
+      val dropped = docs.filter(col("doc_id").between(150, 199)).select("doc_id")
+      val compacted = graft.operators.Dedup.compactMinhashIndex(
+        sp, idxDir, dropIds = Some(dropped))
+      graft.operators.Dedup.incrementalNearDups(compacted, batch2, "doc_id", "text")
+        .orderBy("new_id", "corpus_id")
+    },
+    Some(s"""WITH corpus AS (
+            |  SELECT doc_id, text FROM documents WHERE doc_id < 150
+            |  UNION ALL
+            |  SELECT doc_id + 100000, text FROM documents
+            |  WHERE doc_id BETWEEN 150 AND 199
+            |), batch AS (
+            |  SELECT doc_id + 300000 AS doc_id, text || ' tailnoise' AS text
+            |  FROM documents WHERE doc_id BETWEEN 150 AND 199 AND doc_id % 3 = 0
+            |), ${duckSigChain("corpus", "c")},
+            |${duckSigChain("batch", "b")},
+            |cand AS (
+            |  SELECT DISTINCT bb.doc_id AS new_id, bc.doc_id AS corpus_id
+            |  FROM bands_b bb JOIN bands_c bc
+            |    ON bb.band = bc.band AND bb.band_key = bc.band_key
+            |  WHERE bb.doc_id <> bc.doc_id
+            |)
+            |SELECT new_id, corpus_id, sig_matches,
+            |  CAST(sig_matches AS DOUBLE) / 16 AS est_jaccard
+            |FROM (
+            |  SELECT c.new_id, c.corpus_id,
+            |    CAST(len(list_filter(range(1, 17), i -> sb.sig[i] = sc.sig[i])) AS BIGINT) AS sig_matches
+            |  FROM cand c
+            |  JOIN sigs_b sb ON c.new_id = sb.doc_id
+            |  JOIN sigs_c sc ON c.corpus_id = sc.doc_id
+            |) t WHERE sig_matches >= 8
+            |ORDER BY new_id, corpus_id""".stripMargin))
+
   // Paragraph-level dedup (Dedup.paragraphDedup). The synthetic corpus is
   // single-line, so both engines first split every doc into the same two
   // paragraphs (first 8 words, rest) — near-dup docs share their first
@@ -2232,7 +2288,7 @@ object PipelineQueries {
     qRetrieval,
     qDedupExact, qDedupNorm, qMinhashSig, qMinhashPairs, qMinhashCorpus, qSimhash,
     qSimhashPairs, qSimhashPairs60, qStreamNearDup, qLmScore, qParagraphDedup, qIncrementalDedup, qIncrementalBloom,
-    qMinhashIndex, qMinhashIndexAppend,
+    qMinhashIndex, qMinhashIndexAppend, qMinhashIndexCompact,
     qDecontaminateExact, qSubstringSpans, qSubstringSpansStride1, qSubstringScrub,
     qSample, qSampleStratified, qInterleave, qSplit,
     qNgramJaccard, qEmbDedup, qAnnBrute, qAnnLsh,

@@ -1213,6 +1213,40 @@ class OperatorsSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("MinhashIndex compact: drops tombstoned ids, collapses duplicates, preserves results") {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val corpus = docs.filter($"doc_id" < 100)
+    val batch1 = docs.filter($"doc_id".between(80, 99))
+      .select(($"doc_id" + 10000L).as("doc_id"), $"text")
+    val batch2 = docs.filter($"doc_id".between(80, 99) && $"doc_id" % 2 === 0)
+      .select(($"doc_id" + 20000L).as("doc_id"), concat($"text", lit(" tail")).as("text"))
+    val dir = java.nio.file.Files.createTempDirectory("mh_idx_cmp").toString
+    try {
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+      Dedup.writeMinhashIndex(corpus, "doc_id", "text", dir)
+      val once = Dedup.appendMinhashIndex(batch1, "doc_id", "text", dir)
+      val reference = rows(Dedup.incrementalNearDups(once, batch2, "doc_id", "text"))
+      Dedup.appendMinhashIndex(batch1, "doc_id", "text", dir) // retried append
+      // pure compaction (no drops): results identical, row counts minimal
+      val compacted = Dedup.compactMinhashIndex(spark, dir)
+      assert(rows(Dedup.incrementalNearDups(compacted, batch2, "doc_id", "text")) == reference)
+      val nIds = corpus.count() + batch1.count()
+      assert(compacted.sigs.count() == nIds, "sigs must hold one row per id after compaction")
+      assert(compacted.bands.count() == nIds * 8, "bands must hold one row per (id, band)")
+      assert(!new java.io.File(s"$dir/_sigs_compact").exists)
+      assert(!new java.io.File(s"$dir/_sigs_old").exists)
+      // tombstoned originals stop matching; appended recrawls keep matching
+      val dropped = corpus.filter($"doc_id".between(80, 99)).select("doc_id")
+      val tomb = Dedup.compactMinhashIndex(spark, dir, dropIds = Some(dropped))
+      val after = rows(Dedup.incrementalNearDups(tomb, batch2, "doc_id", "text"))
+      assert(after == reference.filterNot(r =>
+        { val cid = r(1).asInstanceOf[Long]; cid >= 80L && cid < 100L }),
+        "compaction with drops must remove exactly the tombstoned ids' matches")
+      assert(after.exists(r => r(1).asInstanceOf[Long] >= 10000L),
+        "appended recrawls must still match after the originals are dropped")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("simhashNearDupsWide: two-level banding finds exactly the brute-force hamming pairs") {
     // fixture corpus + seeded near-dups (word-level perturbations of real
     // docs) so qualifying pairs exist at several hamming distances and the
