@@ -63,18 +63,30 @@ object Dedup {
     * STRING at any boundary where configs could mix. The key carries no
     * meaning beyond equality within one config. */
   def minhashBands(sigs: DataFrame, idCol: String,
-                   bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    // One Generate (explode over a TRANSFORM) instead of a broadcast
-    // nested-loop crossJoin against range(bands): the band expansion stays
-    // inside one codegen stage. For the default rowsPerBand = 2 the band
-    // key packs both sig rows into ONE BIGINT — sig values live in
-    // [0, P) with P = 1e9+7, so a*P + b < P^2 ~ 1.0e18 < 2^63 is injective
-    // and ANSI-safe — because downstream uses the key ONLY for equality
-    // (bucket groupBy / band join), and an 8-byte key shuffles and
-    // compares far cheaper than the ~20-char string spelling (measured:
-    // the band stage dropped from +3.1s to +0.2s over the sig scan at
-    // sf1, and the full candidate-pair pipeline from 6.4s to ~2.4s).
-    // Other rowsPerBand values keep the string key (P^3 overflows).
+                   bands: Int = 8, rowsPerBand: Int = 2): DataFrame =
+    sigs.select(col(idCol),
+        explode(expr(minhashBandStructs(bands, rowsPerBand))).as("__b"))
+      .select(col(idCol), col("__b.band").as("band"), col("__b.band_key").as("band_key"))
+
+  /** SQL for the banded keys over a `sig` column — the SHARED builder
+    * behind [[minhashBands]] and the streaming
+    * [[graft.streaming.StreamingDedup.minhashNearDupPairs]], so the two
+    * spellings cannot drift (same discipline as [[simhash60PackedKeys]]).
+    *
+    * One Generate (explode over a TRANSFORM) instead of a broadcast
+    * nested-loop crossJoin against range(bands): the band expansion stays
+    * inside one codegen stage. For the default rowsPerBand = 2 the band
+    * key packs both sig rows into ONE BIGINT — sig values live in
+    * [0, P) with P = 1e9+7, so a*P + b < P^2 ~ 1.0e18 < 2^63 is injective
+    * and ANSI-safe — because downstream uses the key ONLY for equality
+    * (bucket groupBy / band join), and an 8-byte key shuffles and
+    * compares far cheaper than the ~20-char string spelling (measured:
+    * the band stage dropped from +3.1s to +0.2s over the sig scan at
+    * sf1, and the full candidate-pair pipeline from 6.4s to ~2.4s).
+    * Other rowsPerBand values keep the string key (P^3 overflows). */
+  private[graft] def minhashBandStructs(bands: Int, rowsPerBand: Int): String = {
+    require(bands >= 1 && rowsPerBand >= 1,
+      s"need bands >= 1 and rowsPerBand >= 1, got $bands/$rowsPerBand")
     val key =
       if (rowsPerBand == 2)
         "ELEMENT_AT(sig, CAST(2 * i + 1 AS INT)) * CAST(1000000007 AS BIGINT)" +
@@ -82,10 +94,7 @@ object Dedup {
       else (0 until rowsPerBand)
         .map(r => s"CAST(ELEMENT_AT(sig, CAST($rowsPerBand * i + ${r + 1} AS INT)) AS STRING)")
         .mkString("CONCAT_WS('-', ", ", ", ")")
-    sigs.select(col(idCol), explode(expr(
-        s"TRANSFORM(SEQUENCE(0, ${bands - 1}), i -> STRUCT(CAST(i AS BIGINT) AS band, ($key) AS band_key))"))
-        .as("__b"))
-      .select(col(idCol), col("__b.band").as("band"), col("__b.band_key").as("band_key"))
+    s"TRANSFORM(SEQUENCE(0, ${bands - 1}), i -> STRUCT(CAST(i AS BIGINT) AS band, ($key) AS band_key))"
   }
 
   /** Candidate near-duplicate pairs from banded signatures (id1 < id2).

@@ -292,6 +292,37 @@ object PipelineQueries {
     },
     Some(simhash60BruteOracle))
 
+  // Streaming MinHash near-dup (StreamingDedup.minhashNearDupPairs): the
+  // Jaccard sibling of q_stream_neardup — banded signatures via the SAME
+  // builder as the batch operator, per-bucket state, agreement-verified
+  // pairs. The oracle replays the whole thing batch-side in DuckDB:
+  // signature chain, 8x2 banding, band-bucket candidate self-join, and
+  // the per-position agreement count at the 8/16 threshold.
+  private val qStreamMinhashNearDup = QueryDef.df("q_stream_minhash_neardup",
+    (sp, dir) => {
+      val docs = graft.streaming.StreamingDedup.readDocuments(sp, dir)
+      val pairs = graft.streaming.StreamingDedup.minhashNearDupPairs(docs).toDF()
+      graft.streaming.EventStreams
+        .runToMemoryTable(pairs, "graft_stream_mh_neardup", mode = "append")
+        .select(col("d1"), col("d2"), col("sig_matches")).distinct()
+        .orderBy("d1", "d2")
+    },
+    Some(s"""WITH ${duckSigChain("documents", "a")},
+            |cand AS (
+            |  SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2
+            |  FROM bands_a b1 JOIN bands_a b2
+            |    ON b1.band = b2.band AND b1.band_key = b2.band_key
+            |  WHERE b1.doc_id < b2.doc_id
+            |)
+            |SELECT d1, d2, sig_matches FROM (
+            |  SELECT c.d1, c.d2,
+            |    CAST(len(list_filter(range(1, 17), i -> s1.sig[i] = s2.sig[i])) AS BIGINT) AS sig_matches
+            |  FROM cand c
+            |  JOIN sigs_a s1 ON c.d1 = s1.doc_id
+            |  JOIN sigs_a s2 ON c.d2 = s2.doc_id
+            |) t WHERE sig_matches >= 8
+            |ORDER BY d1, d2""".stripMargin))
+
   // Incremental snapshot dedup (Dedup.incrementalExact). The synthetic
   // corpus has no exact dups, so a naive split would admit everything and
   // the check would be vacuous (the zero-row-oracle trap): instead the
@@ -2287,7 +2318,7 @@ object PipelineQueries {
   val all: Seq[QueryDef] = Seq(
     qRetrieval,
     qDedupExact, qDedupNorm, qMinhashSig, qMinhashPairs, qMinhashCorpus, qSimhash,
-    qSimhashPairs, qSimhashPairs60, qStreamNearDup, qLmScore, qParagraphDedup, qIncrementalDedup, qIncrementalBloom,
+    qSimhashPairs, qSimhashPairs60, qStreamNearDup, qStreamMinhashNearDup, qLmScore, qParagraphDedup, qIncrementalDedup, qIncrementalBloom,
     qMinhashIndex, qMinhashIndexAppend, qMinhashIndexCompact,
     qDecontaminateExact, qSubstringSpans, qSubstringSpansStride1, qSubstringScrub,
     qSample, qSampleStratified, qInterleave, qSplit,

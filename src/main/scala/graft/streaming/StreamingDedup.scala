@@ -78,6 +78,88 @@ object StreamingDedup {
 
   final case class NearDupPair(d1: Long, d2: Long, hamming: Long)
 
+  final case class MinhashPair(d1: Long, d2: Long, sig_matches: Long)
+
+  /** Ingest-time MinHash-LSH near-duplicate detection — the Jaccard
+    * sibling of [[nearDupPairs]] (which is hamming-over-simhash): each
+    * arrival expands to the SAME banded signature keys as the batch
+    * operator ([[graft.operators.Dedup.minhashBandStructs]] — shared
+    * builder, the spellings cannot drift), rows group by (band,
+    * band_key), and each bucket's state holds its members' (id, full
+    * k-long signature). A new arrival emits one pair per stored member
+    * agreeing on >= `minMatches` of the k positions (E[agreement] =
+    * Jaccard — the MinHash estimator, so minMatches/k is the similarity
+    * threshold); cross-band duplicates collapse at the sink (`distinct`),
+    * after which the pair set equals the batch composition
+    * candidates-then-verify exactly (`StreamingSpec`).
+    *
+    * Restricted to `rowsPerBand == 2` (the packed BIGINT band key —
+    * see [[graft.operators.Dedup.minhashBands]]'s type note): streaming
+    * state keys must be one concrete type, and the packed spelling is
+    * also the one that shuffles cheapest. State per bucket member is
+    * id + k longs (~136 B at k=16); the same `maxMembers`/`ttlMs` bounds
+    * as [[nearDupPairs]] apply, with the same recall semantics, and the
+    * same ProcessingTimeTimeout quiescence gotcha when `ttlMs` > 0. */
+  def minhashNearDupPairs(docs: DataFrame, k: Int = 16, shingleN: Int = 3,
+                          bands: Int = 8, minMatches: Int = 8,
+                          maxMembers: Int = 0,
+                          ttlMs: Long = 0L): Dataset[MinhashPair] = {
+    require(bands * 2 == k,
+      s"streaming minhash uses rowsPerBand = 2: bands * 2 must equal k, got $bands * 2 != $k")
+    require(minMatches >= 1 && minMatches <= k,
+      s"minMatches must be in [1, $k], got $minMatches")
+    require(maxMembers >= 0, s"maxMembers must be >= 0 (0 = unbounded), got $maxMembers")
+    require(ttlMs >= 0L, s"ttlMs must be >= 0 (0 = no timeout), got $ttlMs")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.functions.TajoFunctions.register(spark)
+    val keys = graft.operators.Dedup.minhashBandStructs(bands, rowsPerBand = 2)
+    val timeout =
+      if (ttlMs > 0L) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    val banded = docs
+      .select(col("doc_id"), expr(s"minhash_sig(text, $k, $shingleN)").as("sig"))
+      .filter(col("doc_id").isNotNull && col("sig").isNotNull)
+      .select(col("doc_id"), col("sig"), explode(expr(keys)).as("__b"))
+      .select(col("doc_id"), col("sig"),
+        col("__b.band").as("band"), col("__b.band_key").as("band_key"))
+      .as[(Long, Seq[Long], Long, Long)]
+    banded.groupByKey(r => (r._3, r._4))
+      .flatMapGroupsWithState[List[(Long, Array[Long])], MinhashPair](
+        OutputMode.Append, timeout) {
+        (_: (Long, Long), rows: Iterator[(Long, Seq[Long], Long, Long)],
+         state: GroupState[List[(Long, Array[Long])]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var members = state.getOption.getOrElse(Nil)
+            val out = scala.collection.mutable.ArrayBuffer.empty[MinhashPair]
+            rows.map(r => (r._1, r._2.toArray)).toArray.sortBy(_._1).foreach {
+              case (id, sig) =>
+                members.foreach { case (oid, osig) =>
+                  if (oid != id) {
+                    var m = 0
+                    var i = 0
+                    while (i < sig.length) {
+                      if (sig(i) == osig(i)) m += 1
+                      i += 1
+                    }
+                    if (m >= minMatches)
+                      out += MinhashPair(math.min(id, oid), math.max(id, oid), m.toLong)
+                  }
+                }
+                members = (id, sig) :: members
+                if (maxMembers > 0 && members.lengthCompare(maxMembers) > 0)
+                  members = members.take(maxMembers)
+            }
+            state.update(members)
+            if (ttlMs > 0L) state.setTimeoutDuration(ttlMs)
+            out.iterator
+          }
+      }
+  }
+
   def nearDupPairs(docs: DataFrame, maxHamming: Int = 3, bands: Int = 4,
                    maxMembers: Int = 0, ttlMs: Long = 0L): Dataset[NearDupPair] = {
     require(maxMembers >= 0, s"maxMembers must be >= 0 (0 = unbounded), got $maxMembers")

@@ -121,6 +121,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("streaming minhash near-dup equals the batch composition and is split-invariant") {
+    import graft.streaming.StreamingDedup
+    import graft.operators.Dedup
+    val base = Tables.table(spark, sfDir, "documents").limit(200)
+    val perturbed = base.filter(col("doc_id") % 5 === 0).select(
+      (col("doc_id") + 100000L).as("doc_id"),
+      concat(col("text"), lit(" tailnoise")).as("text"),
+      col("lang"), col("source"), col("n_chars"))
+    val dir = java.nio.file.Files.createTempDirectory("stream_mh_neardup").toString
+    try {
+      base.coalesce(1).write.parquet(s"$dir/part_a")
+      perturbed.coalesce(1).write.parquet(s"$dir/part_b")
+      new java.io.File(s"$dir/in1").mkdirs(); new java.io.File(s"$dir/in2").mkdirs()
+      Seq("part_a" -> "in1", "part_b" -> "in2").foreach { case (from, to) =>
+        val f = new java.io.File(s"$dir/$from").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(s"$dir/$to/documents.parquet"))
+      }
+      // batch composition of the same spec: banded candidates + signature
+      // agreement — exactly incrementalNearDups with the corpus as its own
+      // index
+      val union = spark.read.parquet(s"$dir/in1/documents.parquet", s"$dir/in2/documents.parquet")
+      val sigs = Dedup.minhashSignature(union, "doc_id", "text")
+      val selfIdx = Dedup.MinhashIndex(Dedup.minhashBands(sigs, "doc_id"), sigs)
+      val expected = Dedup.incrementalNearDups(selfIdx, union, "doc_id", "text")
+        .filter(col("new_id") < col("corpus_id")) // one orientation per pair
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(expected.nonEmpty, "seeded near-dups must produce pairs")
+      def streamed(maxFiles: Option[Int], name: String): Set[(Long, Long, Long)] = {
+        var reader = spark.readStream.schema(StreamingDedup.docSchema)
+          .option("pathGlobFilter", "documents.parquet")
+        maxFiles.foreach(n => reader = reader.option("maxFilesPerTrigger", n.toString))
+        val docs = reader.parquet(s"$dir/in*")
+        val pairs = StreamingDedup.minhashNearDupPairs(docs).toDF()
+        EventStreams.runToMemoryTable(pairs, name, mode = "append")
+          .distinct().collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      }
+      assert(streamed(None, "t_mh_neardup_1") == expected,
+        "single-batch stream must equal the batch composition")
+      assert(streamed(Some(1), "t_mh_neardup_2") == expected,
+        "two-batch stream must equal the batch composition")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("streaming near-dup member cap: subset of batch, suppressions only via evictions") {
     import graft.streaming.StreamingDedup
     val cap = 1
