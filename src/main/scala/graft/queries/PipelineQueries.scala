@@ -307,7 +307,7 @@ object PipelineQueries {
         .select(col("d1"), col("d2"), col("sig_matches")).distinct()
         .orderBy("d1", "d2")
     },
-    Some(s"""WITH ${duckSigChain("documents", "a")},
+    Some(s"""WITH ${duckSigChain("(SELECT doc_id, text FROM documents WHERE text IS NOT NULL) dnn", "a")},
             |cand AS (
             |  SELECT DISTINCT b1.doc_id AS d1, b2.doc_id AS d2
             |  FROM bands_a b1 JOIN bands_a b2
@@ -782,13 +782,13 @@ object PipelineQueries {
         .orderBy("new_id", "corpus_id")
     },
     Some(s"""WITH corpus AS (
-            |  SELECT doc_id, text FROM documents WHERE doc_id < 200
+            |  SELECT doc_id, text FROM documents WHERE doc_id < 200 AND text IS NOT NULL
             |), batch AS (
             |  SELECT doc_id + 100000 AS doc_id, text FROM documents
-            |  WHERE doc_id BETWEEN 150 AND 199
+            |  WHERE doc_id BETWEEN 150 AND 199 AND text IS NOT NULL
             |  UNION ALL
             |  SELECT doc_id + 200000, text || ' tailnoise' FROM documents
-            |  WHERE doc_id < 150 AND doc_id % 7 = 0
+            |  WHERE doc_id < 150 AND doc_id % 7 = 0 AND text IS NOT NULL
             |), ${duckSigChain("corpus", "c")},
             |${duckSigChain("batch", "b")},
             |cand AS (
@@ -831,15 +831,16 @@ object PipelineQueries {
         .orderBy("new_id", "corpus_id")
     },
     Some(s"""WITH corpus0 AS (
-            |  SELECT doc_id, text FROM documents WHERE doc_id < 200
+            |  SELECT doc_id, text FROM documents WHERE doc_id < 200 AND text IS NOT NULL
             |), corpus AS (
             |  SELECT doc_id, text FROM corpus0
             |  UNION ALL
             |  SELECT doc_id + 100000, text FROM documents
-            |  WHERE doc_id BETWEEN 150 AND 199
+            |  WHERE doc_id BETWEEN 150 AND 199 AND text IS NOT NULL
             |), batch AS (
             |  SELECT doc_id + 300000 AS doc_id, text || ' tailnoise' AS text
             |  FROM documents WHERE doc_id BETWEEN 150 AND 199 AND doc_id % 3 = 0
+            |    AND text IS NOT NULL
             |), ${duckSigChain("corpus", "c")},
             |${duckSigChain("batch", "b")},
             |cand AS (
@@ -889,13 +890,14 @@ object PipelineQueries {
         .orderBy("new_id", "corpus_id")
     },
     Some(s"""WITH corpus AS (
-            |  SELECT doc_id, text FROM documents WHERE doc_id < 150
+            |  SELECT doc_id, text FROM documents WHERE doc_id < 150 AND text IS NOT NULL
             |  UNION ALL
             |  SELECT doc_id + 100000, text FROM documents
-            |  WHERE doc_id BETWEEN 150 AND 199
+            |  WHERE doc_id BETWEEN 150 AND 199 AND text IS NOT NULL
             |), batch AS (
             |  SELECT doc_id + 300000 AS doc_id, text || ' tailnoise' AS text
             |  FROM documents WHERE doc_id BETWEEN 150 AND 199 AND doc_id % 3 = 0
+            |    AND text IS NOT NULL
             |), ${duckSigChain("corpus", "c")},
             |${duckSigChain("batch", "b")},
             |cand AS (

@@ -80,6 +80,49 @@ object StreamingDedup {
 
   final case class MinhashPair(d1: Long, d2: Long, sig_matches: Long)
 
+  /** The ONE bucket state machine behind both streaming near-dup
+    * spellings — simhash and minhash differ only in the member payload
+    * `S` and the `score` predicate, so the split-invariance ordering,
+    * the oldest-first `maxMembers` eviction, and the TTL handling are
+    * identical BY CONSTRUCTION (the member-cap and TTL specs exercise
+    * them through the simhash spelling; this sharing is what makes those
+    * results carry to minhash). `score` returns Some(value) when the
+    * pair qualifies. */
+  private def bucketPairFn[K, S, T](
+      maxMembers: Int, ttlMs: Long, score: (S, S) => Option[Long],
+      mk: (Long, Long, Long) => T)
+    : (K, Iterator[(Long, S)], GroupState[List[(Long, S)]]) => Iterator[T] =
+    (_, rows, state) =>
+      if (state.hasTimedOut) {
+        // idle past the TTL: drop the whole bucket (rows is empty here)
+        state.remove()
+        Iterator.empty
+      } else {
+        // members newest-first: prepend on arrival, so a cap keeps the
+        // most recent maxMembers and evicts the oldest
+        var members = state.getOption.getOrElse(Nil)
+        val out = scala.collection.mutable.ArrayBuffer.empty[T]
+        // ascending id order makes the output batch-split invariant AND
+        // matches the batch operators' sorted in-bucket expansion
+        rows.toArray.sortBy(_._1).foreach { case (id, s) =>
+          members.foreach { case (oid, os) =>
+            if (oid != id)
+              score(s, os).foreach(v =>
+                out += mk(math.min(id, oid), math.max(id, oid), v))
+          }
+          members = (id, s) :: members
+          if (maxMembers > 0 && members.lengthCompare(maxMembers) > 0)
+            members = members.take(maxMembers)
+        }
+        state.update(members)
+        if (ttlMs > 0L) state.setTimeoutDuration(ttlMs)
+        out.iterator
+      }
+
+  private def stateTimeout(ttlMs: Long): GroupStateTimeout =
+    if (ttlMs > 0L) GroupStateTimeout.ProcessingTimeTimeout
+    else GroupStateTimeout.NoTimeout
+
   /** Ingest-time MinHash-LSH near-duplicate detection — the Jaccard
     * sibling of [[nearDupPairs]] (which is hamming-over-simhash): each
     * arrival expands to the SAME banded signature keys as the batch
@@ -114,50 +157,29 @@ object StreamingDedup {
     import spark.implicits._
     graft.functions.TajoFunctions.register(spark)
     val keys = graft.operators.Dedup.minhashBandStructs(bands, rowsPerBand = 2)
-    val timeout =
-      if (ttlMs > 0L) GroupStateTimeout.ProcessingTimeTimeout
-      else GroupStateTimeout.NoTimeout
-    val banded = docs
+    val timeout = stateTimeout(ttlMs)
+    val score: (Seq[Long], Seq[Long]) => Option[Long] = (sig, osig) => {
+      var m = 0
+      var i = 0
+      while (i < sig.length) {
+        if (sig(i) == osig(i)) m += 1
+        i += 1
+      }
+      if (m >= minMatches) Some(m.toLong) else None
+    }
+    val fn = bucketPairFn[(Long, Long), Seq[Long], MinhashPair](
+      maxMembers, ttlMs, score, MinhashPair.apply)
+    docs
       .select(col("doc_id"), expr(s"minhash_sig(text, $k, $shingleN)").as("sig"))
       .filter(col("doc_id").isNotNull && col("sig").isNotNull)
       .select(col("doc_id"), col("sig"), explode(expr(keys)).as("__b"))
       .select(col("doc_id"), col("sig"),
         col("__b.band").as("band"), col("__b.band_key").as("band_key"))
       .as[(Long, Seq[Long], Long, Long)]
-    banded.groupByKey(r => (r._3, r._4))
-      .flatMapGroupsWithState[List[(Long, Array[Long])], MinhashPair](
-        OutputMode.Append, timeout) {
-        (_: (Long, Long), rows: Iterator[(Long, Seq[Long], Long, Long)],
-         state: GroupState[List[(Long, Array[Long])]]) =>
-          if (state.hasTimedOut) {
-            state.remove()
-            Iterator.empty
-          } else {
-            var members = state.getOption.getOrElse(Nil)
-            val out = scala.collection.mutable.ArrayBuffer.empty[MinhashPair]
-            rows.map(r => (r._1, r._2.toArray)).toArray.sortBy(_._1).foreach {
-              case (id, sig) =>
-                members.foreach { case (oid, osig) =>
-                  if (oid != id) {
-                    var m = 0
-                    var i = 0
-                    while (i < sig.length) {
-                      if (sig(i) == osig(i)) m += 1
-                      i += 1
-                    }
-                    if (m >= minMatches)
-                      out += MinhashPair(math.min(id, oid), math.max(id, oid), m.toLong)
-                  }
-                }
-                members = (id, sig) :: members
-                if (maxMembers > 0 && members.lengthCompare(maxMembers) > 0)
-                  members = members.take(maxMembers)
-            }
-            state.update(members)
-            if (ttlMs > 0L) state.setTimeoutDuration(ttlMs)
-            out.iterator
-          }
-      }
+      .groupByKey(r => (r._3, r._4))
+      .mapValues(r => (r._1, r._2))
+      .flatMapGroupsWithState[List[(Long, Seq[Long])], MinhashPair](
+        OutputMode.Append, timeout)(fn)
   }
 
   def nearDupPairs(docs: DataFrame, maxHamming: Int = 3, bands: Int = 4,
@@ -168,47 +190,21 @@ object StreamingDedup {
     import spark.implicits._
     graft.functions.TajoFunctions.register(spark)
     val keys = graft.operators.Dedup.simhash60PackedKeys(maxHamming, bands)
-    val timeout =
-      if (ttlMs > 0L) GroupStateTimeout.ProcessingTimeTimeout
-      else GroupStateTimeout.NoTimeout
-    val banded = docs
+    val timeout = stateTimeout(ttlMs)
+    val score: (Long, Long) => Option[Long] = (sig, osig) => {
+      val h = java.lang.Long.bitCount(sig ^ osig).toLong
+      if (h <= maxHamming) Some(h) else None
+    }
+    val fn = bucketPairFn[Long, Long, NearDupPair](
+      maxMembers, ttlMs, score, NearDupPair.apply)
+    docs
       .select(col("doc_id"), expr("simhash60(SPLIT(text, ' '))").as("simhash"))
       .filter(col("doc_id").isNotNull && col("simhash").isNotNull)
       .select(col("doc_id"), col("simhash"), explode(expr(keys)).as("bkey"))
       .as[(Long, Long, Long)]
-    banded.groupByKey(_._3)
+      .groupByKey(_._3)
+      .mapValues(r => (r._1, r._2))
       .flatMapGroupsWithState[List[(Long, Long)], NearDupPair](
-        OutputMode.Append, timeout) {
-        (_: Long, rows: Iterator[(Long, Long, Long)],
-         state: GroupState[List[(Long, Long)]]) =>
-          if (state.hasTimedOut) {
-            // idle past the TTL: drop the whole bucket (rows is empty here)
-            state.remove()
-            Iterator.empty
-          } else {
-            // members newest-first: prepend on arrival, so a cap keeps the
-            // most recent maxMembers and evicts the oldest
-            var members = state.getOption.getOrElse(Nil)
-            val out = scala.collection.mutable.ArrayBuffer.empty[NearDupPair]
-            // ascending id order makes the output batch-split invariant AND
-            // matches the batch operator's sorted in-bucket expansion
-            rows.map(r => (r._1, r._2)).toArray.sortBy(_._1).foreach {
-              case (id, sig) =>
-                members.foreach { case (oid, osig) =>
-                  if (oid != id) {
-                    val h = java.lang.Long.bitCount(sig ^ osig).toLong
-                    if (h <= maxHamming)
-                      out += NearDupPair(math.min(id, oid), math.max(id, oid), h)
-                  }
-                }
-                members = (id, sig) :: members
-                if (maxMembers > 0 && members.lengthCompare(maxMembers) > 0)
-                  members = members.take(maxMembers)
-            }
-            state.update(members)
-            if (ttlMs > 0L) state.setTimeoutDuration(ttlMs)
-            out.iterator
-          }
-      }
+        OutputMode.Append, timeout)(fn)
   }
 }

@@ -166,6 +166,58 @@ class StreamingSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("streaming minhash near-dup member cap equals the eviction-rule replay") {
+    import graft.streaming.StreamingDedup
+    import graft.operators.Dedup
+    val cap = 1
+    val base = Tables.table(spark, sfDir, "documents").limit(200)
+    val perturbed = base.filter(col("doc_id") % 5 === 0).select(
+      (col("doc_id") + 100000L).as("doc_id"),
+      concat(col("text"), lit(" tailnoise")).as("text"),
+      col("lang"), col("source"), col("n_chars"))
+    val dir = java.nio.file.Files.createTempDirectory("stream_mh_cap").toString
+    try {
+      base.unionAll(perturbed).coalesce(1).write.parquet(s"$dir/part")
+      new java.io.File(s"$dir/in").mkdirs()
+      val f = new java.io.File(s"$dir/part").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(s"$dir/in/documents.parquet"))
+      val union = spark.read.parquet(s"$dir/in/documents.parquet")
+      // replay the shared eviction rule over the SAME banded rows, with
+      // the minhash agreement predicate — proving the documented cap
+      // semantics hold for this spelling too (the state machine is shared
+      // with the simhash operator, whose specs pin the rest)
+      graft.functions.TajoFunctions.register(spark)
+      val keys = Dedup.minhashBandStructs(8, 2)
+      val banded = union
+        .select(col("doc_id"), expr("minhash_sig(text, 16, 3)").as("sig"))
+        .select(col("doc_id"), col("sig"), explode(expr(keys)).as("__b"))
+        .select(col("doc_id"), col("sig"), col("__b.band"), col("__b.band_key"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2), r.getLong(3)))
+      val simulated = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+      banded.groupBy(r => (r._3, r._4)).foreach { case (_, rows) =>
+        var members = List.empty[(Long, Seq[Long])]
+        rows.map(r => (r._1, r._2)).sortBy(_._1).foreach { case (id, sig) =>
+          members.foreach { case (oid, osig) =>
+            val m = sig.zip(osig).count { case (a, b) => a == b }.toLong
+            if (oid != id && m >= 8)
+              simulated += ((math.min(id, oid), math.max(id, oid), m))
+          }
+          members = ((id, sig) :: members).take(cap)
+        }
+      }
+      val docs = spark.readStream.schema(StreamingDedup.docSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(s"$dir/in")
+      val capped = EventStreams.runToMemoryTable(
+        StreamingDedup.minhashNearDupPairs(docs, maxMembers = cap).toDF(),
+        "t_mh_neardup_cap", mode = "append")
+        .distinct().collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(capped == simulated.toSet,
+        "capped minhash stream must equal the eviction-rule replay")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("streaming near-dup member cap: subset of batch, suppressions only via evictions") {
     import graft.streaming.StreamingDedup
     val cap = 1
