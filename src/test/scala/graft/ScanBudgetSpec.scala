@@ -48,6 +48,15 @@ class ScanBudgetSpec extends AnyFunSuite {
     "q_pipeline_tokenize_pack" -> 2,
     "q3_join_topk" -> 3,
     "q_text_tfidf" -> 3,
+    // the stored-index near-dup queries: the RETURNED plan (the query
+    // half — the builds inside run eagerly, before this walk) reads the
+    // 2 index tables + the batch side 4x (the batch is a 2-table union
+    // whose signature subplan evaluates twice, the adjudicated trade in
+    // the incrementalNearDups scaladoc). Crucially ZERO of these scans
+    // is a corpus-text read — the operator's core scale claim, pinned.
+    "q_dedup_minhash_index" -> 6,
+    "q_dedup_minhash_index_append" -> 6,
+    "q_dedup_minhash_index_compact" -> 6,
     "q_join_nonequi_cdf" -> 4,
     "q_ann_ivf" -> 4,
     "q5_join_multi" -> 6,
