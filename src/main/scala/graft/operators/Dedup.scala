@@ -180,6 +180,15 @@ object Dedup {
       s"minMatches must be in [1, $k], got $minMatches")
     val bsigs = minhashSignature(batch, idCol, textCol, k, shingleN)
     val bband = minhashBands(bsigs, idCol, bands, rowsPerBand)
+    bandJoinVerify(index, bsigs, bband, idCol, k, minMatches)
+  }
+
+  // candidates from the band equi-join + the signature-agreement verify —
+  // the shared tail of incrementalNearDups and its Bloom-prefiltered
+  // variant (they differ only in which batch band rows reach the join)
+  private def bandJoinVerify(index: MinhashIndex, bsigs: DataFrame,
+                             bband: DataFrame, idCol: String, k: Int,
+                             minMatches: Int): DataFrame = {
     val cands = bband.select(col(idCol).as("new_id"), col("band"), col("band_key"))
       .join(index.bands.select(col(idCol).as("corpus_id"), col("band"), col("band_key")),
         Seq("band", "band_key"))
@@ -199,6 +208,55 @@ object Dedup {
       // time; duplicates carry identical sig values, so any survivor is
       // the right row
       .dropDuplicates("new_id", "corpus_id")
+  }
+
+  /** One narrow pass over a stored index's band table folds its
+    * (band, band_key) pairs into a Bloom sketch — build it once when the
+    * index is (re)built or appended, persist it alongside, and hand it to
+    * [[incrementalNearDupsBloom]] for every subsequent batch. Only the
+    * numBits/8-byte sketch ever reaches the driver. */
+  def buildBandSketch(index: MinhashIndex,
+                      expectedItems: Long = 1L << 20,
+                      fpp: Double = 0.01): Array[Byte] = {
+    graft.functions.TajoFunctions.register(index.bands.sparkSession)
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    index.bands
+      .select(call_function("bloom_agg",
+        xxhash64(col("band"), col("band_key")),
+        lit(expectedItems), lit(numBits)).as("b"))
+      .head.getAs[Array[Byte]](0)
+  }
+
+  /** Bloom-prefiltered [[incrementalNearDups]] — the 100 TB ingest shape,
+    * with identical (exact) results. The plain variant shuffles EVERY
+    * batch band row into the join against the stored band table, but the
+    * common ingest case is a mostly-NOVEL batch whose rows can never
+    * match: here each batch band row first probes a prebuilt sketch of
+    * the index's band keys map-side (`BloomFilterMightContain` over a
+    * foldable literal — codegen'd, no UDF, zero reads of the index for
+    * the definite-novel rows), and only the might-contain rows reach the
+    * band join. False positives merely ADD candidate rows that the
+    * signature-agreement verify rejects; false negatives are impossible —
+    * so the output is bit-identical to [[incrementalNearDups]] at any
+    * sketch size, including a saturated one (`OperatorsSpec` pins both).
+    * Same build-param contract as the plain variant. */
+  def incrementalNearDupsBloom(index: MinhashIndex, batch: DataFrame,
+                               idCol: String, textCol: String,
+                               sketch: Array[Byte],
+                               k: Int = 16, shingleN: Int = 3,
+                               bands: Int = 8, rowsPerBand: Int = 2,
+                               minMatches: Int = 8): DataFrame = {
+    require(bands * rowsPerBand == k,
+      s"bands * rowsPerBand must equal k, got $bands * $rowsPerBand != $k")
+    require(minMatches >= 1 && minMatches <= k,
+      s"minMatches must be in [1, $k], got $minMatches")
+    graft.functions.TajoFunctions.register(batch.sparkSession)
+    val bsigs = minhashSignature(batch, idCol, textCol, k, shingleN)
+    val bband = minhashBands(bsigs, idCol, bands, rowsPerBand)
+      .filter(call_function("bloom_might_contain",
+        lit(sketch), xxhash64(col("band"), col("band_key"))))
+    bandJoinVerify(index, bsigs, bband, idCol, k, minMatches)
   }
 
   /** Fold a new batch INTO a stored [[MinhashIndex]] — the maintenance

@@ -814,6 +814,67 @@ object PipelineQueries {
   // corpus docs and the appended batch1 recrawls. The oracle's index side
   // is corpus UNION batch1, proving the append actually extended the
   // stored tables rather than rebuilding or dropping them.
+  // Bloom-prefiltered index query (Dedup.incrementalNearDupsBloom): the
+  // mostly-novel-batch ingest shape — batch band rows probe a sketch of
+  // the stored band keys map-side, and only might-contain rows reach the
+  // band join. The Bloom is a pure prefilter (FPs re-verified, FNs
+  // impossible), so the oracle is the SAME exact replay as
+  // q_dedup_minhash_index — any divergence introduced by the sketch path
+  // fails the hash compare. The fixture batch adds a block of constructed
+  // novel docs so the prefilter actually has rows to discard.
+  private val qMinhashIndexBloom = df("q_dedup_minhash_index_bloom",
+    (sp, dir) => {
+      val docs = graft.engine.Tables.table(sp, dir, "documents")
+      val corpus = docs.filter(col("doc_id") < 200)
+      // constructed novel docs (no fixture sampling — unique nonsense
+      // tokens cannot near-match anything): the rows the prefilter exists
+      // to discard; they contribute ZERO output rows on both engines, so
+      // the oracle neither needs nor mentions them
+      val novel = sp.range(0, 50).selectExpr(
+        "id + 900000 AS doc_id",
+        "ARRAY_JOIN(TRANSFORM(SEQUENCE(0, 29), j -> " +
+          "CONCAT('bloomnovel', CAST(id AS STRING), 'x', CAST(j AS STRING))), ' ') AS text")
+      val batch = docs.filter(col("doc_id").between(150, 199))
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+        .unionAll(docs.filter(col("doc_id") < 150 && col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 200000L).as("doc_id"),
+            concat(col("text"), lit(" tailnoise")).as("text")))
+        .unionAll(novel)
+      val idx = graft.operators.Dedup.writeMinhashIndex(
+        corpus, "doc_id", "text",
+        s"$mhIdxScratch/${java.util.UUID.randomUUID().toString.take(8)}")
+      val sketch = graft.operators.Dedup.buildBandSketch(idx)
+      graft.operators.Dedup
+        .incrementalNearDupsBloom(idx, batch, "doc_id", "text", sketch)
+        .orderBy("new_id", "corpus_id")
+    },
+    Some(s"""WITH corpus AS (
+            |  SELECT doc_id, text FROM documents WHERE doc_id < 200 AND text IS NOT NULL
+            |), batch AS (
+            |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+            |  WHERE doc_id BETWEEN 150 AND 199 AND text IS NOT NULL
+            |  UNION ALL
+            |  SELECT doc_id + 200000, text || ' tailnoise' FROM documents
+            |  WHERE doc_id < 150 AND doc_id % 7 = 0 AND text IS NOT NULL
+            |), ${duckSigChain("corpus", "c")},
+            |${duckSigChain("batch", "b")},
+            |cand AS (
+            |  SELECT DISTINCT bb.doc_id AS new_id, bc.doc_id AS corpus_id
+            |  FROM bands_b bb JOIN bands_c bc
+            |    ON bb.band = bc.band AND bb.band_key = bc.band_key
+            |  WHERE bb.doc_id <> bc.doc_id
+            |)
+            |SELECT new_id, corpus_id, sig_matches,
+            |  CAST(sig_matches AS DOUBLE) / 16 AS est_jaccard
+            |FROM (
+            |  SELECT c.new_id, c.corpus_id,
+            |    CAST(len(list_filter(range(1, 17), i -> sb.sig[i] = sc.sig[i])) AS BIGINT) AS sig_matches
+            |  FROM cand c
+            |  JOIN sigs_b sb ON c.new_id = sb.doc_id
+            |  JOIN sigs_c sc ON c.corpus_id = sc.doc_id
+            |) t WHERE sig_matches >= 8
+            |ORDER BY new_id, corpus_id""".stripMargin))
+
   private val qMinhashIndexAppend = df("q_dedup_minhash_index_append",
     (sp, dir) => {
       val docs = graft.engine.Tables.table(sp, dir, "documents")
@@ -2321,7 +2382,7 @@ object PipelineQueries {
     qRetrieval,
     qDedupExact, qDedupNorm, qMinhashSig, qMinhashPairs, qMinhashCorpus, qSimhash,
     qSimhashPairs, qSimhashPairs60, qStreamNearDup, qStreamMinhashNearDup, qLmScore, qParagraphDedup, qIncrementalDedup, qIncrementalBloom,
-    qMinhashIndex, qMinhashIndexAppend, qMinhashIndexCompact,
+    qMinhashIndex, qMinhashIndexBloom, qMinhashIndexAppend, qMinhashIndexCompact,
     qDecontaminateExact, qSubstringSpans, qSubstringSpansStride1, qSubstringScrub,
     qSample, qSampleStratified, qInterleave, qSplit,
     qNgramJaccard, qEmbDedup, qAnnBrute, qAnnLsh,

@@ -1213,6 +1213,43 @@ class OperatorsSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("MinhashIndex bloom prefilter: exact at any sketch size, prunes novel band rows") {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val corpus = docs.filter($"doc_id" < 100)
+    val novel = (0 until 30).map(i => (40000L + i,
+      (0 until 30).map(j => s"bloomword${i}y$j").mkString(" "))).toDF("doc_id", "text")
+    val batch = docs.filter($"doc_id".between(80, 99))
+      .select(($"doc_id" + 10000L).as("doc_id"), $"text")
+      .unionAll(novel)
+    val dir = java.nio.file.Files.createTempDirectory("mh_idx_bloom").toString
+    try {
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+      val idx = Dedup.writeMinhashIndex(corpus, "doc_id", "text", dir)
+      val plain = rows(Dedup.incrementalNearDups(idx, batch, "doc_id", "text"))
+      assert(plain.nonEmpty)
+      // well-sized sketch: bit-identical output
+      val sized = Dedup.buildBandSketch(idx, expectedItems = 4096, fpp = 0.01)
+      assert(rows(Dedup.incrementalNearDupsBloom(
+        idx, batch, "doc_id", "text", sized)) == plain)
+      // pathologically under-sized (saturated) sketch: everything
+      // might-contain, so it degrades to the plain join — still exact
+      val saturated = Dedup.buildBandSketch(idx, expectedItems = 2, fpp = 0.5)
+      assert(rows(Dedup.incrementalNearDupsBloom(
+        idx, batch, "doc_id", "text", saturated)) == plain)
+      // the prefilter genuinely prunes: with the well-sized sketch, the
+      // novel docs' band rows are (overwhelmingly) discarded map-side —
+      // count survivors directly through the same probe expression
+      graft.functions.TajoFunctions.register(spark)
+      val novelBands = Dedup.minhashBands(
+        Dedup.minhashSignature(novel, "doc_id", "text"), "doc_id")
+      val survivors = novelBands.filter(call_function("bloom_might_contain",
+        lit(sized), xxhash64(col("band"), col("band_key")))).count()
+      val total = novelBands.count()
+      assert(survivors < total / 2,
+        s"prefilter must discard most novel band rows ($survivors of $total survived)")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("MinhashIndex compact: drops tombstoned ids, collapses duplicates, preserves results") {
     val docs = Tables.table(spark, sfDir, "documents")
     val corpus = docs.filter($"doc_id" < 100)

@@ -55,6 +55,7 @@ class ScanBudgetSpec extends AnyFunSuite {
     // the incrementalNearDups scaladoc). Crucially ZERO of these scans
     // is a corpus-text read — the operator's core scale claim, pinned.
     "q_dedup_minhash_index" -> 6,
+    "q_dedup_minhash_index_bloom" -> 6,
     "q_dedup_minhash_index_append" -> 6,
     "q_dedup_minhash_index_compact" -> 6,
     "q_join_nonequi_cdf" -> 4,
