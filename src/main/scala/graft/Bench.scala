@@ -7,7 +7,6 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val spark = graft.engine.GraftSession.local(cpus, "graft-bench")
     // The bounded prefix-sum windows (RangeJoin bucket CDF, Packing block
     // offsets, the warm-up probe) legitimately run unpartitioned over
     // O(buckets) rows, and WindowExec WARNs once per task — 50+ repeats
@@ -17,39 +16,6 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
-
-    // Warm-up outside the timings: mount views, load parquet footers, prime
-    // codegen — otherwise whichever query runs first absorbs ~6s of session
-    // start-up and the per-query numbers are noise.
-    graft.engine.Tables.register(spark, sfDir)
-    graft.engine.Tables.all.foreach(t => spark.table(t).limit(1).count())
-    spark.sql("SELECT COUNT(*) FROM lineitem").collect()
-    // Prime the operator JIT/codegen paths the first timed queries would
-    // otherwise absorb (broadcast join, window, generator, hash agg) — on
-    // 100-row inputs, so the warm-up stays sub-second at any sf.
-    spark.sql(
-      """SELECT r_name, COUNT(*) c, ROW_NUMBER() OVER (ORDER BY r_name) rn
-        |FROM region JOIN nation ON r_regionkey = n_regionkey
-        |GROUP BY r_name ORDER BY rn""".stripMargin).collect()
-    spark.sql(
-      """SELECT w, COUNT(*) FROM (
-        |  SELECT EXPLODE(SPLIT(text, ' ')) w FROM documents LIMIT 100
-        |) GROUP BY w ORDER BY w LIMIT 5""".stripMargin).collect()
-    // The FIRST streaming query in a JVM additionally pays micro-batch
-    // engine + state-store-provider init and streaming codegen (measured
-    // solo: q_stream_join 6.0s cold vs 2.8-3.0s steady — SCALING.md
-    // "variance adjudications"); prime it on the tiny sf0.001 events so
-    // the stream entries measure steady state like everything else.
-    val tinyDir = sfDir.replaceAll("sf[0-9.]+$", "sf0.001")
-    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(tinyDir)))
-      try {
-        val ev = graft.streaming.EventStreams.readEvents(spark, tinyDir)
-        graft.streaming.EventStreams.runToMemoryTable(
-          graft.streaming.EventStreams.clickPurchaseAttribution(ev),
-          "graft_warmup_stream", mode = "append").count()
-      } catch { case e: Throwable =>
-        System.err.println(s"BENCH stream warm-up skipped: ${e.getMessage}") }
-    graft.engine.Tables.register(spark, sfDir)
 
     // Committed per-query reference times (the previous round's clean sf0.1
     // record, also the basis of SCALING.md §2's sf0.1 column). Loaded only
@@ -77,6 +43,17 @@ object Bench {
     // Optional comma-separated name filter for focused perf iteration.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = only.fold(SparkEntry.registry)(f => SparkEntry.registry.filter(q => f(q.name)))
+    // Phase isolation (VERDICT r10 #4): the retried list of every recent
+    // round is dominated by the write-heavy q_store_* queries and the
+    // stateful q_stream_* queries — their disk churn (staging dirs, index
+    // rewrites, state stores) lands in the same JVM/page cache the
+    // read-only analytics queries are being timed in. Run the read-only
+    // block FIRST in its own session, then the churny block LAST in a
+    // FRESH session, so store/stream churn cannot inflate analytic
+    // neighbors (and the sf1 smoke runs before any churn exists).
+    val (churnQs, mainQs) = selected.partition(q =>
+      q.name.startsWith("q_store_") || q.name.startsWith("q_stream_"))
+
     // A failed query must be loud: named on stderr AND listed in the JSON —
     // a regression that breaks a query must not masquerade as a speedup.
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -85,49 +62,76 @@ object Bench {
     // effect auditable per round — a reproducible slow first run (cold write
     // path) reads differently from one-off JVM contention.
     val firstAttempt = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    val clean = scala.collection.mutable.ArrayBuffer.empty[Double]
     // Budget sized so the reference-relative trigger (below) cannot exhaust
     // it mid-run and leave late outliers unretried (the 20-entry budget hit
     // its cap on every r8/r9 full run once ref-triggering landed, and 32
     // still capped on a contended sf1 run); retries only ever LOWER
-    // recorded times, the cost is ~1-2s wall each.
+    // recorded times, the cost is ~1-2s wall each. Shared across phases.
     var retriesLeft = 48
-    def timeOnce(q: QueryDef): Double = {
-      val t0 = System.nanoTime()
-      try { q.run(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 } catch {
-        case e: Throwable =>
-          System.err.println(s"BENCH FAIL ${q.name}: ${e.getClass.getSimpleName}: ${e.getMessage}")
-          errors += q.name
-          -1.0
+
+    def runPhase(spark: org.apache.spark.sql.SparkSession,
+                 qs: Seq[QueryDef]): Seq[(String, Double)] = {
+      val clean = scala.collection.mutable.ArrayBuffer.empty[Double]
+      def timeOnce(q: QueryDef): Double = {
+        val t0 = System.nanoTime()
+        try { q.run(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 } catch {
+          case e: Throwable =>
+            System.err.println(s"BENCH FAIL ${q.name}: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            errors += q.name
+            -1.0
+        }
+      }
+      qs.map { q =>
+        var t = timeOnce(q)
+        // Outlier guard: this box runs other JVMs during driver rounds, and a
+        // time-sliced query can read 5-10x its clean cost (see r3/r4 bench
+        // forensics). Two triggers, either earns ONE warm re-run (min kept):
+        //  - >3x this query's committed reference time (BENCH_sf01_ref.json —
+        //    the criterion VERDICT r8 #1 asked for: it catches an in-run
+        //    outlier even when the run's own median is already inflated, the
+        //    hole that let q_op_range_join ship at 5.67s vs a 0.59s record);
+        //  - >3x the trailing in-phase median, for queries without a reference.
+        // A real regression (reproducibly slow) still shows: the retry keeps
+        // the min of two honest measurements, and firstAttempt records what
+        // was discarded.
+        val med = if (clean.isEmpty) 0.0
+          else clean.sorted.apply(clean.length / 2)
+        val refSlow = refMap.get(q.name).exists(r => t > 3 * r && t - r > 0.3)
+        val medSlow = clean.length >= 8 && t > 3 * med && t > 1.0
+        if (t > 0 && (refSlow || medSlow) && retriesLeft > 0) {
+          retriesLeft -= 1
+          retried += q.name
+          firstAttempt(q.name) = t
+          val t2 = timeOnce(q)
+          if (t2 > 0 && t2 < t) t = t2
+        }
+        if (t >= 0) clean += t
+        q.name -> t
       }
     }
-    val results = selected.map { q =>
-      var t = timeOnce(q)
-      // Outlier guard: this box runs other JVMs during driver rounds, and a
-      // time-sliced query can read 5-10x its clean cost (see r3/r4 bench
-      // forensics). Two triggers, either earns ONE warm re-run (min kept):
-      //  - >3x this query's committed reference time (BENCH_sf01_ref.json —
-      //    the criterion VERDICT r8 #1 asked for: it catches an in-run
-      //    outlier even when the run's own median is already inflated, the
-      //    hole that let q_op_range_join ship at 5.67s vs a 0.59s record);
-      //  - >3x the trailing in-run median, for queries without a reference.
-      // A real regression (reproducibly slow) still shows: the retry keeps
-      // the min of two honest measurements, and firstAttempt records what
-      // was discarded.
-      val med = if (clean.isEmpty) 0.0
-        else clean.sorted.apply(clean.length / 2)
-      val refSlow = refMap.get(q.name).exists(r => t > 3 * r && t - r > 0.3)
-      val medSlow = clean.length >= 8 && t > 3 * med && t > 1.0
-      if (t > 0 && (refSlow || medSlow) && retriesLeft > 0) {
-        retriesLeft -= 1
-        retried += q.name
-        firstAttempt(q.name) = t
-        val t2 = timeOnce(q)
-        if (t2 > 0 && t2 < t) t = t2
-      }
-      if (t >= 0) clean += t
-      q.name -> t
-    }
+
+    // ---- Phase 1: read-only analytics queries, fresh session ----
+    val spark = graft.engine.GraftSession.local(cpus, "graft-bench")
+    // Warm-up outside the timings: mount views, load parquet footers, prime
+    // codegen — otherwise whichever query runs first absorbs ~6s of session
+    // start-up and the per-query numbers are noise.
+    graft.engine.Tables.register(spark, sfDir)
+    graft.engine.Tables.all.foreach(t => spark.table(t).limit(1).count())
+    spark.sql("SELECT COUNT(*) FROM lineitem").collect()
+    // Prime the operator JIT/codegen paths the first timed queries would
+    // otherwise absorb (broadcast join, window, generator, hash agg) — on
+    // 100-row inputs, so the warm-up stays sub-second at any sf.
+    spark.sql(
+      """SELECT r_name, COUNT(*) c, ROW_NUMBER() OVER (ORDER BY r_name) rn
+        |FROM region JOIN nation ON r_regionkey = n_regionkey
+        |GROUP BY r_name ORDER BY rn""".stripMargin).collect()
+    spark.sql(
+      """SELECT w, COUNT(*) FROM (
+        |  SELECT EXPLODE(SPLIT(text, ' ')) w FROM documents LIMIT 100
+        |) GROUP BY w ORDER BY w LIMIT 5""".stripMargin).collect()
+
+    val mainRes = runPhase(spark, mainQs)
+
     // Guaranteed-detection ExactSubstr setting (stride=1) measured at a
     // FIXED sf0.01: the cost curve of the documented precision/work knob is
     // recorded every round without letting the ~4x-work setting dominate
@@ -140,7 +144,6 @@ object Bench {
         minLen = 40, stride = 1).count()
       (System.nanoTime() - s1t0) / 1e9
     } catch { case _: Throwable => -1.0 }
-    val withS1 = results :+ ("q_dedup_substring_spans_stride1_sf001" -> s1)
 
     // sf1 smoke (VERDICT r7 #5): a fixed super-linearity canary — headline
     // queries + the two operators the sf1 stress once exposed as quadratic
@@ -148,7 +151,8 @@ object Bench {
     // at the locally generated sf1 every round, so a regression in a scale
     // exponent or the recall path can't return silently. Gated on the sf1
     // fixture existing (tools/gen_sf.py 1 tools/sf1) and skippable via
-    // SPARK_GRAFT_NO_SF1 for focused local iteration.
+    // SPARK_GRAFT_NO_SF1 for focused local iteration. Runs in the phase-1
+    // session, BEFORE any store/stream churn exists in the JVM.
     val sf1Dir = "tools/sf1"
     val sf1Smoke: Seq[(String, Double)] =
       if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(sf1Dir)) ||
@@ -175,6 +179,35 @@ object Bench {
             q.name -> t
           }
       }
+    spark.stop()
+
+    // ---- Phase 2: write-heavy + stateful-streaming queries, own session ----
+    val churnRes: Seq[(String, Double)] = if (churnQs.isEmpty) Seq.empty else {
+      val spark2 = graft.engine.GraftSession.local(cpus, "graft-bench-churn")
+      graft.engine.Tables.register(spark2, sfDir)
+      graft.engine.Tables.all.foreach(t => spark2.table(t).limit(1).count())
+      // The FIRST streaming query in a JVM pays micro-batch engine +
+      // state-store-provider init and streaming codegen (measured solo:
+      // q_stream_join 6.0s cold vs 2.8-3.0s steady — SCALING.md "variance
+      // adjudications"); prime it on the tiny sf0.001 events so the stream
+      // entries measure steady state like everything else.
+      val tinyDir = sfDir.replaceAll("sf[0-9.]+$", "sf0.001")
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(tinyDir)))
+        try {
+          val ev = graft.streaming.EventStreams.readEvents(spark2, tinyDir)
+          graft.streaming.EventStreams.runToMemoryTable(
+            graft.streaming.EventStreams.clickPurchaseAttribution(ev),
+            "graft_warmup_stream", mode = "append").count()
+        } catch { case e: Throwable =>
+          System.err.println(s"BENCH stream warm-up skipped: ${e.getMessage}") }
+      graft.engine.Tables.register(spark2, sfDir)
+      val r = runPhase(spark2, churnQs)
+      spark2.stop()
+      r
+    }
+
+    val results = mainRes ++ churnRes
+    val withS1 = results :+ ("q_dedup_substring_spans_stride1_sf001" -> s1)
 
     def qmap(m: Seq[(String, Double)], dp: Int = 9) = m
       .map { case (k, v) => "\"" + k + "\":" + BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP) }
@@ -237,11 +270,9 @@ object Bench {
     val retryCompact = retried.take(16).map("\"" + _ + "\"").mkString("[", ",", "]")
     val compact =
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","n":${withS1.length},"errors":$errJson,"retries":${retried.length},"retried":$retryCompact,"vs_ref_max":$vsRefMax,"vs_ref_hot":${ratioMap(vsRefHot)},"queries":${qmap(hl, 3)},"sf1_smoke":${qmap(sf1Smoke, 3)},"sf":"$sfDir","full":"target/bench.json"}"""
-    // Stop the session BEFORE printing: the JSON record must be the last
-    // stdout line the driver captures, with no shutdown logging after it
-    // (paired with build.sbt's StdoutOutput + showSuccess := false).
-    spark.sparkContext.setLogLevel("ERROR")
-    spark.stop()
+    // Both sessions are stopped BEFORE printing: the JSON record must be
+    // the last stdout line the driver captures, with no shutdown logging
+    // after it (paired with build.sbt's StdoutOutput + showSuccess := false).
     println(compact)
   }
 }

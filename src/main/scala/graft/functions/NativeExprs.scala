@@ -55,7 +55,15 @@ object NativeExprs {
       val lit = intLit("window_hashes") _
       val len = if (exprs.length > 1) lit(exprs(1), "len") else 50
       val stride = if (exprs.length > 2) lit(exprs(2), "stride") else 1
-      WindowHashes(exprs.head, len, stride)
+      // optional 4th arg: the polynomial base (odd INT/BIGINT literal) —
+      // per-run seeding / two-base keying, see the WindowHashes scaladoc
+      val base = if (exprs.length > 3) exprs(3) match {
+        case Literal(v: Long, _) => v
+        case Literal(v: Int, _) => v.toLong
+        case _ => throw new IllegalArgumentException(
+          "window_hashes: base must be an integral literal")
+      } else WindowHashes.DefaultBase
+      WindowHashes(exprs.head, len, stride, base)
     },
     // Spark's own runtime-filter sketch surfaced as a callable pair: the
     // aggregate folds xxhash64 values into a serialized BloomFilterImpl

@@ -527,16 +527,34 @@ object CdcChunks {
   }
 }
 
-/** window_hashes(text, len, stride) -> ARRAY<BIGINT> — the rolling hash of
-  * every length-`len` codepoint window starting at offsets 0, stride,
-  * 2*stride, ... (element i covers [i*stride, i*stride + len)). The
-  * ExactSubstr window-hashing primitive: `Dedup.repeatedSubstringSpans`
+/** window_hashes(text, len, stride[, base]) -> ARRAY<BIGINT> — the rolling
+  * hash of every length-`len` codepoint window starting at offsets 0,
+  * stride, 2*stride, ... (element i covers [i*stride, i*stride + len)).
+  * The ExactSubstr window-hashing primitive: `Dedup.repeatedSubstringSpans`
   * flags windows whose hash repeats corpus-wide, so only hash EQUALITY
   * matters, never the value — which is what makes a rolling hash a valid
   * drop-in for the md5(SUBSTRING(...)) spelling it replaced (same spans
   * modulo 64-bit collisions: ~1e8 windows at sf0.1 stride 1 is a ~5e-4
-  * birthday bound corpus-wide, and a false MERGE additionally requires the
-  * colliding windows to sit within minLen of a real span).
+  * birthday bound corpus-wide).
+  *
+  * COLLISION FAILURE MODE — what a 64-bit collision actually does: two
+  * UNRELATED windows hashing equal make BOTH look corpus-repeated, so a
+  * collision can mint a false SPAN out of nothing (a singleton minLen-char
+  * span in each colliding document, silently scrubbed from training text
+  * by removeSpans) — not merely widen a real span. The corpus-wide
+  * birthday arithmetic grows quadratically with window count: negligible
+  * at sf0.1 (~5e-4), ~2-3% odds of ONE spurious pair at 1e9 stride-1
+  * windows, and routine far beyond. And a FIXED public polynomial base
+  * mod 2^64 admits known adversarial collision families (Thorup's
+  * observation that polynomial hashing mod a power of two is weak —
+  * crafted documents can force collisions regardless of base quality).
+  * Two mitigations, both via the optional 4th `base` argument (any odd
+  * 64-bit literal): (1) per-run seeding — draw a random odd base each run
+  * so an adversary cannot precompute collisions; (2) 128-bit keying — run
+  * the pass twice with independent bases and key on the PAIR, squaring
+  * the birthday bound away (~1e-20 at 1e10 windows); this is what
+  * `Dedup.repeatedSubstringSpans(wide = true)` does. The DuckDB oracle
+  * (md5-based) only guards fixture scale.
   *
   * Why native: the SUBSTRING+md5 plan evaluates len codepoints + one
   * digest per WINDOW — O(chars * len) work at stride 1 (the
@@ -554,25 +572,27 @@ object CdcChunks {
   * (TextAnalysis.chunk / cdc_chunks) before span detection, as every
   * suffix-array ExactSubstr implementation also must.
   */
-case class WindowHashes(child: Expression, len: Int, stride: Int)
+case class WindowHashes(child: Expression, len: Int, stride: Int,
+                        base: Long = WindowHashes.DefaultBase)
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType if len > 0 && stride > 0 => TypeCheckResult.TypeCheckSuccess
+    case StringType if len > 0 && stride > 0 && (base & 1L) == 1L =>
+      TypeCheckResult.TypeCheckSuccess
     case StringType => TypeCheckResult.TypeCheckFailure(
-      "window_hashes: len and stride must be positive")
+      "window_hashes: len and stride must be positive and base odd")
     case other => TypeCheckResult.TypeCheckFailure(
       s"window_hashes expects STRING, got ${other.catalogString}")
   }
 
   override def nullSafeEval(input: Any): Any =
-    WindowHashes.compute(input.asInstanceOf[UTF8String], len, stride)
+    WindowHashes.compute(input.asInstanceOf[UTF8String], len, stride, base)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.WindowHashes.compute($c, $len, $stride);")
+      s"${ev.value} = graft.functions.WindowHashes.compute($c, $len, $stride, ${base}L);")
 
   override protected def withNewChildInternal(newChild: Expression): WindowHashes =
     copy(child = newChild)
@@ -583,9 +603,16 @@ object WindowHashes {
   // FNV-1a 64-bit prime: odd (invertible mod 2^64) with good avalanche as
   // a polynomial base; arithmetic is exact in the 2^64 ring (Java long
   // wraparound), so the rolling subtraction needs no modular correction.
-  private final val B = 0x100000001b3L
+  // Any odd base is invertible the same way — callers may substitute a
+  // per-run random odd base (adversarial corpora) or a second fixed base
+  // (128-bit pair keying); SecondBase is the committed companion.
+  final val DefaultBase = 0x100000001b3L
+  // golden-ratio odd constant (splitmix64's increment): independent
+  // avalanche profile from the FNV prime, used by the two-base wide keying
+  final val SecondBase = 0x9e3779b97f4a7c15L
 
-  def compute(text: UTF8String, len: Int, stride: Int): ArrayData = {
+  def compute(text: UTF8String, len: Int, stride: Int, base: Long): ArrayData = {
+    val B = base
     val cps = text.toString.codePoints().toArray
     val n = cps.length
     if (n < len)

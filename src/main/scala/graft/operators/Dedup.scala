@@ -112,26 +112,111 @@ object Dedup {
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .distinct()
 
+  /** Build parameters of a persisted [[MinhashIndex]], stamped into
+    * `dir/_meta.json` by [[writeMinhashIndex]] and validated on every read
+    * and query. The packed band key carries no config tag (see
+    * [[minhashBands]]'s type note), so querying an index with different
+    * k/shingleN/bands/rowsPerBand than it was built with silently yields
+    * empty joins — the exact quiet-failure mode this tag exists to turn
+    * into a loud error. */
+  final case class MinhashMeta(k: Int, shingleN: Int, bands: Int, rowsPerBand: Int)
+
+  object MinhashMeta {
+    private def metaPath(dir: String) =
+      new org.apache.hadoop.fs.Path(s"$dir/_meta.json")
+
+    def write(spark: org.apache.spark.sql.SparkSession, dir: String,
+              m: MinhashMeta): Unit = {
+      val p = metaPath(dir)
+      val out = p.getFileSystem(spark.sessionState.newHadoopConf()).create(p, true)
+      try out.write(
+        s"""{"k":${m.k},"shingleN":${m.shingleN},"bands":${m.bands},"rowsPerBand":${m.rowsPerBand}}"""
+          .getBytes("UTF-8"))
+      finally out.close()
+    }
+
+    /** None for a pre-meta (legacy) index directory. */
+    def read(spark: org.apache.spark.sql.SparkSession, dir: String): Option[MinhashMeta] = {
+      val p = metaPath(dir)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val bytes = try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val chunk = new Array[Byte](4096)
+          var n = in.read(chunk)
+          while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+          buf.toByteArray
+        } finally in.close()
+        val j = org.json4s.jackson.JsonMethods.parse(new String(bytes, "UTF-8"))
+        def int(name: String): Int = (j \ name) match {
+          case org.json4s.JInt(v) => v.toInt
+          case other => throw new IllegalArgumentException(
+            s"malformed MinhashIndex meta at $p: field $name = $other")
+        }
+        Some(MinhashMeta(int("k"), int("shingleN"), int("bands"), int("rowsPerBand")))
+      }
+    }
+  }
+
   /** A persisted MinHash near-dup index: the banded LSH table plus the raw
     * signatures, both parquet — everything an incremental dedup deployment
     * needs to check NEW batches against a corpus WITHOUT ever rescanning
     * it (the near-dup counterpart of [[graft.operators.Similarity]]'s
     * IVFADC build/query split). Index size is K+bands BIGINTs per corpus
     * document (~200 bytes at the defaults), independent of text length —
-    * a 100 TB corpus indexes to ~100s of GB. */
-  final case class MinhashIndex(bands: DataFrame, sigs: DataFrame)
+    * a 100 TB corpus indexes to ~100s of GB. `meta` carries the stored
+    * build params when the index was read from a tagged directory; query
+    * operators validate against it and fail loudly on mismatch. */
+  final case class MinhashIndex(bands: DataFrame, sigs: DataFrame,
+                                meta: Option[MinhashMeta] = None) {
+    /** Fail loudly when caller params disagree with the stored build params
+      * (a mismatch would otherwise silently yield empty joins). No-op for
+      * an untagged in-memory/legacy index. */
+    def requireParams(k: Int, shingleN: Int, bands: Int, rowsPerBand: Int): Unit =
+      meta.foreach { m =>
+        val passed = MinhashMeta(k, shingleN, bands, rowsPerBand)
+        require(m == passed,
+          s"MinhashIndex build-param mismatch: stored $m, passed $passed — " +
+            "querying with different params silently yields empty joins; " +
+            "use the stored values")
+      }
+  }
 
   object MinhashIndex {
-    def read(spark: org.apache.spark.sql.SparkSession, dir: String): MinhashIndex =
+    /** Read a persisted index. Also performs read-side crash recovery for
+      * an interrupted [[compactMinhashIndex]]: if a table's live directory
+      * is missing but its `_*_old` sibling exists (the swap crashed between
+      * its two renames), the old (pre-compaction, correct but uncompacted)
+      * table is renamed back into place before reading. */
+    def read(spark: org.apache.spark.sql.SparkSession, dir: String): MinhashIndex = {
+      Seq("sigs", "bands").foreach(recoverInterruptedSwap(spark, dir, _))
       MinhashIndex(
         spark.read.parquet(s"$dir/bands"),
-        spark.read.parquet(s"$dir/sigs"))
+        spark.read.parquet(s"$dir/sigs"),
+        MinhashMeta.read(spark, dir))
+    }
+
+    private def recoverInterruptedSwap(spark: org.apache.spark.sql.SparkSession,
+                                       dir: String, name: String): Unit = {
+      val live = new org.apache.hadoop.fs.Path(s"$dir/$name")
+      val old = new org.apache.hadoop.fs.Path(s"$dir/_${name}_old")
+      val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(live) && fs.exists(old)) {
+        require(fs.rename(old, live),
+          s"MinhashIndex recovery rename $old -> $live failed")
+        System.err.println(s"[graft] MinhashIndex.read: recovered $live from an " +
+          "interrupted compaction swap (pre-compaction table restored)")
+      }
+    }
   }
 
   /** Build AND persist the MinHash index with the corpus scanned exactly
     * once: signatures write first, the band table derives from the STORED
-    * signatures (not from a second signature evaluation). Returns the
-    * index re-read from `dir`. */
+    * signatures (not from a second signature evaluation). Stamps the build
+    * params into `dir/_meta.json` so later reads/queries validate against
+    * them. Returns the index re-read from `dir`. */
   def writeMinhashIndex(corpus: DataFrame, idCol: String, textCol: String,
                         dir: String, k: Int = 16, shingleN: Int = 3,
                         bands: Int = 8, rowsPerBand: Int = 2): MinhashIndex = {
@@ -143,6 +228,7 @@ object Dedup {
     val sigs = spark.read.parquet(s"$dir/sigs")
     minhashBands(sigs, idCol, bands, rowsPerBand)
       .write.mode("overwrite").parquet(s"$dir/bands")
+    MinhashMeta.write(spark, dir, MinhashMeta(k, shingleN, bands, rowsPerBand))
     MinhashIndex.read(spark, dir)
   }
 
@@ -166,10 +252,12 @@ object Dedup {
     * serialization barrier, and a deployment whose batches are huge
     * should persist the batch signatures and read them back (exactly what
     * [[writeMinhashIndex]] does for the corpus side).
-    * `k`, `bands`, `rowsPerBand` must match the values the
-    * index was built with — the packed band key carries no config tag
-    * (see [[minhashBands]]'s type note), so a mismatch silently yields
-    * empty joins; keep the build params with the index path. */
+    * `k`, `shingleN`, `bands`, `rowsPerBand` must match the values the
+    * index was built with — a persisted index carries them in
+    * `_meta.json` and a mismatch throws here (requireParams); an untagged
+    * in-memory index cannot be checked, and a mismatch silently yields
+    * empty joins (the packed band key carries no config tag, see
+    * [[minhashBands]]'s type note). */
   def incrementalNearDups(index: MinhashIndex, batch: DataFrame, idCol: String,
                           textCol: String, k: Int = 16, shingleN: Int = 3,
                           bands: Int = 8, rowsPerBand: Int = 2,
@@ -178,6 +266,7 @@ object Dedup {
       s"bands * rowsPerBand must equal k, got $bands * $rowsPerBand != $k")
     require(minMatches >= 1 && minMatches <= k,
       s"minMatches must be in [1, $k], got $minMatches")
+    index.requireParams(k, shingleN, bands, rowsPerBand)
     val bsigs = minhashSignature(batch, idCol, textCol, k, shingleN)
     val bband = minhashBands(bsigs, idCol, bands, rowsPerBand)
     bandJoinVerify(index, bsigs, bband, idCol, k, minMatches)
@@ -214,19 +303,57 @@ object Dedup {
     * (band, band_key) pairs into a Bloom sketch — build it once when the
     * index is (re)built or appended, persist it alongside, and hand it to
     * [[incrementalNearDupsBloom]] for every subsequent batch. Only the
-    * numBits/8-byte sketch ever reaches the driver. */
+    * numBits/8-byte sketch ever reaches the driver.
+    *
+    * SIZING CONTRACT: `expectedItems` must cover the index's band-row
+    * count (docs x bands — e.g. 1e9 docs x 8 bands needs expectedItems =
+    * 8e9, a ~9.6 GB sketch at fpp 0.01: bits = -n*ln(fpp)/ln(2)^2 ~ 9.6
+    * bits/item). The default 1<<20 suits the shipped demo scale ONLY. An
+    * undersized sketch stays EXACT — false positives only degrade the
+    * prefilter toward the plain band join — but it saturates silently and
+    * stops pruning, which defeats the entire point of the Bloom spelling;
+    * this builder therefore measures the sketch's observed bit density
+    * and warns on stderr past [[saturationDensity]] (optimal-k filters
+    * sit at ~0.5 when exactly at capacity). [[sketchBitDensity]] exposes
+    * the same measurement for callers that alert instead of logging. */
   def buildBandSketch(index: MinhashIndex,
                       expectedItems: Long = 1L << 20,
                       fpp: Double = 0.01): Array[Byte] = {
     graft.functions.TajoFunctions.register(index.bands.sparkSession)
     val numBits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(expectedItems, fpp)
-    index.bands
+    val sketch = index.bands
       .select(call_function("bloom_agg",
         xxhash64(col("band"), col("band_key")),
         lit(expectedItems), lit(numBits)).as("b"))
       .head.getAs[Array[Byte]](0)
+    val density = sketchBitDensity(sketch)
+    if (density > saturationDensity)
+      System.err.println(f"[graft] buildBandSketch: sketch bit density $density%.3f " +
+        f"exceeds the at-capacity ~0.5 of an optimally-sized filter — " +
+        f"expectedItems=$expectedItems is undersized for this index; the " +
+        f"prefilter stays exact but prunes little. Resize to >= the index's " +
+        f"band-row count.")
+    sketch
   }
+
+  /** Observed fraction of set bits in a serialized Bloom sketch. An
+    * optimally-parameterized filter loaded to exactly `expectedItems` sits
+    * at ~0.5; materially above that the filter is past capacity and its
+    * false-positive rate (= pruning loss, never correctness loss) grows
+    * quickly. The few header bytes of the serialized form are counted too
+    * — noise at any real sketch size. */
+  def sketchBitDensity(sketch: Array[Byte]): Double = {
+    var set = 0L
+    var i = 0
+    while (i < sketch.length) { set += Integer.bitCount(sketch(i) & 0xff); i += 1 }
+    set.toDouble / (sketch.length.toLong * 8)
+  }
+
+  /** Bit-density threshold past which [[buildBandSketch]] warns: at-capacity
+    * optimal filters sit at 0.5; 0.55 tolerates hash jitter without
+    * flagging a correctly sized sketch. */
+  val saturationDensity: Double = 0.55
 
   /** Bloom-prefiltered [[incrementalNearDups]] — the 100 TB ingest shape,
     * with identical (exact) results. The plain variant shuffles EVERY
@@ -240,22 +367,44 @@ object Dedup {
     * signature-agreement verify rejects; false negatives are impossible —
     * so the output is bit-identical to [[incrementalNearDups]] at any
     * sketch size, including a saturated one (`OperatorsSpec` pins both).
-    * Same build-param contract as the plain variant. */
+    * Same build-param contract as the plain variant.
+    *
+    * How the sketch ships: below `broadcastThresholdBytes` (default 4 MiB
+    * ~ 3.5M band rows at fpp 0.01) it travels as a foldable plan literal —
+    * Spark's own codegen'd `BloomFilterMightContain`, zero extra
+    * machinery. At or above the threshold — a correctly sized sketch for a
+    * 100 TB index (~1e10 band rows, fpp 0.01) is ~12 GB of bits — a
+    * GB-scale literal would bloat every plan copy the optimizer makes and
+    * every serialized task, so the sketch moves into a TORRENT BROADCAST
+    * and the probe becomes [[graft.functions.BloomMightContainBc]]: the
+    * plan holds only the broadcast handle, executors fetch the bytes once
+    * each, and the probe stays codegen'd. Both spellings are bit-identical
+    * (spec-pinned by forcing the threshold to 0). */
   def incrementalNearDupsBloom(index: MinhashIndex, batch: DataFrame,
                                idCol: String, textCol: String,
                                sketch: Array[Byte],
                                k: Int = 16, shingleN: Int = 3,
                                bands: Int = 8, rowsPerBand: Int = 2,
-                               minMatches: Int = 8): DataFrame = {
+                               minMatches: Int = 8,
+                               broadcastThresholdBytes: Int = 4 << 20): DataFrame = {
     require(bands * rowsPerBand == k,
       s"bands * rowsPerBand must equal k, got $bands * $rowsPerBand != $k")
     require(minMatches >= 1 && minMatches <= k,
       s"minMatches must be in [1, $k], got $minMatches")
+    index.requireParams(k, shingleN, bands, rowsPerBand)
     graft.functions.TajoFunctions.register(batch.sparkSession)
     val bsigs = minhashSignature(batch, idCol, textCol, k, shingleN)
-    val bband = minhashBands(bsigs, idCol, bands, rowsPerBand)
-      .filter(call_function("bloom_might_contain",
-        lit(sketch), xxhash64(col("band"), col("band_key"))))
+    val probe = xxhash64(col("band"), col("band_key"))
+    val pred: Column =
+      if (sketch.length < broadcastThresholdBytes)
+        call_function("bloom_might_contain", lit(sketch), probe)
+      else {
+        val bc = batch.sparkSession.sparkContext.broadcast(sketch)
+        org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.functions.BloomMightContainBc(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(probe), bc))
+      }
+    val bband = minhashBands(bsigs, idCol, bands, rowsPerBand).filter(pred)
     bandJoinVerify(index, bsigs, bband, idCol, k, minMatches)
   }
 
@@ -278,13 +427,25 @@ object Dedup {
     * queries because [[incrementalNearDups]] deduplicates per
     * (new_id, corpus_id) after its verify join, so a retried append is
     * idempotent at read time. Returns the index re-read from `dir`.
-    * Build params must match [[writeMinhashIndex]]'s. */
+    * Build params must match [[writeMinhashIndex]]'s — the stored
+    * `_meta.json` is validated and a mismatch throws before any append
+    * lands (appending rows banded under a different config would corrupt
+    * the index far worse than a mismatched query); a legacy untagged
+    * directory is tagged with the passed params on first append. */
   def appendMinhashIndex(batch: DataFrame, idCol: String, textCol: String,
                          dir: String, k: Int = 16, shingleN: Int = 3,
                          bands: Int = 8, rowsPerBand: Int = 2): MinhashIndex = {
     require(bands * rowsPerBand == k,
       s"bands * rowsPerBand must equal k, got $bands * $rowsPerBand != $k")
     val spark = batch.sparkSession
+    val passed = MinhashMeta(k, shingleN, bands, rowsPerBand)
+    MinhashMeta.read(spark, dir) match {
+      case Some(stored) => require(stored == passed,
+        s"appendMinhashIndex build-param mismatch: stored $stored, passed " +
+          s"$passed — appending rows banded under a different config would " +
+          "corrupt the index; use the stored values")
+      case None => MinhashMeta.write(spark, dir, passed)
+    }
     val bsigs = minhashSignature(batch, idCol, textCol, k, shingleN)
       .localCheckpoint()
     bsigs.write.mode("append").parquet(s"$dir/sigs")
@@ -303,7 +464,19 @@ object Dedup {
     * file list finishes against the old files, new reads see the
     * compacted index. Not concurrency-safe against a SIMULTANEOUS
     * append (the standard LSM-style compaction contract: quiesce writers
-    * or serialize compactions with appends). */
+    * or serialize compactions with appends). `_meta.json` is a sibling
+    * file the swap never touches, so the build-param tag survives.
+    *
+    * Crash safety: the swap's window — rename(live, old) succeeded,
+    * rename(stage, live) did not — leaves no live directory;
+    * [[MinhashIndex.read]] detects that state and renames `_*_old` back
+    * (the pre-compaction table: correct, just uncompacted — rerun the
+    * compaction). Note the rename-based swap assumes rename is atomic and
+    * cheap, which holds on HDFS-like filesystems and LOCAL disk but NOT on
+    * object stores (S3 renames are copy+delete, neither atomic nor O(1)) —
+    * on an object store, front the index directory with a manifest/pointer
+    * layer (HDFS-style metadata over object storage) or a table format
+    * that owns the swap, rather than pointing this at a bare bucket. */
   def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                           dropIds: Option[DataFrame] = None,
                           idCol: String = "doc_id"): MinhashIndex = {
@@ -968,8 +1141,10 @@ object Dedup {
     * spans with a gaps-and-islands window (new island when a window
     * starts past the previous reach). A repeated-window decision from
     * hash equality tolerates 64-bit collisions (birthday ~5e-4
-    * corpus-wide at sf0.1 stride 1; a false span additionally needs the
-    * collision within minLen of a real one) — the DuckDB oracle computes
+    * corpus-wide at sf0.1 stride 1; note a collision between two UNRELATED
+    * windows mints a false SINGLETON span in each document — it does not
+    * need to land near a real span; `wide = true` below is the large-scale
+    * mitigation) — the DuckDB oracle computes
     * the same spans from md5 windows, so a collision would fail the
     * correctness gate rather than pass silently. "Kept more than once" is
     * a COUNT(*) OVER (PARTITION BY hash) — one pass over the windows, so
@@ -985,17 +1160,32 @@ object Dedup {
     * `stride > 1` trades span-boundary precision for proportionally less
     * work — and only detects repeats whose offsets differ by a multiple of
     * the stride (use stride 1 for guaranteed detection, the ExactSubstr
-    * setting). Returns one row per (doc, span): span_start/span_end are
-    * 0-based char offsets, end exclusive. */
+    * setting).
+    *
+    * `wide = true` keys each window on TWO independent rolling hashes
+    * (128-bit pair; second base = splitmix64's golden-ratio constant) —
+    * for corpora large enough that 64-bit birthday collisions matter
+    * (~2-3% odds of one spurious pair at 1e9 stride-1 windows; each such
+    * collision mints a false singleton span that gets SCRUBBED from
+    * training text silently — see the window_hashes scaladoc). Two rolling
+    * passes instead of one, same plan shape (the pair rides one struct
+    * column through the same shuffles); identical spans at any scale where
+    * 64 bits already sufficed (spec-pinned on the fixture). Returns one
+    * row per (doc, span): span_start/span_end are 0-based char offsets,
+    * end exclusive. */
   def repeatedSubstringSpans(docs: DataFrame, idCol: String, textCol: String,
-                             minLen: Int = 50, stride: Int = 1): DataFrame = {
+                             minLen: Int = 50, stride: Int = 1,
+                             wide: Boolean = false): DataFrame = {
     require(minLen > 0 && stride > 0, "minLen and stride must be positive")
     graft.functions.TajoFunctions.register(docs.sparkSession)
+    val hashes =
+      if (!wide) s"window_hashes($textCol, $minLen, $stride)"
+      else s"arrays_zip(window_hashes($textCol, $minLen, $stride), " +
+        s"window_hashes($textCol, $minLen, $stride, ${graft.functions.WindowHashes.SecondBase}L))"
     val wins = docs
       .filter(length(col(textCol)) >= minLen)
       .select(col(idCol),
-        posexplode(expr(s"window_hashes($textCol, $minLen, $stride)"))
-          .as(Seq("__i", "__h")))
+        posexplode(expr(hashes)).as(Seq("__i", "__h")))
       .select(col(idCol), (col("__i").cast("bigint") * stride).as("start"),
         col("__h"))
     val flagged = wins

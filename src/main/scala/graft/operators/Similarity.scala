@@ -554,7 +554,14 @@ object Similarity {
     * from the staged tables. Returns the index re-read from `dir` —
     * queries against it are bit-identical to the composed operator
     * (`OperatorsSpec`): assignment uses the same max-struct tie-break and
-    * the residual the same double arithmetic. */
+    * the residual the same double arithmetic.
+    *
+    * PRECONDITION: corpus ids must be UNIQUE (same contract as the Dedup
+    * index APIs). The fused assign+residual stage below groups by id and
+    * carries the vector through with first(); under duplicate ids first()
+    * would index an ARBITRARY one of the duplicate vectors, silently
+    * diverging from the composed spelling (which emits one residual per
+    * duplicate row). The bit-identical claim holds only under unique ids. */
   def writeIvfPqResidualIndex(corpus: DataFrame, idCol: String, vecCol: String,
                               dir: String, nBits: Int = 4, dim: Int = 64,
                               m: Int = 8, pqBits: Int = 4): IvfPqResidualIndex = {
@@ -567,7 +574,8 @@ object Similarity {
     val cent = spark.read.parquet(s"$dir/cent")
     // single-scan assign + residual: __vec rides through the aggregate
     // (functionally dependent on the id — every fanned-out row of a group
-    // carries the same vector, so first() is deterministic here)
+    // carries the same vector, so first() is deterministic here; this is
+    // exactly where the unique-ids precondition above is load-bearing)
     val assigned = ivfScored(c0, cent)
       .groupBy(col(idCol))
       .agg(max(struct(col("__score").as("s"), (lit(0) - col("cid")).as("nc"))).as("b"),

@@ -822,32 +822,38 @@ object PipelineQueries {
   // q_dedup_minhash_index — any divergence introduced by the sketch path
   // fails the hash compare. The fixture batch adds a block of constructed
   // novel docs so the prefilter actually has rows to discard.
-  private val qMinhashIndexBloom = df("q_dedup_minhash_index_bloom",
-    (sp, dir) => {
-      val docs = graft.engine.Tables.table(sp, dir, "documents")
-      val corpus = docs.filter(col("doc_id") < 200)
-      // constructed novel docs (no fixture sampling — unique nonsense
-      // tokens cannot near-match anything): the rows the prefilter exists
-      // to discard; they contribute ZERO output rows on both engines, so
-      // the oracle neither needs nor mentions them
-      val novel = sp.range(0, 50).selectExpr(
-        "id + 900000 AS doc_id",
-        "ARRAY_JOIN(TRANSFORM(SEQUENCE(0, 29), j -> " +
-          "CONCAT('bloomnovel', CAST(id AS STRING), 'x', CAST(j AS STRING))), ' ') AS text")
-      val batch = docs.filter(col("doc_id").between(150, 199))
-        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
-        .unionAll(docs.filter(col("doc_id") < 150 && col("doc_id") % 7 === 0)
-          .select((col("doc_id") + 200000L).as("doc_id"),
-            concat(col("text"), lit(" tailnoise")).as("text")))
-        .unionAll(novel)
-      val idx = graft.operators.Dedup.writeMinhashIndex(
-        corpus, "doc_id", "text",
-        s"$mhIdxScratch/${java.util.UUID.randomUUID().toString.take(8)}")
-      val sketch = graft.operators.Dedup.buildBandSketch(idx)
-      graft.operators.Dedup
-        .incrementalNearDupsBloom(idx, batch, "doc_id", "text", sketch)
-        .orderBy("new_id", "corpus_id")
-    },
+  // shared body of the two Bloom-prefilter spellings: only the sketch
+  // transport differs (plan literal vs torrent broadcast), the results are
+  // bit-identical by construction
+  private def bloomIndexQuery(sp: org.apache.spark.sql.SparkSession, dir: String,
+                              thresholdBytes: Int): org.apache.spark.sql.DataFrame = {
+    val docs = graft.engine.Tables.table(sp, dir, "documents")
+    val corpus = docs.filter(col("doc_id") < 200)
+    // constructed novel docs (no fixture sampling — unique nonsense
+    // tokens cannot near-match anything): the rows the prefilter exists
+    // to discard; they contribute ZERO output rows on both engines, so
+    // the oracle neither needs nor mentions them
+    val novel = sp.range(0, 50).selectExpr(
+      "id + 900000 AS doc_id",
+      "ARRAY_JOIN(TRANSFORM(SEQUENCE(0, 29), j -> " +
+        "CONCAT('bloomnovel', CAST(id AS STRING), 'x', CAST(j AS STRING))), ' ') AS text")
+    val batch = docs.filter(col("doc_id").between(150, 199))
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      .unionAll(docs.filter(col("doc_id") < 150 && col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          concat(col("text"), lit(" tailnoise")).as("text")))
+      .unionAll(novel)
+    val idx = graft.operators.Dedup.writeMinhashIndex(
+      corpus, "doc_id", "text",
+      s"$mhIdxScratch/${java.util.UUID.randomUUID().toString.take(8)}")
+    val sketch = graft.operators.Dedup.buildBandSketch(idx)
+    graft.operators.Dedup
+      .incrementalNearDupsBloom(idx, batch, "doc_id", "text", sketch,
+        broadcastThresholdBytes = thresholdBytes)
+      .orderBy("new_id", "corpus_id")
+  }
+
+  private val qMinhashIndexBloomOracle: Option[String] =
     Some(s"""WITH corpus AS (
             |  SELECT doc_id, text FROM documents WHERE doc_id < 200 AND text IS NOT NULL
             |), batch AS (
@@ -873,7 +879,21 @@ object PipelineQueries {
             |  JOIN sigs_b sb ON c.new_id = sb.doc_id
             |  JOIN sigs_c sc ON c.corpus_id = sc.doc_id
             |) t WHERE sig_matches >= 8
-            |ORDER BY new_id, corpus_id""".stripMargin))
+            |ORDER BY new_id, corpus_id""".stripMargin)
+
+  private val qMinhashIndexBloom = df("q_dedup_minhash_index_bloom",
+    (sp, dir) => bloomIndexQuery(sp, dir, thresholdBytes = 4 << 20),
+    qMinhashIndexBloomOracle)
+
+  // The 100 TB sketch transport exercised end-to-end (SCALING §10a): the
+  // SAME query with broadcastThresholdBytes = 0, forcing the sketch
+  // through the torrent broadcast + BloomMightContainBc expression
+  // instead of the plan literal. Same oracle as q_dedup_minhash_index —
+  // a single row minted or lost by the broadcast path fails the hash
+  // compare.
+  private val qMinhashIndexBloomBc = df("q_dedup_minhash_index_bloom_bc",
+    (sp, dir) => bloomIndexQuery(sp, dir, thresholdBytes = 0),
+    qMinhashIndexBloomOracle)
 
   private val qMinhashIndexAppend = df("q_dedup_minhash_index_append",
     (sp, dir) => {
@@ -2168,46 +2188,63 @@ object PipelineQueries {
   // stride 4, md5-hashed; hashes seen >1x corpus-wide merge per doc into
   // maximal spans via gaps-and-islands. Per-doc summary keeps the probe
   // compact; every number is exact integer arithmetic on both engines.
+  // The md5-window DuckDB replay is shared by all three span spellings
+  // (stride 4 / stride 1 / wide) — only the range step varies; the wide
+  // spelling's 128-bit keys must reproduce these exact spans.
+  private def spansOracle(stride: Int): Option[String] =
+    Some(s"""WITH w AS (
+            |  SELECT doc_id, CAST(t.s AS BIGINT) AS start,
+            |    md5(substr(text, CAST(t.s AS INT) + 1, 40)) AS h
+            |  FROM documents, UNNEST(range(0, length(text) - 40 + 1, $stride)) AS t(s)
+            |  WHERE length(text) >= 40
+            |), rep AS (
+            |  SELECT h FROM w GROUP BY h HAVING COUNT(*) > 1
+            |), f AS (
+            |  SELECT doc_id, start FROM w WHERE h IN (SELECT h FROM rep)
+            |), isl AS (
+            |  SELECT doc_id, start,
+            |    CASE WHEN lag(start) OVER (PARTITION BY doc_id ORDER BY start) IS NULL THEN 1
+            |         WHEN start > lag(start) OVER (PARTITION BY doc_id ORDER BY start) + 40 THEN 1
+            |         ELSE 0 END AS new_island
+            |  FROM f
+            |), grp AS (
+            |  SELECT doc_id, start,
+            |    SUM(new_island) OVER (PARTITION BY doc_id ORDER BY start) AS island
+            |  FROM isl
+            |), spans AS (
+            |  SELECT doc_id, MIN(start) AS span_start, MAX(start) + 40 AS span_end
+            |  FROM grp GROUP BY doc_id, island
+            |)
+            |SELECT doc_id, COUNT(*) AS n_spans,
+            |  CAST(SUM(span_end - span_start) AS BIGINT) AS covered_chars,
+            |  CAST(MAX(span_end - span_start) AS BIGINT) AS max_span
+            |FROM spans
+            |GROUP BY doc_id
+            |ORDER BY doc_id""".stripMargin)
+
+  private def spansQuery(spark: org.apache.spark.sql.SparkSession, dir: String,
+                         stride: Int, wide: Boolean): org.apache.spark.sql.DataFrame = {
+    val docs = graft.engine.Tables.table(spark, dir, "documents")
+    graft.operators.Dedup.repeatedSubstringSpans(docs, "doc_id", "text",
+      minLen = 40, stride = stride, wide = wide)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum("span_len").as("covered_chars"),
+        max("span_len").as("max_span"))
+      .orderBy("doc_id")
+  }
+
   private val qSubstringSpans = df("q_dedup_substring_spans",
-    (spark, dir) => {
-      val docs = graft.engine.Tables.table(spark, dir, "documents")
-      graft.operators.Dedup.repeatedSubstringSpans(docs, "doc_id", "text",
-        minLen = 40, stride = 4)
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_spans"),
-          sum("span_len").as("covered_chars"),
-          max("span_len").as("max_span"))
-        .orderBy("doc_id")
-    },
-    Some("""WITH w AS (
-           |  SELECT doc_id, CAST(t.s AS BIGINT) AS start,
-           |    md5(substr(text, CAST(t.s AS INT) + 1, 40)) AS h
-           |  FROM documents, UNNEST(range(0, length(text) - 40 + 1, 4)) AS t(s)
-           |  WHERE length(text) >= 40
-           |), rep AS (
-           |  SELECT h FROM w GROUP BY h HAVING COUNT(*) > 1
-           |), f AS (
-           |  SELECT doc_id, start FROM w WHERE h IN (SELECT h FROM rep)
-           |), isl AS (
-           |  SELECT doc_id, start,
-           |    CASE WHEN lag(start) OVER (PARTITION BY doc_id ORDER BY start) IS NULL THEN 1
-           |         WHEN start > lag(start) OVER (PARTITION BY doc_id ORDER BY start) + 40 THEN 1
-           |         ELSE 0 END AS new_island
-           |  FROM f
-           |), grp AS (
-           |  SELECT doc_id, start,
-           |    SUM(new_island) OVER (PARTITION BY doc_id ORDER BY start) AS island
-           |  FROM isl
-           |), spans AS (
-           |  SELECT doc_id, MIN(start) AS span_start, MAX(start) + 40 AS span_end
-           |  FROM grp GROUP BY doc_id, island
-           |)
-           |SELECT doc_id, COUNT(*) AS n_spans,
-           |  CAST(SUM(span_end - span_start) AS BIGINT) AS covered_chars,
-           |  CAST(MAX(span_end - span_start) AS BIGINT) AS max_span
-           |FROM spans
-           |GROUP BY doc_id
-           |ORDER BY doc_id""".stripMargin))
+    (spark, dir) => spansQuery(spark, dir, stride = 4, wide = false),
+    spansOracle(4))
+
+  // 128-bit keying (two independent rolling bases — the birthday-safe
+  // setting for 1e9+ window corpora, SCALING §10d): same oracle as the
+  // 64-bit spelling, so a span minted or lost by the pair keying fails
+  // the hash compare.
+  private val qSubstringSpansWide = df("q_dedup_substring_spans_wide",
+    (spark, dir) => spansQuery(spark, dir, stride = 4, wide = true),
+    spansOracle(4))
 
   // The guaranteed-detection ExactSubstr setting: stride 1, every window
   // hashed — Lee et al.'s actual semantics (a repeat is found regardless
@@ -2217,45 +2254,8 @@ object PipelineQueries {
   // replays stride 1 with md5 windows, so the rolling hash's span set is
   // independently confirmed window-for-window.
   private val qSubstringSpansStride1 = df("q_dedup_substring_spans_stride1",
-    (spark, dir) => {
-      val docs = graft.engine.Tables.table(spark, dir, "documents")
-      graft.operators.Dedup.repeatedSubstringSpans(docs, "doc_id", "text",
-        minLen = 40, stride = 1)
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_spans"),
-          sum("span_len").as("covered_chars"),
-          max("span_len").as("max_span"))
-        .orderBy("doc_id")
-    },
-    Some("""WITH w AS (
-           |  SELECT doc_id, CAST(t.s AS BIGINT) AS start,
-           |    md5(substr(text, CAST(t.s AS INT) + 1, 40)) AS h
-           |  FROM documents, UNNEST(range(0, length(text) - 40 + 1, 1)) AS t(s)
-           |  WHERE length(text) >= 40
-           |), rep AS (
-           |  SELECT h FROM w GROUP BY h HAVING COUNT(*) > 1
-           |), f AS (
-           |  SELECT doc_id, start FROM w WHERE h IN (SELECT h FROM rep)
-           |), isl AS (
-           |  SELECT doc_id, start,
-           |    CASE WHEN lag(start) OVER (PARTITION BY doc_id ORDER BY start) IS NULL THEN 1
-           |         WHEN start > lag(start) OVER (PARTITION BY doc_id ORDER BY start) + 40 THEN 1
-           |         ELSE 0 END AS new_island
-           |  FROM f
-           |), grp AS (
-           |  SELECT doc_id, start,
-           |    SUM(new_island) OVER (PARTITION BY doc_id ORDER BY start) AS island
-           |  FROM isl
-           |), spans AS (
-           |  SELECT doc_id, MIN(start) AS span_start, MAX(start) + 40 AS span_end
-           |  FROM grp GROUP BY doc_id, island
-           |)
-           |SELECT doc_id, COUNT(*) AS n_spans,
-           |  CAST(SUM(span_end - span_start) AS BIGINT) AS covered_chars,
-           |  CAST(MAX(span_end - span_start) AS BIGINT) AS max_span
-           |FROM spans
-           |GROUP BY doc_id
-           |ORDER BY doc_id""".stripMargin))
+    (spark, dir) => spansQuery(spark, dir, stride = 1, wide = false),
+    spansOracle(1))
 
   // The apply step: scrub detected spans out of the text and md5 the
   // result. DuckDB rebuilds the same scrubbed string from gap segments
@@ -2382,8 +2382,10 @@ object PipelineQueries {
     qRetrieval,
     qDedupExact, qDedupNorm, qMinhashSig, qMinhashPairs, qMinhashCorpus, qSimhash,
     qSimhashPairs, qSimhashPairs60, qStreamNearDup, qStreamMinhashNearDup, qLmScore, qParagraphDedup, qIncrementalDedup, qIncrementalBloom,
-    qMinhashIndex, qMinhashIndexBloom, qMinhashIndexAppend, qMinhashIndexCompact,
-    qDecontaminateExact, qSubstringSpans, qSubstringSpansStride1, qSubstringScrub,
+    qMinhashIndex, qMinhashIndexBloom, qMinhashIndexBloomBc, qMinhashIndexAppend,
+    qMinhashIndexCompact,
+    qDecontaminateExact, qSubstringSpans, qSubstringSpansWide,
+    qSubstringSpansStride1, qSubstringScrub,
     qSample, qSampleStratified, qInterleave, qSplit,
     qNgramJaccard, qEmbDedup, qAnnBrute, qAnnLsh,
     qTextStats, qGopher, qCurate, qShardPlan, qSpanCorruption, qBlocklist,

@@ -1284,6 +1284,174 @@ class OperatorsSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("MinhashIndex meta: build params stamped, validated loudly, survive compaction") {
+    val base = Tables.table(spark, sfDir, "documents")
+    val corpus = base.filter($"doc_id" < 60)
+    val batch = base.filter($"doc_id".between(40, 59))
+      .select(($"doc_id" + 10000L).as("doc_id"), $"text")
+    val dir = java.nio.file.Files.createTempDirectory("mh_idx_meta").toString
+    try {
+      val idx = Dedup.writeMinhashIndex(corpus, "doc_id", "text", dir)
+      assert(idx.meta.contains(Dedup.MinhashMeta(16, 3, 8, 2)))
+      // query-side mismatch fails loudly with stored-vs-passed in the message
+      val e1 = intercept[IllegalArgumentException] {
+        Dedup.incrementalNearDups(idx, batch, "doc_id", "text",
+          k = 8, shingleN = 3, bands = 4, rowsPerBand = 2)
+      }
+      assert(e1.getMessage.contains("MinhashMeta(16,3,8,2)")
+        && e1.getMessage.contains("MinhashMeta(8,3,4,2)"),
+        s"message must carry stored and passed params: ${e1.getMessage}")
+      // a shingleN-only mismatch (same banding arithmetic) is caught too
+      intercept[IllegalArgumentException] {
+        Dedup.incrementalNearDups(idx, batch, "doc_id", "text", shingleN = 4)
+      }
+      // the Bloom spelling validates the same way
+      val sketch = Dedup.buildBandSketch(idx, expectedItems = 4096)
+      intercept[IllegalArgumentException] {
+        Dedup.incrementalNearDupsBloom(idx, batch, "doc_id", "text", sketch,
+          k = 8, shingleN = 3, bands = 4, rowsPerBand = 2)
+      }
+      // append-side mismatch throws BEFORE any rows land
+      val sigsBefore = idx.sigs.count()
+      intercept[IllegalArgumentException] {
+        Dedup.appendMinhashIndex(batch, "doc_id", "text", dir,
+          k = 8, shingleN = 3, bands = 4, rowsPerBand = 2)
+      }
+      assert(Dedup.MinhashIndex.read(spark, dir).sigs.count() == sigsBefore,
+        "a rejected append must not have written any sig rows")
+      // compaction preserves the tag (meta is a sibling file of the swap)
+      Dedup.compactMinhashIndex(spark, dir)
+      assert(Dedup.MinhashIndex.read(spark, dir).meta
+        .contains(Dedup.MinhashMeta(16, 3, 8, 2)))
+      // legacy untagged directory: read yields meta None (no validation
+      // possible), and the first append tags it with the passed params
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_meta.json"), false)
+      assert(Dedup.MinhashIndex.read(spark, dir).meta.isEmpty)
+      Dedup.appendMinhashIndex(batch, "doc_id", "text", dir)
+      assert(Dedup.MinhashIndex.read(spark, dir).meta
+        .contains(Dedup.MinhashMeta(16, 3, 8, 2)))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("MinhashIndex read recovers from an interrupted compaction swap") {
+    val base = Tables.table(spark, sfDir, "documents")
+    val corpus = base.filter($"doc_id" < 60)
+    val batch = base.filter($"doc_id".between(40, 59))
+      .select(($"doc_id" + 10000L).as("doc_id"), $"text")
+    val dir = java.nio.file.Files.createTempDirectory("mh_idx_crash").toString
+    try {
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+      val idx = Dedup.writeMinhashIndex(corpus, "doc_id", "text", dir)
+      val reference = rows(Dedup.incrementalNearDups(idx, batch, "doc_id", "text"))
+      assert(reference.nonEmpty)
+      // simulate the compaction swap dying between its two renames for
+      // EACH table: live moved aside to _old, replacement never landed
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        spark.sessionState.newHadoopConf())
+      Seq("sigs", "bands").foreach { name =>
+        assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/$name"),
+          new org.apache.hadoop.fs.Path(s"$dir/_${name}_old")))
+        val recovered = Dedup.MinhashIndex.read(spark, dir)
+        assert(rows(Dedup.incrementalNearDups(recovered, batch, "doc_id", "text"))
+          == reference, s"recovery from interrupted $name swap must restore results")
+        assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$name"))
+          && !fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_${name}_old")),
+          s"recovery must rename _${name}_old back into place")
+      }
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("Bloom prefilter broadcast spelling: bit-identical to the literal path") {
+    val base = Tables.table(spark, sfDir, "documents")
+    val corpus = base.filter($"doc_id" < 100)
+    val novel = (0 until 20).map(i => (50000L + i,
+      (0 until 30).map(j => s"bcword${i}z$j").mkString(" "))).toDF("doc_id", "text")
+    val batch = base.filter($"doc_id".between(80, 99))
+      .select(($"doc_id" + 10000L).as("doc_id"), $"text")
+      .unionAll(novel)
+    val dir = java.nio.file.Files.createTempDirectory("mh_idx_bc").toString
+    try {
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+      val idx = Dedup.writeMinhashIndex(corpus, "doc_id", "text", dir)
+      val sketch = Dedup.buildBandSketch(idx, expectedItems = 4096)
+      val literal = rows(Dedup.incrementalNearDupsBloom(
+        idx, batch, "doc_id", "text", sketch))
+      // threshold 0 forces EVERY sketch through the broadcast expression
+      val viaBroadcast = rows(Dedup.incrementalNearDupsBloom(
+        idx, batch, "doc_id", "text", sketch, broadcastThresholdBytes = 0))
+      assert(viaBroadcast == literal,
+        "broadcast-shipped sketch must produce bit-identical output")
+      assert(literal == rows(Dedup.incrementalNearDups(idx, batch, "doc_id", "text")))
+      // probe-level agreement: the broadcast expression admits EXACTLY the
+      // rows the literal BloomFilterMightContain admits
+      graft.functions.TajoFunctions.register(spark)
+      val bands = Dedup.minhashBands(
+        Dedup.minhashSignature(batch, "doc_id", "text"), "doc_id")
+      val bc = spark.sparkContext.broadcast(sketch)
+      val probeBc = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.BloomMightContainBc(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+            xxhash64(col("band"), col("band_key"))), bc))
+      val viaExpr = rows(bands.filter(probeBc))
+      val viaLit = rows(bands.filter(call_function("bloom_might_contain",
+        lit(sketch), xxhash64(col("band"), col("band_key")))))
+      assert(viaExpr == viaLit)
+      assert(viaExpr.size < rows(bands).size,
+        "the probe must genuinely prune novel band rows in this fixture")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("buildBandSketch saturation is measurable: undersized sketch reads > threshold") {
+    val base = Tables.table(spark, sfDir, "documents")
+    val corpus = base.filter($"doc_id" < 200)
+    val dir = java.nio.file.Files.createTempDirectory("mh_idx_sat").toString
+    try {
+      val idx = Dedup.writeMinhashIndex(corpus, "doc_id", "text", dir)
+      // sized for the index's band-row count: healthy density well under 0.5
+      val sized = Dedup.buildBandSketch(idx, expectedItems = idx.bands.count())
+      assert(Dedup.sketchBitDensity(sized) < Dedup.saturationDensity,
+        f"correctly sized sketch must not read saturated " +
+          f"(${Dedup.sketchBitDensity(sized)}%.3f)")
+      // two orders of magnitude undersized: past capacity, density over the
+      // warn threshold — the detectable signal ADVICE r10 asked for
+      val starved = Dedup.buildBandSketch(idx, expectedItems = 16, fpp = 0.01)
+      assert(Dedup.sketchBitDensity(starved) > Dedup.saturationDensity,
+        f"undersized sketch must read saturated " +
+          f"(${Dedup.sketchBitDensity(starved)}%.3f)")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("repeatedSubstringSpans wide (128-bit keys) matches the 64-bit spans") {
+    val docs = Tables.table(spark, sfDir, "documents").limit(300)
+    def spans(wide: Boolean) = Dedup
+      .repeatedSubstringSpans(docs, "doc_id", "text", minLen = 40, stride = 4,
+        wide = wide)
+      .collect().map(_.toSeq).toSet
+    val narrow = spans(wide = false)
+    assert(narrow.nonEmpty, "fixture must produce repeated spans")
+    assert(spans(wide = true) == narrow,
+      "two-base pair keying must not change spans where 64 bits suffice")
+  }
+
+  test("window_hashes seeded base: repeats detected under any odd base, even base rejected") {
+    graft.functions.TajoFunctions.register(spark)
+    // two docs sharing one 12-char block: under ANY odd base the shared
+    // window hashes collide between docs and the distinct ones do not
+    val two = Seq((1L, "abcdefghijkl--left"), (2L, "xy abcdefghijkl^^^"))
+      .toDF("doc_id", "text")
+    def repeats(baseSql: String): Set[Long] = two
+      .select($"doc_id", explode(expr(s"window_hashes(text, 12, 1$baseSql)")).as("h"))
+      .groupBy("h").agg(countDistinct("doc_id").as("d"))
+      .filter($"d" > 1).select("h").collect().map(_.getLong(0)).toSet
+    assert(repeats("").size == 1, "default base must find exactly the shared window")
+    assert(repeats(", 1099511628211L").size == 1,
+      "a per-run odd base must find the same repeat structure")
+    assert(repeats(s", ${graft.functions.WindowHashes.SecondBase}L").size == 1)
+    intercept[Exception] { repeats(", 1099511628212L") } // even base: not invertible
+  }
+
   test("simhashNearDupsWide: two-level banding finds exactly the brute-force hamming pairs") {
     // fixture corpus + seeded near-dups (word-level perturbations of real
     // docs) so qualifying pairs exist at several hamming distances and the
