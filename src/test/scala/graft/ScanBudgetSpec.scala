@@ -41,6 +41,9 @@ class ScanBudgetSpec extends AnyFunSuite {
     "q_dedup_minhash_pairs" -> 1,
     "q_dedup_simhash_pairs60" -> 1,
     "q_dedup_substring_spans" -> 1,
+    // wide (two-base) keying adds a second rolling pass, NOT a second
+    // scan: both hash arrays ride one projection of the one corpus read
+    "q_dedup_substring_spans_wide" -> 1,
     "q_dedup_substring_spans_stride1" -> 1,
     // one scan per joined table / audited branch breadth
     "q_op_asof_join" -> 2,
@@ -56,6 +59,10 @@ class ScanBudgetSpec extends AnyFunSuite {
     // is a corpus-text read — the operator's core scale claim, pinned.
     "q_dedup_minhash_index" -> 6,
     "q_dedup_minhash_index_bloom" -> 6,
+    // the broadcast-sketch spelling must not change the scan shape: same
+    // 6 reads, still zero corpus-text scans (the sketch rides a broadcast
+    // handle, not a plan subtree)
+    "q_dedup_minhash_index_bloom_bc" -> 6,
     "q_dedup_minhash_index_append" -> 6,
     "q_dedup_minhash_index_compact" -> 6,
     "q_join_nonequi_cdf" -> 4,
