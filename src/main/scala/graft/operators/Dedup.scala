@@ -394,19 +394,30 @@ object Dedup {
     index.requireParams(k, shingleN, bands, rowsPerBand)
     graft.functions.TajoFunctions.register(batch.sparkSession)
     val bsigs = minhashSignature(batch, idCol, textCol, k, shingleN)
-    val probe = xxhash64(col("band"), col("band_key"))
-    val pred: Column =
-      if (sketch.length < broadcastThresholdBytes)
-        call_function("bloom_might_contain", lit(sketch), probe)
-      else {
-        val bc = batch.sparkSession.sparkContext.broadcast(sketch)
-        org.apache.spark.sql.graftbridge.ColumnBridge.column(
-          graft.functions.BloomMightContainBc(
-            org.apache.spark.sql.graftbridge.ColumnBridge.expression(probe), bc))
-      }
+    val pred = sketchProbe(batch.sparkSession, sketch,
+      xxhash64(col("band"), col("band_key")), broadcastThresholdBytes)
     val bband = minhashBands(bsigs, idCol, bands, rowsPerBand).filter(pred)
     bandJoinVerify(index, bsigs, bband, idCol, k, minMatches)
   }
+
+  /** The sketch-probe predicate shared by every Bloom-prefilter spelling:
+    * below `thresholdBytes` the sketch rides as a foldable plan literal
+    * (Spark's codegen'd BloomFilterMightContain — zero machinery, right
+    * for the common small sketch); at or above it the bytes move into a
+    * torrent broadcast probed by [[graft.functions.BloomMightContainBc]],
+    * so a GB-scale 100 TB sketch never enters the plan tree or the task
+    * binaries (SCALING §10a). Bit-identical either way. */
+  private def sketchProbe(spark: org.apache.spark.sql.SparkSession,
+                          sketch: Array[Byte], hash: Column,
+                          thresholdBytes: Int): Column =
+    if (sketch.length < thresholdBytes)
+      call_function("bloom_might_contain", lit(sketch), hash)
+    else {
+      val bc = spark.sparkContext.broadcast(sketch)
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.BloomMightContainBc(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(hash), bc))
+    }
 
   /** Fold a new batch INTO a stored [[MinhashIndex]] — the maintenance
     * half of the incremental loop: check the batch
@@ -923,9 +934,10 @@ object Dedup {
     *      numBits/8-byte sketch ever reaches the driver). In production
     *      the sketch is built once and reused for every subsequent batch;
     *   2. the batch's in-batch keepers probe the sketch map-side
-    *      (BloomFilterMightContain over a foldable literal — codegen'd,
-    *      no UDF). Definite-new rows (the overwhelming majority when
-    *      crawls have modest overlap) pass through with ZERO joins;
+    *      (codegen'd, no UDF; literal vs broadcast transport per the
+    *      shared [[sketchProbe]] rule). Definite-new rows (the
+    *      overwhelming majority when crawls have modest overlap) pass
+    *      through with ZERO joins;
     *   3. only the might-contain candidates (true dups + fpp of the rest)
     *      are exactness-restored: the candidate digests broadcast to the
     *      seen table for a map-side LEFT SEMI (seen stays unshuffled),
@@ -966,15 +978,20 @@ object Dedup {
       buildDigestSketch(seenDigests, expectedItems, fpp), idCol, textCol)
 
   /** The per-batch half of [[incrementalBloom]], against a prebuilt (and
-    * typically persisted) sketch from [[buildDigestSketch]]. */
+    * typically persisted) sketch from [[buildDigestSketch]]. Same sketch
+    * transport rule as [[incrementalNearDupsBloom]]: plan literal under
+    * `broadcastThresholdBytes`, torrent broadcast + codegen'd probe above
+    * (a correctly sized sketch for billions of seen digests is GB-scale
+    * and must not live in the plan — SCALING §10a). */
   def incrementalBloomWith(newDocs: DataFrame, seenDigests: DataFrame,
                            sketch: Array[Byte],
-                           idCol: String, textCol: String): DataFrame = {
+                           idCol: String, textCol: String,
+                           broadcastThresholdBytes: Int = 4 << 20): DataFrame = {
     graft.functions.TajoFunctions.register(newDocs.sparkSession)
     val batch = newDocs.select(col(idCol), md5(col(textCol)).as("digest"))
     val keepers = batch.groupBy(col("digest")).agg(min(col(idCol)).as(idCol))
-    val mightContain =
-      call_function("bloom_might_contain", lit(sketch), xxhash64(col("digest")))
+    val mightContain = sketchProbe(newDocs.sparkSession, sketch,
+      xxhash64(col("digest")), broadcastThresholdBytes)
     val candidates = keepers.filter(mightContain).select(col("digest"))
     val confirmedDups = seenDigests.select(col("digest"))
       .join(broadcast(candidates), Seq("digest"), "left_semi")

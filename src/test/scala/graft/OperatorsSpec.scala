@@ -979,6 +979,12 @@ class OperatorsSpec extends AnyFunSuite {
       val got = Dedup.incrementalBloomWith(b, seen, sketch, "doc_id", "text")
         .collect().map(_.getLong(0)).toSet
       assert(got == exact)
+      // broadcast sketch transport (threshold 0): bit-identical to the
+      // literal spelling — the exact-dedup side of the §10a contract
+      val viaBc = Dedup.incrementalBloomWith(b, seen, sketch, "doc_id", "text",
+        broadcastThresholdBytes = 0)
+        .collect().map(_.getLong(0)).toSet
+      assert(viaBc == exact)
     }
   }
 
