@@ -300,9 +300,11 @@ object Dedup {
   }
 
   /** One narrow pass over a stored index's band table folds its
-    * (band, band_key) pairs into a Bloom sketch — build it once when the
-    * index is (re)built or appended, persist it alongside, and hand it to
-    * [[incrementalNearDupsBloom]] for every subsequent batch. Only the
+    * (band, band_key) pairs into a Bloom sketch. Deployments should
+    * prefer [[writeBandSketch]], which persists the sketch next to the
+    * index and lets [[appendMinhashIndex]] keep it covering appended rows
+    * (a sketch that misses index rows causes false-negative pruning —
+    * see the stale-sketch note on [[incrementalNearDupsBloom]]). Only the
     * numBits/8-byte sketch ever reaches the driver.
     *
     * SIZING CONTRACT: `expectedItems` must cover the index's band-row
@@ -337,6 +339,108 @@ object Dedup {
     sketch
   }
 
+  /** Build the band sketch from the index stored at `dir` AND persist it
+    * alongside (`_sketch` + `_sketch_meta.json` carrying the construction
+    * params) — the deployment spelling: build once when the index is
+    * (re)built, and from then on [[appendMinhashIndex]] MAINTAINS the
+    * stored sketch by OR-merging each appended batch's band keys into it
+    * (Bloom sketches of equal geometry merge exactly; the fold is
+    * batch-sized). That maintenance is what keeps
+    * [[incrementalNearDupsBloom]] EXACT across appends: a sketch that
+    * predates an append is STALE — batch rows matching only appended
+    * documents would be pruned map-side (false NEGATIVES, the one way the
+    * prefilter can lose rows) — so hand queries [[readBandSketch]], never
+    * a cached byte array from before an append. After a compaction with
+    * tombstones the sketch is merely over-approximate (dropped ids' keys
+    * still set — false positives only, exactness keeps): rebuild with
+    * this method to re-tighten pruning. */
+  def writeBandSketch(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      expectedItems: Long = 1L << 20,
+                      fpp: Double = 0.01): Array[Byte] = {
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    val sketch = buildBandSketch(MinhashIndex.read(spark, dir), expectedItems, fpp)
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = new org.apache.hadoop.fs.Path(s"$dir/_sketch_meta.json")
+    val out = meta.getFileSystem(conf).create(meta, true)
+    try out.write(s"""{"expectedItems":$expectedItems,"numBits":$numBits}"""
+      .getBytes("UTF-8"))
+    finally out.close()
+    writeSketchBytes(spark, dir, sketch)
+    sketch
+  }
+
+  /** The persisted band sketch at `dir`, or None if none was written. */
+  def readBandSketch(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): Option[Array[Byte]] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_sketch")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](1 << 16)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        Some(buf.toByteArray)
+      } finally in.close()
+    }
+  }
+
+  private def writeSketchBytes(spark: org.apache.spark.sql.SparkSession,
+                               dir: String, bytes: Array[Byte]): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val live = new org.apache.hadoop.fs.Path(s"$dir/_sketch")
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/_sketch_tmp")
+    val fs = live.getFileSystem(conf)
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    fs.delete(live, false)
+    require(fs.rename(tmp, live), s"sketch write rename failed for $live")
+  }
+
+  // OR-merge a batch's band keys into the persisted sketch, preserving its
+  // stored geometry (same expectedItems/numBits => same hash count, so the
+  // merge is exact). Called by appendMinhashIndex; no-op when no sketch is
+  // persisted. A crash between the bands append and this rewrite leaves a
+  // stale sketch — same miss-only recovery as a partial append: re-run the
+  // append (idempotent at read) or rebuild via writeBandSketch.
+  private def maintainBandSketch(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String, batchBands: DataFrame): Unit = {
+    val metaP = new org.apache.hadoop.fs.Path(s"$dir/_sketch_meta.json")
+    val fs = metaP.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(metaP)) return
+    val in = fs.open(metaP)
+    val metaStr = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](4096)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, "UTF-8")
+    } finally in.close()
+    val j = org.json4s.jackson.JsonMethods.parse(metaStr)
+    def long(name: String): Long = (j \ name) match {
+      case org.json4s.JInt(v) => v.toLong
+      case other => throw new IllegalArgumentException(
+        s"malformed sketch meta at $metaP: field $name = $other")
+    }
+    val batchSketch = batchBands
+      .select(call_function("bloom_agg",
+        xxhash64(col("band"), col("band_key")),
+        lit(long("expectedItems")), lit(long("numBits"))).as("b"))
+      .head.getAs[Array[Byte]](0)
+    if (batchSketch == null) return // empty batch: nothing to fold
+    val stored = readBandSketch(spark, dir).getOrElse(return)
+    val merged = org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(stored))
+    merged.mergeInPlace(org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(batchSketch)))
+    val out = new java.io.ByteArrayOutputStream()
+    merged.writeTo(out)
+    writeSketchBytes(spark, dir, out.toByteArray)
+  }
+
   /** Observed fraction of set bits in a serialized Bloom sketch. An
     * optimally-parameterized filter loaded to exactly `expectedItems` sits
     * at ~0.5; materially above that the filter is past capacity and its
@@ -364,9 +468,16 @@ object Dedup {
     * foldable literal — codegen'd, no UDF, zero reads of the index for
     * the definite-novel rows), and only the might-contain rows reach the
     * band join. False positives merely ADD candidate rows that the
-    * signature-agreement verify rejects; false negatives are impossible —
-    * so the output is bit-identical to [[incrementalNearDups]] at any
-    * sketch size, including a saturated one (`OperatorsSpec` pins both).
+    * signature-agreement verify rejects; false negatives are impossible
+    * FOR A SKETCH THAT COVERS THE INDEX'S BAND ROWS — so the output is
+    * bit-identical to [[incrementalNearDups]] at any sketch SIZE,
+    * including a saturated one (`OperatorsSpec` pins both). A STALE
+    * sketch (built before an [[appendMinhashIndex]], not covering the
+    * appended rows) is the one way to lose pairs: rows matching only
+    * appended docs prune map-side. Persist the sketch with
+    * [[writeBandSketch]] and reads stay exact — append OR-merges each
+    * batch's keys into the stored sketch (spec-pinned: the stale sketch
+    * measurably misses, the maintained one matches the plain spelling).
     * Same build-param contract as the plain variant.
     *
     * How the sketch ships: below `broadcastThresholdBytes` (default 4 MiB
@@ -462,6 +573,10 @@ object Dedup {
     bsigs.write.mode("append").parquet(s"$dir/sigs")
     minhashBands(bsigs, idCol, bands, rowsPerBand)
       .write.mode("append").parquet(s"$dir/bands")
+    // keep any persisted band sketch covering the appended rows — without
+    // this, a pre-append sketch would prune batch rows matching only the
+    // appended docs (false negatives); see writeBandSketch
+    maintainBandSketch(spark, dir, minhashBands(bsigs, idCol, bands, rowsPerBand))
     MinhashIndex.read(spark, dir)
   }
 

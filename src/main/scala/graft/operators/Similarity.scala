@@ -604,6 +604,55 @@ object Similarity {
     IvfPqResidualIndex.read(spark, dir)
   }
 
+  /** Fold NEW vectors into a stored residual IVF-PQ index WITHOUT
+    * retraining — the standard IVF "add" path an ANN deployment runs
+    * between periodic rebuilds (the vector-index sibling of
+    * [[graft.operators.Dedup.appendMinhashIndex]]): each new vector is
+    * assigned to its nearest STORED centroid (broadcast K-row fan-out,
+    * map-side), its residual is encoded against the STORED codebooks, and
+    * the code rows APPEND to the codes table. Centroids and codebooks are
+    * frozen, so (a) queries score every pre-existing vector exactly as
+    * before the append, and (b) appended vectors score exactly as if they
+    * had been present at build time under the same quantizers — which is
+    * precisely what the driver oracle replays. Cost is batch-sized
+    * (no corpus rescan, one parquet append); at 100 TB the add path is
+    * what absorbs continuous ingest while rebuilds stay scheduled,
+    * LSM-style. Drift contract: frozen quantizers fit a shifting
+    * distribution progressively worse — audit recall ([[annRecall]])
+    * and rebuild when it degrades, like every IVF deployment.
+    *
+    * Failure semantics: ONE append action — a partial failure leaves
+    * torn parquet staging, not torn index semantics; re-run the append
+    * only if it did not commit (a committed duplicate would duplicate
+    * candidate rows — unlike the MinHash index, codes feed top-k, so
+    * keep ids unique and appends exactly-once-committed).
+    * PRECONDITION: ids unique across the corpus and every batch. */
+  def appendIvfPqResidualIndex(batch: DataFrame, idCol: String, vecCol: String,
+                               dir: String, dim: Int = 64,
+                               m: Int = 8): IvfPqResidualIndex = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    graft.functions.TajoFunctions.register(batch.sparkSession)
+    val spark = batch.sparkSession
+    val subDim = dim / m
+    val cent = spark.read.parquet(s"$dir/cent")
+    val codebook = spark.read.parquet(s"$dir/codebook")
+    // fused assign+residual over the batch — same single-scan shape (and
+    // the same unique-id precondition) as writeIvfPqResidualIndex's stage
+    val assigned = ivfScored(withNorm(batch, idCol, vecCol), cent)
+      .groupBy(col(idCol))
+      .agg(max(struct(col("__score").as("s"), (lit(0) - col("cid")).as("nc"))).as("b"),
+        first(col("__vec")).as("__v"))
+      .select(col(idCol).as("__cid"), (lit(0) - col("b.nc")).as("cell"), col("__v"))
+    val cres = assigned
+      .join(broadcast(cent.select(col("cid").as("cell"), col("mvec"))), Seq("cell"))
+      .withColumn("rvec", expr(
+        "ZIP_WITH(__v, mvec, (x, c) -> CAST(x AS DOUBLE) - CAST(c AS DOUBLE) / 1000000)"))
+      .select(col("__cid"), col("cell"), col("rvec"))
+    ivfResidCodes(pqResidSubs(cres, "__cid", m, subDim), codebook)
+      .write.mode("append").parquet(s"$dir/codes")
+    IvfPqResidualIndex.read(spark, dir)
+  }
+
   /** Query a (possibly re-read) residual IVF-PQ index — the half a
     * deployment runs per probe batch. `corpus` supplies raw vectors ONLY
     * for the `rerank` exact-cosine pass (IVFADC+R); with rerank = 0 it

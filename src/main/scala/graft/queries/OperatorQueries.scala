@@ -545,8 +545,19 @@ object OperatorQueries {
     * ride the shared single-assignment `pcell`); nProbe > 1 adds the
     * multi-probe query chain — qcells (the probe's nProbe nearest cells
     * from iscored), per-probed-cell residuals, subvectors — and points
-    * `adc` at it, mirroring Similarity.ivfPqResidualTopK's nProbe knob. */
-  private def ivfPqResidualOracleCtes(nProbe: Int = 1): String = {
+    * `adc` at it, mirroring Similarity.ivfPqResidualTopK's nProbe knob.
+    *
+    * `trainSql` is the TRAINING corpus (centroids + codebooks derive from
+    * it alone); `allSql` is every vector that gets assigned/encoded — by
+    * default the two coincide (the build-then-query replay). The append
+    * oracle (q_ann_ivfadc_append) splits them: train = original corpus,
+    * all = corpus UNION the appended batch, replaying exactly the
+    * frozen-quantizer add semantics of appendIvfPqResidualIndex. Probes
+    * are always drawn from the training corpus (`probeWhere`). */
+  private def ivfPqResidualOracleCtes(nProbe: Int = 1,
+      trainSql: String = "SELECT vec_id, embedding FROM embeddings",
+      allSql: String = "SELECT vec_id, embedding FROM embeddings",
+      probeWhere: String = "vec_id < 20"): String = {
       import PipelineQueries.{duckDot, duckHp, bucketExpr}
       def hp8(v: String, j: Int): String =
         s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, 8), i -> CAST($v[i + 1] AS DOUBLE) * (((i * 37 + $j * 101) % 11) - 5))), (s, x) -> s + x)"
@@ -556,10 +567,16 @@ object OperatorQueries {
         "list_transform(range(1, 9), i -> " +
         s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE) / 1000000) * " +
         s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE) / 1000000))), (a, v) -> a + v)"
-      s"""ibase AS (
+      s"""vtrain AS (
+         |  $trainSql
+         |), vall AS (
+         |  $allSql
+         |), vprobe AS (
+         |  SELECT vec_id FROM vtrain WHERE $probeWhere
+         |), ibase AS (
          |  SELECT vec_id, embedding,
          |    ${bucketExpr(duckHp, "embedding")} AS cell0
-         |  FROM embeddings
+         |  FROM vtrain
          |), icentel AS (
          |  SELECT cell0 AS cid, i,
          |    SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS mc,
@@ -576,14 +593,14 @@ object OperatorQueries {
          |  SELECT b.vec_id, c.cid,
          |    ROW_NUMBER() OVER (PARTITION BY b.vec_id
          |      ORDER BY ${duckDot("b.embedding", "c.ivec")} / c.inrm DESC, c.cid) AS rr
-         |  FROM ibase b CROSS JOIN icent2 c
+         |  FROM vall b CROSS JOIN icent2 c
          |), cells AS (
          |  SELECT vec_id, cid AS cell FROM iscored WHERE rr = 1
          |), res AS (
          |  SELECT e.vec_id, cc.cell,
          |    list_transform(range(1, 65), i ->
          |      CAST(e.embedding[i] AS DOUBLE) - CAST(c.mvec[i] AS DOUBLE) / 1000000) AS rvec
-         |  FROM embeddings e
+         |  FROM vall e
          |  JOIN cells cc ON e.vec_id = cc.vec_id
          |  JOIN icent2 c ON cc.cell = c.cid
          |), sub AS (
@@ -596,6 +613,7 @@ object OperatorQueries {
          |    SUM(CAST(FLOOR(CAST(sub[i] AS DOUBLE) * 1000000) AS BIGINT)) AS ms,
          |    COUNT(*) AS cnt
          |  FROM pcell, (SELECT unnest(range(1, 9)) AS i)
+         |  WHERE vec_id IN (SELECT vec_id FROM vtrain)
          |  GROUP BY s, cell0, i
          |), cb AS (
          |  SELECT s, cid,
@@ -614,16 +632,17 @@ object OperatorQueries {
           s"""adc AS (
              |  SELECT q.vec_id AS qid, q.cell AS qcell, q.s, b.cid,
              |    CAST(FLOOR((${l2("q.sub", "b.cvec")}) * 1000000) AS BIGINT) AS pd
-             |  FROM pcell q JOIN cb b ON q.s = b.s WHERE q.vec_id < 20""".stripMargin
+             |  FROM pcell q JOIN cb b ON q.s = b.s
+             |  WHERE q.vec_id IN (SELECT vec_id FROM vprobe)""".stripMargin
         else
           s"""qcells AS (
              |  SELECT vec_id, cid AS cell FROM iscored
-             |  WHERE rr <= $nProbe AND vec_id < 20
+             |  WHERE rr <= $nProbe AND vec_id IN (SELECT vec_id FROM vprobe)
              |), qres AS (
              |  SELECT e.vec_id, qc.cell,
              |    list_transform(range(1, 65), i ->
              |      CAST(e.embedding[i] AS DOUBLE) - CAST(c.mvec[i] AS DOUBLE) / 1000000) AS rvec
-             |  FROM embeddings e
+             |  FROM vall e
              |  JOIN qcells qc ON e.vec_id = qc.vec_id
              |  JOIN icent2 c ON qc.cell = c.cid
              |), qsub AS (
@@ -739,11 +758,17 @@ object OperatorQueries {
       ivfAdcRerankSelect(Similarity.ivfPqResidualTopK(vecs, probes, "vec_id",
         "embedding", k = 5, nProbe = 4, rerank = 50))
     },
-    Some(ivfAdcRerankOracle))
+    Some(ivfAdcRerankOracle()))
 
-  private lazy val ivfAdcRerankOracle: String = {
+  // rerank oracle over a parameterized train/all split (vb — the exact
+  // re-ranking vector pool — reads the CTE chain's vall, so the appended
+  // vectors re-rank too in the append spelling)
+  private def ivfAdcRerankOracle(
+      trainSql: String = "SELECT vec_id, embedding FROM embeddings",
+      allSql: String = "SELECT vec_id, embedding FROM embeddings",
+      probeWhere: String = "vec_id < 20"): String = {
       import PipelineQueries.duckDot
-      s"""WITH ${ivfPqResidualOracleCtes(nProbe = 4)}, cand AS (
+      s"""WITH ${ivfPqResidualOracleCtes(nProbe = 4, trainSql, allSql, probeWhere)}, cand AS (
          |  SELECT query_id, neighbor_id, cell FROM (
          |    SELECT query_id, neighbor_id, cell,
          |      ROW_NUMBER() OVER (PARTITION BY query_id
@@ -751,7 +776,7 @@ object OperatorQueries {
          |    FROM scored) t WHERE rnk <= 50
          |), vb AS (
          |  SELECT vec_id, embedding, SQRT(${duckDot("embedding", "embedding")}) AS nrm
-         |  FROM embeddings
+         |  FROM vall
          |)
          |SELECT query_id, neighbor_id, CAST(cell AS BIGINT) AS cell,
          |  CAST(CAST(cos AS DECIMAL(18,10)) AS DOUBLE) AS cos_sim, rnk
@@ -793,7 +818,40 @@ object OperatorQueries {
       ivfAdcRerankSelect(Similarity.queryIvfPqResidual(stored, vecs, probes,
         "vec_id", "embedding", k = 5, nProbe = 4, rerank = 50))
     },
-    Some(ivfAdcRerankOracle))
+    Some(ivfAdcRerankOracle()))
+
+  // Incremental ANN ingest (Similarity.appendIvfPqResidualIndex): build
+  // and store the index from 3/4 of the corpus, APPEND the held-out
+  // quarter under new ids (frozen centroids/codebooks — the standard IVF
+  // add path), and answer the same IVFADC+R query from the appended
+  // index. The oracle splits the replay's train/all sources: centroids
+  // and codebooks derive from the original corpus ONLY, while assignment
+  // and codes cover corpus UNION batch — so an append that retrained,
+  // dropped, or mis-encoded a single vector hash-fails. Appended vectors
+  // DO appear among the expected neighbors (they are near-dup copies of
+  // held-out fixture rows), which also pins that the add path makes new
+  // vectors immediately searchable.
+  private val qAnnIvfAdcAppend = df("q_ann_ivfadc_append",
+    (spark, dir) => {
+      val vecs = Tables.table(spark, dir, "embeddings")
+        .select("vec_id", "embedding")
+      val corpus = vecs.filter(col("vec_id") % 4 =!= 0)
+      val batch = vecs.filter(col("vec_id") % 4 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      val probes = vecs.filter(col("vec_id") < 20 && col("vec_id") % 4 =!= 0)
+      val idxDir = s"$annIdxScratch/${java.util.UUID.randomUUID().toString.take(8)}"
+      Similarity.writeIvfPqResidualIndex(corpus, "vec_id", "embedding", idxDir)
+      val appended = Similarity.appendIvfPqResidualIndex(
+        batch, "vec_id", "embedding", idxDir)
+      ivfAdcRerankSelect(Similarity.queryIvfPqResidual(appended,
+        corpus.unionAll(batch), probes,
+        "vec_id", "embedding", k = 5, nProbe = 4, rerank = 50))
+    },
+    Some(ivfAdcRerankOracle(
+      trainSql = "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 <> 0",
+      allSql = """SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 <> 0
+                 |  UNION ALL
+                 |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 4 = 0""".stripMargin)))
 
   // SemDeDup (Similarity.semDedup): embedding-space semantic dedup —
   // cluster by the IVF cell assignment, drop any vector with a lower-id
@@ -2503,6 +2561,7 @@ object OperatorQueries {
     qAnnRecall4, qAnnRecall8, qAnnRecallLloyd, qAnnPq, qAnnIvfPq,
     qAnnRecall256, qAnnRecall256R2, qAnnRecall256R3,
     qAnnIvfPqResidual, qAnnIvfPqRecall, qAnnIvfAdcRerank, qAnnIvfAdcStore,
+    qAnnIvfAdcAppend,
     qSemDedup, qSemanticSort,
     qHardNegatives, qQualityApi, qMultimodalApi,
     qMultimodalPatches, qMultimodalDecode, qMultimodalAudio, qMultimodalVideo,

@@ -941,6 +941,68 @@ object PipelineQueries {
             |) t WHERE sig_matches >= 8
             |ORDER BY new_id, corpus_id""".stripMargin))
 
+  // Maintained-sketch append (Dedup.writeBandSketch + appendMinhashIndex):
+  // the sketch is persisted BEFORE an append of NOVEL docs, the append
+  // OR-merges their band keys into it, and the Bloom query then runs with
+  // the maintained sketch against near-dups of exactly those appended
+  // docs. Every expected pair is batch2-vs-appended — pairs a STALE
+  // (pre-append) sketch would prune map-side to zero rows — so the oracle
+  // (plain exact semantics over corpus UNION batch1) hash-fails if the
+  // maintenance ever breaks. The novel docs are constructed from
+  // deterministic integer words, byte-identically on both engines.
+  private val qMinhashIndexBloomMaintained = df("q_dedup_minhash_index_bloom_maintained",
+    (sp, dir) => {
+      val docs = graft.engine.Tables.table(sp, dir, "documents")
+      val corpus = docs.filter(col("doc_id") < 200)
+      def novel(offset: Long, suffix: String) = sp.range(0, 20).selectExpr(
+        s"id + $offset AS doc_id",
+        "CONCAT(ARRAY_JOIN(TRANSFORM(SEQUENCE(0, 29), j -> " +
+          s"CONCAT('skw', CAST(id AS STRING), 'x', CAST(j AS STRING))), ' '), '$suffix') AS text")
+      val batch1 = novel(100000L, "")
+      val batch2 = novel(200000L, " tail one")
+      val idxDir = s"$mhIdxScratch/${java.util.UUID.randomUUID().toString.take(8)}"
+      graft.operators.Dedup.writeMinhashIndex(corpus, "doc_id", "text", idxDir)
+      graft.operators.Dedup.writeBandSketch(sp, idxDir, expectedItems = 4096)
+      val appended = graft.operators.Dedup.appendMinhashIndex(
+        batch1, "doc_id", "text", idxDir)
+      val sketch = graft.operators.Dedup.readBandSketch(sp, idxDir)
+        .getOrElse(sys.error(s"no persisted sketch at $idxDir"))
+      graft.operators.Dedup
+        .incrementalNearDupsBloom(appended, batch2, "doc_id", "text", sketch)
+        .orderBy("new_id", "corpus_id")
+    },
+    Some(s"""WITH corpus AS (
+            |  SELECT doc_id, text FROM documents WHERE doc_id < 200 AND text IS NOT NULL
+            |  UNION ALL
+            |  SELECT CAST(id + 100000 AS BIGINT) AS doc_id,
+            |    array_to_string(list_transform(range(0, 30),
+            |      j -> 'skw' || CAST(id AS VARCHAR) || 'x' || CAST(j AS VARCHAR)), ' ') AS text
+            |  FROM range(0, 20) t(id)
+            |), batch AS (
+            |  SELECT CAST(id + 200000 AS BIGINT) AS doc_id,
+            |    array_to_string(list_transform(range(0, 30),
+            |      j -> 'skw' || CAST(id AS VARCHAR) || 'x' || CAST(j AS VARCHAR)), ' ')
+            |      || ' tail one' AS text
+            |  FROM range(0, 20) t(id)
+            |), ${duckSigChain("corpus", "c")},
+            |${duckSigChain("batch", "b")},
+            |cand AS (
+            |  SELECT DISTINCT bb.doc_id AS new_id, bc.doc_id AS corpus_id
+            |  FROM bands_b bb JOIN bands_c bc
+            |    ON bb.band = bc.band AND bb.band_key = bc.band_key
+            |  WHERE bb.doc_id <> bc.doc_id
+            |)
+            |SELECT new_id, corpus_id, sig_matches,
+            |  CAST(sig_matches AS DOUBLE) / 16 AS est_jaccard
+            |FROM (
+            |  SELECT c.new_id, c.corpus_id,
+            |    CAST(len(list_filter(range(1, 17), i -> sb.sig[i] = sc.sig[i])) AS BIGINT) AS sig_matches
+            |  FROM cand c
+            |  JOIN sigs_b sb ON c.new_id = sb.doc_id
+            |  JOIN sigs_c sc ON c.corpus_id = sc.doc_id
+            |) t WHERE sig_matches >= 8
+            |ORDER BY new_id, corpus_id""".stripMargin))
+
   // Compaction with tombstones (Dedup.compactMinhashIndex): the lifecycle
   // end of the index story — batch1 recrawls are appended, the ORIGINALS
   // they replace are tombstoned, a duplicate append simulates a retried
@@ -2382,8 +2444,8 @@ object PipelineQueries {
     qRetrieval,
     qDedupExact, qDedupNorm, qMinhashSig, qMinhashPairs, qMinhashCorpus, qSimhash,
     qSimhashPairs, qSimhashPairs60, qStreamNearDup, qStreamMinhashNearDup, qLmScore, qParagraphDedup, qIncrementalDedup, qIncrementalBloom,
-    qMinhashIndex, qMinhashIndexBloom, qMinhashIndexBloomBc, qMinhashIndexAppend,
-    qMinhashIndexCompact,
+    qMinhashIndex, qMinhashIndexBloom, qMinhashIndexBloomBc,
+    qMinhashIndexBloomMaintained, qMinhashIndexAppend, qMinhashIndexCompact,
     qDecontaminateExact, qSubstringSpans, qSubstringSpansWide,
     qSubstringSpansStride1, qSubstringScrub,
     qSample, qSampleStratified, qInterleave, qSplit,

@@ -1409,6 +1409,89 @@ class OperatorsSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("appendIvfPqResidualIndex: frozen quantizers encode recrawls identically, old codes untouched") {
+    val vecs = Tables.table(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    val corpus = vecs.filter($"vec_id" < 150)
+    // copies of existing corpus vectors under new ids: under FROZEN
+    // centroids/codebooks an identical vector must land in the same cell
+    // with the same per-subspace codes as its original
+    val batch = vecs.filter($"vec_id".between(100, 149))
+      .select(($"vec_id" + 10000L).as("vec_id"), $"embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ann_idx_app").toString
+    try {
+      val idx0 = Similarity.writeIvfPqResidualIndex(corpus, "vec_id", "embedding", dir)
+      def codeMap(df: org.apache.spark.sql.DataFrame) = df
+        .collect().map { r =>
+          def l(i: Int) = r.get(i).asInstanceOf[Number].longValue()
+          ((l(0), l(2)), (l(1), l(3))) // ((id, s), (cell, code))
+        }.toSet
+      val before = codeMap(idx0.codes)
+      val idx1 = Similarity.appendIvfPqResidualIndex(batch, "vec_id", "embedding", dir)
+      val after = codeMap(idx1.codes)
+      // centroids and codebooks are byte-identical (frozen)
+      assert(idx1.cent.collect().map(_.toSeq).toSet
+        == idx0.cent.collect().map(_.toSeq).toSet)
+      assert(idx1.codebook.collect().map(_.toSeq).toSet
+        == idx0.codebook.collect().map(_.toSeq).toSet)
+      // old code rows all survive unchanged; exactly the batch rows added
+      assert(before.subsetOf(after))
+      val added = after -- before
+      assert(added.map(_._1._1) == (10100L to 10149L).toSet)
+      // every copy encodes exactly like its original
+      added.foreach { case ((id, s), enc) =>
+        assert(before.contains(((id - 10000L, s), enc)),
+          s"copy $id subspace $s encoded differently from its original")
+      }
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("persisted band sketch: stale sketch misses appended docs, maintained sketch stays exact") {
+    val base = Tables.table(spark, sfDir, "documents")
+    val corpus = base.filter($"doc_id" < 60)
+    // batch1 appends NOVEL docs (constructed words — zero band keys in
+    // common with the corpus, so the pre-append sketch cannot cover
+    // them); batch2 then tail-perturbs the same docs under new ids — its
+    // pairs against the APPENDED docs are exactly what a stale sketch
+    // must lose. Recrawled-corpus appends would NOT expose the trap:
+    // their band keys are already set in the old sketch.
+    def novel(offset: Long, suffix: String) = spark.range(0, 20).selectExpr(
+      s"id + $offset AS doc_id",
+      "CONCAT(ARRAY_JOIN(TRANSFORM(SEQUENCE(0, 29), j -> " +
+        s"CONCAT('skw', CAST(id AS STRING), 'x', CAST(j AS STRING))), ' '), '$suffix') AS text")
+    val batch1 = novel(10000L, "")
+    val batch2 = novel(20000L, " tail one")
+    val dir = java.nio.file.Files.createTempDirectory("mh_idx_sk").toString
+    try {
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+      Dedup.writeMinhashIndex(corpus, "doc_id", "text", dir)
+      val stale = Dedup.writeBandSketch(spark, dir, expectedItems = 4096)
+      val idx = Dedup.appendMinhashIndex(batch1, "doc_id", "text", dir)
+      val expected = rows(Dedup.incrementalNearDups(idx, batch2, "doc_id", "text"))
+      val vsAppended = expected.filter(_(1).asInstanceOf[Long] >= 10000L)
+      assert(vsAppended.nonEmpty, "batch2 must match appended docs or the test is vacuous")
+      // the trap is real: the pre-append sketch loses exactly those pairs
+      val viaStale = rows(Dedup.incrementalNearDupsBloom(
+        idx, batch2, "doc_id", "text", stale))
+      assert(viaStale == expected -- vsAppended,
+        "a stale sketch must miss precisely the pairs against appended docs")
+      // and closed: append OR-merged the batch keys into the stored sketch
+      val maintained = Dedup.readBandSketch(spark, dir).get
+      assert(!java.util.Arrays.equals(maintained, stale),
+        "append must have rewritten the persisted sketch")
+      assert(rows(Dedup.incrementalNearDupsBloom(
+        idx, batch2, "doc_id", "text", maintained)) == expected,
+        "the maintained sketch must restore exactness")
+      // no persisted sketch -> append maintenance is a no-op (plain dirs
+      // keep working); readBandSketch reports absence
+      val dir2 = java.nio.file.Files.createTempDirectory("mh_idx_sk2").toString
+      try {
+        Dedup.writeMinhashIndex(corpus, "doc_id", "text", dir2)
+        Dedup.appendMinhashIndex(batch1, "doc_id", "text", dir2)
+        assert(Dedup.readBandSketch(spark, dir2).isEmpty)
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir2))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("buildBandSketch saturation is measurable: undersized sketch reads > threshold") {
     val base = Tables.table(spark, sfDir, "documents")
     val corpus = base.filter($"doc_id" < 200)

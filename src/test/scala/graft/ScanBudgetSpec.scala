@@ -63,6 +63,7 @@ class ScanBudgetSpec extends AnyFunSuite {
     // 6 reads, still zero corpus-text scans (the sketch rides a broadcast
     // handle, not a plan subtree)
     "q_dedup_minhash_index_bloom_bc" -> 6,
+    "q_dedup_minhash_index_bloom_maintained" -> 6,
     "q_dedup_minhash_index_append" -> 6,
     "q_dedup_minhash_index_compact" -> 6,
     "q_join_nonequi_cdf" -> 4,
