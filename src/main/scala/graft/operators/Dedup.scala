@@ -206,6 +206,7 @@ object Dedup {
       if (!fs.exists(live) && fs.exists(old)) {
         require(fs.rename(old, live),
           s"MinhashIndex recovery rename $old -> $live failed")
+        spark.catalog.refreshByPath(live.toString)
         System.err.println(s"[graft] MinhashIndex.read: recovered $live from an " +
           "interrupted compaction swap (pre-compaction table restored)")
       }
@@ -586,9 +587,13 @@ object Dedup {
     * [[appendMinhashIndex]] runs. The rewrite is index-sized (the tables
     * are K+bands BIGINTs per doc, never corpus text) and staged: the
     * compacted tables write to sibling `_*_compact` directories FROM the
-    * live files, then swap in via two renames — a reader holding the old
-    * file list finishes against the old files, new reads see the
-    * compacted index. Not concurrency-safe against a SIMULTANEOUS
+    * live files, then swap in via two renames — new reads see the
+    * compacted index, and a reader that already OPENED the old files
+    * finishes against them where the filesystem unlinks on delete
+    * (HDFS/POSIX); a DataFrame handle CREATED before the swap but
+    * evaluated after it fails on vanished files — re-read (the swapped
+    * path's file-status cache is refreshed here) after compacting.
+    * Not concurrency-safe against a SIMULTANEOUS
     * append (the standard LSM-style compaction contract: quiesce writers
     * or serialize compactions with appends). `_meta.json` is a sibling
     * file the swap never touches, so the build-param tag survives.
@@ -620,6 +625,9 @@ object Dedup {
       require(fs.rename(live, old) && fs.rename(stage, live),
         s"compaction swap failed for $live — index left under $old")
       fs.delete(old, true)
+      // evict the shared file-status cache for the swapped path — a
+      // reader hitting a pre-swap cached listing fails on vanished parts
+      spark.catalog.refreshByPath(live.toString)
     }
     def prune(df: DataFrame, dedupCols: Seq[String]): DataFrame =
       dropIds.fold(df)(ids =>

@@ -427,11 +427,68 @@ object Similarity {
   }
 
   object IvfPqResidualIndex {
-    def read(spark: SparkSession, dir: String): IvfPqResidualIndex =
+    /** Read a persisted index. Performs the same read-side crash recovery
+      * as [[graft.operators.Dedup.MinhashIndex.read]]: if a table's live
+      * directory is missing but its `_*_old` sibling exists (an
+      * interrupted [[compactIvfPqResidualIndex]] swap), the pre-compaction
+      * table is renamed back into place. */
+    def read(spark: SparkSession, dir: String): IvfPqResidualIndex = {
+      Seq("cent", "codebook", "codes").foreach { name =>
+        val live = new org.apache.hadoop.fs.Path(s"$dir/$name")
+        val old = new org.apache.hadoop.fs.Path(s"$dir/_${name}_old")
+        val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+        if (!fs.exists(live) && fs.exists(old)) {
+          require(fs.rename(old, live),
+            s"IvfPqResidualIndex recovery rename $old -> $live failed")
+          spark.catalog.refreshByPath(live.toString)
+          System.err.println(s"[graft] IvfPqResidualIndex.read: recovered $live " +
+            "from an interrupted compaction swap (pre-compaction table restored)")
+        }
+      }
       IvfPqResidualIndex(
         spark.read.parquet(s"$dir/cent"),
         spark.read.parquet(s"$dir/codebook"),
         spark.read.parquet(s"$dir/codes"))
+    }
+  }
+
+  /** Compact a stored residual IVF-PQ index: drop tombstoned vector ids
+    * (deleted from the corpus — their codes would keep surfacing as
+    * neighbors forever) and collapse duplicate code rows left by a
+    * retried [[appendIvfPqResidualIndex]] (duplicates are NOT harmless
+    * here: ADC sums per-subspace distances, so a duplicated vector's
+    * l2_micro doubles and its ranking corrupts — compaction restores it).
+    * Centroids and codebooks stay FROZEN: they are statistics of the
+    * training corpus, not of live membership, so deletes never retrain
+    * (same drift/rebuild contract as append). Only the codes table
+    * rewrites — index-sized (4 BIGINT-ish columns per (vector, subspace)),
+    * never raw vectors — staged to `_codes_compact` and swapped in via
+    * two renames, with the same crash-recovery-at-read,
+    * NOT-concurrent-with-appends, re-read-after-compaction, and
+    * object-store rename caveats as
+    * [[graft.operators.Dedup.compactMinhashIndex]]. */
+  def compactIvfPqResidualIndex(spark: SparkSession, dir: String,
+                                dropIds: Option[DataFrame] = None,
+                                idCol: String = "vec_id"): IvfPqResidualIndex = {
+    val conf = spark.sessionState.newHadoopConf()
+    val live = new org.apache.hadoop.fs.Path(s"$dir/codes")
+    val stage = new org.apache.hadoop.fs.Path(s"$dir/_codes_compact")
+    val old = new org.apache.hadoop.fs.Path(s"$dir/_codes_old")
+    val current = spark.read.parquet(live.toString)
+    dropIds.fold(current)(ids => current.join(
+        ids.select(col(idCol).as("__cid")).distinct(), Seq("__cid"), "left_anti"))
+      .dropDuplicates("__cid", "cell", "s")
+      .write.mode("overwrite").parquet(stage.toString)
+    val fs = live.getFileSystem(conf)
+    fs.delete(old, true)
+    require(fs.rename(live, old) && fs.rename(stage, live),
+      s"compaction swap failed for $live — index left under $old")
+    fs.delete(old, true)
+    // the swap changed the files BEHIND an existing path: evict Spark's
+    // shared file-status cache or a reader created before the swap (or
+    // even a fresh one hitting the cached listing) fails on vanished parts
+    spark.catalog.refreshByPath(live.toString)
+    IvfPqResidualIndex.read(spark, dir)
   }
 
   // ---- shared IVFADC plumbing (build + query halves compose these with

@@ -571,6 +571,13 @@ object OperatorQueries {
          |  $trainSql
          |), vall AS (
          |  $allSql
+         |), venc AS (
+         |  -- every vector that was EVER assigned/encoded: the training
+         |  -- corpus (codebooks were fit on its residuals, including rows
+         |  -- later tombstoned) plus the live set; = both when they coincide
+         |  SELECT vec_id, embedding FROM vtrain
+         |  UNION
+         |  SELECT vec_id, embedding FROM vall
          |), vprobe AS (
          |  SELECT vec_id FROM vtrain WHERE $probeWhere
          |), ibase AS (
@@ -593,14 +600,14 @@ object OperatorQueries {
          |  SELECT b.vec_id, c.cid,
          |    ROW_NUMBER() OVER (PARTITION BY b.vec_id
          |      ORDER BY ${duckDot("b.embedding", "c.ivec")} / c.inrm DESC, c.cid) AS rr
-         |  FROM vall b CROSS JOIN icent2 c
+         |  FROM venc b CROSS JOIN icent2 c
          |), cells AS (
          |  SELECT vec_id, cid AS cell FROM iscored WHERE rr = 1
          |), res AS (
          |  SELECT e.vec_id, cc.cell,
          |    list_transform(range(1, 65), i ->
          |      CAST(e.embedding[i] AS DOUBLE) - CAST(c.mvec[i] AS DOUBLE) / 1000000) AS rvec
-         |  FROM vall e
+         |  FROM venc e
          |  JOIN cells cc ON e.vec_id = cc.vec_id
          |  JOIN icent2 c ON cc.cell = c.cid
          |), sub AS (
@@ -623,10 +630,14 @@ object OperatorQueries {
          |  SELECT c.vec_id, c.cell, c.s, b.cid, ${l2("c.sub", "b.cvec")} AS d2
          |  FROM pcell c JOIN cb b ON c.s = b.s
          |), codes AS (
+         |  -- the SEARCHABLE code table: only live vectors (vall) — rows
+         |  -- encoded for later-tombstoned training vectors exist in the
+         |  -- replay solely to fit the codebooks, exactly like the engine
          |  SELECT vec_id, cell, s, cid AS code FROM (
          |    SELECT vec_id, cell, s, cid,
          |      ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rr
-         |    FROM d) t WHERE rr = 1
+         |    FROM d) t
+         |  WHERE rr = 1 AND vec_id IN (SELECT vec_id FROM vall)
          |), ${
         if (nProbe <= 1)
           s"""adc AS (
@@ -642,7 +653,7 @@ object OperatorQueries {
              |  SELECT e.vec_id, qc.cell,
              |    list_transform(range(1, 65), i ->
              |      CAST(e.embedding[i] AS DOUBLE) - CAST(c.mvec[i] AS DOUBLE) / 1000000) AS rvec
-             |  FROM vall e
+             |  FROM venc e
              |  JOIN qcells qc ON e.vec_id = qc.vec_id
              |  JOIN icent2 c ON qc.cell = c.cid
              |), qsub AS (
@@ -852,6 +863,44 @@ object OperatorQueries {
       allSql = """SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 <> 0
                  |  UNION ALL
                  |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 4 = 0""".stripMargin)))
+
+  // The lifecycle end on the ANN side (Similarity.compactIvfPqResidualIndex,
+  // mirroring q_dedup_minhash_index_compact): append the held-out quarter
+  // TWICE (the second = a retried partial failure, whose duplicate code
+  // rows would DOUBLE ADC distances if left in place), tombstone an eighth
+  // of the original corpus, compact, and query. The oracle's train side
+  // stays the original corpus (frozen quantizers survive deletes); its
+  // all side is (corpus MINUS the dropped ids) UNION the batch — so a drop
+  // that failed, a duplicate that survived (corrupting l2_micro), or a
+  // retrain all hash-fail. Probes avoid the dropped ids so both engines
+  // query the same probe set.
+  private val qAnnIvfAdcCompact = df("q_ann_ivfadc_compact",
+    (spark, dir) => {
+      val vecs = Tables.table(spark, dir, "embeddings")
+        .select("vec_id", "embedding")
+      val corpus = vecs.filter(col("vec_id") % 4 =!= 0)
+      val batch = vecs.filter(col("vec_id") % 4 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      val probes = vecs.filter(col("vec_id") < 20 && col("vec_id") % 4 =!= 0
+        && col("vec_id") % 8 =!= 1)
+      val idxDir = s"$annIdxScratch/${java.util.UUID.randomUUID().toString.take(8)}"
+      Similarity.writeIvfPqResidualIndex(corpus, "vec_id", "embedding", idxDir)
+      Similarity.appendIvfPqResidualIndex(batch, "vec_id", "embedding", idxDir)
+      Similarity.appendIvfPqResidualIndex(batch, "vec_id", "embedding", idxDir)
+      val dropped = vecs.filter(col("vec_id") % 8 === 1).select("vec_id")
+      val compacted = Similarity.compactIvfPqResidualIndex(
+        spark, idxDir, dropIds = Some(dropped))
+      val rerankPool = corpus.filter(col("vec_id") % 8 =!= 1).unionAll(batch)
+      ivfAdcRerankSelect(Similarity.queryIvfPqResidual(compacted,
+        rerankPool, probes, "vec_id", "embedding", k = 5, nProbe = 4, rerank = 50))
+    },
+    Some(ivfAdcRerankOracle(
+      trainSql = "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 <> 0",
+      allSql = """SELECT vec_id, embedding FROM embeddings
+                 |    WHERE vec_id % 4 <> 0 AND vec_id % 8 <> 1
+                 |  UNION ALL
+                 |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 4 = 0""".stripMargin,
+      probeWhere = "vec_id < 20 AND vec_id % 8 <> 1")))
 
   // SemDeDup (Similarity.semDedup): embedding-space semantic dedup —
   // cluster by the IVF cell assignment, drop any vector with a lower-id
@@ -2561,7 +2610,7 @@ object OperatorQueries {
     qAnnRecall4, qAnnRecall8, qAnnRecallLloyd, qAnnPq, qAnnIvfPq,
     qAnnRecall256, qAnnRecall256R2, qAnnRecall256R3,
     qAnnIvfPqResidual, qAnnIvfPqRecall, qAnnIvfAdcRerank, qAnnIvfAdcStore,
-    qAnnIvfAdcAppend,
+    qAnnIvfAdcAppend, qAnnIvfAdcCompact,
     qSemDedup, qSemanticSort,
     qHardNegatives, qQualityApi, qMultimodalApi,
     qMultimodalPatches, qMultimodalDecode, qMultimodalAudio, qMultimodalVideo,

@@ -1445,6 +1445,50 @@ class OperatorsSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("compactIvfPqResidualIndex: retry duplicates collapse, tombstones stop matching, crash recovery") {
+    val vecs = Tables.table(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    val corpus = vecs.filter($"vec_id" < 150)
+    val batch = vecs.filter($"vec_id".between(100, 149))
+      .select(($"vec_id" + 10000L).as("vec_id"), $"embedding")
+    val probes = vecs.filter($"vec_id" < 10)
+    val dir = java.nio.file.Files.createTempDirectory("ann_idx_cmp").toString
+    try {
+      def q(idx: Similarity.IvfPqResidualIndex) = Similarity
+        .queryIvfPqResidual(idx, corpus.unionAll(batch), probes,
+          "vec_id", "embedding", k = 5, nProbe = 2, rerank = 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+      Similarity.writeIvfPqResidualIndex(corpus, "vec_id", "embedding", dir)
+      val once = Similarity.appendIvfPqResidualIndex(batch, "vec_id", "embedding", dir)
+      val reference = q(once)
+      // scalar snapshot: `once.codes` pins pre-compaction FILES — a
+      // DataFrame held across the swap must not be evaluated after it
+      val onceCount = once.codes.count()
+      // a retried append duplicates code rows (which would DOUBLE summed
+      // ADC distances); compaction collapses them and restores the
+      // single-append results exactly
+      val dup = Similarity.appendIvfPqResidualIndex(batch, "vec_id", "embedding", dir)
+      assert(dup.codes.count() == onceCount + batch.count() * 8)
+      val compacted = Similarity.compactIvfPqResidualIndex(spark, dir)
+      assert(compacted.codes.count() == onceCount)
+      assert(q(compacted) == reference)
+      assert(!new java.io.File(s"$dir/_codes_compact").exists)
+      assert(!new java.io.File(s"$dir/_codes_old").exists)
+      // tombstoned ids vanish from the codes AND the neighbor lists
+      val dropped = vecs.filter($"vec_id".between(140, 149)).select("vec_id")
+      val tomb = Similarity.compactIvfPqResidualIndex(spark, dir, Some(dropped))
+      assert(tomb.codes.filter($"__cid".between(140, 149)).count() == 0)
+      assert(!q(tomb).exists { case (_, n, _) => n >= 140 && n <= 149 })
+      // interrupted-swap recovery: live moved aside, read restores it
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        spark.sessionState.newHadoopConf())
+      assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/codes"),
+        new org.apache.hadoop.fs.Path(s"$dir/_codes_old")))
+      val recovered = Similarity.IvfPqResidualIndex.read(spark, dir)
+      assert(q(recovered) == q(tomb))
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/codes")))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("persisted band sketch: stale sketch misses appended docs, maintained sketch stays exact") {
     val base = Tables.table(spark, sfDir, "documents")
     val corpus = base.filter($"doc_id" < 60)
