@@ -531,6 +531,35 @@ object Dedup {
           org.apache.spark.sql.graftbridge.ColumnBridge.expression(hash), bc))
     }
 
+  /** Near-dup pairs BETWEEN two stored [[MinhashIndex]]es — corpus-vs-
+    * corpus dedup with NEITHER side's text rescanned or re-signed: the
+    * first-class spelling of the escape hatch [[incrementalNearDups]]'s
+    * scaladoc prescribes for huge batches (persist the batch side too,
+    * then join index to index). Candidates come from the equi-join of the
+    * two stored band tables; the agreement verify joins the two stored
+    * sigs tables — all index-sized (~200 B/doc), so deduping one 100 TB
+    * corpus against another costs two index scans and a band-key shuffle,
+    * never a text read. Returns (a_id, b_id, sig_matches, est_jaccard)
+    * with the same minMatches/estimator semantics as the incremental
+    * query. Both indexes must share build params — validated against
+    * their `_meta.json` tags when present (mismatched banding would
+    * silently yield empty joins, same trap as everywhere else). */
+  def crossIndexNearDups(a: MinhashIndex, b: MinhashIndex, idCol: String,
+                         k: Int = 16, minMatches: Int = 8): DataFrame = {
+    (a.meta, b.meta) match {
+      case (Some(ma), Some(mb)) => require(ma == mb,
+        s"crossIndexNearDups: indexes built under different params — $ma vs $mb")
+      case _ => ()
+    }
+    (a.meta orElse b.meta).foreach(m => require(m.k == k,
+      s"crossIndexNearDups: k=$k differs from the stored k=${m.k}"))
+    require(minMatches >= 1 && minMatches <= k,
+      s"minMatches must be in [1, $k], got $minMatches")
+    bandJoinVerify(a, b.sigs, b.bands, idCol, k, minMatches)
+      .select(col("corpus_id").as("a_id"), col("new_id").as("b_id"),
+        col("sig_matches"), col("est_jaccard"))
+  }
+
   /** Fold a new batch INTO a stored [[MinhashIndex]] — the maintenance
     * half of the incremental loop: check the batch
     * ([[incrementalNearDups]]), ingest the survivors, then append them so

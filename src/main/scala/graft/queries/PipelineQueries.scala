@@ -941,6 +941,55 @@ object PipelineQueries {
             |) t WHERE sig_matches >= 8
             |ORDER BY new_id, corpus_id""".stripMargin))
 
+  // Index-vs-index near-dup join (Dedup.crossIndexNearDups): BOTH corpora
+  // persisted as MinHash indexes, then deduped against each other with
+  // zero text scans on either side — the corpus-vs-corpus shape (merge two
+  // crawls, dedup a vendor drop against the holdings). Same fixture
+  // content as the incremental query, so the oracle is the same exact
+  // replay of both signature chains with the output renamed to the
+  // operator's (a_id, b_id) orientation.
+  private val qMinhashCrossIndex = df("q_dedup_minhash_cross_index",
+    (sp, dir) => {
+      val docs = graft.engine.Tables.table(sp, dir, "documents")
+      val corpusA = docs.filter(col("doc_id") < 200)
+      val corpusB = docs.filter(col("doc_id").between(150, 199))
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+        .unionAll(docs.filter(col("doc_id") < 150 && col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 200000L).as("doc_id"),
+            concat(col("text"), lit(" tailnoise")).as("text")))
+      val base = s"$mhIdxScratch/${java.util.UUID.randomUUID().toString.take(8)}"
+      val idxA = graft.operators.Dedup.writeMinhashIndex(corpusA, "doc_id", "text", s"$base/a")
+      val idxB = graft.operators.Dedup.writeMinhashIndex(corpusB, "doc_id", "text", s"$base/b")
+      graft.operators.Dedup.crossIndexNearDups(idxA, idxB, "doc_id")
+        .orderBy("a_id", "b_id")
+    },
+    Some(s"""WITH corpus AS (
+            |  SELECT doc_id, text FROM documents WHERE doc_id < 200 AND text IS NOT NULL
+            |), batch AS (
+            |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+            |  WHERE doc_id BETWEEN 150 AND 199 AND text IS NOT NULL
+            |  UNION ALL
+            |  SELECT doc_id + 200000, text || ' tailnoise' FROM documents
+            |  WHERE doc_id < 150 AND doc_id % 7 = 0 AND text IS NOT NULL
+            |), ${duckSigChain("corpus", "c")},
+            |${duckSigChain("batch", "b")},
+            |cand AS (
+            |  SELECT DISTINCT bc.doc_id AS a_id, bb.doc_id AS b_id
+            |  FROM bands_b bb JOIN bands_c bc
+            |    ON bb.band = bc.band AND bb.band_key = bc.band_key
+            |  WHERE bb.doc_id <> bc.doc_id
+            |)
+            |SELECT a_id, b_id, sig_matches,
+            |  CAST(sig_matches AS DOUBLE) / 16 AS est_jaccard
+            |FROM (
+            |  SELECT c.a_id, c.b_id,
+            |    CAST(len(list_filter(range(1, 17), i -> sb.sig[i] = sc.sig[i])) AS BIGINT) AS sig_matches
+            |  FROM cand c
+            |  JOIN sigs_b sb ON c.b_id = sb.doc_id
+            |  JOIN sigs_c sc ON c.a_id = sc.doc_id
+            |) t WHERE sig_matches >= 8
+            |ORDER BY a_id, b_id""".stripMargin))
+
   // Maintained-sketch append (Dedup.writeBandSketch + appendMinhashIndex):
   // the sketch is persisted BEFORE an append of NOVEL docs, the append
   // OR-merges their band keys into it, and the Bloom query then runs with
@@ -2446,6 +2495,7 @@ object PipelineQueries {
     qSimhashPairs, qSimhashPairs60, qStreamNearDup, qStreamMinhashNearDup, qLmScore, qParagraphDedup, qIncrementalDedup, qIncrementalBloom,
     qMinhashIndex, qMinhashIndexBloom, qMinhashIndexBloomBc,
     qMinhashIndexBloomMaintained, qMinhashIndexAppend, qMinhashIndexCompact,
+    qMinhashCrossIndex,
     qDecontaminateExact, qSubstringSpans, qSubstringSpansWide,
     qSubstringSpansStride1, qSubstringScrub,
     qSample, qSampleStratified, qInterleave, qSplit,

@@ -1341,6 +1341,37 @@ class OperatorsSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("crossIndexNearDups: equals the incremental query on the same data, validates params") {
+    val base = Tables.table(spark, sfDir, "documents")
+    val corpusA = base.filter($"doc_id" < 100)
+    val corpusB = base.filter($"doc_id".between(80, 99))
+      .select(($"doc_id" + 10000L).as("doc_id"), $"text")
+    val dir = java.nio.file.Files.createTempDirectory("mh_idx_x").toString
+    try {
+      val idxA = Dedup.writeMinhashIndex(corpusA, "doc_id", "text", s"$dir/a")
+      val idxB = Dedup.writeMinhashIndex(corpusB, "doc_id", "text", s"$dir/b")
+      val cross = Dedup.crossIndexNearDups(idxA, idxB, "doc_id")
+        .collect().map(_.toSeq).toSet
+      // the index-vs-index join must agree exactly with the text-driven
+      // incremental query of the SAME b-side content against index A
+      // (modulo the (a_id, b_id) column orientation)
+      val viaIncremental = Dedup.incrementalNearDups(idxA, corpusB, "doc_id", "text")
+        .select($"corpus_id", $"new_id", $"sig_matches", $"est_jaccard")
+        .collect().map(_.toSeq).toSet
+      assert(cross.nonEmpty && cross == viaIncremental)
+      // build-param mismatch between the two indexes fails loudly
+      val idxC = Dedup.writeMinhashIndex(corpusB, "doc_id", "text", s"$dir/c",
+        k = 8, bands = 4, rowsPerBand = 2)
+      intercept[IllegalArgumentException] {
+        Dedup.crossIndexNearDups(idxA, idxC, "doc_id")
+      }
+      // passed k inconsistent with the stored tags fails loudly too
+      intercept[IllegalArgumentException] {
+        Dedup.crossIndexNearDups(idxA, idxB, "doc_id", k = 8, minMatches = 4)
+      }
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("MinhashIndex read recovers from an interrupted compaction swap") {
     val base = Tables.table(spark, sfDir, "documents")
     val corpus = base.filter($"doc_id" < 60)

@@ -64,6 +64,9 @@ class ScanBudgetSpec extends AnyFunSuite {
     // handle, not a plan subtree)
     "q_dedup_minhash_index_bloom_bc" -> 6,
     "q_dedup_minhash_index_bloom_maintained" -> 6,
+    // index-vs-index: exactly the 4 stored tables (2 band + 2 sig), zero
+    // text scans on EITHER corpus — the operator's whole point
+    "q_dedup_minhash_cross_index" -> 4,
     "q_dedup_minhash_index_append" -> 6,
     "q_dedup_minhash_index_compact" -> 6,
     "q_join_nonequi_cdf" -> 4,
