@@ -1052,6 +1052,96 @@ object PipelineQueries {
             |) t WHERE sig_matches >= 8
             |ORDER BY new_id, corpus_id""".stripMargin))
 
+  // Streaming ingest against the persisted index
+  // (StreamingDedup.indexedNearDupStream): two micro-batches flow through
+  // the check-then-append loop — batch1 is checked against the corpus
+  // index and folded in, batch2 is then checked against corpus UNION
+  // batch1 — so the streamed pair sink must equal the SEQUENTIAL
+  // composition of the batch operators, which is exactly what the oracle
+  // replays (step 2's index side is the union of both signature chains).
+  // Micro-batch order is pinned by file modification times +
+  // maxFilesPerTrigger=1, the same discipline as StreamingSpec.
+  private val qStreamMinhashIndexed = df("q_stream_minhash_indexed",
+    (sp, dir) => {
+      val docs = graft.engine.Tables.table(sp, dir, "documents")
+      val corpus = docs.filter(col("doc_id") < 200)
+      val batch1 = docs.filter(col("doc_id").between(150, 199))
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      val batch2 = docs.filter(col("doc_id").between(150, 199) && col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          concat(col("text"), lit(" tailnoise")).as("text"))
+      val base = s"$mhIdxScratch/${java.util.UUID.randomUUID().toString.take(8)}"
+      graft.operators.Dedup.writeMinhashIndex(corpus, "doc_id", "text", s"$base/idx")
+      // one parquet file per micro-batch, mtime-ordered so the file
+      // source triggers them in sequence
+      Seq(batch1 -> "b1", batch2 -> "b2").zipWithIndex.foreach { case ((df, n), i) =>
+        df.coalesce(1).write.parquet(s"$base/part_$n")
+        new java.io.File(s"$base/in").mkdirs()
+        val f = new java.io.File(s"$base/part_$n").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dest = new java.io.File(s"$base/in/$n.parquet")
+        java.nio.file.Files.move(f.toPath, dest.toPath)
+        dest.setLastModified(1700000000000L + i * 60000L)
+      }
+      val stream = sp.readStream
+        .schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$base/in")
+      val q = graft.streaming.StreamingDedup.indexedNearDupStream(
+        stream, s"$base/idx", s"$base/pairs")
+      q.processAllAvailable()
+      q.stop()
+      // consumers dedupe on the pair key (the operator's at-least-once
+      // contract); a clean run has no duplicates to drop
+      sp.read.parquet(s"$base/pairs")
+        .dropDuplicates("new_id", "corpus_id")
+        .orderBy("new_id", "corpus_id")
+    },
+    Some(s"""WITH corpus AS (
+            |  SELECT doc_id, text FROM documents WHERE doc_id < 200 AND text IS NOT NULL
+            |), b1 AS (
+            |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+            |  WHERE doc_id BETWEEN 150 AND 199 AND text IS NOT NULL
+            |), b2 AS (
+            |  SELECT doc_id + 300000 AS doc_id, text || ' tailnoise' AS text
+            |  FROM documents WHERE doc_id BETWEEN 150 AND 199 AND doc_id % 3 = 0
+            |    AND text IS NOT NULL
+            |), ${duckSigChain("corpus", "c")},
+            |${duckSigChain("b1", "b")},
+            |${duckSigChain("b2", "d")},
+            |idx2_bands AS (
+            |  SELECT * FROM bands_c UNION ALL SELECT * FROM bands_b
+            |), idx2_sigs AS (
+            |  SELECT * FROM sigs_c UNION ALL SELECT * FROM sigs_b
+            |), cand1 AS (
+            |  SELECT DISTINCT bb.doc_id AS new_id, bc.doc_id AS corpus_id
+            |  FROM bands_b bb JOIN bands_c bc
+            |    ON bb.band = bc.band AND bb.band_key = bc.band_key
+            |  WHERE bb.doc_id <> bc.doc_id
+            |), cand2 AS (
+            |  SELECT DISTINCT bd.doc_id AS new_id, bi.doc_id AS corpus_id
+            |  FROM bands_d bd JOIN idx2_bands bi
+            |    ON bd.band = bi.band AND bd.band_key = bi.band_key
+            |  WHERE bd.doc_id <> bi.doc_id
+            |), p1 AS (
+            |  SELECT c.new_id, c.corpus_id,
+            |    CAST(len(list_filter(range(1, 17), i -> sb.sig[i] = sc.sig[i])) AS BIGINT) AS sig_matches
+            |  FROM cand1 c
+            |  JOIN sigs_b sb ON c.new_id = sb.doc_id
+            |  JOIN sigs_c sc ON c.corpus_id = sc.doc_id
+            |), p2 AS (
+            |  SELECT c.new_id, c.corpus_id,
+            |    CAST(len(list_filter(range(1, 17), i -> sd.sig[i] = si.sig[i])) AS BIGINT) AS sig_matches
+            |  FROM cand2 c
+            |  JOIN sigs_d sd ON c.new_id = sd.doc_id
+            |  JOIN idx2_sigs si ON c.corpus_id = si.doc_id
+            |)
+            |SELECT new_id, corpus_id, sig_matches,
+            |  CAST(sig_matches AS DOUBLE) / 16 AS est_jaccard
+            |FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2) t
+            |WHERE sig_matches >= 8
+            |ORDER BY new_id, corpus_id""".stripMargin))
+
   // Compaction with tombstones (Dedup.compactMinhashIndex): the lifecycle
   // end of the index story — batch1 recrawls are appended, the ORIGINALS
   // they replace are tombstoned, a duplicate append simulates a retried
@@ -2495,7 +2585,7 @@ object PipelineQueries {
     qSimhashPairs, qSimhashPairs60, qStreamNearDup, qStreamMinhashNearDup, qLmScore, qParagraphDedup, qIncrementalDedup, qIncrementalBloom,
     qMinhashIndex, qMinhashIndexBloom, qMinhashIndexBloomBc,
     qMinhashIndexBloomMaintained, qMinhashIndexAppend, qMinhashIndexCompact,
-    qMinhashCrossIndex,
+    qMinhashCrossIndex, qStreamMinhashIndexed,
     qDecontaminateExact, qSubstringSpans, qSubstringSpansWide,
     qSubstringSpansStride1, qSubstringScrub,
     qSample, qSampleStratified, qInterleave, qSplit,

@@ -182,6 +182,53 @@ object StreamingDedup {
         OutputMode.Append, timeout)(fn)
   }
 
+  /** Continuous ingest against a PERSISTED MinHash index — the streaming
+    * spelling of the incremental-dedup loop
+    * ([[graft.operators.Dedup.incrementalNearDups]] +
+    * [[graft.operators.Dedup.appendMinhashIndex]]): each micro-batch is
+    * checked against the index at `indexDir` AS OF THE BATCH START, its
+    * near-dup pairs append to `pairsDir` (parquet), and the batch then
+    * folds into the index so the NEXT micro-batch dedupes against it too.
+    *
+    * foreachBatch is the right vehicle because the loop's state IS the
+    * persisted index — arbitrarily large, durable across restarts, and
+    * shared with batch jobs — the opposite trade from
+    * [[minhashNearDupPairs]], whose in-executor bucket state is fast but
+    * bounded by TTL/caps and private to the query. Pairs BETWEEN two
+    * documents of the same micro-batch are deliberately out of scope
+    * (they are in-batch dedup — run [[graft.operators.Dedup.minhashCandidates]]
+    * on the batch); this operator's contract is batch-vs-everything-
+    * already-ingested, which makes its output the exact sequential
+    * composition of the batch operators (spec- and oracle-pinned).
+    *
+    * Delivery: foreachBatch is at-least-once under retries. Both halves
+    * tolerate a replay — the index append is idempotent at read time
+    * (duplicate rows collapse through the verify join / compaction) and
+    * the pair sink carries at most duplicate ROWS of identical pairs, so
+    * consumers dedupe on (new_id, corpus_id) (the shipped query does).
+    * Not concurrent-safe with an external compaction (the standard
+    * quiesce-writers contract). */
+  def indexedNearDupStream(docs: DataFrame, indexDir: String, pairsDir: String,
+                           k: Int = 16, shingleN: Int = 3, bands: Int = 8,
+                           rowsPerBand: Int = 2, minMatches: Int = 8)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        // one evaluation feeds both the check and the append — a
+        // non-deterministic upstream cannot diverge between them
+        val b = batch.localCheckpoint()
+        val idx = graft.operators.Dedup.MinhashIndex.read(spark, indexDir)
+        graft.operators.Dedup
+          .incrementalNearDups(idx, b, "doc_id", "text",
+            k, shingleN, bands, rowsPerBand, minMatches)
+          .write.mode("append").parquet(pairsDir)
+        graft.operators.Dedup.appendMinhashIndex(
+          b, "doc_id", "text", indexDir, k, shingleN, bands, rowsPerBand)
+        ()
+      }
+      .start()
+
   def nearDupPairs(docs: DataFrame, maxHamming: Int = 3, bands: Int = 4,
                    maxMembers: Int = 0, ttlMs: Long = 0L): Dataset[NearDupPair] = {
     require(maxMembers >= 0, s"maxMembers must be >= 0 (0 = unbounded), got $maxMembers")

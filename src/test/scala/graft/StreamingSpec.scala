@@ -121,6 +121,65 @@ class StreamingSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("indexedNearDupStream: sequential check-then-append; trigger scope is the contract") {
+    import graft.operators.Dedup
+    import graft.streaming.StreamingDedup
+    val docs = Tables.table(spark, sfDir, "documents")
+    val corpus = docs.filter(col("doc_id") < 100)
+    val b1 = docs.filter(col("doc_id").between(80, 99))
+      .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+    val b2 = docs.filter(col("doc_id").between(80, 99) && col("doc_id") % 2 === 0)
+      .select((col("doc_id") + 20000L).as("doc_id"),
+        concat(col("text"), lit(" tail")).as("text"))
+    val base = java.nio.file.Files.createTempDirectory("smi").toString
+    try {
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+      def stage(tag: String): String = {
+        val dir = s"$base/$tag"
+        Dedup.writeMinhashIndex(corpus, "doc_id", "text", s"$dir/idx")
+        Seq(b1 -> "b1", b2 -> "b2").zipWithIndex.foreach { case ((df, n), i) =>
+          df.coalesce(1).write.parquet(s"$dir/part_$n")
+          new java.io.File(s"$dir/in").mkdirs()
+          val f = new java.io.File(s"$dir/part_$n").listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val dest = new java.io.File(s"$dir/in/$n.parquet")
+          java.nio.file.Files.move(f.toPath, dest.toPath)
+          dest.setLastModified(1700000000000L + i * 60000L)
+        }
+        dir
+      }
+      def run(dir: String, oneFilePerTrigger: Boolean): Set[Seq[Any]] = {
+        var reader = spark.readStream.schema("doc_id BIGINT, text STRING")
+        if (oneFilePerTrigger) reader = reader.option("maxFilesPerTrigger", "1")
+        val q = StreamingDedup.indexedNearDupStream(
+          reader.parquet(s"$dir/in"), s"$dir/idx", s"$dir/pairs")
+        q.processAllAvailable(); q.stop()
+        rows(spark.read.parquet(s"$dir/pairs").dropDuplicates("new_id", "corpus_id"))
+      }
+      // two triggers = the sequential composition of the batch operators
+      val idx0 = Dedup.MinhashIndex(
+        Dedup.minhashBands(Dedup.minhashSignature(corpus, "doc_id", "text"), "doc_id"),
+        Dedup.minhashSignature(corpus, "doc_id", "text"))
+      val step1 = rows(Dedup.incrementalNearDups(idx0, b1, "doc_id", "text"))
+      val u = corpus.select("doc_id", "text").unionAll(b1)
+      val idx1 = Dedup.MinhashIndex(
+        Dedup.minhashBands(Dedup.minhashSignature(u, "doc_id", "text"), "doc_id"),
+        Dedup.minhashSignature(u, "doc_id", "text"))
+      val step2 = rows(Dedup.incrementalNearDups(idx1, b2, "doc_id", "text"))
+      assert(step2.exists(_.head.asInstanceOf[Long] >= 20000L),
+        "b2 must match appended b1 docs or the test is vacuous")
+      assert(run(stage("two"), oneFilePerTrigger = true) == step1 ++ step2)
+      // ONE trigger: both batches arrive together, so b2-vs-b1 pairs are
+      // within-trigger — out of this operator's scope by contract (the
+      // scaladoc routes them to in-batch dedup); only pairs against the
+      // initial index emit
+      val idxAll = Dedup.MinhashIndex(idx0.bands, idx0.sigs)
+      val oneShot = rows(Dedup.incrementalNearDups(
+        idxAll, b1.unionAll(b2), "doc_id", "text"))
+      assert(run(stage("one"), oneFilePerTrigger = false) == oneShot)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   test("streaming minhash near-dup equals the batch composition and is split-invariant") {
     import graft.streaming.StreamingDedup
     import graft.operators.Dedup
