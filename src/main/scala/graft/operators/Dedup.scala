@@ -122,42 +122,23 @@ object Dedup {
   final case class MinhashMeta(k: Int, shingleN: Int, bands: Int, rowsPerBand: Int)
 
   object MinhashMeta {
-    private def metaPath(dir: String) =
-      new org.apache.hadoop.fs.Path(s"$dir/_meta.json")
-
     def write(spark: org.apache.spark.sql.SparkSession, dir: String,
-              m: MinhashMeta): Unit = {
-      val p = metaPath(dir)
-      val out = p.getFileSystem(spark.sessionState.newHadoopConf()).create(p, true)
-      try out.write(
+              m: MinhashMeta): Unit =
+      IndexFiles.writeFileSwap(spark, dir, "_meta.json",
         s"""{"k":${m.k},"shingleN":${m.shingleN},"bands":${m.bands},"rowsPerBand":${m.rowsPerBand}}"""
           .getBytes("UTF-8"))
-      finally out.close()
-    }
 
     /** None for a pre-meta (legacy) index directory. */
-    def read(spark: org.apache.spark.sql.SparkSession, dir: String): Option[MinhashMeta] = {
-      val p = metaPath(dir)
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      if (!fs.exists(p)) None
-      else {
-        val in = fs.open(p)
-        val bytes = try {
-          val buf = new java.io.ByteArrayOutputStream()
-          val chunk = new Array[Byte](4096)
-          var n = in.read(chunk)
-          while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-          buf.toByteArray
-        } finally in.close()
+    def read(spark: org.apache.spark.sql.SparkSession, dir: String): Option[MinhashMeta] =
+      IndexFiles.readFileWithRecovery(spark, dir, "_meta.json").map { bytes =>
         val j = org.json4s.jackson.JsonMethods.parse(new String(bytes, "UTF-8"))
         def int(name: String): Int = (j \ name) match {
           case org.json4s.JInt(v) => v.toInt
           case other => throw new IllegalArgumentException(
-            s"malformed MinhashIndex meta at $p: field $name = $other")
+            s"malformed MinhashIndex meta at $dir/_meta.json: field $name = $other")
         }
-        Some(MinhashMeta(int("k"), int("shingleN"), int("bands"), int("rowsPerBand")))
+        MinhashMeta(int("k"), int("shingleN"), int("bands"), int("rowsPerBand"))
       }
-    }
   }
 
   /** A persisted MinHash near-dup index: the banded LSH table plus the raw
@@ -191,25 +172,12 @@ object Dedup {
       * its two renames), the old (pre-compaction, correct but uncompacted)
       * table is renamed back into place before reading. */
     def read(spark: org.apache.spark.sql.SparkSession, dir: String): MinhashIndex = {
-      Seq("sigs", "bands").foreach(recoverInterruptedSwap(spark, dir, _))
+      Seq("sigs", "bands").foreach(
+        IndexFiles.recoverInterruptedSwap(spark, dir, _, "MinhashIndex.read"))
       MinhashIndex(
         spark.read.parquet(s"$dir/bands"),
         spark.read.parquet(s"$dir/sigs"),
         MinhashMeta.read(spark, dir))
-    }
-
-    private def recoverInterruptedSwap(spark: org.apache.spark.sql.SparkSession,
-                                       dir: String, name: String): Unit = {
-      val live = new org.apache.hadoop.fs.Path(s"$dir/$name")
-      val old = new org.apache.hadoop.fs.Path(s"$dir/_${name}_old")
-      val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
-      if (!fs.exists(live) && fs.exists(old)) {
-        require(fs.rename(old, live),
-          s"MinhashIndex recovery rename $old -> $live failed")
-        spark.catalog.refreshByPath(live.toString)
-        System.err.println(s"[graft] MinhashIndex.read: recovered $live from an " +
-          "interrupted compaction swap (pre-compaction table restored)")
-      }
     }
   }
 
@@ -311,7 +279,12 @@ object Dedup {
     * SIZING CONTRACT: `expectedItems` must cover the index's band-row
     * count (docs x bands — e.g. 1e9 docs x 8 bands needs expectedItems =
     * 8e9, a ~9.6 GB sketch at fpp 0.01: bits = -n*ln(fpp)/ln(2)^2 ~ 9.6
-    * bits/item). The default 1<<20 suits the shipped demo scale ONLY. An
+    * bits/item). The default 1<<20 suits the shipped demo scale ONLY.
+    * Sizing beyond Spark's runtime bloom-filter caps
+    * (spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits,
+    * defaults 4e6/6.7e7) throws here rather than letting
+    * BloomFilterAggregate SILENTLY clamp to an 8 MB saturated sketch —
+    * raise those confs to match the target size at deployment scale. An
     * undersized sketch stays EXACT — false positives only degrade the
     * prefilter toward the plain band join — but it saturates silently and
     * stops pruning, which defeats the entire point of the Bloom spelling;
@@ -325,6 +298,7 @@ object Dedup {
     graft.functions.TajoFunctions.register(index.bands.sparkSession)
     val numBits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(expectedItems, fpp)
+    requireSketchWithinCaps(index.bands.sparkSession, expectedItems, numBits)
     val sketch = index.bands
       .select(call_function("bloom_agg",
         xxhash64(col("band"), col("band_key")),
@@ -361,45 +335,18 @@ object Dedup {
     val numBits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(expectedItems, fpp)
     val sketch = buildBandSketch(MinhashIndex.read(spark, dir), expectedItems, fpp)
-    val conf = spark.sessionState.newHadoopConf()
-    val meta = new org.apache.hadoop.fs.Path(s"$dir/_sketch_meta.json")
-    val out = meta.getFileSystem(conf).create(meta, true)
-    try out.write(s"""{"expectedItems":$expectedItems,"numBits":$numBits}"""
-      .getBytes("UTF-8"))
-    finally out.close()
-    writeSketchBytes(spark, dir, sketch)
+    IndexFiles.writeFileSwap(spark, dir, "_sketch_meta.json",
+      s"""{"expectedItems":$expectedItems,"numBits":$numBits}""".getBytes("UTF-8"))
+    IndexFiles.writeFileSwap(spark, dir, "_sketch", sketch)
     sketch
   }
 
-  /** The persisted band sketch at `dir`, or None if none was written. */
+  /** The persisted band sketch at `dir`, or None if none was written.
+    * Recovers from a write interrupted between its renames (the `_old`
+    * sidecar protocol — see [[IndexFiles.writeFileSwap]]). */
   def readBandSketch(spark: org.apache.spark.sql.SparkSession,
-                     dir: String): Option[Array[Byte]] = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/_sketch")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val chunk = new Array[Byte](1 << 16)
-        var n = in.read(chunk)
-        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-        Some(buf.toByteArray)
-      } finally in.close()
-    }
-  }
-
-  private def writeSketchBytes(spark: org.apache.spark.sql.SparkSession,
-                               dir: String, bytes: Array[Byte]): Unit = {
-    val conf = spark.sessionState.newHadoopConf()
-    val live = new org.apache.hadoop.fs.Path(s"$dir/_sketch")
-    val tmp = new org.apache.hadoop.fs.Path(s"$dir/_sketch_tmp")
-    val fs = live.getFileSystem(conf)
-    val out = fs.create(tmp, true)
-    try out.write(bytes) finally out.close()
-    fs.delete(live, false)
-    require(fs.rename(tmp, live), s"sketch write rename failed for $live")
-  }
+                     dir: String): Option[Array[Byte]] =
+    IndexFiles.readFileWithRecovery(spark, dir, "_sketch")
 
   // OR-merge a batch's band keys into the persisted sketch, preserving its
   // stored geometry (same expectedItems/numBits => same hash count, so the
@@ -409,22 +356,14 @@ object Dedup {
   // append (idempotent at read) or rebuild via writeBandSketch.
   private def maintainBandSketch(spark: org.apache.spark.sql.SparkSession,
                                  dir: String, batchBands: DataFrame): Unit = {
-    val metaP = new org.apache.hadoop.fs.Path(s"$dir/_sketch_meta.json")
-    val fs = metaP.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(metaP)) return
-    val in = fs.open(metaP)
-    val metaStr = try {
-      val buf = new java.io.ByteArrayOutputStream()
-      val chunk = new Array[Byte](4096)
-      var n = in.read(chunk)
-      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-      new String(buf.toByteArray, "UTF-8")
-    } finally in.close()
-    val j = org.json4s.jackson.JsonMethods.parse(metaStr)
+    val metaBytes = IndexFiles
+      .readFileWithRecovery(spark, dir, "_sketch_meta.json")
+      .getOrElse(return) // no persisted sketch: maintenance is a no-op
+    val j = org.json4s.jackson.JsonMethods.parse(new String(metaBytes, "UTF-8"))
     def long(name: String): Long = (j \ name) match {
       case org.json4s.JInt(v) => v.toLong
       case other => throw new IllegalArgumentException(
-        s"malformed sketch meta at $metaP: field $name = $other")
+        s"malformed sketch meta at $dir/_sketch_meta.json: field $name = $other")
     }
     val batchSketch = batchBands
       .select(call_function("bloom_agg",
@@ -439,7 +378,28 @@ object Dedup {
       .readFrom(new java.io.ByteArrayInputStream(batchSketch)))
     val out = new java.io.ByteArrayOutputStream()
     merged.writeTo(out)
-    writeSketchBytes(spark, dir, out.toByteArray)
+    IndexFiles.writeFileSwap(spark, dir, "_sketch", out.toByteArray)
+  }
+
+  // Spark's BloomFilterAggregate silently CLAMPS its size arguments to
+  // spark.sql.optimizer.runtime.bloomFilter.maxNumItems / maxNumBits
+  // (defaults 4e6 items / 6.7e7 bits = 8 MB): a caller sizing for 1e9+
+  // band rows would otherwise get a silently saturated 8 MB sketch and a
+  // meta file recording a geometry the stored bytes do not have. Fail
+  // loudly and name the confs to raise — the same misconfiguration-must-
+  // fail-loudly discipline as the banding/meta validations.
+  private def requireSketchWithinCaps(spark: org.apache.spark.sql.SparkSession,
+                                      expectedItems: Long, numBits: Long): Unit = {
+    val maxItems = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    require(expectedItems <= maxItems && numBits <= maxBits,
+      s"sketch sizing (expectedItems=$expectedItems, numBits=$numBits) exceeds " +
+        s"Spark's runtime bloom-filter caps (maxNumItems=$maxItems, " +
+        s"maxNumBits=$maxBits) — BloomFilterAggregate would SILENTLY clamp and " +
+        "saturate; raise spark.sql.optimizer.runtime.bloomFilter.maxNumItems/" +
+        "maxNumBits to match the target size")
   }
 
   /** Observed fraction of set bits in a serialized Bloom sketch. An
@@ -640,30 +600,13 @@ object Dedup {
   def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                           dropIds: Option[DataFrame] = None,
                           idCol: String = "doc_id"): MinhashIndex = {
-    val conf = spark.sessionState.newHadoopConf()
-    def swap(name: String, compact: DataFrame => DataFrame): Unit = {
-      val live = new org.apache.hadoop.fs.Path(s"$dir/$name")
-      val stage = new org.apache.hadoop.fs.Path(s"$dir/_${name}_compact")
-      val old = new org.apache.hadoop.fs.Path(s"$dir/_${name}_old")
-      // the stage write executes against the CURRENT live files; the
-      // renames only happen after it is fully materialized
-      compact(spark.read.parquet(live.toString))
-        .write.mode("overwrite").parquet(stage.toString)
-      val fs = live.getFileSystem(conf)
-      fs.delete(old, true)
-      require(fs.rename(live, old) && fs.rename(stage, live),
-        s"compaction swap failed for $live — index left under $old")
-      fs.delete(old, true)
-      // evict the shared file-status cache for the swapped path — a
-      // reader hitting a pre-swap cached listing fails on vanished parts
-      spark.catalog.refreshByPath(live.toString)
-    }
     def prune(df: DataFrame, dedupCols: Seq[String]): DataFrame =
       dropIds.fold(df)(ids =>
           df.join(ids.select(col(idCol)).distinct(), Seq(idCol), "left_anti"))
         .dropDuplicates(dedupCols)
-    swap("sigs", df => prune(df, Seq(idCol)))
-    swap("bands", df => prune(df, Seq(idCol, "band", "band_key")))
+    IndexFiles.stagedSwap(spark, dir, "sigs")(df => prune(df, Seq(idCol)))
+    IndexFiles.stagedSwap(spark, dir, "bands")(
+      df => prune(df, Seq(idCol, "band", "band_key")))
     MinhashIndex.read(spark, dir)
   }
 
@@ -1116,6 +1059,7 @@ object Dedup {
                         fpp: Double = 0.01): Array[Byte] = {
     graft.functions.TajoFunctions.register(seenDigests.sparkSession)
     val numBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    requireSketchWithinCaps(seenDigests.sparkSession, expectedItems, numBits)
     seenDigests
       .select(call_function("bloom_agg", xxhash64(col("digest")),
         lit(expectedItems), lit(numBits)).as("b"))

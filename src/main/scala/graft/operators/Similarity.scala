@@ -417,12 +417,51 @@ object Similarity {
     * re-evaluates its shared upstream (codes' lineage contains codebook's
     * contains cent's — ~3x the corpus reads); the staged writer persists
     * each artifact once and derives the next from storage. */
+  /** Build parameters of a persisted [[IvfPqResidualIndex]], stamped into
+    * `dir/_meta.json` by [[writeIvfPqResidualIndex]] — the same
+    * quiet-failure guard as [[graft.operators.Dedup.MinhashMeta]]: an
+    * append or query under a different (dim, m) would slice residuals
+    * into the wrong subspace layout and encode garbage SILENTLY. */
+  final case class IvfPqMeta(nBits: Int, dim: Int, m: Int, pqBits: Int)
+
+  object IvfPqMeta {
+    def write(spark: SparkSession, dir: String, m: IvfPqMeta): Unit =
+      graft.operators.IndexFiles.writeFileSwap(spark, dir, "_meta.json",
+        s"""{"nBits":${m.nBits},"dim":${m.dim},"m":${m.m},"pqBits":${m.pqBits}}"""
+          .getBytes("UTF-8"))
+
+    /** None for a pre-meta (legacy) index directory. */
+    def read(spark: SparkSession, dir: String): Option[IvfPqMeta] =
+      graft.operators.IndexFiles.readFileWithRecovery(spark, dir, "_meta.json")
+        .map { bytes =>
+          val j = org.json4s.jackson.JsonMethods.parse(new String(bytes, "UTF-8"))
+          def int(name: String): Int = (j \ name) match {
+            case org.json4s.JInt(v) => v.toInt
+            case other => throw new IllegalArgumentException(
+              s"malformed IvfPqResidualIndex meta at $dir/_meta.json: field $name = $other")
+          }
+          IvfPqMeta(int("nBits"), int("dim"), int("m"), int("pqBits"))
+        }
+  }
+
   final case class IvfPqResidualIndex(cent: DataFrame, codebook: DataFrame,
-                                      codes: DataFrame) {
+                                      codes: DataFrame,
+                                      meta: Option[IvfPqMeta] = None) {
     def write(dir: String): Unit = {
       cent.write.mode("overwrite").parquet(s"$dir/cent")
       codebook.write.mode("overwrite").parquet(s"$dir/codebook")
       codes.write.mode("overwrite").parquet(s"$dir/codes")
+    }
+
+    /** Fail loudly when the caller's (dim, m) disagree with the stored
+      * build geometry — a mismatch silently mis-slices residual subspaces.
+      * No-op for an untagged in-memory/legacy index. */
+    def requireGeometry(dim: Int, m: Int): Unit = meta.foreach { stored =>
+      require(stored.dim == dim && stored.m == m,
+        s"IvfPqResidualIndex geometry mismatch: stored (dim=${stored.dim}, " +
+          s"m=${stored.m}), passed (dim=$dim, m=$m) — encoding or querying " +
+          "under a different subspace layout silently corrupts results; " +
+          "use the stored values")
     }
   }
 
@@ -433,22 +472,14 @@ object Similarity {
       * interrupted [[compactIvfPqResidualIndex]] swap), the pre-compaction
       * table is renamed back into place. */
     def read(spark: SparkSession, dir: String): IvfPqResidualIndex = {
-      Seq("cent", "codebook", "codes").foreach { name =>
-        val live = new org.apache.hadoop.fs.Path(s"$dir/$name")
-        val old = new org.apache.hadoop.fs.Path(s"$dir/_${name}_old")
-        val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
-        if (!fs.exists(live) && fs.exists(old)) {
-          require(fs.rename(old, live),
-            s"IvfPqResidualIndex recovery rename $old -> $live failed")
-          spark.catalog.refreshByPath(live.toString)
-          System.err.println(s"[graft] IvfPqResidualIndex.read: recovered $live " +
-            "from an interrupted compaction swap (pre-compaction table restored)")
-        }
-      }
+      Seq("cent", "codebook", "codes").foreach(
+        graft.operators.IndexFiles.recoverInterruptedSwap(
+          spark, dir, _, "IvfPqResidualIndex.read"))
       IvfPqResidualIndex(
         spark.read.parquet(s"$dir/cent"),
         spark.read.parquet(s"$dir/codebook"),
-        spark.read.parquet(s"$dir/codes"))
+        spark.read.parquet(s"$dir/codes"),
+        IvfPqMeta.read(spark, dir))
     }
   }
 
@@ -470,24 +501,11 @@ object Similarity {
   def compactIvfPqResidualIndex(spark: SparkSession, dir: String,
                                 dropIds: Option[DataFrame] = None,
                                 idCol: String = "vec_id"): IvfPqResidualIndex = {
-    val conf = spark.sessionState.newHadoopConf()
-    val live = new org.apache.hadoop.fs.Path(s"$dir/codes")
-    val stage = new org.apache.hadoop.fs.Path(s"$dir/_codes_compact")
-    val old = new org.apache.hadoop.fs.Path(s"$dir/_codes_old")
-    val current = spark.read.parquet(live.toString)
-    dropIds.fold(current)(ids => current.join(
-        ids.select(col(idCol).as("__cid")).distinct(), Seq("__cid"), "left_anti"))
-      .dropDuplicates("__cid", "cell", "s")
-      .write.mode("overwrite").parquet(stage.toString)
-    val fs = live.getFileSystem(conf)
-    fs.delete(old, true)
-    require(fs.rename(live, old) && fs.rename(stage, live),
-      s"compaction swap failed for $live — index left under $old")
-    fs.delete(old, true)
-    // the swap changed the files BEHIND an existing path: evict Spark's
-    // shared file-status cache or a reader created before the swap (or
-    // even a fresh one hitting the cached listing) fails on vanished parts
-    spark.catalog.refreshByPath(live.toString)
+    graft.operators.IndexFiles.stagedSwap(spark, dir, "codes") { current =>
+      dropIds.fold(current)(ids => current.join(
+          ids.select(col(idCol).as("__cid")).distinct(), Seq("__cid"), "left_anti"))
+        .dropDuplicates("__cid", "cell", "s")
+    }
     IvfPqResidualIndex.read(spark, dir)
   }
 
@@ -658,6 +676,7 @@ object Similarity {
     val subsPath = new org.apache.hadoop.fs.Path(s"$dir/_subs")
     subsPath.getFileSystem(spark.sessionState.newHadoopConf())
       .delete(subsPath, true)
+    IvfPqMeta.write(spark, dir, IvfPqMeta(nBits, dim, m, pqBits))
     IvfPqResidualIndex.read(spark, dir)
   }
 
@@ -690,6 +709,13 @@ object Similarity {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     graft.functions.TajoFunctions.register(batch.sparkSession)
     val spark = batch.sparkSession
+    // geometry mismatch must throw BEFORE any rows land — appending codes
+    // sliced under a different (dim, m) corrupts the index silently
+    IvfPqMeta.read(spark, dir).foreach { stored =>
+      require(stored.dim == dim && stored.m == m,
+        s"appendIvfPqResidualIndex geometry mismatch: stored (dim=${stored.dim}, " +
+          s"m=${stored.m}), passed (dim=$dim, m=$m) — use the stored values")
+    }
     val subDim = dim / m
     val cent = spark.read.parquet(s"$dir/cent")
     val codebook = spark.read.parquet(s"$dir/codebook")
@@ -725,6 +751,7 @@ object Similarity {
     // misconfiguration must fail loudly, not return k' < k neighbors.
     require(rerank == 0 || rerank >= k,
       s"rerank=$rerank must be 0 (off) or >= k=$k (shortlist size)")
+    index.requireGeometry(dim, m)
     graft.functions.TajoFunctions.register(probes.sparkSession)
     val subDim = dim / m
     val cent = index.cent

@@ -203,31 +203,56 @@ object StreamingDedup {
     *
     * Delivery: foreachBatch is at-least-once under retries. Both halves
     * tolerate a replay — the index append is idempotent at read time
-    * (duplicate rows collapse through the verify join / compaction) and
-    * the pair sink carries at most duplicate ROWS of identical pairs, so
+    * (duplicate rows collapse through the verify join / compaction), and
+    * the pair check anti-joins out candidates whose corpus_id is IN the
+    * current batch: on a replay the crashed attempt's append has already
+    * folded the batch into the index, so without that guard the rerun
+    * would emit brand-new within-batch pairs the clean run never produces
+    * (violating the sequential-composition contract, not just duplicating
+    * rows). With it, a replay emits exactly the original pair rows, and
     * consumers dedupe on (new_id, corpus_id) (the shipped query does).
-    * Not concurrent-safe with an external compaction (the standard
-    * quiesce-writers contract). */
+    * On a clean run the guard is a no-op by construction (batch ids are
+    * not yet in the index). Not concurrent-safe with an external
+    * compaction (the standard quiesce-writers contract). */
   def indexedNearDupStream(docs: DataFrame, indexDir: String, pairsDir: String,
                            k: Int = 16, shingleN: Int = 3, bands: Int = 8,
                            rowsPerBand: Int = 2, minMatches: Int = 8)
     : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val spark = batch.sparkSession
-        // one evaluation feeds both the check and the append — a
-        // non-deterministic upstream cannot diverge between them
-        val b = batch.localCheckpoint()
-        val idx = graft.operators.Dedup.MinhashIndex.read(spark, indexDir)
-        graft.operators.Dedup
-          .incrementalNearDups(idx, b, "doc_id", "text",
-            k, shingleN, bands, rowsPerBand, minMatches)
-          .write.mode("append").parquet(pairsDir)
-        graft.operators.Dedup.appendMinhashIndex(
-          b, "doc_id", "text", indexDir, k, shingleN, bands, rowsPerBand)
-        ()
+        indexedNearDupBatch(batch.toDF(), indexDir, pairsDir,
+          k, shingleN, bands, rowsPerBand, minMatches)
       }
       .start()
+
+  /** The per-micro-batch body of [[indexedNearDupStream]], exposed so the
+    * at-least-once contract is directly testable: invoking it AGAIN with
+    * an already-applied batch (the engine's replay after a crash) must
+    * emit exactly the original pair rows — `StreamingSpec` pins that. */
+  def indexedNearDupBatch(batch: DataFrame, indexDir: String, pairsDir: String,
+                          k: Int = 16, shingleN: Int = 3, bands: Int = 8,
+                          rowsPerBand: Int = 2, minMatches: Int = 8): Unit = {
+    val spark = batch.sparkSession
+    // one evaluation feeds both the check and the append — a
+    // non-deterministic upstream cannot diverge between them
+    val b = batch.localCheckpoint()
+    val idx = graft.operators.Dedup.MinhashIndex.read(spark, indexDir)
+    graft.operators.Dedup
+      .incrementalNearDups(idx, b, "doc_id", "text",
+        k, shingleN, bands, rowsPerBand, minMatches)
+      // replay guard (see scaladoc): pairs against the batch's OWN ids
+      // can only exist when a crashed attempt already appended this
+      // batch — excluding them makes the replay emit exactly the
+      // original rows; a no-op on a clean run
+      .join(b.select(col("doc_id").as("corpus_id")), Seq("corpus_id"), "left_anti")
+      // the using-join hoists the key column first; restore the operator's
+      // documented column order
+      .select("new_id", "corpus_id", "sig_matches", "est_jaccard")
+      .write.mode("append").parquet(pairsDir)
+    graft.operators.Dedup.appendMinhashIndex(
+      b, "doc_id", "text", indexDir, k, shingleN, bands, rowsPerBand)
+    ()
+  }
 
   def nearDupPairs(docs: DataFrame, maxHamming: Int = 3, bands: Int = 4,
                    maxMembers: Int = 0, ttlMs: Long = 0L): Dataset[NearDupPair] = {

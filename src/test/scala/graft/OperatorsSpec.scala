@@ -1451,6 +1451,17 @@ class OperatorsSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("ann_idx_app").toString
     try {
       val idx0 = Similarity.writeIvfPqResidualIndex(corpus, "vec_id", "embedding", dir)
+      // geometry tag: stamped at build, validated loudly on append and
+      // query (a (dim, m) mismatch mis-slices subspaces silently)
+      assert(idx0.meta.contains(Similarity.IvfPqMeta(4, 64, 8, 4)))
+      intercept[IllegalArgumentException] {
+        Similarity.appendIvfPqResidualIndex(batch, "vec_id", "embedding", dir,
+          dim = 64, m = 16)
+      }
+      intercept[IllegalArgumentException] {
+        Similarity.queryIvfPqResidual(idx0, corpus, corpus.limit(1),
+          "vec_id", "embedding", k = 5, dim = 32, m = 8)
+      }
       def codeMap(df: org.apache.spark.sql.DataFrame) = df
         .collect().map { r =>
           def l(i: Int) = r.get(i).asInstanceOf[Number].longValue()
@@ -1556,6 +1567,16 @@ class OperatorsSpec extends AnyFunSuite {
       assert(rows(Dedup.incrementalNearDupsBloom(
         idx, batch2, "doc_id", "text", maintained)) == expected,
         "the maintained sketch must restore exactness")
+      // sidecar crash recovery: a writeFileSwap interrupted between its
+      // renames leaves only the _old file; the next read restores it
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        spark.sessionState.newHadoopConf())
+      assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/_sketch"),
+        new org.apache.hadoop.fs.Path(s"$dir/__sketch_old")))
+      assert(Dedup.readBandSketch(spark, dir)
+        .exists(java.util.Arrays.equals(_, maintained)),
+        "an interrupted sketch write must recover the _old sidecar")
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_sketch")))
       // no persisted sketch -> append maintenance is a no-op (plain dirs
       // keep working); readBandSketch reports absence
       val dir2 = java.nio.file.Files.createTempDirectory("mh_idx_sk2").toString
@@ -1584,6 +1605,18 @@ class OperatorsSpec extends AnyFunSuite {
       assert(Dedup.sketchBitDensity(starved) > Dedup.saturationDensity,
         f"undersized sketch must read saturated " +
           f"(${Dedup.sketchBitDensity(starved)}%.3f)")
+      // sizing past Spark's runtime bloom-filter caps must THROW (the
+      // aggregate would otherwise silently clamp to a saturated 8 MB
+      // sketch while the meta recorded the uncapped geometry)
+      val e = intercept[IllegalArgumentException] {
+        Dedup.buildBandSketch(idx, expectedItems = 1L << 33)
+      }
+      assert(e.getMessage.contains("maxNumBits"), e.getMessage)
+      intercept[IllegalArgumentException] {
+        Dedup.buildDigestSketch(
+          idx.sigs.select(col("doc_id").cast("string").as("digest")),
+          expectedItems = 1L << 33)
+      }
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 

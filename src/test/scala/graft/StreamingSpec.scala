@@ -177,6 +177,15 @@ class StreamingSpec extends AnyFunSuite {
       val oneShot = rows(Dedup.incrementalNearDups(
         idxAll, b1.unionAll(b2), "doc_id", "text"))
       assert(run(stage("one"), oneFilePerTrigger = false) == oneShot)
+      // at-least-once replay: re-invoking the per-batch body with an
+      // ALREADY-APPLIED batch (the engine's crash-recovery path) must
+      // emit only duplicate rows of the original pairs — the replay
+      // guard anti-joins out the within-batch pairs the re-run would
+      // otherwise mint against the batch's own appended copy
+      StreamingDedup.indexedNearDupBatch(b2, s"$base/two/idx", s"$base/two/pairs")
+      assert(rows(spark.read.parquet(s"$base/two/pairs")
+          .dropDuplicates("new_id", "corpus_id")) == step1 ++ step2,
+        "a replayed batch must not mint new pairs")
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 
