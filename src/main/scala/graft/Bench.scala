@@ -78,7 +78,8 @@ object Bench {
       "q_dedup_minhash_index", "q_dedup_minhash_index_bloom",
       "q_dedup_minhash_index_bloom_bc", "q_dedup_minhash_index_bloom_maintained",
       "q_dedup_minhash_index_append", "q_dedup_minhash_index_compact",
-      "q_dedup_minhash_cross_index", "q_ann_ivfadc_store", "q_ann_ivfadc_append",
+      "q_dedup_minhash_cross_index", "q_dedup_minhash_index_clusters",
+      "q_ann_ivfadc_store", "q_ann_ivfadc_append",
       "q_ann_ivfadc_compact")
     val (churnQs, mainQs) = selected.partition(q =>
       q.name.startsWith("q_store_") || q.name.startsWith("q_stream_") ||

@@ -610,6 +610,166 @@ object Dedup {
     MinhashIndex.read(spark, dir)
   }
 
+  // signature-agreement verify shared by every (d1, d2)-shaped pair
+  // producer: join both sides' sigs, count agreeing positions, keep pairs
+  // at >= minMatches. dropDuplicates guards against duplicate sig rows
+  // (a retried append) fanning one logical pair into several.
+  private def verifySigPairs(sigs: DataFrame, pairs: DataFrame, idCol: String,
+                             minMatches: Int): DataFrame =
+    pairs.join(sigs.select(col(idCol).as("d1"), col("sig").as("__s1")), "d1")
+      .join(sigs.select(col(idCol).as("d2"), col("sig").as("__s2")), "d2")
+      .filter(expr("SIZE(FILTER(ZIP_WITH(__s1, __s2, (a, b) -> a = b), x -> x))")
+        >= minMatches)
+      .select("d1", "d2")
+      .dropDuplicates("d1", "d2")
+
+  /** Verified near-dup pairs WITHIN one stored [[MinhashIndex]]: the band
+    * table's self-join (canonical d1 < d2) verified against the stored
+    * sigs at `minMatches` — the corpus-internal pair set an incremental
+    * deployment computes ONCE to seed its cluster state
+    * ([[writeClusterState]]). Index-sized: candidates come from a band-key
+    * shuffle of the stored band table and only candidates pay the
+    * signature verify; corpus text is never read. */
+  def indexSelfPairs(index: MinhashIndex, idCol: String, k: Int = 16,
+                     minMatches: Int = 8): DataFrame = {
+    index.meta.foreach(m => require(m.k == k,
+      s"indexSelfPairs: k=$k differs from the stored k=${m.k}"))
+    require(minMatches >= 1 && minMatches <= k,
+      s"minMatches must be in [1, $k], got $minMatches")
+    verifySigPairs(index.sigs, minhashCandidates(index.bands, idCol), idCol,
+      minMatches)
+  }
+
+  /** Verified near-dup pairs WITHIN a batch: LSH candidates
+    * ([[minhashCandidates]]) confirmed by signature agreement at
+    * `minMatches` — the same pair definition [[incrementalNearDups]]
+    * applies across the batch/corpus boundary, so the three pair sets an
+    * incremental clustering run feeds to [[mergeClusters]] (stored
+    * corpus-internal, cross, in-batch) are one uniform relation. The
+    * batch signature subplan evaluates once for the candidates and twice
+    * in the verify join — the adjudicated incremental-batch trade (see
+    * [[incrementalNearDups]]); persist the batch sigs if batches are
+    * huge. */
+  def batchNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 16, shingleN: Int = 3, bands: Int = 8,
+                        rowsPerBand: Int = 2, minMatches: Int = 8): DataFrame = {
+    require(bands * rowsPerBand == k,
+      s"bands * rowsPerBand must equal k, got $bands * $rowsPerBand != $k")
+    require(minMatches >= 1 && minMatches <= k,
+      s"minMatches must be in [1, $k], got $minMatches")
+    val sigs = minhashSignature(docs, idCol, textCol, k, shingleN)
+    verifySigPairs(sigs,
+      minhashCandidates(minhashBands(sigs, idCol, bands, rowsPerBand), idCol),
+      idCol, minMatches)
+  }
+
+  /** Fold a batch's near-dup pairs into an EXISTING cluster assignment
+    * WITHOUT re-running connected components over the corpus —
+    * incremental CC maintenance, the missing piece between
+    * [[incrementalNearDups]] (pair detection against a stored index) and
+    * [[duplicateClusters]] (whole-corpus clustering): at 100 TB the
+    * corpus-wide CC is a build-time cost, and each ingest batch must
+    * update the keeper map at BATCH cost, not corpus cost.
+    *
+    * Inputs: `stored` — the current (doc_id, keeper) assignment (every
+    * keeper the min id of its cluster, [[duplicateClusters]]'s
+    * invariant); `crossPairs` — batch-vs-corpus pairs as
+    * (new_id, corpus_id) (from [[incrementalNearDups]]); `inBatchPairs` —
+    * batch-internal pairs as (d1, d2) (from [[batchNearDupPairs]]). Ids
+    * must be unique across corpus and batch (the standard index
+    * contract).
+    *
+    * Algorithm: contract the stored partition to its keepers (contraction
+    * by any valid partition preserves components), build the merge graph
+    * over {touched keepers, touched corpus singletons, batch ids} — its
+    * size is bounded by the PAIR count, never the corpus — solve CC there
+    * ([[duplicateClusters]]), then relabel. Every stored keeper is the
+    * min id of its cluster and batch/singleton nodes are their own ids,
+    * so the merge component's min label IS the merged cluster's global
+    * min id: the output is exactly what [[duplicateClusters]] would
+    * return over the union of all three pair sets (spec-pinned).
+    *
+    * Scale shape: the only corpus-sized work is ONE equi-join of `stored`
+    * against the relabel map, which is merge-CC-sized (touched clusters
+    * only) and therefore broadcastable — AQE picks the broadcast at
+    * runtime. Returns the full updated (doc_id, keeper); docs in no pair
+    * ever still have no row (same coverage rule as
+    * [[duplicateClusters]]). */
+  def mergeClusters(stored: DataFrame, crossPairs: DataFrame,
+                    inBatchPairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // batch endpoints keep their ids; corpus endpoints contract to their
+    // stored keeper (docs absent from `stored` are singletons = own id)
+    val keeperOf = stored.select(col("doc_id").as("__cid"), col("keeper").as("__k"))
+    val crossEdges = crossPairs.select(col("new_id"), col("corpus_id"))
+      .join(keeperOf, col("corpus_id") === col("__cid"), "left")
+      .select(col("new_id").as("d1"),
+        coalesce(col("__k"), col("corpus_id")).as("d2"))
+    val merged = duplicateClusters(
+      crossEdges.unionAll(inBatchPairs.select(col("d1"), col("d2"))), maxIter)
+    // relabel map: merge-graph node -> its merged component's min id.
+    // Stored-keeper nodes relabel their whole cluster through the join
+    // below; batch ids and corpus singletons cannot collide with stored
+    // keepers (ids unique across sides; singletons have no stored row).
+    val relabel = merged.select(col("doc_id").as("__old"), col("keeper").as("__new"))
+    val relabeled = stored.join(relabel, stored("keeper") === col("__old"), "left")
+      .select(stored("doc_id"),
+        coalesce(col("__new"), stored("keeper")).as("keeper"))
+    // merge-graph nodes with no stored row: batch docs + corpus singletons
+    val extras = merged
+      .join(stored.select(col("doc_id").as("__d")),
+        merged("doc_id") === col("__d"), "left_anti")
+      .select(col("doc_id"), col("keeper"))
+    relabeled.unionAll(extras)
+  }
+
+  /** Seed + persist the cluster state for the stored index at `dir`:
+    * connected components over [[indexSelfPairs]] written to
+    * `dir/clusters` — run once at index build time, then maintained per
+    * batch by [[foldClusterState]]. `k` is taken from the index's
+    * `_meta.json` tag when present. Returns the state re-read from
+    * `dir`. */
+  def writeClusterState(spark: org.apache.spark.sql.SparkSession, dir: String,
+                        idCol: String = "doc_id",
+                        minMatches: Int = 8): DataFrame = {
+    val idx = MinhashIndex.read(spark, dir)
+    val k = idx.meta.map(_.k).getOrElse(16)
+    duplicateClusters(
+        indexSelfPairs(idx, idCol, k, minMatches)
+          .select(col("d1"), col("d2")))
+      .write.mode("overwrite").parquet(s"$dir/clusters")
+    spark.read.parquet(s"$dir/clusters")
+  }
+
+  /** The persisted cluster assignment at `dir/clusters`, with the same
+    * read-side crash recovery as the index tables (an interrupted
+    * [[foldClusterState]] swap restores the pre-fold state — correct,
+    * just missing the batch: re-run the fold). */
+  def readClusterState(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): DataFrame = {
+    IndexFiles.recoverInterruptedSwap(spark, dir, "clusters", "readClusterState")
+    spark.read.parquet(s"$dir/clusters")
+  }
+
+  /** Fold a checked batch's pairs into the persisted cluster state:
+    * [[mergeClusters]] over the live `dir/clusters` table, written back
+    * via the staged two-rename swap (same crash contract and LSM-style
+    * no-concurrent-writer rule as [[compactMinhashIndex]]). Call after
+    * [[incrementalNearDups]] (whose output is `crossPairs`) and alongside
+    * [[appendMinhashIndex]] — index append and cluster fold are separate
+    * idempotent-to-retry steps of one ingest. Returns the updated state
+    * re-read from `dir`. */
+  def foldClusterState(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       crossPairs: DataFrame,
+                       inBatchPairs: DataFrame): DataFrame = {
+    // materialize the inputs first: the swap rewrite must not re-evaluate
+    // plans that could read the table mid-rename
+    val cross = crossPairs.select(col("new_id"), col("corpus_id")).localCheckpoint()
+    val inb = inBatchPairs.select(col("d1"), col("d2")).localCheckpoint()
+    IndexFiles.stagedSwap(spark, dir, "clusters")(
+      stored => mergeClusters(stored, cross, inb))
+    readClusterState(spark, dir)
+  }
+
   /** Corpus-level MinHash sketch per group: elementwise minimum of the
     * per-doc signatures, i.e. the MinHash of the UNION of all shingle sets
     * in the group. Sketches are mergeable (min is associative/commutative),

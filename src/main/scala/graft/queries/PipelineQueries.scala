@@ -1142,6 +1142,76 @@ object PipelineQueries {
             |WHERE sig_matches >= 8
             |ORDER BY new_id, corpus_id""".stripMargin))
 
+  // Incremental cluster maintenance on the persisted index
+  // (Dedup.writeClusterState / foldClusterState): the corpus's duplicate-
+  // cluster assignment is seeded ONCE from the stored index (indexSelfPairs
+  // -> duplicateClusters -> dir/clusters) and then each batch's pairs fold
+  // in at BATCH cost — the merge CC runs over {touched keepers, corpus
+  // singletons, batch ids}, never the corpus. The oracle recomputes the
+  // components FROM SCRATCH over corpus UNION batch with the same uniform
+  // pair definition (band candidates verified at >= 8/16 agreement) via a
+  // recursive transitive closure — a missed transitive merge through old
+  // clusters, a dropped singleton pull-in, or a stale keeper all hash-fail.
+  // The fixture's +400000 block copies 150..159 verbatim, so in-batch
+  // exact pairs chain batch-batch-corpus (multi-hop merges through the
+  // contracted graph).
+  private val qMinhashIndexClusters = df("q_dedup_minhash_index_clusters",
+    (sp, dir) => {
+      val docs = graft.engine.Tables.table(sp, dir, "documents")
+      val corpus = docs.filter(col("doc_id") < 200)
+      val batch = docs.filter(col("doc_id").between(150, 199))
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+        .unionAll(docs.filter(col("doc_id") < 150 && col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 200000L).as("doc_id"),
+            concat(col("text"), lit(" tailnoise")).as("text")))
+        .unionAll(docs.filter(col("doc_id").between(150, 159))
+          .select((col("doc_id") + 400000L).as("doc_id"), col("text")))
+      val idxDir = s"$mhIdxScratch/${java.util.UUID.randomUUID().toString.take(8)}"
+      val idx = graft.operators.Dedup.writeMinhashIndex(corpus, "doc_id", "text", idxDir)
+      graft.operators.Dedup.writeClusterState(sp, idxDir, "doc_id")
+      val cross = graft.operators.Dedup.incrementalNearDups(idx, batch, "doc_id", "text")
+      val inBatch = graft.operators.Dedup.batchNearDupPairs(batch, "doc_id", "text")
+      graft.operators.Dedup.foldClusterState(sp, idxDir, cross, inBatch)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE corpus AS (
+            |  SELECT doc_id, text FROM documents WHERE doc_id < 200 AND text IS NOT NULL
+            |), batch AS (
+            |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+            |  WHERE doc_id BETWEEN 150 AND 199 AND text IS NOT NULL
+            |  UNION ALL
+            |  SELECT doc_id + 200000, text || ' tailnoise' FROM documents
+            |  WHERE doc_id < 150 AND doc_id % 7 = 0 AND text IS NOT NULL
+            |  UNION ALL
+            |  SELECT doc_id + 400000, text FROM documents
+            |  WHERE doc_id BETWEEN 150 AND 159 AND text IS NOT NULL
+            |), ${duckSigChain("corpus", "c")},
+            |${duckSigChain("batch", "b")},
+            |all_bands AS (
+            |  SELECT * FROM bands_c UNION ALL SELECT * FROM bands_b
+            |), all_sigs AS (
+            |  SELECT * FROM sigs_c UNION ALL SELECT * FROM sigs_b
+            |), cand AS (
+            |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+            |  FROM all_bands a JOIN all_bands b
+            |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+            |), verified AS (
+            |  SELECT c.d1, c.d2 FROM cand c
+            |  JOIN all_sigs s1 ON c.d1 = s1.doc_id
+            |  JOIN all_sigs s2 ON c.d2 = s2.doc_id
+            |  WHERE len(list_filter(range(1, 17), i -> s1.sig[i] = s2.sig[i])) >= 8
+            |), edges AS (
+            |  SELECT d1 AS a, d2 AS b FROM verified
+            |  UNION SELECT d2 AS a, d1 AS b FROM verified
+            |), reach AS (
+            |  SELECT a, b FROM edges
+            |  UNION
+            |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            |)
+            |SELECT a AS doc_id, LEAST(a, MIN(b)) AS keeper
+            |FROM reach GROUP BY a
+            |ORDER BY doc_id""".stripMargin))
+
   // Compaction with tombstones (Dedup.compactMinhashIndex): the lifecycle
   // end of the index story — batch1 recrawls are appended, the ORIGINALS
   // they replace are tombstoned, a duplicate append simulates a retried
@@ -2585,7 +2655,7 @@ object PipelineQueries {
     qSimhashPairs, qSimhashPairs60, qStreamNearDup, qStreamMinhashNearDup, qLmScore, qParagraphDedup, qIncrementalDedup, qIncrementalBloom,
     qMinhashIndex, qMinhashIndexBloom, qMinhashIndexBloomBc,
     qMinhashIndexBloomMaintained, qMinhashIndexAppend, qMinhashIndexCompact,
-    qMinhashCrossIndex, qStreamMinhashIndexed,
+    qMinhashCrossIndex, qStreamMinhashIndexed, qMinhashIndexClusters,
     qDecontaminateExact, qSubstringSpans, qSubstringSpansWide,
     qSubstringSpansStride1, qSubstringScrub,
     qSample, qSampleStratified, qInterleave, qSplit,

@@ -1372,6 +1372,93 @@ class OperatorsSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("mergeClusters: incremental fold equals full CC recompute (bridge, pull-in, untouched)") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    // corpus clusters {1,2}, {3,4}, {7,8}; 5 is a corpus singleton
+    val corpusPairs = Seq((1L, 2L), (3L, 4L), (7L, 8L)).toDF("d1", "d2")
+    val stored = Dedup.duplicateClusters(corpusPairs)
+    // 101 bridges {1,2} and {3,4} (a MERGE of two stored clusters);
+    // 102 pulls in the singleton 5; 103-104 is a batch-only cluster
+    val cross = Seq((101L, 2L), (101L, 3L), (102L, 5L)).toDF("new_id", "corpus_id")
+    val inBatch = Seq((103L, 104L)).toDF("d1", "d2")
+    val got = Dedup.mergeClusters(stored, cross, inBatch)
+    val full = Dedup.duplicateClusters(corpusPairs
+      .unionAll(cross.select($"new_id".as("d1"), $"corpus_id".as("d2")))
+      .unionAll(inBatch))
+    assert(rows(got) == rows(full))
+    val byId = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // merged: every member of both old clusters + the bridge doc -> global min 1
+    assert(Seq(1L, 2L, 3L, 4L, 101L).forall(byId(_) == 1L))
+    // singleton pulled in under its own (smaller) id
+    assert(byId(5L) == 5L && byId(102L) == 5L)
+    // untouched cluster keeps its stored keeper
+    assert(byId(7L) == 7L && byId(8L) == 7L)
+    // batch-only cluster
+    assert(byId(103L) == 103L && byId(104L) == 103L)
+    // docs in no pair have no row
+    assert(!byId.contains(6L))
+  }
+
+  test("mergeClusters: randomized incremental == full recompute across seeds") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    for (seed <- Seq(7, 41, 113)) {
+      val rnd = new scala.util.Random(seed)
+      val corpusIds = (1L to 40L).toSeq
+      val batchIds = (101L to 120L).toSeq
+      def pick[T](xs: Seq[T]) = xs(rnd.nextInt(xs.size))
+      val corpusPairs = Seq.fill(25)((pick(corpusIds), pick(corpusIds)))
+        .filter(p => p._1 != p._2).toDF("d1", "d2")
+      val cross = Seq.fill(15)((pick(batchIds), pick(corpusIds)))
+        .toDF("new_id", "corpus_id")
+      val inBatch = Seq.fill(10)((pick(batchIds), pick(batchIds)))
+        .filter(p => p._1 != p._2).toDF("d1", "d2")
+      val stored = Dedup.duplicateClusters(corpusPairs)
+      val got = Dedup.mergeClusters(stored, cross, inBatch)
+      val full = Dedup.duplicateClusters(corpusPairs
+        .unionAll(cross.select($"new_id".as("d1"), $"corpus_id".as("d2")))
+        .unionAll(inBatch))
+      assert(rows(got) == rows(full), s"seed $seed diverged from full recompute")
+    }
+  }
+
+  test("cluster state lifecycle: seed from index, fold batches, recover interrupted swap") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    val base = Tables.table(spark, sfDir, "documents")
+    val corpus = base.filter($"doc_id" < 150)
+    val batch = base.filter($"doc_id".between(120, 149))
+      .select(($"doc_id" + 10000L).as("doc_id"), $"text")
+      .unionAll(base.filter($"doc_id".between(120, 129))
+        .select(($"doc_id" + 20000L).as("doc_id"), $"text"))
+    val dir = java.nio.file.Files.createTempDirectory("mh_idx_cc").toString
+    try {
+      val idx = Dedup.writeMinhashIndex(corpus, "doc_id", "text", dir)
+      // seeded state == CC over the index's own verified pair set
+      val seeded = Dedup.writeClusterState(spark, dir, "doc_id")
+      val selfPairs = Dedup.indexSelfPairs(idx, "doc_id")
+      assert(rows(seeded) == rows(Dedup.duplicateClusters(selfPairs)))
+      // fold == full recompute over the union of all three pair sets
+      val cross = Dedup.incrementalNearDups(idx, batch, "doc_id", "text")
+      val inBatch = Dedup.batchNearDupPairs(batch, "doc_id", "text")
+      val folded = Dedup.foldClusterState(spark, dir, cross, inBatch)
+      val full = Dedup.duplicateClusters(selfPairs
+        .unionAll(cross.select($"new_id".as("d1"), $"corpus_id".as("d2")))
+        .unionAll(inBatch.select($"d1", $"d2")))
+      assert(rows(folded) == rows(full))
+      assert(rows(folded).nonEmpty, "recrawl batch must produce clusters")
+      // the persisted table equals the returned one
+      assert(rows(Dedup.readClusterState(spark, dir)) == rows(folded))
+      // crash window: live renamed aside, replacement never landed ->
+      // read recovers the pre-fold state
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        spark.sessionState.newHadoopConf())
+      assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/clusters"),
+        new org.apache.hadoop.fs.Path(s"$dir/_clusters_old")))
+      assert(rows(Dedup.readClusterState(spark, dir)) == rows(folded),
+        "recovery must restore the cluster table")
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/clusters")))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("MinhashIndex read recovers from an interrupted compaction swap") {
     val base = Tables.table(spark, sfDir, "documents")
     val corpus = base.filter($"doc_id" < 60)
