@@ -770,6 +770,56 @@ object Dedup {
     readClusterState(spark, dir)
   }
 
+  /** Repair the persisted cluster state after documents are DROPPED from
+    * the corpus — the cluster-side companion of [[compactMinhashIndex]],
+    * and the one maintenance event an assignment table cannot absorb
+    * locally: a deletion can SPLIT a cluster (connectivity may have
+    * flowed through the dropped doc) and delete a keeper (orphaning the
+    * label), so no relabel of surviving rows is correct in general.
+    * Affected clusters — those containing a dropped id — are re-SOLVED
+    * from the index pair set restricted to their surviving members: the
+    * band self-join and signature verify run over member-sized slices of
+    * the stored tables (semi-joined on the survivor set), never the
+    * corpus, so the repair is proportional to the affected clusters.
+    * Untouched clusters keep their rows verbatim. Survivors left in no
+    * pair drop out of the state (the coverage rule everywhere else:
+    * docs in no pair have no row).
+    *
+    * Correct because verified pairs never cross cluster boundaries (a
+    * cross-cluster pair would have merged the clusters), so re-solving
+    * each affected cluster over its own members reproduces exactly what
+    * a full recompute over the shrunken corpus would assign
+    * (oracle-gated). The survivor restriction is explicit, so the result
+    * does not depend on whether [[compactMinhashIndex]] already removed
+    * the dropped ids' index rows — run the two compactions in either
+    * order. Write-back is the staged two-rename swap (same crash/LSM
+    * contract as everywhere else). Returns the repaired state re-read
+    * from `dir`. */
+  def compactClusterState(spark: org.apache.spark.sql.SparkSession, dir: String,
+                          dropIds: DataFrame, idCol: String = "doc_id",
+                          minMatches: Int = 8): DataFrame = {
+    val idx = MinhashIndex.read(spark, dir)
+    val k = idx.meta.map(_.k).getOrElse(16)
+    val drops = dropIds.select(col(idCol).as("doc_id")).distinct()
+      .localCheckpoint()
+    IndexFiles.stagedSwap(spark, dir, "clusters") { stored =>
+      val affectedKeepers = stored.join(drops, "doc_id")
+        .select(col("keeper")).distinct()
+      val survivors = stored.join(affectedKeepers, "keeper")
+        .join(drops, Seq("doc_id"), "left_anti")
+        .select(col("doc_id").as(idCol))
+      val subIdx = MinhashIndex(
+        idx.bands.join(survivors, Seq(idCol), "left_semi"),
+        idx.sigs.join(survivors, Seq(idCol), "left_semi"),
+        idx.meta)
+      val recomputed = duplicateClusters(indexSelfPairs(subIdx, idCol, k, minMatches))
+      stored.join(affectedKeepers, Seq("keeper"), "left_anti")
+        .select(col("doc_id"), col("keeper"))
+        .unionAll(recomputed)
+    }
+    readClusterState(spark, dir)
+  }
+
   /** Corpus-level MinHash sketch per group: elementwise minimum of the
     * per-doc signatures, i.e. the MinHash of the UNION of all shingle sets
     * in the group. Sketches are mergeable (min is associative/commutative),

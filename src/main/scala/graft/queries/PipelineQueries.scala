@@ -1212,6 +1212,74 @@ object PipelineQueries {
             |FROM reach GROUP BY a
             |ORDER BY doc_id""".stripMargin))
 
+  // Deletion repair of the cluster state (Dedup.compactClusterState): the
+  // cluster-side companion of index compaction. Dropping docs can SPLIT a
+  // cluster (connectivity flowed through the dropped doc) and delete
+  // keepers, so affected clusters re-solve from survivor-restricted index
+  // pairs while untouched clusters keep their rows. The fixture plants a
+  // five-doc sliding-window chain (two exact twins at each end, one
+  // bridge in the middle, constructed byte-identically on both engines)
+  // and drops the bridge plus a block of fixture docs; the oracle
+  // recomputes the components FROM SCRATCH over the shrunken corpus — an
+  // unsplit cluster, a stale keeper, or a surviving dropped row all
+  // hash-fail.
+  private val qMinhashClusterCompact = df("q_dedup_minhash_cluster_compact",
+    (sp, dir) => {
+      val docs = graft.engine.Tables.table(sp, dir, "documents")
+      val chain = sp.createDataFrame(java.util.Arrays.asList(
+          org.apache.spark.sql.Row(900001L, 0), org.apache.spark.sql.Row(900002L, 0),
+          org.apache.spark.sql.Row(900003L, 10), org.apache.spark.sql.Row(900004L, 20),
+          org.apache.spark.sql.Row(900005L, 20)),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("lo",
+              org.apache.spark.sql.types.IntegerType))))
+        .selectExpr("doc_id",
+          "ARRAY_JOIN(TRANSFORM(SEQUENCE(lo, lo + 39), " +
+            "j -> CONCAT('chainw', CAST(j AS STRING))), ' ') AS text")
+      val corpus = docs.filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text")).unionAll(chain)
+      val drops = docs.filter(col("doc_id").between(150, 159)).select("doc_id")
+        .unionAll(sp.range(900003L, 900004L).select(col("id").as("doc_id")))
+      val idxDir = s"$mhIdxScratch/${java.util.UUID.randomUUID().toString.take(8)}"
+      graft.operators.Dedup.writeMinhashIndex(corpus, "doc_id", "text", idxDir)
+      graft.operators.Dedup.writeClusterState(sp, idxDir, "doc_id")
+      graft.operators.Dedup.compactMinhashIndex(sp, idxDir, dropIds = Some(drops))
+      graft.operators.Dedup.compactClusterState(sp, idxDir, drops)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE corpus AS (
+            |  SELECT doc_id, text FROM documents
+            |  WHERE doc_id < 200 AND doc_id NOT BETWEEN 150 AND 159
+            |    AND text IS NOT NULL
+            |  UNION ALL
+            |  SELECT CAST(did AS BIGINT),
+            |    array_to_string(list_transform(range(lo, lo + 40),
+            |      j -> 'chainw' || CAST(j AS VARCHAR)), ' ')
+            |  FROM (VALUES (900001, 0), (900002, 0), (900004, 20), (900005, 20)) t(did, lo)
+            |), ${duckSigChain("corpus", "c")},
+            |cand AS (
+            |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+            |  FROM bands_c a JOIN bands_c b
+            |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+            |), verified AS (
+            |  SELECT c.d1, c.d2 FROM cand c
+            |  JOIN sigs_c s1 ON c.d1 = s1.doc_id
+            |  JOIN sigs_c s2 ON c.d2 = s2.doc_id
+            |  WHERE len(list_filter(range(1, 17), i -> s1.sig[i] = s2.sig[i])) >= 8
+            |), edges AS (
+            |  SELECT d1 AS a, d2 AS b FROM verified
+            |  UNION SELECT d2 AS a, d1 AS b FROM verified
+            |), reach AS (
+            |  SELECT a, b FROM edges
+            |  UNION
+            |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            |)
+            |SELECT a AS doc_id, LEAST(a, MIN(b)) AS keeper
+            |FROM reach GROUP BY a
+            |ORDER BY doc_id""".stripMargin))
+
   // Compaction with tombstones (Dedup.compactMinhashIndex): the lifecycle
   // end of the index story — batch1 recrawls are appended, the ORIGINALS
   // they replace are tombstoned, a duplicate append simulates a retried
@@ -2656,6 +2724,7 @@ object PipelineQueries {
     qMinhashIndex, qMinhashIndexBloom, qMinhashIndexBloomBc,
     qMinhashIndexBloomMaintained, qMinhashIndexAppend, qMinhashIndexCompact,
     qMinhashCrossIndex, qStreamMinhashIndexed, qMinhashIndexClusters,
+    qMinhashClusterCompact,
     qDecontaminateExact, qSubstringSpans, qSubstringSpansWide,
     qSubstringSpansStride1, qSubstringScrub,
     qSample, qSampleStratified, qInterleave, qSplit,

@@ -1459,6 +1459,49 @@ class OperatorsSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("compactClusterState: dropping a bridge doc splits its cluster, either compaction order") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    // sliding-window chain: the two ends each have an exact twin, the
+    // middle doc is the only connectivity between them — dropping it must
+    // SPLIT the cluster into {901, 911} and {903, 913}
+    def chainDoc(id: Long, lo: Int) = (id,
+      (lo until lo + 40).map(j => s"chainw$j").mkString(" "))
+    val chain = Seq(chainDoc(901L, 0), chainDoc(911L, 0), chainDoc(902L, 10),
+      chainDoc(903L, 20), chainDoc(913L, 20)).toDF("doc_id", "text")
+    val base = Tables.table(spark, sfDir, "documents")
+    val corpus = base.filter($"doc_id" < 100).select($"doc_id", $"text").unionAll(chain)
+    val drops = Seq(902L).toDF("doc_id")
+    for (indexFirst <- Seq(true, false)) {
+      val dir = java.nio.file.Files.createTempDirectory("mh_idx_ccc").toString
+      try {
+        Dedup.writeMinhashIndex(corpus, "doc_id", "text", dir)
+        val before = Dedup.writeClusterState(spark, dir, "doc_id")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // seeded: the whole chain is one cluster through the bridge
+        assert(Seq(901L, 911L, 902L, 903L, 913L).forall(before(_) == 901L),
+          s"chain must seed as one cluster, got $before")
+        // the survivor restriction is explicit, so the two compactions
+        // commute — exercise both orders
+        if (indexFirst) Dedup.compactMinhashIndex(spark, dir, Some(drops))
+        val repaired = Dedup.compactClusterState(spark, dir, drops)
+        if (!indexFirst) Dedup.compactMinhashIndex(spark, dir, Some(drops))
+        // repaired state == full recompute over the shrunken index
+        val full = Dedup.duplicateClusters(
+          Dedup.indexSelfPairs(Dedup.MinhashIndex.read(spark, dir), "doc_id"))
+        assert(rows(repaired) == rows(full))
+        val byId = repaired.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(byId(901L) == 901L && byId(911L) == 901L)
+        assert(byId(903L) == 903L && byId(913L) == 903L,
+          "dropping the bridge must split the chain cluster")
+        assert(!byId.contains(902L), "dropped docs must leave the state")
+        // untouched fixture clusters keep their assignments
+        val untouchedBefore = before.filter { case (d, k) =>
+          !Seq(901L, 911L, 902L, 903L, 913L).contains(d) }
+        assert(untouchedBefore.forall { case (d, k) => byId.get(d).contains(k) })
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("MinhashIndex read recovers from an interrupted compaction swap") {
     val base = Tables.table(spark, sfDir, "documents")
     val corpus = base.filter($"doc_id" < 60)
