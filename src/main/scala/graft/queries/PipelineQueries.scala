@@ -1212,6 +1212,88 @@ object PipelineQueries {
             |FROM reach GROUP BY a
             |ORDER BY doc_id""".stripMargin))
 
+  // Streaming cluster maintenance (StreamingDedup.indexedClusterStream):
+  // the persisted keeper map stays current under CONTINUOUS ingest — each
+  // micro-batch folds its cross pairs (vs the index as of the batch
+  // start) and its in-batch pairs into indexDir/clusters at batch cost.
+  // Output is the final stored assignment after two mtime-ordered
+  // triggers; the oracle recomputes the components FROM SCRATCH over
+  // corpus UNION batch1 UNION batch2 with the uniform verified-pair
+  // definition — correct because the trigger sequence covers every pair
+  // category (corpus-corpus at seed, corpus-b1 + b1-b1 at trigger 1,
+  // {corpus,b1}-b2 + b2-b2 at trigger 2), so a fold that skipped a
+  // category, double-applied a batch, or reordered triggers hash-fails.
+  private val qStreamMinhashClustered = df("q_stream_minhash_clustered",
+    (sp, dir) => {
+      val docs = graft.engine.Tables.table(sp, dir, "documents")
+      val corpus = docs.filter(col("doc_id") < 200)
+      val batch1 = docs.filter(col("doc_id").between(150, 199))
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      val batch2 = docs.filter(col("doc_id").between(150, 199) && col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          concat(col("text"), lit(" tailnoise")).as("text"))
+      val base = s"$mhIdxScratch/${java.util.UUID.randomUUID().toString.take(8)}"
+      graft.operators.Dedup.writeMinhashIndex(corpus, "doc_id", "text", s"$base/idx")
+      graft.operators.Dedup.writeClusterState(sp, s"$base/idx", "doc_id")
+      Seq(batch1 -> "b1", batch2 -> "b2").zipWithIndex.foreach { case ((df, n), i) =>
+        df.coalesce(1).write.parquet(s"$base/part_$n")
+        new java.io.File(s"$base/in").mkdirs()
+        val f = new java.io.File(s"$base/part_$n").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dest = new java.io.File(s"$base/in/$n.parquet")
+        java.nio.file.Files.move(f.toPath, dest.toPath)
+        dest.setLastModified(1700000000000L + i * 60000L)
+      }
+      val stream = sp.readStream
+        .schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$base/in")
+      val q = graft.streaming.StreamingDedup.indexedClusterStream(
+        stream, s"$base/idx", s"$base/pairs")
+      q.processAllAvailable()
+      q.stop()
+      graft.operators.Dedup.readClusterState(sp, s"$base/idx")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE corpus AS (
+            |  SELECT doc_id, text FROM documents WHERE doc_id < 200 AND text IS NOT NULL
+            |), b1 AS (
+            |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+            |  WHERE doc_id BETWEEN 150 AND 199 AND text IS NOT NULL
+            |), b2 AS (
+            |  SELECT doc_id + 300000 AS doc_id, text || ' tailnoise' AS text
+            |  FROM documents WHERE doc_id BETWEEN 150 AND 199 AND doc_id % 3 = 0
+            |    AND text IS NOT NULL
+            |), ${duckSigChain("corpus", "c")},
+            |${duckSigChain("b1", "b")},
+            |${duckSigChain("b2", "d")},
+            |all_bands AS (
+            |  SELECT * FROM bands_c UNION ALL SELECT * FROM bands_b
+            |  UNION ALL SELECT * FROM bands_d
+            |), all_sigs AS (
+            |  SELECT * FROM sigs_c UNION ALL SELECT * FROM sigs_b
+            |  UNION ALL SELECT * FROM sigs_d
+            |), cand AS (
+            |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+            |  FROM all_bands a JOIN all_bands b
+            |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+            |), verified AS (
+            |  SELECT c.d1, c.d2 FROM cand c
+            |  JOIN all_sigs s1 ON c.d1 = s1.doc_id
+            |  JOIN all_sigs s2 ON c.d2 = s2.doc_id
+            |  WHERE len(list_filter(range(1, 17), i -> s1.sig[i] = s2.sig[i])) >= 8
+            |), edges AS (
+            |  SELECT d1 AS a, d2 AS b FROM verified
+            |  UNION SELECT d2 AS a, d1 AS b FROM verified
+            |), reach AS (
+            |  SELECT a, b FROM edges
+            |  UNION
+            |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            |)
+            |SELECT a AS doc_id, LEAST(a, MIN(b)) AS keeper
+            |FROM reach GROUP BY a
+            |ORDER BY doc_id""".stripMargin))
+
   // Deletion repair of the cluster state (Dedup.compactClusterState): the
   // cluster-side companion of index compaction. Dropping docs can SPLIT a
   // cluster (connectivity flowed through the dropped doc) and delete
@@ -2724,7 +2806,7 @@ object PipelineQueries {
     qMinhashIndex, qMinhashIndexBloom, qMinhashIndexBloomBc,
     qMinhashIndexBloomMaintained, qMinhashIndexAppend, qMinhashIndexCompact,
     qMinhashCrossIndex, qStreamMinhashIndexed, qMinhashIndexClusters,
-    qMinhashClusterCompact,
+    qMinhashClusterCompact, qStreamMinhashClustered,
     qDecontaminateExact, qSubstringSpans, qSubstringSpansWide,
     qSubstringSpansStride1, qSubstringScrub,
     qSample, qSampleStratified, qInterleave, qSplit,

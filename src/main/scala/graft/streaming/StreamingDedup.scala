@@ -254,6 +254,63 @@ object StreamingDedup {
     ()
   }
 
+  /** [[indexedNearDupStream]] plus DURABLE CLUSTER MAINTENANCE: each
+    * micro-batch is checked against the persisted index (pairs append to
+    * `pairsDir` under the same replay guard), the persisted cluster state
+    * at `indexDir/clusters` absorbs the batch's pairs — cross AND
+    * in-batch, the full uniform pair definition — via
+    * [[graft.operators.Dedup.foldClusterState]], and the batch then folds
+    * into the index. After N triggers the stored assignment equals the
+    * batch recompute over everything ingested (oracle-pinned), but each
+    * trigger paid only batch-sized work: the streaming answer to "keep
+    * the keeper map current under continuous ingest" at 100 TB.
+    *
+    * Requires the cluster state to be seeded first
+    * ([[graft.operators.Dedup.writeClusterState]] at index build time).
+    * At-least-once: a replayed batch re-derives the SAME cross pairs
+    * (the replay guard strips pairs against the batch's own appended
+    * ids) and the same in-batch pairs, and re-folding already-folded
+    * pairs is a no-op — contraction maps both endpoints of every pair
+    * into the cluster they already share, so the merge CC returns each
+    * touched keeper to itself (spec-pinned). Same quiesce-writers
+    * contract as the index lifecycle. */
+  def indexedClusterStream(docs: DataFrame, indexDir: String, pairsDir: String,
+                           k: Int = 16, shingleN: Int = 3, bands: Int = 8,
+                           rowsPerBand: Int = 2, minMatches: Int = 8)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        indexedClusterBatch(batch.toDF(), indexDir, pairsDir,
+          k, shingleN, bands, rowsPerBand, minMatches)
+      }
+      .start()
+
+  /** The per-micro-batch body of [[indexedClusterStream]], exposed (like
+    * [[indexedNearDupBatch]]) so the replay contract is directly
+    * testable: a second invocation with an already-applied batch must
+    * leave the cluster state unchanged and emit the original pair rows. */
+  def indexedClusterBatch(batch: DataFrame, indexDir: String, pairsDir: String,
+                          k: Int = 16, shingleN: Int = 3, bands: Int = 8,
+                          rowsPerBand: Int = 2, minMatches: Int = 8): Unit = {
+    val spark = batch.sparkSession
+    val b = batch.localCheckpoint()
+    val idx = graft.operators.Dedup.MinhashIndex.read(spark, indexDir)
+    val cross = graft.operators.Dedup
+      .incrementalNearDups(idx, b, "doc_id", "text",
+        k, shingleN, bands, rowsPerBand, minMatches)
+      // same replay guard as indexedNearDupBatch (see its scaladoc)
+      .join(b.select(col("doc_id").as("corpus_id")), Seq("corpus_id"), "left_anti")
+      .select("new_id", "corpus_id", "sig_matches", "est_jaccard")
+      .localCheckpoint()
+    cross.write.mode("append").parquet(pairsDir)
+    val inBatch = graft.operators.Dedup.batchNearDupPairs(
+      b, "doc_id", "text", k, shingleN, bands, rowsPerBand, minMatches)
+    graft.operators.Dedup.foldClusterState(spark, indexDir, cross, inBatch)
+    graft.operators.Dedup.appendMinhashIndex(
+      b, "doc_id", "text", indexDir, k, shingleN, bands, rowsPerBand)
+    ()
+  }
+
   def nearDupPairs(docs: DataFrame, maxHamming: Int = 3, bands: Int = 4,
                    maxMembers: Int = 0, ttlMs: Long = 0L): Dataset[NearDupPair] = {
     require(maxMembers >= 0, s"maxMembers must be >= 0 (0 = unbounded), got $maxMembers")

@@ -189,6 +189,55 @@ class StreamingSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 
+  test("indexedClusterStream: stored assignment equals full recompute; replay is a no-op") {
+    import graft.operators.Dedup
+    import graft.streaming.StreamingDedup
+    val docs = Tables.table(spark, sfDir, "documents")
+    val corpus = docs.filter(col("doc_id") < 100)
+    val b1 = docs.filter(col("doc_id").between(80, 99))
+      .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+    val b2 = docs.filter(col("doc_id").between(80, 99) && col("doc_id") % 2 === 0)
+      .select((col("doc_id") + 20000L).as("doc_id"),
+        concat(col("text"), lit(" tail")).as("text"))
+    val base = java.nio.file.Files.createTempDirectory("smc").toString
+    try {
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+      Dedup.writeMinhashIndex(corpus, "doc_id", "text", s"$base/idx")
+      Dedup.writeClusterState(spark, s"$base/idx", "doc_id")
+      Seq(b1 -> "b1", b2 -> "b2").zipWithIndex.foreach { case ((df, n), i) =>
+        df.coalesce(1).write.parquet(s"$base/part_$n")
+        new java.io.File(s"$base/in").mkdirs()
+        val f = new java.io.File(s"$base/part_$n").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dest = new java.io.File(s"$base/in/$n.parquet")
+        java.nio.file.Files.move(f.toPath, dest.toPath)
+        dest.setLastModified(1700000000000L + i * 60000L)
+      }
+      val q = StreamingDedup.indexedClusterStream(
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+          .option("maxFilesPerTrigger", "1").parquet(s"$base/in"),
+        s"$base/idx", s"$base/pairs")
+      q.processAllAvailable(); q.stop()
+      // the durable state after two triggers == one-shot CC over ALL
+      // verified pairs of corpus UNION b1 UNION b2
+      val union = corpus.select("doc_id", "text").unionAll(b1).unionAll(b2)
+      val sigs = Dedup.minhashSignature(union, "doc_id", "text")
+      val selfIdx = Dedup.MinhashIndex(Dedup.minhashBands(sigs, "doc_id"), sigs)
+      val expected = rows(Dedup.duplicateClusters(
+        Dedup.indexSelfPairs(selfIdx, "doc_id")))
+      val got = rows(Dedup.readClusterState(spark, s"$base/idx"))
+      assert(got == expected)
+      assert(got.nonEmpty && got.exists(_.head.asInstanceOf[Long] >= 20000L),
+        "b2 docs must appear in the folded state or the test is vacuous")
+      // at-least-once replay: re-applying b2 must leave the state
+      // unchanged (the replay guard keeps the cross pairs identical and
+      // re-folding already-folded pairs is a contraction no-op)
+      StreamingDedup.indexedClusterBatch(b2, s"$base/idx", s"$base/pairs")
+      assert(rows(Dedup.readClusterState(spark, s"$base/idx")) == expected,
+        "a replayed batch must not change the cluster state")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   test("streaming minhash near-dup equals the batch composition and is split-invariant") {
     import graft.streaming.StreamingDedup
     import graft.operators.Dedup
