@@ -243,29 +243,29 @@ object Dedup {
 
   // candidates from the band equi-join + the signature-agreement verify —
   // the shared tail of incrementalNearDups and its Bloom-prefiltered
-  // variant (they differ only in which batch band rows reach the join)
-  private def bandJoinVerify(index: MinhashIndex, bsigs: DataFrame,
-                             bband: DataFrame, idCol: String, k: Int,
-                             minMatches: Int): DataFrame = {
+  // variant (they differ only in which batch band rows reach the join).
+  // private[graft]: the streaming foreachBatch bodies call it directly
+  // with a ONCE-materialized signature table, so one trigger evaluates
+  // the shingle+hash pipeline a single time across check/fold/append.
+  private[graft] def bandJoinVerify(index: MinhashIndex, bsigs: DataFrame,
+                                    bband: DataFrame, idCol: String, k: Int,
+                                    minMatches: Int): DataFrame = {
     val cands = bband.select(col(idCol).as("new_id"), col("band"), col("band_key"))
       .join(index.bands.select(col(idCol).as("corpus_id"), col("band"), col("band_key")),
         Seq("band", "band_key"))
       .filter(col("new_id") =!= col("corpus_id"))
       .select("new_id", "corpus_id").distinct()
-    cands
-      .join(bsigs.select(col(idCol).as("new_id"), col("sig").as("__s1")), "new_id")
-      .join(index.sigs.select(col(idCol).as("corpus_id"), col("sig").as("__s2")), "corpus_id")
-      .withColumn("sig_matches",
-        expr("CAST(SIZE(FILTER(ZIP_WITH(__s1, __s2, (a, b) -> a = b), x -> x)) AS BIGINT)"))
-      .filter(col("sig_matches") >= minMatches)
+    // the shared agreement verify also performs the candidate-sized dedup:
+    // duplicate index rows (a retried appendMinhashIndex after partial
+    // failure) must not duplicate output pairs — this is what makes the
+    // append idempotent at read time; duplicates carry identical sig
+    // values, so any survivor is the right row
+    sigAgreement(cands,
+        bsigs.select(col(idCol), col("sig")),
+        index.sigs.select(col(idCol), col("sig")),
+        "new_id", "corpus_id", minMatches)
       .withColumn("est_jaccard", col("sig_matches") / lit(k.toDouble))
       .select("new_id", "corpus_id", "sig_matches", "est_jaccard")
-      // candidate-sized dedup: duplicate index rows (a retried
-      // appendMinhashIndex after partial failure) must not duplicate
-      // output pairs — this is what makes the append idempotent at read
-      // time; duplicates carry identical sig values, so any survivor is
-      // the right row
-      .dropDuplicates("new_id", "corpus_id")
   }
 
   /** One narrow pass over a stored index's band table folds its
@@ -546,10 +546,24 @@ object Dedup {
     * directory is tagged with the passed params on first append. */
   def appendMinhashIndex(batch: DataFrame, idCol: String, textCol: String,
                          dir: String, k: Int = 16, shingleN: Int = 3,
-                         bands: Int = 8, rowsPerBand: Int = 2): MinhashIndex = {
+                         bands: Int = 8, rowsPerBand: Int = 2): MinhashIndex =
+    appendMinhashIndexFromSigs(
+      minhashSignature(batch, idCol, textCol, k, shingleN).localCheckpoint(),
+      idCol, dir, k, shingleN, bands, rowsPerBand)
+
+  /** [[appendMinhashIndex]] over an already-MATERIALIZED signature table
+    * (the caller must have localCheckpointed it: both appended tables
+    * derive from that one evaluation, which is what keeps a
+    * non-deterministic batch plan from persisting a bands table
+    * inconsistent with the sigs table). Used by the streaming bodies so
+    * one trigger evaluates the signature pipeline once. */
+  private[graft] def appendMinhashIndexFromSigs(bsigs: DataFrame, idCol: String,
+                                                dir: String, k: Int, shingleN: Int,
+                                                bands: Int,
+                                                rowsPerBand: Int): MinhashIndex = {
     require(bands * rowsPerBand == k,
       s"bands * rowsPerBand must equal k, got $bands * $rowsPerBand != $k")
-    val spark = batch.sparkSession
+    val spark = bsigs.sparkSession
     val passed = MinhashMeta(k, shingleN, bands, rowsPerBand)
     MinhashMeta.read(spark, dir) match {
       case Some(stored) => require(stored == passed,
@@ -558,8 +572,6 @@ object Dedup {
           "corrupt the index; use the stored values")
       case None => MinhashMeta.write(spark, dir, passed)
     }
-    val bsigs = minhashSignature(batch, idCol, textCol, k, shingleN)
-      .localCheckpoint()
     bsigs.write.mode("append").parquet(s"$dir/sigs")
     minhashBands(bsigs, idCol, bands, rowsPerBand)
       .write.mode("append").parquet(s"$dir/bands")
@@ -610,18 +622,32 @@ object Dedup {
     MinhashIndex.read(spark, dir)
   }
 
-  // signature-agreement verify shared by every (d1, d2)-shaped pair
-  // producer: join both sides' sigs, count agreeing positions, keep pairs
-  // at >= minMatches. dropDuplicates guards against duplicate sig rows
-  // (a retried append) fanning one logical pair into several.
+  // THE one copy of the signature-agreement verify (every pair producer —
+  // the incremental/cross index queries and the (d1, d2) self/batch pair
+  // sets — goes through here, so the "one uniform pair definition" the
+  // cluster-state operators lean on cannot drift): join each side's sigs,
+  // count agreeing positions, keep pairs at >= minMatches. dropDuplicates
+  // guards against duplicate sig rows (a retried append) fanning one
+  // logical pair into several.
+  private def sigAgreement(pairs: DataFrame, leftSigs: DataFrame,
+                           rightSigs: DataFrame, leftId: String,
+                           rightId: String, minMatches: Int): DataFrame =
+    pairs
+      .join(leftSigs.select(col(leftSigs.columns.head).as(leftId),
+        col("sig").as("__s1")), leftId)
+      .join(rightSigs.select(col(rightSigs.columns.head).as(rightId),
+        col("sig").as("__s2")), rightId)
+      .withColumn("sig_matches",
+        expr("CAST(SIZE(FILTER(ZIP_WITH(__s1, __s2, (a, b) -> a = b), x -> x)) AS BIGINT)"))
+      .filter(col("sig_matches") >= minMatches)
+      .dropDuplicates(leftId, rightId)
+
   private def verifySigPairs(sigs: DataFrame, pairs: DataFrame, idCol: String,
                              minMatches: Int): DataFrame =
-    pairs.join(sigs.select(col(idCol).as("d1"), col("sig").as("__s1")), "d1")
-      .join(sigs.select(col(idCol).as("d2"), col("sig").as("__s2")), "d2")
-      .filter(expr("SIZE(FILTER(ZIP_WITH(__s1, __s2, (a, b) -> a = b), x -> x))")
-        >= minMatches)
+    sigAgreement(pairs,
+        sigs.select(col(idCol), col("sig")), sigs.select(col(idCol), col("sig")),
+        "d1", "d2", minMatches)
       .select("d1", "d2")
-      .dropDuplicates("d1", "d2")
 
   /** Verified near-dup pairs WITHIN one stored [[MinhashIndex]]: the band
     * table's self-join (canonical d1 < d2) verified against the stored
@@ -658,10 +684,18 @@ object Dedup {
     require(minMatches >= 1 && minMatches <= k,
       s"minMatches must be in [1, $k], got $minMatches")
     val sigs = minhashSignature(docs, idCol, textCol, k, shingleN)
-    verifySigPairs(sigs,
-      minhashCandidates(minhashBands(sigs, idCol, bands, rowsPerBand), idCol),
-      idCol, minMatches)
+    batchNearDupPairsFromSigs(sigs,
+      minhashBands(sigs, idCol, bands, rowsPerBand), idCol, minMatches)
   }
+
+  /** [[batchNearDupPairs]] over an already-computed (usually
+    * localCheckpointed) signature table — the spelling the streaming
+    * foreachBatch bodies use so one trigger evaluates the signature
+    * pipeline once across check/fold/append. */
+  private[graft] def batchNearDupPairsFromSigs(bsigs: DataFrame, bband: DataFrame,
+                                               idCol: String,
+                                               minMatches: Int): DataFrame =
+    verifySigPairs(bsigs, minhashCandidates(bband, idCol), idCol, minMatches)
 
   /** Fold a batch's near-dup pairs into an EXISTING cluster assignment
     * WITHOUT re-running connected components over the corpus —
@@ -697,6 +731,23 @@ object Dedup {
     * [[duplicateClusters]]). */
   def mergeClusters(stored: DataFrame, crossPairs: DataFrame,
                     inBatchPairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val (relabel, extras) = mergeRelabel(stored, crossPairs, inBatchPairs, maxIter)
+    stored.join(relabel, stored("keeper") === col("__old"), "left")
+      .select(stored("doc_id"),
+        coalesce(col("__new"), stored("keeper")).as("keeper"))
+      .unionAll(extras)
+  }
+
+  // the merge-CC core of mergeClusters: returns (relabel, extras) where
+  // relabel maps each merge-graph node (__old -> __new; stored-keeper
+  // nodes relabel their whole cluster through a join on stored.keeper)
+  // and extras are the merge-graph nodes with no stored row (batch docs +
+  // corpus singletons) as (doc_id, keeper) rows. Both are merge-CC-sized
+  // — bounded by the PAIR count, never the corpus — which is what lets
+  // the partitioned fold below rewrite only touched buckets.
+  private def mergeRelabel(stored: DataFrame, crossPairs: DataFrame,
+                           inBatchPairs: DataFrame,
+                           maxIter: Int): (DataFrame, DataFrame) = {
     // batch endpoints keep their ids; corpus endpoints contract to their
     // stored keeper (docs absent from `stored` are singletons = own id)
     val keeperOf = stored.select(col("doc_id").as("__cid"), col("keeper").as("__k"))
@@ -707,19 +758,14 @@ object Dedup {
     val merged = duplicateClusters(
       crossEdges.unionAll(inBatchPairs.select(col("d1"), col("d2"))), maxIter)
     // relabel map: merge-graph node -> its merged component's min id.
-    // Stored-keeper nodes relabel their whole cluster through the join
-    // below; batch ids and corpus singletons cannot collide with stored
-    // keepers (ids unique across sides; singletons have no stored row).
+    // Batch ids and corpus singletons cannot collide with stored keepers
+    // (ids unique across sides; singletons have no stored row).
     val relabel = merged.select(col("doc_id").as("__old"), col("keeper").as("__new"))
-    val relabeled = stored.join(relabel, stored("keeper") === col("__old"), "left")
-      .select(stored("doc_id"),
-        coalesce(col("__new"), stored("keeper")).as("keeper"))
-    // merge-graph nodes with no stored row: batch docs + corpus singletons
     val extras = merged
       .join(stored.select(col("doc_id").as("__d")),
         merged("doc_id") === col("__d"), "left_anti")
       .select(col("doc_id"), col("keeper"))
-    relabeled.unionAll(extras)
+    (relabel, extras)
   }
 
   /** Seed + persist the cluster state for the stored index at `dir`:
@@ -768,6 +814,121 @@ object Dedup {
     IndexFiles.stagedSwap(spark, dir, "clusters")(
       stored => mergeClusters(stored, cross, inb))
     readClusterState(spark, dir)
+  }
+
+  /** Bucket expression shared by the partitioned cluster-state spelling:
+    * a doc's row lives in pmod(xxhash64(doc_id), buckets) FOREVER (the
+    * bucket is keyed by doc_id, never by keeper — a keeper change must
+    * not move rows between buckets, or a dynamic-partition rewrite of
+    * the new bucket would strand the stale copy in the old one). */
+  private def clusterBucket(buckets: Int): Column =
+    pmod(xxhash64(col("doc_id")), lit(buckets.toLong))
+
+  private val clusterPartMeta = "_clusters_p_meta.json"
+
+  /** [[writeClusterState]] in the PARTITIONED layout (`dir/clusters_p`,
+    * parquet partitioned by `__bucket = pmod(xxhash64(doc_id), buckets)`)
+    * — the 100 TB deployment spelling: [[foldClusterStatePartitioned]]
+    * rewrites ONLY the buckets containing changed rows, so the per-batch
+    * write is touched-buckets-sized instead of the whole corpus-sized
+    * assignment (the plain `clusters` table's stagedSwap rewrite). Size
+    * `buckets` so corpus_rows/buckets fits a comfortable rewrite unit
+    * (e.g. 1e10 rows / 4096 buckets ~ 2.4M rows/bucket ~ 40 MB). */
+  def writeClusterStatePartitioned(spark: org.apache.spark.sql.SparkSession,
+                                   dir: String, idCol: String = "doc_id",
+                                   minMatches: Int = 8,
+                                   buckets: Int = 64): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val idx = MinhashIndex.read(spark, dir)
+    val k = idx.meta.map(_.k).getOrElse(16)
+    IndexFiles.writeFileSwap(spark, dir, clusterPartMeta,
+      s"""{"buckets":$buckets}""".getBytes("UTF-8"))
+    duplicateClusters(
+        indexSelfPairs(idx, idCol, k, minMatches).select(col("d1"), col("d2")))
+      .withColumn("__bucket", clusterBucket(buckets))
+      .write.mode("overwrite").partitionBy("__bucket")
+      .parquet(s"$dir/clusters_p")
+    readClusterStatePartitioned(spark, dir)
+  }
+
+  private def clusterPartBuckets(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String): Int = {
+    val bytes = IndexFiles.readFileWithRecovery(spark, dir, clusterPartMeta)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no partitioned cluster state at $dir ($clusterPartMeta missing) — " +
+          "seed it with writeClusterStatePartitioned"))
+    val j = org.json4s.jackson.JsonMethods.parse(new String(bytes, "UTF-8"))
+    (j \ "buckets") match {
+      case org.json4s.JInt(v) => v.toInt
+      case other => throw new IllegalArgumentException(
+        s"malformed $clusterPartMeta at $dir: buckets = $other")
+    }
+  }
+
+  /** The partitioned cluster assignment at `dir/clusters_p` (without the
+    * bucket column). Crash contract: an aborted
+    * [[foldClusterStatePartitioned]] write leaves the committed pre-fold
+    * partitions in place (Spark's job-commit staging) — re-run the fold;
+    * folds are idempotent (re-folding already-folded pairs is a
+    * contraction no-op). */
+  def readClusterStatePartitioned(spark: org.apache.spark.sql.SparkSession,
+                                  dir: String): DataFrame =
+    // explicit schema: a seeded-but-empty state (corpus with no internal
+    // near-dup pairs) has partition dirs for nothing — schema inference
+    // over only a _SUCCESS marker throws UNABLE_TO_INFER_SCHEMA
+    clustersP(spark, dir).select("doc_id", "keeper")
+
+  private def clustersP(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): DataFrame =
+    spark.read.schema("doc_id BIGINT, keeper BIGINT, __bucket BIGINT")
+      .parquet(s"$dir/clusters_p")
+
+  /** [[foldClusterState]] against the partitioned layout, with the WRITE
+    * bounded by the touched buckets: the merge CC and relabel map are
+    * pair-count-sized as before, the changed-row set (rows whose keeper
+    * actually moved + brand-new rows) is bounded by the touched clusters,
+    * and only the partitions holding a changed row are rewritten via
+    * dynamic partition overwrite — untouched bucket files are never
+    * read-modify-written. The corpus-sized cost that remains is the
+    * columnar SCAN of (doc_id, keeper) feeding the contraction join —
+    * ~16 B/doc, the check-side cost every fold variant pays — while the
+    * write drops from corpus-sized to touched-buckets-sized. */
+  def foldClusterStatePartitioned(spark: org.apache.spark.sql.SparkSession,
+                                  dir: String, crossPairs: DataFrame,
+                                  inBatchPairs: DataFrame): DataFrame = {
+    val buckets = clusterPartBuckets(spark, dir)
+    val cross = crossPairs.select(col("new_id"), col("corpus_id")).localCheckpoint()
+    val inb = inBatchPairs.select(col("d1"), col("d2")).localCheckpoint()
+    val storedP = clustersP(spark, dir)
+    val stored = storedP.select("doc_id", "keeper")
+    val (relabel, extras) = mergeRelabel(stored, cross, inb, maxIter = 20)
+    // rows whose assignment actually changes: relabeled rows with a new
+    // keeper, plus merge-graph nodes with no stored row — both bounded by
+    // the touched clusters, both materialized before the write so the
+    // dynamic overwrite cannot re-read partitions it is replacing
+    val changed = stored.join(relabel, stored("keeper") === col("__old"))
+      .filter(col("__new") =!= stored("keeper"))
+      .select(stored("doc_id"), col("__new").as("keeper"))
+      .unionAll(extras)
+      .withColumn("__bucket", clusterBucket(buckets))
+      .localCheckpoint()
+    val touched = changed.select("__bucket").distinct()
+      .collect().map(_.getLong(0))   // bounded by `buckets`, a driver scalar list
+    if (touched.nonEmpty) {
+      val keep = storedP.filter(col("__bucket").isin(touched: _*))
+        .join(changed.select(col("doc_id").as("__cd")),
+          col("doc_id") === col("__cd"), "left_anti")
+        .select(col("doc_id"), col("keeper"),
+          col("__bucket").cast("bigint").as("__bucket"))
+      keep.unionAll(changed.select("doc_id", "keeper", "__bucket"))
+        .localCheckpoint()
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__bucket")
+        .parquet(s"$dir/clusters_p")
+      spark.catalog.refreshByPath(s"$dir/clusters_p")
+    }
+    readClusterStatePartitioned(spark, dir)
   }
 
   /** Repair the persisted cluster state after documents are DROPPED from

@@ -32,6 +32,14 @@ private[operators] object IndexFiles {
     * against a simultaneous writer (the standard LSM-style contract). */
   def stagedSwap(spark: SparkSession, dir: String, name: String)
                 (rewrite: DataFrame => DataFrame): Unit = {
+    // self-recover first: if a PRIOR swap of this table crashed between
+    // its renames, the live directory is missing and the documented
+    // remedy — "re-run the operation" — would otherwise throw
+    // PATH_NOT_FOUND on the read below instead of recovering (reads via
+    // the index entry points recover, but a direct retry of the swap
+    // itself must too: the streaming fold's at-least-once replay hits
+    // exactly this path)
+    recoverInterruptedSwap(spark, dir, name, s"stagedSwap($name)")
     val live = new Path(s"$dir/$name")
     val stage = new Path(s"$dir/_${name}_compact")
     val old = new Path(s"$dir/_${name}_old")

@@ -1155,25 +1155,36 @@ object PipelineQueries {
   // The fixture's +400000 block copies 150..159 verbatim, so in-batch
   // exact pairs chain batch-batch-corpus (multi-hop merges through the
   // contracted graph).
-  private val qMinhashIndexClusters = df("q_dedup_minhash_index_clusters",
-    (sp, dir) => {
-      val docs = graft.engine.Tables.table(sp, dir, "documents")
-      val corpus = docs.filter(col("doc_id") < 200)
-      val batch = docs.filter(col("doc_id").between(150, 199))
-        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
-        .unionAll(docs.filter(col("doc_id") < 150 && col("doc_id") % 7 === 0)
-          .select((col("doc_id") + 200000L).as("doc_id"),
-            concat(col("text"), lit(" tailnoise")).as("text")))
-        .unionAll(docs.filter(col("doc_id").between(150, 159))
-          .select((col("doc_id") + 400000L).as("doc_id"), col("text")))
-      val idxDir = s"$mhIdxScratch/${java.util.UUID.randomUUID().toString.take(8)}"
-      val idx = graft.operators.Dedup.writeMinhashIndex(corpus, "doc_id", "text", idxDir)
-      graft.operators.Dedup.writeClusterState(sp, idxDir, "doc_id")
-      val cross = graft.operators.Dedup.incrementalNearDups(idx, batch, "doc_id", "text")
-      val inBatch = graft.operators.Dedup.batchNearDupPairs(batch, "doc_id", "text")
-      graft.operators.Dedup.foldClusterState(sp, idxDir, cross, inBatch)
-        .orderBy("doc_id")
-    },
+  // fixture + pipeline shared by the plain and partitioned cluster-fold
+  // spellings: only the persistence layout differs, so ONE oracle gates
+  // both and any divergence between the two spellings is itself a failure
+  private def clusterFoldQuery(sp: org.apache.spark.sql.SparkSession, dir: String,
+                               partitioned: Boolean): org.apache.spark.sql.DataFrame = {
+    val docs = graft.engine.Tables.table(sp, dir, "documents")
+    val corpus = docs.filter(col("doc_id") < 200)
+    val batch = docs.filter(col("doc_id").between(150, 199))
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      .unionAll(docs.filter(col("doc_id") < 150 && col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          concat(col("text"), lit(" tailnoise")).as("text")))
+      .unionAll(docs.filter(col("doc_id").between(150, 159))
+        .select((col("doc_id") + 400000L).as("doc_id"), col("text")))
+    val idxDir = s"$mhIdxScratch/${java.util.UUID.randomUUID().toString.take(8)}"
+    val idx = graft.operators.Dedup.writeMinhashIndex(corpus, "doc_id", "text", idxDir)
+    val cross = graft.operators.Dedup.incrementalNearDups(idx, batch, "doc_id", "text")
+    val inBatch = graft.operators.Dedup.batchNearDupPairs(batch, "doc_id", "text")
+    val folded =
+      if (partitioned) {
+        graft.operators.Dedup.writeClusterStatePartitioned(sp, idxDir, "doc_id")
+        graft.operators.Dedup.foldClusterStatePartitioned(sp, idxDir, cross, inBatch)
+      } else {
+        graft.operators.Dedup.writeClusterState(sp, idxDir, "doc_id")
+        graft.operators.Dedup.foldClusterState(sp, idxDir, cross, inBatch)
+      }
+    folded.orderBy("doc_id")
+  }
+
+  private val clusterFoldOracle: Option[String] =
     Some(s"""WITH RECURSIVE corpus AS (
             |  SELECT doc_id, text FROM documents WHERE doc_id < 200 AND text IS NOT NULL
             |), batch AS (
@@ -1210,7 +1221,20 @@ object PipelineQueries {
             |)
             |SELECT a AS doc_id, LEAST(a, MIN(b)) AS keeper
             |FROM reach GROUP BY a
-            |ORDER BY doc_id""".stripMargin))
+            |ORDER BY doc_id""".stripMargin)
+
+  private val qMinhashIndexClusters = df("q_dedup_minhash_index_clusters",
+    (sp, dir) => clusterFoldQuery(sp, dir, partitioned = false),
+    clusterFoldOracle)
+
+  // The partitioned-layout spelling (writeClusterStatePartitioned /
+  // foldClusterStatePartitioned — SCALING §10h): identical semantics, the
+  // WRITE bounded by touched buckets via dynamic partition overwrite
+  // instead of the whole-table stagedSwap. Same oracle — a row minted,
+  // lost, or mislabeled by the bucket routing fails the hash compare.
+  private val qMinhashIndexClustersPart = df("q_dedup_minhash_index_clusters_part",
+    (sp, dir) => clusterFoldQuery(sp, dir, partitioned = true),
+    clusterFoldOracle)
 
   // Streaming cluster maintenance (StreamingDedup.indexedClusterStream):
   // the persisted keeper map stays current under CONTINUOUS ingest — each
@@ -2806,7 +2830,7 @@ object PipelineQueries {
     qMinhashIndex, qMinhashIndexBloom, qMinhashIndexBloomBc,
     qMinhashIndexBloomMaintained, qMinhashIndexAppend, qMinhashIndexCompact,
     qMinhashCrossIndex, qStreamMinhashIndexed, qMinhashIndexClusters,
-    qMinhashClusterCompact, qStreamMinhashClustered,
+    qMinhashClusterCompact, qStreamMinhashClustered, qMinhashIndexClustersPart,
     qDecontaminateExact, qSubstringSpans, qSubstringSpansWide,
     qSubstringSpansStride1, qSubstringScrub,
     qSample, qSampleStratified, qInterleave, qSplit,

@@ -233,24 +233,31 @@ object StreamingDedup {
                           k: Int = 16, shingleN: Int = 3, bands: Int = 8,
                           rowsPerBand: Int = 2, minMatches: Int = 8): Unit = {
     val spark = batch.sparkSession
-    // one evaluation feeds both the check and the append — a
-    // non-deterministic upstream cannot diverge between them
-    val b = batch.localCheckpoint()
+    // ONE evaluation of the signature pipeline feeds the check AND the
+    // append (a non-deterministic upstream cannot diverge between them,
+    // and the streaming hot loop never re-runs the shingle+hash pass)
+    require(bands * rowsPerBand == k,
+      s"bands * rowsPerBand must equal k, got $bands * $rowsPerBand != $k")
+    require(minMatches >= 1 && minMatches <= k,
+      s"minMatches must be in [1, $k], got $minMatches")
     val idx = graft.operators.Dedup.MinhashIndex.read(spark, indexDir)
+    idx.requireParams(k, shingleN, bands, rowsPerBand)
+    val bsigs = graft.operators.Dedup
+      .minhashSignature(batch, "doc_id", "text", k, shingleN).localCheckpoint()
+    val bband = graft.operators.Dedup.minhashBands(bsigs, "doc_id", bands, rowsPerBand)
     graft.operators.Dedup
-      .incrementalNearDups(idx, b, "doc_id", "text",
-        k, shingleN, bands, rowsPerBand, minMatches)
+      .bandJoinVerify(idx, bsigs, bband, "doc_id", k, minMatches)
       // replay guard (see scaladoc): pairs against the batch's OWN ids
       // can only exist when a crashed attempt already appended this
       // batch — excluding them makes the replay emit exactly the
       // original rows; a no-op on a clean run
-      .join(b.select(col("doc_id").as("corpus_id")), Seq("corpus_id"), "left_anti")
+      .join(bsigs.select(col("doc_id").as("corpus_id")), Seq("corpus_id"), "left_anti")
       // the using-join hoists the key column first; restore the operator's
       // documented column order
       .select("new_id", "corpus_id", "sig_matches", "est_jaccard")
       .write.mode("append").parquet(pairsDir)
-    graft.operators.Dedup.appendMinhashIndex(
-      b, "doc_id", "text", indexDir, k, shingleN, bands, rowsPerBand)
+    graft.operators.Dedup.appendMinhashIndexFromSigs(
+      bsigs, "doc_id", indexDir, k, shingleN, bands, rowsPerBand)
     ()
   }
 
@@ -293,21 +300,29 @@ object StreamingDedup {
                           k: Int = 16, shingleN: Int = 3, bands: Int = 8,
                           rowsPerBand: Int = 2, minMatches: Int = 8): Unit = {
     val spark = batch.sparkSession
-    val b = batch.localCheckpoint()
+    // ONE evaluation of the signature pipeline feeds check, in-batch
+    // pairs, cluster fold, and append
+    require(bands * rowsPerBand == k,
+      s"bands * rowsPerBand must equal k, got $bands * $rowsPerBand != $k")
+    require(minMatches >= 1 && minMatches <= k,
+      s"minMatches must be in [1, $k], got $minMatches")
     val idx = graft.operators.Dedup.MinhashIndex.read(spark, indexDir)
+    idx.requireParams(k, shingleN, bands, rowsPerBand)
+    val bsigs = graft.operators.Dedup
+      .minhashSignature(batch, "doc_id", "text", k, shingleN).localCheckpoint()
+    val bband = graft.operators.Dedup.minhashBands(bsigs, "doc_id", bands, rowsPerBand)
     val cross = graft.operators.Dedup
-      .incrementalNearDups(idx, b, "doc_id", "text",
-        k, shingleN, bands, rowsPerBand, minMatches)
+      .bandJoinVerify(idx, bsigs, bband, "doc_id", k, minMatches)
       // same replay guard as indexedNearDupBatch (see its scaladoc)
-      .join(b.select(col("doc_id").as("corpus_id")), Seq("corpus_id"), "left_anti")
+      .join(bsigs.select(col("doc_id").as("corpus_id")), Seq("corpus_id"), "left_anti")
       .select("new_id", "corpus_id", "sig_matches", "est_jaccard")
       .localCheckpoint()
     cross.write.mode("append").parquet(pairsDir)
-    val inBatch = graft.operators.Dedup.batchNearDupPairs(
-      b, "doc_id", "text", k, shingleN, bands, rowsPerBand, minMatches)
+    val inBatch = graft.operators.Dedup.batchNearDupPairsFromSigs(
+      bsigs, bband, "doc_id", minMatches)
     graft.operators.Dedup.foldClusterState(spark, indexDir, cross, inBatch)
-    graft.operators.Dedup.appendMinhashIndex(
-      b, "doc_id", "text", indexDir, k, shingleN, bands, rowsPerBand)
+    graft.operators.Dedup.appendMinhashIndexFromSigs(
+      bsigs, "doc_id", indexDir, k, shingleN, bands, rowsPerBand)
     ()
   }
 

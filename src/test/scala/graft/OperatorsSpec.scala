@@ -1439,23 +1439,85 @@ class OperatorsSpec extends AnyFunSuite {
       // fold == full recompute over the union of all three pair sets
       val cross = Dedup.incrementalNearDups(idx, batch, "doc_id", "text")
       val inBatch = Dedup.batchNearDupPairs(batch, "doc_id", "text")
-      val folded = Dedup.foldClusterState(spark, dir, cross, inBatch)
+      // capture the row SET once: the DataFrame handle itself goes stale
+      // after any later swap (the documented re-read-after-swap rule)
+      val folded = rows(Dedup.foldClusterState(spark, dir, cross, inBatch))
       val full = Dedup.duplicateClusters(selfPairs
         .unionAll(cross.select($"new_id".as("d1"), $"corpus_id".as("d2")))
         .unionAll(inBatch.select($"d1", $"d2")))
-      assert(rows(folded) == rows(full))
-      assert(rows(folded).nonEmpty, "recrawl batch must produce clusters")
+      assert(folded == rows(full))
+      assert(folded.nonEmpty, "recrawl batch must produce clusters")
       // the persisted table equals the returned one
-      assert(rows(Dedup.readClusterState(spark, dir)) == rows(folded))
+      assert(rows(Dedup.readClusterState(spark, dir)) == folded)
       // crash window: live renamed aside, replacement never landed ->
       // read recovers the pre-fold state
       val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
         spark.sessionState.newHadoopConf())
       assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/clusters"),
         new org.apache.hadoop.fs.Path(s"$dir/_clusters_old")))
-      assert(rows(Dedup.readClusterState(spark, dir)) == rows(folded),
+      assert(rows(Dedup.readClusterState(spark, dir)) == folded,
         "recovery must restore the cluster table")
       assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/clusters")))
+      // the documented remedy for a crashed fold is "re-run the fold" —
+      // so a DIRECT retry of the swap (no read in between, exactly the
+      // streaming engine's at-least-once replay path) must self-recover
+      // instead of throwing PATH_NOT_FOUND on the vanished live table
+      assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/clusters"),
+        new org.apache.hadoop.fs.Path(s"$dir/_clusters_old")))
+      assert(rows(Dedup.foldClusterState(spark, dir, cross, inBatch)) == folded,
+        "a direct fold retry after an interrupted swap must recover and re-fold")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("partitioned cluster state: fold equals plain spelling, rewrites only touched buckets") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    // per-bucket file snapshot: partition dir -> sorted part-file names
+    // (a rewrite always mints new part-file names)
+    def files(dir: String): Map[String, Seq[String]] = {
+      val root = new java.io.File(s"$dir/clusters_p")
+      root.listFiles().filter(_.isDirectory).map(d =>
+        d.getName -> d.listFiles().map(_.getName).filter(_.startsWith("part-"))
+          .toSeq.sorted).toMap
+    }
+    // synthetic corpus of 100 exact-twin clusters so the seeded state
+    // populates most of the 64 buckets (the sf fixture seeds only a
+    // handful of cluster rows — too sparse to observe bucket locality)
+    def doc(id: Long, base: Long) =
+      (id, (0 until 30).map(j => s"ccp${base}w$j").mkString(" "))
+    val corpus = (0L until 100L).flatMap(i => Seq(doc(i, i), doc(i + 1000L, i)))
+      .toDF("doc_id", "text")
+    val batch = Seq(doc(10000L, 7), doc(10001L, 13)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mh_idx_ccp").toString
+    try {
+      val idx = Dedup.writeMinhashIndex(corpus, "doc_id", "text", dir)
+      // plain (corpus-rewrite) spelling is the semantics reference
+      Dedup.writeClusterState(spark, dir, "doc_id")
+      val seededP = Dedup.writeClusterStatePartitioned(spark, dir, "doc_id", buckets = 64)
+      assert(rows(seededP) == rows(Dedup.readClusterState(spark, dir)))
+      assert(rows(seededP).size == 200, "every twin doc must have a cluster row")
+      val before = files(dir)
+      assert(before.size >= 50, s"seed must populate most buckets, got ${before.size}")
+      val cross = Dedup.incrementalNearDups(idx, batch, "doc_id", "text")
+      val inBatch = Dedup.batchNearDupPairs(batch, "doc_id", "text")
+      val plainFold = Dedup.foldClusterState(spark, dir, cross, inBatch)
+      val partFold = Dedup.foldClusterStatePartitioned(spark, dir, cross, inBatch)
+      assert(rows(partFold) == rows(plainFold))
+      assert(rows(partFold).nonEmpty)
+      // the fold touched only the buckets holding the two changed rows:
+      // every other partition dir keeps its exact part files (a full-table
+      // rewrite would mint new names everywhere)
+      val after = files(dir)
+      val unchanged = before.keySet.filter(k => after.get(k).contains(before(k)))
+      assert(unchanged.size >= before.size - 2,
+        s"expected all but <=2 of ${before.size} buckets untouched, got ${unchanged.size}")
+      assert(after.exists { case (k, v) => !before.get(k).contains(v) },
+        "the fold must have rewritten at least one bucket")
+      // replay: re-folding the same pairs changes nothing — no bucket is
+      // rewritten at all (the changed-row set is empty)
+      val snap = files(dir)
+      assert(rows(Dedup.foldClusterStatePartitioned(spark, dir, cross, inBatch))
+        == rows(partFold))
+      assert(files(dir) == snap, "a replayed fold must not rewrite any bucket")
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 

@@ -69,6 +69,13 @@ class ScanBudgetSpec extends AnyFunSuite {
     "q_dedup_minhash_cross_index" -> 4,
     "q_dedup_minhash_index_append" -> 6,
     "q_dedup_minhash_index_compact" -> 6,
+    // the cluster-state queries RETURN the persisted assignment — one
+    // parquet read of dir/clusters, zero corpus-text scans (the CC work
+    // runs eagerly inside the lifecycle calls, checkpoint-materialized
+    // like kmeans/bpe — see the header note); pinned so the returned
+    // state can never silently regress to a recompute-on-read plan
+    "q_dedup_minhash_index_clusters" -> 1,
+    "q_dedup_minhash_cluster_compact" -> 1,
     "q_join_nonequi_cdf" -> 4,
     "q_ann_ivf" -> 4,
     "q5_join_multi" -> 6,
