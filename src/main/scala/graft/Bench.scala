@@ -80,6 +80,7 @@ object Bench {
       "q_dedup_minhash_index_append", "q_dedup_minhash_index_compact",
       "q_dedup_minhash_cross_index", "q_dedup_minhash_index_clusters",
       "q_dedup_minhash_index_clusters_part", "q_dedup_minhash_cluster_compact",
+      "q_dedup_minhash_cluster_merge",
       "q_ann_ivfadc_store", "q_ann_ivfadc_append",
       "q_ann_ivfadc_compact")
     val (churnQs, mainQs) = selected.partition(q =>

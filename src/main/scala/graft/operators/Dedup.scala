@@ -816,6 +816,50 @@ object Dedup {
     readClusterState(spark, dir)
   }
 
+  /** Merge TWO cluster assignments through their cross-corpus pairs — the
+    * keeper-map companion of [[crossIndexNearDups]] (which finds the
+    * pairs): union two curated corpora (merge two crawls, fold a vendor
+    * drop into the holdings) WITHOUT re-running CC over either corpus.
+    * `storedA`/`storedB` are each corpus's (doc_id, keeper) assignment
+    * ([[writeClusterState]]'s invariant: keeper = min id of its cluster);
+    * `crossPairs` is [[crossIndexNearDups]]'s (a_id, b_id) output. Ids
+    * must be unique ACROSS the two corpora (the same contract as every
+    * cross-corpus operator here).
+    *
+    * Both endpoints contract to their own side's keeper (docs absent
+    * from their assignment are singletons = own id), CC runs over the
+    * contracted graph — bounded by the cross-pair count — and each
+    * side's assignment relabels through the merge-CC-sized map, exactly
+    * the [[mergeClusters]] argument applied twice: every node label is
+    * the min id of a cluster (or a singleton's own id), so the merged
+    * component's min label is the global min over the union. The result
+    * equals [[duplicateClusters]] over (pairsA UNION pairsB UNION cross)
+    * — oracle-gated. */
+  def mergeClusterStates(storedA: DataFrame, storedB: DataFrame,
+                         crossPairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val ka = storedA.select(col("doc_id").as("__ida"), col("keeper").as("__ka"))
+    val kb = storedB.select(col("doc_id").as("__idb"), col("keeper").as("__kb"))
+    val edges = crossPairs.select(col("a_id"), col("b_id"))
+      .join(ka, col("a_id") === col("__ida"), "left")
+      .join(kb, col("b_id") === col("__idb"), "left")
+      .select(coalesce(col("__ka"), col("a_id")).as("d1"),
+        coalesce(col("__kb"), col("b_id")).as("d2"))
+    val merged = duplicateClusters(edges, maxIter)
+    val relabel = merged.select(col("doc_id").as("__old"), col("keeper").as("__new"))
+    def relabeled(stored: DataFrame): DataFrame =
+      stored.join(relabel, stored("keeper") === col("__old"), "left")
+        .select(stored("doc_id"),
+          coalesce(col("__new"), stored("keeper")).as("keeper"))
+    // merge-graph nodes in NEITHER assignment: singletons of either
+    // corpus pulled into a cross cluster
+    val extras = merged
+      .join(storedA.select(col("doc_id").as("__d")).unionAll(
+        storedB.select(col("doc_id").as("__d"))),
+        merged("doc_id") === col("__d"), "left_anti")
+      .select(col("doc_id"), col("keeper"))
+    relabeled(storedA).unionAll(relabeled(storedB)).unionAll(extras)
+  }
+
   /** Bucket expression shared by the partitioned cluster-state spelling:
     * a doc's row lives in pmod(xxhash64(doc_id), buckets) FOREVER (the
     * bucket is keyed by doc_id, never by keeper — a keeper change must

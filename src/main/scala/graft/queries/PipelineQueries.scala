@@ -1236,6 +1236,35 @@ object PipelineQueries {
     (sp, dir) => clusterFoldQuery(sp, dir, partitioned = true),
     clusterFoldOracle)
 
+  // Two-corpus keeper merge (Dedup.mergeClusterStates): BOTH corpora are
+  // persisted indexes with seeded cluster states, crossIndexNearDups
+  // finds the cross pairs with zero text scans, and the two keeper maps
+  // merge by contracting each side to its keepers — the same fixture as
+  // the incremental fold, so the SAME oracle gates a third physical
+  // strategy for the same relation (full recompute == incremental fold
+  // == two-state merge; a divergence between any two is itself a bug).
+  private val qMinhashClusterMerge = df("q_dedup_minhash_cluster_merge",
+    (sp, dir) => {
+      val docs = graft.engine.Tables.table(sp, dir, "documents")
+      val corpusA = docs.filter(col("doc_id") < 200)
+      val corpusB = docs.filter(col("doc_id").between(150, 199))
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+        .unionAll(docs.filter(col("doc_id") < 150 && col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 200000L).as("doc_id"),
+            concat(col("text"), lit(" tailnoise")).as("text")))
+        .unionAll(docs.filter(col("doc_id").between(150, 159))
+          .select((col("doc_id") + 400000L).as("doc_id"), col("text")))
+      val base = s"$mhIdxScratch/${java.util.UUID.randomUUID().toString.take(8)}"
+      val idxA = graft.operators.Dedup.writeMinhashIndex(corpusA, "doc_id", "text", s"$base/a")
+      val idxB = graft.operators.Dedup.writeMinhashIndex(corpusB, "doc_id", "text", s"$base/b")
+      val storedA = graft.operators.Dedup.writeClusterState(sp, s"$base/a", "doc_id")
+      val storedB = graft.operators.Dedup.writeClusterState(sp, s"$base/b", "doc_id")
+      val cross = graft.operators.Dedup.crossIndexNearDups(idxA, idxB, "doc_id")
+      graft.operators.Dedup.mergeClusterStates(storedA, storedB, cross)
+        .orderBy("doc_id")
+    },
+    clusterFoldOracle)
+
   // Streaming cluster maintenance (StreamingDedup.indexedClusterStream):
   // the persisted keeper map stays current under CONTINUOUS ingest — each
   // micro-batch folds its cross pairs (vs the index as of the batch
@@ -2831,6 +2860,7 @@ object PipelineQueries {
     qMinhashIndexBloomMaintained, qMinhashIndexAppend, qMinhashIndexCompact,
     qMinhashCrossIndex, qStreamMinhashIndexed, qMinhashIndexClusters,
     qMinhashClusterCompact, qStreamMinhashClustered, qMinhashIndexClustersPart,
+    qMinhashClusterMerge,
     qDecontaminateExact, qSubstringSpans, qSubstringSpansWide,
     qSubstringSpansStride1, qSubstringScrub,
     qSample, qSampleStratified, qInterleave, qSplit,

@@ -1469,6 +1469,30 @@ class OperatorsSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("mergeClusterStates: two-corpus keeper merge equals full CC recompute") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    // corpus A clusters {1,2} and {5,6}; corpus B clusters {101,102};
+    // cross pairs bridge A's {1,2} with B's {101,102} and pull in the
+    // B singleton 103; A's {5,6} stays untouched
+    val pairsA = Seq((1L, 2L), (5L, 6L)).toDF("d1", "d2")
+    val pairsB = Seq((101L, 102L)).toDF("d1", "d2")
+    val cross = Seq((2L, 102L), (1L, 103L)).toDF("a_id", "b_id")
+    val storedA = Dedup.duplicateClusters(pairsA)
+    val storedB = Dedup.duplicateClusters(pairsB)
+    val got = Dedup.mergeClusterStates(storedA, storedB, cross)
+    val full = Dedup.duplicateClusters(pairsA.unionAll(pairsB)
+      .unionAll(cross.select($"a_id".as("d1"), $"b_id".as("d2"))))
+    assert(rows(got) == rows(full))
+    val byId = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 101L, 102L, 103L).forall(byId(_) == 1L),
+      "cross pairs must merge the two corpora's clusters under the global min")
+    assert(byId(5L) == 5L && byId(6L) == 5L, "untouched A cluster keeps its keeper")
+    // empty cross: the merge is just the union of the two assignments
+    assert(rows(Dedup.mergeClusterStates(storedA, storedB,
+        Seq.empty[(Long, Long)].toDF("a_id", "b_id")))
+      == rows(storedA.unionAll(storedB)))
+  }
+
   test("partitioned cluster state: fold equals plain spelling, rewrites only touched buckets") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
     // per-bucket file snapshot: partition dir -> sorted part-file names
