@@ -260,9 +260,7 @@ object Dedup {
     // failure) must not duplicate output pairs — this is what makes the
     // append idempotent at read time; duplicates carry identical sig
     // values, so any survivor is the right row
-    sigAgreement(cands,
-        bsigs.select(col(idCol), col("sig")),
-        index.sigs.select(col(idCol), col("sig")),
+    sigAgreement(cands, bsigs, index.sigs, idCol,
         "new_id", "corpus_id", minMatches)
       .withColumn("est_jaccard", col("sig_matches") / lit(k.toDouble))
       .select("new_id", "corpus_id", "sig_matches", "est_jaccard")
@@ -546,10 +544,31 @@ object Dedup {
     * directory is tagged with the passed params on first append. */
   def appendMinhashIndex(batch: DataFrame, idCol: String, textCol: String,
                          dir: String, k: Int = 16, shingleN: Int = 3,
-                         bands: Int = 8, rowsPerBand: Int = 2): MinhashIndex =
+                         bands: Int = 8, rowsPerBand: Int = 2): MinhashIndex = {
+    // validate BEFORE the localCheckpoint: a param/meta mismatch must not
+    // cost a full signature pass over the batch first
+    validateAppendParams(batch.sparkSession, dir, k, shingleN, bands, rowsPerBand)
     appendMinhashIndexFromSigs(
       minhashSignature(batch, idCol, textCol, k, shingleN).localCheckpoint(),
       idCol, dir, k, shingleN, bands, rowsPerBand)
+  }
+
+  // shared fail-fast half of the append: banding arithmetic + stored-meta
+  // agreement (stamping the tag on a legacy untagged directory)
+  private def validateAppendParams(spark: org.apache.spark.sql.SparkSession,
+                                   dir: String, k: Int, shingleN: Int,
+                                   bands: Int, rowsPerBand: Int): Unit = {
+    require(bands * rowsPerBand == k,
+      s"bands * rowsPerBand must equal k, got $bands * $rowsPerBand != $k")
+    val passed = MinhashMeta(k, shingleN, bands, rowsPerBand)
+    MinhashMeta.read(spark, dir) match {
+      case Some(stored) => require(stored == passed,
+        s"appendMinhashIndex build-param mismatch: stored $stored, passed " +
+          s"$passed — appending rows banded under a different config would " +
+          "corrupt the index; use the stored values")
+      case None => MinhashMeta.write(spark, dir, passed)
+    }
+  }
 
   /** [[appendMinhashIndex]] over an already-MATERIALIZED signature table
     * (the caller must have localCheckpointed it: both appended tables
@@ -561,17 +580,8 @@ object Dedup {
                                                 dir: String, k: Int, shingleN: Int,
                                                 bands: Int,
                                                 rowsPerBand: Int): MinhashIndex = {
-    require(bands * rowsPerBand == k,
-      s"bands * rowsPerBand must equal k, got $bands * $rowsPerBand != $k")
     val spark = bsigs.sparkSession
-    val passed = MinhashMeta(k, shingleN, bands, rowsPerBand)
-    MinhashMeta.read(spark, dir) match {
-      case Some(stored) => require(stored == passed,
-        s"appendMinhashIndex build-param mismatch: stored $stored, passed " +
-          s"$passed — appending rows banded under a different config would " +
-          "corrupt the index; use the stored values")
-      case None => MinhashMeta.write(spark, dir, passed)
-    }
+    validateAppendParams(spark, dir, k, shingleN, bands, rowsPerBand)
     bsigs.write.mode("append").parquet(s"$dir/sigs")
     minhashBands(bsigs, idCol, bands, rowsPerBand)
       .write.mode("append").parquet(s"$dir/bands")
@@ -630,12 +640,12 @@ object Dedup {
   // guards against duplicate sig rows (a retried append) fanning one
   // logical pair into several.
   private def sigAgreement(pairs: DataFrame, leftSigs: DataFrame,
-                           rightSigs: DataFrame, leftId: String,
+                           rightSigs: DataFrame, idCol: String, leftId: String,
                            rightId: String, minMatches: Int): DataFrame =
     pairs
-      .join(leftSigs.select(col(leftSigs.columns.head).as(leftId),
+      .join(leftSigs.select(col(idCol).as(leftId),
         col("sig").as("__s1")), leftId)
-      .join(rightSigs.select(col(rightSigs.columns.head).as(rightId),
+      .join(rightSigs.select(col(idCol).as(rightId),
         col("sig").as("__s2")), rightId)
       .withColumn("sig_matches",
         expr("CAST(SIZE(FILTER(ZIP_WITH(__s1, __s2, (a, b) -> a = b), x -> x)) AS BIGINT)"))
@@ -644,9 +654,7 @@ object Dedup {
 
   private def verifySigPairs(sigs: DataFrame, pairs: DataFrame, idCol: String,
                              minMatches: Int): DataFrame =
-    sigAgreement(pairs,
-        sigs.select(col(idCol), col("sig")), sigs.select(col(idCol), col("sig")),
-        "d1", "d2", minMatches)
+    sigAgreement(pairs, sigs, sigs, idCol, "d1", "d2", minMatches)
       .select("d1", "d2")
 
   /** Verified near-dup pairs WITHIN one stored [[MinhashIndex]]: the band
@@ -869,15 +877,51 @@ object Dedup {
     pmod(xxhash64(col("doc_id")), lit(buckets.toLong))
 
   private val clusterPartMeta = "_clusters_p_meta.json"
+  private val clusterPartInflight = "_clusters_p_inflight"
 
-  /** [[writeClusterState]] in the PARTITIONED layout (`dir/clusters_p`,
-    * parquet partitioned by `__bucket = pmod(xxhash64(doc_id), buckets)`)
-    * — the 100 TB deployment spelling: [[foldClusterStatePartitioned]]
-    * rewrites ONLY the buckets containing changed rows, so the per-batch
-    * write is touched-buckets-sized instead of the whole corpus-sized
-    * assignment (the plain `clusters` table's stagedSwap rewrite). Size
-    * `buckets` so corpus_rows/buckets fits a comfortable rewrite unit
-    * (e.g. 1e10 rows / 4096 buckets ~ 2.4M rows/bucket ~ 40 MB). */
+  // (buckets, id/keeper schema DDL, live data path) from the meta sidecar
+  // — the meta IS the commit pointer: data lands in a bucket-count-
+  // versioned directory first, the meta swap publishes it (see
+  // writeClusterStatePartitioned), so no crash window can pair one
+  // modulus's meta with another modulus's rows
+  private def clusterPartInfo(spark: org.apache.spark.sql.SparkSession,
+                              dir: String): (Int, String, String) = {
+    val bytes = IndexFiles.readFileWithRecovery(spark, dir, clusterPartMeta)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no partitioned cluster state at $dir ($clusterPartMeta missing) — " +
+          "seed it with writeClusterStatePartitioned"))
+    val j = org.json4s.jackson.JsonMethods.parse(new String(bytes, "UTF-8"))
+    val buckets = (j \ "buckets") match {
+      case org.json4s.JInt(v) => v.toInt
+      case other => throw new IllegalArgumentException(
+        s"malformed $clusterPartMeta at $dir: buckets = $other")
+    }
+    val ddl = (j \ "schema") match {
+      case org.json4s.JString(v) => v
+      case other => throw new IllegalArgumentException(
+        s"malformed $clusterPartMeta at $dir: schema = $other")
+    }
+    (buckets, ddl, s"$dir/clusters_p_$buckets")
+  }
+
+  /** [[writeClusterState]] in the PARTITIONED layout — the 100 TB
+    * deployment spelling: [[foldClusterStatePartitioned]] rewrites ONLY
+    * the buckets containing changed rows, so the per-batch write is
+    * touched-buckets-sized instead of the whole corpus-sized assignment
+    * (the plain `clusters` table's stagedSwap rewrite). Size `buckets` so
+    * corpus_rows/buckets fits a comfortable rewrite unit (e.g. 1e10 rows
+    * / 4096 buckets ~ 2.4M rows/bucket ~ 40 MB).
+    *
+    * Layout + commit protocol: rows live under
+    * `dir/clusters_p_<buckets>/__bucket=<pmod(xxhash64(doc_id), buckets)>`
+    * and the `_clusters_p_meta.json` sidecar carries {buckets, schema} —
+    * data writes FIRST (partitionOverwriteMode pinned STATIC so a re-seed
+    * replaces the whole version dir even under a session-wide dynamic
+    * setting), the meta swap publishes it LAST, and the data path is
+    * versioned by the modulus, so a crash anywhere leaves the meta
+    * pointing at a fully consistent (old or new) table; a re-seed to a
+    * NEW bucket count never shares a directory with the old rows. Stale
+    * version dirs are best-effort deleted after the swap. */
   def writeClusterStatePartitioned(spark: org.apache.spark.sql.SparkSession,
                                    dir: String, idCol: String = "doc_id",
                                    minMatches: Int = 8,
@@ -885,47 +929,119 @@ object Dedup {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val idx = MinhashIndex.read(spark, dir)
     val k = idx.meta.map(_.k).getOrElse(16)
-    IndexFiles.writeFileSwap(spark, dir, clusterPartMeta,
-      s"""{"buckets":$buckets}""".getBytes("UTF-8"))
-    duplicateClusters(
-        indexSelfPairs(idx, idCol, k, minMatches).select(col("d1"), col("d2")))
+    val seeded = duplicateClusters(
+      indexSelfPairs(idx, idCol, k, minMatches).select(col("d1"), col("d2")))
+    val dataPath = s"$dir/clusters_p_$buckets"
+    seeded
       .withColumn("__bucket", clusterBucket(buckets))
-      .write.mode("overwrite").partitionBy("__bucket")
-      .parquet(s"$dir/clusters_p")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("__bucket")
+      .parquet(dataPath)
+    IndexFiles.writeFileSwap(spark, dir, clusterPartMeta,
+      (s"""{"buckets":$buckets,""" +
+        s""""schema":"${seeded.schema.toDDL.replace("\"", "")}"}""").getBytes("UTF-8"))
+    // best-effort cleanup of superseded version dirs (other moduli)
+    val f = IndexFiles.fs(spark, new org.apache.hadoop.fs.Path(dir))
+    Option(f.globStatus(new org.apache.hadoop.fs.Path(s"$dir/clusters_p_*")))
+      .getOrElse(Array.empty).map(_.getPath)
+      .filter(_.getName != s"clusters_p_$buckets")
+      .foreach(p => f.delete(p, true))
+    spark.catalog.refreshByPath(dataPath)
     readClusterStatePartitioned(spark, dir)
   }
 
-  private def clusterPartBuckets(spark: org.apache.spark.sql.SparkSession,
-                                 dir: String): Int = {
-    val bytes = IndexFiles.readFileWithRecovery(spark, dir, clusterPartMeta)
-      .getOrElse(throw new IllegalArgumentException(
-        s"no partitioned cluster state at $dir ($clusterPartMeta missing) — " +
-          "seed it with writeClusterStatePartitioned"))
-    val j = org.json4s.jackson.JsonMethods.parse(new String(bytes, "UTF-8"))
-    (j \ "buckets") match {
-      case org.json4s.JInt(v) => v.toInt
-      case other => throw new IllegalArgumentException(
-        s"malformed $clusterPartMeta at $dir: buckets = $other")
-    }
-  }
-
-  /** The partitioned cluster assignment at `dir/clusters_p` (without the
-    * bucket column). Crash contract: an aborted
-    * [[foldClusterStatePartitioned]] write leaves the committed pre-fold
-    * partitions in place (Spark's job-commit staging) — re-run the fold;
-    * folds are idempotent (re-folding already-folded pairs is a
-    * contraction no-op). */
+  /** The partitioned cluster assignment (without the bucket column).
+    * Crash contract: an ABORTED fold write leaves the committed pre-fold
+    * partitions in place (Spark's job-commit staging); a crash DURING the
+    * multi-partition commit can leave a torn mix of old and new buckets —
+    * the `_clusters_p_inflight` marker records that window and the next
+    * [[foldClusterStatePartitioned]] (or an explicit
+    * [[repairClusterStatePartitioned]]) restores the keeper invariant
+    * before folding; the at-least-once re-run of the same batch then
+    * restores any missing batch rows. */
   def readClusterStatePartitioned(spark: org.apache.spark.sql.SparkSession,
                                   dir: String): DataFrame =
-    // explicit schema: a seeded-but-empty state (corpus with no internal
-    // near-dup pairs) has partition dirs for nothing — schema inference
-    // over only a _SUCCESS marker throws UNABLE_TO_INFER_SCHEMA
-    clustersP(spark, dir).select("doc_id", "keeper")
+    clustersP(spark, dir)._1.select("doc_id", "keeper")
 
+  // (frame, buckets, dataPath); explicit schema because a seeded-but-empty
+  // state (corpus with no internal near-dup pairs) has partition dirs for
+  // nothing — inference over only a _SUCCESS marker throws
   private def clustersP(spark: org.apache.spark.sql.SparkSession,
-                        dir: String): DataFrame =
-    spark.read.schema("doc_id BIGINT, keeper BIGINT, __bucket BIGINT")
-      .parquet(s"$dir/clusters_p")
+                        dir: String): (DataFrame, Int, String) = {
+    val (buckets, ddl, path) = clusterPartInfo(spark, dir)
+    (spark.read.schema(s"$ddl, __bucket BIGINT").parquet(path), buckets, path)
+  }
+
+  /** Restore the keeper invariant after a fold crashed MID-COMMIT of its
+    * dynamic partition overwrite (the `_clusters_p_inflight` marker): a
+    * torn mix of old and new buckets can hold rows whose keeper was
+    * itself relabeled — (d, k) while k's own row reads (k, k') — or rows
+    * referencing a keeper whose (k, k) row sat in an uncommitted bucket.
+    * Iterates two batch-bounded repairs to a fixed point: stale rows jump
+    * to their keeper's CURRENT label, and referenced-but-missing keepers
+    * get their (k, k) row back; only buckets holding a repaired row are
+    * rewritten. Missing non-keeper batch rows are NOT recoverable from
+    * the table alone — they return on the at-least-once re-run of the
+    * same batch (the streaming engine's replay), which is the documented
+    * remedy. Detection is one column-pruned self-join per pass; passes
+    * only exceed one after REPEATED torn commits. */
+  def repairClusterStatePartitioned(spark: org.apache.spark.sql.SparkSession,
+                                    dir: String, maxPasses: Int = 20): Unit = {
+    val (_, buckets, _) = clustersP(spark, dir)
+    var pass = 0
+    var dirty = true
+    while (dirty && pass < maxPasses) {
+      val (st, _, _) = clustersP(spark, dir)
+      val keeperRows = st.select(col("doc_id").as("__kd"), col("keeper").as("__kk"))
+      val joined = st.join(keeperRows, st("keeper") === col("__kd"), "left")
+      // (a) keeper itself relabeled -> jump one hop
+      val stale = joined.filter(col("__kk").isNotNull && col("__kk") =!= st("keeper"))
+        .select(st("doc_id"), col("__kk").as("keeper"))
+      // (b) keeper referenced but its own row missing -> restore (k, k)
+      val dangling = joined.filter(col("__kk").isNull && st("keeper") =!= st("doc_id"))
+        .select(st("keeper").as("doc_id"), st("keeper").as("keeper"))
+        .distinct()
+      val repaired = stale.unionAll(dangling)
+        .withColumn("__bucket", clusterBucket(buckets))
+        .localCheckpoint()
+      if (repaired.isEmpty) dirty = false
+      else {
+        rewriteTouchedBuckets(spark, dir, repaired)
+        pass += 1
+      }
+    }
+    require(!dirty, s"repairClusterStatePartitioned: not converged after " +
+      s"$maxPasses passes at $dir — table corrupted beyond the torn-commit model")
+  }
+
+  // rewrite exactly the buckets holding a changed/repaired row: bucket
+  // contents = (old rows minus changed docs) union changed, committed via
+  // dynamic partition overwrite; materialized first so the write cannot
+  // re-read partitions it is replacing
+  private def rewriteTouchedBuckets(spark: org.apache.spark.sql.SparkSession,
+                                    dir: String, changed: DataFrame): Unit = {
+    val (storedP, _, path) = clustersP(spark, dir)
+    val touched = changed.select("__bucket").distinct()
+      .collect().map(_.getLong(0))   // bounded by `buckets`, a driver scalar list
+    if (touched.isEmpty) return
+    val keep = storedP.filter(col("__bucket").isin(touched: _*))
+      .join(changed.select(col("doc_id").as("__cd")),
+        col("doc_id") === col("__cd"), "left_anti")
+      .select(col("doc_id"), col("keeper"),
+        col("__bucket").cast("bigint").as("__bucket"))
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/$clusterPartInflight")
+    val f = IndexFiles.fs(spark, marker)
+    f.create(marker, true).close()
+    keep.unionAll(changed.select("doc_id", "keeper", "__bucket"))
+      .localCheckpoint()
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__bucket")
+      .parquet(path)
+    f.delete(marker, false)
+    spark.catalog.refreshByPath(path)
+  }
 
   /** [[foldClusterState]] against the partitioned layout, with the WRITE
     * bounded by the touched buckets: the merge CC and relabel map are
@@ -936,42 +1052,41 @@ object Dedup {
     * read-modify-written. The corpus-sized cost that remains is the
     * columnar SCAN of (doc_id, keeper) feeding the contraction join —
     * ~16 B/doc, the check-side cost every fold variant pays — while the
-    * write drops from corpus-sized to touched-buckets-sized. */
+    * write drops from corpus-sized to touched-buckets-sized.
+    *
+    * Crash handling: if a prior fold died mid-commit (its
+    * `_clusters_p_inflight` marker is still present), the keeper
+    * invariant is repaired FIRST ([[repairClusterStatePartitioned]]), so
+    * the documented "re-run the fold with the same batch" remedy is
+    * genuinely idempotent — the repair fixes torn relabels, the re-run
+    * restores any batch rows whose bucket never committed. */
   def foldClusterStatePartitioned(spark: org.apache.spark.sql.SparkSession,
                                   dir: String, crossPairs: DataFrame,
                                   inBatchPairs: DataFrame): DataFrame = {
-    val buckets = clusterPartBuckets(spark, dir)
+    // repair BEFORE creating any handle over the table: the repair
+    // rewrites buckets, and a DataFrame created pre-repair would list
+    // vanished part files (the documented re-read-after-swap rule)
+    if (IndexFiles.fs(spark, new org.apache.hadoop.fs.Path(dir))
+        .exists(new org.apache.hadoop.fs.Path(s"$dir/$clusterPartInflight"))) {
+      System.err.println(s"[graft] foldClusterStatePartitioned: inflight marker " +
+        s"found at $dir — repairing a torn fold commit before folding")
+      repairClusterStatePartitioned(spark, dir)
+    }
+    val (storedP, buckets, path) = clustersP(spark, dir)
     val cross = crossPairs.select(col("new_id"), col("corpus_id")).localCheckpoint()
     val inb = inBatchPairs.select(col("d1"), col("d2")).localCheckpoint()
-    val storedP = clustersP(spark, dir)
     val stored = storedP.select("doc_id", "keeper")
     val (relabel, extras) = mergeRelabel(stored, cross, inb, maxIter = 20)
     // rows whose assignment actually changes: relabeled rows with a new
     // keeper, plus merge-graph nodes with no stored row — both bounded by
-    // the touched clusters, both materialized before the write so the
-    // dynamic overwrite cannot re-read partitions it is replacing
+    // the touched clusters
     val changed = stored.join(relabel, stored("keeper") === col("__old"))
       .filter(col("__new") =!= stored("keeper"))
       .select(stored("doc_id"), col("__new").as("keeper"))
       .unionAll(extras)
       .withColumn("__bucket", clusterBucket(buckets))
       .localCheckpoint()
-    val touched = changed.select("__bucket").distinct()
-      .collect().map(_.getLong(0))   // bounded by `buckets`, a driver scalar list
-    if (touched.nonEmpty) {
-      val keep = storedP.filter(col("__bucket").isin(touched: _*))
-        .join(changed.select(col("doc_id").as("__cd")),
-          col("doc_id") === col("__cd"), "left_anti")
-        .select(col("doc_id"), col("keeper"),
-          col("__bucket").cast("bigint").as("__bucket"))
-      keep.unionAll(changed.select("doc_id", "keeper", "__bucket"))
-        .localCheckpoint()
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("__bucket")
-        .parquet(s"$dir/clusters_p")
-      spark.catalog.refreshByPath(s"$dir/clusters_p")
-    }
+    rewriteTouchedBuckets(spark, dir, changed)
     readClusterStatePartitioned(spark, dir)
   }
 

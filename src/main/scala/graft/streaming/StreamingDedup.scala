@@ -229,33 +229,42 @@ object StreamingDedup {
     * at-least-once contract is directly testable: invoking it AGAIN with
     * an already-applied batch (the engine's replay after a crash) must
     * emit exactly the original pair rows — `StreamingSpec` pins that. */
-  def indexedNearDupBatch(batch: DataFrame, indexDir: String, pairsDir: String,
-                          k: Int = 16, shingleN: Int = 3, bands: Int = 8,
-                          rowsPerBand: Int = 2, minMatches: Int = 8): Unit = {
-    val spark = batch.sparkSession
-    // ONE evaluation of the signature pipeline feeds the check AND the
-    // append (a non-deterministic upstream cannot diverge between them,
-    // and the streaming hot loop never re-runs the shingle+hash pass)
+  // shared preamble of both foreachBatch bodies: fail-fast param checks,
+  // index read + build-tag validation, ONE materialized evaluation of the
+  // batch signature pipeline, and the replay-guarded cross-pair check —
+  // extracted so the two streaming loops cannot drift (same discipline as
+  // bucketPairFn for the in-executor spellings)
+  private def checkedBatch(batch: DataFrame, indexDir: String, k: Int,
+                           shingleN: Int, bands: Int, rowsPerBand: Int,
+                           minMatches: Int)
+    : (graft.operators.Dedup.MinhashIndex, DataFrame, DataFrame, DataFrame) = {
     require(bands * rowsPerBand == k,
       s"bands * rowsPerBand must equal k, got $bands * $rowsPerBand != $k")
     require(minMatches >= 1 && minMatches <= k,
       s"minMatches must be in [1, $k], got $minMatches")
-    val idx = graft.operators.Dedup.MinhashIndex.read(spark, indexDir)
+    val idx = graft.operators.Dedup.MinhashIndex.read(batch.sparkSession, indexDir)
     idx.requireParams(k, shingleN, bands, rowsPerBand)
     val bsigs = graft.operators.Dedup
       .minhashSignature(batch, "doc_id", "text", k, shingleN).localCheckpoint()
     val bband = graft.operators.Dedup.minhashBands(bsigs, "doc_id", bands, rowsPerBand)
-    graft.operators.Dedup
+    val cross = graft.operators.Dedup
       .bandJoinVerify(idx, bsigs, bband, "doc_id", k, minMatches)
-      // replay guard (see scaladoc): pairs against the batch's OWN ids
-      // can only exist when a crashed attempt already appended this
-      // batch — excluding them makes the replay emit exactly the
-      // original rows; a no-op on a clean run
+      // replay guard (see indexedNearDupStream scaladoc): pairs against
+      // the batch's OWN ids can only exist when a crashed attempt already
+      // appended this batch — excluding them makes the replay emit exactly
+      // the original rows; a no-op on a clean run. The using-join hoists
+      // the key column first; restore the documented column order.
       .join(bsigs.select(col("doc_id").as("corpus_id")), Seq("corpus_id"), "left_anti")
-      // the using-join hoists the key column first; restore the operator's
-      // documented column order
       .select("new_id", "corpus_id", "sig_matches", "est_jaccard")
-      .write.mode("append").parquet(pairsDir)
+    (idx, bsigs, bband, cross)
+  }
+
+  def indexedNearDupBatch(batch: DataFrame, indexDir: String, pairsDir: String,
+                          k: Int = 16, shingleN: Int = 3, bands: Int = 8,
+                          rowsPerBand: Int = 2, minMatches: Int = 8): Unit = {
+    val (_, bsigs, _, cross) =
+      checkedBatch(batch, indexDir, k, shingleN, bands, rowsPerBand, minMatches)
+    cross.write.mode("append").parquet(pairsDir)
     graft.operators.Dedup.appendMinhashIndexFromSigs(
       bsigs, "doc_id", indexDir, k, shingleN, bands, rowsPerBand)
     ()
@@ -299,28 +308,14 @@ object StreamingDedup {
   def indexedClusterBatch(batch: DataFrame, indexDir: String, pairsDir: String,
                           k: Int = 16, shingleN: Int = 3, bands: Int = 8,
                           rowsPerBand: Int = 2, minMatches: Int = 8): Unit = {
-    val spark = batch.sparkSession
-    // ONE evaluation of the signature pipeline feeds check, in-batch
-    // pairs, cluster fold, and append
-    require(bands * rowsPerBand == k,
-      s"bands * rowsPerBand must equal k, got $bands * $rowsPerBand != $k")
-    require(minMatches >= 1 && minMatches <= k,
-      s"minMatches must be in [1, $k], got $minMatches")
-    val idx = graft.operators.Dedup.MinhashIndex.read(spark, indexDir)
-    idx.requireParams(k, shingleN, bands, rowsPerBand)
-    val bsigs = graft.operators.Dedup
-      .minhashSignature(batch, "doc_id", "text", k, shingleN).localCheckpoint()
-    val bband = graft.operators.Dedup.minhashBands(bsigs, "doc_id", bands, rowsPerBand)
-    val cross = graft.operators.Dedup
-      .bandJoinVerify(idx, bsigs, bband, "doc_id", k, minMatches)
-      // same replay guard as indexedNearDupBatch (see its scaladoc)
-      .join(bsigs.select(col("doc_id").as("corpus_id")), Seq("corpus_id"), "left_anti")
-      .select("new_id", "corpus_id", "sig_matches", "est_jaccard")
-      .localCheckpoint()
+    val (_, bsigs, bband, cross0) =
+      checkedBatch(batch, indexDir, k, shingleN, bands, rowsPerBand, minMatches)
+    // materialized once: written to the pair sink AND folded below
+    val cross = cross0.localCheckpoint()
     cross.write.mode("append").parquet(pairsDir)
     val inBatch = graft.operators.Dedup.batchNearDupPairsFromSigs(
       bsigs, bband, "doc_id", minMatches)
-    graft.operators.Dedup.foldClusterState(spark, indexDir, cross, inBatch)
+    graft.operators.Dedup.foldClusterState(batch.sparkSession, indexDir, cross, inBatch)
     graft.operators.Dedup.appendMinhashIndexFromSigs(
       bsigs, "doc_id", indexDir, k, shingleN, bands, rowsPerBand)
     ()

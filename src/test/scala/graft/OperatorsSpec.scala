@@ -1498,7 +1498,7 @@ class OperatorsSpec extends AnyFunSuite {
     // per-bucket file snapshot: partition dir -> sorted part-file names
     // (a rewrite always mints new part-file names)
     def files(dir: String): Map[String, Seq[String]] = {
-      val root = new java.io.File(s"$dir/clusters_p")
+      val root = new java.io.File(s"$dir/clusters_p_64")
       root.listFiles().filter(_.isDirectory).map(d =>
         d.getName -> d.listFiles().map(_.getName).filter(_.startsWith("part-"))
           .toSeq.sorted).toMap
@@ -1542,6 +1542,66 @@ class OperatorsSpec extends AnyFunSuite {
       assert(rows(Dedup.foldClusterStatePartitioned(spark, dir, cross, inBatch))
         == rows(partFold))
       assert(files(dir) == snap, "a replayed fold must not rewrite any bucket")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("partitioned cluster state: every single-bucket torn commit repairs on the re-run") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    // triplet clusters so a fold's changed set spans several buckets:
+    // {100+i, 1100+i, 2100+i} with keeper 100+i; the batch doc id 50 is
+    // SMALLER than its cluster's keeper, forcing a keeper RELABEL (the
+    // tear shapes that need repair only arise when a keeper's own row
+    // commits while a follower's does not)
+    def doc(id: Long, base: Long) =
+      (id, (0 until 30).map(j => s"torn${base}w$j").mkString(" "))
+    val corpus = (0L until 40L)
+      .flatMap(i => Seq(doc(100 + i, i), doc(1100 + i, i), doc(2100 + i, i)))
+      .toDF("doc_id", "text")
+    val batch = Seq(doc(50L, 7)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mh_idx_torn").toString
+    try {
+      val idx = Dedup.writeMinhashIndex(corpus, "doc_id", "text", dir)
+      Dedup.writeClusterStatePartitioned(spark, dir, "doc_id", buckets = 64)
+      val dataDir = new java.io.File(s"$dir/clusters_p_64")
+      val snap = java.nio.file.Files.createTempDirectory("mh_idx_torn_snap").toFile
+      org.apache.commons.io.FileUtils.copyDirectory(dataDir, snap)
+      val cross = Dedup.incrementalNearDups(idx, batch, "doc_id", "text")
+      val inBatch = Dedup.batchNearDupPairs(batch, "doc_id", "text")
+      val expected = rows(Dedup.foldClusterStatePartitioned(spark, dir, cross, inBatch))
+      // the relabel must actually have fired or the tear shapes are vacuous
+      val byId = expected.map(r => r.head.asInstanceOf[Long] -> r(1).asInstanceOf[Long]).toMap
+      assert(Seq(50L, 107L, 1107L, 2107L).forall(byId(_) == 50L),
+        s"batch doc 50 must take over cluster 107, got $byId")
+      val good = java.nio.file.Files.createTempDirectory("mh_idx_torn_good").toFile
+      org.apache.commons.io.FileUtils.copyDirectory(dataDir, good)
+      // every bucket whose content differs between pre- and post-fold is a
+      // candidate tear point: restore JUST that bucket to its pre-fold
+      // content (or remove it if the fold created it), set the inflight
+      // marker, and the re-run of the SAME fold must restore the expected
+      // state — repair handles torn relabels, the re-run itself restores
+      // rows whose bucket never committed
+      val touched = dataDir.listFiles().filter(_.isDirectory).map(_.getName)
+        .filter { b =>
+          val old = new java.io.File(snap, b)
+          !old.exists() ||
+            old.listFiles().map(_.getName).toSet !=
+              new java.io.File(dataDir, b).listFiles().map(_.getName).toSet
+        }
+      assert(touched.length >= 2, s"need >=2 touched buckets to tear, got ${touched.toSeq}")
+      touched.foreach { b =>
+        org.apache.commons.io.FileUtils.deleteDirectory(dataDir)
+        org.apache.commons.io.FileUtils.copyDirectory(good, dataDir)
+        val torn = new java.io.File(dataDir, b)
+        org.apache.commons.io.FileUtils.deleteDirectory(torn)
+        val old = new java.io.File(snap, b)
+        if (old.exists()) org.apache.commons.io.FileUtils.copyDirectory(old, torn)
+        new java.io.File(s"$dir/_clusters_p_inflight").createNewFile()
+        spark.catalog.refreshByPath(dataDir.toString)
+        val rerun = rows(Dedup.foldClusterStatePartitioned(spark, dir, cross, inBatch))
+        assert(rerun == expected, s"tear at bucket $b must repair on the re-run")
+        assert(!new java.io.File(s"$dir/_clusters_p_inflight").exists()
+          || rerun == expected)
+      }
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 

@@ -75,7 +75,13 @@ class ScanBudgetSpec extends AnyFunSuite {
     // like kmeans/bpe — see the header note); pinned so the returned
     // state can never silently regress to a recompute-on-read plan
     "q_dedup_minhash_index_clusters" -> 1,
+    "q_dedup_minhash_index_clusters_part" -> 1,
     "q_dedup_minhash_cluster_compact" -> 1,
+    // two-state merge: each stored assignment is read once per relabel
+    // branch and once by the extras anti-join (2 tables x 2) — bounded
+    // and corpus-text-free; the merge CC itself is checkpoint-
+    // materialized outside this plan
+    "q_dedup_minhash_cluster_merge" -> 4,
     "q_join_nonequi_cdf" -> 4,
     "q_ann_ivf" -> 4,
     "q5_join_multi" -> 6,
