@@ -557,7 +557,14 @@ object OperatorQueries {
   private def ivfPqResidualOracleCtes(nProbe: Int = 1,
       trainSql: String = "SELECT vec_id, embedding FROM embeddings",
       allSql: String = "SELECT vec_id, embedding FROM embeddings",
-      probeWhere: String = "vec_id < 20"): String = {
+      probeWhere: String = "vec_id < 20",
+      // probe vectors NOT in train/all (a streamed batch searching the
+      // index as of its arrival): encSql unions their (vec_id, embedding)
+      // rows into venc so they get cells/residuals WITHOUT entering the
+      // searchable code table; probeSql then names them as the probe set
+      // (overriding the default train-member probeWhere filter)
+      encSql: Option[String] = None,
+      probeSql: Option[String] = None): String = {
       import PipelineQueries.{duckDot, duckHp, bucketExpr}
       def hp8(v: String, j: Int): String =
         s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, 8), i -> CAST($v[i + 1] AS DOUBLE) * (((i * 37 + $j * 101) % 11) - 5))), (s, x) -> s + x)"
@@ -578,8 +585,8 @@ object OperatorQueries {
          |  SELECT vec_id, embedding FROM vtrain
          |  UNION
          |  SELECT vec_id, embedding FROM vall
-         |), vprobe AS (
-         |  SELECT vec_id FROM vtrain WHERE $probeWhere
+         |${encSql.map(sql => s"  UNION\n|  $sql\n|").getOrElse("")}), vprobe AS (
+         |  ${probeSql.getOrElse(s"SELECT vec_id FROM vtrain WHERE $probeWhere")}
          |), ibase AS (
          |  SELECT vec_id, embedding,
          |    ${bucketExpr(duckHp, "embedding")} AS cell0
@@ -901,6 +908,80 @@ object OperatorQueries {
                  |  UNION ALL
                  |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 4 = 0""".stripMargin,
       probeWhere = "vec_id < 20 AND vec_id % 8 <> 1")))
+
+  // Streaming vector ingest against the persisted index
+  // (StreamingAnn.indexedAnnStream): two mtime-ordered micro-batches flow
+  // through the search-then-append loop — batch1 searches the corpus
+  // index (ADC top-5, nProbe 4) and folds in via the frozen-quantizer
+  // add; batch2 then searches corpus UNION batch1 — so the match sink
+  // must equal the sequential composition of queryIvfPqResidual steps.
+  // The oracle replays BOTH steps (each a full centroid/codebook/codes/
+  // ADC chain with the step's probes entering venc via encSql but never
+  // the searchable code table) and unions them; a loop that skipped the
+  // fold, reordered, searched the wrong index snapshot, or double-encoded
+  // a vector hash-fails. batch2 rows are exact copies of corpus members,
+  // so appended-then-searched vectors are provably reachable.
+  private val qStreamAnnIndexed = df("q_stream_ann_indexed",
+    (spark, dir) => {
+      val vecs = Tables.table(spark, dir, "embeddings")
+        .select("vec_id", "embedding")
+      val corpus = vecs.filter(col("vec_id") % 4 =!= 0)
+      // fixed-size batches (vec_id < 480 exists at every sf): the streamed
+      // probe volume must not scale with the fixture, or the per-trigger
+      // search cost measures corpus growth twice (probes x candidates)
+      val batch1 = vecs.filter(col("vec_id") % 4 === 0 && col("vec_id") < 480)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      val batch2 = vecs.filter(col("vec_id") % 8 === 2 && col("vec_id") < 480)
+        .select((col("vec_id") + 200000L).as("vec_id"), col("embedding"))
+      val base = s"$annIdxScratch/${java.util.UUID.randomUUID().toString.take(8)}"
+      Similarity.writeIvfPqResidualIndex(corpus, "vec_id", "embedding", s"$base/idx")
+      Seq(batch1 -> "b1", batch2 -> "b2").zipWithIndex.foreach { case ((df, n), i) =>
+        df.coalesce(1).write.parquet(s"$base/part_$n")
+        new java.io.File(s"$base/in").mkdirs()
+        val f = new java.io.File(s"$base/part_$n").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dest = new java.io.File(s"$base/in/$n.parquet")
+        java.nio.file.Files.move(f.toPath, dest.toPath)
+        dest.setLastModified(1700000000000L + i * 60000L)
+      }
+      val stream = spark.readStream
+        .schema(corpus.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$base/in")
+      val q = graft.streaming.StreamingAnn.indexedAnnStream(
+        stream, s"$base/idx", s"$base/matches")
+      q.processAllAvailable()
+      q.stop()
+      spark.read.parquet(s"$base/matches")
+        .dropDuplicates("query_id", "neighbor_id")
+        .select(col("query_id"), col("neighbor_id"),
+          col("cell").cast("bigint").as("cell"), col("l2_micro"), col("rnk"))
+        .orderBy("query_id", "rnk")
+    },
+    Some {
+      val corpusSql = "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 <> 0"
+      val b1Sql = "SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0 AND vec_id < 480"
+      val b2Sql = "SELECT vec_id + 200000 AS vec_id, embedding FROM embeddings WHERE vec_id % 8 = 2 AND vec_id < 480"
+      def step(allSql: String, encSql: String, probeSql: String) =
+        s"""WITH ${ivfPqResidualOracleCtes(nProbe = 4, trainSql = corpusSql,
+             allSql = allSql, encSql = Some(encSql), probeSql = Some(probeSql))}
+           |SELECT query_id, neighbor_id, CAST(cell AS BIGINT) AS cell, l2_micro, rnk FROM (
+           |  SELECT query_id, neighbor_id, cell, l2_micro,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY l2_micro ASC, neighbor_id) AS BIGINT) AS rnk
+           |  FROM scored) t
+           |WHERE rnk <= 5""".stripMargin
+      s"""SELECT * FROM (
+         |${step(corpusSql, b1Sql,
+             "SELECT vec_id + 100000 AS vec_id FROM embeddings WHERE vec_id % 4 = 0 AND vec_id < 480")}
+         |) s1
+         |UNION ALL
+         |SELECT * FROM (
+         |${step(s"$corpusSql UNION ALL $b1Sql", b2Sql,
+             "SELECT vec_id + 200000 AS vec_id FROM embeddings WHERE vec_id % 8 = 2 AND vec_id < 480")}
+         |) s2
+         |ORDER BY query_id, rnk""".stripMargin
+    })
 
   // SemDeDup (Similarity.semDedup): embedding-space semantic dedup —
   // cluster by the IVF cell assignment, drop any vector with a lower-id
@@ -2610,7 +2691,7 @@ object OperatorQueries {
     qAnnRecall4, qAnnRecall8, qAnnRecallLloyd, qAnnPq, qAnnIvfPq,
     qAnnRecall256, qAnnRecall256R2, qAnnRecall256R3,
     qAnnIvfPqResidual, qAnnIvfPqRecall, qAnnIvfAdcRerank, qAnnIvfAdcStore,
-    qAnnIvfAdcAppend, qAnnIvfAdcCompact,
+    qAnnIvfAdcAppend, qAnnIvfAdcCompact, qStreamAnnIndexed,
     qSemDedup, qSemanticSort,
     qHardNegatives, qQualityApi, qMultimodalApi,
     qMultimodalPatches, qMultimodalDecode, qMultimodalAudio, qMultimodalVideo,

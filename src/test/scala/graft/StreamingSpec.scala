@@ -238,6 +238,63 @@ class StreamingSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 
+  test("indexedAnnStream: sequential search-then-add; replay appends nothing") {
+    import graft.operators.Similarity
+    import graft.streaming.StreamingAnn
+    val vecs = Tables.table(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    val corpus = vecs.filter(col("vec_id") % 4 =!= 0)
+    val b1 = vecs.filter(col("vec_id") % 4 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val b2 = vecs.filter(col("vec_id") % 8 === 2)
+      .select((col("vec_id") + 200000L).as("vec_id"), col("embedding"))
+    val base = java.nio.file.Files.createTempDirectory("sann").toString
+    try {
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+      Similarity.writeIvfPqResidualIndex(corpus, "vec_id", "embedding", s"$base/idx")
+      Seq(b1 -> "b1", b2 -> "b2").zipWithIndex.foreach { case ((df, n), i) =>
+        df.coalesce(1).write.parquet(s"$base/part_$n")
+        new java.io.File(s"$base/in").mkdirs()
+        val f = new java.io.File(s"$base/part_$n").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dest = new java.io.File(s"$base/in/$n.parquet")
+        java.nio.file.Files.move(f.toPath, dest.toPath)
+        dest.setLastModified(1700000000000L + i * 60000L)
+      }
+      val q = StreamingAnn.indexedAnnStream(
+        spark.readStream.schema(corpus.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$base/in"),
+        s"$base/idx", s"$base/matches")
+      q.processAllAvailable(); q.stop()
+      val sink = rows(spark.read.parquet(s"$base/matches")
+        .dropDuplicates("query_id", "neighbor_id"))
+      // sequential composition of the batch operators: b1 searches the
+      // corpus index; b2 searches corpus UNION b1 (fresh builds — the
+      // frozen-quantizer add encodes identically to a same-train rebuild
+      // only because the train side is the same corpus, so compose with
+      // index-as-of-step semantics via queryIvfPqResidual on stored dirs)
+      Similarity.writeIvfPqResidualIndex(corpus, "vec_id", "embedding", s"$base/ref")
+      val ref0 = Similarity.IvfPqResidualIndex.read(spark, s"$base/ref")
+      val step1 = rows(Similarity.queryIvfPqResidual(ref0, b1, b1,
+        "vec_id", "embedding", k = 5, nProbe = 4))
+      Similarity.appendIvfPqResidualIndex(b1, "vec_id", "embedding", s"$base/ref")
+      val ref1 = Similarity.IvfPqResidualIndex.read(spark, s"$base/ref")
+      val step2 = rows(Similarity.queryIvfPqResidual(ref1, b2, b2,
+        "vec_id", "embedding", k = 5, nProbe = 4))
+      assert(sink == step1 ++ step2)
+      assert(step2.exists(_(1).asInstanceOf[Long] >= 100000L),
+        "b2 must reach appended b1 vectors or the test is vacuous")
+      // at-least-once replay: re-applying b2 appends NO code rows and
+      // emits only duplicates of the original match rows
+      val codesBefore = spark.read.parquet(s"$base/idx/codes").count()
+      StreamingAnn.indexedAnnBatch(b2, s"$base/idx", s"$base/matches")
+      assert(spark.read.parquet(s"$base/idx/codes").count() == codesBefore,
+        "a replayed batch must not append code rows (duplicates would double ADC sums)")
+      assert(rows(spark.read.parquet(s"$base/matches")
+        .dropDuplicates("query_id", "neighbor_id")) == sink,
+        "a replayed batch must emit only duplicate match rows")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   test("streaming minhash near-dup equals the batch composition and is split-invariant") {
     import graft.streaming.StreamingDedup
     import graft.operators.Dedup
