@@ -1821,20 +1821,41 @@ object Dedup {
                              wide: Boolean = false): DataFrame = {
     require(minLen > 0 && stride > 0, "minLen and stride must be positive")
     graft.functions.TajoFunctions.register(docs.sparkSession)
-    val hashes =
-      if (!wide) s"window_hashes($textCol, $minLen, $stride)"
-      else s"arrays_zip(window_hashes($textCol, $minLen, $stride), " +
-        s"window_hashes($textCol, $minLen, $stride, ${graft.functions.WindowHashes.SecondBase}L))"
-    val wins = docs
-      .filter(length(col(textCol)) >= minLen)
-      .select(col(idCol),
-        posexplode(expr(hashes)).as(Seq("__i", "__h")))
-      .select(col(idCol), (col("__i").cast("bigint") * stride).as("start"),
-        col("__h"))
+    val wins = windowStarts(docs, idCol, textCol, minLen, stride, wide)
     val flagged = wins
       .withColumn("__cnt", count(lit(1)).over(Window.partitionBy("__h")))
       .filter(col("__cnt") > 1)
       .select(col(idCol), col("start"))
+    mergeWindowSpans(flagged, idCol, minLen)
+  }
+
+  /** The SQL spelling of the window-hash key: a single rolling pass, or —
+    * `wide` — the 128-bit two-base pair (both passes ride one struct
+    * column; see [[repeatedSubstringSpans]]'s scaladoc for when 64 bits
+    * stop being enough). */
+  private def windowHashExpr(textCol: String, minLen: Int, stride: Int,
+                             wide: Boolean): String =
+    if (!wide) s"window_hashes($textCol, $minLen, $stride)"
+    else s"arrays_zip(window_hashes($textCol, $minLen, $stride), " +
+      s"window_hashes($textCol, $minLen, $stride, ${graft.functions.WindowHashes.SecondBase}L))"
+
+  /** One row per length-`minLen` window at `stride`: (id, start char
+    * offset, hash key). Docs shorter than one window contribute nothing. */
+  private def windowStarts(docs: DataFrame, idCol: String, textCol: String,
+                           minLen: Int, stride: Int, wide: Boolean): DataFrame =
+    docs.filter(length(col(textCol)) >= minLen)
+      .select(col(idCol),
+        posexplode(expr(windowHashExpr(textCol, minLen, stride, wide)))
+          .as(Seq("__i", "__h")))
+      .select(col(idCol), (col("__i").cast("bigint") * stride).as("start"),
+        col("__h"))
+
+  /** Gaps-and-islands merge of flagged window starts into maximal spans
+    * (new island when a window starts past the previous window's reach).
+    * Shared by the within-corpus and cross-corpus span detectors so the
+    * span semantics cannot drift between them. */
+  private def mergeWindowSpans(flagged: DataFrame, idCol: String,
+                               minLen: Int): DataFrame = {
     val w = Window.partitionBy(idCol).orderBy("start")
     flagged
       .withColumn("__new",
@@ -1846,6 +1867,48 @@ object Dedup {
       .agg(min("start").as("span_start"), (max("start") + minLen).as("span_end"))
       .withColumn("span_len", col("span_end") - col("span_start"))
       .drop("__island")
+  }
+
+  /** Cross-corpus substring decontamination: find every maximal character
+    * span of a corpus document whose length-`minLen` windows occur
+    * VERBATIM anywhere in the benchmark set — the span-granular sibling of
+    * [[decontaminateExact]] (which drops whole documents on any word
+    * n-gram overlap). Scrubbing spans instead of dropping documents is the
+    * production-pipeline shape: a long document that quotes one eval
+    * passage keeps everything but the quote (compose with [[removeSpans]]).
+    *
+    * Shape: the benchmark side rolls windows at stride 1 ALWAYS — corpus
+    * and benchmark offsets are never mutually aligned, so benchmark-side
+    * striding would silently miss overlaps; benchmarks are eval-set-sized
+    * (fixed, small), so the stride-1 distinct hash set stays broadcastable
+    * even when the corpus is 100 TB. The corpus side pays one rolling pass
+    * at `stride` and a broadcast LEFT SEMI against that set — a map-side
+    * prune with NO corpus shuffle at all (strictly cheaper than
+    * [[repeatedSubstringSpans]], whose repeat test needs a corpus-wide
+    * hash partition); only the surviving (contaminated) windows — rare by
+    * construction — reach the per-document span merge. Detection
+    * guarantee is one-sided: a shared region of length L is found iff a
+    * corpus-side window at an offset multiple of `stride` fits inside it,
+    * guaranteed when L >= minLen + stride - 1 (stride 1 = guaranteed at
+    * exactly minLen, the ExactSubstr setting). 64-bit hash equality
+    * tolerates collisions exactly as [[repeatedSubstringSpans]] documents
+    * (a collision scrubs an innocent span); `wide` keys both sides on the
+    * two-base 128-bit pair. Returns (id, span_start, span_end, span_len),
+    * end exclusive, 0-based. */
+  def contaminatedSpans(corpus: DataFrame, benchmarks: DataFrame,
+                        idCol: String, textCol: String,
+                        minLen: Int = 50, stride: Int = 1,
+                        wide: Boolean = false): DataFrame = {
+    require(minLen > 0 && stride > 0, "minLen and stride must be positive")
+    graft.functions.TajoFunctions.register(corpus.sparkSession)
+    val benchWins = benchmarks
+      .filter(length(col(textCol)) >= minLen)
+      .select(explode(expr(windowHashExpr(textCol, minLen, 1, wide))).as("__h"))
+      .distinct()
+    val flagged = windowStarts(corpus, idCol, textCol, minLen, stride, wide)
+      .join(broadcast(benchWins), Seq("__h"), "left_semi")
+      .select(col(idCol), col("start"))
+    mergeWindowSpans(flagged, idCol, minLen)
   }
 
   /** Apply step of ExactSubstr dedup: cut the given character spans out of

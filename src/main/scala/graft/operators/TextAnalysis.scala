@@ -727,4 +727,42 @@ object TextAnalysis {
       .orderBy(col("score_ppm").desc, col(idCol))
       .limit(topK)
   }
+
+  /** Reciprocal-rank fusion of candidate rankings from heterogeneous
+    * retrievers (the standard hybrid lexical+vector recipe: fuse a BM25
+    * top-k with an ANN cosine top-k without ever putting their scores on
+    * one scale — only RANKS matter). Each input is (candidates, scoreCol):
+    * higher score = better, ties broken by ascending id so the rank — and
+    * therefore the fused score — is deterministic on every engine. The
+    * fused score is the integer-exact ppm form of Σ_lists 1/(kRrf + rank):
+    * Σ 1000000 DIV (kRrf + rank), so the DuckDB oracle replays it
+    * digit-for-digit (same ln-free trade as bm25Lite/lmScore); `n_lists`
+    * reports how many retrievers surfaced each id (2 = found by both — the
+    * usual confidence signal). Output: (id, rrf_ppm, n_lists), best first.
+    *
+    * Scale: inputs are RETRIEVAL OUTPUTS — top-k candidate lists already
+    * bounded by their producers (bm25Lite's TakeOrderedAndProject, an ANN
+    * query's per-probe top-k) — so the unpartitioned rank window runs over
+    * k rows per list, not the corpus (the same bounded-window discipline
+    * as the RangeJoin bucket CDF); never feed a corpus-sized frame. The
+    * fuse itself is one union + one k-sized aggregation. */
+  def reciprocalRankFusion(rankings: Seq[(DataFrame, String)], idCol: String,
+                           kRrf: Int = 60, topK: Int = 20): DataFrame = {
+    require(rankings.nonEmpty, "reciprocalRankFusion: at least one ranking")
+    require(kRrf > 0 && topK > 0, "reciprocalRankFusion: kRrf and topK must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val contribs = rankings.map { case (cands, scoreCol) =>
+      cands
+        .withColumn("__rank", row_number()
+          .over(Window.orderBy(col(scoreCol).desc, col(idCol))).cast("bigint"))
+        .select(col(idCol),
+          expr(s"1000000 DIV ($kRrf + __rank)").as("__contrib"))
+    }
+    contribs.reduce(_ unionByName _)
+      .groupBy(col(idCol))
+      .agg(sum(col("__contrib")).as("rrf_ppm"),
+        count(lit(1)).cast("bigint").as("n_lists"))
+      .orderBy(col("rrf_ppm").desc, col(idCol))
+      .limit(topK)
+  }
 }

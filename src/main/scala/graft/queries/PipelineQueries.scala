@@ -2658,6 +2658,83 @@ object PipelineQueries {
             |GROUP BY d.source
             |ORDER BY d.source""".stripMargin))
 
+  // Span-granular decontamination (Dedup.contaminatedSpans + removeSpans):
+  // corpus docs (doc_id % 10 <> 0) rolled at stride 4 against the STRIDE-1
+  // window-hash set of the benchmark slice (doc_id % 10 = 0); flagged
+  // windows merge into maximal spans which are then scrubbed. One row per
+  // CONTAMINATED doc: the span summary plus the scrubbed text's md5 — the
+  // DuckDB replay rebuilds the scrubbed string from inter-span gap
+  // segments (independent construction, byte-for-byte agreement), so a
+  // span minted, lost, or misplaced by the rolling-hash path hash-fails.
+  private val qDecontaminateSpans = df("q_dedup_decontaminate_spans",
+    (spark, dir) => {
+      val docs = graft.engine.Tables.table(spark, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 10 === 0)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val spans = graft.operators.Dedup.contaminatedSpans(corpus, bench,
+        "doc_id", "text", minLen = 40, stride = 4)
+      val summary = spans.groupBy("doc_id").agg(
+        count(lit(1)).as("n_spans"), sum("span_len").as("covered_chars"),
+        max("span_len").as("max_span"))
+      graft.operators.Dedup.removeSpans(corpus, spans, "doc_id", "text")
+        .join(summary, "doc_id")
+        .select(col("doc_id"), col("n_spans"), col("covered_chars"),
+          col("max_span"),
+          length(col("scrubbed")).cast("bigint").as("scrub_len"),
+          md5(col("scrubbed")).as("scrub_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH cw AS (
+           |  SELECT doc_id, CAST(t.s AS BIGINT) AS start,
+           |    md5(substr(text, CAST(t.s AS INT) + 1, 40)) AS h
+           |  FROM documents, UNNEST(range(0, length(text) - 40 + 1, 4)) AS t(s)
+           |  WHERE length(text) >= 40 AND doc_id % 10 <> 0
+           |), bw AS (
+           |  SELECT DISTINCT md5(substr(text, CAST(t.s AS INT) + 1, 40)) AS h
+           |  FROM documents, UNNEST(range(0, length(text) - 40 + 1, 1)) AS t(s)
+           |  WHERE length(text) >= 40 AND doc_id % 10 = 0
+           |), f AS (
+           |  SELECT doc_id, start FROM cw WHERE h IN (SELECT h FROM bw)
+           |), isl AS (
+           |  SELECT doc_id, start,
+           |    CASE WHEN lag(start) OVER (PARTITION BY doc_id ORDER BY start) IS NULL THEN 1
+           |         WHEN start > lag(start) OVER (PARTITION BY doc_id ORDER BY start) + 40 THEN 1
+           |         ELSE 0 END AS new_island
+           |  FROM f
+           |), grp AS (
+           |  SELECT doc_id, start,
+           |    SUM(new_island) OVER (PARTITION BY doc_id ORDER BY start) AS island
+           |  FROM isl
+           |), spans AS (
+           |  SELECT doc_id, MIN(start) AS span_start, MAX(start) + 40 AS span_end
+           |  FROM grp GROUP BY doc_id, island
+           |), summary AS (
+           |  SELECT doc_id, COUNT(*) AS n_spans,
+           |    CAST(SUM(span_end - span_start) AS BIGINT) AS covered_chars,
+           |    CAST(MAX(span_end - span_start) AS BIGINT) AS max_span
+           |  FROM spans GROUP BY doc_id
+           |), gaps AS (
+           |  SELECT doc_id,
+           |    COALESCE(lag(span_end) OVER (PARTITION BY doc_id ORDER BY span_start), 0) AS g_start,
+           |    span_start AS g_end
+           |  FROM spans
+           |  UNION ALL
+           |  SELECT s.doc_id, MAX(s.span_end), length(d.text)
+           |  FROM spans s JOIN documents d ON s.doc_id = d.doc_id
+           |  GROUP BY s.doc_id, length(d.text)
+           |), scrub AS (
+           |  SELECT g.doc_id,
+           |    COALESCE(string_agg(substr(d.text, CAST(g.g_start AS INT) + 1,
+           |      CAST(g.g_end - g.g_start AS INT)), '' ORDER BY g.g_start), '') AS scrubbed
+           |  FROM gaps g JOIN documents d ON g.doc_id = d.doc_id
+           |  GROUP BY g.doc_id
+           |)
+           |SELECT s.doc_id, s.n_spans, s.covered_chars, s.max_span,
+           |  CAST(length(c.scrubbed) AS BIGINT) AS scrub_len,
+           |  md5(c.scrubbed) AS scrub_md5
+           |FROM summary s JOIN scrub c ON s.doc_id = c.doc_id
+           |ORDER BY s.doc_id""".stripMargin))
+
   // Repeated-substring spans (ExactSubstr dedup): 40-char windows at
   // stride 4, md5-hashed; hashes seen >1x corpus-wide merge per doc into
   // maximal spans via gaps-and-islands. Per-doc summary keeps the probe
@@ -2790,6 +2867,88 @@ object PipelineQueries {
            |FROM scrub
            |ORDER BY doc_id""".stripMargin))
 
+  // Hybrid lexical+vector retrieval fused by reciprocal rank
+  // (TextAnalysis.reciprocalRankFusion): the BM25 top-20 for the corpus's
+  // top-3 terms and the brute-cosine top-20 for probe vector 0 fuse on
+  // rank alone — Σ 1000000 DIV (60 + rank), integer-exact on both engines;
+  // n_lists = 2 marks docs surfaced by BOTH retrievers. The DuckDB replay
+  // recomputes both arms (the full clamped BM25 chain + the sequential-fold
+  // cosine) and the fusion, so a rank shifted anywhere in either arm moves
+  // a fused score and hash-fails.
+  private val qHybridRrf = df("q_pipeline_hybrid_rrf",
+    (spark, dir) => {
+      val docs = graft.engine.Tables.table(spark, dir, "documents")
+      val emb = graft.engine.Tables.table(spark, dir, "embeddings")
+      val qterms = docs
+        .select(explode(org.apache.spark.sql.functions.split(col("text"), " ")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term")).limit(3).select("term")
+      val lex = graft.operators.TextAnalysis
+        .bm25Lite(docs, "doc_id", "text", qterms, topK = 20)
+      val v = emb.select(col("vec_id"), col("embedding"))
+        .withColumn("nrm", expr(s"SQRT(${sparkDot("embedding", "embedding")})"))
+      val probe = v.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+      val ann = v.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .withColumn("cos_sim", expr(s"${sparkDot("q_emb", "embedding")} / (q_nrm * nrm)"))
+        .orderBy(col("cos_sim").desc, col("vec_id")).limit(20)
+        .select(col("vec_id").as("doc_id"), col("cos_sim"))
+      graft.operators.TextAnalysis.reciprocalRankFusion(
+        Seq(lex -> "score_ppm", ann -> "cos_sim"), "doc_id")
+    },
+    Some(s"""WITH toks AS (
+            |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+            |), qterms AS (
+            |  SELECT term FROM (
+            |    SELECT term, COUNT(*) AS n FROM toks GROUP BY term
+            |    ORDER BY n DESC, term LIMIT 3)
+            |), dl AS (
+            |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+            |), totals AS (
+            |  SELECT CAST(SUM(dl) AS BIGINT) AS total_tok,
+            |    CAST(COUNT(*) AS BIGINT) AS n_docs FROM dl
+            |), tf AS (
+            |  SELECT t.doc_id, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+            |  FROM toks t JOIN qterms q USING (term) GROUP BY t.doc_id, t.term
+            |), dfreq AS (
+            |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+            |), scored AS (
+            |  SELECT tf.doc_id,
+            |    ((1000000 * (x.n_docs - d.df + 1)) // (d.df + 1)
+            |      * ((LEAST(tf.tf, 4000000) * 2200000 * 1000000)
+            |         // (LEAST(tf.tf, 4000000) * 1000000
+            |            + (1200000 * ((1000000 - 750000)
+            |               + (750000 * ((1000000 * LEAST(dl.dl, 8000000) * 1000000)
+            |                  // (1000000 * (x.total_tok // x.n_docs)
+            |                     + (1000000 * (x.total_tok % x.n_docs)) // x.n_docs))) // 1000000))
+            |              // 1000000))
+            |    ) // 1000000 AS s
+            |  FROM tf JOIN dl USING (doc_id) JOIN dfreq d USING (term), totals x
+            |), bm AS (
+            |  SELECT doc_id, CAST(SUM(s) AS BIGINT) AS score_ppm
+            |  FROM scored GROUP BY doc_id ORDER BY score_ppm DESC, doc_id LIMIT 20
+            |), lex AS (
+            |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_ppm DESC, doc_id) AS r FROM bm
+            |), v AS (
+            |  SELECT vec_id, embedding, SQRT(${duckDot("embedding", "embedding")}) AS nrm
+            |  FROM embeddings
+            |), probe AS (SELECT * FROM v WHERE vec_id = 0),
+            |anncand AS (
+            |  SELECT c.vec_id, ${duckDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+            |  FROM probe q JOIN v c ON c.vec_id <> 0
+            |  ORDER BY cos DESC, c.vec_id LIMIT 20
+            |), ann AS (
+            |  SELECT vec_id AS doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS r FROM anncand
+            |), fused AS (
+            |  SELECT doc_id, 1000000 // (60 + r) AS contrib FROM lex
+            |  UNION ALL
+            |  SELECT doc_id, 1000000 // (60 + r) FROM ann
+            |)
+            |SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS rrf_ppm,
+            |  CAST(COUNT(*) AS BIGINT) AS n_lists
+            |FROM fused GROUP BY doc_id ORDER BY rrf_ppm DESC, doc_id LIMIT 20""".stripMargin))
+
   // End-to-end retrieval: exact-dedup -> length gate -> integer BM25 over
   // the SURVIVING corpus for the survivors' top-3 tokens. The composition
   // matters: df/dl/avgdl and the query terms are all computed over the
@@ -2853,7 +3012,7 @@ object PipelineQueries {
            |ORDER BY score_ppm DESC, doc_id LIMIT 20""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(
-    qRetrieval,
+    qRetrieval, qHybridRrf,
     qDedupExact, qDedupNorm, qMinhashSig, qMinhashPairs, qMinhashCorpus, qSimhash,
     qSimhashPairs, qSimhashPairs60, qStreamNearDup, qStreamMinhashNearDup, qLmScore, qParagraphDedup, qIncrementalDedup, qIncrementalBloom,
     qMinhashIndex, qMinhashIndexBloom, qMinhashIndexBloomBc,
@@ -2861,7 +3020,7 @@ object PipelineQueries {
     qMinhashCrossIndex, qStreamMinhashIndexed, qMinhashIndexClusters,
     qMinhashClusterCompact, qStreamMinhashClustered, qMinhashIndexClustersPart,
     qMinhashClusterMerge,
-    qDecontaminateExact, qSubstringSpans, qSubstringSpansWide,
+    qDecontaminateExact, qDecontaminateSpans, qSubstringSpans, qSubstringSpansWide,
     qSubstringSpansStride1, qSubstringScrub,
     qSample, qSampleStratified, qInterleave, qSplit,
     qNgramJaccard, qEmbDedup, qAnnBrute, qAnnLsh,

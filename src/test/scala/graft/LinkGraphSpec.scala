@@ -259,6 +259,34 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(got(2L) > got(1L)) // same tf of x, shorter doc wins
   }
 
+  test("reciprocalRankFusion: integer contributions, n_lists, cross-list ordering") {
+    // lexical arm ranks 10 > 20 > 30; vector arm ranks 30 > 10 (no 20)
+    val lex = Seq((10L, 900L), (20L, 500L), (30L, 100L)).toDF("doc_id", "score")
+    val vec = Seq((30L, 0.9), (10L, 0.2)).toDF("doc_id", "cos")
+    val got = graft.operators.TextAnalysis.reciprocalRankFusion(
+      Seq(lex -> "score", vec -> "cos"), "doc_id", kRrf = 60, topK = 10)
+      .as[(Long, Long, Long)].collect.toSeq
+    // contribs: 1e6 DIV 61 = 16393, DIV 62 = 16129, DIV 63 = 15873
+    assert(got === Seq(
+      (10L, 16393L + 16129L, 2L),  // rank 1 lex + rank 2 vec
+      (30L, 15873L + 16393L, 2L),  // rank 3 lex + rank 1 vec
+      (20L, 16129L, 1L)))          // rank 2 lex only
+    // a doc found by both lists beats a doc ranked first in one:
+    assert(got.head._1 == 10L && got.head._2 > 16393L)
+    // score-scale invariance: multiplying one arm's scores by 1000 cannot
+    // move anything (only ranks enter the fusion)
+    val scaled = graft.operators.TextAnalysis.reciprocalRankFusion(
+      Seq(lex.withColumn("score", col("score") * 1000) -> "score", vec -> "cos"),
+      "doc_id", kRrf = 60, topK = 10).as[(Long, Long, Long)].collect.toSeq
+    assert(scaled === got)
+    // ties break by ascending id, so equal scores still rank deterministically
+    val tied = Seq((7L, 5L), (3L, 5L)).toDF("doc_id", "score")
+    val t = graft.operators.TextAnalysis.reciprocalRankFusion(
+      Seq(tied -> "score"), "doc_id", kRrf = 60, topK = 10)
+      .as[(Long, Long, Long)].collect.toSeq
+    assert(t === Seq((3L, 16393L, 1L), (7L, 16129L, 1L)))
+  }
+
   test("snapshotDiff classifies added/removed/modified/unchanged by digest") {
     val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
     val neu = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("doc_id", "text")

@@ -2080,6 +2080,62 @@ class OperatorsSpec extends AnyFunSuite {
     assert(er.toSeq == Seq("-TAIL", "HEAD-"))
   }
 
+  test("contaminatedSpans finds exactly the benchmark overlap, scrubs it, skips clean docs") {
+    val passage = "0123456789abcdefghij" // 20 chars, lives in the benchmark
+    val bench = Seq((100L, "EVAL SET HEADER " + passage + " trailer")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "XX" + passage + "YYYYYYYY"),                      // quotes the passage
+      (2L, "clean document with no benchmark overlap at all"),
+      (3L, passage + "-immediately then more unrelated text") // overlap at offset 0
+    ).toDF("doc_id", "text")
+    val spans = Dedup.contaminatedSpans(corpus, bench, "doc_id", "text",
+      minLen = 10, stride = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // maximal span per contaminated doc covering exactly the quoted passage
+    assert(spans.toSeq == Seq((1L, 2L, 22L), (3L, 0L, 20L)), spans.toSeq.toString)
+    val scrubbed = Dedup.removeSpans(corpus,
+      Dedup.contaminatedSpans(corpus, bench, "doc_id", "text", 10, 1),
+      "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getAs[String]("scrubbed"))
+    assert(scrubbed.toSeq == Seq("XXYYYYYYYY",
+      "clean document with no benchmark overlap at all",
+      "-immediately then more unrelated text"))
+  }
+
+  test("contaminatedSpans stride: bench side is ALWAYS stride 1, corpus guarantee is minLen+stride-1") {
+    // passage sits at an ODD offset in the benchmark doc — a strided
+    // benchmark pass would miss it; the operator's fixed stride-1 bench
+    // side must not.
+    val passage = "0123456789abcdefghijklmnop" // 26 chars
+    val bench = Seq((100L, "ZZZ" + passage)).toDF("doc_id", "text")
+    // corpus offset 5 with stride 4: windows at 4 and 8 both fall inside
+    // [5, 31) since 26 >= 10 + 4 - 1; detection guaranteed.
+    val corpus = Seq((1L, "AAAAA" + passage + "BBBB")).toDF("doc_id", "text")
+    val spans = Dedup.contaminatedSpans(corpus, bench, "doc_id", "text",
+      minLen = 10, stride = 4).collect()
+    assert(spans.length == 1, "long-enough overlap must be found at any alignment")
+    // a region shorter than minLen is never flagged
+    val shortBench = Seq((100L, "x 012345678 y")).toDF("doc_id", "text")
+    val none = Dedup.contaminatedSpans(corpus, shortBench, "doc_id", "text",
+      minLen = 10, stride = 1).collect()
+    assert(none.isEmpty)
+  }
+
+  test("contaminatedSpans wide (128-bit keys) matches the 64-bit spans on the fixture") {
+    val docs = Tables.table(spark, sfDir, "documents").limit(300)
+    val bench = docs.filter($"doc_id" % 10 === 0)
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    def spans(wide: Boolean) = Dedup
+      .contaminatedSpans(corpus, bench, "doc_id", "text", minLen = 40,
+        stride = 4, wide = wide)
+      .collect().map(_.toSeq).toSet
+    val narrow = spans(wide = false)
+    assert(narrow.nonEmpty, "fixture must produce contaminated spans")
+    assert(spans(wide = true) == narrow,
+      "two-base pair keying must not change spans where 64 bits suffice")
+  }
+
   test("decontaminateExact drops any doc sharing one n-gram with the benchmark") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta"),        // shares "alpha beta gamma" -> dropped
