@@ -82,7 +82,9 @@ object Bench {
       "q_dedup_minhash_index_clusters_part", "q_dedup_minhash_cluster_compact",
       "q_dedup_minhash_cluster_merge",
       "q_ann_ivfadc_store", "q_ann_ivfadc_append",
-      "q_ann_ivfadc_compact")
+      "q_ann_ivfadc_compact",
+      "q_op_bm25_index", "q_op_bm25_index_append", "q_op_bm25_index_compact",
+      "q_pipeline_hybrid_rrf_indexed")
     val (churnQs, mainQs) = selected.partition(q =>
       q.name.startsWith("q_store_") || q.name.startsWith("q_stream_") ||
         indexLifecycle(q.name))

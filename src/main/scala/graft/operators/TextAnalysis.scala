@@ -703,9 +703,25 @@ object TextAnalysis {
     val toks = docs.select(col(idCol),
       explode(split(col(textCol), " ")).as("term"))
     val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
-    val totals = dl.agg(sum(col("dl")).as("total_tok"), count(lit(1)).as("n_docs"))
     val tf = toks.join(broadcast(queryTerms), Seq("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    bm25ScoreParts(tf, dl, idCol, k1Ppm, bPpm, topK)
+  }
+
+  /** The ONE copy of the integer BM25 scoring chain, shared by [[bm25Lite]]
+    * (which derives `tf`/`dl` from corpus text) and
+    * [[Retrieval.queryBm25Index]] (which reads them from a persisted
+    * postings table) — the bit-identical-scores claim between the two
+    * spellings holds by construction because this is the same plan tail.
+    * Inputs: `tf` = (idCol, term, tf) restricted to the query terms but
+    * covering EVERY matching document; `dl` = (idCol, dl) covering every
+    * corpus document (its aggregate supplies n_docs/avgdl). df derives
+    * from `tf` here (one row per (term, doc), so COUNT(*) per term is the
+    * document frequency). */
+  private[operators] def bm25ScoreParts(tf: DataFrame, dl: DataFrame,
+                                        idCol: String, k1Ppm: Long, bPpm: Long,
+                                        topK: Int): DataFrame = {
+    val totals = dl.agg(sum(col("dl")).as("total_tok"), count(lit(1)).as("n_docs"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     tf.join(dl, Seq(idCol))
       .join(broadcast(dfreq), Seq("term"))

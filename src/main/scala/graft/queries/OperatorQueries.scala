@@ -3,7 +3,7 @@ package graft.queries
 import graft.QueryDef
 import graft.QueryDef.df
 import graft.engine.Tables
-import graft.operators.{AsofJoin, Bpe, Dedup, LinkGraph, Multimodal, RangeJoin, Sampling, Similarity, Sketches, Skew, TextAnalysis}
+import graft.operators.{AsofJoin, Bpe, Dedup, LinkGraph, Multimodal, RangeJoin, Retrieval, Sampling, Similarity, Sketches, Skew, TextAnalysis}
 import graft.streaming.EventStreams
 import org.apache.spark.sql.functions._
 
@@ -2622,6 +2622,291 @@ object OperatorQueries {
            |FROM scored GROUP BY doc_id
            |ORDER BY score_ppm DESC, doc_id LIMIT 20""".stripMargin))
 
+  // ---- Persisted BM25 retrieval index (Retrieval.writeBm25Index /
+  // queryBm25Index / appendBm25Index / compactBm25Index) — the lexical
+  // sibling of the stored MinHash and IVFADC indexes: postings + doc
+  // lengths aggregate ONCE into parquet, and the query answers from the
+  // stored tables with zero corpus-text scans. Every oracle below replays
+  // the FULL corpus-side integer BM25 chain over the logical corpus the
+  // index is supposed to represent, so a stale, torn, or double-appended
+  // index hash-fails. Query terms derive from the STORED postings (top-3
+  // by total tf) — even term selection avoids corpus text.
+  // THE one DuckDB copy of the integer BM25 scoring arithmetic over a
+  // suffix-parameterized tf/dl/dfreq/totals chain — shared by the plain
+  // index oracle (one step) and the streaming oracle (one step per index
+  // version). `qterms` is a free CTE name the caller binds.
+  private def bm25ChainCtes(sfx: String, corpusSql: String): String =
+    s"""toks$sfx AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM ($corpusSql)
+       |), dl$sfx AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks$sfx GROUP BY doc_id
+       |), totals$sfx AS (
+       |  SELECT CAST(SUM(dl) AS BIGINT) AS total_tok,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs FROM dl$sfx
+       |), tf$sfx AS (
+       |  SELECT t.doc_id, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM toks$sfx t JOIN qterms q USING (term) GROUP BY t.doc_id, t.term
+       |), dfreq$sfx AS (
+       |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf$sfx GROUP BY term
+       |), scored$sfx AS (
+       |  SELECT tf.doc_id,
+       |    ((1000000 * (x.n_docs - d.df + 1)) // (d.df + 1)
+       |      * ((LEAST(tf.tf, 4000000) * 2200000 * 1000000)
+       |         // (LEAST(tf.tf, 4000000) * 1000000
+       |            + (1200000 * ((1000000 - 750000)
+       |               + (750000 * ((1000000 * LEAST(dl.dl, 8000000) * 1000000)
+       |                  // (1000000 * (x.total_tok // x.n_docs)
+       |                     + (1000000 * (x.total_tok % x.n_docs)) // x.n_docs))) // 1000000))
+       |              // 1000000))
+       |    ) // 1000000 AS s
+       |  FROM tf$sfx tf JOIN dl$sfx dl USING (doc_id)
+       |    JOIN dfreq$sfx d USING (term), totals$sfx x
+       |)""".stripMargin
+
+  private def bm25IndexOracle(corpusSql: String): String =
+    s"""WITH toksq AS (
+       |  SELECT unnest(string_split(text, ' ')) AS term FROM ($corpusSql)
+       |), qterms AS (
+       |  SELECT term FROM (
+       |    SELECT term, COUNT(*) AS n FROM toksq GROUP BY term
+       |    ORDER BY n DESC, term LIMIT 3
+       |  )
+       |), ${bm25ChainCtes("", corpusSql)}
+       |SELECT doc_id, CAST(SUM(s) AS BIGINT) AS score_ppm
+       |FROM scored GROUP BY doc_id
+       |ORDER BY score_ppm DESC, doc_id LIMIT 20""".stripMargin
+  private val bm25IdxScratch = {
+    val d = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_idx-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))))
+    d
+  }
+  // top query terms from the STORED postings — the qterm derivation is
+  // itself index-only (SUM(tf) per term == the corpus token count the
+  // oracle's qterms CTE computes)
+  private def bm25IdxTopTerms(idx: graft.operators.Retrieval.Bm25Index): org.apache.spark.sql.DataFrame =
+    idx.postings.groupBy("term").agg(sum(col("tf")).as("n"))
+      .orderBy(col("n").desc, col("term")).limit(3).select("term")
+
+  private val qBm25Index = df("q_op_bm25_index",
+    (spark, dir) => {
+      val docs = Tables.table(spark, dir, "documents")
+      val corpus = docs.filter(col("doc_id") < 300).select("doc_id", "text")
+      val idx = Retrieval.writeBm25Index(corpus, "doc_id", "text",
+        s"$bm25IdxScratch/${java.util.UUID.randomUUID().toString.take(8)}")
+      Retrieval.queryBm25Index(idx, bm25IdxTopTerms(idx))
+        .select(col("doc_id"), col("score_ppm").cast("bigint").as("score_ppm"))
+        .orderBy(col("score_ppm").desc, col("doc_id"))
+    },
+    Some(bm25IndexOracle(
+      "SELECT doc_id, text FROM documents WHERE doc_id < 300")))
+
+  // The maintenance half: batch docs fold in under new ids, then the SAME
+  // append replays (an at-least-once scheduler re-run of a committed
+  // append) — the doclens presence check must make the replay a no-op, or
+  // tf/df/n_docs/avgdl all shift and the oracle (corpus UNION batch,
+  // counted ONCE) hash-fails. BM25 appends have no frozen-quantizer
+  // caveat: term stats are pure per-doc aggregates, so the oracle treats
+  // the appended index exactly as if batch docs were present at build.
+  private val qBm25IndexAppend = df("q_op_bm25_index_append",
+    (spark, dir) => {
+      val docs = Tables.table(spark, dir, "documents")
+      val corpus = docs.filter(col("doc_id") < 250).select("doc_id", "text")
+      val batch = docs.filter(col("doc_id").between(300, 349))
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      val idxDir = s"$bm25IdxScratch/${java.util.UUID.randomUUID().toString.take(8)}"
+      Retrieval.writeBm25Index(corpus, "doc_id", "text", idxDir)
+      Retrieval.appendBm25Index(batch, "doc_id", "text", idxDir)
+      val idx = Retrieval.appendBm25Index(batch, "doc_id", "text", idxDir)
+      Retrieval.queryBm25Index(idx, bm25IdxTopTerms(idx))
+        .select(col("doc_id"), col("score_ppm").cast("bigint").as("score_ppm"))
+        .orderBy(col("score_ppm").desc, col("doc_id"))
+    },
+    Some(bm25IndexOracle(
+      """SELECT doc_id, text FROM documents WHERE doc_id < 250
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id BETWEEN 300 AND 349""".stripMargin)))
+
+  // The lifecycle end: after the append, the fixture plants the torn
+  // crash-retry state (batch postings appended a second time WITHOUT
+  // doclens — exactly what a retry after a crash between the two append
+  // writes leaves behind), tombstones a tenth of the original corpus, and
+  // compacts. The oracle is (corpus MINUS drops) UNION batch counted
+  // once — a surviving duplicate posting (over-counted tf/df), a failed
+  // drop, or a lost doc all hash-fail. Dropping ids also moves df/avgdl
+  // for every OTHER document, which is why tombstone removal is
+  // correctness for BM25, not just space hygiene.
+  private val qBm25IndexCompact = df("q_op_bm25_index_compact",
+    (spark, dir) => {
+      val docs = Tables.table(spark, dir, "documents")
+      val corpus = docs.filter(col("doc_id") < 250).select("doc_id", "text")
+      val batch = docs.filter(col("doc_id").between(300, 349))
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      val idxDir = s"$bm25IdxScratch/${java.util.UUID.randomUUID().toString.take(8)}"
+      Retrieval.writeBm25Index(corpus, "doc_id", "text", idxDir)
+      Retrieval.appendBm25Index(batch, "doc_id", "text", idxDir)
+      // torn-retry state: the batch's postings rows land a second time,
+      // its doclens rows do not (the commit marker held, so a clean
+      // re-append is blocked — this is the one state only compact heals)
+      batch.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+        .write.mode("append").parquet(s"$idxDir/postings")
+      val dropped = corpus.filter(col("doc_id") % 10 === 3).select("doc_id")
+      val idx = Retrieval.compactBm25Index(spark, idxDir, dropIds = Some(dropped))
+      Retrieval.queryBm25Index(idx, bm25IdxTopTerms(idx))
+        .select(col("doc_id"), col("score_ppm").cast("bigint").as("score_ppm"))
+        .orderBy(col("score_ppm").desc, col("doc_id"))
+    },
+    Some(bm25IndexOracle(
+      """SELECT doc_id, text FROM documents WHERE doc_id < 250 AND doc_id % 10 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id BETWEEN 300 AND 349""".stripMargin)))
+
+  // Streaming document ingest against the persisted BM25 index
+  // (StreamingRetrieval.indexedBm25Stream): two mtime-ordered micro-batches
+  // flow through the fold-then-rescore loop — each trigger appends its docs
+  // (heal-mode, replay-safe) and re-scores a FIXED query-term set (derived
+  // from the CORPUS index postings before any fold) against the updated
+  // index, tagging rows with the index version (doclens count after the
+  // fold). The oracle replays BOTH steps from scratch (step 1 over corpus
+  // UNION b1, step 2 over corpus UNION b1 UNION b2 — full integer BM25
+  // chain each, n_docs_at from each step's totals) and unions them: a loop
+  // that skipped a fold, double-appended (df/avgdl shift), scored a stale
+  // index snapshot, or mis-tagged a version hash-fails. Scores for the
+  // same doc legitimately differ across steps — that is the point: the
+  // standing query tracks the corpus as it grows.
+  private val qStreamBm25Indexed = df("q_stream_bm25_indexed",
+    (spark, dir) => {
+      val docs = Tables.table(spark, dir, "documents")
+      val corpus = docs.filter(col("doc_id") < 250).select("doc_id", "text")
+      val batch1 = docs.filter(col("doc_id").between(300, 349))
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      val batch2 = docs.filter(col("doc_id").between(350, 379))
+        .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+      val base = s"$bm25IdxScratch/${java.util.UUID.randomUUID().toString.take(8)}"
+      val idx = Retrieval.writeBm25Index(corpus, "doc_id", "text", s"$base/idx")
+      val qterms = bm25IdxTopTerms(idx).collect().map(_.getString(0)).toSeq
+      Seq(batch1 -> "b1", batch2 -> "b2").zipWithIndex.foreach { case ((b, n), i) =>
+        b.coalesce(1).write.parquet(s"$base/part_$n")
+        new java.io.File(s"$base/in").mkdirs()
+        val f = new java.io.File(s"$base/part_$n").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dest = new java.io.File(s"$base/in/$n.parquet")
+        java.nio.file.Files.move(f.toPath, dest.toPath)
+        dest.setLastModified(1700000000000L + i * 60000L)
+      }
+      val stream = spark.readStream
+        .schema(corpus.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$base/in")
+      val q = graft.streaming.StreamingRetrieval.indexedBm25Stream(
+        stream, s"$base/idx", s"$base/scores", qterms)
+      q.processAllAvailable()
+      q.stop()
+      spark.read.parquet(s"$base/scores")
+        .dropDuplicates("n_docs_at", "doc_id")
+        .select(col("n_docs_at").cast("bigint").as("n_docs_at"),
+          col("doc_id"), col("score_ppm").cast("bigint").as("score_ppm"))
+        .orderBy(col("n_docs_at"), col("score_ppm").desc, col("doc_id"))
+    },
+    Some {
+      val corpusSql = "SELECT doc_id, text FROM documents WHERE doc_id < 250"
+      val b1Sql = "SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id BETWEEN 300 AND 349"
+      val b2Sql = "SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id BETWEEN 350 AND 379"
+      s"""WITH toksq AS (
+         |  SELECT unnest(string_split(text, ' ')) AS term FROM ($corpusSql)
+         |), qterms AS (
+         |  SELECT term FROM (
+         |    SELECT term, COUNT(*) AS n FROM toksq GROUP BY term
+         |    ORDER BY n DESC, term LIMIT 3
+         |  )
+         |), ${bm25ChainCtes("_1", s"$corpusSql UNION ALL $b1Sql")},
+         |${bm25ChainCtes("_2", s"$corpusSql UNION ALL $b1Sql UNION ALL $b2Sql")},
+         |top_1 AS (
+         |  SELECT (SELECT n_docs FROM totals_1) AS n_docs_at, doc_id,
+         |    CAST(SUM(s) AS BIGINT) AS score_ppm
+         |  FROM scored_1 GROUP BY doc_id
+         |  ORDER BY score_ppm DESC, doc_id LIMIT 20
+         |), top_2 AS (
+         |  SELECT (SELECT n_docs FROM totals_2) AS n_docs_at, doc_id,
+         |    CAST(SUM(s) AS BIGINT) AS score_ppm
+         |  FROM scored_2 GROUP BY doc_id
+         |  ORDER BY score_ppm DESC, doc_id LIMIT 20
+         |)
+         |SELECT * FROM top_1
+         |UNION ALL
+         |SELECT * FROM top_2
+         |ORDER BY n_docs_at, score_ppm DESC, doc_id""".stripMargin
+    })
+
+  // Hybrid retrieval served ENTIRELY from persisted indexes — the capstone
+  // tying the two index families together: the lexical arm queries the
+  // stored BM25 postings (zero corpus-text scans), the vector arm queries
+  // the stored IVFADC codes (ADC-only, zero raw-vector scans: rerank = 0
+  // so the corpus argument never enters the plan), and reciprocal-rank
+  // fusion joins them on ranks alone. This is the 100 TB serving shape:
+  // after the two one-time builds, a query touches only term-pruned
+  // postings row groups + the PQ code table. The oracle replays BOTH
+  // persisted chains end-to-end (the integer BM25 chain AND the full
+  // centroid/codebook/codes/ADC pipeline with the probe entering encode
+  // but not the searchable codes) plus the fusion — a rank shifted
+  // anywhere in either stored index moves a fused score and hash-fails.
+  private val qHybridRrfIndexed = df("q_pipeline_hybrid_rrf_indexed",
+    (spark, dir) => {
+      val docs = Tables.table(spark, dir, "documents")
+      val emb = Tables.table(spark, dir, "embeddings").select("vec_id", "embedding")
+      val base = s"$bm25IdxScratch/${java.util.UUID.randomUUID().toString.take(8)}"
+      val bmIdx = Retrieval.writeBm25Index(
+        docs.select("doc_id", "text"), "doc_id", "text", s"$base/bm")
+      val lex = Retrieval.queryBm25Index(bmIdx, bm25IdxTopTerms(bmIdx))
+      val corpusVecs = emb.filter(col("vec_id") =!= 0)
+      val annIdx = Similarity.writeIvfPqResidualIndex(
+        corpusVecs, "vec_id", "embedding", s"$base/ann")
+      val probe = emb.filter(col("vec_id") === 0)
+      val ann = Similarity.queryIvfPqResidual(annIdx, corpusVecs, probe,
+          "vec_id", "embedding", k = 20, nProbe = 4, rerank = 0)
+        .select(col("neighbor_id").as("doc_id"),
+          (lit(0L) - col("l2_micro")).as("neg_l2"))
+      TextAnalysis.reciprocalRankFusion(
+        Seq(lex -> "score_ppm", ann -> "neg_l2"), "doc_id")
+    },
+    Some {
+      val vecsSql = "SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0"
+      s"""WITH toksq AS (
+         |  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+         |), qterms AS (
+         |  SELECT term FROM (
+         |    SELECT term, COUNT(*) AS n FROM toksq GROUP BY term
+         |    ORDER BY n DESC, term LIMIT 3
+         |  )
+         |), ${bm25ChainCtes("_b", "SELECT doc_id, text FROM documents")},
+         |bm AS (
+         |  SELECT doc_id, CAST(SUM(s) AS BIGINT) AS score_ppm
+         |  FROM scored_b GROUP BY doc_id
+         |  ORDER BY score_ppm DESC, doc_id LIMIT 20
+         |), lex AS (
+         |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_ppm DESC, doc_id) AS r FROM bm
+         |), ${ivfPqResidualOracleCtes(nProbe = 4, trainSql = vecsSql,
+             allSql = vecsSql,
+             encSql = Some("SELECT vec_id, embedding FROM embeddings WHERE vec_id = 0"),
+             probeSql = Some("SELECT 0 AS vec_id"))},
+         |anncand AS (
+         |  SELECT neighbor_id,
+         |    ROW_NUMBER() OVER (ORDER BY l2_micro ASC, neighbor_id) AS r
+         |  FROM scored
+         |), ann AS (
+         |  SELECT neighbor_id AS doc_id, r FROM anncand WHERE r <= 20
+         |), fused AS (
+         |  SELECT doc_id, 1000000 // (60 + r) AS contrib FROM lex
+         |  UNION ALL
+         |  SELECT doc_id, 1000000 // (60 + r) FROM ann
+         |)
+         |SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS rrf_ppm,
+         |  CAST(COUNT(*) AS BIGINT) AS n_lists
+         |FROM fused GROUP BY doc_id ORDER BY rrf_ppm DESC, doc_id LIMIT 20""".stripMargin
+    })
+
   // Crawl snapshot diff (Dedup.snapshotDiff): added/removed/modified/
   // unchanged by digest across two snapshots; the fixture derives an "old"
   // snapshot that exercises all four statuses (dropped %7 ids -> added,
@@ -2686,6 +2971,8 @@ object OperatorQueries {
 
   val all: Seq[QueryDef] = Seq(
     qUrlDedup, qPageRank, qHllTokens, qRobotsGate, qDistill, qCountMin, qInvertedIndex, qBm25,
+    qBm25Index, qBm25IndexAppend, qBm25IndexCompact, qStreamBm25Indexed,
+    qHybridRrfIndexed,
     qSnapshotDiff, qSkewDiag, qEntityRes, qGoldenRecord, qDqProfile, qDqChecks, qWordPiece, qUnigram, qUnigramEm,
     qMinhashApi, qAnnApi, qAnnIvf, qAnnIvf2, qAnnRecall, qAnnRecall2,
     qAnnRecall4, qAnnRecall8, qAnnRecallLloyd, qAnnPq, qAnnIvfPq,
