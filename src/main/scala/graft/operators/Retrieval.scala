@@ -125,13 +125,17 @@ object Retrieval {
                      dir: String, termShards: Int = 32): Bm25Index = {
     require(termShards >= 1, s"termShards must be >= 1, got $termShards")
     val spark = corpus.sparkSession
+    // meta stamps FIRST: a build that crashes after the table writes but
+    // before the tag would read as a legacy UNTAGGED index that bypasses
+    // tokenizer validation forever; crashing after the tag but before the
+    // tables instead fails loudly on the missing postings path
+    Bm25Meta.write(spark, dir, Bm25Meta(TokenizerWs1))
     postingsOf(corpus, idCol, textCol)
       .repartition(termShards, col("term"))
       .sortWithinPartitions("term")
       .write.mode("overwrite").parquet(s"$dir/postings")
     doclensOf(corpus, idCol, textCol)
       .write.mode("overwrite").parquet(s"$dir/doclens")
-    Bm25Meta.write(spark, dir, Bm25Meta(TokenizerWs1))
     Bm25Index.read(spark, dir)
   }
 
@@ -148,10 +152,14 @@ object Retrieval {
     * totals and the final per-document sum; top-k plans as
     * TakeOrderedAndProject. ZERO corpus-text reads (scan-budget-pinned).
     *
-    * After a CRASH-RETRIED append (see [[appendBm25Index]]) duplicate
-    * postings rows over-count tf/df for the affected documents until
-    * [[compactBm25Index]] collapses them; a cleanly re-run append is a
-    * no-op and never creates that state. */
+    * Failure-state semantics (the doclens liveness rule,
+    * [[TextAnalysis.bm25ScoreParts]]): postings rows whose document has no
+    * doclens row — a torn, not-yet-retried append — are INVISIBLE here, so
+    * the torn state scores exactly like the pre-append index. Only a
+    * non-heal RETRY of a torn append creates live duplicate postings rows,
+    * which over-count tf/df for the affected documents until
+    * [[compactBm25Index]] collapses them; a cleanly re-run committed
+    * append is a no-op and never creates that state. */
   def queryBm25Index(index: Bm25Index, queryTerms: DataFrame,
                      idCol: String = "doc_id", k1Ppm: Long = 1200000L,
                      bPpm: Long = 750000L, topK: Int = 20): DataFrame = {
@@ -173,30 +181,44 @@ object Retrieval {
     * appended index scores identically to a rebuilt one (spec-pinned).
     *
     * Write order is the commit protocol: postings first, `doclens` last —
-    * a document's doclens row is its commit marker (the presence check
-    * reads doclens, and a doc with a length row always has its postings).
-    * The crash window between the two writes therefore re-appends that
-    * batch's postings on retry, leaving duplicate (term, id) rows:
-    * detectable (same tf), collapsed by [[compactBm25Index]], and
-    * over-counting tf/df for just those documents until then — the same
-    * "retried duplicates are compaction's job" contract as the vector
-    * index — UNLESS `heal = true`: then the batch's postings rows are
-    * additionally anti-joined against the stored postings restricted to
-    * the batch ids (one map-side-pruned postings scan, the same order of
-    * work the query path already pays per probe), so a retry of the torn
-    * state appends exactly the missing rows and the duplicate state never
-    * forms. Batch deployments keep the default (no extra scan per append,
-    * compaction heals); at-least-once streaming loops pass `heal = true`
+    * a document's doclens row is its commit marker: the presence check
+    * reads doclens, and because every scoring statistic gates on the
+    * doclens join ([[TextAnalysis.bm25ScoreParts]]'s liveness rule), a
+    * torn state (postings committed, doclens not) is INVISIBLE to queries
+    * — it scores exactly like the pre-append index, no partial ghost
+    * documents. A plain retry of that torn state re-appends the batch's
+    * postings (the presence check passes), leaving duplicate (term, id)
+    * rows once the retry's doclens commits: detectable (same tf),
+    * collapsed by [[compactBm25Index]], and over-counting tf/df for just
+    * those documents until then — the same "retried duplicates are
+    * compaction's job" contract as the vector index. `heal = true`
+    * prevents the duplicates instead: the batch's postings rows are
+    * anti-joined against the stored postings restricted to the batch's
+    * TERMS then ids (a term-keyed semi the term-sorted layout and the
+    * runtime-filter machinery can prune; worst case one postings scan per
+    * healed append), so a torn retry appends exactly the missing rows.
+    * Batch deployments keep the default (no extra postings read per
+    * append); at-least-once streaming loops pass `heal = true`
     * ([[graft.streaming.StreamingRetrieval]]) because their retries are
     * routine, not exceptional.
+    *
+    * A pre-meta (legacy) directory gets the tokenizer tag stamped on its
+    * first append — same discipline as the MinHash index.
     * PRECONDITION: ids unique across the corpus and every batch. */
   def appendBm25Index(batch: DataFrame, idCol: String, textCol: String,
                       dir: String, heal: Boolean = false): Bm25Index = {
     val spark = batch.sparkSession
     val stored = Bm25Index.read(spark, dir)
+    if (stored.meta.isEmpty) Bm25Meta.write(spark, dir, Bm25Meta(TokenizerWs1))
     stored.requireTokenizer(TokenizerWs1)
+    // localCheckpoint: the postings and doclens writes MUST see the same
+    // novel set — two independent evaluations of a non-deterministic batch
+    // plan could commit a doclens row (the liveness marker) for a document
+    // whose postings never landed, silently zero-scoring it forever (the
+    // same reason the MinHash append checkpoints its signature table)
     val novel = batch.join(
       stored.doclens.select(col(idCol)), Seq(idCol), "left_anti")
+      .localCheckpoint()
     // a fully-replayed append (every id already committed) writes nothing —
     // without this, each at-least-once retry would land one empty parquet
     // file per table (same guard as the ANN loop's append)
@@ -204,7 +226,8 @@ object Retrieval {
     val bp = postingsOf(novel, idCol, textCol)
     val toLand = if (!heal) bp else bp.join(
       stored.postings
-        .join(novel.select(col(idCol)), Seq(idCol), "left_semi")
+        .join(broadcast(bp.select(col("term")).distinct()), Seq("term"), "left_semi")
+        .join(broadcast(novel.select(col(idCol))), Seq(idCol), "left_semi")
         .select(col("term"), col(idCol)),
       Seq("term", idCol), "left_anti")
     toLand.write.mode("append").parquet(s"$dir/postings")
@@ -214,16 +237,28 @@ object Retrieval {
   }
 
   /** Compact a stored index: drop tombstoned documents (deleted from the
-    * corpus — their postings would keep scoring forever AND skew df/avgdl
-    * for every other document, so deletion here is correctness, not just
-    * hygiene) and collapse duplicate rows left by crash-retried appends
-    * (which over-count tf/df — also correctness). Index-sized staged
-    * rewrite of both tables via [[IndexFiles.stagedSwap]]: same crash
-    * recovery at read, same LSM non-concurrency contract, same
-    * object-store rename caveat as the other index families; `_meta.json`
-    * is a sibling the swap never touches. Appended small files also get
-    * re-sorted into the term-sharded layout here, restoring the row-group
-    * skip that makes query-term probes cheap. */
+    * corpus — a doc's doclens row keeps it scoring AND in df/avgdl, so
+    * deletion here is correctness, not just hygiene), collapse duplicate
+    * rows left by crash-retried appends (which over-count tf/df — also
+    * correctness), and garbage-collect ghost postings (rows whose doc has
+    * no doclens row — a torn never-retried append; invisible to scoring
+    * by the liveness rule, reclaimed here). Index-sized staged rewrite of
+    * both tables via [[IndexFiles.stagedSwap]]: same crash recovery at
+    * read, same LSM non-concurrency contract, same object-store rename
+    * caveat as the other index families; `_meta.json` is a sibling the
+    * swap never touches. Appended small files also get re-sorted into the
+    * term-sharded layout, restoring the row-group skip that makes
+    * query-term probes cheap.
+    *
+    * Swap ORDER is load-bearing: `doclens` swaps FIRST. Because every
+    * query statistic gates on the doclens join, the crash window between
+    * the two swaps (tombstones gone from doclens, still present in
+    * postings) scores EXACTLY like the fully-compacted index — the
+    * leftover postings are ghosts (spec-pinned). The reverse order would
+    * leave a window where dropped docs still count toward n_docs/avgdl
+    * with no loud signal. Re-run the compaction (any dropIds, even none)
+    * to finish the postings half: the liveness sweep reclaims the ghosts
+    * without the caller having to remember the original drop set. */
   def compactBm25Index(spark: SparkSession, dir: String,
                        dropIds: Option[DataFrame] = None,
                        idCol: String = "doc_id",
@@ -232,11 +267,13 @@ object Retrieval {
       dropIds.fold(df)(ids =>
           df.join(ids.select(col(idCol)).distinct(), Seq(idCol), "left_anti"))
         .dropDuplicates(dedupCols)
+    IndexFiles.stagedSwap(spark, dir, "doclens")(df => prune(df, Seq(idCol)))
+    val liveIds = spark.read.parquet(s"$dir/doclens").select(col(idCol))
     IndexFiles.stagedSwap(spark, dir, "postings")(df =>
       prune(df, Seq("term", idCol))
+        .join(liveIds, Seq(idCol), "left_semi")
         .repartition(termShards, col("term"))
         .sortWithinPartitions("term"))
-    IndexFiles.stagedSwap(spark, dir, "doclens")(df => prune(df, Seq(idCol)))
     Bm25Index.read(spark, dir)
   }
 }

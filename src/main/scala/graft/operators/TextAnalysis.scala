@@ -715,15 +715,25 @@ object TextAnalysis {
     * spellings holds by construction because this is the same plan tail.
     * Inputs: `tf` = (idCol, term, tf) restricted to the query terms but
     * covering EVERY matching document; `dl` = (idCol, dl) covering every
-    * corpus document (its aggregate supplies n_docs/avgdl). df derives
-    * from `tf` here (one row per (term, doc), so COUNT(*) per term is the
-    * document frequency). */
+    * corpus document (its aggregate supplies n_docs/avgdl).
+    *
+    * `dl` is the LIVENESS AUTHORITY: every statistic — df included —
+    * derives from tf ⋈ dl, so a tf row whose document has no dl row is
+    * invisible to scoring. For bm25Lite the join is a no-op (both sides
+    * come from the same tokens); for the persisted index it is what makes
+    * a torn half-appended state ([[Retrieval.appendBm25Index]]) and the
+    * between-swaps compaction window ([[Retrieval.compactBm25Index]])
+    * score EXACTLY like the respective clean states instead of leaking
+    * ghost documents into df. */
   private[operators] def bm25ScoreParts(tf: DataFrame, dl: DataFrame,
                                         idCol: String, k1Ppm: Long, bPpm: Long,
                                         topK: Int): DataFrame = {
     val totals = dl.agg(sum(col("dl")).as("total_tok"), count(lit(1)).as("n_docs"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    tf.join(dl, Seq(idCol))
+    // the inner join IS the liveness gate; df derives from the joined rows
+    // so it can never count a document the length table does not vouch for
+    val joined = tf.join(dl, Seq(idCol))
+    val dfreq = joined.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    joined
       .join(broadcast(dfreq), Seq("term"))
       .crossJoin(broadcast(totals))
       // identical to (1e6*total_tok) DIV n_docs but never forms the 1e6·Σdl

@@ -823,6 +823,24 @@ object OperatorQueries {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))))
     d
   }
+
+  // THE one copy of the mtime-ordered micro-batch staging used by every
+  // file-stream fixture (the indexed ANN and BM25 loops): each batch lands
+  // as one parquet file under `base/in` with strictly increasing mtimes, so
+  // maxFilesPerTrigger=1 replays them in a deterministic trigger order.
+  private def stageMtimeOrderedBatches(base: String,
+      batches: Seq[org.apache.spark.sql.DataFrame]): String = {
+    batches.zipWithIndex.foreach { case (b, i) =>
+      b.coalesce(1).write.parquet(s"$base/part_$i")
+      new java.io.File(s"$base/in").mkdirs()
+      val f = new java.io.File(s"$base/part_$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = new java.io.File(s"$base/in/$i.parquet")
+      java.nio.file.Files.move(f.toPath, dest.toPath)
+      dest.setLastModified(1700000000000L + i * 60000L)
+    }
+    s"$base/in"
+  }
   private val qAnnIvfAdcStore = df("q_ann_ivfadc_store",
     (spark, dir) => {
       val vecs = Tables.table(spark, dir, "embeddings")
@@ -935,19 +953,11 @@ object OperatorQueries {
         .select((col("vec_id") + 200000L).as("vec_id"), col("embedding"))
       val base = s"$annIdxScratch/${java.util.UUID.randomUUID().toString.take(8)}"
       Similarity.writeIvfPqResidualIndex(corpus, "vec_id", "embedding", s"$base/idx")
-      Seq(batch1 -> "b1", batch2 -> "b2").zipWithIndex.foreach { case ((df, n), i) =>
-        df.coalesce(1).write.parquet(s"$base/part_$n")
-        new java.io.File(s"$base/in").mkdirs()
-        val f = new java.io.File(s"$base/part_$n").listFiles()
-          .filter(_.getName.endsWith(".parquet")).head
-        val dest = new java.io.File(s"$base/in/$n.parquet")
-        java.nio.file.Files.move(f.toPath, dest.toPath)
-        dest.setLastModified(1700000000000L + i * 60000L)
-      }
+      val inDir = stageMtimeOrderedBatches(base, Seq(batch1, batch2))
       val stream = spark.readStream
         .schema(corpus.schema)
         .option("maxFilesPerTrigger", "1")
-        .parquet(s"$base/in")
+        .parquet(inDir)
       val q = graft.streaming.StreamingAnn.indexedAnnStream(
         stream, s"$base/idx", s"$base/matches")
       q.processAllAvailable()
@@ -2588,39 +2598,9 @@ object OperatorQueries {
         .select(col("doc_id"), col("score_ppm").cast("bigint").as("score_ppm"))
         .orderBy(col("score_ppm").desc, col("doc_id"))
     },
-    Some("""WITH toks AS (
-           |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
-           |), qterms AS (
-           |  SELECT term FROM (
-           |    SELECT term, COUNT(*) AS n FROM toks GROUP BY term
-           |    ORDER BY n DESC, term LIMIT 3
-           |  )
-           |), dl AS (
-           |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
-           |), totals AS (
-           |  SELECT CAST(SUM(dl) AS BIGINT) AS total_tok,
-           |    CAST(COUNT(*) AS BIGINT) AS n_docs FROM dl
-           |), tf AS (
-           |  SELECT t.doc_id, t.term, CAST(COUNT(*) AS BIGINT) AS tf
-           |  FROM toks t JOIN qterms q USING (term) GROUP BY t.doc_id, t.term
-           |), dfreq AS (
-           |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
-           |), scored AS (
-           |  SELECT tf.doc_id,
-           |    ((1000000 * (x.n_docs - d.df + 1)) // (d.df + 1)
-           |      * ((LEAST(tf.tf, 4000000) * 2200000 * 1000000)
-           |         // (LEAST(tf.tf, 4000000) * 1000000
-           |            + (1200000 * ((1000000 - 750000)
-           |               + (750000 * ((1000000 * LEAST(dl.dl, 8000000) * 1000000)
-           |                  // (1000000 * (x.total_tok // x.n_docs)
-           |                     + (1000000 * (x.total_tok % x.n_docs)) // x.n_docs))) // 1000000))
-           |              // 1000000))
-           |    ) // 1000000 AS s
-           |  FROM tf JOIN dl USING (doc_id) JOIN dfreq d USING (term), totals x
-           |)
-           |SELECT doc_id, CAST(SUM(s) AS BIGINT) AS score_ppm
-           |FROM scored GROUP BY doc_id
-           |ORDER BY score_ppm DESC, doc_id LIMIT 20""".stripMargin))
+    // same replay as the persisted-index spelling over the full table —
+    // ONE DuckDB copy of the integer arithmetic (bm25ChainCtes) serves both
+    Some(bm25IndexOracle("SELECT doc_id, text FROM documents")))
 
   // ---- Persisted BM25 retrieval index (Retrieval.writeBm25Index /
   // queryBm25Index / appendBm25Index / compactBm25Index) — the lexical
@@ -2787,19 +2767,11 @@ object OperatorQueries {
       val base = s"$bm25IdxScratch/${java.util.UUID.randomUUID().toString.take(8)}"
       val idx = Retrieval.writeBm25Index(corpus, "doc_id", "text", s"$base/idx")
       val qterms = bm25IdxTopTerms(idx).collect().map(_.getString(0)).toSeq
-      Seq(batch1 -> "b1", batch2 -> "b2").zipWithIndex.foreach { case ((b, n), i) =>
-        b.coalesce(1).write.parquet(s"$base/part_$n")
-        new java.io.File(s"$base/in").mkdirs()
-        val f = new java.io.File(s"$base/part_$n").listFiles()
-          .filter(_.getName.endsWith(".parquet")).head
-        val dest = new java.io.File(s"$base/in/$n.parquet")
-        java.nio.file.Files.move(f.toPath, dest.toPath)
-        dest.setLastModified(1700000000000L + i * 60000L)
-      }
+      val inDir = stageMtimeOrderedBatches(base, Seq(batch1, batch2))
       val stream = spark.readStream
         .schema(corpus.schema)
         .option("maxFilesPerTrigger", "1")
-        .parquet(s"$base/in")
+        .parquet(inDir)
       val q = graft.streaming.StreamingRetrieval.indexedBm25Stream(
         stream, s"$base/idx", s"$base/scores", qterms)
       q.processAllAvailable()

@@ -104,6 +104,58 @@ class RetrievalSpec extends AnyFunSuite {
     assert(compacted.meta.contains(Retrieval.Bm25Meta(Retrieval.TokenizerWs1)))
   }
 
+  test("liveness rule: a torn append (postings without doclens) is invisible to queries") {
+    val dir = scratch("bm25_ghost")
+    val corpus = docs.filter($"doc_id" < 150)
+    val batch = docs.filter($"doc_id" >= 150)
+      .select(($"doc_id" + 5000L).as("doc_id"), $"text")
+    val built = Retrieval.writeBm25Index(corpus, "doc_id", "text", dir, termShards = 4)
+    // materialized to literals: a lazy qterms plan would capture the
+    // pre-compaction postings file listing and fail after the swap below
+    val qterms = topTerms(built).collect().map(_.getString(0)).toSeq.toDF("term")
+    val before = scores(Retrieval.queryBm25Index(built, qterms))
+    assert(before.nonEmpty)
+    // torn state: postings committed, doclens not (crash between the writes)
+    batch.select($"doc_id", explode(split($"text", " ")).as("term"))
+      .groupBy($"term", $"doc_id").agg(count(lit(1)).as("tf"))
+      .write.mode("append").parquet(s"$dir/postings")
+    val torn = Retrieval.Bm25Index.read(spark, dir)
+    // ghost rows must not move ANY statistic — df included — so the torn
+    // index scores bit-identically to the pre-append index
+    assert(scores(Retrieval.queryBm25Index(torn, qterms)) == before)
+    // and compaction's liveness sweep reclaims the ghosts
+    val compacted = Retrieval.compactBm25Index(spark, dir, termShards = 4)
+    assert(compacted.postings.filter($"doc_id" >= 5000L).count() == 0)
+    assert(scores(Retrieval.queryBm25Index(compacted, qterms)) == before)
+  }
+
+  test("compact swap order: the between-swaps crash state scores like the compacted index") {
+    val dir = scratch("bm25_midcmp")
+    Retrieval.writeBm25Index(docs, "doc_id", "text", dir, termShards = 4)
+    val drops = docs.filter($"doc_id" % 7 === 2).select("doc_id")
+    // the fully-compacted answer, from an identical sibling index
+    val sib = scratch("bm25_midcmp_sib")
+    Retrieval.writeBm25Index(docs, "doc_id", "text", sib, termShards = 4)
+    val full = Retrieval.compactBm25Index(spark, sib, dropIds = Some(drops),
+      termShards = 4)
+    val qterms = topTerms(full)
+    val want = scores(Retrieval.queryBm25Index(full, qterms))
+    assert(want.nonEmpty)
+    // simulate the crash window: doclens swapped (tombstones gone), the
+    // postings swap never ran — exactly compactBm25Index's first half
+    spark.read.parquet(s"$dir/doclens")
+      .join(drops, Seq("doc_id"), "left_anti")
+      .write.parquet(s"$dir/_doclens_new")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$dir/doclens"))
+    assert(new java.io.File(s"$dir/_doclens_new")
+      .renameTo(new java.io.File(s"$dir/doclens")))
+    spark.catalog.refreshByPath(s"$dir/doclens")
+    val mid = Retrieval.Bm25Index.read(spark, dir)
+    assert(mid.postings.join(drops, Seq("doc_id")).count() > 0,
+      "fixture must leave tombstoned postings in place")
+    assert(scores(Retrieval.queryBm25Index(mid, qterms)) == want)
+  }
+
   test("indexed stream loop: replay appends nothing and re-emits the same scores") {
     val base = scratch("bm25_loop")
     val corpus = docs.filter($"doc_id" < 150)

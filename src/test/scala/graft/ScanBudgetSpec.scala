@@ -68,15 +68,17 @@ class ScanBudgetSpec extends AnyFunSuite {
     // text scans on EITHER corpus — the operator's whole point
     "q_dedup_minhash_cross_index" -> 4,
     // persisted BM25 index query: postings scanned once per tf reference
-    // (dfreq branch + score join) plus once for the stored-postings qterm
-    // derivation, doclens once per dl reference (totals + length join) —
+    // (df branch + score join) plus once for the stored-postings qterm
+    // derivation, doclens once per dl reference (totals + the liveness
+    // join, whose df branch re-evaluates it — the deliberate +1 of making
+    // df derive from tf JOIN dl so ghost postings can't leak into df) —
     // all INDEX tables; zero corpus-text scans, the operator's core claim
-    "q_op_bm25_index" -> 6,
+    "q_op_bm25_index" -> 7,
     // hybrid-from-indexes capstone: the BM25 arm's index scans (as above)
     // + the ANN arm's stored cent/codebook/codes + the one-row probe read
     // — every scan an index table or the probe; corpus text and raw
     // corpus vectors never appear (rerank = 0 keeps them out of the plan)
-    "q_pipeline_hybrid_rrf_indexed" -> 12,
+    "q_pipeline_hybrid_rrf_indexed" -> 13,
     "q_dedup_minhash_index_append" -> 6,
     "q_dedup_minhash_index_compact" -> 6,
     // the cluster-state queries RETURN the persisted assignment — one
