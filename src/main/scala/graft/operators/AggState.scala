@@ -1,0 +1,206 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Materialized aggregate state with incremental maintenance — the OLAP
+  * half of the persisted-index family: instead of rescanning a 100 TB fact
+  * table for every dashboard refresh, the table's per-group aggregate
+  * partials (count / exact DECIMAL sum / min / max — the classic
+  * self-mergeable measure algebra) persist ONCE, every ingest batch folds
+  * its own batch-sized partial rows in, and reads merge the deltas. The
+  * reference materializes query results into tables for exactly this
+  * reuse (CTAS + INSERT INTO in
+  * `/root/reference/tajo-core/src/main/java/org/apache/tajo/engine/query/`);
+  * this is that idea made INCREMENTAL, LSM-style, in Spark.
+  *
+  * Stored layout under `dir/`:
+  *   - `state` — one row per (group, __batch): the group columns, `__batch`
+  *     (which fold produced the row), `cnt`, and per value column
+  *     `sum_<v>` (DECIMAL(38,6) — exact, order-independent, so recomputing
+  *     a batch's partials yields BIT-IDENTICAL rows every time; the
+  *     foundation of the replay story below), `min_<v>`, `max_<v>`.
+  *   - `_meta.json` — group/value column lists; every fold and read
+  *     validates against it and fails loudly on mismatch (folding under a
+  *     different grouping would silently corrupt every merged result).
+  *   - `_tags.json` — the append-only list of every batch tag ever folded.
+  *     Survives compaction, which is exactly its job: see the replay
+  *     contract.
+  *
+  * EXACTNESS UNDER AT-LEAST-ONCE DELIVERY — the design's core claim, each
+  * leg spec-pinned:
+  *   1. A fold writes its partial rows FIRST, then appends its tag to
+  *      `_tags.json`. A replay of a COMMITTED fold (tag present) is a
+  *      no-op before any write.
+  *   2. A retry of the torn state (rows landed, tag did not) re-appends
+  *      the same rows — and because partials are deterministic (DECIMAL
+  *      sums, min/max, count), the duplicates are bit-identical, and the
+  *      read-side dropDuplicates on (group, __batch) collapses them
+  *      EXACTLY.
+  *   3. Compaction merges all delta rows into one row per group under the
+  *      reserved `__compacted` tag — after which dropDuplicates could no
+  *      longer catch a replay of a pre-compaction fold (its tag rows are
+  *      gone). That replay is instead blocked by leg 1: `_tags.json` is
+  *      never pruned, so the tag is still present. This is why user tags
+  *      must not start with `__`.
+  *
+  * Scale: a fold is one batch-sized partial aggregation + one parquet
+  * append — the fact table is NEVER rescanned. A read merges
+  * (groups x folds-since-compaction) rows; compaction (index-sized staged
+  * swap, [[IndexFiles]] crash recovery at read, LSM non-concurrency
+  * contract) bounds that factor back to 1. The measure algebra is closed
+  * under merge, so reads at ANY moment are exact over every committed
+  * fold. avg derives as sum/cnt at read; count-distinct is NOT in the
+  * algebra (not mergeable exactly — use the HLL sketch operators for an
+  * approximate mergeable spelling). DECIMAL(38,6) sum overflow aborts
+  * loudly under ANSI mode rather than wrapping. */
+object AggState {
+
+  /** The reserved tag compaction rewrites merged rows under. */
+  val CompactedTag = "__compacted"
+
+  final case class AggStateMeta(groupCols: Seq[String], valueCols: Seq[String])
+
+  object AggStateMeta {
+    private def arr(xs: Seq[String]) =
+      xs.map(x => "\"" + x + "\"").mkString("[", ",", "]")
+    def write(spark: SparkSession, dir: String, m: AggStateMeta): Unit =
+      IndexFiles.writeFileSwap(spark, dir, "_meta.json",
+        s"""{"groupCols":${arr(m.groupCols)},"valueCols":${arr(m.valueCols)}}"""
+          .getBytes("UTF-8"))
+    def read(spark: SparkSession, dir: String): Option[AggStateMeta] =
+      IndexFiles.readFileWithRecovery(spark, dir, "_meta.json").map { bytes =>
+        val j = org.json4s.jackson.JsonMethods.parse(new String(bytes, "UTF-8"))
+        def strs(name: String): Seq[String] = (j \ name) match {
+          case org.json4s.JArray(vs) => vs.map {
+            case org.json4s.JString(s) => s
+            case other => throw new IllegalArgumentException(
+              s"malformed AggState meta at $dir/_meta.json: $name entry $other")
+          }
+          case other => throw new IllegalArgumentException(
+            s"malformed AggState meta at $dir/_meta.json: field $name = $other")
+        }
+        AggStateMeta(strs("groupCols"), strs("valueCols"))
+      }
+  }
+
+  private def requireMeta(spark: SparkSession, dir: String,
+                          groupCols: Seq[String], valueCols: Seq[String]): Unit =
+    AggStateMeta.read(spark, dir).foreach { m =>
+      val passed = AggStateMeta(groupCols, valueCols)
+      require(m == passed,
+        s"AggState column mismatch: stored $m, passed $passed — folding or " +
+          "reading under different group/value columns silently corrupts " +
+          "every merged result; use the stored values")
+    }
+
+  /** The folded-tags sidecar: one JSON array, append-only, compaction-proof. */
+  private def readTags(spark: SparkSession, dir: String): Seq[String] =
+    IndexFiles.readFileWithRecovery(spark, dir, "_tags.json").map { bytes =>
+      org.json4s.jackson.JsonMethods.parse(new String(bytes, "UTF-8")) match {
+        case org.json4s.JArray(vs) => vs.collect { case org.json4s.JString(s) => s }
+        case other => throw new IllegalArgumentException(
+          s"malformed AggState tags at $dir/_tags.json: $other")
+      }
+    }.getOrElse(Seq.empty)
+
+  private def appendTag(spark: SparkSession, dir: String, tag: String): Unit = {
+    val tags = readTags(spark, dir) :+ tag
+    IndexFiles.writeFileSwap(spark, dir, "_tags.json",
+      tags.map(t => "\"" + t + "\"").mkString("[", ",", "]").getBytes("UTF-8"))
+  }
+
+  /** Deterministic per-batch partials: the one aggregation spelling shared
+    * by the base build, every fold, and the read-side merge's oracle —
+    * DECIMAL sums so a recomputed batch yields bit-identical rows. */
+  private def partials(df: DataFrame, groupCols: Seq[String],
+                       valueCols: Seq[String], tag: String): DataFrame = {
+    val measures = count(lit(1)).as("cnt") +: valueCols.flatMap(v => Seq(
+      sum(col(v).cast("decimal(38,6)")).cast("decimal(38,6)").as(s"sum_$v"),
+      min(col(v)).as(s"min_$v"),
+      max(col(v)).as(s"max_$v")))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(measures.head, measures.tail: _*)
+      .withColumn("__batch", lit(tag))
+  }
+
+  /** Build AND persist the aggregate state from the base table — one scan,
+    * one group-sized write, the `__base` tag. Stamps `_meta.json` FIRST
+    * (same crash discipline as the BM25 index: a torn build must fail
+    * loudly on the missing state path, not read as a validation-bypassing
+    * legacy directory). */
+  def writeAggState(df: DataFrame, dir: String, groupCols: Seq[String],
+                    valueCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty && valueCols.nonEmpty,
+      "writeAggState: need at least one group column and one value column")
+    val spark = df.sparkSession
+    AggStateMeta.write(spark, dir, AggStateMeta(groupCols, valueCols))
+    IndexFiles.writeFileSwap(spark, dir, "_tags.json",
+      "[\"__base\"]".getBytes("UTF-8"))
+    partials(df, groupCols, valueCols, "__base")
+      .write.mode("overwrite").parquet(s"$dir/state")
+    readAggState(spark, dir, groupCols, valueCols)
+  }
+
+  /** Fold one ingest batch into the stored state: one BATCH-SIZED partial
+    * aggregation appended as delta rows, then the tag commit — the fact
+    * table is never rescanned. `batchTag` names the batch for the replay
+    * contract (see the object scaladoc): a committed fold re-run under the
+    * same tag is a no-op; a torn retry lands bit-identical duplicate rows
+    * that the read collapses. Tags must be unique per logical batch and
+    * must not start with `__` (reserved). */
+  def foldAggState(batch: DataFrame, dir: String, batchTag: String,
+                   groupCols: Seq[String], valueCols: Seq[String]): Unit = {
+    require(!batchTag.startsWith("__"),
+      s"foldAggState: tag '$batchTag' uses the reserved __ prefix")
+    val spark = batch.sparkSession
+    requireMeta(spark, dir, groupCols, valueCols)
+    if (readTags(spark, dir).contains(batchTag)) return // committed replay
+    partials(batch, groupCols, valueCols, batchTag)
+      .write.mode("append").parquet(s"$dir/state")
+    appendTag(spark, dir, batchTag)
+  }
+
+  /** Merge the delta rows into the current exact aggregate: collapse
+    * torn-retry duplicates on (group, __batch), then merge the mergeable
+    * measures. `sum_<v>` is exposed as DOUBLE (the exact DECIMAL total
+    * cast once at the edge — the house determinism idiom); `avg_<v>`
+    * derives from it. Cost: (groups x folds-since-compaction) rows. */
+  def readAggState(spark: SparkSession, dir: String, groupCols: Seq[String],
+                   valueCols: Seq[String]): DataFrame = {
+    requireMeta(spark, dir, groupCols, valueCols)
+    IndexFiles.recoverInterruptedSwap(spark, dir, "state", "readAggState")
+    val measures = sum(col("cnt")).cast("bigint").as("cnt") +:
+      valueCols.flatMap(v => Seq(
+        sum(col(s"sum_$v")).cast("decimal(38,6)").cast("double").as(s"sum_$v"),
+        min(col(s"min_$v")).as(s"min_$v"),
+        max(col(s"max_$v")).as(s"max_$v")))
+    spark.read.parquet(s"$dir/state")
+      .dropDuplicates(groupCols :+ "__batch")
+      .groupBy(groupCols.map(col): _*)
+      .agg(measures.head, measures.tail: _*)
+  }
+
+  /** Compact the delta rows to ONE row per group under the reserved
+    * `__compacted` tag — the read-side merge factor returns to 1. The
+    * staged swap carries the usual [[IndexFiles]] crash recovery and LSM
+    * non-concurrency contract; `_meta.json` and `_tags.json` are siblings
+    * the swap never touches — the tags list in particular MUST survive,
+    * it is what blocks a pre-compaction fold from replaying into a state
+    * that no longer holds its rows. */
+  def compactAggState(spark: SparkSession, dir: String, groupCols: Seq[String],
+                      valueCols: Seq[String]): DataFrame = {
+    requireMeta(spark, dir, groupCols, valueCols)
+    val mergeMeasures = sum(col("cnt")).cast("bigint").as("cnt") +:
+      valueCols.flatMap(v => Seq(
+        sum(col(s"sum_$v")).cast("decimal(38,6)").as(s"sum_$v"),
+        min(col(s"min_$v")).as(s"min_$v"),
+        max(col(s"max_$v")).as(s"max_$v")))
+    IndexFiles.stagedSwap(spark, dir, "state")(df =>
+      df.dropDuplicates(groupCols :+ "__batch")
+        .groupBy(groupCols.map(col): _*)
+        .agg(mergeMeasures.head, mergeMeasures.tail: _*)
+        .withColumn("__batch", lit(CompactedTag)))
+    readAggState(spark, dir, groupCols, valueCols)
+  }
+}

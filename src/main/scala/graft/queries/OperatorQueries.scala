@@ -2879,6 +2879,119 @@ object OperatorQueries {
          |FROM fused GROUP BY doc_id ORDER BY rrf_ppm DESC, doc_id LIMIT 20""".stripMargin
     })
 
+  // ---- Materialized aggregate state (AggState.writeAggState /
+  // foldAggState / readAggState / compactAggState) — incremental OLAP
+  // cube maintenance, the aggregate sibling of the persisted indexes:
+  // per-group partials (count / exact DECIMAL sum / min / max) persist
+  // once, each ingest batch folds batch-sized delta rows, reads merge.
+  // Every oracle below recomputes the aggregate FROM SCRATCH over the
+  // union of base + every folded batch, so a lost fold, a double-counted
+  // replay, or a merge error in any measure hash-fails.
+  private def aggStateOracle(srcWhere: String): String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(COUNT(*) AS BIGINT) AS cnt,
+       |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_l_quantity,
+       |  MIN(l_quantity) AS min_l_quantity,
+       |  MAX(l_quantity) AS max_l_quantity,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_l_extendedprice,
+       |  MIN(l_extendedprice) AS min_l_extendedprice,
+       |  MAX(l_extendedprice) AS max_l_extendedprice
+       |FROM lineitem WHERE $srcWhere
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+  private val aggGroupCols = Seq("l_returnflag", "l_linestatus")
+  private val aggValueCols = Seq("l_quantity", "l_extendedprice")
+  // four DISJOINT fact-table slices (base + three batches; their union is
+  // the whole table) — disjointness matters: the oracles count the union
+  // once, so an overlapping slice would double-count on the Spark side
+  private def aggSlices(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val li = Tables.table(spark, dir, "lineitem")
+      .select("l_orderkey", "l_returnflag", "l_linestatus",
+        "l_quantity", "l_extendedprice")
+    (li.filter(col("l_orderkey") % 4 === 1 || col("l_orderkey") % 4 === 2)
+        .drop("l_orderkey"),
+      li.filter(col("l_orderkey") % 4 === 3).drop("l_orderkey"),
+      li.filter(col("l_orderkey") % 8 === 0).drop("l_orderkey"),
+      li.filter(col("l_orderkey") % 8 === 4).drop("l_orderkey"))
+  }
+  // base + two folds + a replayed committed fold (must no-op on the tag
+  // check) + a planted torn-retry duplicate of batch b2's delta rows
+  // (bit-identical by DECIMAL determinism; the read-side dedupe collapses
+  // them) — the read is exact over base UNION b1 UNION b2 counted once.
+  private val qAggState = df("q_op_agg_state",
+    (spark, dir) => {
+      val (base, b1, b2, _) = aggSlices(spark, dir)
+      val sdir = s"$bm25IdxScratch/${java.util.UUID.randomUUID().toString.take(8)}"
+      graft.operators.AggState.writeAggState(base, sdir, aggGroupCols, aggValueCols)
+      graft.operators.AggState.foldAggState(b1, sdir, "b1", aggGroupCols, aggValueCols)
+      graft.operators.AggState.foldAggState(b2, sdir, "b2", aggGroupCols, aggValueCols)
+      // committed replay: tag present, must not double-count
+      graft.operators.AggState.foldAggState(b1, sdir, "b1", aggGroupCols, aggValueCols)
+      // torn-retry state: b2's delta rows land a second time WITHOUT a tag
+      // transition (a crash between the rows write and the tag commit,
+      // then a retry) — recomputed partials are bit-identical, so the
+      // read-side (group, __batch) dedupe must restore exactness
+      b2.groupBy(aggGroupCols.map(col): _*)
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("decimal(38,6)")).cast("decimal(38,6)").as("sum_l_quantity"),
+          min(col("l_quantity")).as("min_l_quantity"),
+          max(col("l_quantity")).as("max_l_quantity"),
+          sum(col("l_extendedprice").cast("decimal(38,6)")).cast("decimal(38,6)").as("sum_l_extendedprice"),
+          min(col("l_extendedprice")).as("min_l_extendedprice"),
+          max(col("l_extendedprice")).as("max_l_extendedprice"))
+        .withColumn("__batch", lit("b2"))
+        .write.mode("append").parquet(s"$sdir/state")
+      graft.operators.AggState.readAggState(spark, sdir, aggGroupCols, aggValueCols)
+        .orderBy(aggGroupCols.map(col): _*)
+    },
+    Some(aggStateOracle("l_orderkey % 4 IN (1, 2, 3) OR l_orderkey % 8 = 0")))
+
+  // The lifecycle end: compact to one row per group, fold a THIRD batch
+  // after compaction, then replay a PRE-compaction fold — whose delta
+  // rows no longer exist, so only the compaction-proof tags sidecar can
+  // block the double-count (the design's leg 3; a failed guard hash-fails
+  // the oracle, which counts each batch exactly once).
+  private val qAggStateCompact = df("q_op_agg_state_compact",
+    (spark, dir) => {
+      val (base, b1, b2, b3) = aggSlices(spark, dir)
+      val sdir = s"$bm25IdxScratch/${java.util.UUID.randomUUID().toString.take(8)}"
+      graft.operators.AggState.writeAggState(base, sdir, aggGroupCols, aggValueCols)
+      graft.operators.AggState.foldAggState(b1, sdir, "b1", aggGroupCols, aggValueCols)
+      graft.operators.AggState.foldAggState(b2, sdir, "b2", aggGroupCols, aggValueCols)
+      graft.operators.AggState.compactAggState(spark, sdir, aggGroupCols, aggValueCols)
+      graft.operators.AggState.foldAggState(b3, sdir, "b3", aggGroupCols, aggValueCols)
+      // replay of a pre-compaction fold: its rows were merged away, so
+      // dropDuplicates can no longer catch this — _tags.json must
+      graft.operators.AggState.foldAggState(b1, sdir, "b1", aggGroupCols, aggValueCols)
+      graft.operators.AggState.readAggState(spark, sdir, aggGroupCols, aggValueCols)
+        .orderBy(aggGroupCols.map(col): _*)
+    },
+    Some(aggStateOracle("1 = 1")))  // the four slices partition the table
+
+  // Continuous ingest into the aggregate state
+  // (StreamingAggState.aggStateStream): two mtime-ordered micro-batches
+  // fold through foreachBatch; the merged read afterwards must be exact
+  // over base UNION both batches — a skipped trigger, a double-applied
+  // replay, or a tag collision hash-fails the same from-scratch oracle.
+  private val qStreamAggState = df("q_stream_agg_state",
+    (spark, dir) => {
+      val (base, b1, b2, _) = aggSlices(spark, dir)
+      val sdir = s"$bm25IdxScratch/${java.util.UUID.randomUUID().toString.take(8)}"
+      graft.operators.AggState.writeAggState(base, s"$sdir/st", aggGroupCols, aggValueCols)
+      val inDir = stageMtimeOrderedBatches(sdir, Seq(b1, b2))
+      val stream = spark.readStream
+        .schema(b1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir)
+      val q = graft.streaming.StreamingAggState.aggStateStream(
+        stream, s"$sdir/st", aggGroupCols, aggValueCols)
+      q.processAllAvailable()
+      q.stop()
+      graft.operators.AggState.readAggState(spark, s"$sdir/st", aggGroupCols, aggValueCols)
+        .orderBy(aggGroupCols.map(col): _*)
+    },
+    Some(aggStateOracle("l_orderkey % 4 IN (1, 2, 3) OR l_orderkey % 8 = 0")))
+
   // Crawl snapshot diff (Dedup.snapshotDiff): added/removed/modified/
   // unchanged by digest across two snapshots; the fixture derives an "old"
   // snapshot that exercises all four statuses (dropped %7 ids -> added,
@@ -2944,7 +3057,7 @@ object OperatorQueries {
   val all: Seq[QueryDef] = Seq(
     qUrlDedup, qPageRank, qHllTokens, qRobotsGate, qDistill, qCountMin, qInvertedIndex, qBm25,
     qBm25Index, qBm25IndexAppend, qBm25IndexCompact, qStreamBm25Indexed,
-    qHybridRrfIndexed,
+    qHybridRrfIndexed, qAggState, qAggStateCompact, qStreamAggState,
     qSnapshotDiff, qSkewDiag, qEntityRes, qGoldenRecord, qDqProfile, qDqChecks, qWordPiece, qUnigram, qUnigramEm,
     qMinhashApi, qAnnApi, qAnnIvf, qAnnIvf2, qAnnRecall, qAnnRecall2,
     qAnnRecall4, qAnnRecall8, qAnnRecallLloyd, qAnnPq, qAnnIvfPq,

@@ -1,0 +1,122 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.AggState
+
+/** The materialized aggregate state lifecycle (AggState): fold+read equals
+  * a from-scratch recompute, the three replay legs (committed no-op, torn
+  * duplicate collapse, replay-after-compaction blocked by the tags
+  * sidecar), meta validation, and interrupted-swap recovery. */
+class AggStateSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val gCols = Seq("l_returnflag", "l_linestatus")
+  private val vCols = Seq("l_quantity", "l_extendedprice")
+
+  private lazy val li = graft.engine.Tables
+    .table(spark, sfDir, "lineitem")
+    .select("l_orderkey", "l_returnflag", "l_linestatus",
+      "l_quantity", "l_extendedprice")
+  private def base = li.filter($"l_orderkey" % 4 =!= 0).drop("l_orderkey")
+  private def b1 = li.filter($"l_orderkey" % 8 === 0).drop("l_orderkey")
+  private def b2 = li.filter($"l_orderkey" % 8 === 4).drop("l_orderkey")
+
+  private def scratch(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  private def recompute(df: org.apache.spark.sql.DataFrame) = df
+    .groupBy(gCols.map(col): _*)
+    .agg(count(lit(1)).cast("bigint").as("cnt"),
+      sum($"l_quantity".cast("decimal(38,6)")).cast("decimal(38,6)")
+        .cast("double").as("sum_l_quantity"),
+      min($"l_quantity").as("min_l_quantity"),
+      max($"l_quantity").as("max_l_quantity"),
+      sum($"l_extendedprice".cast("decimal(38,6)")).cast("decimal(38,6)")
+        .cast("double").as("sum_l_extendedprice"),
+      min($"l_extendedprice").as("min_l_extendedprice"),
+      max($"l_extendedprice").as("max_l_extendedprice"))
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    df.orderBy(gCols.map(col): _*).collect().map(_.toSeq.toVector).toSeq
+
+  test("write + fold + read equals a from-scratch recompute, bit-exact") {
+    val dir = scratch("aggstate")
+    AggState.writeAggState(base, dir, gCols, vCols)
+    AggState.foldAggState(b1, dir, "b1", gCols, vCols)
+    AggState.foldAggState(b2, dir, "b2", gCols, vCols)
+    val got = rows(AggState.readAggState(spark, dir, gCols, vCols))
+    assert(got.nonEmpty)
+    assert(got == rows(recompute(base.unionAll(b1).unionAll(b2))))
+  }
+
+  test("replay legs: committed no-op, torn duplicates collapse") {
+    val dir = scratch("aggstate_rp")
+    AggState.writeAggState(base, dir, gCols, vCols)
+    AggState.foldAggState(b1, dir, "b1", gCols, vCols)
+    val want = rows(AggState.readAggState(spark, dir, gCols, vCols))
+    val nRows = spark.read.parquet(s"$dir/state").count()
+    // leg 1: committed replay is a no-op before any write
+    AggState.foldAggState(b1, dir, "b1", gCols, vCols)
+    assert(spark.read.parquet(s"$dir/state").count() == nRows)
+    // leg 2: torn retry (rows landed twice under one tag) — bit-identical
+    // duplicates, collapsed by the read-side (group, __batch) dedupe
+    // localCheckpoint: materialize before appending into the same path the
+    // rows were read from
+    val dup = spark.read.parquet(s"$dir/state").filter($"__batch" === "b1")
+      .localCheckpoint()
+    dup.write.mode("append").parquet(s"$dir/state")
+    assert(spark.read.parquet(s"$dir/state").count() > nRows)
+    assert(rows(AggState.readAggState(spark, dir, gCols, vCols)) == want)
+  }
+
+  test("compaction: one row per group, reads unchanged, pre-compaction replay blocked") {
+    val dir = scratch("aggstate_cmp")
+    AggState.writeAggState(base, dir, gCols, vCols)
+    AggState.foldAggState(b1, dir, "b1", gCols, vCols)
+    val want = rows(AggState.readAggState(spark, dir, gCols, vCols))
+    AggState.compactAggState(spark, dir, gCols, vCols)
+    val st = spark.read.parquet(s"$dir/state")
+    assert(st.groupBy(gCols.map(col): _*).count().filter($"count" > 1).count() == 0)
+    assert(st.select("__batch").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq(AggState.CompactedTag))
+    assert(rows(AggState.readAggState(spark, dir, gCols, vCols)) == want)
+    // leg 3: b1's delta rows were merged away — only the compaction-proof
+    // tags sidecar can block this replay from double-counting
+    AggState.foldAggState(b1, dir, "b1", gCols, vCols)
+    assert(rows(AggState.readAggState(spark, dir, gCols, vCols)) == want)
+    // and a genuinely new fold after compaction still lands
+    AggState.foldAggState(b2, dir, "b2", gCols, vCols)
+    assert(rows(AggState.readAggState(spark, dir, gCols, vCols)) ==
+      rows(recompute(base.unionAll(b1).unionAll(b2))))
+  }
+
+  test("meta validation fails loudly; reserved tags rejected") {
+    val dir = scratch("aggstate_meta")
+    AggState.writeAggState(base, dir, gCols, vCols)
+    val e = intercept[IllegalArgumentException] {
+      AggState.readAggState(spark, dir, Seq("l_returnflag"), vCols)
+    }
+    assert(e.getMessage.contains("column mismatch"))
+    val e2 = intercept[IllegalArgumentException] {
+      AggState.foldAggState(b1, dir, "__sneaky", gCols, vCols)
+    }
+    assert(e2.getMessage.contains("reserved"))
+  }
+
+  test("read recovers an interrupted compaction swap; streaming body is replay-exact") {
+    val dir = scratch("aggstate_torn")
+    AggState.writeAggState(base, dir, gCols, vCols)
+    val want = rows(AggState.readAggState(spark, dir, gCols, vCols))
+    val f = new java.io.File(s"$dir/state")
+    assert(f.renameTo(new java.io.File(s"$dir/_state_old")))
+    assert(rows(AggState.readAggState(spark, dir, gCols, vCols)) == want)
+    // streaming per-batch body: same tag twice, merged read unchanged
+    graft.streaming.StreamingAggState.aggStateBatch(b1, dir, gCols, vCols, "t_0")
+    val after = rows(AggState.readAggState(spark, dir, gCols, vCols))
+    graft.streaming.StreamingAggState.aggStateBatch(b1, dir, gCols, vCols, "t_0")
+    assert(rows(AggState.readAggState(spark, dir, gCols, vCols)) == after)
+    assert(after == rows(recompute(base.unionAll(b1))))
+  }
+}

@@ -81,6 +81,12 @@ class ScanBudgetSpec extends AnyFunSuite {
     "q_pipeline_hybrid_rrf_indexed" -> 13,
     "q_dedup_minhash_index_append" -> 6,
     "q_dedup_minhash_index_compact" -> 6,
+    // the materialized aggregate state: the RETURNED plan is ONE read of
+    // the delta table (dedupe + merge happen in-plan) — the lifecycle
+    // writes run eagerly inside the calls; the fact table is never in the
+    // returned plan at all, the operator's whole point
+    "q_op_agg_state" -> 1,
+    "q_op_agg_state_compact" -> 1,
     // the cluster-state queries RETURN the persisted assignment — one
     // parquet read of dir/clusters, zero corpus-text scans (the CC work
     // runs eagerly inside the lifecycle calls, checkpoint-materialized
