@@ -41,8 +41,13 @@ import org.apache.spark.sql.functions._
   *      reserved `__compacted` tag — after which dropDuplicates could no
   *      longer catch a replay of a pre-compaction fold (its tag rows are
   *      gone). That replay is instead blocked by leg 1: `_tags.json` is
-  *      never pruned, so the tag is still present. This is why user tags
-  *      must not start with `__`.
+  *      never pruned, so the tag is still present — and compaction first
+  *      ADOPTS any orphan tags it finds (rows landed, tag never
+  *      committed) so even a torn fold merged away cannot double-count on
+  *      a late retry. This is why user tags must not start with `__`.
+  *      The tags file grows one short string per fold forever — at one
+  *      fold a minute that is ~5 MB/decade, the deliberate price of a
+  *      compaction-proof replay guard.
   *
   * Scale: a fold is one batch-sized partial aggregation + one parquet
   * append — the fact table is NEVER rescanned. A read merges
@@ -52,8 +57,11 @@ import org.apache.spark.sql.functions._
   * under merge, so reads at ANY moment are exact over every committed
   * fold. avg derives as sum/cnt at read; count-distinct is NOT in the
   * algebra (not mergeable exactly — use the HLL sketch operators for an
-  * approximate mergeable spelling). DECIMAL(38,6) sum overflow aborts
-  * loudly under ANSI mode rather than wrapping. */
+  * approximate mergeable spelling). A DECIMAL(38,6) sum holds
+  * magnitudes to 10^32 — far past any physical measure at 100 TB — but
+  * note Spark's default non-ANSI behavior on a genuine overflow is a
+  * NULL sum, not an error; enable `spark.sql.ansi.enabled` in
+  * deployments whose measures could plausibly approach the bound. */
 object AggState {
 
   /** The reserved tag compaction rewrites merged rows under. */
@@ -98,23 +106,36 @@ object AggState {
   private def readTags(spark: SparkSession, dir: String): Seq[String] =
     IndexFiles.readFileWithRecovery(spark, dir, "_tags.json").map { bytes =>
       org.json4s.jackson.JsonMethods.parse(new String(bytes, "UTF-8")) match {
-        case org.json4s.JArray(vs) => vs.collect { case org.json4s.JString(s) => s }
+        case org.json4s.JArray(vs) => vs.map {
+          case org.json4s.JString(s) => s
+          // a silently-dropped committed tag would let its fold replay
+          // past the contains() check — corruption must fail loudly
+          case other => throw new IllegalArgumentException(
+            s"malformed AggState tags at $dir/_tags.json: entry $other")
+        }
         case other => throw new IllegalArgumentException(
           s"malformed AggState tags at $dir/_tags.json: $other")
       }
     }.getOrElse(Seq.empty)
 
-  private def appendTag(spark: SparkSession, dir: String, tag: String): Unit = {
-    val tags = readTags(spark, dir) :+ tag
+  private def writeTags(spark: SparkSession, dir: String,
+                        tags: Seq[String]): Unit =
     IndexFiles.writeFileSwap(spark, dir, "_tags.json",
       tags.map(t => "\"" + t + "\"").mkString("[", ",", "]").getBytes("UTF-8"))
-  }
+
+  // tags and column names are embedded in hand-built JSON sidecars:
+  // restrict them to identifier characters so the files can never be
+  // rendered malformed (a broken _tags.json bricks every later fold)
+  private def requireJsonSafe(what: String, s: String): Unit =
+    require(s.nonEmpty && s.forall(c =>
+        c.isLetterOrDigit || c == '_' || c == '-' || c == '.'),
+      s"$what '$s' must be non-empty and use only [A-Za-z0-9_.-]")
 
   /** Deterministic per-batch partials: the one aggregation spelling shared
     * by the base build, every fold, and the read-side merge's oracle —
     * DECIMAL sums so a recomputed batch yields bit-identical rows. */
-  private def partials(df: DataFrame, groupCols: Seq[String],
-                       valueCols: Seq[String], tag: String): DataFrame = {
+  private[graft] def partials(df: DataFrame, groupCols: Seq[String],
+                              valueCols: Seq[String], tag: String): DataFrame = {
     val measures = count(lit(1)).as("cnt") +: valueCols.flatMap(v => Seq(
       sum(col(v).cast("decimal(38,6)")).cast("decimal(38,6)").as(s"sum_$v"),
       min(col(v)).as(s"min_$v"),
@@ -133,10 +154,10 @@ object AggState {
                     valueCols: Seq[String]): DataFrame = {
     require(groupCols.nonEmpty && valueCols.nonEmpty,
       "writeAggState: need at least one group column and one value column")
+    (groupCols ++ valueCols).foreach(requireJsonSafe("writeAggState: column", _))
     val spark = df.sparkSession
     AggStateMeta.write(spark, dir, AggStateMeta(groupCols, valueCols))
-    IndexFiles.writeFileSwap(spark, dir, "_tags.json",
-      "[\"__base\"]".getBytes("UTF-8"))
+    writeTags(spark, dir, Seq("__base"))
     partials(df, groupCols, valueCols, "__base")
       .write.mode("overwrite").parquet(s"$dir/state")
     readAggState(spark, dir, groupCols, valueCols)
@@ -147,18 +168,35 @@ object AggState {
     * table is never rescanned. `batchTag` names the batch for the replay
     * contract (see the object scaladoc): a committed fold re-run under the
     * same tag is a no-op; a torn retry lands bit-identical duplicate rows
-    * that the read collapses. Tags must be unique per logical batch and
-    * must not start with `__` (reserved). */
+    * that the read collapses. Tags must be unique per logical batch, use
+    * only identifier characters, and must not start with `__` (reserved).
+    *
+    * Fails loudly when `dir/state` does not exist (a torn build, an
+    * interrupted-and-unrecovered swap already handled below, or a typo'd
+    * path): a parquet append would CREATE the directory and silently
+    * bootstrap a state missing the entire base. */
   def foldAggState(batch: DataFrame, dir: String, batchTag: String,
                    groupCols: Seq[String], valueCols: Seq[String]): Unit = {
     require(!batchTag.startsWith("__"),
       s"foldAggState: tag '$batchTag' uses the reserved __ prefix")
+    requireJsonSafe("foldAggState: tag", batchTag)
     val spark = batch.sparkSession
     requireMeta(spark, dir, groupCols, valueCols)
-    if (readTags(spark, dir).contains(batchTag)) return // committed replay
+    // a compaction swap that crashed between its renames left no live
+    // state directory — recover it BEFORE the existence check and append,
+    // or this fold's parquet append would create a fresh table containing
+    // only this batch and the recovery rename could never run again
+    IndexFiles.recoverInterruptedSwap(spark, dir, "state", "foldAggState")
+    val statePath = new org.apache.hadoop.fs.Path(s"$dir/state")
+    require(IndexFiles.fs(spark, statePath).exists(statePath),
+      s"foldAggState: no state table at $dir/state — run writeAggState " +
+        "first (a torn build or wrong path must not silently bootstrap " +
+        "a state missing its base)")
+    val tags = readTags(spark, dir)
+    if (tags.contains(batchTag)) return // committed replay
     partials(batch, groupCols, valueCols, batchTag)
       .write.mode("append").parquet(s"$dir/state")
-    appendTag(spark, dir, batchTag)
+    writeTags(spark, dir, tags :+ batchTag)
   }
 
   /** Merge the delta rows into the current exact aggregate: collapse
@@ -187,10 +225,29 @@ object AggState {
     * non-concurrency contract; `_meta.json` and `_tags.json` are siblings
     * the swap never touches — the tags list in particular MUST survive,
     * it is what blocks a pre-compaction fold from replaying into a state
-    * that no longer holds its rows. */
+    * that no longer holds its rows.
+    *
+    * ORPHAN ADOPTION, before the swap: delta rows whose tag never
+    * committed (a torn fold that was never retried) are about to be
+    * merged into `__compacted`, after which neither the (group, __batch)
+    * dedupe nor the tag check could stop that fold's retry from
+    * double-counting. So compaction first commits those orphan tags —
+    * adopting the fold as happened — and only then merges. Crash-safe in
+    * that order: tags committed but swap not run leaves the rows in
+    * place, counted once, with the retry now a no-op. */
   def compactAggState(spark: SparkSession, dir: String, groupCols: Seq[String],
                       valueCols: Seq[String]): DataFrame = {
     requireMeta(spark, dir, groupCols, valueCols)
+    IndexFiles.recoverInterruptedSwap(spark, dir, "state", "compactAggState")
+    val tags = readTags(spark, dir)
+    val orphans = spark.read.parquet(s"$dir/state")
+      .select("__batch").distinct().collect().map(_.getString(0))
+      .filter(t => !t.startsWith("__") && !tags.contains(t)).sorted
+    if (orphans.nonEmpty) {
+      System.err.println(s"[graft] compactAggState: adopting ${orphans.length} " +
+        s"torn-fold tag(s) before merging: ${orphans.mkString(", ")}")
+      writeTags(spark, dir, tags ++ orphans)
+    }
     val mergeMeasures = sum(col("cnt")).cast("bigint").as("cnt") +:
       valueCols.flatMap(v => Seq(
         sum(col(s"sum_$v")).cast("decimal(38,6)").as(s"sum_$v"),

@@ -2931,15 +2931,7 @@ object OperatorQueries {
       // transition (a crash between the rows write and the tag commit,
       // then a retry) — recomputed partials are bit-identical, so the
       // read-side (group, __batch) dedupe must restore exactness
-      b2.groupBy(aggGroupCols.map(col): _*)
-        .agg(count(lit(1)).as("cnt"),
-          sum(col("l_quantity").cast("decimal(38,6)")).cast("decimal(38,6)").as("sum_l_quantity"),
-          min(col("l_quantity")).as("min_l_quantity"),
-          max(col("l_quantity")).as("max_l_quantity"),
-          sum(col("l_extendedprice").cast("decimal(38,6)")).cast("decimal(38,6)").as("sum_l_extendedprice"),
-          min(col("l_extendedprice")).as("min_l_extendedprice"),
-          max(col("l_extendedprice")).as("max_l_extendedprice"))
-        .withColumn("__batch", lit("b2"))
+      graft.operators.AggState.partials(b2, aggGroupCols, aggValueCols, "b2")
         .write.mode("append").parquet(s"$sdir/state")
       graft.operators.AggState.readAggState(spark, sdir, aggGroupCols, aggValueCols)
         .orderBy(aggGroupCols.map(col): _*)
@@ -2984,7 +2976,8 @@ object OperatorQueries {
         .option("maxFilesPerTrigger", "1")
         .parquet(inDir)
       val q = graft.streaming.StreamingAggState.aggStateStream(
-        stream, s"$sdir/st", aggGroupCols, aggValueCols)
+        stream, s"$sdir/st", aggGroupCols, aggValueCols,
+        checkpointDir = s"$sdir/ckpt")
       q.processAllAvailable()
       q.stop()
       graft.operators.AggState.readAggState(spark, s"$sdir/st", aggGroupCols, aggValueCols)

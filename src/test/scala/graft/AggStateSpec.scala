@@ -92,6 +92,41 @@ class AggStateSpec extends AnyFunSuite {
       rows(recompute(base.unionAll(b1).unionAll(b2))))
   }
 
+  test("compaction adopts orphan tags: a merged-away torn fold cannot double-count on retry") {
+    val dir = scratch("aggstate_orphan")
+    AggState.writeAggState(base, dir, gCols, vCols)
+    // torn fold: rows landed under tag "tb1", the tag commit never ran
+    AggState.partials(b1, gCols, vCols, "tb1")
+      .write.mode("append").parquet(s"$dir/state")
+    val want = rows(recompute(base.unionAll(b1)))
+    assert(rows(AggState.readAggState(spark, dir, gCols, vCols)) == want)
+    AggState.compactAggState(spark, dir, gCols, vCols)
+    // the late retry of the torn fold: its rows are merged away, so only
+    // the adopted tag can block the re-append
+    AggState.foldAggState(b1, dir, "tb1", gCols, vCols)
+    assert(rows(AggState.readAggState(spark, dir, gCols, vCols)) == want)
+  }
+
+  test("fold refuses a missing state table and recovers a torn compaction swap") {
+    val dir = scratch("aggstate_guard")
+    // missing state (torn build / typo'd path) must not silently bootstrap
+    AggState.AggStateMeta.write(spark, dir,
+      AggState.AggStateMeta(gCols, vCols))
+    val e = intercept[IllegalArgumentException] {
+      AggState.foldAggState(b1, dir, "b1", gCols, vCols)
+    }
+    assert(e.getMessage.contains("no state table"))
+    // torn compaction swap (live dir gone, _state_old present): a fold must
+    // recover the pre-swap table BEFORE appending, not create a fresh state
+    val dir2 = scratch("aggstate_guard2")
+    AggState.writeAggState(base, dir2, gCols, vCols)
+    assert(new java.io.File(s"$dir2/state")
+      .renameTo(new java.io.File(s"$dir2/_state_old")))
+    AggState.foldAggState(b1, dir2, "b1", gCols, vCols)
+    assert(rows(AggState.readAggState(spark, dir2, gCols, vCols)) ==
+      rows(recompute(base.unionAll(b1))))
+  }
+
   test("meta validation fails loudly; reserved tags rejected") {
     val dir = scratch("aggstate_meta")
     AggState.writeAggState(base, dir, gCols, vCols)
@@ -103,6 +138,11 @@ class AggStateSpec extends AnyFunSuite {
       AggState.foldAggState(b1, dir, "__sneaky", gCols, vCols)
     }
     assert(e2.getMessage.contains("reserved"))
+    // a tag that would render _tags.json malformed is rejected up front
+    val e3 = intercept[IllegalArgumentException] {
+      AggState.foldAggState(b1, dir, "b\"1", gCols, vCols)
+    }
+    assert(e3.getMessage.contains("A-Za-z0-9"))
   }
 
   test("read recovers an interrupted compaction swap; streaming body is replay-exact") {
