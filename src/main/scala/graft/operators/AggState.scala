@@ -102,26 +102,15 @@ object AggState {
           "every merged result; use the stored values")
     }
 
-  /** The folded-tags sidecar: one JSON array, append-only, compaction-proof. */
+  /** The folded-tags sidecar: one JSON array, append-only, compaction-proof.
+    * A silently-dropped committed tag would let its fold replay past the
+    * contains() check, so the shared parser throws on any malformed entry. */
   private def readTags(spark: SparkSession, dir: String): Seq[String] =
-    IndexFiles.readFileWithRecovery(spark, dir, "_tags.json").map { bytes =>
-      org.json4s.jackson.JsonMethods.parse(new String(bytes, "UTF-8")) match {
-        case org.json4s.JArray(vs) => vs.map {
-          case org.json4s.JString(s) => s
-          // a silently-dropped committed tag would let its fold replay
-          // past the contains() check — corruption must fail loudly
-          case other => throw new IllegalArgumentException(
-            s"malformed AggState tags at $dir/_tags.json: entry $other")
-        }
-        case other => throw new IllegalArgumentException(
-          s"malformed AggState tags at $dir/_tags.json: $other")
-      }
-    }.getOrElse(Seq.empty)
+    readStringList(spark, dir, "_tags.json")
 
   private def writeTags(spark: SparkSession, dir: String,
                         tags: Seq[String]): Unit =
-    IndexFiles.writeFileSwap(spark, dir, "_tags.json",
-      tags.map(t => "\"" + t + "\"").mkString("[", ",", "]").getBytes("UTF-8"))
+    writeStringList(spark, dir, "_tags.json", tags)
 
   // tags and column names are embedded in hand-built JSON sidecars:
   // restrict them to identifier characters so the files can never be
@@ -248,6 +237,18 @@ object AggState {
         s"torn-fold tag(s) before merging: ${orphans.mkString(", ")}")
       writeTags(spark, dir, tags ++ orphans)
     }
+    // SEAL before the swap: every non-reserved committed tag is about to
+    // lose its per-batch rows to the merge, after which a retraction could
+    // only silently remove nothing. Seal-then-swap is the safe crash
+    // order — a crash between them refuses a retraction that would still
+    // have been possible (conservative; re-run the compaction), where the
+    // reverse order would let a retraction of already-merged rows report
+    // success while removing nothing.
+    val sealedNow = readStringList(spark, dir, "_sealed.json")
+    val toSeal = (readTags(spark, dir).filterNot(_.startsWith("__"))
+      .filterNot(sealedNow.contains)).sorted
+    if (toSeal.nonEmpty)
+      writeStringList(spark, dir, "_sealed.json", sealedNow ++ toSeal)
     val mergeMeasures = sum(col("cnt")).cast("bigint").as("cnt") +:
       valueCols.flatMap(v => Seq(
         sum(col(s"sum_$v")).cast("decimal(38,6)").as(s"sum_$v"),
@@ -260,4 +261,65 @@ object AggState {
         .withColumn("__batch", lit(CompactedTag)))
     readAggState(spark, dir, groupCols, valueCols)
   }
+
+  /** Retract a folded batch — the late-arriving-correction path, THE
+    * classic pain of incremental aggregates. Because every fold's delta
+    * rows are retained verbatim until compaction, retraction is simply
+    * dropping the tag's rows (a staged swap of the state table), and it is
+    * EXACT for every measure — min/max included, which no
+    * negative-compensation scheme can retract (a count can go down; a max
+    * cannot un-happen without the surviving candidates, which the
+    * remaining per-batch rows ARE). The retracted tag STAYS in
+    * `_tags.json`, so a replay of the original fold cannot resurrect the
+    * data; fold the corrected batch under a NEW tag.
+    *
+    * Boundary, enforced loudly: compaction SEALS batches (their rows merge
+    * into `__compacted` and individual retraction becomes impossible) —
+    * retracting a sealed tag throws. Schedule compaction at the
+    * correction horizon: batches old enough to compact are batches you
+    * have promised not to retract, the same contract as any LSM seal. A
+    * torn fold (rows landed, tag never committed) is adopted-then-
+    * retracted, so the call works uniformly; re-retracting is a no-op
+    * (`_retracted.json`). Not concurrent-safe with folds/compaction (the
+    * standard quiesce contract). */
+  def retractAggState(spark: SparkSession, dir: String, batchTag: String,
+                      groupCols: Seq[String], valueCols: Seq[String]): DataFrame = {
+    require(!batchTag.startsWith("__"),
+      s"retractAggState: tag '$batchTag' uses the reserved __ prefix")
+    requireMeta(spark, dir, groupCols, valueCols)
+    IndexFiles.recoverInterruptedSwap(spark, dir, "state", "retractAggState")
+    val retracted = readStringList(spark, dir, "_retracted.json")
+    if (retracted.contains(batchTag)) // idempotent re-retract
+      return readAggState(spark, dir, groupCols, valueCols)
+    require(!readStringList(spark, dir, "_sealed.json").contains(batchTag),
+      s"retractAggState: batch '$batchTag' was sealed by a compaction — " +
+        "its rows are merged and cannot be individually retracted; " +
+        "compact only past the correction horizon")
+    val tags = readTags(spark, dir)
+    // adopt a torn fold so the retraction ALSO blocks its late replay
+    if (!tags.contains(batchTag)) writeTags(spark, dir, tags :+ batchTag)
+    IndexFiles.stagedSwap(spark, dir, "state")(
+      _.filter(col("__batch") =!= batchTag))
+    writeStringList(spark, dir, "_retracted.json", retracted :+ batchTag)
+    readAggState(spark, dir, groupCols, valueCols)
+  }
+
+  private def readStringList(spark: SparkSession, dir: String,
+                             name: String): Seq[String] =
+    IndexFiles.readFileWithRecovery(spark, dir, name).map { bytes =>
+      org.json4s.jackson.JsonMethods.parse(new String(bytes, "UTF-8")) match {
+        case org.json4s.JArray(vs) => vs.map {
+          case org.json4s.JString(s) => s
+          case other => throw new IllegalArgumentException(
+            s"malformed AggState sidecar at $dir/$name: entry $other")
+        }
+        case other => throw new IllegalArgumentException(
+          s"malformed AggState sidecar at $dir/$name: $other")
+      }
+    }.getOrElse(Seq.empty)
+
+  private def writeStringList(spark: SparkSession, dir: String, name: String,
+                              xs: Seq[String]): Unit =
+    IndexFiles.writeFileSwap(spark, dir, name,
+      xs.map(t => "\"" + t + "\"").mkString("[", ",", "]").getBytes("UTF-8"))
 }

@@ -2960,6 +2960,28 @@ object OperatorQueries {
     },
     Some(aggStateOracle("1 = 1")))  // the four slices partition the table
 
+  // The correction path (AggState.retractAggState): fold two batches,
+  // RETRACT the first — exact for every measure, min/max included,
+  // because the batch's delta rows are retained verbatim until compaction
+  // and retraction just drops them — then replay the retracted fold (its
+  // tag stays committed, so the replay must not resurrect the data). The
+  // oracle recomputes over base UNION b2 only: a surviving b1 row, a
+  // stale min/max, or a resurrected replay all hash-fail.
+  private val qAggStateRetract = df("q_op_agg_state_retract",
+    (spark, dir) => {
+      val (base, b1, b2, _) = aggSlices(spark, dir)
+      val sdir = s"$bm25IdxScratch/${java.util.UUID.randomUUID().toString.take(8)}"
+      graft.operators.AggState.writeAggState(base, sdir, aggGroupCols, aggValueCols)
+      graft.operators.AggState.foldAggState(b1, sdir, "b1", aggGroupCols, aggValueCols)
+      graft.operators.AggState.foldAggState(b2, sdir, "b2", aggGroupCols, aggValueCols)
+      graft.operators.AggState.retractAggState(spark, sdir, "b1", aggGroupCols, aggValueCols)
+      // the original fold's late replay: blocked by the still-committed tag
+      graft.operators.AggState.foldAggState(b1, sdir, "b1", aggGroupCols, aggValueCols)
+      graft.operators.AggState.readAggState(spark, sdir, aggGroupCols, aggValueCols)
+        .orderBy(aggGroupCols.map(col): _*)
+    },
+    Some(aggStateOracle("l_orderkey % 4 IN (1, 2) OR l_orderkey % 8 = 0")))
+
   // Continuous ingest into the aggregate state
   // (StreamingAggState.aggStateStream): two mtime-ordered micro-batches
   // fold through foreachBatch; the merged read afterwards must be exact
@@ -3050,7 +3072,7 @@ object OperatorQueries {
   val all: Seq[QueryDef] = Seq(
     qUrlDedup, qPageRank, qHllTokens, qRobotsGate, qDistill, qCountMin, qInvertedIndex, qBm25,
     qBm25Index, qBm25IndexAppend, qBm25IndexCompact, qStreamBm25Indexed,
-    qHybridRrfIndexed, qAggState, qAggStateCompact, qStreamAggState,
+    qHybridRrfIndexed, qAggState, qAggStateCompact, qAggStateRetract, qStreamAggState,
     qSnapshotDiff, qSkewDiag, qEntityRes, qGoldenRecord, qDqProfile, qDqChecks, qWordPiece, qUnigram, qUnigramEm,
     qMinhashApi, qAnnApi, qAnnIvf, qAnnIvf2, qAnnRecall, qAnnRecall2,
     qAnnRecall4, qAnnRecall8, qAnnRecallLloyd, qAnnPq, qAnnIvfPq,

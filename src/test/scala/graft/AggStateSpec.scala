@@ -127,6 +127,47 @@ class AggStateSpec extends AnyFunSuite {
       rows(recompute(base.unionAll(b1))))
   }
 
+  test("retraction: exact for every measure, blocked after sealing, idempotent") {
+    val dir = scratch("aggstate_retract")
+    AggState.writeAggState(base, dir, gCols, vCols)
+    AggState.foldAggState(b1, dir, "b1", gCols, vCols)
+    AggState.foldAggState(b2, dir, "b2", gCols, vCols)
+    // exact removal — min/max revert too, because the surviving per-batch
+    // rows ARE the remaining candidates
+    val want = rows(recompute(base.unionAll(b2)))
+    AggState.retractAggState(spark, dir, "b1", gCols, vCols)
+    assert(rows(AggState.readAggState(spark, dir, gCols, vCols)) == want)
+    // the retracted fold's replay must not resurrect the data
+    AggState.foldAggState(b1, dir, "b1", gCols, vCols)
+    assert(rows(AggState.readAggState(spark, dir, gCols, vCols)) == want)
+    // re-retract is a no-op
+    AggState.retractAggState(spark, dir, "b1", gCols, vCols)
+    assert(rows(AggState.readAggState(spark, dir, gCols, vCols)) == want)
+    // sealing: after compaction, b2 cannot be individually retracted
+    AggState.compactAggState(spark, dir, gCols, vCols)
+    val e = intercept[IllegalArgumentException] {
+      AggState.retractAggState(spark, dir, "b2", gCols, vCols)
+    }
+    assert(e.getMessage.contains("sealed"))
+    // but the already-retracted tag still no-ops politely post-seal...
+    // (retracted check runs before the sealed check)
+    AggState.retractAggState(spark, dir, "b1", gCols, vCols)
+    assert(rows(AggState.readAggState(spark, dir, gCols, vCols)) == want)
+  }
+
+  test("retracting a torn fold adopts its tag, so the late replay stays blocked") {
+    val dir = scratch("aggstate_retract_torn")
+    AggState.writeAggState(base, dir, gCols, vCols)
+    // torn: rows landed, tag never committed
+    AggState.partials(b1, gCols, vCols, "tb1")
+      .write.mode("append").parquet(s"$dir/state")
+    val want = rows(recompute(base))
+    AggState.retractAggState(spark, dir, "tb1", gCols, vCols)
+    assert(rows(AggState.readAggState(spark, dir, gCols, vCols)) == want)
+    AggState.foldAggState(b1, dir, "tb1", gCols, vCols) // the late retry
+    assert(rows(AggState.readAggState(spark, dir, gCols, vCols)) == want)
+  }
+
   test("meta validation fails loudly; reserved tags rejected") {
     val dir = scratch("aggstate_meta")
     AggState.writeAggState(base, dir, gCols, vCols)

@@ -87,6 +87,7 @@ class ScanBudgetSpec extends AnyFunSuite {
     // returned plan at all, the operator's whole point
     "q_op_agg_state" -> 1,
     "q_op_agg_state_compact" -> 1,
+    "q_op_agg_state_retract" -> 1,
     // the cluster-state queries RETURN the persisted assignment — one
     // parquet read of dir/clusters, zero corpus-text scans (the CC work
     // runs eagerly inside the lifecycle calls, checkpoint-materialized
