@@ -147,6 +147,11 @@ object AggState {
     val spark = df.sparkSession
     AggStateMeta.write(spark, dir, AggStateMeta(groupCols, valueCols))
     writeTags(spark, dir, Seq("__base"))
+    // a rebuild-in-place starts a NEW incarnation: stale seal/retraction
+    // sidecars from the previous one would make a fresh tag spuriously
+    // throw "sealed" or turn its retraction into a vacuous no-op
+    writeStringList(spark, dir, "_sealed.json", Seq.empty)
+    writeStringList(spark, dir, "_retracted.json", Seq.empty)
     partials(df, groupCols, valueCols, "__base")
       .write.mode("overwrite").parquet(s"$dir/state")
     readAggState(spark, dir, groupCols, valueCols)
@@ -232,11 +237,17 @@ object AggState {
     val orphans = spark.read.parquet(s"$dir/state")
       .select("__batch").distinct().collect().map(_.getString(0))
       .filter(t => !t.startsWith("__") && !tags.contains(t)).sorted
+    val allTags = tags ++ orphans
     if (orphans.nonEmpty) {
       System.err.println(s"[graft] compactAggState: adopting ${orphans.length} " +
         s"torn-fold tag(s) before merging: ${orphans.mkString(", ")}")
-      writeTags(spark, dir, tags ++ orphans)
+      writeTags(spark, dir, allTags)
     }
+    // FINISH pending retractions before merging: a retraction that crashed
+    // between its _retracted.json write and its swap left the tag's rows
+    // in place — merging them into __compacted would make the retraction
+    // unrecoverable while its sidecar claims it happened
+    val retractedTags = readStringList(spark, dir, "_retracted.json")
     // SEAL before the swap: every non-reserved committed tag is about to
     // lose its per-batch rows to the merge, after which a retraction could
     // only silently remove nothing. Seal-then-swap is the safe crash
@@ -245,8 +256,8 @@ object AggState {
     // reverse order would let a retraction of already-merged rows report
     // success while removing nothing.
     val sealedNow = readStringList(spark, dir, "_sealed.json")
-    val toSeal = (readTags(spark, dir).filterNot(_.startsWith("__"))
-      .filterNot(sealedNow.contains)).sorted
+    val toSeal = allTags.filterNot(_.startsWith("__"))
+      .filterNot(sealedNow.contains).sorted
     if (toSeal.nonEmpty)
       writeStringList(spark, dir, "_sealed.json", sealedNow ++ toSeal)
     val mergeMeasures = sum(col("cnt")).cast("bigint").as("cnt") +:
@@ -255,7 +266,9 @@ object AggState {
         min(col(s"min_$v")).as(s"min_$v"),
         max(col(s"max_$v")).as(s"max_$v")))
     IndexFiles.stagedSwap(spark, dir, "state")(df =>
-      df.dropDuplicates(groupCols :+ "__batch")
+      (if (retractedTags.isEmpty) df
+       else df.filter(!col("__batch").isin(retractedTags: _*)))
+        .dropDuplicates(groupCols :+ "__batch")
         .groupBy(groupCols.map(col): _*)
         .agg(mergeMeasures.head, mergeMeasures.tail: _*)
         .withColumn("__batch", lit(CompactedTag)))
@@ -279,28 +292,52 @@ object AggState {
     * correction horizon: batches old enough to compact are batches you
     * have promised not to retract, the same contract as any LSM seal. A
     * torn fold (rows landed, tag never committed) is adopted-then-
-    * retracted, so the call works uniformly; re-retracting is a no-op
-    * (`_retracted.json`). Not concurrent-safe with folds/compaction (the
-    * standard quiesce contract). */
+    * retracted, so the call works uniformly; a tag that neither was
+    * committed nor has rows is a TYPO and throws (silently committing it
+    * would block the real batch's future fold forever). Re-retracting is
+    * an idempotent completion: the intent lands in `_retracted.json`
+    * BEFORE the swap, and both the retry and the next compaction finish a
+    * swap that crashed after the intent — so at every point the sidecar
+    * claims only retractions that are done or will be completed by
+    * whichever maintenance action runs next. Not concurrent-safe with
+    * folds/compaction (the standard quiesce contract). */
   def retractAggState(spark: SparkSession, dir: String, batchTag: String,
                       groupCols: Seq[String], valueCols: Seq[String]): DataFrame = {
     require(!batchTag.startsWith("__"),
       s"retractAggState: tag '$batchTag' uses the reserved __ prefix")
+    requireJsonSafe("retractAggState: tag", batchTag)
     requireMeta(spark, dir, groupCols, valueCols)
     IndexFiles.recoverInterruptedSwap(spark, dir, "state", "retractAggState")
     val retracted = readStringList(spark, dir, "_retracted.json")
-    if (retracted.contains(batchTag)) // idempotent re-retract
+    val hasRows = !spark.read.parquet(s"$dir/state")
+      .filter(col("__batch") === batchTag).isEmpty
+    if (retracted.contains(batchTag)) {
+      // already retracted — but a crash between the intent write and the
+      // swap leaves the rows in place: completion semantics, not a blind
+      // no-op (a blind no-op would leave the data counted while the
+      // sidecar claims it gone)
+      if (hasRows) IndexFiles.stagedSwap(spark, dir, "state")(
+        _.filter(col("__batch") =!= batchTag))
       return readAggState(spark, dir, groupCols, valueCols)
+    }
     require(!readStringList(spark, dir, "_sealed.json").contains(batchTag),
       s"retractAggState: batch '$batchTag' was sealed by a compaction — " +
         "its rows are merged and cannot be individually retracted; " +
         "compact only past the correction horizon")
     val tags = readTags(spark, dir)
+    require(tags.contains(batchTag) || hasRows,
+      s"retractAggState: unknown batch '$batchTag' — neither committed nor " +
+        "any delta rows; committing a typo'd tag would silently block the " +
+        "real batch's future fold")
     // adopt a torn fold so the retraction ALSO blocks its late replay
     if (!tags.contains(batchTag)) writeTags(spark, dir, tags :+ batchTag)
+    // intent BEFORE the swap: if the swap crashes, the retry above and the
+    // next compaction both finish it; the reverse order let a compaction
+    // seal-and-merge the rows of a retraction that had already succeeded,
+    // turning its documented idempotent retry into a spurious throw
+    writeStringList(spark, dir, "_retracted.json", retracted :+ batchTag)
     IndexFiles.stagedSwap(spark, dir, "state")(
       _.filter(col("__batch") =!= batchTag))
-    writeStringList(spark, dir, "_retracted.json", retracted :+ batchTag)
     readAggState(spark, dir, groupCols, valueCols)
   }
 

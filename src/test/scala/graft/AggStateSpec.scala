@@ -155,6 +155,60 @@ class AggStateSpec extends AnyFunSuite {
     assert(rows(AggState.readAggState(spark, dir, gCols, vCols)) == want)
   }
 
+  test("retraction intent is crash-recoverable: retry and compaction both finish a torn swap") {
+    // crash window: _retracted.json written, the swap never ran
+    def tornRetract(dir: String): Unit = {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/_retracted.json"),
+        "[\"b1\"]".getBytes("UTF-8"))
+      // the build wrote this sidecar through Hadoop's checksummed local FS;
+      // overwriting the bytes directly leaves a stale .crc behind
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(s"$dir/._retracted.json.crc"))
+    }
+    val want = rows(recompute(base))
+    // leg A: the retract retry completes the swap instead of no-opping
+    val d1 = scratch("aggstate_ri1")
+    AggState.writeAggState(base, d1, gCols, vCols)
+    AggState.foldAggState(b1, d1, "b1", gCols, vCols)
+    tornRetract(d1)
+    AggState.retractAggState(spark, d1, "b1", gCols, vCols)
+    assert(rows(AggState.readAggState(spark, d1, gCols, vCols)) == want)
+    // leg B: a compaction finishes the pending retraction instead of
+    // sealing-and-merging rows the sidecar already claims are gone
+    val d2 = scratch("aggstate_ri2")
+    AggState.writeAggState(base, d2, gCols, vCols)
+    AggState.foldAggState(b1, d2, "b1", gCols, vCols)
+    tornRetract(d2)
+    AggState.compactAggState(spark, d2, gCols, vCols)
+    assert(rows(AggState.readAggState(spark, d2, gCols, vCols)) == want)
+  }
+
+  test("rebuild-in-place resets seal/retraction sidecars; unknown-tag retract throws") {
+    val dir = scratch("aggstate_rebuild")
+    AggState.writeAggState(base, dir, gCols, vCols)
+    AggState.foldAggState(b1, dir, "b1", gCols, vCols)
+    AggState.retractAggState(spark, dir, "b1", gCols, vCols)
+    AggState.compactAggState(spark, dir, gCols, vCols) // seals everything
+    // new incarnation in the same directory
+    AggState.writeAggState(base, dir, gCols, vCols)
+    // the previous incarnation's retraction must not turn this fold's tag
+    // into a vacuous no-op...
+    AggState.foldAggState(b1, dir, "b1", gCols, vCols)
+    assert(rows(AggState.readAggState(spark, dir, gCols, vCols)) ==
+      rows(recompute(base.unionAll(b1))))
+    // ...and the previous seal must not block its retraction
+    AggState.retractAggState(spark, dir, "b1", gCols, vCols)
+    assert(rows(AggState.readAggState(spark, dir, gCols, vCols)) ==
+      rows(recompute(base)))
+    // a typo'd tag (never folded, no rows) fails loudly instead of being
+    // silently committed (which would block the real batch's future fold)
+    val e = intercept[IllegalArgumentException] {
+      AggState.retractAggState(spark, dir, "b99", gCols, vCols)
+    }
+    assert(e.getMessage.contains("unknown batch"))
+  }
+
   test("retracting a torn fold adopts its tag, so the late replay stays blocked") {
     val dir = scratch("aggstate_retract_torn")
     AggState.writeAggState(base, dir, gCols, vCols)
