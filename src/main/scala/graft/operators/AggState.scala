@@ -67,6 +67,23 @@ object AggState {
   /** The reserved tag compaction rewrites merged rows under. */
   val CompactedTag = "__compacted"
 
+  // bracket marker for writeAggState's rebuild-in-place: the build writes
+  // five artifacts (meta, three sidecars, the state table) that are only
+  // consistent as a SET — a crash midway would otherwise leave the OLD
+  // incarnation's state table served under the NEW incarnation's fresh
+  // sidecars, a silent mixed-incarnation read no single-file recovery can
+  // detect. The marker turns that window into a loud error at every entry
+  // point until writeAggState is re-run.
+  private val RebuildMarker = "_rebuild_intent"
+
+  private def requireNoTornRebuild(spark: SparkSession, dir: String,
+                                   what: String): Unit =
+    require(!IndexFiles.markerExists(spark, dir, RebuildMarker),
+      s"$what: torn writeAggState rebuild at $dir (its $RebuildMarker marker " +
+        "survived a crash) — the state table and sidecars may be from " +
+        "different incarnations; re-run writeAggState, or build into a " +
+        "fresh directory")
+
   final case class AggStateMeta(groupCols: Seq[String], valueCols: Seq[String])
 
   object AggStateMeta {
@@ -138,22 +155,35 @@ object AggState {
     * one group-sized write, the `__base` tag. Stamps `_meta.json` FIRST
     * (same crash discipline as the BM25 index: a torn build must fail
     * loudly on the missing state path, not read as a validation-bypassing
-    * legacy directory). */
+    * legacy directory).
+    *
+    * The whole build — meta, the three sidecars, the state overwrite — is
+    * bracketed by a `_rebuild_intent` marker: a rebuild-in-place that
+    * crashes after resetting the sidecars but before the state overwrite
+    * would otherwise serve the PREVIOUS incarnation's folds under fresh
+    * sidecars with no loud signal (the first-build path fails on the
+    * missing state table; the rebuild path has no missing file to trip
+    * on). Every other entry point refuses a directory whose marker
+    * survived; re-running writeAggState clears it. */
   def writeAggState(df: DataFrame, dir: String, groupCols: Seq[String],
                     valueCols: Seq[String]): DataFrame = {
     require(groupCols.nonEmpty && valueCols.nonEmpty,
       "writeAggState: need at least one group column and one value column")
     (groupCols ++ valueCols).foreach(requireJsonSafe("writeAggState: column", _))
     val spark = df.sparkSession
-    AggStateMeta.write(spark, dir, AggStateMeta(groupCols, valueCols))
-    writeTags(spark, dir, Seq("__base"))
-    // a rebuild-in-place starts a NEW incarnation: stale seal/retraction
-    // sidecars from the previous one would make a fresh tag spuriously
-    // throw "sealed" or turn its retraction into a vacuous no-op
-    writeStringList(spark, dir, "_sealed.json", Seq.empty)
-    writeStringList(spark, dir, "_retracted.json", Seq.empty)
-    partials(df, groupCols, valueCols, "__base")
-      .write.mode("overwrite").parquet(s"$dir/state")
+    IndexFiles.withWriteLease(spark, dir, "writeAggState") {
+      IndexFiles.createMarker(spark, dir, RebuildMarker)
+      AggStateMeta.write(spark, dir, AggStateMeta(groupCols, valueCols))
+      writeTags(spark, dir, Seq("__base"))
+      // a rebuild-in-place starts a NEW incarnation: stale seal/retraction
+      // sidecars from the previous one would make a fresh tag spuriously
+      // throw "sealed" or turn its retraction into a vacuous no-op
+      writeStringList(spark, dir, "_sealed.json", Seq.empty)
+      writeStringList(spark, dir, "_retracted.json", Seq.empty)
+      partials(df, groupCols, valueCols, "__base")
+        .write.mode("overwrite").parquet(s"$dir/state")
+      IndexFiles.deleteMarker(spark, dir, RebuildMarker)
+    }
     readAggState(spark, dir, groupCols, valueCols)
   }
 
@@ -175,22 +205,26 @@ object AggState {
       s"foldAggState: tag '$batchTag' uses the reserved __ prefix")
     requireJsonSafe("foldAggState: tag", batchTag)
     val spark = batch.sparkSession
+    requireNoTornRebuild(spark, dir, "foldAggState")
     requireMeta(spark, dir, groupCols, valueCols)
-    // a compaction swap that crashed between its renames left no live
-    // state directory — recover it BEFORE the existence check and append,
-    // or this fold's parquet append would create a fresh table containing
-    // only this batch and the recovery rename could never run again
-    IndexFiles.recoverInterruptedSwap(spark, dir, "state", "foldAggState")
-    val statePath = new org.apache.hadoop.fs.Path(s"$dir/state")
-    require(IndexFiles.fs(spark, statePath).exists(statePath),
-      s"foldAggState: no state table at $dir/state — run writeAggState " +
-        "first (a torn build or wrong path must not silently bootstrap " +
-        "a state missing its base)")
-    val tags = readTags(spark, dir)
-    if (tags.contains(batchTag)) return // committed replay
-    partials(batch, groupCols, valueCols, batchTag)
-      .write.mode("append").parquet(s"$dir/state")
-    writeTags(spark, dir, tags :+ batchTag)
+    IndexFiles.withWriteLease(spark, dir, "foldAggState") {
+      // a compaction swap that crashed between its renames left no live
+      // state directory — recover it BEFORE the existence check and append,
+      // or this fold's parquet append would create a fresh table containing
+      // only this batch and the recovery rename could never run again
+      IndexFiles.recoverInterruptedSwap(spark, dir, "state", "foldAggState")
+      val statePath = new org.apache.hadoop.fs.Path(s"$dir/state")
+      require(IndexFiles.fs(spark, statePath).exists(statePath),
+        s"foldAggState: no state table at $dir/state — run writeAggState " +
+          "first (a torn build or wrong path must not silently bootstrap " +
+          "a state missing its base)")
+      val tags = readTags(spark, dir)
+      if (!tags.contains(batchTag)) { // committed replay = no-op
+        partials(batch, groupCols, valueCols, batchTag)
+          .write.mode("append").parquet(s"$dir/state")
+        writeTags(spark, dir, tags :+ batchTag)
+      }
+    }
   }
 
   /** Merge the delta rows into the current exact aggregate: collapse
@@ -200,6 +234,7 @@ object AggState {
     * derives from it. Cost: (groups x folds-since-compaction) rows. */
   def readAggState(spark: SparkSession, dir: String, groupCols: Seq[String],
                    valueCols: Seq[String]): DataFrame = {
+    requireNoTornRebuild(spark, dir, "readAggState")
     requireMeta(spark, dir, groupCols, valueCols)
     IndexFiles.recoverInterruptedSwap(spark, dir, "state", "readAggState")
     val measures = sum(col("cnt")).cast("bigint").as("cnt") +:
@@ -231,6 +266,7 @@ object AggState {
     * place, counted once, with the retry now a no-op. */
   def compactAggState(spark: SparkSession, dir: String, groupCols: Seq[String],
                       valueCols: Seq[String]): DataFrame = {
+    requireNoTornRebuild(spark, dir, "compactAggState")
     requireMeta(spark, dir, groupCols, valueCols)
     IndexFiles.recoverInterruptedSwap(spark, dir, "state", "compactAggState")
     val tags = readTags(spark, dir)
@@ -306,6 +342,7 @@ object AggState {
     require(!batchTag.startsWith("__"),
       s"retractAggState: tag '$batchTag' uses the reserved __ prefix")
     requireJsonSafe("retractAggState: tag", batchTag)
+    requireNoTornRebuild(spark, dir, "retractAggState")
     requireMeta(spark, dir, groupCols, valueCols)
     IndexFiles.recoverInterruptedSwap(spark, dir, "state", "retractAggState")
     val retracted = readStringList(spark, dir, "_retracted.json")

@@ -192,12 +192,14 @@ object Dedup {
     require(bands * rowsPerBand == k,
       s"bands * rowsPerBand must equal k, got $bands * $rowsPerBand != $k")
     val spark = corpus.sparkSession
-    minhashSignature(corpus, idCol, textCol, k, shingleN)
-      .write.mode("overwrite").parquet(s"$dir/sigs")
-    val sigs = spark.read.parquet(s"$dir/sigs")
-    minhashBands(sigs, idCol, bands, rowsPerBand)
-      .write.mode("overwrite").parquet(s"$dir/bands")
-    MinhashMeta.write(spark, dir, MinhashMeta(k, shingleN, bands, rowsPerBand))
+    IndexFiles.withWriteLease(spark, dir, "writeMinhashIndex") {
+      minhashSignature(corpus, idCol, textCol, k, shingleN)
+        .write.mode("overwrite").parquet(s"$dir/sigs")
+      val sigs = spark.read.parquet(s"$dir/sigs")
+      minhashBands(sigs, idCol, bands, rowsPerBand)
+        .write.mode("overwrite").parquet(s"$dir/bands")
+      MinhashMeta.write(spark, dir, MinhashMeta(k, shingleN, bands, rowsPerBand))
+    }
     MinhashIndex.read(spark, dir)
   }
 
@@ -582,13 +584,15 @@ object Dedup {
                                                 rowsPerBand: Int): MinhashIndex = {
     val spark = bsigs.sparkSession
     validateAppendParams(spark, dir, k, shingleN, bands, rowsPerBand)
-    bsigs.write.mode("append").parquet(s"$dir/sigs")
-    minhashBands(bsigs, idCol, bands, rowsPerBand)
-      .write.mode("append").parquet(s"$dir/bands")
-    // keep any persisted band sketch covering the appended rows — without
-    // this, a pre-append sketch would prune batch rows matching only the
-    // appended docs (false negatives); see writeBandSketch
-    maintainBandSketch(spark, dir, minhashBands(bsigs, idCol, bands, rowsPerBand))
+    IndexFiles.withWriteLease(spark, dir, "appendMinhashIndex") {
+      bsigs.write.mode("append").parquet(s"$dir/sigs")
+      minhashBands(bsigs, idCol, bands, rowsPerBand)
+        .write.mode("append").parquet(s"$dir/bands")
+      // keep any persisted band sketch covering the appended rows — without
+      // this, a pre-append sketch would prune batch rows matching only the
+      // appended docs (false negatives); see writeBandSketch
+      maintainBandSketch(spark, dir, minhashBands(bsigs, idCol, bands, rowsPerBand))
+    }
     MinhashIndex.read(spark, dir)
   }
 
@@ -776,21 +780,93 @@ object Dedup {
     (relabel, extras)
   }
 
+  /** Pair-definition parameters of a persisted cluster state, stamped
+    * into `dir/_cluster_meta.json` at seed time and validated by every
+    * fold/compact: `minMatches` (the signature-agreement threshold the
+    * state's pairs were verified under) plus the index build params the
+    * state was seeded against. The keeper map carries no threshold
+    * per-row, so folding pairs produced under a DIFFERENT minMatches (or
+    * against a rebuilt index with different k/bands) silently merges
+    * clusters under a different similarity definition than the stored
+    * assignment — the exact quiet-drift class the [[MinhashMeta]] /
+    * `Bm25Meta` / `IvfPqMeta` tags close for the other three persisted
+    * families. Shared by the plain and partitioned layouts (it describes
+    * the PAIRS, not the storage). */
+  final case class ClusterMeta(minMatches: Int, k: Int, shingleN: Int,
+                               bands: Int, rowsPerBand: Int)
+
+  object ClusterMeta {
+    private val fileName = "_cluster_meta.json"
+
+    def write(spark: org.apache.spark.sql.SparkSession, dir: String,
+              m: ClusterMeta): Unit =
+      IndexFiles.writeFileSwap(spark, dir, fileName,
+        (s"""{"minMatches":${m.minMatches},"k":${m.k},""" +
+          s""""shingleN":${m.shingleN},"bands":${m.bands},""" +
+          s""""rowsPerBand":${m.rowsPerBand}}""").getBytes("UTF-8"))
+
+    /** None for a pre-meta (legacy) cluster-state directory. */
+    def read(spark: org.apache.spark.sql.SparkSession,
+             dir: String): Option[ClusterMeta] =
+      IndexFiles.readFileWithRecovery(spark, dir, fileName).map { bytes =>
+        val j = org.json4s.jackson.JsonMethods.parse(new String(bytes, "UTF-8"))
+        def int(name: String): Int = (j \ name) match {
+          case org.json4s.JInt(v) => v.toInt
+          case other => throw new IllegalArgumentException(
+            s"malformed cluster-state meta at $dir/$fileName: field $name = $other")
+        }
+        ClusterMeta(int("minMatches"), int("k"), int("shingleN"),
+          int("bands"), int("rowsPerBand"))
+      }
+  }
+
+  // the pair definition a seed stamps: the passed threshold + the stored
+  // index's build params (the defaults for a legacy untagged index)
+  private def clusterMetaOf(idxMeta: Option[MinhashMeta],
+                            minMatches: Int): ClusterMeta = {
+    val im = idxMeta.getOrElse(MinhashMeta(16, 3, 8, 2))
+    ClusterMeta(minMatches, im.k, im.shingleN, im.bands, im.rowsPerBand)
+  }
+
+  /** Fail loudly when a fold/compact's pair definition disagrees with the
+    * stored one (stored-vs-passed in the message); stamp a legacy
+    * directory with the passed definition on first maintenance — the same
+    * discipline as the other three families' meta tags. */
+  private def requireClusterMeta(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String, what: String,
+                                 minMatches: Int): Unit = {
+    val passed = clusterMetaOf(MinhashMeta.read(spark, dir), minMatches)
+    ClusterMeta.read(spark, dir) match {
+      case Some(stored) => require(stored == passed,
+        s"$what: cluster-state pair-definition mismatch at $dir: stored " +
+          s"$stored, passed $passed — folding pairs verified under a " +
+          "different similarity threshold (or against a rebuilt index) " +
+          "silently merges clusters under a different definition than the " +
+          "stored assignment; use the stored values or re-seed")
+      case None => ClusterMeta.write(spark, dir, passed)
+    }
+  }
+
   /** Seed + persist the cluster state for the stored index at `dir`:
     * connected components over [[indexSelfPairs]] written to
     * `dir/clusters` — run once at index build time, then maintained per
     * batch by [[foldClusterState]]. `k` is taken from the index's
-    * `_meta.json` tag when present. Returns the state re-read from
-    * `dir`. */
+    * `_meta.json` tag when present. Stamps the pair definition into
+    * `_cluster_meta.json` ([[ClusterMeta]]) — a re-seed re-stamps it (a
+    * new incarnation, like every rebuild here). Returns the state re-read
+    * from `dir`. */
   def writeClusterState(spark: org.apache.spark.sql.SparkSession, dir: String,
                         idCol: String = "doc_id",
                         minMatches: Int = 8): DataFrame = {
     val idx = MinhashIndex.read(spark, dir)
     val k = idx.meta.map(_.k).getOrElse(16)
-    duplicateClusters(
-        indexSelfPairs(idx, idCol, k, minMatches)
-          .select(col("d1"), col("d2")))
-      .write.mode("overwrite").parquet(s"$dir/clusters")
+    IndexFiles.withWriteLease(spark, dir, "writeClusterState") {
+      ClusterMeta.write(spark, dir, clusterMetaOf(idx.meta, minMatches))
+      duplicateClusters(
+          indexSelfPairs(idx, idCol, k, minMatches)
+            .select(col("d1"), col("d2")))
+        .write.mode("overwrite").parquet(s"$dir/clusters")
+    }
     spark.read.parquet(s"$dir/clusters")
   }
 
@@ -810,11 +886,17 @@ object Dedup {
     * no-concurrent-writer rule as [[compactMinhashIndex]]). Call after
     * [[incrementalNearDups]] (whose output is `crossPairs`) and alongside
     * [[appendMinhashIndex]] — index append and cluster fold are separate
-    * idempotent-to-retry steps of one ingest. Returns the updated state
-    * re-read from `dir`. */
+    * idempotent-to-retry steps of one ingest. `minMatches` declares the
+    * threshold the folded pairs were verified under — validated against
+    * the stored `_cluster_meta.json` pair definition, throwing with
+    * stored-vs-passed values BEFORE anything is written (folding pairs
+    * from a different definition silently drifts the keeper map; a
+    * legacy untagged state is stamped with the passed definition).
+    * Returns the updated state re-read from `dir`. */
   def foldClusterState(spark: org.apache.spark.sql.SparkSession, dir: String,
-                       crossPairs: DataFrame,
-                       inBatchPairs: DataFrame): DataFrame = {
+                       crossPairs: DataFrame, inBatchPairs: DataFrame,
+                       minMatches: Int = 8): DataFrame = {
+    requireClusterMeta(spark, dir, "foldClusterState", minMatches)
     // materialize the inputs first: the swap rewrite must not re-evaluate
     // plans that could read the table mid-rename
     val cross = crossPairs.select(col("new_id"), col("corpus_id")).localCheckpoint()
@@ -866,6 +948,37 @@ object Dedup {
         merged("doc_id") === col("__d"), "left_anti")
       .select(col("doc_id"), col("keeper"))
     relabeled(storedA).unionAll(relabeled(storedB)).unionAll(extras)
+  }
+
+  /** [[mergeClusterStates]] by directory, with the pair-definition guard
+    * the raw-DataFrame spelling cannot have: both states'
+    * `_cluster_meta.json` tags must agree with each other AND with the
+    * passed `minMatches` (the threshold `crossPairs` was verified under,
+    * via [[crossIndexNearDups]]) — merging keeper maps built under
+    * different similarity definitions produces a map meaning neither.
+    * Legacy untagged sides skip their half of the check (documented, like
+    * every legacy path here). */
+  def mergeClusterStateDirs(spark: org.apache.spark.sql.SparkSession,
+                            dirA: String, dirB: String, crossPairs: DataFrame,
+                            minMatches: Int = 8, maxIter: Int = 20): DataFrame = {
+    val ma = ClusterMeta.read(spark, dirA)
+    val mb = ClusterMeta.read(spark, dirB)
+    (ma, mb) match {
+      case (Some(a), Some(b)) => require(a == b,
+        s"mergeClusterStateDirs: pair-definition mismatch between the two " +
+          s"states: $dirA stored $a, $dirB stored $b — their keeper maps " +
+          "were built under different similarity definitions and cannot be " +
+          "merged; re-seed one side")
+      case _ => ()
+    }
+    Seq(dirA -> ma, dirB -> mb).foreach { case (d, m) =>
+      m.foreach(stored => require(stored.minMatches == minMatches,
+        s"mergeClusterStateDirs: cross pairs verified under minMatches=" +
+          s"$minMatches but the state at $d stores $stored — use the " +
+          "stored threshold for the cross check"))
+    }
+    mergeClusterStates(readClusterState(spark, dirA),
+      readClusterState(spark, dirB), crossPairs, maxIter)
   }
 
   /** Bucket expression shared by the partitioned cluster-state spelling:
@@ -929,25 +1042,28 @@ object Dedup {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val idx = MinhashIndex.read(spark, dir)
     val k = idx.meta.map(_.k).getOrElse(16)
-    val seeded = duplicateClusters(
-      indexSelfPairs(idx, idCol, k, minMatches).select(col("d1"), col("d2")))
-    val dataPath = s"$dir/clusters_p_$buckets"
-    seeded
-      .withColumn("__bucket", clusterBucket(buckets))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "static")
-      .partitionBy("__bucket")
-      .parquet(dataPath)
-    IndexFiles.writeFileSwap(spark, dir, clusterPartMeta,
-      (s"""{"buckets":$buckets,""" +
-        s""""schema":"${seeded.schema.toDDL.replace("\"", "")}"}""").getBytes("UTF-8"))
-    // best-effort cleanup of superseded version dirs (other moduli)
-    val f = IndexFiles.fs(spark, new org.apache.hadoop.fs.Path(dir))
-    Option(f.globStatus(new org.apache.hadoop.fs.Path(s"$dir/clusters_p_*")))
-      .getOrElse(Array.empty).map(_.getPath)
-      .filter(_.getName != s"clusters_p_$buckets")
-      .foreach(p => f.delete(p, true))
-    spark.catalog.refreshByPath(dataPath)
+    IndexFiles.withWriteLease(spark, dir, "writeClusterStatePartitioned") {
+      ClusterMeta.write(spark, dir, clusterMetaOf(idx.meta, minMatches))
+      val seeded = duplicateClusters(
+        indexSelfPairs(idx, idCol, k, minMatches).select(col("d1"), col("d2")))
+      val dataPath = s"$dir/clusters_p_$buckets"
+      seeded
+        .withColumn("__bucket", clusterBucket(buckets))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("__bucket")
+        .parquet(dataPath)
+      IndexFiles.writeFileSwap(spark, dir, clusterPartMeta,
+        (s"""{"buckets":$buckets,""" +
+          s""""schema":"${seeded.schema.toDDL.replace("\"", "")}"}""").getBytes("UTF-8"))
+      // best-effort cleanup of superseded version dirs (other moduli)
+      val f = IndexFiles.fs(spark, new org.apache.hadoop.fs.Path(dir))
+      Option(f.globStatus(new org.apache.hadoop.fs.Path(s"$dir/clusters_p_*")))
+        .getOrElse(Array.empty).map(_.getPath)
+        .filter(_.getName != s"clusters_p_$buckets")
+        .foreach(p => f.delete(p, true))
+      spark.catalog.refreshByPath(dataPath)
+    }
     readClusterStatePartitioned(spark, dir)
   }
 
@@ -1030,17 +1146,19 @@ object Dedup {
         col("doc_id") === col("__cd"), "left_anti")
       .select(col("doc_id"), col("keeper"),
         col("__bucket").cast("bigint").as("__bucket"))
-    val marker = new org.apache.hadoop.fs.Path(s"$dir/$clusterPartInflight")
-    val f = IndexFiles.fs(spark, marker)
-    f.create(marker, true).close()
-    keep.unionAll(changed.select("doc_id", "keeper", "__bucket"))
-      .localCheckpoint()
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("__bucket")
-      .parquet(path)
-    f.delete(marker, false)
-    spark.catalog.refreshByPath(path)
+    IndexFiles.withWriteLease(spark, dir, "rewriteTouchedBuckets") {
+      val marker = new org.apache.hadoop.fs.Path(s"$dir/$clusterPartInflight")
+      val f = IndexFiles.fs(spark, marker)
+      f.create(marker, true).close()
+      keep.unionAll(changed.select("doc_id", "keeper", "__bucket"))
+        .localCheckpoint()
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__bucket")
+        .parquet(path)
+      f.delete(marker, false)
+      spark.catalog.refreshByPath(path)
+    }
   }
 
   /** [[foldClusterState]] against the partitioned layout, with the WRITE
@@ -1062,7 +1180,11 @@ object Dedup {
     * restores any batch rows whose bucket never committed. */
   def foldClusterStatePartitioned(spark: org.apache.spark.sql.SparkSession,
                                   dir: String, crossPairs: DataFrame,
-                                  inBatchPairs: DataFrame): DataFrame = {
+                                  inBatchPairs: DataFrame,
+                                  minMatches: Int = 8): DataFrame = {
+    // pair-definition validation FIRST, before any repair or write (same
+    // contract as the plain-layout fold)
+    requireClusterMeta(spark, dir, "foldClusterStatePartitioned", minMatches)
     // repair BEFORE creating any handle over the table: the repair
     // rewrites buckets, and a DataFrame created pre-repair would list
     // vanished part files (the documented re-read-after-swap rule)
@@ -1118,6 +1240,10 @@ object Dedup {
   def compactClusterState(spark: org.apache.spark.sql.SparkSession, dir: String,
                           dropIds: DataFrame, idCol: String = "doc_id",
                           minMatches: Int = 8): DataFrame = {
+    // the repair re-SOLVES affected clusters from the index pair set, so
+    // its minMatches must be the stored pair definition or the rebuilt
+    // clusters use a different similarity than their untouched neighbors
+    requireClusterMeta(spark, dir, "compactClusterState", minMatches)
     val idx = MinhashIndex.read(spark, dir)
     val k = idx.meta.map(_.k).getOrElse(16)
     val drops = dropIds.select(col(idCol).as("doc_id")).distinct()

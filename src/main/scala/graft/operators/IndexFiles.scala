@@ -31,7 +31,8 @@ private[operators] object IndexFiles {
     * only happen after it is fully materialized. Not concurrency-safe
     * against a simultaneous writer (the standard LSM-style contract). */
   def stagedSwap(spark: SparkSession, dir: String, name: String)
-                (rewrite: DataFrame => DataFrame): Unit = {
+                (rewrite: DataFrame => DataFrame): Unit =
+      withWriteLease(spark, dir, s"stagedSwap($name)") {
     // self-recover first: if a PRIOR swap of this table crashed between
     // its renames, the live directory is missing and the documented
     // remedy — "re-run the operation" — would otherwise throw
@@ -86,6 +87,136 @@ private[operators] object IndexFiles {
       s"sidecar swap rename $live -> $old failed")
     require(f.rename(tmp, live), s"sidecar swap rename $tmp -> $live failed")
     f.delete(old, false)
+  }
+
+  /** Write-lease: turns the persisted families' "single writer — quiesce
+    * writers before maintenance" scaladoc contract into a DETECTABLE
+    * error. Every mutating entry point (appends, folds, rebuilds, and
+    * [[stagedSwap]] itself) brackets its writes in [[withWriteLease]]:
+    * a second concurrent writer or compactor on the same directory finds
+    * a fresh `_write_lease.json` held by another owner and THROWS instead
+    * of silently interleaving half-written tables — the worst failure
+    * shape in this repo's taxonomy. The reference serializes DDL through
+    * one master for the same reason
+    * (`/root/reference/tajo-core/src/main/java/org/apache/tajo/master/exec/DDLExecutor.java`).
+    *
+    * Semantics and limits, stated plainly:
+    *   - A lease is {owner, epochMs, what}; it is STALE once older than
+    *     `ttlMs` (default 30 min — far past any single maintenance call
+    *     here). A crashed writer's lease ages out and the next writer
+    *     takes over with a loud stderr note (crash-age override); a
+    *     writer that THROWS releases its lease in the finally.
+    *   - Re-entrant within this JVM: one process owner id + a per-dir
+    *     hold count, so a fold that internally swaps doesn't deadlock on
+    *     its own lease. Two THREADS of one JVM are therefore NOT detected
+    *     — the lease targets concurrent JOBS, the failure mode the LSM
+    *     contract is about.
+    *   - Acquisition is exclusive-create (atomic on HDFS/POSIX). On bare
+    *     object stores without atomic create the check-create window
+    *     narrows but does not close — the lease is a tripwire, not a
+    *     distributed lock manager; deployments needing a guarantee front
+    *     writes with a coordinator. */
+  private val LeaseFile = "_write_lease.json"
+  val DefaultLeaseTtlMs: Long = 30L * 60 * 1000
+  private val processOwner = java.util.UUID.randomUUID().toString
+  private val held = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  def withWriteLease[T](spark: SparkSession, dir: String, what: String,
+                        ttlMs: Long = DefaultLeaseTtlMs)(body: => T): T = {
+    val key = new Path(dir).toString
+    val first = held.merge(key, 1, (a, b) => a + b) == 1
+    // deletion is gated on actually having acquired: a FAILED acquisition
+    // (fresh foreign lease) must never delete the other writer's lease
+    var acquired = false
+    try {
+      if (first) { acquireLease(spark, dir, what, ttlMs); acquired = true }
+      body
+    } finally {
+      val left = held.merge(key, -1, (a, b) => a + b)
+      if (left <= 0) {
+        held.remove(key)
+        if (acquired) deleteMarker(spark, dir, LeaseFile)
+      }
+    }
+  }
+
+  private def acquireLease(spark: SparkSession, dir: String, what: String,
+                           ttlMs: Long): Unit = {
+    val p = new Path(s"$dir/$LeaseFile")
+    val f = fs(spark, p)
+    val now = System.currentTimeMillis()
+    def parse(bytes: Array[Byte]): (String, Long, String) = {
+      val j = org.json4s.jackson.JsonMethods.parse(new String(bytes, "UTF-8"))
+      def str(n: String) = (j \ n) match {
+        case org.json4s.JString(s) => s
+        case other => throw new IllegalStateException(
+          s"malformed write lease at $p: field $n = $other — a concurrent " +
+            "writer may be mid-acquisition; retry after quiescing writers")
+      }
+      val ms = (j \ "epochMs") match {
+        case org.json4s.JInt(v) => v.toLong
+        case org.json4s.JLong(v) => v
+        case other => throw new IllegalStateException(
+          s"malformed write lease at $p: field epochMs = $other")
+      }
+      (str("owner"), ms, str("what"))
+    }
+    if (f.exists(p)) {
+      val in = f.open(p)
+      val bytes = try {
+        val buf = new Array[Byte](4096)
+        val n = in.read(buf); buf.take(math.max(n, 0))
+      } finally in.close()
+      val (owner, epochMs, heldBy) = parse(bytes)
+      val age = now - epochMs
+      require(owner == processOwner || age > ttlMs,
+        s"$what: concurrent writer detected at $dir — a fresh write lease " +
+          s"(owner $owner, held by '$heldBy', age ${age / 1000}s, " +
+          s"TTL ${ttlMs / 1000}s) is present; the persisted-index families " +
+          "are single-writer (LSM contract) and a second concurrent " +
+          "writer/compactor silently corrupts the index. Quiesce the other " +
+          "writer, or wait out the TTL if it crashed")
+      if (owner != processOwner) System.err.println(
+        s"[graft] $what: taking over a STALE write lease at $dir " +
+          s"(owner $owner, '$heldBy', age ${age / 1000}s > TTL ${ttlMs / 1000}s " +
+          "— a crashed writer)")
+      f.delete(p, false)
+    }
+    // exclusive create (atomic on HDFS/POSIX): a racer that re-created the
+    // file first wins and this writer fails loudly
+    val out = try f.create(p, false) catch {
+      case e: java.io.IOException => throw new IllegalStateException(
+        s"$what: lost the write-lease race at $dir — another writer " +
+          s"created $LeaseFile concurrently (${e.getMessage})")
+    }
+    try out.write(
+      (s"""{"owner":"$processOwner","epochMs":$now,""" +
+        s""""what":"${what.replace("\"", "'")}"}""").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Intent markers: an empty `dir/name` file bracketing a multi-write
+    * operation that is NOT atomic as a whole (a rebuild-in-place that
+    * overwrites several tables and sidecars, a compaction that swaps two
+    * tables in sequence). Created before the first write, deleted after
+    * the last — a surviving marker means the bracket crashed midway and
+    * the directory's tables may disagree with each other, which no
+    * single-table recovery can detect. Callers check the marker and fail
+    * loudly (or finish the bracketed operation) instead of silently
+    * serving a mixed-incarnation state. */
+  def createMarker(spark: SparkSession, dir: String, name: String): Unit = {
+    val p = new Path(s"$dir/$name")
+    fs(spark, p).create(p, true).close()
+  }
+
+  def deleteMarker(spark: SparkSession, dir: String, name: String): Unit = {
+    val p = new Path(s"$dir/$name")
+    fs(spark, p).delete(p, false)
+  }
+
+  def markerExists(spark: SparkSession, dir: String, name: String): Boolean = {
+    val p = new Path(s"$dir/$name")
+    fs(spark, p).exists(p)
   }
 
   /** Read a small sidecar file fully, recovering `_name_old` if a

@@ -45,6 +45,34 @@ object Retrieval {
     * and to the DuckDB `string_split(text, ' ')` oracle spelling. */
   val TokenizerWs1 = "ws1"
 
+  // bracket marker for writeBm25Index's rebuild-in-place: postings and
+  // doclens are overwritten as two separate jobs, so a rebuild crashing
+  // between them pairs NEW postings with the PREVIOUS build's doclens —
+  // dl/avgdl/n_docs silently drift on every score (a first build fails
+  // loudly on the missing doclens path; a rebuild into an existing dir
+  // has no missing file to trip on). Every read refuses the directory
+  // while the marker survives; re-running writeBm25Index clears it.
+  private val RebuildMarker = "_rebuild_intent"
+
+  private def requireNoTornRebuild(spark: SparkSession, dir: String,
+                                   what: String): Unit =
+    require(!IndexFiles.markerExists(spark, dir, RebuildMarker),
+      s"$what: torn writeBm25Index rebuild at $dir (its $RebuildMarker " +
+        "marker survived a crash) — postings and doclens may be from " +
+        "different builds; re-run writeBm25Index, or build into a fresh " +
+        "directory")
+
+  // bracket marker for compactBm25Index's two-table swap: a crash between
+  // the doclens and postings swaps scores correctly (ghost invisibility,
+  // see compactBm25Index) but leaves tombstoned docs' postings in place —
+  // and an APPEND of a batch reusing one of those dropped ids would treat
+  // it as novel (absent from doclens) and, once its doclens row lands,
+  // revive the stale ghost postings alongside the new rows: duplicate
+  // (term, id) with potentially different tf, silently over-counting
+  // until the next compact. Appends refuse the directory while the
+  // marker survives; re-running the compaction (any dropIds) clears it.
+  private val CompactMarker = "_compact_intent"
+
   /** Build parameters of a persisted [[Bm25Index]], stamped into
     * `dir/_meta.json`. Postings carry no tokenization tag per-row, so
     * appending batches tokenized differently than the stored corpus would
@@ -88,6 +116,7 @@ object Retrieval {
       * [[compactBm25Index]] swap first (same protocol as the other index
       * families — the pre-compaction table is correct, just uncompacted). */
     def read(spark: SparkSession, dir: String): Bm25Index = {
+      requireNoTornRebuild(spark, dir, "Bm25Index.read")
       Seq("postings", "doclens").foreach(
         IndexFiles.recoverInterruptedSwap(spark, dir, _, "Bm25Index.read"))
       Bm25Index(
@@ -125,17 +154,24 @@ object Retrieval {
                      dir: String, termShards: Int = 32): Bm25Index = {
     require(termShards >= 1, s"termShards must be >= 1, got $termShards")
     val spark = corpus.sparkSession
-    // meta stamps FIRST: a build that crashes after the table writes but
-    // before the tag would read as a legacy UNTAGGED index that bypasses
-    // tokenizer validation forever; crashing after the tag but before the
-    // tables instead fails loudly on the missing postings path
-    Bm25Meta.write(spark, dir, Bm25Meta(TokenizerWs1))
-    postingsOf(corpus, idCol, textCol)
-      .repartition(termShards, col("term"))
-      .sortWithinPartitions("term")
-      .write.mode("overwrite").parquet(s"$dir/postings")
-    doclensOf(corpus, idCol, textCol)
-      .write.mode("overwrite").parquet(s"$dir/doclens")
+    IndexFiles.withWriteLease(spark, dir, "writeBm25Index") {
+      // the whole build is bracketed by the rebuild marker (see its note):
+      // a crash between the two table overwrites pairs new postings with
+      // the previous build's doclens, and only the bracket can detect it
+      IndexFiles.createMarker(spark, dir, RebuildMarker)
+      // meta stamps FIRST: a build that crashes after the table writes but
+      // before the tag would read as a legacy UNTAGGED index that bypasses
+      // tokenizer validation forever; crashing after the tag but before the
+      // tables instead fails loudly on the missing postings path
+      Bm25Meta.write(spark, dir, Bm25Meta(TokenizerWs1))
+      postingsOf(corpus, idCol, textCol)
+        .repartition(termShards, col("term"))
+        .sortWithinPartitions("term")
+        .write.mode("overwrite").parquet(s"$dir/postings")
+      doclensOf(corpus, idCol, textCol)
+        .write.mode("overwrite").parquet(s"$dir/doclens")
+      IndexFiles.deleteMarker(spark, dir, RebuildMarker)
+    }
     Bm25Index.read(spark, dir)
   }
 
@@ -208,6 +244,16 @@ object Retrieval {
   def appendBm25Index(batch: DataFrame, idCol: String, textCol: String,
                       dir: String, heal: Boolean = false): Bm25Index = {
     val spark = batch.sparkSession
+    // an interrupted compaction (marker survived its crash window) may
+    // have left ghost postings for tombstoned ids; appending a batch that
+    // REUSES such an id would revive them as duplicate (term, id) rows
+    // with stale tf — refuse until the compaction is finished (queries
+    // stay correct throughout: ghosts are invisible to scoring)
+    require(!IndexFiles.markerExists(spark, dir, CompactMarker),
+      s"appendBm25Index: interrupted compactBm25Index at $dir (its " +
+        s"$CompactMarker marker survived a crash) — tombstoned ids may " +
+        "still have ghost postings that a reused id would revive; re-run " +
+        "compactBm25Index (any dropIds, even none) to finish, then append")
     val stored = Bm25Index.read(spark, dir)
     if (stored.meta.isEmpty) Bm25Meta.write(spark, dir, Bm25Meta(TokenizerWs1))
     stored.requireTokenizer(TokenizerWs1)
@@ -222,18 +268,22 @@ object Retrieval {
     // a fully-replayed append (every id already committed) writes nothing —
     // without this, each at-least-once retry would land one empty parquet
     // file per table (same guard as the ANN loop's append)
-    if (novel.isEmpty) return stored
-    val bp = postingsOf(novel, idCol, textCol)
-    val toLand = if (!heal) bp else bp.join(
-      stored.postings
-        .join(broadcast(bp.select(col("term")).distinct()), Seq("term"), "left_semi")
-        .join(broadcast(novel.select(col(idCol))), Seq(idCol), "left_semi")
-        .select(col("term"), col(idCol)),
-      Seq("term", idCol), "left_anti")
-    toLand.write.mode("append").parquet(s"$dir/postings")
-    doclensOf(novel, idCol, textCol)
-      .write.mode("append").parquet(s"$dir/doclens")
-    Bm25Index.read(spark, dir)
+    if (novel.isEmpty) stored
+    else {
+      val bp = postingsOf(novel, idCol, textCol)
+      val toLand = if (!heal) bp else bp.join(
+        stored.postings
+          .join(broadcast(bp.select(col("term")).distinct()), Seq("term"), "left_semi")
+          .join(broadcast(novel.select(col(idCol))), Seq(idCol), "left_semi")
+          .select(col("term"), col(idCol)),
+        Seq("term", idCol), "left_anti")
+      IndexFiles.withWriteLease(spark, dir, "appendBm25Index") {
+        toLand.write.mode("append").parquet(s"$dir/postings")
+        doclensOf(novel, idCol, textCol)
+          .write.mode("append").parquet(s"$dir/doclens")
+      }
+      Bm25Index.read(spark, dir)
+    }
   }
 
   /** Compact a stored index: drop tombstoned documents (deleted from the
@@ -258,22 +308,38 @@ object Retrieval {
     * leave a window where dropped docs still count toward n_docs/avgdl
     * with no loud signal. Re-run the compaction (any dropIds, even none)
     * to finish the postings half: the liveness sweep reclaims the ghosts
-    * without the caller having to remember the original drop set. */
+    * without the caller having to remember the original drop set. The
+    * crash window is bracketed by a `_compact_intent` marker that BLOCKS
+    * appends until the re-run (a batch reusing a dropped id would revive
+    * its ghost postings); queries keep working throughout. */
   def compactBm25Index(spark: SparkSession, dir: String,
                        dropIds: Option[DataFrame] = None,
                        idCol: String = "doc_id",
                        termShards: Int = 32): Bm25Index = {
+    // BEFORE any swap: compacting a torn rebuild would launder its
+    // mixed-build tables into a marker-free directory
+    requireNoTornRebuild(spark, dir, "compactBm25Index")
     def prune(df: DataFrame, dedupCols: Seq[String]): DataFrame =
       dropIds.fold(df)(ids =>
           df.join(ids.select(col(idCol)).distinct(), Seq(idCol), "left_anti"))
         .dropDuplicates(dedupCols)
-    IndexFiles.stagedSwap(spark, dir, "doclens")(df => prune(df, Seq(idCol)))
-    val liveIds = spark.read.parquet(s"$dir/doclens").select(col(idCol))
-    IndexFiles.stagedSwap(spark, dir, "postings")(df =>
-      prune(df, Seq("term", idCol))
-        .join(liveIds, Seq(idCol), "left_semi")
-        .repartition(termShards, col("term"))
-        .sortWithinPartitions("term"))
+    // ONE lease across both swaps (the inner stagedSwap leases re-enter):
+    // releasing between them would let a second writer slip into the
+    // doclens-swapped/postings-unswapped window
+    IndexFiles.withWriteLease(spark, dir, "compactBm25Index") {
+      // bracket the two swaps (see CompactMarker's note): the window between
+      // them scores correctly but must block APPENDS that could reuse a
+      // dropped id — the marker is what appendBm25Index checks
+      IndexFiles.createMarker(spark, dir, CompactMarker)
+      IndexFiles.stagedSwap(spark, dir, "doclens")(df => prune(df, Seq(idCol)))
+      val liveIds = spark.read.parquet(s"$dir/doclens").select(col(idCol))
+      IndexFiles.stagedSwap(spark, dir, "postings")(df =>
+        prune(df, Seq("term", idCol))
+          .join(liveIds, Seq(idCol), "left_semi")
+          .repartition(termShards, col("term"))
+          .sortWithinPartitions("term"))
+      IndexFiles.deleteMarker(spark, dir, CompactMarker)
+    }
     Bm25Index.read(spark, dir)
   }
 }

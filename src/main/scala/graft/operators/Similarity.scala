@@ -447,11 +447,13 @@ object Similarity {
   final case class IvfPqResidualIndex(cent: DataFrame, codebook: DataFrame,
                                       codes: DataFrame,
                                       meta: Option[IvfPqMeta] = None) {
-    def write(dir: String): Unit = {
-      cent.write.mode("overwrite").parquet(s"$dir/cent")
-      codebook.write.mode("overwrite").parquet(s"$dir/codebook")
-      codes.write.mode("overwrite").parquet(s"$dir/codes")
-    }
+    def write(dir: String): Unit =
+      graft.operators.IndexFiles.withWriteLease(
+          cent.sparkSession, dir, "IvfPqResidualIndex.write") {
+        cent.write.mode("overwrite").parquet(s"$dir/cent")
+        codebook.write.mode("overwrite").parquet(s"$dir/codebook")
+        codes.write.mode("overwrite").parquet(s"$dir/codes")
+      }
 
     /** Fail loudly when the caller's (dim, m) disagree with the stored
       * build geometry — a mismatch silently mis-slices residual subspaces.
@@ -645,6 +647,8 @@ object Similarity {
     val spark = corpus.sparkSession
     val subDim = dim / m
     val c0 = ivfInitial(corpus, idCol, vecCol, nBits, dim)
+    graft.operators.IndexFiles.withWriteLease(
+        spark, dir, "writeIvfPqResidualIndex") {
     ivfCentTable(c0).write.mode("overwrite").parquet(s"$dir/cent")
     val cent = spark.read.parquet(s"$dir/cent")
     // single-scan assign + residual: __vec rides through the aggregate
@@ -677,6 +681,7 @@ object Similarity {
     subsPath.getFileSystem(spark.sessionState.newHadoopConf())
       .delete(subsPath, true)
     IvfPqMeta.write(spark, dir, IvfPqMeta(nBits, dim, m, pqBits))
+    }
     IvfPqResidualIndex.read(spark, dir)
   }
 
@@ -731,8 +736,11 @@ object Similarity {
       .withColumn("rvec", expr(
         "ZIP_WITH(__v, mvec, (x, c) -> CAST(x AS DOUBLE) - CAST(c AS DOUBLE) / 1000000)"))
       .select(col("__cid"), col("cell"), col("rvec"))
-    ivfResidCodes(pqResidSubs(cres, "__cid", m, subDim), codebook)
-      .write.mode("append").parquet(s"$dir/codes")
+    graft.operators.IndexFiles.withWriteLease(
+        spark, dir, "appendIvfPqResidualIndex") {
+      ivfResidCodes(pqResidSubs(cres, "__cid", m, subDim), codebook)
+        .write.mode("append").parquet(s"$dir/codes")
+    }
     IvfPqResidualIndex.read(spark, dir)
   }
 

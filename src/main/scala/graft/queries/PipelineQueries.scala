@@ -1257,10 +1257,12 @@ object PipelineQueries {
       val base = s"$mhIdxScratch/${java.util.UUID.randomUUID().toString.take(8)}"
       val idxA = graft.operators.Dedup.writeMinhashIndex(corpusA, "doc_id", "text", s"$base/a")
       val idxB = graft.operators.Dedup.writeMinhashIndex(corpusB, "doc_id", "text", s"$base/b")
-      val storedA = graft.operators.Dedup.writeClusterState(sp, s"$base/a", "doc_id")
-      val storedB = graft.operators.Dedup.writeClusterState(sp, s"$base/b", "doc_id")
+      graft.operators.Dedup.writeClusterState(sp, s"$base/a", "doc_id")
+      graft.operators.Dedup.writeClusterState(sp, s"$base/b", "doc_id")
       val cross = graft.operators.Dedup.crossIndexNearDups(idxA, idxB, "doc_id")
-      graft.operators.Dedup.mergeClusterStates(storedA, storedB, cross)
+      // the dir-based spelling: validates both _cluster_meta.json tags
+      // against each other and the cross-check threshold before merging
+      graft.operators.Dedup.mergeClusterStateDirs(sp, s"$base/a", s"$base/b", cross)
         .orderBy("doc_id")
     },
     clusterFoldOracle)

@@ -315,7 +315,8 @@ object StreamingDedup {
     cross.write.mode("append").parquet(pairsDir)
     val inBatch = graft.operators.Dedup.batchNearDupPairsFromSigs(
       bsigs, bband, "doc_id", minMatches)
-    graft.operators.Dedup.foldClusterState(batch.sparkSession, indexDir, cross, inBatch)
+    graft.operators.Dedup.foldClusterState(batch.sparkSession, indexDir,
+      cross, inBatch, minMatches)
     graft.operators.Dedup.appendMinhashIndexFromSigs(
       bsigs, "doc_id", indexDir, k, shingleN, bands, rowsPerBand)
     ()

@@ -254,4 +254,81 @@ class AggStateSpec extends AnyFunSuite {
     assert(rows(AggState.readAggState(spark, dir, gCols, vCols)) == after)
     assert(after == rows(recompute(base.unionAll(b1))))
   }
+
+  test("stream restart from a durable checkpoint continues batchIds; a lost checkpoint discards new data") {
+    val dir = scratch("aggstate_restart")
+    AggState.writeAggState(base, s"$dir/st", gCols, vCols)
+    def stage(df: org.apache.spark.sql.DataFrame, inDir: String, n: Int): Unit = {
+      new java.io.File(inDir).mkdirs()
+      val tmp = s"$dir/stage_${inDir.split('/').last}_$n"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$inDir/$n.parquet"))
+    }
+    def runOnce(inDir: String, ckpt: String): Unit = {
+      val stream = spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      val q = graft.streaming.StreamingAggState.aggStateStream(
+        stream, s"$dir/st", gCols, vCols, checkpointDir = ckpt)
+      q.processAllAvailable(); q.stop()
+    }
+    // ingest b1, STOP, restart the loop as a brand-new query over the SAME
+    // durable checkpoint, ingest b2 — the restarted query must continue
+    // the batchId sequence, not reissue 0
+    stage(b1, s"$dir/in1", 0)
+    runOnce(s"$dir/in1", s"$dir/ckpt")
+    stage(b2, s"$dir/in1", 1)
+    runOnce(s"$dir/in1", s"$dir/ckpt")
+    val want = rows(recompute(base.unionAll(b1).unionAll(b2)))
+    assert(rows(AggState.readAggState(spark, s"$dir/st", gCols, vCols)) == want)
+    // batchId continuity pinned directly: b2's fold committed under t_1
+    assert(spark.read.parquet(s"$dir/st/state").select("__batch")
+      .distinct().collect().map(_.getString(0)).toSet
+      == Set("__base", "t_0", "t_1"))
+    // the failure mode the durable-checkpoint requirement exists for,
+    // OBSERVED rather than argued: a restart whose checkpoint was lost
+    // (Spark's temporary checkpoints are per-query throwaways) reissues
+    // batchId 0 for brand-new data — tag t_0 is already committed, so the
+    // batch is silently discarded
+    val b3 = b1.withColumn("l_quantity", $"l_quantity" + 1)
+    stage(b3, s"$dir/in2", 0)
+    runOnce(s"$dir/in2", s"$dir/ckpt_lost")
+    assert(rows(AggState.readAggState(spark, s"$dir/st", gCols, vCols)) == want,
+      "the lost-checkpoint restart must exhibit the documented silent discard")
+    // which is why the loop refuses to start without an explicit checkpoint
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingAggState.aggStateStream(
+        spark.readStream.schema(base.schema).parquet(s"$dir/in2"),
+        s"$dir/st", gCols, vCols, checkpointDir = "")
+    }
+    assert(e.getMessage.contains("durable checkpoint"))
+  }
+
+  test("torn rebuild marker: a crashed writeAggState refuses every entry point until re-run") {
+    val dir = scratch("aggstate_reb_torn")
+    AggState.writeAggState(base, dir, gCols, vCols)
+    AggState.foldAggState(b1, dir, "b1", gCols, vCols)
+    // the crash window: a rebuild-in-place died after resetting the
+    // sidecars but before the state overwrite — the OLD incarnation's
+    // state sits under fresh sidecars, and only the surviving intent
+    // marker distinguishes that from a healthy directory
+    new java.io.File(s"$dir/_rebuild_intent").createNewFile()
+    Seq(
+      () => AggState.readAggState(spark, dir, gCols, vCols).collect(),
+      () => AggState.foldAggState(b2, dir, "b2", gCols, vCols),
+      () => AggState.compactAggState(spark, dir, gCols, vCols),
+      () => AggState.retractAggState(spark, dir, "b1", gCols, vCols)
+    ).foreach { f =>
+      val e = intercept[IllegalArgumentException](f())
+      assert(e.getMessage.contains("torn writeAggState"))
+    }
+    // the documented remedy — re-run the rebuild — clears the marker and
+    // starts the new incarnation cleanly
+    AggState.writeAggState(base, dir, gCols, vCols)
+    assert(!new java.io.File(s"$dir/_rebuild_intent").exists())
+    assert(rows(AggState.readAggState(spark, dir, gCols, vCols))
+      == rows(recompute(base)))
+  }
 }

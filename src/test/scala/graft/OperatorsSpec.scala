@@ -1469,6 +1469,61 @@ class OperatorsSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("cluster-state pair-definition tag: mismatched fold throws and writes nothing; maintenance preserves it") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    val base = Tables.table(spark, sfDir, "documents")
+    val corpus = base.filter($"doc_id" < 150)
+    val batch = base.filter($"doc_id".between(120, 149))
+      .select(($"doc_id" + 10000L).as("doc_id"), $"text")
+    val dir = java.nio.file.Files.createTempDirectory("mh_idx_cmeta").toString
+    val dirB = java.nio.file.Files.createTempDirectory("mh_idx_cmeta_b").toString
+    try {
+      val idx = Dedup.writeMinhashIndex(corpus, "doc_id", "text", dir)
+      Dedup.writeClusterState(spark, dir, "doc_id") // stamps minMatches = 8
+      assert(Dedup.ClusterMeta.read(spark, dir)
+        .contains(Dedup.ClusterMeta(8, 16, 3, 8, 2)))
+      val before = rows(Dedup.readClusterState(spark, dir))
+      // pairs verified under a DIFFERENT threshold: the fold throws with
+      // stored-vs-passed values BEFORE any write
+      val cross6 = Dedup.incrementalNearDups(idx, batch, "doc_id", "text",
+        minMatches = 6)
+      val inb6 = Dedup.batchNearDupPairs(batch, "doc_id", "text", minMatches = 6)
+      val e = intercept[IllegalArgumentException](
+        Dedup.foldClusterState(spark, dir, cross6, inb6, minMatches = 6))
+      assert(e.getMessage.contains("pair-definition mismatch"))
+      assert(rows(Dedup.readClusterState(spark, dir)) == before,
+        "a mismatched fold must write nothing")
+      // the matched fold proceeds; deletion repair preserves the tag and
+      // validates its own threshold
+      val cross = Dedup.incrementalNearDups(idx, batch, "doc_id", "text")
+      val inb = Dedup.batchNearDupPairs(batch, "doc_id", "text")
+      Dedup.foldClusterState(spark, dir, cross, inb)
+      Dedup.compactClusterState(spark, dir, corpus.limit(5).select("doc_id"))
+      assert(Dedup.ClusterMeta.read(spark, dir)
+        .contains(Dedup.ClusterMeta(8, 16, 3, 8, 2)),
+        "compaction must preserve the pair-definition tag")
+      intercept[IllegalArgumentException](Dedup.compactClusterState(
+        spark, dir, corpus.limit(5).select("doc_id"), minMatches = 6))
+      // the partitioned layout shares the guard
+      Dedup.writeClusterStatePartitioned(spark, dir, "doc_id", buckets = 8)
+      intercept[IllegalArgumentException](
+        Dedup.foldClusterStatePartitioned(spark, dir, cross6, inb6, minMatches = 6))
+      // dir-based merge: a state seeded under a different threshold
+      // refuses to merge
+      val idxB = Dedup.writeMinhashIndex(
+        batch.select(($"doc_id" + 500000L).as("doc_id"), $"text"),
+        "doc_id", "text", dirB)
+      Dedup.writeClusterState(spark, dirB, "doc_id", minMatches = 6)
+      val crossAB = Dedup.crossIndexNearDups(idx, idxB, "doc_id")
+      val e2 = intercept[IllegalArgumentException](
+        Dedup.mergeClusterStateDirs(spark, dir, dirB, crossAB))
+      assert(e2.getMessage.contains("pair-definition mismatch between"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dirB))
+    }
+  }
+
   test("mergeClusterStates: two-corpus keeper merge equals full CC recompute") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
     // corpus A clusters {1,2} and {5,6}; corpus B clusters {101,102};

@@ -225,4 +225,47 @@ class RetrievalSpec extends AnyFunSuite {
       recovered, qterms.toDF("term"))) == before)
     assert(new java.io.File(s"$dir/postings").exists())
   }
+
+  test("torn rebuild marker: a crashed writeBm25Index refuses every read until re-run") {
+    val dir = scratch("bm25_reb_torn")
+    Retrieval.writeBm25Index(docs, "doc_id", "text", dir, termShards = 2)
+    // the crash window: a rebuild-in-place died between the postings and
+    // doclens overwrites — both tables exist and parse, only the surviving
+    // intent marker distinguishes the mixed-build state
+    new java.io.File(s"$dir/_rebuild_intent").createNewFile()
+    val e = intercept[IllegalArgumentException](Retrieval.Bm25Index.read(spark, dir))
+    assert(e.getMessage.contains("torn writeBm25Index"))
+    intercept[IllegalArgumentException](
+      Retrieval.appendBm25Index(docs.limit(1), "doc_id", "text", dir))
+    intercept[IllegalArgumentException](
+      Retrieval.compactBm25Index(spark, dir, termShards = 2))
+    // the documented remedy — re-run the rebuild — clears the marker
+    val idx = Retrieval.writeBm25Index(docs, "doc_id", "text", dir, termShards = 2)
+    assert(!new java.io.File(s"$dir/_rebuild_intent").exists())
+    assert(scores(Retrieval.queryBm25Index(idx, topTerms(idx))).nonEmpty)
+  }
+
+  test("interrupted compaction blocks appends (ghost revival) until re-run; queries keep working") {
+    val dir = scratch("bm25_cint")
+    val corpus = docs.filter($"doc_id" < 150)
+    val built = Retrieval.writeBm25Index(corpus, "doc_id", "text", dir, termShards = 2)
+    val qterms = topTerms(built)
+    // the crash window between the doclens and postings swaps: doclens
+    // compacted, ghost postings still present, intent marker surviving
+    new java.io.File(s"$dir/_compact_intent").createNewFile()
+    // queries stay correct throughout (ghost invisibility — spec'd above)
+    assert(scores(Retrieval.queryBm25Index(
+      Retrieval.Bm25Index.read(spark, dir), qterms)).nonEmpty)
+    // but an append could revive a dropped id's ghosts — refused loudly
+    val batch = docs.filter($"doc_id" >= 150)
+    val e = intercept[IllegalArgumentException](
+      Retrieval.appendBm25Index(batch, "doc_id", "text", dir))
+    assert(e.getMessage.contains("interrupted compactBm25Index"))
+    // finishing the compaction (no dropIds needed) clears the marker and
+    // the append proceeds
+    Retrieval.compactBm25Index(spark, dir, termShards = 2)
+    assert(!new java.io.File(s"$dir/_compact_intent").exists())
+    val appended = Retrieval.appendBm25Index(batch, "doc_id", "text", dir)
+    assert(appended.doclens.count() == corpus.count() + batch.count())
+  }
 }
