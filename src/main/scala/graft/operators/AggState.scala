@@ -268,6 +268,11 @@ object AggState {
                       valueCols: Seq[String]): DataFrame = {
     requireNoTornRebuild(spark, dir, "compactAggState")
     requireMeta(spark, dir, groupCols, valueCols)
+    // ONE lease from the sidecar reads through the swap: the tag/seal/
+    // retraction sidecars are read-modify-written here, and a concurrent
+    // fold or retraction interleaving between those writes and the swap
+    // would clobber sidecar state the crash contracts depend on
+    IndexFiles.withWriteLease(spark, dir, "compactAggState") {
     IndexFiles.recoverInterruptedSwap(spark, dir, "state", "compactAggState")
     val tags = readTags(spark, dir)
     val orphans = spark.read.parquet(s"$dir/state")
@@ -308,6 +313,7 @@ object AggState {
         .groupBy(groupCols.map(col): _*)
         .agg(mergeMeasures.head, mergeMeasures.tail: _*)
         .withColumn("__batch", lit(CompactedTag)))
+    }
     readAggState(spark, dir, groupCols, valueCols)
   }
 
@@ -344,6 +350,11 @@ object AggState {
     requireJsonSafe("retractAggState: tag", batchTag)
     requireNoTornRebuild(spark, dir, "retractAggState")
     requireMeta(spark, dir, groupCols, valueCols)
+    // ONE lease from the sidecar reads through the swap (see
+    // compactAggState's note): two racing retractions would otherwise
+    // read _retracted.json as the same base list and the second write
+    // would clobber the first tag's intent
+    IndexFiles.withWriteLease(spark, dir, "retractAggState") {
     IndexFiles.recoverInterruptedSwap(spark, dir, "state", "retractAggState")
     val retracted = readStringList(spark, dir, "_retracted.json")
     val hasRows = !spark.read.parquet(s"$dir/state")
@@ -355,26 +366,27 @@ object AggState {
       // sidecar claims it gone)
       if (hasRows) IndexFiles.stagedSwap(spark, dir, "state")(
         _.filter(col("__batch") =!= batchTag))
-      return readAggState(spark, dir, groupCols, valueCols)
+    } else {
+      require(!readStringList(spark, dir, "_sealed.json").contains(batchTag),
+        s"retractAggState: batch '$batchTag' was sealed by a compaction — " +
+          "its rows are merged and cannot be individually retracted; " +
+          "compact only past the correction horizon")
+      val tags = readTags(spark, dir)
+      require(tags.contains(batchTag) || hasRows,
+        s"retractAggState: unknown batch '$batchTag' — neither committed nor " +
+          "any delta rows; committing a typo'd tag would silently block the " +
+          "real batch's future fold")
+      // adopt a torn fold so the retraction ALSO blocks its late replay
+      if (!tags.contains(batchTag)) writeTags(spark, dir, tags :+ batchTag)
+      // intent BEFORE the swap: if the swap crashes, the retry above and the
+      // next compaction both finish it; the reverse order let a compaction
+      // seal-and-merge the rows of a retraction that had already succeeded,
+      // turning its documented idempotent retry into a spurious throw
+      writeStringList(spark, dir, "_retracted.json", retracted :+ batchTag)
+      IndexFiles.stagedSwap(spark, dir, "state")(
+        _.filter(col("__batch") =!= batchTag))
     }
-    require(!readStringList(spark, dir, "_sealed.json").contains(batchTag),
-      s"retractAggState: batch '$batchTag' was sealed by a compaction — " +
-        "its rows are merged and cannot be individually retracted; " +
-        "compact only past the correction horizon")
-    val tags = readTags(spark, dir)
-    require(tags.contains(batchTag) || hasRows,
-      s"retractAggState: unknown batch '$batchTag' — neither committed nor " +
-        "any delta rows; committing a typo'd tag would silently block the " +
-        "real batch's future fold")
-    // adopt a torn fold so the retraction ALSO blocks its late replay
-    if (!tags.contains(batchTag)) writeTags(spark, dir, tags :+ batchTag)
-    // intent BEFORE the swap: if the swap crashes, the retry above and the
-    // next compaction both finish it; the reverse order let a compaction
-    // seal-and-merge the rows of a retraction that had already succeeded,
-    // turning its documented idempotent retry into a spurious throw
-    writeStringList(spark, dir, "_retracted.json", retracted :+ batchTag)
-    IndexFiles.stagedSwap(spark, dir, "state")(
-      _.filter(col("__batch") =!= batchTag))
+    }
     readAggState(spark, dir, groupCols, valueCols)
   }
 

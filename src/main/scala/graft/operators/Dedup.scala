@@ -172,6 +172,15 @@ object Dedup {
       * its two renames), the old (pre-compaction, correct but uncompacted)
       * table is renamed back into place before reading. */
     def read(spark: org.apache.spark.sql.SparkSession, dir: String): MinhashIndex = {
+      // a rebuild-in-place that crashed between the sigs and bands
+      // overwrites pairs new signatures with the previous build's band
+      // table — candidates silently go missing; only the surviving
+      // intent marker distinguishes that mixed-build state
+      require(!IndexFiles.markerExists(spark, dir, "_rebuild_intent"),
+        s"MinhashIndex.read: torn writeMinhashIndex rebuild at $dir (its " +
+          "_rebuild_intent marker survived a crash) — sigs and bands may be " +
+          "from different builds; re-run writeMinhashIndex, or build into " +
+          "a fresh directory")
       Seq("sigs", "bands").foreach(
         IndexFiles.recoverInterruptedSwap(spark, dir, _, "MinhashIndex.read"))
       MinhashIndex(
@@ -193,12 +202,17 @@ object Dedup {
       s"bands * rowsPerBand must equal k, got $bands * $rowsPerBand != $k")
     val spark = corpus.sparkSession
     IndexFiles.withWriteLease(spark, dir, "writeMinhashIndex") {
+      // rebuild bracket (same discipline as writeBm25Index/writeAggState):
+      // a crash between the two overwrites pairs new sigs with the old
+      // band table, and only the marker can detect the mixed build
+      IndexFiles.createMarker(spark, dir, "_rebuild_intent")
       minhashSignature(corpus, idCol, textCol, k, shingleN)
         .write.mode("overwrite").parquet(s"$dir/sigs")
       val sigs = spark.read.parquet(s"$dir/sigs")
       minhashBands(sigs, idCol, bands, rowsPerBand)
         .write.mode("overwrite").parquet(s"$dir/bands")
       MinhashMeta.write(spark, dir, MinhashMeta(k, shingleN, bands, rowsPerBand))
+      IndexFiles.deleteMarker(spark, dir, "_rebuild_intent")
     }
     MinhashIndex.read(spark, dir)
   }
@@ -630,9 +644,14 @@ object Dedup {
       dropIds.fold(df)(ids =>
           df.join(ids.select(col(idCol)).distinct(), Seq(idCol), "left_anti"))
         .dropDuplicates(dedupCols)
-    IndexFiles.stagedSwap(spark, dir, "sigs")(df => prune(df, Seq(idCol)))
-    IndexFiles.stagedSwap(spark, dir, "bands")(
-      df => prune(df, Seq(idCol, "band", "band_key")))
+    // ONE lease across both swaps (the inner stagedSwap leases re-enter):
+    // releasing between them would let a concurrent append interleave
+    // with the sigs-swapped/bands-unswapped state
+    IndexFiles.withWriteLease(spark, dir, "compactMinhashIndex") {
+      IndexFiles.stagedSwap(spark, dir, "sigs")(df => prune(df, Seq(idCol)))
+      IndexFiles.stagedSwap(spark, dir, "bands")(
+        df => prune(df, Seq(idCol, "band", "band_key")))
+    }
     MinhashIndex.read(spark, dir)
   }
 
@@ -828,6 +847,20 @@ object Dedup {
     ClusterMeta(minMatches, im.k, im.shingleN, im.bands, im.rowsPerBand)
   }
 
+  // bracket marker for the cluster-state seed/re-seed: the meta stamp and
+  // the assignment write are separate steps, so a re-seed that crashes
+  // between them leaves the OLD definition's keeper map validated by the
+  // NEW definition's meta — every later fold would then pass validation
+  // while folding mismatched pairs, the exact drift the tag exists to stop
+  private val clusterSeedMarker = "_cluster_seed_intent"
+
+  private def requireNoTornClusterSeed(spark: org.apache.spark.sql.SparkSession,
+                                       dir: String, what: String): Unit =
+    require(!IndexFiles.markerExists(spark, dir, clusterSeedMarker),
+      s"$what: torn cluster-state seed at $dir (its $clusterSeedMarker " +
+        "marker survived a crash) — the keeper map and _cluster_meta.json " +
+        "may be from different seeds; re-run the seeding call")
+
   /** Fail loudly when a fold/compact's pair definition disagrees with the
     * stored one (stored-vs-passed in the message); stamp a legacy
     * directory with the passed definition on first maintenance — the same
@@ -835,6 +868,7 @@ object Dedup {
   private def requireClusterMeta(spark: org.apache.spark.sql.SparkSession,
                                  dir: String, what: String,
                                  minMatches: Int): Unit = {
+    requireNoTornClusterSeed(spark, dir, what)
     val passed = clusterMetaOf(MinhashMeta.read(spark, dir), minMatches)
     ClusterMeta.read(spark, dir) match {
       case Some(stored) => require(stored == passed,
@@ -861,11 +895,13 @@ object Dedup {
     val idx = MinhashIndex.read(spark, dir)
     val k = idx.meta.map(_.k).getOrElse(16)
     IndexFiles.withWriteLease(spark, dir, "writeClusterState") {
+      IndexFiles.createMarker(spark, dir, clusterSeedMarker)
       ClusterMeta.write(spark, dir, clusterMetaOf(idx.meta, minMatches))
       duplicateClusters(
           indexSelfPairs(idx, idCol, k, minMatches)
             .select(col("d1"), col("d2")))
         .write.mode("overwrite").parquet(s"$dir/clusters")
+      IndexFiles.deleteMarker(spark, dir, clusterSeedMarker)
     }
     spark.read.parquet(s"$dir/clusters")
   }
@@ -876,6 +912,7 @@ object Dedup {
     * just missing the batch: re-run the fold). */
   def readClusterState(spark: org.apache.spark.sql.SparkSession,
                        dir: String): DataFrame = {
+    requireNoTornClusterSeed(spark, dir, "readClusterState")
     IndexFiles.recoverInterruptedSwap(spark, dir, "clusters", "readClusterState")
     spark.read.parquet(s"$dir/clusters")
   }
@@ -1043,6 +1080,7 @@ object Dedup {
     val idx = MinhashIndex.read(spark, dir)
     val k = idx.meta.map(_.k).getOrElse(16)
     IndexFiles.withWriteLease(spark, dir, "writeClusterStatePartitioned") {
+      IndexFiles.createMarker(spark, dir, clusterSeedMarker)
       ClusterMeta.write(spark, dir, clusterMetaOf(idx.meta, minMatches))
       val seeded = duplicateClusters(
         indexSelfPairs(idx, idCol, k, minMatches).select(col("d1"), col("d2")))
@@ -1063,6 +1101,7 @@ object Dedup {
         .filter(_.getName != s"clusters_p_$buckets")
         .foreach(p => f.delete(p, true))
       spark.catalog.refreshByPath(dataPath)
+      IndexFiles.deleteMarker(spark, dir, clusterSeedMarker)
     }
     readClusterStatePartitioned(spark, dir)
   }
@@ -1077,8 +1116,10 @@ object Dedup {
     * before folding; the at-least-once re-run of the same batch then
     * restores any missing batch rows. */
   def readClusterStatePartitioned(spark: org.apache.spark.sql.SparkSession,
-                                  dir: String): DataFrame =
+                                  dir: String): DataFrame = {
+    requireNoTornClusterSeed(spark, dir, "readClusterStatePartitioned")
     clustersP(spark, dir)._1.select("doc_id", "keeper")
+  }
 
   // (frame, buckets, dataPath); explicit schema because a seeded-but-empty
   // state (corpus with no internal near-dup pairs) has partition dirs for

@@ -48,7 +48,25 @@ private[operators] object IndexFiles {
       .write.mode("overwrite").parquet(stage.toString)
     val f = fs(spark, live)
     f.delete(old, true)
-    require(f.rename(live, old) && f.rename(stage, live),
+    require(f.rename(live, old),
+      s"compaction swap failed for $live — rename to $old refused")
+    // a concurrent READER's recoverInterruptedSwap can race the window
+    // between the two renames (it sees live missing + _old present and
+    // renames the pre-swap table back). The lease only serializes
+    // writers, so re-check: if live reappeared it IS the pre-swap table
+    // the stage result supersedes — re-park it under _old and finish the
+    // swap (the naive rename would nest stage INSIDE the restored live on
+    // HDFS, silently discarding the compaction). Re-parking, not deleting,
+    // keeps the recovery invariant: a crash here still leaves live
+    // missing + _old present, the state every read recovers from.
+    if (f.exists(live)) {
+      System.err.println(s"[graft] stagedSwap($name): a concurrent reader " +
+        s"restored $live mid-swap; finishing the swap over it")
+      require(f.rename(live, old),
+        s"compaction swap failed for $live — could not re-park the " +
+          "reader-restored pre-swap table")
+    }
+    require(f.rename(stage, live),
       s"compaction swap failed for $live — index left under $old")
     f.delete(old, true)
     spark.catalog.refreshByPath(live.toString)
@@ -105,7 +123,15 @@ private[operators] object IndexFiles {
     *     `ttlMs` (default 30 min — far past any single maintenance call
     *     here). A crashed writer's lease ages out and the next writer
     *     takes over with a loud stderr note (crash-age override); a
-    *     writer that THROWS releases its lease in the finally.
+    *     writer that THROWS releases its lease in the finally. An
+    *     unparseable lease (a writer crashed mid-acquisition) falls back
+    *     to file mtime for staleness, so it too ages out instead of
+    *     bricking the directory.
+    *   - There is NO heartbeat: the TTL must exceed the longest wrapped
+    *     body, or a live long-running build gets "taken over" by a retry
+    *     and the two writers interleave. Deployments whose rebuilds can
+    *     exceed 30 min must pass a larger `ttlMs` at every entry point to
+    *     that directory — sized like any lock timeout.
     *   - Re-entrant within this JVM: one process owner id + a per-dir
     *     hold count, so a fold that internally swaps doesn't deadlock on
     *     its own lease. Two THREADS of one JVM are therefore NOT detected
@@ -145,29 +171,33 @@ private[operators] object IndexFiles {
     val p = new Path(s"$dir/$LeaseFile")
     val f = fs(spark, p)
     val now = System.currentTimeMillis()
-    def parse(bytes: Array[Byte]): (String, Long, String) = {
+    // None for a lease that does not parse — a writer that crashed between
+    // creating the file and writing it (empty/truncated JSON). That lease
+    // must not brick the directory forever: its STALENESS falls back to
+    // the file's mtime, so the TTL takeover below still applies.
+    def parse(bytes: Array[Byte]): Option[(String, Long, String)] = try {
       val j = org.json4s.jackson.JsonMethods.parse(new String(bytes, "UTF-8"))
-      def str(n: String) = (j \ n) match {
-        case org.json4s.JString(s) => s
-        case other => throw new IllegalStateException(
-          s"malformed write lease at $p: field $n = $other — a concurrent " +
-            "writer may be mid-acquisition; retry after quiescing writers")
+      (j \ "owner", j \ "epochMs", j \ "what") match {
+        case (org.json4s.JString(o), org.json4s.JInt(ms), org.json4s.JString(w)) =>
+          Some((o, ms.toLong, w))
+        case (org.json4s.JString(o), org.json4s.JLong(ms), org.json4s.JString(w)) =>
+          Some((o, ms, w))
+        case _ => None
       }
-      val ms = (j \ "epochMs") match {
-        case org.json4s.JInt(v) => v.toLong
-        case org.json4s.JLong(v) => v
-        case other => throw new IllegalStateException(
-          s"malformed write lease at $p: field epochMs = $other")
-      }
-      (str("owner"), ms, str("what"))
-    }
+    } catch { case _: Throwable => None }
     if (f.exists(p)) {
       val in = f.open(p)
       val bytes = try {
-        val buf = new Array[Byte](4096)
-        val n = in.read(buf); buf.take(math.max(n, 0))
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](4096)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        buf.toByteArray
       } finally in.close()
-      val (owner, epochMs, heldBy) = parse(bytes)
+      val (owner, epochMs, heldBy) = parse(bytes).getOrElse {
+        val mtime = f.getFileStatus(p).getModificationTime
+        ("<unparseable>", mtime, "torn lease write (crashed mid-acquisition)")
+      }
       val age = now - epochMs
       require(owner == processOwner || age > ttlMs,
         s"$what: concurrent writer detected at $dir — a fresh write lease " +
@@ -175,7 +205,8 @@ private[operators] object IndexFiles {
           s"TTL ${ttlMs / 1000}s) is present; the persisted-index families " +
           "are single-writer (LSM contract) and a second concurrent " +
           "writer/compactor silently corrupts the index. Quiesce the other " +
-          "writer, or wait out the TTL if it crashed")
+          "writer; if the holder is known dead, wait out the TTL (or delete " +
+          s"$LeaseFile after confirming no writer is live)")
       if (owner != processOwner) System.err.println(
         s"[graft] $what: taking over a STALE write lease at $dir " +
           s"(owner $owner, '$heldBy', age ${age / 1000}s > TTL ${ttlMs / 1000}s " +

@@ -244,45 +244,48 @@ object Retrieval {
   def appendBm25Index(batch: DataFrame, idCol: String, textCol: String,
                       dir: String, heal: Boolean = false): Bm25Index = {
     val spark = batch.sparkSession
-    // an interrupted compaction (marker survived its crash window) may
-    // have left ghost postings for tombstoned ids; appending a batch that
-    // REUSES such an id would revive them as duplicate (term, id) rows
-    // with stale tf — refuse until the compaction is finished (queries
-    // stay correct throughout: ghosts are invisible to scoring)
-    require(!IndexFiles.markerExists(spark, dir, CompactMarker),
-      s"appendBm25Index: interrupted compactBm25Index at $dir (its " +
-        s"$CompactMarker marker survived a crash) — tombstoned ids may " +
-        "still have ghost postings that a reused id would revive; re-run " +
-        "compactBm25Index (any dropIds, even none) to finish, then append")
-    val stored = Bm25Index.read(spark, dir)
-    if (stored.meta.isEmpty) Bm25Meta.write(spark, dir, Bm25Meta(TokenizerWs1))
-    stored.requireTokenizer(TokenizerWs1)
-    // localCheckpoint: the postings and doclens writes MUST see the same
-    // novel set — two independent evaluations of a non-deterministic batch
-    // plan could commit a doclens row (the liveness marker) for a document
-    // whose postings never landed, silently zero-scoring it forever (the
-    // same reason the MinHash append checkpoints its signature table)
-    val novel = batch.join(
-      stored.doclens.select(col(idCol)), Seq(idCol), "left_anti")
-      .localCheckpoint()
-    // a fully-replayed append (every id already committed) writes nothing —
-    // without this, each at-least-once retry would land one empty parquet
-    // file per table (same guard as the ANN loop's append)
-    if (novel.isEmpty) stored
-    else {
-      val bp = postingsOf(novel, idCol, textCol)
-      val toLand = if (!heal) bp else bp.join(
-        stored.postings
-          .join(broadcast(bp.select(col("term")).distinct()), Seq("term"), "left_semi")
-          .join(broadcast(novel.select(col(idCol))), Seq(idCol), "left_semi")
-          .select(col("term"), col(idCol)),
-        Seq("term", idCol), "left_anti")
-      IndexFiles.withWriteLease(spark, dir, "appendBm25Index") {
+    // ONE lease from the presence check through the writes: two racing
+    // appends of the same batch could otherwise both compute `novel`
+    // against the pre-write snapshot and double-append
+    IndexFiles.withWriteLease(spark, dir, "appendBm25Index") {
+      // an interrupted compaction (marker survived its crash window) may
+      // have left ghost postings for tombstoned ids; appending a batch that
+      // REUSES such an id would revive them as duplicate (term, id) rows
+      // with stale tf — refuse until the compaction is finished (queries
+      // stay correct throughout: ghosts are invisible to scoring)
+      require(!IndexFiles.markerExists(spark, dir, CompactMarker),
+        s"appendBm25Index: interrupted compactBm25Index at $dir (its " +
+          s"$CompactMarker marker survived a crash) — tombstoned ids may " +
+          "still have ghost postings that a reused id would revive; re-run " +
+          "compactBm25Index (any dropIds, even none) to finish, then append")
+      val stored = Bm25Index.read(spark, dir)
+      if (stored.meta.isEmpty) Bm25Meta.write(spark, dir, Bm25Meta(TokenizerWs1))
+      stored.requireTokenizer(TokenizerWs1)
+      // localCheckpoint: the postings and doclens writes MUST see the same
+      // novel set — two independent evaluations of a non-deterministic batch
+      // plan could commit a doclens row (the liveness marker) for a document
+      // whose postings never landed, silently zero-scoring it forever (the
+      // same reason the MinHash append checkpoints its signature table)
+      val novel = batch.join(
+        stored.doclens.select(col(idCol)), Seq(idCol), "left_anti")
+        .localCheckpoint()
+      // a fully-replayed append (every id already committed) writes nothing —
+      // without this, each at-least-once retry would land one empty parquet
+      // file per table (same guard as the ANN loop's append)
+      if (novel.isEmpty) stored
+      else {
+        val bp = postingsOf(novel, idCol, textCol)
+        val toLand = if (!heal) bp else bp.join(
+          stored.postings
+            .join(broadcast(bp.select(col("term")).distinct()), Seq("term"), "left_semi")
+            .join(broadcast(novel.select(col(idCol))), Seq(idCol), "left_semi")
+            .select(col("term"), col(idCol)),
+          Seq("term", idCol), "left_anti")
         toLand.write.mode("append").parquet(s"$dir/postings")
         doclensOf(novel, idCol, textCol)
           .write.mode("append").parquet(s"$dir/doclens")
+        Bm25Index.read(spark, dir)
       }
-      Bm25Index.read(spark, dir)
     }
   }
 

@@ -450,9 +450,15 @@ object Similarity {
     def write(dir: String): Unit =
       graft.operators.IndexFiles.withWriteLease(
           cent.sparkSession, dir, "IvfPqResidualIndex.write") {
+        // rebuild bracket: the three overwrites are only consistent as a
+        // set (see IvfPqResidualIndex.read's torn-rebuild check)
+        graft.operators.IndexFiles.createMarker(
+          cent.sparkSession, dir, "_rebuild_intent")
         cent.write.mode("overwrite").parquet(s"$dir/cent")
         codebook.write.mode("overwrite").parquet(s"$dir/codebook")
         codes.write.mode("overwrite").parquet(s"$dir/codes")
+        graft.operators.IndexFiles.deleteMarker(
+          cent.sparkSession, dir, "_rebuild_intent")
       }
 
     /** Fail loudly when the caller's (dim, m) disagree with the stored
@@ -474,6 +480,15 @@ object Similarity {
       * interrupted [[compactIvfPqResidualIndex]] swap), the pre-compaction
       * table is renamed back into place. */
     def read(spark: SparkSession, dir: String): IvfPqResidualIndex = {
+      // a rebuild-in-place that crashed between the cent/codebook/codes
+      // overwrites pairs new quantizers with the previous build's codes —
+      // every ANN query would score against centroids the stored codes
+      // were never quantized under, silently; only the surviving intent
+      // marker distinguishes that mixed-build state
+      require(!graft.operators.IndexFiles.markerExists(spark, dir, "_rebuild_intent"),
+        s"IvfPqResidualIndex.read: torn rebuild at $dir (its _rebuild_intent " +
+          "marker survived a crash) — cent/codebook/codes may be from " +
+          "different builds; re-run the build, or build into a fresh directory")
       Seq("cent", "codebook", "codes").foreach(
         graft.operators.IndexFiles.recoverInterruptedSwap(
           spark, dir, _, "IvfPqResidualIndex.read"))
@@ -649,6 +664,9 @@ object Similarity {
     val c0 = ivfInitial(corpus, idCol, vecCol, nBits, dim)
     graft.operators.IndexFiles.withWriteLease(
         spark, dir, "writeIvfPqResidualIndex") {
+    // rebuild bracket: four overwrites + the meta stamp are only
+    // consistent as a set (see IvfPqResidualIndex.read's check)
+    graft.operators.IndexFiles.createMarker(spark, dir, "_rebuild_intent")
     ivfCentTable(c0).write.mode("overwrite").parquet(s"$dir/cent")
     val cent = spark.read.parquet(s"$dir/cent")
     // single-scan assign + residual: __vec rides through the aggregate
@@ -681,6 +699,7 @@ object Similarity {
     subsPath.getFileSystem(spark.sessionState.newHadoopConf())
       .delete(subsPath, true)
     IvfPqMeta.write(spark, dir, IvfPqMeta(nBits, dim, m, pqBits))
+    graft.operators.IndexFiles.deleteMarker(spark, dir, "_rebuild_intent")
     }
     IvfPqResidualIndex.read(spark, dir)
   }

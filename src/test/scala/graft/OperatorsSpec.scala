@@ -1133,6 +1133,47 @@ class OperatorsSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("torn rebuild markers: crashed minhash/ivfpq rebuilds and cluster seeds refuse reads until re-run") {
+    import graft.operators.Similarity
+    val docs = Tables.table(spark, sfDir, "documents")
+      .filter($"doc_id" < 100).select("doc_id", "text")
+    val vecs = Tables.table(spark, sfDir, "embeddings").filter($"vec_id" < 200)
+    val mdir = java.nio.file.Files.createTempDirectory("mh_reb_torn").toString
+    val vdir = java.nio.file.Files.createTempDirectory("ivfpq_reb_torn").toString
+    try {
+      // minhash: a rebuild that died between the sigs and bands overwrites
+      // leaves both tables readable — only the marker flags the mixed build
+      Dedup.writeMinhashIndex(docs, "doc_id", "text", mdir)
+      new java.io.File(s"$mdir/_rebuild_intent").createNewFile()
+      val e1 = intercept[IllegalArgumentException](Dedup.MinhashIndex.read(spark, mdir))
+      assert(e1.getMessage.contains("torn writeMinhashIndex"))
+      Dedup.writeMinhashIndex(docs, "doc_id", "text", mdir) // the remedy
+      assert(!new java.io.File(s"$mdir/_rebuild_intent").exists())
+      // cluster seed: meta stamped, assignment overwrite never ran
+      Dedup.writeClusterState(spark, mdir, "doc_id")
+      new java.io.File(s"$mdir/_cluster_seed_intent").createNewFile()
+      val e2 = intercept[IllegalArgumentException](Dedup.readClusterState(spark, mdir))
+      assert(e2.getMessage.contains("torn cluster-state seed"))
+      intercept[IllegalArgumentException](Dedup.foldClusterState(spark, mdir,
+        Seq.empty[(Long, Long)].toDF("new_id", "corpus_id"),
+        Seq.empty[(Long, Long)].toDF("d1", "d2")))
+      Dedup.writeClusterState(spark, mdir, "doc_id") // the remedy
+      assert(!new java.io.File(s"$mdir/_cluster_seed_intent").exists())
+      assert(Dedup.readClusterState(spark, mdir).count() >= 0)
+      // ivf-pq: new quantizers with old codes read as healthy without the marker
+      Similarity.writeIvfPqResidualIndex(vecs, "vec_id", "embedding", vdir)
+      new java.io.File(s"$vdir/_rebuild_intent").createNewFile()
+      val e3 = intercept[IllegalArgumentException](
+        Similarity.IvfPqResidualIndex.read(spark, vdir))
+      assert(e3.getMessage.contains("torn rebuild"))
+      Similarity.writeIvfPqResidualIndex(vecs, "vec_id", "embedding", vdir)
+      assert(!new java.io.File(s"$vdir/_rebuild_intent").exists())
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(mdir))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(vdir))
+    }
+  }
+
   test("MinhashIndex: stored-index incremental near-dups equal the composed pipeline") {
     val docs = Tables.table(spark, sfDir, "documents")
     val corpus = docs.filter($"doc_id" < 150)

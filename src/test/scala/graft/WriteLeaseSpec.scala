@@ -73,6 +73,27 @@ class WriteLeaseSpec extends AnyFunSuite {
         col("text")), "doc_id", "text", dir))
   }
 
+  test("a torn (unparseable) lease cannot brick the directory: mtime staleness applies") {
+    val dir = scratch("lease_torn")
+    Dedup.writeMinhashIndex(docs, "doc_id", "text", dir)
+    val sigsBefore = spark.read.parquet(s"$dir/sigs").count()
+    // a writer that crashed between creating the lease file and writing it
+    // leaves zero bytes — parsing fails, so staleness must fall back to
+    // the file's mtime instead of throwing forever
+    java.nio.file.Files.write(leaseFile(dir).toPath, Array.empty[Byte])
+    // fresh mtime: still treated as a possibly-live writer mid-acquisition
+    val e = intercept[IllegalArgumentException](
+      Dedup.appendMinhashIndex(batch, "doc_id", "text", dir))
+    assert(e.getMessage.contains("concurrent writer detected"))
+    assert(spark.read.parquet(s"$dir/sigs").count() == sigsBefore)
+    // aged past the TTL: taken over like any crashed writer's lease
+    assert(leaseFile(dir).setLastModified(
+      System.currentTimeMillis() - 31L * 60 * 1000))
+    Dedup.appendMinhashIndex(batch, "doc_id", "text", dir)
+    assert(spark.read.parquet(s"$dir/sigs").count() == sigsBefore + batch.count())
+    assert(!leaseFile(dir).exists())
+  }
+
   test("agg-state and BM25 writers share the guard; a thrown writer releases its lease") {
     // BM25 build refuses a held directory before writing anything
     val bdir = scratch("lease_bm25")
