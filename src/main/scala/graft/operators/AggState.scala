@@ -129,6 +129,15 @@ object AggState {
                         tags: Seq[String]): Unit =
     writeStringList(spark, dir, "_tags.json", tags)
 
+  // read-only sidecar views for the consistency checker ([[IndexFsck]])
+  private[operators] def committedTags(spark: SparkSession,
+                                       dir: String): Seq[String] =
+    readTags(spark, dir)
+
+  private[operators] def retractedTags(spark: SparkSession,
+                                       dir: String): Seq[String] =
+    readStringList(spark, dir, "_retracted.json")
+
   // tags and column names are embedded in hand-built JSON sidecars:
   // restrict them to identifier characters so the files can never be
   // rendered malformed (a broken _tags.json bricks every later fold)

@@ -3069,7 +3069,126 @@ object OperatorQueries {
            |  CAST(GREATEST(1, MAX(n) // (SUM(n) // COUNT(*))) AS BIGINT) AS suggested_salts
            |FROM pk""".stripMargin))
 
+  // Persisted-state consistency checker (IndexFsck): build small instances
+  // of all four families, PLANT a known corruption set — torn appends
+  // (ghost postings, orphan agg tags), crash-retried duplicates (postings,
+  // partials, code rows), an interrupted retraction, torn cluster
+  // relabels, partial/mixed-build code writes — and report every
+  // invariant's violation count. The oracle recomputes each count from the
+  // SOURCE tables through the same deterministic plant arithmetic, so a
+  // check that under- or over-counts (or a plant that quietly stopped
+  // planting) hash-fails. One corruption tripping several checks is
+  // realistic and priced in: the duplicated code rows also break the
+  // per-id row count, and the keeper-above plant is also dangling.
+  private val qIndexFsck = df("q_op_index_fsck",
+    (spark, dir) => {
+      val base = s"$bm25IdxScratch/${java.util.UUID.randomUUID().toString.take(8)}"
+      // ---- BM25: ghosts (torn append) + crash-retried duplicates
+      val docs = Tables.table(spark, dir, "documents").select(col("doc_id"), col("text"))
+      graft.operators.Retrieval.writeBm25Index(
+        docs.filter(col("doc_id") < 200), "doc_id", "text", s"$base/bm25", termShards = 4)
+      def plantPostings(d: org.apache.spark.sql.DataFrame) = d
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+        .write.mode("append").parquet(s"$base/bm25/postings")
+      plantPostings(docs.filter(col("doc_id").between(200, 219))) // no doclens -> ghosts
+      plantPostings(docs.filter(col("doc_id").between(100, 109))) // retried duplicates
+      // ---- aggregate state: orphan tag, torn-retry duplicate, crashed
+      // retraction (intent recorded, rows re-present). The fact-table
+      // slices are capped at l_orderkey < 30000: the checks count GROUPS,
+      // which saturate immediately, so scanning the whole fact table per
+      // plant buys nothing
+      val liCap = Tables.table(spark, dir, "lineitem")
+        .filter(col("l_orderkey") < 30000)
+        .select("l_orderkey", "l_returnflag", "l_linestatus",
+          "l_quantity", "l_extendedprice")
+      def slice(pred: org.apache.spark.sql.Column) =
+        liCap.filter(pred).drop("l_orderkey")
+      val aBase = slice(col("l_orderkey") % 4 === 1 || col("l_orderkey") % 4 === 2)
+      val b1 = slice(col("l_orderkey") % 4 === 3)
+      val b2 = slice(col("l_orderkey") % 8 === 0)
+      val b3 = slice(col("l_orderkey") % 8 === 4)
+      graft.operators.AggState.writeAggState(aBase, s"$base/agg", aggGroupCols, aggValueCols)
+      graft.operators.AggState.foldAggState(b1, s"$base/agg", "b1", aggGroupCols, aggValueCols)
+      graft.operators.AggState.foldAggState(b2, s"$base/agg", "b2", aggGroupCols, aggValueCols)
+      graft.operators.AggState.retractAggState(spark, s"$base/agg", "b2", aggGroupCols, aggValueCols)
+      Seq((b2, "b2"), (b3, "zz_orphan"), (b1, "b1")).foreach { case (b, tag) =>
+        graft.operators.AggState.partials(b, aggGroupCols, aggValueCols, tag)
+          .write.mode("append").parquet(s"$base/agg/state")
+      }
+      // ---- cluster assignment: disjoint 2-cliques + three torn-relabel
+      // plants (the %10=1 rows violate keeper_above AND dangle — priced in)
+      val cust = Tables.table(spark, dir, "customer").select(col("c_custkey"))
+      val stored = graft.operators.Dedup.duplicateClusters(
+        cust.filter(col("c_custkey") % 10 === 0)
+          .select(col("c_custkey").as("d1"), (col("c_custkey") + 1000000L).as("d2")))
+      val plantedClusters = stored
+        .unionAll(cust.filter(col("c_custkey") % 10 === 1)
+          .select((col("c_custkey") + 2000000L).as("doc_id"),
+            (col("c_custkey") + 3000000L).as("keeper")))
+        .unionAll(cust.filter(col("c_custkey") % 10 === 7)
+          .select((col("c_custkey") + 4000000L).as("doc_id"), lit(7L).as("keeper")))
+        .unionAll(cust.filter(col("c_custkey") % 20 === 0)
+          .select((col("c_custkey") + 5000000L).as("doc_id"),
+            (col("c_custkey") + 1000000L).as("keeper")))
+      // ---- residual IVF-PQ: partial code write, mixed-build cells,
+      // crash-retried duplicate append
+      graft.operators.Similarity.writeIvfPqResidualIndex(
+        Tables.table(spark, dir, "embeddings").filter(col("vec_id") < 300),
+        "vec_id", "embedding", s"$base/ivf")
+      val codes0 = spark.read.parquet(s"$base/ivf/codes").localCheckpoint()
+      codes0.filter(col("__cid") % 50 === 0 && col("s") < 3)
+        .withColumn("__cid", col("__cid") + 1000000L)
+        .write.mode("append").parquet(s"$base/ivf/codes")
+      codes0.filter(col("__cid") % 50 === 1)
+        .withColumn("__cid", col("__cid") + 2000000L)
+        .withColumn("cell", col("cell") - col("cell") + lit(999999))
+        .write.mode("append").parquet(s"$base/ivf/codes")
+      codes0.filter(col("__cid") % 50 === 2)
+        .write.mode("append").parquet(s"$base/ivf/codes")
+      graft.operators.IndexFsck.checkBm25(spark, s"$base/bm25")
+        .unionAll(graft.operators.IndexFsck.checkAggState(spark, s"$base/agg"))
+        .unionAll(graft.operators.IndexFsck.checkClusterAssignment(plantedClusters))
+        .unionAll(graft.operators.IndexFsck.checkIvfPq(spark, s"$base/ivf"))
+        .orderBy("family", "check")
+    },
+    Some("""WITH
+           |gslice AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           |           FROM documents WHERE doc_id BETWEEN 200 AND 219),
+           |dslice AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           |           FROM documents WHERE doc_id BETWEEN 100 AND 109),
+           |b1g AS (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+           |        WHERE l_orderkey < 30000 AND l_orderkey % 4 = 3),
+           |b2g AS (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+           |        WHERE l_orderkey < 30000 AND l_orderkey % 8 = 0),
+           |b3g AS (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+           |        WHERE l_orderkey < 30000 AND l_orderkey % 8 = 4),
+           |c1 AS (SELECT COUNT(*) AS n FROM customer WHERE c_custkey % 10 = 1),
+           |c7 AS (SELECT COUNT(*) AS n FROM customer WHERE c_custkey % 10 = 7),
+           |c20 AS (SELECT COUNT(*) AS n FROM customer WHERE c_custkey % 20 = 0),
+           |v0 AS (SELECT COUNT(*) AS n FROM embeddings WHERE vec_id < 300 AND vec_id % 50 = 0),
+           |v1 AS (SELECT COUNT(*) AS n FROM embeddings WHERE vec_id < 300 AND vec_id % 50 = 1),
+           |v2 AS (SELECT COUNT(*) AS n FROM embeddings WHERE vec_id < 300 AND vec_id % 50 = 2)
+           |SELECT family, "check", CAST(violations AS BIGINT) AS violations FROM (
+           |  SELECT 'bm25' AS family, 'ghost_postings' AS "check",
+           |    (SELECT COUNT(*) FROM (SELECT DISTINCT term, doc_id FROM gslice)) AS violations
+           |  UNION ALL SELECT 'bm25', 'duplicate_postings',
+           |    (SELECT COUNT(*) FROM (SELECT DISTINCT term, doc_id FROM dslice))
+           |  UNION ALL SELECT 'bm25', 'duplicate_doclens', 0
+           |  UNION ALL SELECT 'agg_state', 'orphan_tag_rows', (SELECT COUNT(*) FROM b3g)
+           |  UNION ALL SELECT 'agg_state', 'duplicate_partials', (SELECT COUNT(*) FROM b1g)
+           |  UNION ALL SELECT 'agg_state', 'retracted_rows_present', (SELECT COUNT(*) FROM b2g)
+           |  UNION ALL SELECT 'cluster', 'keeper_above_doc', (SELECT n FROM c1)
+           |  UNION ALL SELECT 'cluster', 'dangling_keepers', (SELECT n FROM c1) + (SELECT n FROM c7)
+           |  UNION ALL SELECT 'cluster', 'keeper_not_fixpoint', (SELECT n FROM c20)
+           |  UNION ALL SELECT 'ivf_pq', 'wrong_subspace_count', (SELECT n FROM v0) + (SELECT n FROM v2)
+           |  UNION ALL SELECT 'ivf_pq', 'cell_out_of_range', 8 * (SELECT n FROM v1)
+           |  UNION ALL SELECT 'ivf_pq', 'duplicate_codes', 8 * (SELECT n FROM v2)
+           |)
+           |ORDER BY family, "check"""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
+    qIndexFsck,
     qUrlDedup, qPageRank, qHllTokens, qRobotsGate, qDistill, qCountMin, qInvertedIndex, qBm25,
     qBm25Index, qBm25IndexAppend, qBm25IndexCompact, qStreamBm25Indexed,
     qHybridRrfIndexed, qAggState, qAggStateCompact, qAggStateRetract, qStreamAggState,

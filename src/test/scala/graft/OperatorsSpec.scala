@@ -1133,6 +1133,63 @@ class OperatorsSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("IndexFsck: clean state is all-zeros; planted corruption is counted exactly") {
+    import graft.operators.{AggState, IndexFsck, Retrieval, Similarity}
+    def report(df: org.apache.spark.sql.DataFrame): Map[(String, String), Long] =
+      df.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val docs = Tables.table(spark, sfDir, "documents")
+      .filter($"doc_id" < 80).select("doc_id", "text")
+    val bdir = java.nio.file.Files.createTempDirectory("fsck_bm25").toString
+    val adir = java.nio.file.Files.createTempDirectory("fsck_agg").toString
+    val vdir = java.nio.file.Files.createTempDirectory("fsck_ivf").toString
+    try {
+      // clean builds: every invariant holds
+      Retrieval.writeBm25Index(docs, "doc_id", "text", bdir, termShards = 2)
+      val li = Tables.table(spark, sfDir, "lineitem")
+        .select("l_returnflag", "l_linestatus", "l_quantity")
+      AggState.writeAggState(li, adir, Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"))
+      Similarity.writeIvfPqResidualIndex(
+        Tables.table(spark, sfDir, "embeddings").filter($"vec_id" < 150),
+        "vec_id", "embedding", vdir)
+      val cleanClusters = Dedup.duplicateClusters(
+        Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("d1", "d2"))
+      val clean = report(IndexFsck.checkBm25(spark, bdir)
+        .unionAll(IndexFsck.checkAggState(spark, adir))
+        .unionAll(IndexFsck.checkClusterAssignment(cleanClusters))
+        .unionAll(IndexFsck.checkIvfPq(spark, vdir)))
+      assert(clean.size == 12 && clean.values.forall(_ == 0L),
+        s"clean state must report zero violations everywhere: $clean")
+      // one plant per family, each counted exactly
+      val ghosts = docs.filter($"doc_id" < 5)
+        .select($"doc_id" + 5000L as "doc_id", $"text")
+        .select($"doc_id", explode(split($"text", " ")).as("term"))
+        .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
+      val nGhost = ghosts.count()
+      ghosts.write.mode("append").parquet(s"$bdir/postings")
+      assert(report(IndexFsck.checkBm25(spark, bdir))(("bm25", "ghost_postings")) == nGhost)
+      val orphan = AggState.partials(li.filter($"l_returnflag" === "R"),
+        Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"), "torn")
+        .localCheckpoint()
+      val nOrphan = orphan.count()
+      orphan.write.mode("append").parquet(s"$adir/state")
+      assert(report(IndexFsck.checkAggState(spark, adir))(("agg_state", "orphan_tag_rows")) == nOrphan)
+      val torn = cleanClusters.unionAll(Seq((99L, 98L)).toDF("doc_id", "keeper"))
+      val rep = report(IndexFsck.checkClusterAssignment(torn))
+      assert(rep(("cluster", "dangling_keepers")) == 1L &&
+        rep(("cluster", "keeper_above_doc")) == 0L)
+      val dupCodes = spark.read.parquet(s"$vdir/codes")
+        .filter($"__cid" % 40 === 0).localCheckpoint()
+      val nDup = dupCodes.count()
+      dupCodes.write.mode("append").parquet(s"$vdir/codes")
+      val vrep = report(IndexFsck.checkIvfPq(spark, vdir))
+      assert(vrep(("ivf_pq", "duplicate_codes")) == nDup)
+      assert(vrep(("ivf_pq", "wrong_subspace_count")) == nDup / 8,
+        "duplicated ids must also trip the per-id row-count invariant")
+    } finally Seq(bdir, adir, vdir).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+  }
+
   test("torn rebuild markers: crashed minhash/ivfpq rebuilds and cluster seeds refuse reads until re-run") {
     import graft.operators.Similarity
     val docs = Tables.table(spark, sfDir, "documents")
