@@ -76,8 +76,10 @@ object AggState {
   // point until writeAggState is re-run.
   private val RebuildMarker = "_rebuild_intent"
 
-  private def requireNoTornRebuild(spark: SparkSession, dir: String,
-                                   what: String): Unit =
+  // private[operators]: the consistency checker ([[IndexFsck]]) must
+  // refuse the same mixed-incarnation state every entry point here does
+  private[operators] def requireNoTornRebuild(spark: SparkSession, dir: String,
+                                              what: String): Unit =
     require(!IndexFiles.markerExists(spark, dir, RebuildMarker),
       s"$what: torn writeAggState rebuild at $dir (its $RebuildMarker marker " +
         "survived a crash) — the state table and sidecars may be from " +

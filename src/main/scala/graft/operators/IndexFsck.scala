@@ -38,19 +38,38 @@ import org.apache.spark.sql.functions._
   *   - agg_state/retracted_rows_present — rows whose tag is recorded
   *     retracted in `_retracted.json` (a retraction that crashed between
   *     intent and swap; finished by its retry or the next compaction).
+  *   - minhash/sig_band_id_mismatch — ids present in exactly one of the
+  *     sigs/bands tables (a torn append: the two tables must cover the
+  *     same documents or band candidates lose their verify rows — and
+  *     vice versa).
+  *   - minhash/wrong_band_count — ids whose band-row count differs from
+  *     the stored `bands` build param (a partial or duplicated band
+  *     append; duplicates are otherwise read-tolerated, but a SHORT
+  *     count silently loses candidate recall).
   *   - cluster/keeper_above_doc — rows whose keeper exceeds their doc id
   *     (keepers are cluster MINIMA, so keeper <= doc_id always).
   *   - cluster/dangling_keepers — rows referencing a keeper with no own
   *     row (a torn partitioned-fold commit; `repairClusterStatePartitioned`
   *     restores these).
   *   - cluster/keeper_not_fixpoint — rows whose keeper's own row points
-  *     at a third label (a torn relabel; same repair).
+  *     at a third label (a torn relabel; same repair). Counted against
+  *     DISTINCT keeper rows, so identical duplicate rows cannot fan the
+  *     count out; a doc with CONFLICTING keeper rows is its own violation
+  *     (next check).
+  *   - cluster/duplicate_doc_rows — surplus rows per doc id (a
+  *     crash-retried fold append; the keeper map must be a FUNCTION of
+  *     doc_id — conflicting duplicates make every downstream relabel
+  *     nondeterministic).
   *   - ivf_pq/wrong_subspace_count — vector ids with a code-row count
-  *     other than the stored geometry's m (a partial code write).
+  *     other than the stored geometry's m (a partial code write, or an
+  *     id re-encoded under a different cell — the state compaction can
+  *     NOT repair; drop the id and re-append).
   *   - ivf_pq/cell_out_of_range — code rows referencing a cell absent
   *     from the centroid table (mixed-build state).
-  *   - ivf_pq/duplicate_codes — surplus (id, subspace) rows (a retried
-  *     append; doubles summed ADC distances until compaction).
+  *   - ivf_pq/duplicate_codes — surplus (id, cell, subspace) rows (a
+  *     retried append; doubles summed ADC distances). Keyed exactly like
+  *     `compactIvfPqResidualIndex`'s dedup, so this check and its named
+  *     repair agree: what fsck flags here, compaction fixes.
   *
   * One real corruption often trips SEVERAL checks (a half-written code
   * batch is both wrong_subspace_count and possibly cell_out_of_range) —
@@ -65,45 +84,83 @@ object IndexFsck {
       .select(lit(family).as("family"), lit(check).as("check"),
         col("violations"))
 
+  // surplus-row count for a duplicate-key invariant: group on the key,
+  // sum the rows beyond one — no per-group array materialization, so a
+  // pathologically retried append (thousands of duplicates per key, the
+  // very state fsck audits) costs one aggregate, not an explode
+  private def surplusRow(family: String, check: String, df: DataFrame,
+                         keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(col("n") - 1), lit(0L)).cast("bigint").as("violations"))
+      .select(lit(family).as("family"), lit(check).as("check"),
+        col("violations"))
+
+  /** The two MinHash-index invariants; the expected band count comes
+    * from the stored `_meta.json` (a build property, never a parameter).
+    * Ids are compared as DISTINCT sets, so legal read-tolerated
+    * duplicates (a retried append) don't enter the mismatch count. */
+  def checkMinhash(spark: SparkSession, dir: String,
+                   idCol: String = "doc_id"): DataFrame = {
+    val idx = Dedup.MinhashIndex.read(spark, dir)
+    val bands = idx.meta.map(_.bands).getOrElse(
+      throw new IllegalArgumentException(
+        s"IndexFsck.checkMinhash: no _meta.json at $dir — not a tagged " +
+          "MinHash index directory"))
+    val sigIds = idx.sigs.select(col(idCol)).distinct()
+    val bandIds = idx.bands.select(col(idCol)).distinct()
+    val mismatch = sigIds.join(bandIds, Seq(idCol), "left_anti")
+      .unionAll(bandIds.join(sigIds, Seq(idCol), "left_anti"))
+    val wrongCount = idx.bands.groupBy(idCol)
+      .agg(count(lit(1)).as("n")).filter(col("n") =!= bands)
+    checkRow("minhash", "sig_band_id_mismatch", mismatch)
+      .unionAll(checkRow("minhash", "wrong_band_count", wrongCount))
+  }
+
   /** The three BM25-index invariants, from the stored tables only. */
   def checkBm25(spark: SparkSession, dir: String,
                 idCol: String = "doc_id"): DataFrame = {
     val idx = Retrieval.Bm25Index.read(spark, dir)
     val ghost = idx.postings.join(
       idx.doclens.select(col(idCol)), Seq(idCol), "left_anti")
-    val dupPost = idx.postings.groupBy("term", idCol)
-      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
-      .select(explode(expr("SEQUENCE(2, n)")).as("surplus"))
-    val dupLens = idx.doclens.groupBy(idCol)
-      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
-      .select(explode(expr("SEQUENCE(2, n)")).as("surplus"))
     checkRow("bm25", "ghost_postings", ghost)
-      .unionAll(checkRow("bm25", "duplicate_postings", dupPost))
-      .unionAll(checkRow("bm25", "duplicate_doclens", dupLens))
+      .unionAll(surplusRow("bm25", "duplicate_postings",
+        idx.postings, Seq("term", idCol)))
+      .unionAll(surplusRow("bm25", "duplicate_doclens",
+        idx.doclens, Seq(idCol)))
   }
 
   /** The three aggregate-state invariants; group columns come from the
     * stored `_meta.json`, the committed/retracted tag sets from their
     * sidecars. */
   def checkAggState(spark: SparkSession, dir: String): DataFrame = {
+    // refuse the same mixed-incarnation state every AggState entry point
+    // refuses — an auditor that reads the NEW incarnation's fresh
+    // sidecars against the OLD incarnation's state table would report
+    // every old fold as orphaned, a silent misdiagnosis of the one state
+    // the marker exists to flag — and recover an interrupted compaction
+    // swap instead of throwing PATH_NOT_FOUND at the crashed state it
+    // exists to audit
+    AggState.requireNoTornRebuild(spark, dir, "IndexFsck.checkAggState")
+    IndexFiles.recoverInterruptedSwap(spark, dir, "state",
+      "IndexFsck.checkAggState")
     val meta = AggState.AggStateMeta.read(spark, dir).getOrElse(
       throw new IllegalArgumentException(
         s"IndexFsck.checkAggState: no _meta.json at $dir — not an " +
           "aggregate-state directory (or a torn first build)"))
-    val committed = AggState.committedTags(spark, dir)
-    val retracted = AggState.retractedTags(spark, dir)
+    import spark.implicits._
+    // the tag sidecars grow one entry per fold FOREVER (the documented
+    // compaction-proof replay guard), so they join as tables — inlining
+    // them as isin() literals would hand the planner an unbounded
+    // expression tree on a long-lived state
+    val committed = AggState.committedTags(spark, dir).toDF("__batch")
+    val retracted = AggState.retractedTags(spark, dir).toDF("__batch")
     val state = spark.read.parquet(s"$dir/state")
-    val orphan = state.filter(!col("__batch").startsWith("__") &&
-      (if (committed.isEmpty) lit(true)
-       else !col("__batch").isin(committed: _*)))
-    val dup = state.groupBy((meta.groupCols :+ "__batch").map(col): _*)
-      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
-      .select(explode(expr("SEQUENCE(2, n)")).as("surplus"))
-    val retr =
-      if (retracted.isEmpty) state.limit(0)
-      else state.filter(col("__batch").isin(retracted: _*))
+    val orphan = state.filter(!col("__batch").startsWith("__"))
+      .join(committed, Seq("__batch"), "left_anti")
+    val retr = state.join(retracted, Seq("__batch"), "left_semi")
     checkRow("agg_state", "orphan_tag_rows", orphan)
-      .unionAll(checkRow("agg_state", "duplicate_partials", dup))
+      .unionAll(surplusRow("agg_state", "duplicate_partials",
+        state, meta.groupCols :+ "__batch"))
       .unionAll(checkRow("agg_state", "retracted_rows_present", retr))
   }
 
@@ -113,8 +170,11 @@ object IndexFsck {
     * a storage property. */
   def checkClusterAssignment(stored: DataFrame): DataFrame = {
     val above = stored.filter(col("keeper") > col("doc_id"))
+    // DISTINCT keeper rows: identical duplicate rows (the crash-retried
+    // append shape, flagged by duplicate_doc_rows below) must not fan the
+    // dangling/fixpoint joins out and over-count those checks
     val keeperRows = stored
-      .select(col("doc_id").as("__kd"), col("keeper").as("__kk"))
+      .select(col("doc_id").as("__kd"), col("keeper").as("__kk")).distinct()
     val joined = stored.join(keeperRows, stored("keeper") === col("__kd"), "left")
     val dangling = joined
       .filter(col("__kk").isNull && stored("keeper") =!= stored("doc_id"))
@@ -123,6 +183,8 @@ object IndexFsck {
     checkRow("cluster", "keeper_above_doc", above)
       .unionAll(checkRow("cluster", "dangling_keepers", dangling))
       .unionAll(checkRow("cluster", "keeper_not_fixpoint", notFix))
+      .unionAll(surplusRow("cluster", "duplicate_doc_rows",
+        stored, Seq("doc_id")))
   }
 
   /** The three residual-IVF-PQ invariants; m comes from the stored
@@ -137,11 +199,13 @@ object IndexFsck {
       .agg(count(lit(1)).as("n")).filter(col("n") =!= m)
     val badCell = idx.codes.join(
       idx.cent.select(col("cid").as("cell")), Seq("cell"), "left_anti")
-    val dup = idx.codes.groupBy("__cid", "s")
-      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
-      .select(explode(expr("SEQUENCE(2, n)")).as("surplus"))
     checkRow("ivf_pq", "wrong_subspace_count", wrongCount)
       .unionAll(checkRow("ivf_pq", "cell_out_of_range", badCell))
-      .unionAll(checkRow("ivf_pq", "duplicate_codes", dup))
+      // keyed (__cid, cell, s) — exactly compactIvfPqResidualIndex's
+      // dedup key, so the flagged rows are the ones the named repair
+      // collapses (a re-encoded id under a DIFFERENT cell is not a
+      // duplicate; it shows as wrong_subspace_count instead)
+      .unionAll(surplusRow("ivf_pq", "duplicate_codes",
+        idx.codes, Seq("__cid", "cell", "s")))
   }
 }

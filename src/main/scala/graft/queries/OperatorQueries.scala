@@ -3093,6 +3093,19 @@ object OperatorQueries {
         .write.mode("append").parquet(s"$base/bm25/postings")
       plantPostings(docs.filter(col("doc_id").between(200, 219))) // no doclens -> ghosts
       plantPostings(docs.filter(col("doc_id").between(100, 109))) // retried duplicates
+      // ---- minhash index: torn one-table appends + a duplicated append
+      graft.operators.Dedup.writeMinhashIndex(
+        docs.filter(col("doc_id") < 150), "doc_id", "text", s"$base/mh")
+      def sigsOf(d: org.apache.spark.sql.DataFrame) =
+        graft.operators.Dedup.minhashSignature(d, "doc_id", "text")
+      sigsOf(docs.filter(col("doc_id").between(150, 159)))      // sigs, no bands
+        .write.mode("append").parquet(s"$base/mh/sigs")
+      graft.operators.Dedup.minhashBands(                       // bands, no sigs
+          sigsOf(docs.filter(col("doc_id").between(160, 164))), "doc_id")
+        .write.mode("append").parquet(s"$base/mh/bands")
+      graft.operators.Dedup.minhashBands(                       // retried append
+          sigsOf(docs.filter(col("doc_id") < 5)), "doc_id")
+        .write.mode("append").parquet(s"$base/mh/bands")
       // ---- aggregate state: orphan tag, torn-retry duplicate, crashed
       // retraction (intent recorded, rows re-present). The fact-table
       // slices are capped at l_orderkey < 30000: the checks count GROUPS,
@@ -3131,6 +3144,9 @@ object OperatorQueries {
         .unionAll(cust.filter(col("c_custkey") % 20 === 0)
           .select((col("c_custkey") + 5000000L).as("doc_id"),
             (col("c_custkey") + 1000000L).as("keeper")))
+        // crash-retried fold append: both rows of every %30 clique land
+        // twice (identical duplicates — must NOT fan out the other checks)
+        .unionAll(stored.filter(col("keeper") % 30 === 0))
       // ---- residual IVF-PQ: partial code write, mixed-build cells,
       // crash-retried duplicate append
       graft.operators.Similarity.writeIvfPqResidualIndex(
@@ -3146,7 +3162,8 @@ object OperatorQueries {
         .write.mode("append").parquet(s"$base/ivf/codes")
       codes0.filter(col("__cid") % 50 === 2)
         .write.mode("append").parquet(s"$base/ivf/codes")
-      graft.operators.IndexFsck.checkBm25(spark, s"$base/bm25")
+      graft.operators.IndexFsck.checkMinhash(spark, s"$base/mh")
+        .unionAll(graft.operators.IndexFsck.checkBm25(spark, s"$base/bm25"))
         .unionAll(graft.operators.IndexFsck.checkAggState(spark, s"$base/agg"))
         .unionAll(graft.operators.IndexFsck.checkClusterAssignment(plantedClusters))
         .unionAll(graft.operators.IndexFsck.checkIvfPq(spark, s"$base/ivf"))
@@ -3166,9 +3183,13 @@ object OperatorQueries {
            |c1 AS (SELECT COUNT(*) AS n FROM customer WHERE c_custkey % 10 = 1),
            |c7 AS (SELECT COUNT(*) AS n FROM customer WHERE c_custkey % 10 = 7),
            |c20 AS (SELECT COUNT(*) AS n FROM customer WHERE c_custkey % 20 = 0),
+           |c30 AS (SELECT COUNT(*) AS n FROM customer WHERE c_custkey % 30 = 0),
            |v0 AS (SELECT COUNT(*) AS n FROM embeddings WHERE vec_id < 300 AND vec_id % 50 = 0),
            |v1 AS (SELECT COUNT(*) AS n FROM embeddings WHERE vec_id < 300 AND vec_id % 50 = 1),
-           |v2 AS (SELECT COUNT(*) AS n FROM embeddings WHERE vec_id < 300 AND vec_id % 50 = 2)
+           |v2 AS (SELECT COUNT(*) AS n FROM embeddings WHERE vec_id < 300 AND vec_id % 50 = 2),
+           |m1 AS (SELECT COUNT(*) AS n FROM documents WHERE doc_id BETWEEN 150 AND 159),
+           |m2 AS (SELECT COUNT(*) AS n FROM documents WHERE doc_id BETWEEN 160 AND 164),
+           |m3 AS (SELECT COUNT(*) AS n FROM documents WHERE doc_id < 5)
            |SELECT family, "check", CAST(violations AS BIGINT) AS violations FROM (
            |  SELECT 'bm25' AS family, 'ghost_postings' AS "check",
            |    (SELECT COUNT(*) FROM (SELECT DISTINCT term, doc_id FROM gslice)) AS violations
@@ -3181,9 +3202,13 @@ object OperatorQueries {
            |  UNION ALL SELECT 'cluster', 'keeper_above_doc', (SELECT n FROM c1)
            |  UNION ALL SELECT 'cluster', 'dangling_keepers', (SELECT n FROM c1) + (SELECT n FROM c7)
            |  UNION ALL SELECT 'cluster', 'keeper_not_fixpoint', (SELECT n FROM c20)
+           |  UNION ALL SELECT 'cluster', 'duplicate_doc_rows', 2 * (SELECT n FROM c30)
            |  UNION ALL SELECT 'ivf_pq', 'wrong_subspace_count', (SELECT n FROM v0) + (SELECT n FROM v2)
            |  UNION ALL SELECT 'ivf_pq', 'cell_out_of_range', 8 * (SELECT n FROM v1)
            |  UNION ALL SELECT 'ivf_pq', 'duplicate_codes', 8 * (SELECT n FROM v2)
+           |  UNION ALL SELECT 'minhash', 'sig_band_id_mismatch',
+           |    (SELECT n FROM m1) + (SELECT n FROM m2)
+           |  UNION ALL SELECT 'minhash', 'wrong_band_count', (SELECT n FROM m3)
            |)
            |ORDER BY family, "check"""".stripMargin))
 

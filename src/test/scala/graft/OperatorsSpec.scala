@@ -1142,8 +1142,10 @@ class OperatorsSpec extends AnyFunSuite {
     val bdir = java.nio.file.Files.createTempDirectory("fsck_bm25").toString
     val adir = java.nio.file.Files.createTempDirectory("fsck_agg").toString
     val vdir = java.nio.file.Files.createTempDirectory("fsck_ivf").toString
+    val mdir = java.nio.file.Files.createTempDirectory("fsck_mh").toString
     try {
       // clean builds: every invariant holds
+      Dedup.writeMinhashIndex(docs, "doc_id", "text", mdir)
       Retrieval.writeBm25Index(docs, "doc_id", "text", bdir, termShards = 2)
       val li = Tables.table(spark, sfDir, "lineitem")
         .select("l_returnflag", "l_linestatus", "l_quantity")
@@ -1153,12 +1155,23 @@ class OperatorsSpec extends AnyFunSuite {
         "vec_id", "embedding", vdir)
       val cleanClusters = Dedup.duplicateClusters(
         Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("d1", "d2"))
-      val clean = report(IndexFsck.checkBm25(spark, bdir)
+      val clean = report(IndexFsck.checkMinhash(spark, mdir)
+        .unionAll(IndexFsck.checkBm25(spark, bdir))
         .unionAll(IndexFsck.checkAggState(spark, adir))
         .unionAll(IndexFsck.checkClusterAssignment(cleanClusters))
         .unionAll(IndexFsck.checkIvfPq(spark, vdir)))
-      assert(clean.size == 12 && clean.values.forall(_ == 0L),
+      assert(clean.size == 15 && clean.values.forall(_ == 0L),
         s"clean state must report zero violations everywhere: $clean")
+      // minhash: a torn append (sigs landed, bands did not) is an id-set
+      // mismatch; a retried full append doubles the band count
+      val tornSigs = Dedup.minhashSignature(
+        docs.filter($"doc_id" < 3).select($"doc_id" + 7000L as "doc_id", $"text"),
+        "doc_id", "text").localCheckpoint()
+      val nTorn = tornSigs.count()
+      tornSigs.write.mode("append").parquet(s"$mdir/sigs")
+      val mrep = report(IndexFsck.checkMinhash(spark, mdir))
+      assert(mrep(("minhash", "sig_band_id_mismatch")) == nTorn &&
+        mrep(("minhash", "wrong_band_count")) == 0L)
       // one plant per family, each counted exactly
       val ghosts = docs.filter($"doc_id" < 5)
         .select($"doc_id" + 5000L as "doc_id", $"text")
@@ -1178,6 +1191,13 @@ class OperatorsSpec extends AnyFunSuite {
       val rep = report(IndexFsck.checkClusterAssignment(torn))
       assert(rep(("cluster", "dangling_keepers")) == 1L &&
         rep(("cluster", "keeper_above_doc")) == 0L)
+      // identical duplicate rows: flagged by duplicate_doc_rows, and must
+      // NOT fan out the join-based checks (distinct keeper rows)
+      val dupped = cleanClusters.unionAll(cleanClusters.limit(2))
+      val drep = report(IndexFsck.checkClusterAssignment(dupped))
+      assert(drep(("cluster", "duplicate_doc_rows")) == 2L &&
+        drep(("cluster", "keeper_not_fixpoint")) == 0L &&
+        drep(("cluster", "dangling_keepers")) == 0L)
       val dupCodes = spark.read.parquet(s"$vdir/codes")
         .filter($"__cid" % 40 === 0).localCheckpoint()
       val nDup = dupCodes.count()
@@ -1186,7 +1206,7 @@ class OperatorsSpec extends AnyFunSuite {
       assert(vrep(("ivf_pq", "duplicate_codes")) == nDup)
       assert(vrep(("ivf_pq", "wrong_subspace_count")) == nDup / 8,
         "duplicated ids must also trip the per-id row-count invariant")
-    } finally Seq(bdir, adir, vdir).foreach(d =>
+    } finally Seq(bdir, adir, vdir, mdir).foreach(d =>
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
   }
 
