@@ -9,7 +9,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * recovery from an interrupted swap, small sidecar file IO. Six
   * hand-rolled copies of rename choreography is how object-store fixes
   * drift apart — this object exists so a future change (e.g. a
-  * manifest-based swap for S3) lands once.
+  * manifest-based swap for S3) lands once. That manifest layer now
+  * exists as [[VersionedStore]] (atomic multi-table commits, snapshot
+  * isolation, time travel, vacuum): object-store deployments — and any
+  * table whose readers outlive a compaction — should host state there;
+  * the rename swap below stays the cheaper protocol on HDFS/POSIX.
   *
   * Swap protocol: stage written fully first, then rename(live, _old),
   * rename(stage, live), delete(_old). The crash window between the two

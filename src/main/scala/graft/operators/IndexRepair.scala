@@ -1,0 +1,248 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Repair-apply mode for [[IndexFsck]] — the checker DETECTS broken
+  * invariants; this applies each check's named repair and reports what it
+  * did, so an operator inheriting a doubted index runs fsck → repair →
+  * fsck-clean instead of hand-assembling the right sequence of family
+  * maintenance calls. The reference's equivalent is re-running DDL through
+  * the one master that serializes catalog mutations
+  * (`/root/reference/tajo-core/src/main/java/org/apache/tajo/master/exec/DDLExecutor.java`);
+  * here the "catalog" is parquet tables on a shared filesystem, so the
+  * repair is a query plus the families' own staged-swap maintenance.
+  *
+  * Two repair classes, stated per check:
+  *   - HEALABLE from the stored state alone — duplicate rows collapse
+  *     (the crash-retried-append shape), ghost postings reclaim (the
+  *     liveness sweep), orphan agg tags adopt, pending retractions finish,
+  *     torn cluster relabels re-solve. These end repaired-and-complete.
+  *   - DROP-AND-REAPPEND — a document/vector whose index rows are
+  *     PARTIAL (a torn append: sigs without bands, three of m subspace
+  *     rows, codes against a vanished cell). The missing half exists only
+  *     in the source corpus, which this module never reads (repairs are
+  *     index-sized at any corpus scale), so the id's surviving rows are
+  *     dropped to restore consistency and the id is REPORTED via the
+  *     `*InconsistentIds` companion — re-append exactly those documents
+  *     through the family's own append entry point to restore membership.
+  *
+  * Every repair runs under the family's write lease (the compaction entry
+  * points and [[IndexFiles.stagedSwap]] acquire it), so a repair racing a
+  * live writer fails loudly instead of interleaving. Reports are tiny
+  * (family, action, n) tables; the BEFORE-counts are collected (a few
+  * rows) prior to the swap, because a lazily-evaluated check DataFrame
+  * re-read after the swap would count the post-repair state.
+  *
+  * What repair does NOT do: re-derive data from the corpus (re-append is
+  * the caller's move, with corpus access), un-retract a finished
+  * retraction, or recover a torn rebuild (`_rebuild_intent` survivors are
+  * mixed-incarnation states only the original rebuild can finish — every
+  * entry point here refuses them, same as the families' own reads). */
+object IndexRepair {
+
+  private def report(spark: SparkSession,
+                     rows: Seq[(String, String, Long)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("family", "action", "n")
+  }
+
+  private def cnt(df: DataFrame): Long = df.count()
+
+  /** Surplus rows beyond one per key — the same arithmetic as
+    * [[IndexFsck]]'s duplicate checks, collected to a scalar. */
+  private def surplus(df: DataFrame, keys: Seq[String]): Long =
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(col("n") - 1), lit(0L)).as("s"))
+      .collect().head.getLong(0)
+
+  // ---------------------------------------------------------------- BM25
+
+  /** Repair a persisted BM25 index: every one of [[IndexFsck.checkBm25]]'s
+    * violations is healable from the stored tables alone — ghost postings
+    * are reclaimed by the compaction's doclens-liveness sweep, duplicate
+    * postings/doclens collapse under its dedup keys — so the repair IS
+    * [[Retrieval.compactBm25Index]] (no dropIds), which also finishes any
+    * interrupted compaction (clearing the `_compact_intent` append block)
+    * and restores the term-sharded sorted layout. Returns the
+    * (family, action, n) report of what the compaction reclaimed. */
+  def repairBm25Index(spark: SparkSession, dir: String,
+                      idCol: String = "doc_id",
+                      termShards: Int = 32): DataFrame =
+    // ONE lease from the before-counts through the compaction (inner
+    // leases re-enter): a writer interleaving between analysis and swap
+    // would make the report describe a state the repair never saw
+    IndexFiles.withWriteLease(spark, dir, "repairBm25Index") {
+      val idx = Retrieval.Bm25Index.read(spark, dir)
+      val ghosts = cnt(idx.postings.join(
+        idx.doclens.select(col(idCol)), Seq(idCol), "left_anti"))
+      val dupPost = surplus(idx.postings, Seq("term", idCol))
+      val dupLens = surplus(idx.doclens, Seq(idCol))
+      Retrieval.compactBm25Index(spark, dir, idCol = idCol,
+        termShards = termShards)
+      report(spark, Seq(
+        ("bm25", "reclaimed_ghost_posting_rows", ghosts),
+        ("bm25", "collapsed_duplicate_posting_rows", dupPost),
+        ("bm25", "collapsed_duplicate_doclens_rows", dupLens)))
+    }
+
+  // ----------------------------------------------------------- agg state
+
+  /** Repair a materialized aggregate state: [[AggState.compactAggState]]
+    * already embodies every named repair — orphan tags are ADOPTED (the
+    * torn fold is accepted as happened and its replay blocked), pending
+    * retractions finish, torn-retry duplicate partials collapse bit-
+    * identically — so the repair is one compaction. Note the adoption
+    * semantic: an orphan's rows are merged IN, not discarded; a deployment
+    * that instead wants the torn fold retried must retry it BEFORE
+    * repairing (the retry is a no-op afterwards — the tag is committed). */
+  def repairAggState(spark: SparkSession, dir: String, groupCols: Seq[String],
+                     valueCols: Seq[String]): DataFrame =
+    IndexFiles.withWriteLease(spark, dir, "repairAggState") {
+      val before = IndexFsck.checkAggState(spark, dir).collect()
+        .map(r => r.getString(1) -> r.getLong(2)).toMap
+      AggState.compactAggState(spark, dir, groupCols, valueCols)
+      report(spark, Seq(
+        ("agg_state", "adopted_orphan_partial_rows", before("orphan_tag_rows")),
+        ("agg_state", "collapsed_duplicate_partial_rows", before("duplicate_partials")),
+        ("agg_state", "finished_retraction_rows", before("retracted_rows_present"))))
+    }
+
+  // -------------------------------------------------------------- MinHash
+
+  /** Ids whose stored MinHash rows are PARTIAL — present in exactly one of
+    * sigs/bands (a torn append), or with a band set that is not exactly
+    * one row per band 0..bands-1 after collapsing retried duplicates
+    * (dedup key (id, band, band_key), the compaction's own) — strictly
+    * containing [[IndexFsck.checkMinhash]]'s flagged set. These cannot be
+    * healed from the index (the signature pipeline needs the document
+    * text): drop via [[repairMinhashIndex]] and re-append exactly these
+    * ids through [[Dedup.appendMinhashIndex]]. */
+  def minhashInconsistentIds(spark: SparkSession, dir: String,
+                             idCol: String = "doc_id"): DataFrame = {
+    val idx = Dedup.MinhashIndex.read(spark, dir)
+    val bands = idx.meta.map(_.bands).getOrElse(
+      throw new IllegalArgumentException(
+        s"minhashInconsistentIds: no _meta.json at $dir — not a tagged " +
+          "MinHash index directory"))
+    val sigIds = idx.sigs.select(col(idCol)).distinct()
+    val bandIds = idx.bands.select(col(idCol)).distinct()
+    val mismatch = sigIds.join(bandIds, Seq(idCol), "left_anti")
+      .unionAll(bandIds.join(sigIds, Seq(idCol), "left_anti"))
+    val badCount = idx.bands.dropDuplicates(idCol, "band", "band_key")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n"), countDistinct(col("band")).as("nd"))
+      .filter(col("n") =!= bands || col("nd") =!= bands)
+      .select(col(idCol))
+    mismatch.unionAll(badCount).distinct()
+  }
+
+  /** Repair a persisted MinHash index: collapse retried-duplicate band
+    * rows and DROP the partial ids (returned by
+    * [[minhashInconsistentIds]]; report row `dropped_ids_for_reappend`) —
+    * one [[Dedup.compactMinhashIndex]] with the computed drop set. A
+    * pre-repair duplicate band row is read-tolerated but a SHORT band set
+    * silently loses candidate recall, which no query-side guard can see;
+    * after repair + re-append the index is fsck-clean AND complete. */
+  def repairMinhashIndex(spark: SparkSession, dir: String,
+                         idCol: String = "doc_id"): DataFrame =
+    IndexFiles.withWriteLease(spark, dir, "repairMinhashIndex") {
+      val bad = minhashInconsistentIds(spark, dir, idCol).localCheckpoint()
+      val nBad = cnt(bad)
+      val dupBands = surplus(Dedup.MinhashIndex.read(spark, dir).bands,
+        Seq(idCol, "band", "band_key"))
+      Dedup.compactMinhashIndex(spark, dir,
+        dropIds = if (nBad == 0) None else Some(bad), idCol = idCol)
+      report(spark, Seq(
+        ("minhash", "dropped_ids_for_reappend", nBad),
+        ("minhash", "collapsed_duplicate_band_rows", dupBands)))
+    }
+
+  // ----------------------------------------------------------- cluster map
+
+  /** Repair ANY (doc_id, keeper) cluster assignment by re-solving the
+    * connected components of the rows THEMSELVES (each row is an edge of
+    * the cluster graph it claims): the output is the canonical min-label
+    * map over the same connectivity, so every [[IndexFsck.checkClusterAssignment]]
+    * invariant holds by construction — keeper-above rows relabel to the
+    * true minimum, dangling keepers gain their own row, torn relabels
+    * path-compress, conflicting duplicates collapse to one row per doc.
+    * Connectivity is PRESERVED, never invented: two docs land in one
+    * cluster post-repair iff the stored rows already connected them.
+    * Pure-singleton rows (doc_id = keeper, no other member) round-trip
+    * unchanged. Unlike the other repairs this one is corpus-free AND
+    * storage-free — it maps a DataFrame; callers on the partitioned store
+    * use [[Dedup.repairClusterStatePartitioned]], which repairs in place
+    * and only rewrites touched buckets. */
+  def repairClusterAssignment(stored: DataFrame): DataFrame = {
+    val cc = Dedup.duplicateClusters(
+      stored.select(col("doc_id").as("d1"), col("keeper").as("d2")))
+    // duplicateClusters drops self-loop edges, so a pure singleton row
+    // (its id appears in no real edge) would vanish — restore as (id, id)
+    val singletons = stored.select(col("doc_id")).distinct()
+      .join(cc.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("keeper"))
+    cc.unionAll(singletons)
+  }
+
+  // ---------------------------------------------------------- residual IVF-PQ
+
+  /** Vector ids whose stored code rows are PARTIAL or mixed-build — after
+    * collapsing retried duplicates (dedup key (id, cell, subspace)) and
+    * dropping rows whose cell is absent from the centroid table, the id
+    * does not have exactly one row per subspace 0..m-1. ADC sums per-
+    * subspace distances, so a partial id scores on a truncated sum and
+    * ranks garbage — unhealable without the raw vector: drop via
+    * [[repairIvfPqIndex]] and re-append these ids through
+    * [[Similarity.appendIvfPqResidualIndex]]. */
+  def ivfPqInconsistentIds(spark: SparkSession, dir: String): DataFrame = {
+    val m = Similarity.IvfPqMeta.read(spark, dir).map(_.m).getOrElse(
+      throw new IllegalArgumentException(
+        s"ivfPqInconsistentIds: no _meta.json at $dir — not a tagged " +
+          "residual IVF-PQ index directory"))
+    val idx = Similarity.IvfPqResidualIndex.read(spark, dir)
+    idx.codes.dropDuplicates("__cid", "cell", "s")
+      .join(idx.cent.select(col("cid").as("cell")), Seq("cell"), "left_semi")
+      .groupBy(col("__cid"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("s")).as("nd"))
+      // right-join against ALL stored ids so an id whose every row was
+      // out-of-range (count 0 after the semi join) is still flagged
+      .join(idx.codes.select(col("__cid")).distinct(), Seq("__cid"), "right")
+      .filter(col("n").isNull || col("n") =!= m || col("nd") =!= m)
+      .select(col("__cid"))
+  }
+
+  /** Repair a persisted residual IVF-PQ index: collapse retried-duplicate
+    * code rows (exactly [[Similarity.compactIvfPqResidualIndex]]'s dedup
+    * key), drop rows referencing a cell absent from the centroid table
+    * (mixed-build state — scoring them would use residuals against
+    * centroids they were never quantized under), then drop the ids left
+    * without a complete subspace set (report `dropped_ids_for_reappend`;
+    * obtain the set via [[ivfPqInconsistentIds]] BEFORE repairing if you
+    * plan to re-append). One staged swap of the codes table; centroids
+    * and codebooks are frozen statistics the repair never touches. */
+  def repairIvfPqIndex(spark: SparkSession, dir: String): DataFrame =
+    IndexFiles.withWriteLease(spark, dir, "repairIvfPqIndex") {
+      Similarity.IvfPqMeta.read(spark, dir).map(_.m).getOrElse(
+        throw new IllegalArgumentException(
+          s"repairIvfPqIndex: no _meta.json at $dir — not a tagged " +
+            "residual IVF-PQ index directory"))
+      val idx = Similarity.IvfPqResidualIndex.read(spark, dir)
+      val cells = idx.cent.select(col("cid").as("cell"))
+      val deduped = idx.codes.dropDuplicates("__cid", "cell", "s")
+      val dupRows = cnt(idx.codes) - cnt(deduped)
+      val inRange = deduped.join(cells, Seq("cell"), "left_semi")
+      val rangeDropped = cnt(deduped) - cnt(inRange)
+      val bad = ivfPqInconsistentIds(spark, dir).localCheckpoint()
+      val nBad = cnt(bad)
+      IndexFiles.stagedSwap(spark, dir, "codes") { current =>
+        val cleaned = current.dropDuplicates("__cid", "cell", "s")
+          .join(cells, Seq("cell"), "left_semi")
+        cleaned.join(bad, Seq("__cid"), "left_anti")
+      }
+      report(spark, Seq(
+        ("ivf_pq", "collapsed_duplicate_code_rows", dupRows),
+        ("ivf_pq", "dropped_out_of_range_rows", rangeDropped),
+        ("ivf_pq", "dropped_ids_for_reappend", nBad)))
+    }
+}

@@ -3080,9 +3080,15 @@ object OperatorQueries {
   // planting) hash-fails. One corruption tripping several checks is
   // realistic and priced in: the duplicated code rows also break the
   // per-id row count, and the keeper-above plant is also dangling.
-  private val qIndexFsck = df("q_op_index_fsck",
-    (spark, dir) => {
-      val base = s"$bm25IdxScratch/${java.util.UUID.randomUUID().toString.take(8)}"
+  // Build small instances of all four persisted families under `base` and
+  // PLANT the shared corruption set described on q_op_index_fsck — the
+  // fixture BOTH the checker (q_op_index_fsck) and the repairer
+  // (q_op_index_repair) are graded against, factored so the two oracles
+  // can never drift onto different plants. Returns the planted cluster
+  // assignment (the one family checked/repaired as a DataFrame).
+  private def plantCorruptedFamilies(spark: org.apache.spark.sql.SparkSession,
+                                     dir: String,
+                                     base: String): org.apache.spark.sql.DataFrame = {
       // ---- BM25: ghosts (torn append) + crash-retried duplicates
       val docs = Tables.table(spark, dir, "documents").select(col("doc_id"), col("text"))
       graft.operators.Retrieval.writeBm25Index(
@@ -3162,6 +3168,13 @@ object OperatorQueries {
         .write.mode("append").parquet(s"$base/ivf/codes")
       codes0.filter(col("__cid") % 50 === 2)
         .write.mode("append").parquet(s"$base/ivf/codes")
+      plantedClusters
+  }
+
+  private val qIndexFsck = df("q_op_index_fsck",
+    (spark, dir) => {
+      val base = s"$bm25IdxScratch/${java.util.UUID.randomUUID().toString.take(8)}"
+      val plantedClusters = plantCorruptedFamilies(spark, dir, base)
       graft.operators.IndexFsck.checkMinhash(spark, s"$base/mh")
         .unionAll(graft.operators.IndexFsck.checkBm25(spark, s"$base/bm25"))
         .unionAll(graft.operators.IndexFsck.checkAggState(spark, s"$base/agg"))
@@ -3212,8 +3225,274 @@ object OperatorQueries {
            |)
            |ORDER BY family, "check"""".stripMargin))
 
+  // Repair-apply mode (IndexRepair): replant the SAME corruption set the
+  // checker is graded against, run every family's repair, then prove three
+  // things in one tall (family, action, n) table the oracle recomputes
+  // from the source tables: (1) the repairs reported exactly the planted
+  // damage (reclaimed ghosts, collapsed duplicates, adopted orphans,
+  // finished retractions, dropped partial ids); (2) EVERY IndexFsck
+  // invariant reads zero afterwards (the fsck_* rows); (3) membership and
+  // content survived — BM25 serves exactly the base corpus's postings,
+  // the MinHash drop-and-reappend loop restores full coverage (165 ids),
+  // the IVF-PQ codes are exactly m rows per base vector, the cluster map
+  // re-solves to the planted connectivity's canonical min-labels, and the
+  // aggregate readback equals base+b1+b3 (b2 retracted, b3 adopted). A
+  // repair that over-drops, under-heals, or invents connectivity
+  // hash-fails one of the three layers.
+  private val qIndexRepair = df("q_op_index_repair",
+    (spark, dir) => {
+      val base = s"$bm25IdxScratch/${java.util.UUID.randomUUID().toString.take(8)}"
+      val planted = plantCorruptedFamilies(spark, dir, base)
+      val docs = Tables.table(spark, dir, "documents").select(col("doc_id"), col("text"))
+      val repBm = graft.operators.IndexRepair.repairBm25Index(
+        spark, s"$base/bm25", termShards = 4)
+      // capture the drop set BEFORE repairing — it names the docs to
+      // re-append (the repair's own report only carries the count)
+      val mhBad = graft.operators.IndexRepair.minhashInconsistentIds(
+        spark, s"$base/mh").localCheckpoint()
+      val repMh = graft.operators.IndexRepair.repairMinhashIndex(spark, s"$base/mh")
+      graft.operators.Dedup.appendMinhashIndex(
+        docs.join(mhBad, Seq("doc_id"), "left_semi"), "doc_id", "text", s"$base/mh")
+      val repAgg = graft.operators.IndexRepair.repairAggState(
+        spark, s"$base/agg", aggGroupCols, aggValueCols)
+      val repIvf = graft.operators.IndexRepair.repairIvfPqIndex(spark, s"$base/ivf")
+      val repaired = graft.operators.IndexRepair.repairClusterAssignment(planted)
+        .localCheckpoint()
+      val post = graft.operators.IndexFsck.checkMinhash(spark, s"$base/mh")
+        .unionAll(graft.operators.IndexFsck.checkBm25(spark, s"$base/bm25"))
+        .unionAll(graft.operators.IndexFsck.checkAggState(spark, s"$base/agg"))
+        .unionAll(graft.operators.IndexFsck.checkClusterAssignment(repaired))
+        .unionAll(graft.operators.IndexFsck.checkIvfPq(spark, s"$base/ivf"))
+        .select(col("family"), concat(lit("fsck_"), col("check")).as("action"),
+          col("violations").as("n"))
+      val mh = graft.operators.Dedup.MinhashIndex.read(spark, s"$base/mh")
+      val bm = graft.operators.Retrieval.Bm25Index.read(spark, s"$base/bm25")
+      val ivx = graft.operators.Similarity.IvfPqResidualIndex.read(spark, s"$base/ivf")
+      val readAgg = graft.operators.AggState.readAggState(
+        spark, s"$base/agg", aggGroupCols, aggValueCols)
+      def one(family: String, action: String, v: org.apache.spark.sql.Column,
+              from: org.apache.spark.sql.DataFrame) =
+        from.agg(v.cast("bigint").as("n"))
+          .select(lit(family).as("family"), lit(action).as("action"), col("n"))
+      val readback = one("bm25", "live_doclens_rows", count(lit(1)), bm.doclens)
+        .unionAll(one("bm25", "live_posting_rows", count(lit(1)), bm.postings))
+        .unionAll(one("minhash", "sig_ids", countDistinct(col("doc_id")), mh.sigs))
+        .unionAll(one("minhash", "band_rows", count(lit(1)), mh.bands))
+        .unionAll(one("ivf_pq", "code_rows", count(lit(1)), ivx.codes))
+        .unionAll(one("cluster", "repaired_rows", count(lit(1)), repaired))
+        .unionAll(one("cluster", "repaired_clusters",
+          count(when(col("keeper") === col("doc_id"), 1)), repaired))
+        .unionAll(one("agg_state", "readback_groups", count(lit(1)), readAgg))
+        .unionAll(one("agg_state", "readback_total_cnt", sum(col("cnt")), readAgg))
+      repBm.unionAll(repMh).unionAll(repAgg).unionAll(repIvf)
+        .unionAll(post).unionAll(readback)
+        .orderBy("family", "action")
+    },
+    Some("""WITH
+           |gslice AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           |           FROM documents WHERE doc_id BETWEEN 200 AND 219),
+           |dslice AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           |           FROM documents WHERE doc_id BETWEEN 100 AND 109),
+           |pslice AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           |           FROM documents WHERE doc_id < 200),
+           |aslice AS (SELECT l_returnflag, l_linestatus FROM lineitem
+           |           WHERE l_orderkey < 30000
+           |             AND (l_orderkey % 4 IN (1, 2, 3) OR l_orderkey % 8 = 4)),
+           |b1g AS (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+           |        WHERE l_orderkey < 30000 AND l_orderkey % 4 = 3),
+           |b2g AS (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+           |        WHERE l_orderkey < 30000 AND l_orderkey % 8 = 0),
+           |b3g AS (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+           |        WHERE l_orderkey < 30000 AND l_orderkey % 8 = 4),
+           |c10 AS (SELECT COUNT(*) AS n FROM customer WHERE c_custkey % 10 = 0),
+           |c1 AS (SELECT COUNT(*) AS n FROM customer WHERE c_custkey % 10 = 1),
+           |c7 AS (SELECT COUNT(*) AS n FROM customer WHERE c_custkey % 10 = 7),
+           |c20 AS (SELECT COUNT(*) AS n FROM customer WHERE c_custkey % 20 = 0),
+           |v0 AS (SELECT COUNT(*) AS n FROM embeddings WHERE vec_id < 300 AND vec_id % 50 = 0),
+           |v1 AS (SELECT COUNT(*) AS n FROM embeddings WHERE vec_id < 300 AND vec_id % 50 = 1),
+           |v2 AS (SELECT COUNT(*) AS n FROM embeddings WHERE vec_id < 300 AND vec_id % 50 = 2),
+           |vall AS (SELECT COUNT(*) AS n FROM embeddings WHERE vec_id < 300),
+           |m1 AS (SELECT COUNT(*) AS n FROM documents WHERE doc_id BETWEEN 150 AND 159),
+           |m2 AS (SELECT COUNT(*) AS n FROM documents WHERE doc_id BETWEEN 160 AND 164),
+           |m3 AS (SELECT COUNT(*) AS n FROM documents WHERE doc_id < 5),
+           |d165 AS (SELECT COUNT(*) AS n FROM documents WHERE doc_id < 165),
+           |d200 AS (SELECT COUNT(*) AS n FROM documents WHERE doc_id < 200)
+           |SELECT family, action, CAST(n AS BIGINT) AS n FROM (
+           |  SELECT 'agg_state' AS family, 'adopted_orphan_partial_rows' AS action,
+           |    (SELECT COUNT(*) FROM b3g) AS n
+           |  UNION ALL SELECT 'agg_state', 'collapsed_duplicate_partial_rows', (SELECT COUNT(*) FROM b1g)
+           |  UNION ALL SELECT 'agg_state', 'finished_retraction_rows', (SELECT COUNT(*) FROM b2g)
+           |  UNION ALL SELECT 'agg_state', 'fsck_duplicate_partials', 0
+           |  UNION ALL SELECT 'agg_state', 'fsck_orphan_tag_rows', 0
+           |  UNION ALL SELECT 'agg_state', 'fsck_retracted_rows_present', 0
+           |  UNION ALL SELECT 'agg_state', 'readback_groups',
+           |    (SELECT COUNT(*) FROM (SELECT DISTINCT l_returnflag, l_linestatus FROM aslice))
+           |  UNION ALL SELECT 'agg_state', 'readback_total_cnt', (SELECT COUNT(*) FROM aslice)
+           |  UNION ALL SELECT 'bm25', 'collapsed_duplicate_doclens_rows', 0
+           |  UNION ALL SELECT 'bm25', 'collapsed_duplicate_posting_rows',
+           |    (SELECT COUNT(*) FROM (SELECT DISTINCT term, doc_id FROM dslice))
+           |  UNION ALL SELECT 'bm25', 'fsck_duplicate_doclens', 0
+           |  UNION ALL SELECT 'bm25', 'fsck_duplicate_postings', 0
+           |  UNION ALL SELECT 'bm25', 'fsck_ghost_postings', 0
+           |  UNION ALL SELECT 'bm25', 'live_doclens_rows', (SELECT n FROM d200)
+           |  UNION ALL SELECT 'bm25', 'live_posting_rows',
+           |    (SELECT COUNT(*) FROM (SELECT DISTINCT term, doc_id FROM pslice))
+           |  UNION ALL SELECT 'bm25', 'reclaimed_ghost_posting_rows',
+           |    (SELECT COUNT(*) FROM (SELECT DISTINCT term, doc_id FROM gslice))
+           |  UNION ALL SELECT 'cluster', 'fsck_dangling_keepers', 0
+           |  UNION ALL SELECT 'cluster', 'fsck_duplicate_doc_rows', 0
+           |  UNION ALL SELECT 'cluster', 'fsck_keeper_above_doc', 0
+           |  UNION ALL SELECT 'cluster', 'fsck_keeper_not_fixpoint', 0
+           |  UNION ALL SELECT 'cluster', 'repaired_clusters',
+           |    (SELECT n FROM c10) + (SELECT n FROM c1) + 1
+           |  UNION ALL SELECT 'cluster', 'repaired_rows',
+           |    2 * (SELECT n FROM c10) + 2 * (SELECT n FROM c1)
+           |      + (SELECT n FROM c7) + (SELECT n FROM c20) + 1
+           |  UNION ALL SELECT 'ivf_pq', 'code_rows', 8 * (SELECT n FROM vall)
+           |  UNION ALL SELECT 'ivf_pq', 'collapsed_duplicate_code_rows', 8 * (SELECT n FROM v2)
+           |  UNION ALL SELECT 'ivf_pq', 'dropped_ids_for_reappend',
+           |    (SELECT n FROM v0) + (SELECT n FROM v1)
+           |  UNION ALL SELECT 'ivf_pq', 'dropped_out_of_range_rows', 8 * (SELECT n FROM v1)
+           |  UNION ALL SELECT 'ivf_pq', 'fsck_cell_out_of_range', 0
+           |  UNION ALL SELECT 'ivf_pq', 'fsck_duplicate_codes', 0
+           |  UNION ALL SELECT 'ivf_pq', 'fsck_wrong_subspace_count', 0
+           |  UNION ALL SELECT 'minhash', 'band_rows', 8 * (SELECT n FROM d165)
+           |  UNION ALL SELECT 'minhash', 'collapsed_duplicate_band_rows', 8 * (SELECT n FROM m3)
+           |  UNION ALL SELECT 'minhash', 'dropped_ids_for_reappend',
+           |    (SELECT n FROM m1) + (SELECT n FROM m2)
+           |  UNION ALL SELECT 'minhash', 'fsck_sig_band_id_mismatch', 0
+           |  UNION ALL SELECT 'minhash', 'fsck_wrong_band_count', 0
+           |  UNION ALL SELECT 'minhash', 'sig_ids', (SELECT n FROM d165)
+           |)
+           |ORDER BY family, action""".stripMargin))
+
+  // Manifest-versioned store (VersionedStore): the full lifecycle —
+  // create with two tables committed atomically, two appends (the second
+  // overlapping, so duplicates are VISIBLE at v3 and compacted at v4),
+  // one multi-table rewrite — then read the latest, time-travel to v1/v2/
+  // v3, and take the v1->v3 diff (the incremental-processing feed). The
+  // oracle recomputes every count/sum from the documents table, so a
+  // store that loses a segment, leaks one across versions, breaks
+  // multi-table atomicity (toks and docs drifting apart), or diffs the
+  // wrong segment set hash-fails.
+  private val qVersionedStore = df("q_op_versioned_store",
+    (spark, dir) => {
+      val base = s"$bm25IdxScratch/${java.util.UUID.randomUUID().toString.take(8)}"
+      val docs = Tables.table(spark, dir, "documents").select(col("doc_id"), col("text"))
+      def toks(d: org.apache.spark.sql.DataFrame) = d.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("bigint").as("n_toks"))
+      val d0 = docs.filter(col("doc_id") < 200)
+      val b1 = docs.filter(col("doc_id").between(200, 299))
+      val b2 = docs.filter(col("doc_id").between(250, 399)) // overlaps b1
+      graft.operators.VersionedStore.create(spark, base,
+        Map("docs" -> d0, "toks" -> toks(d0)))
+      graft.operators.VersionedStore.append(spark, base,
+        Map("docs" -> b1, "toks" -> toks(b1)), note = "b1")
+      graft.operators.VersionedStore.append(spark, base,
+        Map("docs" -> b2, "toks" -> toks(b2)), note = "b2")
+      graft.operators.VersionedStore.rewrite(spark, base, note = "dedupe") { cur =>
+        Map("docs" -> cur("docs").dropDuplicates("doc_id"),
+          "toks" -> cur("toks").dropDuplicates("doc_id"))
+      }
+      def one(metric: String, v: org.apache.spark.sql.Column,
+              from: org.apache.spark.sql.DataFrame) =
+        from.agg(v.cast("bigint").as("n"))
+          .select(lit(metric).as("metric"), col("n"))
+      val latest = graft.operators.VersionedStore.snapshot(spark, base)
+      import spark.implicits._
+      val versionsRow = Seq(("versions_committed",
+        graft.operators.VersionedStore.versions(spark, base).size.toLong))
+        .toDF("metric", "n")
+      versionsRow
+        .unionAll(one("latest_docs_rows", count(lit(1)), latest.table("docs")))
+        .unionAll(one("latest_docs_id_sum", sum(col("doc_id")), latest.table("docs")))
+        .unionAll(one("latest_toks_total", sum(col("n_toks")), latest.table("toks")))
+        .unionAll(one("timetravel_v1_toks_total", sum(col("n_toks")),
+          graft.operators.VersionedStore.snapshot(spark, base, Some(1L)).table("toks")))
+        .unionAll(one("timetravel_v2_docs_rows", count(lit(1)),
+          graft.operators.VersionedStore.snapshot(spark, base, Some(2L)).table("docs")))
+        .unionAll(one("timetravel_v3_docs_rows", count(lit(1)),
+          graft.operators.VersionedStore.snapshot(spark, base, Some(3L)).table("docs")))
+        .unionAll(one("diff_v1_v3_docs_rows", count(lit(1)),
+          graft.operators.VersionedStore.diff(spark, base, "docs", 1L, 3L)))
+        .orderBy("metric")
+    },
+    Some("""SELECT metric, CAST(n AS BIGINT) AS n FROM (
+           |  SELECT 'versions_committed' AS metric, 4 AS n
+           |  UNION ALL SELECT 'latest_docs_rows',
+           |    (SELECT COUNT(*) FROM documents WHERE doc_id < 400)
+           |  UNION ALL SELECT 'latest_docs_id_sum',
+           |    (SELECT SUM(doc_id) FROM documents WHERE doc_id < 400)
+           |  UNION ALL SELECT 'latest_toks_total',
+           |    (SELECT SUM(len(string_split(text, ' '))) FROM documents WHERE doc_id < 400)
+           |  UNION ALL SELECT 'timetravel_v1_toks_total',
+           |    (SELECT SUM(len(string_split(text, ' '))) FROM documents WHERE doc_id < 200)
+           |  UNION ALL SELECT 'timetravel_v2_docs_rows',
+           |    (SELECT COUNT(*) FROM documents WHERE doc_id < 300)
+           |  UNION ALL SELECT 'timetravel_v3_docs_rows',
+           |    (SELECT COUNT(*) FROM documents WHERE doc_id < 300)
+           |      + (SELECT COUNT(*) FROM documents WHERE doc_id BETWEEN 250 AND 399)
+           |  UNION ALL SELECT 'diff_v1_v3_docs_rows',
+           |    (SELECT COUNT(*) FROM documents WHERE doc_id BETWEEN 200 AND 299)
+           |      + (SELECT COUNT(*) FROM documents WHERE doc_id BETWEEN 250 AND 399)
+           |)
+           |ORDER BY metric""".stripMargin))
+
+  // VersionedStore vacuum + crash-orphan reclamation: plant the
+  // crashed-writer shape (a segment with no manifest), vacuum twice at
+  // narrowing horizons, and prove reclamation counts AND that the latest
+  // version's content survives both sweeps byte-for-value. Counts are
+  // structural (segments per commit are deterministic), content is
+  // recomputed by the oracle from documents.
+  private val qVersionedVacuum = df("q_op_versioned_vacuum",
+    (spark, dir) => {
+      val base = s"$bm25IdxScratch/${java.util.UUID.randomUUID().toString.take(8)}"
+      val docs = Tables.table(spark, dir, "documents").select(col("doc_id"), col("text"))
+      graft.operators.VersionedStore.create(spark, base,
+        Map("docs" -> docs.filter(col("doc_id") < 100)))
+      graft.operators.VersionedStore.append(spark, base,
+        Map("docs" -> docs.filter(col("doc_id").between(100, 199))))
+      graft.operators.VersionedStore.append(spark, base,
+        Map("docs" -> docs.filter(col("doc_id").between(200, 299))))
+      graft.operators.VersionedStore.rewrite(spark, base, note = "compact") { cur =>
+        Map("docs" -> cur("docs").repartition(1))
+      }
+      // crashed writer: segment written, commit never happened
+      docs.filter(col("doc_id") < 5)
+        .write.parquet(s"$base/_segments/orphan-${java.util.UUID.randomUUID().toString.take(8)}")
+      val (s1, m1) = graft.operators.VersionedStore.vacuum(spark, base, keepLast = 2)
+      val (s2, m2) = graft.operators.VersionedStore.vacuum(spark, base, keepLast = 1)
+      val latest = graft.operators.VersionedStore.snapshot(spark, base)
+      def one(metric: String, v: org.apache.spark.sql.Column,
+              from: org.apache.spark.sql.DataFrame) =
+        from.agg(v.cast("bigint").as("n"))
+          .select(lit(metric).as("metric"), col("n"))
+      import spark.implicits._
+      Seq(
+        ("vacuum1_segments_deleted", s1.toLong),
+        ("vacuum1_manifests_deleted", m1.toLong),
+        ("vacuum2_segments_deleted", s2.toLong),
+        ("vacuum2_manifests_deleted", m2.toLong),
+        ("remaining_version", latest.version)).toDF("metric", "n")
+        .unionAll(one("after_docs_rows", count(lit(1)), latest.table("docs")))
+        .unionAll(one("after_docs_id_sum", sum(col("doc_id")), latest.table("docs")))
+        .orderBy("metric")
+    },
+    Some("""SELECT metric, CAST(n AS BIGINT) AS n FROM (
+           |  SELECT 'after_docs_rows' AS metric,
+           |    (SELECT COUNT(*) FROM documents WHERE doc_id < 300) AS n
+           |  UNION ALL SELECT 'after_docs_id_sum',
+           |    (SELECT SUM(doc_id) FROM documents WHERE doc_id < 300)
+           |  UNION ALL SELECT 'remaining_version', 4
+           |  UNION ALL SELECT 'vacuum1_segments_deleted', 1
+           |  UNION ALL SELECT 'vacuum1_manifests_deleted', 2
+           |  UNION ALL SELECT 'vacuum2_segments_deleted', 3
+           |  UNION ALL SELECT 'vacuum2_manifests_deleted', 1
+           |)
+           |ORDER BY metric""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
-    qIndexFsck,
+    qIndexFsck, qIndexRepair, qVersionedStore, qVersionedVacuum,
     qUrlDedup, qPageRank, qHllTokens, qRobotsGate, qDistill, qCountMin, qInvertedIndex, qBm25,
     qBm25Index, qBm25IndexAppend, qBm25IndexCompact, qStreamBm25Indexed,
     qHybridRrfIndexed, qAggState, qAggStateCompact, qAggStateRetract, qStreamAggState,
