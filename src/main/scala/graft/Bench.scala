@@ -100,7 +100,8 @@ object Bench {
       "q_op_bm25_index", "q_op_bm25_index_append", "q_op_bm25_index_compact",
       "q_pipeline_hybrid_rrf_indexed",
       "q_op_agg_state", "q_op_agg_state_compact", "q_op_agg_state_retract",
-      "q_op_index_fsck")
+      "q_op_index_fsck", "q_op_index_repair",
+      "q_op_versioned_store", "q_op_versioned_vacuum")
     val (churnQs, mainQs) = selected.partition(q =>
       q.name.startsWith("q_store_") || q.name.startsWith("q_stream_") ||
         indexLifecycle(q.name))

@@ -30,6 +30,21 @@ private[operators] object IndexFiles {
   def fs(spark: SparkSession, p: Path): org.apache.hadoop.fs.FileSystem =
     p.getFileSystem(spark.sessionState.newHadoopConf())
 
+  /** Read a file fully (the ONE copy of the chunked read-to-EOF loop —
+    * trusting a single read() call truncates on chunked streams, the bug
+    * class the lease reader fixed once already). */
+  private[operators] def slurp(f: org.apache.hadoop.fs.FileSystem,
+                               p: Path): Array[Byte] = {
+    val in = f.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](1 << 16)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      buf.toByteArray
+    } finally in.close()
+  }
+
   /** Rewrite `dir/name` in place via the staged two-rename swap. The
     * stage write executes against the CURRENT live files; the renames
     * only happen after it is fully materialized. Not concurrency-safe
@@ -190,14 +205,7 @@ private[operators] object IndexFiles {
       }
     } catch { case _: Throwable => None }
     if (f.exists(p)) {
-      val in = f.open(p)
-      val bytes = try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val chunk = new Array[Byte](4096)
-        var n = in.read(chunk)
-        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-        buf.toByteArray
-      } finally in.close()
+      val bytes = slurp(f, p)
       val (owner, epochMs, heldBy) = parse(bytes).getOrElse {
         val mtime = f.getFileStatus(p).getModificationTime
         ("<unparseable>", mtime, "torn lease write (crashed mid-acquisition)")
@@ -266,15 +274,6 @@ private[operators] object IndexFiles {
       System.err.println(s"[graft] recovered sidecar $live from an interrupted write")
     }
     if (!f.exists(live)) None
-    else {
-      val in = f.open(live)
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val chunk = new Array[Byte](1 << 16)
-        var n = in.read(chunk)
-        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-        Some(buf.toByteArray)
-      } finally in.close()
-    }
+    else Some(slurp(f, live))
   }
 }

@@ -74,9 +74,15 @@ object IndexRepair {
     // would make the report describe a state the repair never saw
     IndexFiles.withWriteLease(spark, dir, "repairBm25Index") {
       val idx = Retrieval.Bm25Index.read(spark, dir)
+      // report rows PARTITION the removed rows: ghosts counts every row of
+      // a dead doc (its crash-retry duplicates included), duplicates count
+      // surplus among LIVE docs only — counting a duplicated ghost row in
+      // both actions would over-describe the repair by the overlap
       val ghosts = cnt(idx.postings.join(
         idx.doclens.select(col(idCol)), Seq(idCol), "left_anti"))
-      val dupPost = surplus(idx.postings, Seq("term", idCol))
+      val dupPost = surplus(idx.postings.join(
+        idx.doclens.select(col(idCol)), Seq(idCol), "left_semi"),
+        Seq("term", idCol))
       val dupLens = surplus(idx.doclens, Seq(idCol))
       Retrieval.compactBm25Index(spark, dir, idCol = idCol,
         termShards = termShards)
@@ -149,7 +155,11 @@ object IndexRepair {
     IndexFiles.withWriteLease(spark, dir, "repairMinhashIndex") {
       val bad = minhashInconsistentIds(spark, dir, idCol).localCheckpoint()
       val nBad = cnt(bad)
-      val dupBands = surplus(Dedup.MinhashIndex.read(spark, dir).bands,
+      // surplus among KEPT ids only — a duplicate row of an id the repair
+      // drops anyway belongs to the drop action, not the collapse action
+      // (disjoint report; same partition discipline as repairBm25Index)
+      val dupBands = surplus(Dedup.MinhashIndex.read(spark, dir).bands
+        .join(bad, Seq(idCol), "left_anti"),
         Seq(idCol, "band", "band_key"))
       Dedup.compactMinhashIndex(spark, dir,
         dropIds = if (nBad == 0) None else Some(bad), idCol = idCol)
@@ -223,22 +233,38 @@ object IndexRepair {
     * and codebooks are frozen statistics the repair never touches. */
   def repairIvfPqIndex(spark: SparkSession, dir: String): DataFrame =
     IndexFiles.withWriteLease(spark, dir, "repairIvfPqIndex") {
-      Similarity.IvfPqMeta.read(spark, dir).map(_.m).getOrElse(
+      val m = Similarity.IvfPqMeta.read(spark, dir).map(_.m).getOrElse(
         throw new IllegalArgumentException(
           s"repairIvfPqIndex: no _meta.json at $dir — not a tagged " +
             "residual IVF-PQ index directory"))
       val idx = Similarity.IvfPqResidualIndex.read(spark, dir)
       val cells = idx.cent.select(col("cid").as("cell"))
+      // ONE dedup shuffle, materialized: the counts, the drop-set, and the
+      // staged rewrite below all derive from this checkpoint — without it
+      // the repair re-scans and re-shuffles the full codes table four
+      // times, an index-sized cost ×4 at the 100 TB scale this module
+      // advertises. Consistent under the lease: no writer can move the
+      // live table between the checkpoint and the swap.
       val deduped = idx.codes.dropDuplicates("__cid", "cell", "s")
+        .localCheckpoint()
       val dupRows = cnt(idx.codes) - cnt(deduped)
       val inRange = deduped.join(cells, Seq("cell"), "left_semi")
       val rangeDropped = cnt(deduped) - cnt(inRange)
-      val bad = ivfPqInconsistentIds(spark, dir).localCheckpoint()
+      // same arithmetic as ivfPqInconsistentIds, from the checkpoint (the
+      // spec pins the two against each other); dedup removes only
+      // duplicate rows, so deduped's id set equals the raw table's
+      val bad = inRange
+        .groupBy(col("__cid"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("s")).as("nd"))
+        .join(deduped.select(col("__cid")).distinct(), Seq("__cid"), "right")
+        .filter(col("n").isNull || col("n") =!= m || col("nd") =!= m)
+        .select(col("__cid"))
+        .localCheckpoint()
       val nBad = cnt(bad)
-      IndexFiles.stagedSwap(spark, dir, "codes") { current =>
-        val cleaned = current.dropDuplicates("__cid", "cell", "s")
-          .join(cells, Seq("cell"), "left_semi")
-        cleaned.join(bad, Seq("__cid"), "left_anti")
+      IndexFiles.stagedSwap(spark, dir, "codes") { _ =>
+        // the checkpoint IS the current live table (lease-held since the
+        // read), so the rewrite ignores the re-read handle
+        inRange.join(bad, Seq("__cid"), "left_anti")
       }
       report(spark, Seq(
         ("ivf_pq", "collapsed_duplicate_code_rows", dupRows),

@@ -90,7 +90,11 @@ object VersionedStore {
 
   private def manifestsPath(dir: String) = new Path(s"$dir/_manifests")
   private def manifestName(v: Long) = f"v$v%08d.json"
-  private val ManifestRe = """^v(\d{8})\.json$""".r
+  // 8+ digits, not exactly 8: %08d is a MINIMUM width, so version 1e8
+  // commits a 9-digit name — an exact-8 pattern would then brick every
+  // listing with the unrecognized-file error at the store's own commit
+  // count. Numeric sort below, so width never orders.
+  private val ManifestRe = """^v(\d{8,})\.json$""".r
 
   private def fs(spark: SparkSession, dir: String) =
     IndexFiles.fs(spark, new Path(dir))
@@ -123,15 +127,7 @@ object VersionedStore {
         s"VersionedStore: version $v not found at $dir — vacuumed or never " +
           s"committed; available: ${if (have.isEmpty) "none" else have.mkString(", ")}")
     }
-    val in = f.open(p)
-    val bytes = try {
-      val buf = new java.io.ByteArrayOutputStream()
-      val chunk = new Array[Byte](1 << 16)
-      var n = in.read(chunk)
-      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-      buf.toByteArray
-    } finally in.close()
-    parseManifest(dir, v, new String(bytes, "UTF-8"))
+    parseManifest(dir, v, new String(IndexFiles.slurp(f, p), "UTF-8"))
   }
 
   private def parseManifest(dir: String, v: Long, s: String): Manifest = {
@@ -169,7 +165,20 @@ object VersionedStore {
   }
 
   private def jsonOf(m: Manifest): String = {
-    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    // escape control characters too (same discipline as graft.Verify's
+    // oracle-json writer): a caller note containing a newline would
+    // otherwise commit a manifest that is syntactically invalid JSON —
+    // permanently unreadable, with the parse error blaming "external
+    // corruption" for a legal input string
+    def esc(s: String) = s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val tables = m.tables.toSeq.sortBy(_._1).map { case (n, segs) =>
       s""""${esc(n)}":[${segs.map(s => s""""${esc(s)}"""").mkString(",")}]"""
     }.mkString(",")
@@ -243,7 +252,12 @@ object VersionedStore {
     * multi-table atomicity the staged-swap families approximate with
     * intent markers). Tables absent from `batches` carry forward
     * unchanged; a batch for a table the store doesn't have yet creates
-    * it. NOT idempotent under at-least-once retries: a replayed append
+    * it. A batch whose schema disagrees with the table's stored segments
+    * is REFUSED: parquet infers a multi-segment table's schema from one
+    * arbitrary footer, so a drifted append would silently drop or null
+    * the new column depending on file listing order — schema changes go
+    * through [[rewrite]], which re-materializes every row in the new
+    * shape. NOT idempotent under at-least-once retries: a replayed append
     * commits a second version with the same rows — tag batches and dedupe
     * at read, or gate the retry on [[versions]]' notes, as the caller's
     * delivery semantics require. */
@@ -251,7 +265,21 @@ object VersionedStore {
              note: String = "append"): Long =
     IndexFiles.withWriteLease(spark, dir, "VersionedStore.append") {
       require(batches.nonEmpty, "VersionedStore.append: no batches")
-      val cur = snapshot(spark, dir).manifest
+      val snap = snapshot(spark, dir)
+      val cur = snap.manifest
+      batches.foreach { case (n, df) =>
+        if (cur.tables.contains(n)) {
+          def shape(s: org.apache.spark.sql.types.StructType) =
+            s.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+          val stored = shape(snap.table(n).schema)
+          val batch = shape(df.schema)
+          require(stored == batch,
+            s"VersionedStore.append: batch schema for table '$n' disagrees " +
+              s"with the stored segments — stored ${stored.mkString(", ")}; " +
+              s"batch ${batch.mkString(", ")}. Appends must match; evolve " +
+              "the schema through rewrite (re-materializes every row)")
+        }
+      }
       // skip empty batches: a zero-row parquet segment can defeat schema
       // inference at read, and an all-empty append committing a new
       // version would make every at-least-once replay a version-history
@@ -264,6 +292,34 @@ object VersionedStore {
         n -> (cur.tables.getOrElse(n, Seq.empty) ++ appended.get(n).toSeq)
       }.toMap
       commit(spark, dir, Manifest(cur.version + 1, cur.version, note, tables))
+      }
+    }
+
+  /** Idempotent [[append]] for at-least-once delivery: `tag` names the
+    * batch (it becomes the version's note), and a tag some un-vacuumed
+    * version already carries makes the call a NO-OP returning that
+    * version — so a replayed trigger commits nothing instead of a
+    * duplicate version with the same rows. The check and the append hold
+    * ONE lease (a racing replay of the same batch cannot double-commit
+    * between them). The manifest history IS the tag ledger, so
+    * [[vacuum]]'s `keepLast` must exceed the caller's replay horizon —
+    * with a durable streaming checkpoint Spark replays at most the last
+    * uncommitted trigger, so the default keepLast=2 suffices; vacuuming
+    * the ledger shorter than the horizon re-opens the duplicate (the
+    * same contract as the aggregate state's compaction-proof
+    * `_tags.json`, priced here as a retention knob instead of an
+    * append-only sidecar). Cost: one manifest-listing scan per call,
+    * O(versions since vacuum). */
+  def appendOnce(spark: SparkSession, dir: String,
+                 batches: Map[String, DataFrame], tag: String): Long =
+    IndexFiles.withWriteLease(spark, dir, "VersionedStore.appendOnce") {
+      versions(spark, dir).find(_.note == tag) match {
+        case Some(m) =>
+          System.err.println(s"[graft] VersionedStore.appendOnce: tag " +
+            s"'$tag' already committed as version ${m.version} at $dir — " +
+            "replayed batch, no-op")
+          m.version
+        case None => append(spark, dir, batches, note = tag)
       }
     }
 
@@ -327,17 +383,21 @@ object VersionedStore {
       val (drop, keep) = all.splitAt(math.max(0, all.size - keepLast))
       val referenced = keep.map(readManifest(spark, dir, _))
         .flatMap(_.tables.values.flatten).toSet
+      // dropped MANIFESTS delete first: once they are gone, a crash at any
+      // later point leaves only unreferenced segments (harmless, swept by
+      // the next vacuum). The reverse order has a window where a still-
+      // visible dropped manifest points at deleted segments — a time-travel
+      // pin would then die mid-scan on a vanished parquet path instead of
+      // the designed loud "vacuumed" error. Kept manifests are safe under
+      // either order (the referenced set is computed from them).
+      drop.foreach(v =>
+        f.delete(new Path(manifestsPath(dir), manifestName(v)), false))
       val segsPath = new Path(s"$dir/_segments")
       val deadSegs =
         if (!f.exists(segsPath)) Seq.empty
         else f.listStatus(segsPath).toSeq.map(_.getPath)
           .filterNot(p => referenced.contains(p.getName))
       deadSegs.foreach(p => f.delete(p, true))
-      // manifests deleted AFTER the segments they reference: a crash
-      // mid-vacuum leaves extra files, never a kept manifest pointing at
-      // deleted data
-      drop.foreach(v =>
-        f.delete(new Path(manifestsPath(dir), manifestName(v)), false))
       // in-flight dot-tmps from crashed commits are dead by the same
       // lease argument as orphan segments
       val deadTmps = f.listStatus(manifestsPath(dir)).toSeq

@@ -3491,8 +3491,66 @@ object OperatorQueries {
            |)
            |ORDER BY metric""".stripMargin))
 
+  // Continuous ingest into the versioned store
+  // (StreamingVersioned.versionedIngestStream): two mtime-ordered
+  // micro-batches commit as versions v2/v3 through the appendOnce note
+  // ledger, then the LAST trigger is replayed by hand — the at-least-once
+  // case — and must no-op (version count stays 3, the replay returns the
+  // already-committed version). The read proves membership (base UNION
+  // both batches, every row exactly once) and the diff-since-v1 feed is
+  // exactly the two streamed batches.
+  private val qStreamVersioned = df("q_stream_versioned",
+    (spark, dir) => {
+      val docs = Tables.table(spark, dir, "documents").select(col("doc_id"), col("text"))
+      val base = docs.filter(col("doc_id") < 200)
+      val b1 = docs.filter(col("doc_id").between(200, 299))
+      val b2 = docs.filter(col("doc_id").between(300, 399))
+      val sdir = s"$bm25IdxScratch/${java.util.UUID.randomUUID().toString.take(8)}"
+      graft.operators.VersionedStore.create(spark, s"$sdir/st", Map("docs" -> base))
+      val inDir = stageMtimeOrderedBatches(sdir, Seq(b1, b2))
+      val stream = spark.readStream
+        .schema(b1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir)
+      val q = graft.streaming.StreamingVersioned.versionedIngestStream(
+        stream, s"$sdir/st", "docs", checkpointDir = s"$sdir/ckpt")
+      q.processAllAvailable()
+      q.stop()
+      // at-least-once: replay the last trigger's body verbatim — the note
+      // ledger must make it a no-op, not a fourth version
+      val replayV = graft.streaming.StreamingVersioned.versionedIngestBatch(
+        b2, s"$sdir/st", "docs", "t_1")
+      val latest = graft.operators.VersionedStore.snapshot(spark, s"$sdir/st")
+      def one(metric: String, v: org.apache.spark.sql.Column,
+              from: org.apache.spark.sql.DataFrame) =
+        from.agg(v.cast("bigint").as("n"))
+          .select(lit(metric).as("metric"), col("n"))
+      import spark.implicits._
+      Seq(
+        ("versions_committed",
+          graft.operators.VersionedStore.versions(spark, s"$sdir/st").size.toLong),
+        ("replay_noop_version", replayV)).toDF("metric", "n")
+        .unionAll(one("latest_rows", count(lit(1)), latest.table("docs")))
+        .unionAll(one("latest_id_sum", sum(col("doc_id")), latest.table("docs")))
+        .unionAll(one("diff_since_v1_rows", count(lit(1)),
+          graft.operators.VersionedStore.diff(spark, s"$sdir/st", "docs",
+            1L, latest.version)))
+        .orderBy("metric")
+    },
+    Some("""SELECT metric, CAST(n AS BIGINT) AS n FROM (
+           |  SELECT 'diff_since_v1_rows' AS metric,
+           |    (SELECT COUNT(*) FROM documents WHERE doc_id BETWEEN 200 AND 399) AS n
+           |  UNION ALL SELECT 'latest_id_sum',
+           |    (SELECT SUM(doc_id) FROM documents WHERE doc_id < 400)
+           |  UNION ALL SELECT 'latest_rows',
+           |    (SELECT COUNT(*) FROM documents WHERE doc_id < 400)
+           |  UNION ALL SELECT 'replay_noop_version', 3
+           |  UNION ALL SELECT 'versions_committed', 3
+           |)
+           |ORDER BY metric""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
-    qIndexFsck, qIndexRepair, qVersionedStore, qVersionedVacuum,
+    qIndexFsck, qIndexRepair, qVersionedStore, qVersionedVacuum, qStreamVersioned,
     qUrlDedup, qPageRank, qHllTokens, qRobotsGate, qDistill, qCountMin, qInvertedIndex, qBm25,
     qBm25Index, qBm25IndexAppend, qBm25IndexCompact, qStreamBm25Indexed,
     qHybridRrfIndexed, qAggState, qAggStateCompact, qAggStateRetract, qStreamAggState,

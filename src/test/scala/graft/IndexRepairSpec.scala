@@ -87,6 +87,26 @@ class IndexRepairSpec extends AnyFunSuite {
       == vecs.count())
   }
 
+  test("report actions PARTITION the removed rows: a duplicated ghost posting counts once, as ghost") {
+    val dir = scratch("rep_bm25_ovl")
+    Retrieval.writeBm25Index(docs, "doc_id", "text", dir, termShards = 4)
+    // torn append (no doclens row) that was then crash-retried: the ghost
+    // rows land TWICE — they must show up only under the ghost action, or
+    // the report over-describes the repair by the overlap
+    val ghost = graft.engine.Tables.table(spark, sfDir, "documents")
+      .filter(col("doc_id").between(120, 129))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    val perAppend = ghost.count()
+    ghost.write.mode("append").parquet(s"$dir/postings")
+    ghost.write.mode("append").parquet(s"$dir/postings")
+    val rep = reportMap(IndexRepair.repairBm25Index(spark, dir, termShards = 4))
+    assert(rep("reclaimed_ghost_posting_rows") == 2 * perAppend)
+    assert(rep("collapsed_duplicate_posting_rows") == 0L)
+    assert(IndexFsck.checkBm25(spark, dir).agg(sum("violations"))
+      .collect().head.getLong(0) == 0L)
+  }
+
   test("repairClusterAssignment preserves singletons and never invents connectivity") {
     val stored = Seq(
       (5L, 9L),   // keeper above doc: must relabel to min 5

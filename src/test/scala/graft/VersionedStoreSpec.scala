@@ -144,6 +144,64 @@ class VersionedStoreSpec extends AnyFunSuite {
     assert(VersionedStore.diff(spark, dir, "t", 3L, 4L).count() == 32L)
   }
 
+  test("an append whose schema drifts from the stored segments is refused") {
+    val dir = scratch("vs_schema")
+    VersionedStore.create(spark, dir, Map("t" -> rows(0, 5)))
+    val drifted = (5 until 9).map(i => (i.toLong, s"row $i", "en"))
+      .toDF("id", "text", "lang")
+    val e = intercept[IllegalArgumentException] {
+      VersionedStore.append(spark, dir, Map("t" -> drifted))
+    }
+    assert(e.getMessage.contains("schema"))
+    assert(VersionedStore.versionNumbers(spark, dir) == Seq(1L))
+    // the sanctioned path: rewrite re-materializes every row in the new shape
+    VersionedStore.rewrite(spark, dir, note = "add lang") { cur =>
+      Map("t" -> cur("t").withColumn("lang", lit("und")))
+    }
+    VersionedStore.append(spark, dir, Map("t" -> drifted))
+    assert(VersionedStore.snapshot(spark, dir).table("t").count() == 9L)
+    assert(VersionedStore.snapshot(spark, dir).table("t")
+      .filter(col("lang") === "und").count() == 5L)
+  }
+
+  test("a manifest note with control characters round-trips (valid JSON)") {
+    val dir = scratch("vs_note")
+    VersionedStore.create(spark, dir, Map("t" -> rows(0, 3)),
+      note = "line1\nline2\t\"quoted\"")
+    assert(VersionedStore.versions(spark, dir).head.note ==
+      "line1\nline2\t\"quoted\"")
+  }
+
+  test("a 9-digit version number lists and reads (the %08d width is a minimum)") {
+    val dir = scratch("vs_wide")
+    VersionedStore.create(spark, dir, Map("t" -> rows(0, 3)))
+    val m1 = java.nio.file.Paths.get(s"$dir/_manifests/v00000001.json")
+    val wide = new String(java.nio.file.Files.readAllBytes(m1), "UTF-8")
+      .replace("\"version\":1", "\"version\":100000000")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/_manifests/v100000000.json"),
+      wide.getBytes("UTF-8"))
+    assert(VersionedStore.versionNumbers(spark, dir) == Seq(1L, 100000000L))
+    assert(VersionedStore.snapshot(spark, dir).version == 100000000L)
+    assert(VersionedStore.snapshot(spark, dir).table("t").count() == 3L)
+  }
+
+  test("appendOnce: a replayed tag commits nothing; a new tag commits; vacuum keeps the ledger") {
+    val dir = scratch("vs_once")
+    VersionedStore.create(spark, dir, Map("t" -> rows(0, 10)))
+    assert(VersionedStore.appendOnce(spark, dir, Map("t" -> rows(10, 20)), "b_0") == 2L)
+    // at-least-once replay: same tag, same (or even different) rows — no-op
+    assert(VersionedStore.appendOnce(spark, dir, Map("t" -> rows(10, 20)), "b_0") == 2L)
+    assert(VersionedStore.versionNumbers(spark, dir) == Seq(1L, 2L))
+    assert(VersionedStore.snapshot(spark, dir).table("t").count() == 20L)
+    assert(VersionedStore.appendOnce(spark, dir, Map("t" -> rows(20, 25)), "b_1") == 3L)
+    // vacuum at the documented replay horizon (keepLast=2): the last
+    // trigger's tag survives in the ledger, so its replay still no-ops
+    VersionedStore.vacuum(spark, dir, keepLast = 2)
+    assert(VersionedStore.appendOnce(spark, dir, Map("t" -> rows(20, 25)), "b_1") == 3L)
+    assert(VersionedStore.snapshot(spark, dir).table("t").count() == 25L)
+  }
+
   test("an all-empty append commits nothing (at-least-once replay hygiene)") {
     val dir = scratch("vs_empty")
     VersionedStore.create(spark, dir, Map("t" -> rows(0, 5)))
