@@ -3549,8 +3549,63 @@ object OperatorQueries {
            |)
            |ORDER BY metric""".stripMargin))
 
+  // The incremental-pipeline capstone, chaining the round's families:
+  // versioned corpus in (idempotent appends), quality verdicts over ONLY
+  // the diff since the consumer's checkpoint version, folded into a
+  // materialized aggregate rollup — the base corpus is processed exactly
+  // once and NEVER rescanned; each increment costs diff-sized work. The
+  // oracle recomputes the rollup from scratch over the full corpus, so a
+  // diff that misses a segment, a fold that double-counts, or a verdict
+  // drift between the base and incremental passes hash-fails.
+  private val qPipelineIncremental = df("q_pipeline_incremental_curate",
+    (spark, dir) => {
+      val docs = Tables.table(spark, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      val sdir = s"$bm25IdxScratch/${java.util.UUID.randomUUID().toString.take(8)}"
+      def verdicts(d: org.apache.spark.sql.DataFrame) = d.select(col("lang"),
+          size(split(col("text"), " ")).cast("bigint").as("n_toks"))
+        .withColumn("kept", when(col("n_toks").between(15, 80), 1L).otherwise(0L))
+        .select("lang", "kept", "n_toks")
+      graft.operators.VersionedStore.create(spark, s"$sdir/corpus",
+        Map("docs" -> docs.filter(col("doc_id") < 200)))
+      // the consumer processes its checkpoint version ONCE into the rollup
+      val v1 = graft.operators.VersionedStore.snapshot(spark, s"$sdir/corpus")
+      graft.operators.AggState.writeAggState(verdicts(v1.table("docs")),
+        s"$sdir/roll", Seq("lang", "kept"), Seq("n_toks"))
+      // two ingest batches land (idempotent, at-least-once-safe appends)
+      graft.operators.VersionedStore.appendOnce(spark, s"$sdir/corpus",
+        Map("docs" -> docs.filter(col("doc_id").between(200, 299))), "b_0")
+      graft.operators.VersionedStore.appendOnce(spark, s"$sdir/corpus",
+        Map("docs" -> docs.filter(col("doc_id").between(300, 399))), "b_1")
+      // the incremental pass: verdicts over ONLY the diff, one batch-sized fold
+      val latest = graft.operators.VersionedStore.snapshot(spark, s"$sdir/corpus")
+      val delta = graft.operators.VersionedStore.diff(spark, s"$sdir/corpus",
+        "docs", v1.version, latest.version)
+      graft.operators.AggState.foldAggState(verdicts(delta), s"$sdir/roll",
+        s"inc_${latest.version}", Seq("lang", "kept"), Seq("n_toks"))
+      graft.operators.AggState.readAggState(spark, s"$sdir/roll",
+        Seq("lang", "kept"), Seq("n_toks")).orderBy("lang", "kept")
+    },
+    Some("""WITH v AS (
+           |  SELECT lang,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+           |  FROM documents WHERE doc_id < 400
+           |), k AS (
+           |  SELECT lang,
+           |    CAST(CASE WHEN n_toks BETWEEN 15 AND 80 THEN 1 ELSE 0 END AS BIGINT) AS kept,
+           |    n_toks
+           |  FROM v
+           |)
+           |SELECT lang, kept,
+           |  CAST(COUNT(*) AS BIGINT) AS cnt,
+           |  CAST(SUM(CAST(n_toks AS DECIMAL(38,6))) AS DOUBLE) AS sum_n_toks,
+           |  MIN(n_toks) AS min_n_toks,
+           |  MAX(n_toks) AS max_n_toks
+           |FROM k GROUP BY lang, kept ORDER BY lang, kept""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     qIndexFsck, qIndexRepair, qVersionedStore, qVersionedVacuum, qStreamVersioned,
+    qPipelineIncremental,
     qUrlDedup, qPageRank, qHllTokens, qRobotsGate, qDistill, qCountMin, qInvertedIndex, qBm25,
     qBm25Index, qBm25IndexAppend, qBm25IndexCompact, qStreamBm25Indexed,
     qHybridRrfIndexed, qAggState, qAggStateCompact, qAggStateRetract, qStreamAggState,

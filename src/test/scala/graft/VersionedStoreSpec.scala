@@ -202,6 +202,53 @@ class VersionedStoreSpec extends AnyFunSuite {
     assert(VersionedStore.snapshot(spark, dir).table("t").count() == 25L)
   }
 
+  test("versioned stream restart from a durable checkpoint continues batchIds; a lost checkpoint discards new data") {
+    val dir = scratch("vs_restart")
+    val b1 = rows(100, 150)
+    val b2 = rows(150, 170)
+    VersionedStore.create(spark, dir + "/st", Map("t" -> rows(0, 100)))
+    def stage(df: org.apache.spark.sql.DataFrame, inDir: String, n: Int): Unit = {
+      new java.io.File(inDir).mkdirs()
+      val tmp = s"$dir/stage_${inDir.split('/').last}_$n"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$inDir/$n.parquet"))
+    }
+    def runOnce(inDir: String, ckpt: String): Unit = {
+      val stream = spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      val q = graft.streaming.StreamingVersioned.versionedIngestStream(
+        stream, s"$dir/st", "t", checkpointDir = ckpt)
+      q.processAllAvailable(); q.stop()
+    }
+    // ingest b1, STOP, restart as a brand-new query over the SAME durable
+    // checkpoint, ingest b2 — the restart must continue the batchId
+    // sequence (note ledger t_0 then t_1), not reissue 0
+    stage(b1, s"$dir/in1", 0)
+    runOnce(s"$dir/in1", s"$dir/ckpt")
+    stage(b2, s"$dir/in1", 1)
+    runOnce(s"$dir/in1", s"$dir/ckpt")
+    assert(VersionedStore.snapshot(spark, s"$dir/st").table("t").count() == 170L)
+    assert(VersionedStore.versions(spark, s"$dir/st").map(_.note) ==
+      Seq("create", "t_0", "t_1"))
+    // the documented lost-checkpoint failure mode, OBSERVED: a restart
+    // with a fresh checkpoint reissues batchId 0 for brand-new data; tag
+    // t_0 is already in the ledger, so the batch silently no-ops
+    stage(rows(900, 930), s"$dir/in2", 0)
+    runOnce(s"$dir/in2", s"$dir/ckpt_lost")
+    assert(VersionedStore.snapshot(spark, s"$dir/st").table("t").count() == 170L,
+      "the lost-checkpoint restart must exhibit the documented silent discard")
+    // which is why the loop refuses to start without an explicit checkpoint
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingVersioned.versionedIngestStream(
+        spark.readStream.schema(b1.schema).parquet(s"$dir/in2"),
+        s"$dir/st", "t", checkpointDir = "")
+    }
+    assert(e.getMessage.contains("durable checkpoint"))
+  }
+
   test("an all-empty append commits nothing (at-least-once replay hygiene)") {
     val dir = scratch("vs_empty")
     VersionedStore.create(spark, dir, Map("t" -> rows(0, 5)))
