@@ -101,7 +101,8 @@ object Bench {
       "q_pipeline_hybrid_rrf_indexed",
       "q_op_agg_state", "q_op_agg_state_compact", "q_op_agg_state_retract",
       "q_op_index_fsck", "q_op_index_repair",
-      "q_op_versioned_store", "q_op_versioned_vacuum")
+      "q_op_versioned_store", "q_op_versioned_vacuum", "q_op_versioned_prune",
+      "q_op_versioned_fsck", "q_pipeline_incremental_curate")
     val (churnQs, mainQs) = selected.partition(q =>
       q.name.startsWith("q_store_") || q.name.startsWith("q_stream_") ||
         indexLifecycle(q.name))

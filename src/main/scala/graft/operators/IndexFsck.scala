@@ -187,6 +187,83 @@ object IndexFsck {
         stored, Seq("doc_id")))
   }
 
+  /** The five versioned-store invariants — the FIFTH family joins the
+    * auditor ([[VersionedStore]]): a deployment audits an inherited store
+    * the same way it audits an inherited index.
+    *
+    *   - versioned/missing_segment_dirs — segments referenced by ANY
+    *     un-vacuumed manifest whose directory is gone (external deletion
+    *     or a partial restore — NEVER a crash shape: vacuum removes
+    *     dropped manifests before their segments, so a mid-vacuum crash
+    *     leaves extra files, not dangling references). Reads of the
+    *     affected versions fail mid-scan; vacuum past them or restore.
+    *   - versioned/orphan_segments — segment dirs no manifest references
+    *     (a writer that crashed before its commit). Invisible to every
+    *     read; the next vacuum reclaims them.
+    *   - versioned/broken_parent_chain — manifests whose parent is not
+    *     version−1 (versions always increment by one, so this only
+    *     happens to a hand-edited or foreign file).
+    *   - versioned/rows_stat_mismatch — latest-manifest segments whose
+    *     stored row count disagrees with the manifest's stamp.
+    *   - versioned/stat_bounds_mismatch — latest-manifest segments where
+    *     a recomputed column bound disagrees with the stamp (stats are
+    *     computed from the stored bytes at write time, so a mismatch
+    *     means external mutation of an "immutable" segment — and WRONG
+    *     stats make range pruning silently drop rows, which is why this
+    *     check exists). Repair: [[VersionedStore.restampStats]] commits
+    *     a new version with stats recomputed from the bytes.
+    *
+    * Cost: the three structural checks are listing-sized; the two stat
+    * checks re-scan the LATEST version's segments (count via row-group
+    * metadata, bounds via a columnar min/max pass) — one store scan,
+    * the price of distrusting the stamps. */
+  def checkVersionedStore(spark: SparkSession, dir: String): DataFrame = {
+    val f = IndexFiles.fs(spark, new org.apache.hadoop.fs.Path(dir))
+    val manifests = VersionedStore.versions(spark, dir)
+    require(manifests.nonEmpty,
+      s"IndexFsck.checkVersionedStore: no versions at $dir — not a " +
+        "versioned store")
+    val referenced = manifests
+      .flatMap(_.tables.values.flatten.map(_.name)).distinct
+    def segDir(s: String) = new org.apache.hadoop.fs.Path(s"$dir/_segments/$s")
+    val missing = referenced.count(s => !f.exists(segDir(s)))
+    val segsPath = new org.apache.hadoop.fs.Path(s"$dir/_segments")
+    val onDisk =
+      if (!f.exists(segsPath)) Seq.empty[String]
+      else f.listStatus(segsPath).toSeq.map(_.getPath.getName)
+    val orphans = onDisk.count(!referenced.contains(_))
+    val chain = manifests.count(m => m.parent != m.version - 1)
+    val latest = manifests.last
+    var rowsBad = 0L
+    var boundsBad = 0L
+    latest.tables.values.flatten.foreach { s =>
+      if (f.exists(segDir(s.name))) {
+        val stored = spark.read.parquet(segDir(s.name).toString)
+        val statCols = (s.min.keySet ++ s.max.keySet).toSeq.sorted
+        val aggs = count(lit(1)).cast("long").as("__rows") +:
+          statCols.flatMap(c => Seq(
+            min(col(c)).cast("long").as(s"__mn_$c"),
+            max(col(c)).cast("long").as(s"__mx_$c")))
+        val row = stored.agg(aggs.head, aggs.tail: _*).collect().head
+        if (row.getLong(0) != s.rows) rowsBad += 1
+        val boundsOk = statCols.zipWithIndex.forall { case (c, i) =>
+          !row.isNullAt(1 + 2 * i) && !row.isNullAt(2 + 2 * i) &&
+            s.min.get(c).contains(row.getLong(1 + 2 * i)) &&
+            s.max.get(c).contains(row.getLong(2 + 2 * i))
+        }
+        if (!boundsOk) boundsBad += 1
+      }
+    }
+    import spark.implicits._
+    Seq(
+      ("versioned", "broken_parent_chain", chain.toLong),
+      ("versioned", "missing_segment_dirs", missing.toLong),
+      ("versioned", "orphan_segments", orphans.toLong),
+      ("versioned", "rows_stat_mismatch", rowsBad),
+      ("versioned", "stat_bounds_mismatch", boundsBad))
+      .toDF("family", "check", "violations")
+  }
+
   /** The three residual-IVF-PQ invariants; m comes from the stored
     * `_meta.json` (geometry is a build property, never a parameter). */
   def checkIvfPq(spark: SparkSession, dir: String): DataFrame = {

@@ -66,8 +66,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * object-store-sensitive operation. */
 object VersionedStore {
 
+  /** One immutable segment plus its zero-config statistics: row count and
+    * per-column min/max for every top-level INTEGRAL column (long/int/
+    * short/byte, stored as long) — parquet row-group stats lifted one
+    * level, so readers can skip whole segments without opening a footer.
+    * Computed from the STORED files after the write (not from a second
+    * evaluation of the batch plan, which a non-deterministic batch could
+    * drift from — the same reason the index appends localCheckpoint), so
+    * the stats are true of the bytes by construction. Columns absent from
+    * the maps (non-integral, or all-null in this segment) are simply not
+    * prunable — reads stay conservative. */
+  final case class SegMeta(name: String, rows: Long,
+                           min: Map[String, Long], max: Map[String, Long])
+
   final case class Manifest(version: Long, parent: Long, note: String,
-                            tables: Map[String, Seq[String]])
+                            tables: Map[String, Seq[SegMeta]])
 
   /** A pinned, immutable view of one version. Every [[table]] call reads
     * only segments the manifest names — commits after the pin are
@@ -79,12 +92,46 @@ object VersionedStore {
 
     def tableNames: Seq[String] = manifest.tables.keys.toSeq.sorted
 
-    def table(name: String): DataFrame = {
-      val segs = manifest.tables.getOrElse(name,
+    private def segsOf(name: String): Seq[SegMeta] =
+      manifest.tables.getOrElse(name,
         throw new IllegalArgumentException(
           s"VersionedStore: no table '$name' in version ${manifest.version} " +
             s"at $dir — tables: ${tableNames.mkString(", ")}"))
-      spark.read.parquet(segs.map(s => s"$dir/_segments/$s"): _*)
+
+    def table(name: String): DataFrame = {
+      val segs = segsOf(name)
+      spark.read.parquet(segs.map(s => s"$dir/_segments/${s.name}"): _*)
+    }
+
+    /** Exact row count from the manifest statistics — O(1), no file I/O.
+      * (Stats are computed from the stored bytes at write time.) */
+    def rowCount(name: String): Long = segsOf(name).map(_.rows).sum
+
+    /** Rows of `name` with `col` in [lo, hi], reading ONLY the segments
+      * whose stored min/max overlap the range — segment-level pruning,
+      * the versioned store's partition elimination: an id- or time-window
+      * consumer over a 10k-segment corpus opens the handful of segments
+      * that can match, before parquet's own row-group stats prune further.
+      * Segments without stats for `col` (non-integral, all-null, or a
+      * legacy write) are read conservatively. The range filter is still
+      * applied, so the result is exactly `table(name).filter(col between
+      * lo and hi)` — pruning changes I/O, never the answer. */
+    def tableRange(name: String, col: String, lo: Long, hi: Long): DataFrame = {
+      require(lo <= hi, s"VersionedStore.tableRange: lo=$lo > hi=$hi")
+      val segs = segsOf(name)
+      val candidates = segs.filter { s =>
+        (s.min.get(col), s.max.get(col)) match {
+          case (Some(mn), Some(mx)) => mn <= hi && mx >= lo
+          case _ => true // no stats for this column — cannot skip
+        }
+      }
+      val pred = org.apache.spark.sql.functions.col(col).between(lo, hi)
+      if (candidates.isEmpty)
+        // preserve the schema without scanning data (segments exist —
+        // create/append never commit an empty table)
+        spark.read.parquet(s"$dir/_segments/${segs.head.name}").limit(0).filter(pred)
+      else spark.read.parquet(
+        candidates.map(s => s"$dir/_segments/${s.name}"): _*).filter(pred)
     }
   }
 
@@ -145,10 +192,34 @@ object VersionedStore {
         s"VersionedStore: manifest v$v at $dir field $name = $other")
     }
     val note = (j \ "note") match { case JString(x) => x; case _ => "" }
+    def longsOf(name: String, seg: String, o: JValue): Map[String, Long] = o match {
+      case JObject(fs) => fs.map {
+        case (c, JInt(x)) => c -> x.toLong
+        case (c, JLong(x)) => c -> x
+        case (c, other) => throw new IllegalStateException(
+          s"VersionedStore: manifest v$v at $dir table $name seg $seg stat $c = $other")
+      }.toMap
+      case JNothing => Map.empty
+      case other => throw new IllegalStateException(
+        s"VersionedStore: manifest v$v at $dir table $name seg $seg stats = $other")
+    }
     val tables = (j \ "tables") match {
       case JObject(fields) => fields.map {
         case (name, JArray(segs)) => name -> segs.map {
-          case JString(seg) => seg
+          case o @ JObject(_) =>
+            val segName = (o \ "seg") match {
+              case JString(s) => s
+              case other => throw new IllegalStateException(
+                s"VersionedStore: manifest v$v at $dir table $name seg = $other")
+            }
+            val rows = (o \ "rows") match {
+              case JInt(x) => x.toLong
+              case JLong(x) => x
+              case other => throw new IllegalStateException(
+                s"VersionedStore: manifest v$v at $dir table $name seg $segName rows = $other")
+            }
+            SegMeta(segName, rows,
+              longsOf(name, segName, o \ "min"), longsOf(name, segName, o \ "max"))
           case other => throw new IllegalStateException(
             s"VersionedStore: manifest v$v at $dir table $name segment = $other")
         }
@@ -179,8 +250,14 @@ object VersionedStore {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
+    def statsJson(stats: Map[String, Long]): String =
+      stats.toSeq.sortBy(_._1)
+        .map { case (c, x) => s""""${esc(c)}":$x""" }.mkString("{", ",", "}")
+    def segJson(s: SegMeta): String =
+      s"""{"seg":"${esc(s.name)}","rows":${s.rows},""" +
+        s""""min":${statsJson(s.min)},"max":${statsJson(s.max)}}"""
     val tables = m.tables.toSeq.sortBy(_._1).map { case (n, segs) =>
-      s""""${esc(n)}":[${segs.map(s => s""""${esc(s)}"""").mkString(",")}]"""
+      s""""${esc(n)}":[${segs.map(segJson).mkString(",")}]"""
     }.mkString(",")
     s"""{"version":${m.version},"parent":${m.parent},"note":"${esc(m.note)}","tables":{$tables}}"""
   }
@@ -211,11 +288,60 @@ object VersionedStore {
     m.version
   }
 
-  private def writeSegment(dir: String, df: DataFrame): String = {
+  // Write the segment, then compute its stats FROM THE STORED FILES: a
+  // second evaluation of a non-deterministic batch plan could produce
+  // stats the stored rows don't satisfy — pruning would then silently
+  // drop matching rows, the worst failure shape here. The read-back is
+  // segment-sized and columnar (count comes from row-group metadata; the
+  // min/max scan touches only the integral columns).
+  private def writeSegment(spark: SparkSession, dir: String,
+                           df: DataFrame): SegMeta = {
     val name = java.util.UUID.randomUUID().toString.take(12)
     df.write.mode("error").parquet(s"$dir/_segments/$name")
-    name
+    statsOf(spark, dir, name)
   }
+
+  /** Statistics of a stored segment, from its bytes: exact row count
+    * (row-group metadata) + min/max per integral column (columnar scan).
+    * The one stats producer — writes and restamps share it, so the stamp
+    * and the recomputation can never disagree by construction. */
+  private def statsOf(spark: SparkSession, dir: String, name: String): SegMeta = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val stored = spark.read.parquet(s"$dir/_segments/$name")
+    val statCols = stored.schema.fields.collect {
+      case f if Seq(ByteType, ShortType, IntegerType, LongType).contains(f.dataType) =>
+        f.name
+    }.toSeq
+    val aggs = count(lit(1)).cast("long").as("__rows") +: statCols.flatMap(c =>
+      Seq(min(col(c)).cast("long").as(s"__mn_$c"),
+        max(col(c)).cast("long").as(s"__mx_$c")))
+    val row = stored.agg(aggs.head, aggs.tail: _*).collect().head
+    val mins = statCols.zipWithIndex.flatMap { case (c, i) =>
+      if (row.isNullAt(1 + 2 * i)) None else Some(c -> row.getLong(1 + 2 * i))
+    }.toMap
+    val maxs = statCols.zipWithIndex.flatMap { case (c, i) =>
+      if (row.isNullAt(2 + 2 * i)) None else Some(c -> row.getLong(2 + 2 * i))
+    }.toMap
+    SegMeta(name, row.getLong(0), mins, maxs)
+  }
+
+  /** Re-stamp the latest version's statistics from the stored bytes —
+    * the named repair for [[IndexFsck.checkVersionedStore]]'s stat
+    * mismatches (wrong stats make range pruning silently drop rows).
+    * Manifests are immutable, so the fix is a NEW version carrying the
+    * SAME segment files with recomputed stats, not an edit; older
+    * versions keep their (possibly wrong) stamps until vacuumed. Costs
+    * one store scan, same as the check. */
+  def restampStats(spark: SparkSession, dir: String,
+                   note: String = "restamp stats"): Long =
+    IndexFiles.withWriteLease(spark, dir, "VersionedStore.restampStats") {
+      val cur = snapshot(spark, dir).manifest
+      val tables = cur.tables.map { case (n, segs) =>
+        n -> segs.map(s => statsOf(spark, dir, s.name))
+      }
+      commit(spark, dir, Manifest(cur.version + 1, cur.version, note, tables))
+    }
 
   /** Pin a snapshot of `version` (default: the latest). */
   def snapshot(spark: SparkSession, dir: String,
@@ -243,7 +369,7 @@ object VersionedStore {
         s"VersionedStore.create: $dir already has versions — use append/" +
           "rewrite, or vacuum a retired store away explicitly")
       require(tables.nonEmpty, "VersionedStore.create: no tables")
-      val segs = tables.map { case (n, df) => n -> Seq(writeSegment(dir, df)) }
+      val segs = tables.map { case (n, df) => n -> Seq(writeSegment(spark, dir, df)) }
       commit(spark, dir, Manifest(1L, 0L, note, segs))
     }
 
@@ -287,7 +413,7 @@ object VersionedStore {
       val nonEmpty = batches.filter { case (_, df) => !df.isEmpty }
       if (nonEmpty.isEmpty) cur.version
       else {
-      val appended = nonEmpty.map { case (n, df) => n -> writeSegment(dir, df) }
+      val appended = nonEmpty.map { case (n, df) => n -> writeSegment(spark, dir, df) }
       val tables = (cur.tables.keySet ++ appended.keySet).map { n =>
         n -> (cur.tables.getOrElse(n, Seq.empty) ++ appended.get(n).toSeq)
       }.toMap
@@ -340,7 +466,7 @@ object VersionedStore {
         s"VersionedStore.rewrite: returned tables that don't exist: " +
           s"${unknown.mkString(", ")} — create new tables via append")
       val tables = cur.manifest.tables.map { case (n, segs) =>
-        n -> replaced.get(n).map(df => Seq(writeSegment(dir, df))).getOrElse(segs)
+        n -> replaced.get(n).map(df => Seq(writeSegment(spark, dir, df))).getOrElse(segs)
       }
       commit(spark, dir,
         Manifest(cur.version + 1, cur.version, note, tables))
@@ -355,14 +481,15 @@ object VersionedStore {
   def diff(spark: SparkSession, dir: String, table: String,
            from: Long, to: Long): DataFrame = {
     require(from <= to, s"VersionedStore.diff: from=$from > to=$to")
-    val older = readManifest(spark, dir, from).tables.getOrElse(table, Seq.empty).toSet
+    val older = readManifest(spark, dir, from).tables
+      .getOrElse(table, Seq.empty).map(_.name).toSet
     val newer = readManifest(spark, dir, to).tables.getOrElse(table,
       throw new IllegalArgumentException(
         s"VersionedStore.diff: no table '$table' in version $to at $dir"))
-    val added = newer.filterNot(older)
+    val added = newer.filterNot(s => older.contains(s.name))
     if (added.isEmpty)
       snapshot(spark, dir, Some(to)).table(table).limit(0)
-    else spark.read.parquet(added.map(s => s"$dir/_segments/$s"): _*)
+    else spark.read.parquet(added.map(s => s"$dir/_segments/${s.name}"): _*)
   }
 
   /** Reclaim space: keep the newest `keepLast` manifests, delete the
@@ -382,7 +509,7 @@ object VersionedStore {
       require(all.nonEmpty, s"VersionedStore.vacuum: no versions at $dir")
       val (drop, keep) = all.splitAt(math.max(0, all.size - keepLast))
       val referenced = keep.map(readManifest(spark, dir, _))
-        .flatMap(_.tables.values.flatten).toSet
+        .flatMap(_.tables.values.flatten.map(_.name)).toSet
       // dropped MANIFESTS delete first: once they are gone, a crash at any
       // later point leaves only unreferenced segments (harmless, swept by
       // the next vacuum). The reverse order has a window where a still-

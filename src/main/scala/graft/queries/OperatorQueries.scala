@@ -3549,6 +3549,138 @@ object OperatorQueries {
            |)
            |ORDER BY metric""".stripMargin))
 
+  // Segment-level statistics + range-pruned reads (VersionedStore): four
+  // appended segments with disjoint id ranges; a range read spanning two
+  // of them must open EXACTLY those two segments' files (counted from
+  // inputFiles — the I/O pin, not just the answer) while returning
+  // exactly the full-scan filter's rows; rowCount comes from the manifest
+  // alone. A stats writer that records wrong bounds either over-opens
+  // (segments_scanned mismatch) or silently drops rows (range_rows /
+  // id-sum mismatch) — both hash-fail.
+  private val qVersionedPrune = df("q_op_versioned_prune",
+    (spark, dir) => {
+      val docs = Tables.table(spark, dir, "documents").select(col("doc_id"), col("text"))
+      val base = s"$bm25IdxScratch/${java.util.UUID.randomUUID().toString.take(8)}"
+      graft.operators.VersionedStore.create(spark, base,
+        Map("docs" -> docs.filter(col("doc_id") < 100)))
+      Seq((100, 199), (200, 299), (300, 399)).foreach { case (lo, hi) =>
+        graft.operators.VersionedStore.append(spark, base,
+          Map("docs" -> docs.filter(col("doc_id").between(lo, hi))))
+      }
+      val snap = graft.operators.VersionedStore.snapshot(spark, base)
+      val pruned = snap.tableRange("docs", "doc_id", 150L, 249L)
+      val scanned = pruned.inputFiles
+        .map(f => f.split("/_segments/")(1).split("/")(0)).distinct.length
+      def one(metric: String, v: org.apache.spark.sql.Column,
+              from: org.apache.spark.sql.DataFrame) =
+        from.agg(v.cast("bigint").as("n"))
+          .select(lit(metric).as("metric"), col("n"))
+      import spark.implicits._
+      Seq(
+        ("rowcount_meta", snap.rowCount("docs")),
+        ("segments_total", snap.manifest.tables("docs").size.toLong),
+        ("segments_scanned", scanned.toLong)).toDF("metric", "n")
+        .unionAll(one("range_rows", count(lit(1)), pruned))
+        .unionAll(one("range_id_sum", sum(col("doc_id")), pruned))
+        .orderBy("metric")
+    },
+    Some("""SELECT metric, CAST(n AS BIGINT) AS n FROM (
+           |  SELECT 'range_id_sum' AS metric,
+           |    (SELECT SUM(doc_id) FROM documents WHERE doc_id BETWEEN 150 AND 249) AS n
+           |  UNION ALL SELECT 'range_rows',
+           |    (SELECT COUNT(*) FROM documents WHERE doc_id BETWEEN 150 AND 249)
+           |  UNION ALL SELECT 'rowcount_meta',
+           |    (SELECT COUNT(*) FROM documents WHERE doc_id < 400)
+           |  UNION ALL SELECT 'segments_scanned', 2
+           |  UNION ALL SELECT 'segments_total', 4
+           |)
+           |ORDER BY metric""".stripMargin))
+
+  // The FIFTH family joins the auditor (IndexFsck.checkVersionedStore):
+  // plant all five violation classes — an externally deleted segment
+  // referenced by an old version, a crashed writer's orphan segment, and
+  // a hand-planted manifest that breaks the parent chain and carries
+  // wrong row/bound stamps (wrong stats make range pruning silently DROP
+  // rows, the worst shape) — then heal: restampStats fixes the stat
+  // classes from the stored bytes, vacuum reclaims the structural ones,
+  // and the post-audit reads all-zeros while the surviving table's
+  // content is exactly the DuckDB recompute.
+  private val qVersionedFsck = df("q_op_versioned_fsck",
+    (spark, dir) => {
+      val docs = Tables.table(spark, dir, "documents").select(col("doc_id"), col("text"))
+      val base = s"$bm25IdxScratch/${java.util.UUID.randomUUID().toString.take(8)}"
+      graft.operators.VersionedStore.create(spark, base, Map(
+        "docs" -> docs.filter(col("doc_id") < 100),
+        "lens" -> docs.filter(col("doc_id") < 100).select(col("doc_id"))))
+      val v1segs = graft.operators.VersionedStore.snapshot(spark, base)
+        .manifest.tables("docs").map(_.name)
+      graft.operators.VersionedStore.rewrite(spark, base, note = "retention") { cur =>
+        Map("docs" -> cur("docs").filter(col("doc_id") < 60),
+          "lens" -> cur("lens").filter(col("doc_id") < 60))
+      }
+      // plant 1: external deletion of a segment only v1 references
+      val hconf = spark.sessionState.newHadoopConf()
+      val segPath = new org.apache.hadoop.fs.Path(s"$base/_segments/${v1segs.head}")
+      segPath.getFileSystem(hconf).delete(segPath, true)
+      // plant 2: a crashed writer's orphan segment
+      docs.filter(col("doc_id") < 5)
+        .write.parquet(s"$base/_segments/orphan-fsck")
+      // plant 3: a hand-planted manifest — skips v3 (broken parent chain)
+      // and stamps wrong stats (rows +5 on docs, min -10 on lens)
+      val m2 = graft.operators.VersionedStore.snapshot(spark, base).manifest
+      val d2 = m2.tables("docs").head
+      val l2 = m2.tables("lens").head
+      graft.operators.VersionedStore.commit(spark, base,
+        graft.operators.VersionedStore.Manifest(4L, 2L, "planted", Map(
+          "docs" -> Seq(d2.copy(rows = d2.rows + 5)),
+          "lens" -> Seq(l2.copy(min = l2.min.updated("doc_id",
+            l2.min("doc_id") - 10))))))
+      val pre = graft.operators.IndexFsck.checkVersionedStore(spark, base)
+        .select(concat(lit("pre_"), col("check")).as("metric"),
+          col("violations").as("n"))
+      // heal: stats from the bytes, structure from the vacuum
+      graft.operators.VersionedStore.restampStats(spark, base)
+      val (vs, vm) = graft.operators.VersionedStore.vacuum(spark, base, keepLast = 1)
+      val post = graft.operators.IndexFsck.checkVersionedStore(spark, base)
+        .select(concat(lit("post_"), col("check")).as("metric"),
+          col("violations").as("n"))
+      val healed = graft.operators.VersionedStore.snapshot(spark, base)
+      def one(metric: String, v: org.apache.spark.sql.Column,
+              from: org.apache.spark.sql.DataFrame) =
+        from.agg(v.cast("bigint").as("n"))
+          .select(lit(metric).as("metric"), col("n"))
+      import spark.implicits._
+      Seq(
+        ("vacuum_segments_deleted", vs.toLong),
+        ("vacuum_manifests_deleted", vm.toLong),
+        ("rowcount_meta", healed.rowCount("docs"))).toDF("metric", "n")
+        .unionAll(pre).unionAll(post)
+        .unionAll(one("after_rows", count(lit(1)), healed.table("docs")))
+        .unionAll(one("after_id_sum", sum(col("doc_id")), healed.table("docs")))
+        .orderBy("metric")
+    },
+    Some("""SELECT metric, CAST(n AS BIGINT) AS n FROM (
+           |  SELECT 'after_id_sum' AS metric,
+           |    (SELECT SUM(doc_id) FROM documents WHERE doc_id < 60) AS n
+           |  UNION ALL SELECT 'after_rows',
+           |    (SELECT COUNT(*) FROM documents WHERE doc_id < 60)
+           |  UNION ALL SELECT 'rowcount_meta',
+           |    (SELECT COUNT(*) FROM documents WHERE doc_id < 60)
+           |  UNION ALL SELECT 'pre_broken_parent_chain', 1
+           |  UNION ALL SELECT 'pre_missing_segment_dirs', 1
+           |  UNION ALL SELECT 'pre_orphan_segments', 1
+           |  UNION ALL SELECT 'pre_rows_stat_mismatch', 1
+           |  UNION ALL SELECT 'pre_stat_bounds_mismatch', 1
+           |  UNION ALL SELECT 'post_broken_parent_chain', 0
+           |  UNION ALL SELECT 'post_missing_segment_dirs', 0
+           |  UNION ALL SELECT 'post_orphan_segments', 0
+           |  UNION ALL SELECT 'post_rows_stat_mismatch', 0
+           |  UNION ALL SELECT 'post_stat_bounds_mismatch', 0
+           |  UNION ALL SELECT 'vacuum_segments_deleted', 2
+           |  UNION ALL SELECT 'vacuum_manifests_deleted', 3
+           |)
+           |ORDER BY metric""".stripMargin))
+
   // The incremental-pipeline capstone, chaining the round's families:
   // versioned corpus in (idempotent appends), quality verdicts over ONLY
   // the diff since the consumer's checkpoint version, folded into a
@@ -3605,7 +3737,7 @@ object OperatorQueries {
 
   val all: Seq[QueryDef] = Seq(
     qIndexFsck, qIndexRepair, qVersionedStore, qVersionedVacuum, qStreamVersioned,
-    qPipelineIncremental,
+    qVersionedPrune, qVersionedFsck, qPipelineIncremental,
     qUrlDedup, qPageRank, qHllTokens, qRobotsGate, qDistill, qCountMin, qInvertedIndex, qBm25,
     qBm25Index, qBm25IndexAppend, qBm25IndexCompact, qStreamBm25Indexed,
     qHybridRrfIndexed, qAggState, qAggStateCompact, qAggStateRetract, qStreamAggState,

@@ -103,7 +103,8 @@ class VersionedStoreSpec extends AnyFunSuite {
       planted.getBytes("UTF-8"))
     val e = intercept[IllegalStateException] {
       VersionedStore.commit(spark, dir,
-        VersionedStore.Manifest(2L, 1L, "loser", Map("t" -> Seq("nope"))))
+        VersionedStore.Manifest(2L, 1L, "loser",
+          Map("t" -> Seq(VersionedStore.SegMeta("nope", 0L, Map.empty, Map.empty)))))
     }
     assert(e.getMessage.contains("lost the commit race"))
     // the racer's manifest is untouched and no dot-tmp litter remains
@@ -247,6 +248,51 @@ class VersionedStoreSpec extends AnyFunSuite {
         s"$dir/st", "t", checkpointDir = "")
     }
     assert(e.getMessage.contains("durable checkpoint"))
+  }
+
+  test("segment statistics: O(1) rowCount; range reads open ONLY overlapping segments; pruning never changes the answer") {
+    val dir = scratch("vs_stats")
+    VersionedStore.create(spark, dir, Map("t" -> rows(0, 100)))
+    VersionedStore.append(spark, dir, Map("t" -> rows(100, 200)))
+    VersionedStore.append(spark, dir, Map("t" -> rows(200, 300)))
+    val snap = VersionedStore.snapshot(spark, dir)
+    assert(snap.rowCount("t") == 300L)
+    // the range lives entirely in the middle segment — its files are the
+    // only ones the pruned read opens (the inputFiles pin)
+    val pruned = snap.tableRange("t", "id", 120, 180)
+    val midSeg = snap.manifest.tables("t")
+      .find(s => s.min("id") == 100L && s.max("id") == 199L).get
+    assert(pruned.inputFiles.nonEmpty &&
+      pruned.inputFiles.forall(_.contains(midSeg.name)))
+    assert(pruned.count() == 61L)
+    assert(pruned.agg(sum("id")).collect().head.getLong(0) ==
+      snap.table("t").filter(col("id").between(120, 180))
+        .agg(sum("id")).collect().head.getLong(0))
+    // a range past every segment reads nothing but keeps the schema
+    val none = snap.tableRange("t", "id", 1000, 2000)
+    assert(none.count() == 0L && none.columns.toSeq == Seq("id", "text"))
+    // stats follow a rewrite (recomputed from the rewritten bytes)
+    VersionedStore.rewrite(spark, dir) { cur =>
+      Map("t" -> cur("t").filter(col("id") < 150))
+    }
+    val snap2 = VersionedStore.snapshot(spark, dir)
+    assert(snap2.rowCount("t") == 150L)
+    assert(snap2.manifest.tables("t").head.max("id") == 149L)
+  }
+
+  test("checkVersionedStore reads all-zeros on a clean store; restampStats is content-neutral") {
+    val dir = scratch("vs_fsck")
+    VersionedStore.create(spark, dir, Map("t" -> rows(0, 40)))
+    VersionedStore.append(spark, dir, Map("t" -> rows(40, 70)))
+    assert(graft.operators.IndexFsck.checkVersionedStore(spark, dir)
+      .agg(sum("violations")).collect().head.getLong(0) == 0L)
+    val v = VersionedStore.restampStats(spark, dir)
+    assert(v == 3L)
+    val snap = VersionedStore.snapshot(spark, dir)
+    assert(snap.rowCount("t") == 70L)
+    assert(snap.table("t").count() == 70L)
+    assert(graft.operators.IndexFsck.checkVersionedStore(spark, dir)
+      .agg(sum("violations")).collect().head.getLong(0) == 0L)
   }
 
   test("an all-empty append commits nothing (at-least-once replay hygiene)") {
