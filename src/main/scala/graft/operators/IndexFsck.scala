@@ -224,7 +224,7 @@ object IndexFsck {
       s"IndexFsck.checkVersionedStore: no versions at $dir — not a " +
         "versioned store")
     val referenced = manifests
-      .flatMap(_.tables.values.flatten.map(_.name)).distinct
+      .flatMap(_.tables.values.flatten.map(_.name)).toSet
     def segDir(s: String) = new org.apache.hadoop.fs.Path(s"$dir/_segments/$s")
     val missing = referenced.count(s => !f.exists(segDir(s)))
     val segsPath = new org.apache.hadoop.fs.Path(s"$dir/_segments")
@@ -238,20 +238,31 @@ object IndexFsck {
     var boundsBad = 0L
     latest.tables.values.flatten.foreach { s =>
       if (f.exists(segDir(s.name))) {
-        val stored = spark.read.parquet(segDir(s.name).toString)
-        val statCols = (s.min.keySet ++ s.max.keySet).toSeq.sorted
-        val aggs = count(lit(1)).cast("long").as("__rows") +:
-          statCols.flatMap(c => Seq(
-            min(col(c)).cast("long").as(s"__mn_$c"),
-            max(col(c)).cast("long").as(s"__mx_$c")))
-        val row = stored.agg(aggs.head, aggs.tail: _*).collect().head
-        if (row.getLong(0) != s.rows) rowsBad += 1
-        val boundsOk = statCols.zipWithIndex.forall { case (c, i) =>
-          !row.isNullAt(1 + 2 * i) && !row.isNullAt(2 + 2 * i) &&
-            s.min.get(c).contains(row.getLong(1 + 2 * i)) &&
-            s.max.get(c).contains(row.getLong(2 + 2 * i))
+        // recompute through the ONE stats producer (VersionedStore.statsOf
+        // — the same code the write stamped with), so the auditor and the
+        // writer cannot drift onto different column selections or casts.
+        // A segment the producer can no longer read (externally emptied,
+        // or a stamped column dropped by external rewrite) counts against
+        // BOTH stat checks rather than crashing the audit — an
+        // unverifiable stamp is a mismatched stamp.
+        val recomputed = try Some(VersionedStore.statsOf(spark, dir, s.name))
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[graft] checkVersionedStore: segment " +
+            s"${s.name} unreadable for stat recomputation (${e.getMessage})")
+          None
         }
-        if (!boundsOk) boundsBad += 1
+        recomputed match {
+          case None =>
+            rowsBad += 1
+            boundsBad += 1
+          case Some(r) =>
+            if (s.rows != VersionedStore.UnknownRows && r.rows != s.rows)
+              rowsBad += 1
+            val statCols = (s.min.keySet ++ s.max.keySet).toSeq.sorted
+            val boundsOk = statCols.forall(c =>
+              r.min.get(c) == s.min.get(c) && r.max.get(c) == s.max.get(c))
+            if (!boundsOk) boundsBad += 1
+        }
       }
     }
     import spark.implicits._

@@ -79,6 +79,12 @@ object VersionedStore {
   final case class SegMeta(name: String, rows: Long,
                            min: Map[String, Long], max: Map[String, Long])
 
+  /** Sentinel row count for a segment from a pre-statistics manifest —
+    * [[Snapshot.rowCount]] falls back to counting, everything else treats
+    * the segment as stat-less (conservative). [[restampStats]] upgrades
+    * a whole store to real stats in one commit. */
+  val UnknownRows: Long = -1L
+
   final case class Manifest(version: Long, parent: Long, note: String,
                             tables: Map[String, Seq[SegMeta]])
 
@@ -104,8 +110,14 @@ object VersionedStore {
     }
 
     /** Exact row count from the manifest statistics — O(1), no file I/O.
-      * (Stats are computed from the stored bytes at write time.) */
-    def rowCount(name: String): Long = segsOf(name).map(_.rows).sum
+      * (Stats are computed from the stored bytes at write time.) Falls
+      * back to a real count when any segment predates the statistics
+      * format; [[restampStats]] upgrades the store. */
+    def rowCount(name: String): Long = {
+      val segs = segsOf(name)
+      if (segs.exists(_.rows == UnknownRows)) table(name).count()
+      else segs.map(_.rows).sum
+    }
 
     /** Rows of `name` with `col` in [lo, hi], reading ONLY the segments
       * whose stored min/max overlap the range — segment-level pruning,
@@ -125,7 +137,7 @@ object VersionedStore {
           case _ => true // no stats for this column — cannot skip
         }
       }
-      val pred = org.apache.spark.sql.functions.col(col).between(lo, hi)
+      val pred = org.apache.spark.sql.functions.col(s"`$col`").between(lo, hi)
       if (candidates.isEmpty)
         // preserve the schema without scanning data (segments exist —
         // create/append never commit an empty table)
@@ -206,6 +218,11 @@ object VersionedStore {
     val tables = (j \ "tables") match {
       case JObject(fields) => fields.map {
         case (name, JArray(segs)) => name -> segs.map {
+          // pre-statistics manifests listed bare segment-name strings;
+          // accept them as stat-less segments (rows = UnknownRows) so an
+          // older store stays readable — rowCount falls back to a real
+          // count and every pruning/stat check treats them conservatively
+          case JString(seg) => SegMeta(seg, UnknownRows, Map.empty, Map.empty)
           case o @ JObject(_) =>
             val segName = (o \ "seg") match {
               case JString(s) => s
@@ -303,9 +320,13 @@ object VersionedStore {
 
   /** Statistics of a stored segment, from its bytes: exact row count
     * (row-group metadata) + min/max per integral column (columnar scan).
-    * The one stats producer — writes and restamps share it, so the stamp
-    * and the recomputation can never disagree by construction. */
-  private def statsOf(spark: SparkSession, dir: String, name: String): SegMeta = {
+    * The one stats producer — writes, restamps, AND the auditor's
+    * recomputation ([[IndexFsck.checkVersionedStore]]) share it, so the
+    * stamp and the recomputation can never disagree by construction.
+    * Column references are backtick-quoted: a dotted column name would
+    * otherwise parse as nested-field access and fail the write. */
+  private[operators] def statsOf(spark: SparkSession, dir: String,
+                                 name: String): SegMeta = {
     import org.apache.spark.sql.functions.{col, count, lit, max, min}
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val stored = spark.read.parquet(s"$dir/_segments/$name")
@@ -314,8 +335,8 @@ object VersionedStore {
         f.name
     }.toSeq
     val aggs = count(lit(1)).cast("long").as("__rows") +: statCols.flatMap(c =>
-      Seq(min(col(c)).cast("long").as(s"__mn_$c"),
-        max(col(c)).cast("long").as(s"__mx_$c")))
+      Seq(min(col(s"`$c`")).cast("long").as(s"__mn_$c"),
+        max(col(s"`$c`")).cast("long").as(s"__mx_$c")))
     val row = stored.agg(aggs.head, aggs.tail: _*).collect().head
     val mins = statCols.zipWithIndex.flatMap { case (c, i) =>
       if (row.isNullAt(1 + 2 * i)) None else Some(c -> row.getLong(1 + 2 * i))

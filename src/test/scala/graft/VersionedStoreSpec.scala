@@ -295,6 +295,27 @@ class VersionedStoreSpec extends AnyFunSuite {
       .agg(sum("violations")).collect().head.getLong(0) == 0L)
   }
 
+  test("a pre-statistics manifest (bare segment names) stays readable; rowCount falls back; restamp upgrades") {
+    val dir = scratch("vs_legacy")
+    VersionedStore.create(spark, dir, Map("t" -> rows(0, 25)))
+    val seg = VersionedStore.snapshot(spark, dir).manifest.tables("t").head.name
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/_manifests/v00000002.json"),
+      s"""{"version":2,"parent":1,"note":"legacy","tables":{"t":["$seg"]}}"""
+        .getBytes("UTF-8"))
+    val snap = VersionedStore.snapshot(spark, dir)
+    assert(snap.version == 2L)
+    assert(snap.manifest.tables("t").head.rows == VersionedStore.UnknownRows)
+    assert(snap.rowCount("t") == 25L) // falls back to a real count
+    // stat-less segments read conservatively, answers stay exact
+    assert(snap.tableRange("t", "id", 0, 5).count() == 6L)
+    VersionedStore.restampStats(spark, dir)
+    val up = VersionedStore.snapshot(spark, dir)
+    assert(up.manifest.tables("t").head.rows == 25L)
+    assert(graft.operators.IndexFsck.checkVersionedStore(spark, dir)
+      .agg(sum("violations")).collect().head.getLong(0) == 0L)
+  }
+
   test("an all-empty append commits nothing (at-least-once replay hygiene)") {
     val dir = scratch("vs_empty")
     VersionedStore.create(spark, dir, Map("t" -> rows(0, 5)))
