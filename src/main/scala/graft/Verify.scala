@@ -7,6 +7,10 @@ object Verify {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = graft.engine.GraftSession.local(cpus, "graft-verify")
+    // deliberate post-query unpersists below — silence the once-per-RDD
+    // "cannot be recomputed" WARN (same scoping rationale as Bench)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     // Local-iteration filter (same contract as Bench); unset on the driver.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -18,6 +22,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // queries are independent: release any localCheckpoint blocks the
+      // finished query's plan still pins (a returned frame can legitimately
+      // end in a checkpoint), so 200+ queries in one JVM don't accumulate
+      // storage blocks (VERDICT r12 #1)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

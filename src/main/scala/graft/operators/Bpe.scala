@@ -108,9 +108,14 @@ object Bpe {
         // an extra job, and a lineage of a handful of chained merge UDFs
         // over the vocab-sized table is cheaper than materializing it
         round += 1
-        if (round % 4 == 0) words = words.localCheckpoint()
+        if (round % 4 == 0) {
+          val next = words.localCheckpoint()
+          Checkpoints.free(words) // superseded vocab round
+          words = next
+        }
       }
     }
+    Checkpoints.free(words) // merges (driver data) are the only output
     merges.toSeq
   }
 

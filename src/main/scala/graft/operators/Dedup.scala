@@ -564,9 +564,9 @@ object Dedup {
     // validate BEFORE the localCheckpoint: a param/meta mismatch must not
     // cost a full signature pass over the batch first
     validateAppendParams(batch.sparkSession, dir, k, shingleN, bands, rowsPerBand)
-    appendMinhashIndexFromSigs(
-      minhashSignature(batch, idCol, textCol, k, shingleN).localCheckpoint(),
-      idCol, dir, k, shingleN, bands, rowsPerBand)
+    val bsigs = minhashSignature(batch, idCol, textCol, k, shingleN).localCheckpoint()
+    try appendMinhashIndexFromSigs(bsigs, idCol, dir, k, shingleN, bands, rowsPerBand)
+    finally Checkpoints.free(bsigs) // both appends landed; release the blocks
   }
 
   // shared fail-fast half of the append: banding arithmetic + stored-meta
@@ -897,10 +897,12 @@ object Dedup {
     IndexFiles.withWriteLease(spark, dir, "writeClusterState") {
       IndexFiles.createMarker(spark, dir, clusterSeedMarker)
       ClusterMeta.write(spark, dir, clusterMetaOf(idx.meta, minMatches))
-      duplicateClusters(
-          indexSelfPairs(idx, idCol, k, minMatches)
-            .select(col("d1"), col("d2")))
-        .write.mode("overwrite").parquet(s"$dir/clusters")
+      Checkpoints.scoped { // CC rounds' checkpoints die with the write
+        duplicateClusters(
+            indexSelfPairs(idx, idCol, k, minMatches)
+              .select(col("d1"), col("d2")))
+          .write.mode("overwrite").parquet(s"$dir/clusters")
+      }
       IndexFiles.deleteMarker(spark, dir, clusterSeedMarker)
     }
     spark.read.parquet(s"$dir/clusters")
@@ -938,8 +940,10 @@ object Dedup {
     // plans that could read the table mid-rename
     val cross = crossPairs.select(col("new_id"), col("corpus_id")).localCheckpoint()
     val inb = inBatchPairs.select(col("d1"), col("d2")).localCheckpoint()
-    IndexFiles.stagedSwap(spark, dir, "clusters")(
-      stored => mergeClusters(stored, cross, inb))
+    try Checkpoints.scoped { // merge-CC checkpoints die with the swap
+      IndexFiles.stagedSwap(spark, dir, "clusters")(
+        stored => mergeClusters(stored, cross, inb))
+    } finally Checkpoints.free(cross, inb) // swap committed; release the blocks
     readClusterState(spark, dir)
   }
 
@@ -1082,18 +1086,24 @@ object Dedup {
     IndexFiles.withWriteLease(spark, dir, "writeClusterStatePartitioned") {
       IndexFiles.createMarker(spark, dir, clusterSeedMarker)
       ClusterMeta.write(spark, dir, clusterMetaOf(idx.meta, minMatches))
-      val seeded = duplicateClusters(
-        indexSelfPairs(idx, idCol, k, minMatches).select(col("d1"), col("d2")))
       val dataPath = s"$dir/clusters_p_$buckets"
-      seeded
-        .withColumn("__bucket", clusterBucket(buckets))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "static")
-        .partitionBy("__bucket")
-        .parquet(dataPath)
+      // the scope opens BEFORE the CC runs (duplicateClusters materializes
+      // its rounds eagerly) so the rounds' checkpoints die with the write;
+      // only the schema DDL (plan metadata, no blocks) escapes
+      val seededDdl = Checkpoints.scoped {
+        val seeded = duplicateClusters(
+          indexSelfPairs(idx, idCol, k, minMatches).select(col("d1"), col("d2")))
+        seeded
+          .withColumn("__bucket", clusterBucket(buckets))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "static")
+          .partitionBy("__bucket")
+          .parquet(dataPath)
+        seeded.schema.toDDL
+      }
       IndexFiles.writeFileSwap(spark, dir, clusterPartMeta,
         (s"""{"buckets":$buckets,""" +
-          s""""schema":"${seeded.schema.toDDL.replace("\"", "")}"}""").getBytes("UTF-8"))
+          s""""schema":"${seededDdl.replace("\"", "")}"}""").getBytes("UTF-8"))
       // best-effort cleanup of superseded version dirs (other moduli)
       val f = IndexFiles.fs(spark, new org.apache.hadoop.fs.Path(dir))
       Option(f.globStatus(new org.apache.hadoop.fs.Path(s"$dir/clusters_p_*")))
@@ -1167,6 +1177,7 @@ object Dedup {
         rewriteTouchedBuckets(spark, dir, repaired)
         pass += 1
       }
+      Checkpoints.free(repaired) // pass complete; release the blocks
     }
     require(!dirty, s"repairClusterStatePartitioned: not converged after " +
       s"$maxPasses passes at $dir — table corrupted beyond the torn-commit model")
@@ -1191,12 +1202,13 @@ object Dedup {
       val marker = new org.apache.hadoop.fs.Path(s"$dir/$clusterPartInflight")
       val f = IndexFiles.fs(spark, marker)
       f.create(marker, true).close()
-      keep.unionAll(changed.select("doc_id", "keeper", "__bucket"))
+      val staged = keep.unionAll(changed.select("doc_id", "keeper", "__bucket"))
         .localCheckpoint()
-        .write.mode("overwrite")
+      staged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("__bucket")
         .parquet(path)
+      Checkpoints.free(staged) // committed; release the blocks
       f.delete(marker, false)
       spark.catalog.refreshByPath(path)
     }
@@ -1239,17 +1251,21 @@ object Dedup {
     val cross = crossPairs.select(col("new_id"), col("corpus_id")).localCheckpoint()
     val inb = inBatchPairs.select(col("d1"), col("d2")).localCheckpoint()
     val stored = storedP.select("doc_id", "keeper")
-    val (relabel, extras) = mergeRelabel(stored, cross, inb, maxIter = 20)
     // rows whose assignment actually changes: relabeled rows with a new
     // keeper, plus merge-graph nodes with no stored row — both bounded by
-    // the touched clusters
-    val changed = stored.join(relabel, stored("keeper") === col("__old"))
-      .filter(col("__new") =!= stored("keeper"))
-      .select(stored("doc_id"), col("__new").as("keeper"))
-      .unionAll(extras)
-      .withColumn("__bucket", clusterBucket(buckets))
-      .localCheckpoint()
-    rewriteTouchedBuckets(spark, dir, changed)
+    // the touched clusters. The merge-CC checkpoints die once `changed`
+    // is materialized (scoped; `changed` itself is untracked and survives)
+    val changed = Checkpoints.scoped {
+      val (relabel, extras) = mergeRelabel(stored, cross, inb, maxIter = 20)
+      stored.join(relabel, stored("keeper") === col("__old"))
+        .filter(col("__new") =!= stored("keeper"))
+        .select(stored("doc_id"), col("__new").as("keeper"))
+        .unionAll(extras)
+        .withColumn("__bucket", clusterBucket(buckets))
+        .localCheckpoint()
+    }
+    try rewriteTouchedBuckets(spark, dir, changed)
+    finally Checkpoints.free(cross, inb, changed) // fold committed
     readClusterStatePartitioned(spark, dir)
   }
 
@@ -1289,7 +1305,7 @@ object Dedup {
     val k = idx.meta.map(_.k).getOrElse(16)
     val drops = dropIds.select(col(idCol).as("doc_id")).distinct()
       .localCheckpoint()
-    IndexFiles.stagedSwap(spark, dir, "clusters") { stored =>
+    try Checkpoints.scoped { IndexFiles.stagedSwap(spark, dir, "clusters") { stored =>
       val affectedKeepers = stored.join(drops, "doc_id")
         .select(col("keeper")).distinct()
       val survivors = stored.join(affectedKeepers, "keeper")
@@ -1303,7 +1319,7 @@ object Dedup {
       stored.join(affectedKeepers, Seq("keeper"), "left_anti")
         .select(col("doc_id"), col("keeper"))
         .unionAll(recomputed)
-    }
+    } } finally Checkpoints.free(drops) // swap committed
     readClusterState(spark, dir)
   }
 
@@ -1401,14 +1417,19 @@ object Dedup {
             least(labels("label"), coalesce(col("nmin"), labels("label"))).as("next"),
             labels("label").as("prev")))
       converged = updated.filter(col("next") < col("prev")).isEmpty
+      // `updated` is materialized (eager checkpoint) — the superseded
+      // round's label blocks are dead; without this the loop pins one
+      // node-sized table PER ROUND (VERDICT r12 #1)
+      Checkpoints.free(labels)
       labels = updated.select(col("id"), col("next").as("label"))
       i += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(s"[cc] prop round=$i converged=$converged")
     }
-    if (converged)
+    if (converged) {
+      Checkpoints.free(edges) // not referenced by the returned plan
       labels.select(col("id").as("doc_id"), col("label").as("keeper"))
-    else {
+    } else {
       // contract by current labels (components preserved) and finish with
       // star rounds on the much smaller residual graph
       val la = labels.select(col("id").as("ia"), col("label").as("lu"))
@@ -1418,6 +1439,7 @@ object Dedup {
         .select(least(col("lu"), col("lv")).as("u"),
           greatest(col("lu"), col("lv")).as("v"))
         .filter(col("u") =!= col("v")).distinct())
+      Checkpoints.free(edges) // contracted is materialized; edges is dead
       val star = starContract(contracted, maxIter - propRounds)
       labels.join(star, labels("label") === star("doc_id"), "left")
         .select(labels("id").as("doc_id"),
@@ -1477,6 +1499,11 @@ object Dedup {
       val s = sig(edges)
       if (s == prevSig)
         converged = edges.exceptAll(prev).isEmpty && prev.exceptAll(edges).isEmpty
+      // the new round is materialized and the convergence probe above was
+      // prev's last reader — release the superseded round's blocks (prev
+      // may be the caller's edges0 in round 1: also dead, it is consumed
+      // only by this loop)
+      Checkpoints.free(prev)
       prev = edges
       prevSig = s
       i += 1
@@ -1500,7 +1527,11 @@ object Dedup {
     * decode/re-encode of the small label table is noise next to the edge
     * join each round. */
   private def detachStats(df: DataFrame): DataFrame = {
-    val mat = df.localCheckpoint()
+    // tracked: a surrounding Checkpoints.scoped (every fold/seed that
+    // materializes the CC output before returning) releases the terminal
+    // rounds' blocks, which are otherwise unreachable once the caller's
+    // rewrite plan is consumed
+    val mat = Checkpoints.track(df.localCheckpoint())
     mat.sparkSession.createDataFrame(mat.rdd, mat.schema)
   }
 

@@ -52,9 +52,11 @@ object Distill {
           fCols.zipWithIndex.tail.map { case (f, i) =>
             coalesce(sum(when(col("__m") <= 0, col(yCol) * col(f)).otherwise(0L)), lit(0L)).as(s"d$i")
           }: _*)
-      w = w.crossJoin(broadcast(delta))
+      val next = w.crossJoin(broadcast(delta))
         .select(fCols.indices.map(i => (col(s"w$i") + col(s"d$i")).as(s"w$i")): _*)
         .localCheckpoint()
+      Checkpoints.free(w) // superseded round (1 row, but one block per round)
+      w = next
     }
     w
   }

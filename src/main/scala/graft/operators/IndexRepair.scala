@@ -154,18 +154,20 @@ object IndexRepair {
                          idCol: String = "doc_id"): DataFrame =
     IndexFiles.withWriteLease(spark, dir, "repairMinhashIndex") {
       val bad = minhashInconsistentIds(spark, dir, idCol).localCheckpoint()
-      val nBad = cnt(bad)
-      // surplus among KEPT ids only — a duplicate row of an id the repair
-      // drops anyway belongs to the drop action, not the collapse action
-      // (disjoint report; same partition discipline as repairBm25Index)
-      val dupBands = surplus(Dedup.MinhashIndex.read(spark, dir).bands
-        .join(bad, Seq(idCol), "left_anti"),
-        Seq(idCol, "band", "band_key"))
-      Dedup.compactMinhashIndex(spark, dir,
-        dropIds = if (nBad == 0) None else Some(bad), idCol = idCol)
-      report(spark, Seq(
-        ("minhash", "dropped_ids_for_reappend", nBad),
-        ("minhash", "collapsed_duplicate_band_rows", dupBands)))
+      try {
+        val nBad = cnt(bad)
+        // surplus among KEPT ids only — a duplicate row of an id the repair
+        // drops anyway belongs to the drop action, not the collapse action
+        // (disjoint report; same partition discipline as repairBm25Index)
+        val dupBands = surplus(Dedup.MinhashIndex.read(spark, dir).bands
+          .join(bad, Seq(idCol), "left_anti"),
+          Seq(idCol, "band", "band_key"))
+        Dedup.compactMinhashIndex(spark, dir,
+          dropIds = if (nBad == 0) None else Some(bad), idCol = idCol)
+        report(spark, Seq(
+          ("minhash", "dropped_ids_for_reappend", nBad),
+          ("minhash", "collapsed_duplicate_band_rows", dupBands)))
+      } finally Checkpoints.free(bad) // compaction committed
     }
 
   // ----------------------------------------------------------- cluster map
@@ -247,28 +249,31 @@ object IndexRepair {
       // live table between the checkpoint and the swap.
       val deduped = idx.codes.dropDuplicates("__cid", "cell", "s")
         .localCheckpoint()
-      val dupRows = cnt(idx.codes) - cnt(deduped)
-      val inRange = deduped.join(cells, Seq("cell"), "left_semi")
-      val rangeDropped = cnt(deduped) - cnt(inRange)
-      // same arithmetic as ivfPqInconsistentIds, from the checkpoint (the
-      // spec pins the two against each other); dedup removes only
-      // duplicate rows, so deduped's id set equals the raw table's
-      val bad = inRange
-        .groupBy(col("__cid"))
-        .agg(count(lit(1)).as("n"), countDistinct(col("s")).as("nd"))
-        .join(deduped.select(col("__cid")).distinct(), Seq("__cid"), "right")
-        .filter(col("n").isNull || col("n") =!= m || col("nd") =!= m)
-        .select(col("__cid"))
-        .localCheckpoint()
-      val nBad = cnt(bad)
-      IndexFiles.stagedSwap(spark, dir, "codes") { _ =>
-        // the checkpoint IS the current live table (lease-held since the
-        // read), so the rewrite ignores the re-read handle
-        inRange.join(bad, Seq("__cid"), "left_anti")
-      }
-      report(spark, Seq(
-        ("ivf_pq", "collapsed_duplicate_code_rows", dupRows),
-        ("ivf_pq", "dropped_out_of_range_rows", rangeDropped),
-        ("ivf_pq", "dropped_ids_for_reappend", nBad)))
+      try {
+        val dupRows = cnt(idx.codes) - cnt(deduped)
+        val inRange = deduped.join(cells, Seq("cell"), "left_semi")
+        val rangeDropped = cnt(deduped) - cnt(inRange)
+        // same arithmetic as ivfPqInconsistentIds, from the checkpoint (the
+        // spec pins the two against each other); dedup removes only
+        // duplicate rows, so deduped's id set equals the raw table's
+        val bad = inRange
+          .groupBy(col("__cid"))
+          .agg(count(lit(1)).as("n"), countDistinct(col("s")).as("nd"))
+          .join(deduped.select(col("__cid")).distinct(), Seq("__cid"), "right")
+          .filter(col("n").isNull || col("n") =!= m || col("nd") =!= m)
+          .select(col("__cid"))
+          .localCheckpoint()
+        val nBad = cnt(bad)
+        IndexFiles.stagedSwap(spark, dir, "codes") { _ =>
+          // the checkpoint IS the current live table (lease-held since the
+          // read), so the rewrite ignores the re-read handle
+          inRange.join(bad, Seq("__cid"), "left_anti")
+        }
+        report(spark, Seq(
+          ("ivf_pq", "collapsed_duplicate_code_rows", dupRows),
+          ("ivf_pq", "dropped_out_of_range_rows", rangeDropped),
+          ("ivf_pq", "dropped_ids_for_reappend", nBad)))
+      } finally Checkpoints.free(deduped) // swap committed; bad is freed
+        // by the swap's own sweep (it is in the rewrite plan)
     }
 }

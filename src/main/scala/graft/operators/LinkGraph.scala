@@ -148,6 +148,7 @@ object LinkGraph {
       .join(edges.groupBy(col("src")).agg(sum(col("w")).as("wout")), "src")
       .localCheckpoint()
     var rank = nodes.select(col("d"), lit(scale / n).as("r"))
+    var prevRoundCk: DataFrame = null // round N-1's checkpoint, freeable once round N lands
     for (_ <- 1 to iterations) {
       val contrib = edgesW.join(rank, edgesW("src") === rank("d"))
         .select(col("dst"), expr("r * w DIV wout").as("c"))
@@ -156,7 +157,13 @@ object LinkGraph {
         .select(nodes("d"),
           (lit(base) + expr(s"($dampingPpm * coalesce(contrib, 0L)) DIV 1000000")).as("r"))
         .localCheckpoint()
+      // the new round is materialized — the superseded round's node-sized
+      // blocks are dead (round 0 is a projection of `nodes`, not freeable)
+      if (prevRoundCk != null) Checkpoints.free(prevRoundCk)
+      prevRoundCk = rank
     }
+    // the returned plan references only the final round's checkpoint
+    Checkpoints.free(nodes, edgesW)
     rank.select(col("d").as("domain"), col("r").as("rank_fp"))
   }
 

@@ -272,20 +272,22 @@ object Retrieval {
       // a fully-replayed append (every id already committed) writes nothing —
       // without this, each at-least-once retry would land one empty parquet
       // file per table (same guard as the ANN loop's append)
-      if (novel.isEmpty) stored
-      else {
-        val bp = postingsOf(novel, idCol, textCol)
-        val toLand = if (!heal) bp else bp.join(
-          stored.postings
-            .join(broadcast(bp.select(col("term")).distinct()), Seq("term"), "left_semi")
-            .join(broadcast(novel.select(col(idCol))), Seq(idCol), "left_semi")
-            .select(col("term"), col(idCol)),
-          Seq("term", idCol), "left_anti")
-        toLand.write.mode("append").parquet(s"$dir/postings")
-        doclensOf(novel, idCol, textCol)
-          .write.mode("append").parquet(s"$dir/doclens")
-        Bm25Index.read(spark, dir)
-      }
+      try {
+        if (novel.isEmpty) stored
+        else {
+          val bp = postingsOf(novel, idCol, textCol)
+          val toLand = if (!heal) bp else bp.join(
+            stored.postings
+              .join(broadcast(bp.select(col("term")).distinct()), Seq("term"), "left_semi")
+              .join(broadcast(novel.select(col(idCol))), Seq(idCol), "left_semi")
+              .select(col("term"), col(idCol)),
+            Seq("term", idCol), "left_anti")
+          toLand.write.mode("append").parquet(s"$dir/postings")
+          doclensOf(novel, idCol, textCol)
+            .write.mode("append").parquet(s"$dir/doclens")
+          Bm25Index.read(spark, dir)
+        }
+      } finally Checkpoints.free(novel) // both appends landed
     }
   }
 

@@ -3168,6 +3168,7 @@ object OperatorQueries {
         .write.mode("append").parquet(s"$base/ivf/codes")
       codes0.filter(col("__cid") % 50 === 2)
         .write.mode("append").parquet(s"$base/ivf/codes")
+      graft.operators.Checkpoints.free(codes0) // all three plants landed
       plantedClusters
   }
 
@@ -3253,6 +3254,7 @@ object OperatorQueries {
       val repMh = graft.operators.IndexRepair.repairMinhashIndex(spark, s"$base/mh")
       graft.operators.Dedup.appendMinhashIndex(
         docs.join(mhBad, Seq("doc_id"), "left_semi"), "doc_id", "text", s"$base/mh")
+      graft.operators.Checkpoints.free(mhBad) // re-append landed
       val repAgg = graft.operators.IndexRepair.repairAggState(
         spark, s"$base/agg", aggGroupCols, aggValueCols)
       val repIvf = graft.operators.IndexRepair.repairIvfPqIndex(spark, s"$base/ivf")

@@ -77,9 +77,14 @@ object StreamingAnn {
     // DOUBLE summed ADC distances) out of the index under at-least-once
     val novel = b.join(idx.codes.select(col("__cid").as("vec_id")).distinct(),
       Seq("vec_id"), "left_anti").localCheckpoint()
-    if (!novel.isEmpty)
-      Similarity.appendIvfPqResidualIndex(novel, "vec_id", "embedding",
-        indexDir, dim, m)
+    try {
+      if (!novel.isEmpty)
+        Similarity.appendIvfPqResidualIndex(novel, "vec_id", "embedding",
+          indexDir, dim, m)
+    } finally
+      // trigger complete — release the per-trigger blocks (unbounded in a
+      // long-lived stream otherwise; VERDICT r12 #1)
+      graft.operators.Checkpoints.free(b, novel)
     ()
   }
 }

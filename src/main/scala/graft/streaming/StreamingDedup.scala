@@ -264,9 +264,15 @@ object StreamingDedup {
                           rowsPerBand: Int = 2, minMatches: Int = 8): Unit = {
     val (_, bsigs, _, cross) =
       checkedBatch(batch, indexDir, k, shingleN, bands, rowsPerBand, minMatches)
-    cross.write.mode("append").parquet(pairsDir)
-    graft.operators.Dedup.appendMinhashIndexFromSigs(
-      bsigs, "doc_id", indexDir, k, shingleN, bands, rowsPerBand)
+    try {
+      cross.write.mode("append").parquet(pairsDir)
+      graft.operators.Dedup.appendMinhashIndexFromSigs(
+        bsigs, "doc_id", indexDir, k, shingleN, bands, rowsPerBand)
+    } finally
+      // trigger complete — without this the loop pins one batch-sized
+      // signature table PER TRIGGER, unbounded in a long-lived stream
+      // (VERDICT r12 #1)
+      graft.operators.Checkpoints.free(bsigs)
     ()
   }
 
@@ -312,13 +318,18 @@ object StreamingDedup {
       checkedBatch(batch, indexDir, k, shingleN, bands, rowsPerBand, minMatches)
     // materialized once: written to the pair sink AND folded below
     val cross = cross0.localCheckpoint()
-    cross.write.mode("append").parquet(pairsDir)
-    val inBatch = graft.operators.Dedup.batchNearDupPairsFromSigs(
-      bsigs, bband, "doc_id", minMatches)
-    graft.operators.Dedup.foldClusterState(batch.sparkSession, indexDir,
-      cross, inBatch, minMatches)
-    graft.operators.Dedup.appendMinhashIndexFromSigs(
-      bsigs, "doc_id", indexDir, k, shingleN, bands, rowsPerBand)
+    try {
+      cross.write.mode("append").parquet(pairsDir)
+      val inBatch = graft.operators.Dedup.batchNearDupPairsFromSigs(
+        bsigs, bband, "doc_id", minMatches)
+      graft.operators.Dedup.foldClusterState(batch.sparkSession, indexDir,
+        cross, inBatch, minMatches)
+      graft.operators.Dedup.appendMinhashIndexFromSigs(
+        bsigs, "doc_id", indexDir, k, shingleN, bands, rowsPerBand)
+    } finally
+      // trigger complete — release the per-trigger blocks (see
+      // indexedNearDupBatch; the fold frees its own cross/inb projections)
+      graft.operators.Checkpoints.free(bsigs, cross)
     ()
   }
 

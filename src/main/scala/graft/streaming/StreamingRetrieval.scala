@@ -58,14 +58,19 @@ object StreamingRetrieval {
     // one evaluation feeds the novelty anti-join, the heal semi-join, and
     // both index writes
     val b = batch.select(col(idCol), col(textCol)).localCheckpoint()
-    val updated = Retrieval.appendBm25Index(b, idCol, textCol, indexDir,
-      heal = true)
-    val nDocs = updated.doclens.count()
-    Retrieval.queryBm25Index(updated, queryTerms.toDF("term"), idCol,
-        topK = topK)
-      .withColumn("n_docs_at", lit(nDocs))
-      .select(col("n_docs_at"), col(idCol), col("score_ppm"))
-      .write.mode("append").parquet(scoresDir)
+    try {
+      val updated = Retrieval.appendBm25Index(b, idCol, textCol, indexDir,
+        heal = true)
+      val nDocs = updated.doclens.count()
+      Retrieval.queryBm25Index(updated, queryTerms.toDF("term"), idCol,
+          topK = topK)
+        .withColumn("n_docs_at", lit(nDocs))
+        .select(col("n_docs_at"), col(idCol), col("score_ppm"))
+        .write.mode("append").parquet(scoresDir)
+    } finally
+      // trigger complete — release the per-trigger blocks (unbounded in a
+      // long-lived stream otherwise; VERDICT r12 #1)
+      graft.operators.Checkpoints.free(b)
     ()
   }
 }

@@ -22,6 +22,12 @@ object SoloTimes {
       val t0 = System.nanoTime()
       q.run(spark, sfDir).count()
       val t = (System.nanoTime() - t0) / 1e9
+      // OUTSIDE the timed window: release localCheckpoint blocks the
+      // finished run's returned plan still pins — same post-run hygiene as
+      // the bench, so back-to-back solos measure the query, not the
+      // accumulation of its predecessors' blocks (VERDICT r12 #1)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       println(f"[solo] $name run $i: $t%.3f s")
       t
     }
