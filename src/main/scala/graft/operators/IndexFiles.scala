@@ -223,7 +223,7 @@ private[operators] object IndexFiles {
         s"[graft] $what: taking over a STALE write lease at $dir " +
           s"(owner $owner, '$heldBy', age ${age / 1000}s > TTL ${ttlMs / 1000}s " +
           "— a crashed writer)")
-      f.delete(p, false)
+      takeoverStale(f, dir, what, bytes)
     }
     // exclusive create (atomic on HDFS/POSIX): a racer that re-created the
     // file first wins and this writer fails loudly
@@ -236,6 +236,49 @@ private[operators] object IndexFiles {
       (s"""{"owner":"$processOwner","epochMs":$now,""" +
         s""""what":"${what.replace("\"", "'")}"}""").getBytes("UTF-8"))
     finally out.close()
+    // post-create verify: a racer whose staleness judgment predates our
+    // takeover can still have removed-and-replaced the file over us — the
+    // lease is only held if the file now carries OUR owner id
+    val back = parse(slurp(f, p))
+    if (!back.exists(_._1 == processOwner)) throw new IllegalStateException(
+      s"$what: lost the write-lease race at $dir — $LeaseFile changed hands " +
+        s"right after acquisition (now held by ${back.map(_._1).getOrElse("<unparseable>")})")
+  }
+
+  /** CAS takeover of a STALE lease (VERDICT r12 #3): the old spelling —
+    * delete(p) then exclusive create — let two takeover racers both
+    * acquire (B, whose staleness judgment came from an earlier read,
+    * deletes A's FRESH lease). Rename is the atomic arbiter: each racer
+    * renames the stale file to its OWN tombstone, so exactly one rename
+    * sees the source and the loser throws. If the renamed bytes are not
+    * the stale lease this writer judged (a winner already took over AND
+    * re-created — we just renamed the winner's fresh lease), restore it
+    * and back off. private[operators] so the spec can drive two
+    * interleaved takeovers deterministically. */
+  private[operators] def takeoverStale(f: org.apache.hadoop.fs.FileSystem,
+                                       dir: String, what: String,
+                                       staleBytes: Array[Byte]): Unit = {
+    val p = new Path(s"$dir/$LeaseFile")
+    val tomb = new Path(
+      s"$dir/_stale_lease_${java.util.UUID.randomUUID().toString.take(8)}")
+    // a vanished source (FileNotFound on some FS impls, false on others)
+    // means a racer claimed the stale lease between our read and here
+    val renamed = try f.rename(p, tomb) catch {
+      case _: java.io.FileNotFoundException => false
+    }
+    if (!renamed) throw new IllegalStateException(
+      s"$what: lost the stale-lease takeover race at $dir — another " +
+        s"writer claimed $LeaseFile first")
+    val tombBytes = slurp(f, tomb)
+    if (!java.util.Arrays.equals(tombBytes, staleBytes)) {
+      // not the lease we judged stale: a racing taker's FRESH lease landed
+      // between our read and our rename — put it back and lose loudly
+      if (!f.rename(tomb, p)) f.delete(tomb, false)
+      throw new IllegalStateException(
+        s"$what: lost the stale-lease takeover race at $dir — the lease " +
+          "changed hands during takeover (the winner's lease was restored)")
+    }
+    f.delete(tomb, false)
   }
 
   /** Intent markers: an empty `dir/name` file bracketing a multi-write

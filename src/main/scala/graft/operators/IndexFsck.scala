@@ -217,7 +217,13 @@ object IndexFsck {
     * checks re-scan the LATEST version's segments (count via row-group
     * metadata, bounds via a columnar min/max pass) — one store scan,
     * the price of distrusting the stamps. */
-  def checkVersionedStore(spark: SparkSession, dir: String): DataFrame = {
+  def checkVersionedStore(spark: SparkSession, dir: String): DataFrame =
+    // read-only but consistency-critical, so it runs under the write lease
+    // (ADVICE r12): a concurrent writer's not-yet-committed segment would
+    // read as an orphan (a false positive an operator might then "fix" by
+    // vacuuming), and a rewrite/vacuum landing between the manifest
+    // listing and the statsOf re-scan could vanish a segment mid-audit
+    IndexFiles.withWriteLease(spark, dir, "checkVersionedStore") {
     val f = IndexFiles.fs(spark, new org.apache.hadoop.fs.Path(dir))
     val manifests = VersionedStore.versions(spark, dir)
     require(manifests.nonEmpty,
@@ -273,7 +279,7 @@ object IndexFsck {
       ("versioned", "rows_stat_mismatch", rowsBad),
       ("versioned", "stat_bounds_mismatch", boundsBad))
       .toDF("family", "check", "violations")
-  }
+    }
 
   /** The three residual-IVF-PQ invariants; m comes from the stored
     * `_meta.json` (geometry is a build property, never a parameter). */

@@ -85,14 +85,25 @@ object VersionedStore {
     * a whole store to real stats in one commit. */
   val UnknownRows: Long = -1L
 
+  /** `tag` is [[appendOnce]]'s idempotence key, a field of its OWN so the
+    * ledger can never be matched by a free-form `note` (ADVICE r12: the
+    * old lookup matched ANY prior note, so a caller note equal to a future
+    * tag silently discarded a real batch — silent data loss). Plain
+    * [[append]]/[[rewrite]]/[[create]] commits carry no tag. */
   final case class Manifest(version: Long, parent: Long, note: String,
-                            tables: Map[String, Seq[SegMeta]])
+                            tables: Map[String, Seq[SegMeta]],
+                            tag: Option[String] = None)
 
   /** A pinned, immutable view of one version. Every [[table]] call reads
     * only segments the manifest names — commits after the pin are
-    * invisible, and the named files cannot change or vanish (until a
-    * vacuum past this version, which fails the NEXT pin loudly rather
-    * than corrupting this one mid-scan on HDFS/POSIX semantics). */
+    * invisible, and the named files cannot change (segments are
+    * immutable). They CAN vanish: [[vacuum]] has no reader awareness
+    * (readers hold no lease) and Spark opens segment files lazily, so a
+    * vacuum past this version during an in-flight scan kills the scan on
+    * its next file open. Retention is the only guard — size `keepLast`
+    * to exceed the longest reader, exactly the [[appendOnce]]
+    * replay-horizon contract; the next pin of a vacuumed version then
+    * fails loudly at [[snapshot]] rather than mid-scan. */
   final case class Snapshot(spark: SparkSession, dir: String, manifest: Manifest) {
     def version: Long = manifest.version
 
@@ -204,6 +215,8 @@ object VersionedStore {
         s"VersionedStore: manifest v$v at $dir field $name = $other")
     }
     val note = (j \ "note") match { case JString(x) => x; case _ => "" }
+    // optional: absent from plain commits and every pre-tag manifest
+    val tag = (j \ "tag") match { case JString(x) => Some(x); case _ => None }
     def longsOf(name: String, seg: String, o: JValue): Map[String, Long] = o match {
       case JObject(fs) => fs.map {
         case (c, JInt(x)) => c -> x.toLong
@@ -249,7 +262,7 @@ object VersionedStore {
     require(long("version") == v,
       s"VersionedStore: manifest file ${manifestName(v)} at $dir claims " +
         s"version ${long("version")} — file renamed by hand?")
-    Manifest(v, long("parent"), note, tables)
+    Manifest(v, long("parent"), note, tables, tag)
   }
 
   private def jsonOf(m: Manifest): String = {
@@ -276,23 +289,29 @@ object VersionedStore {
     val tables = m.tables.toSeq.sortBy(_._1).map { case (n, segs) =>
       s""""${esc(n)}":[${segs.map(segJson).mkString(",")}]"""
     }.mkString(",")
-    s"""{"version":${m.version},"parent":${m.parent},"note":"${esc(m.note)}","tables":{$tables}}"""
+    val tagField = m.tag.map(t => s""""tag":"${esc(t)}",""").getOrElse("")
+    s"""{"version":${m.version},"parent":${m.parent},"note":"${esc(m.note)}",$tagField"tables":{$tables}}"""
   }
 
   // The commit: materialize the manifest under a dot-tmp (invisible to
   // versionNumbers), then rename to its final name. Rename-to-existing
-  // fails on HDFS/POSIX, so a racing writer that committed the same
-  // version first wins and this writer throws — OCC backstopping the
-  // write lease, not replacing it. private[graft] so the spec can drive
-  // the race window directly (two real writers can't be interleaved
-  // deterministically from a test).
+  // fails on HDFS; POSIX rename(2) (and Hadoop's RawLocalFileSystem on
+  // Linux) OVERWRITES an existing destination, so on a local filesystem
+  // the exists() pre-check is TOCTOU and a true racer landing inside the
+  // window would silently clobber the winner's manifest — hence the
+  // post-rename content verify below, which turns the clobber into a
+  // loud loss for whichever writer's bytes did not survive. All of this
+  // is OCC backstopping the write lease, not replacing it. private[graft]
+  // so the spec can drive the race window directly (two real writers
+  // can't be interleaved deterministically from a test).
   private[graft] def commit(spark: SparkSession, dir: String, m: Manifest): Long = {
     val f = fs(spark, dir)
     f.mkdirs(manifestsPath(dir))
     val tmp = new Path(manifestsPath(dir),
       s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val bytes = jsonOf(m).getBytes("UTF-8")
     val out = f.create(tmp, false)
-    try out.write(jsonOf(m).getBytes("UTF-8")) finally out.close()
+    try out.write(bytes) finally out.close()
     val dest = new Path(manifestsPath(dir), manifestName(m.version))
     if (f.exists(dest) || !f.rename(tmp, dest)) {
       f.delete(tmp, false)
@@ -302,6 +321,15 @@ object VersionedStore {
           "should have prevented this; check for a second uncoordinated " +
           "writer)")
     }
+    // post-rename verify: where rename overwrites (POSIX), the loser of a
+    // same-version race finds the winner's bytes here and throws instead
+    // of silently believing its clobbered-or-clobbering commit
+    if (!java.util.Arrays.equals(IndexFiles.slurp(f, dest), bytes))
+      throw new IllegalStateException(
+        s"VersionedStore: lost the commit race for version ${m.version} at " +
+          s"$dir — the committed manifest is another writer's (rename " +
+          "overwrote on this filesystem); check for a second uncoordinated " +
+          "writer")
     m.version
   }
 
@@ -390,8 +418,20 @@ object VersionedStore {
         s"VersionedStore.create: $dir already has versions — use append/" +
           "rewrite, or vacuum a retired store away explicitly")
       require(tables.nonEmpty, "VersionedStore.create: no tables")
-      val segs = tables.map { case (n, df) => n -> Seq(writeSegment(spark, dir, df)) }
-      commit(spark, dir, Manifest(1L, 0L, note, segs))
+      // same single-evaluation + empty guard as append/rewrite (ADVICE
+      // r12): a zero-row table would commit the segment shape every read
+      // path assumes away
+      val mats = tables.map { case (n, df) => n -> df.localCheckpoint() }
+      try {
+        mats.foreach { case (n, df) =>
+          require(!df.isEmpty,
+            s"VersionedStore.create: table '$n' is EMPTY — a zero-row " +
+              "segment defeats schema inference at read; seed the store " +
+              "with its first real batch instead")
+        }
+        val segs = mats.map { case (n, df) => n -> Seq(writeSegment(spark, dir, df)) }
+        commit(spark, dir, Manifest(1L, 0L, note, segs))
+      } finally Checkpoints.free(mats.values.toSeq: _*)
     }
 
   /** Append one batch per named table as a SINGLE commit — every table's
@@ -405,11 +445,16 @@ object VersionedStore {
     * the new column depending on file listing order — schema changes go
     * through [[rewrite]], which re-materializes every row in the new
     * shape. NOT idempotent under at-least-once retries: a replayed append
-    * commits a second version with the same rows — tag batches and dedupe
-    * at read, or gate the retry on [[versions]]' notes, as the caller's
-    * delivery semantics require. */
+    * commits a second version with the same rows — use [[appendOnce]]
+    * (the manifest tag ledger) when the caller's delivery semantics are
+    * at-least-once. */
   def append(spark: SparkSession, dir: String, batches: Map[String, DataFrame],
              note: String = "append"): Long =
+    appendImpl(spark, dir, batches, note, tag = None)
+
+  private def appendImpl(spark: SparkSession, dir: String,
+                         batches: Map[String, DataFrame], note: String,
+                         tag: Option[String]): Long =
     IndexFiles.withWriteLease(spark, dir, "VersionedStore.append") {
       require(batches.nonEmpty, "VersionedStore.append: no batches")
       val snap = snapshot(spark, dir)
@@ -427,19 +472,28 @@ object VersionedStore {
               "the schema through rewrite (re-materializes every row)")
         }
       }
-      // skip empty batches: a zero-row parquet segment can defeat schema
-      // inference at read, and an all-empty append committing a new
-      // version would make every at-least-once replay a version-history
-      // write (same guard as the index families' empty-novel appends)
-      val nonEmpty = batches.filter { case (_, df) => !df.isEmpty }
-      if (nonEmpty.isEmpty) cur.version
-      else {
-      val appended = nonEmpty.map { case (n, df) => n -> writeSegment(spark, dir, df) }
-      val tables = (cur.tables.keySet ++ appended.keySet).map { n =>
-        n -> (cur.tables.getOrElse(n, Seq.empty) ++ appended.get(n).toSeq)
-      }.toMap
-      commit(spark, dir, Manifest(cur.version + 1, cur.version, note, tables))
-      }
+      // ONE evaluation per batch plan (VERDICT r12 #5: the old isEmpty +
+      // writeSegment pair evaluated each plan twice, so a non-deterministic
+      // batch could be empty at the check and non-empty at the write — or
+      // commit the zero-row segment the guard exists to skip). Schema
+      // checks above run BEFORE the materialization (fail-fast discipline,
+      // same as the index appends); blocks released after the writes.
+      val mats = batches.map { case (n, df) => n -> df.localCheckpoint() }
+      try {
+        // skip empty batches: a zero-row parquet segment can defeat schema
+        // inference at read, and an all-empty append committing a new
+        // version would make every at-least-once replay a version-history
+        // write (same guard as the index families' empty-novel appends)
+        val nonEmpty = mats.filter { case (_, df) => !df.isEmpty }
+        if (nonEmpty.isEmpty) cur.version
+        else {
+          val appended = nonEmpty.map { case (n, df) => n -> writeSegment(spark, dir, df) }
+          val tables = (cur.tables.keySet ++ appended.keySet).map { n =>
+            n -> (cur.tables.getOrElse(n, Seq.empty) ++ appended.get(n).toSeq)
+          }.toMap
+          commit(spark, dir, Manifest(cur.version + 1, cur.version, note, tables, tag))
+        }
+      } finally Checkpoints.free(mats.values.toSeq: _*)
     }
 
   /** Idempotent [[append]] for at-least-once delivery: `tag` names the
@@ -458,17 +512,26 @@ object VersionedStore {
     * append-only sidecar). Cost: one manifest-listing scan per call,
     * O(versions since vacuum). */
   def appendOnce(spark: SparkSession, dir: String,
-                 batches: Map[String, DataFrame], tag: String): Long =
+                 batches: Map[String, DataFrame], tag: String): Long = {
+    // tags live in their own manifest field (ADVICE r12): a free-form
+    // append/rewrite note equal to a future tag must never make the
+    // replay check discard a real batch — the old lookup matched ANY
+    // prior note, silent data loss. A store whose tagged versions predate
+    // the field replays those old batches once (duplicate version, rows
+    // intact) — the recoverable direction.
+    require(tag.nonEmpty, "VersionedStore.appendOnce: empty tag — the tag " +
+      "is the batch's idempotence key and must name it uniquely")
     IndexFiles.withWriteLease(spark, dir, "VersionedStore.appendOnce") {
-      versions(spark, dir).find(_.note == tag) match {
+      versions(spark, dir).find(_.tag.contains(tag)) match {
         case Some(m) =>
           System.err.println(s"[graft] VersionedStore.appendOnce: tag " +
             s"'$tag' already committed as version ${m.version} at $dir — " +
             "replayed batch, no-op")
           m.version
-        case None => append(spark, dir, batches, note = tag)
+        case None => appendImpl(spark, dir, batches, note = tag, tag = Some(tag))
       }
     }
+  }
 
   /** Rewrite whole tables — compaction, retention deletes, re-sorting —
     * as a SINGLE commit. `f` receives the current content of every table
@@ -486,11 +549,28 @@ object VersionedStore {
       require(unknown.isEmpty,
         s"VersionedStore.rewrite: returned tables that don't exist: " +
           s"${unknown.mkString(", ")} — create new tables via append")
-      val tables = cur.manifest.tables.map { case (n, segs) =>
-        n -> replaced.get(n).map(df => Seq(writeSegment(spark, dir, df))).getOrElse(segs)
-      }
-      commit(spark, dir,
-        Manifest(cur.version + 1, cur.version, note, tables))
+      // ONE evaluation per replacement plan, and the same empty guard as
+      // append (ADVICE r12): a retention rewrite that filters a table to
+      // zero rows would otherwise commit the zero-row segment append
+      // refuses — and break tableRange's "never empty" schema assumption.
+      // An empty rewrite result is almost always a bug (a predicate that
+      // dropped everything); a deployment that truly retires a table's
+      // content should drop the table, which this store does not model.
+      val mats = replaced.map { case (n, df) => n -> df.localCheckpoint() }
+      try {
+        mats.foreach { case (n, df) =>
+          require(!df.isEmpty,
+            s"VersionedStore.rewrite: replacement for table '$n' is EMPTY — " +
+              "a zero-row segment defeats schema inference at read (the " +
+              "same shape append refuses); if the filter was intentional, " +
+              "keep at least a sentinel row or retire the store")
+        }
+        val tables = cur.manifest.tables.map { case (n, segs) =>
+          n -> mats.get(n).map(df => Seq(writeSegment(spark, dir, df))).getOrElse(segs)
+        }
+        commit(spark, dir,
+          Manifest(cur.version + 1, cur.version, note, tables))
+      } finally Checkpoints.free(mats.values.toSeq: _*)
     }
 
   /** Rows of `table` in segments `to` references that `from` does not —

@@ -14,17 +14,19 @@ import graft.operators.VersionedStore
   *
   * Delivery: foreachBatch is at-least-once; the batch tag derives from
   * the trigger's batchId and goes through [[VersionedStore.appendOnce]],
-  * whose manifest-note ledger makes a replayed trigger a no-op — the
-  * same replay-exactness as the agg-state loop, with the version history
+  * whose manifest TAG ledger (a field of its own — free-form notes can
+  * never match it) makes a replayed trigger a no-op — the same
+  * replay-exactness as the agg-state loop, with the version history
   * playing the role of `_tags.json`. Two consequences, stated plainly:
   * a durable checkpoint is REQUIRED (a temporary checkpoint reissues
-  * batchId 0 for brand-new data after a restart and the ledger check
+  * batchId 0 for brand-new data after a restart and the tag-ledger check
   * would silently discard it — the exact failure mode the agg-state
   * loop pins by observation), and [[VersionedStore.vacuum]] between
   * triggers must keep at least the replay horizon of manifests
   * (keepLast >= 2 covers Spark's one-uncommitted-trigger replay). Use a
   * distinct `tagPrefix` per logical stream when several streams ingest
-  * into one store. */
+  * into one store — two streams sharing a prefix share one batchId tag
+  * space and discard each other's batches. */
 object StreamingVersioned {
 
   def versionedIngestStream(rows: DataFrame, storeDir: String,
@@ -35,7 +37,7 @@ object StreamingVersioned {
       "versionedIngestStream: a durable checkpoint location is required — " +
         "batchId-derived tags are only replay-safe when batchIds survive " +
         "a restart (a temporary checkpoint would reissue batchId 0 for " +
-        "new data and the note ledger would silently discard it)")
+        "new data and the tag ledger would silently discard it)")
     rows.writeStream.outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>

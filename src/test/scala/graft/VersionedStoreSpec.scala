@@ -324,4 +324,63 @@ class VersionedStoreSpec extends AnyFunSuite {
     assert(v == 1L)
     assert(VersionedStore.versionNumbers(spark, dir) == Seq(1L))
   }
+
+  test("append evaluates a non-deterministic batch ONCE: stats match the stored rows, empties never commit") {
+    // VERDICT r12 #5: the old isEmpty + writeSegment pair evaluated the
+    // batch plan twice — a rand()-filtered batch could be empty at the
+    // check and non-empty at the write (or commit the zero-row segment the
+    // guard exists to skip), and its manifest stats could describe rows
+    // the segment doesn't hold. Drive it many times: every committed
+    // version's stamped row count must equal its stored segment's count.
+    val dir = scratch("vs_nondet")
+    VersionedStore.create(spark, dir, Map("t" -> rows(0, 5)))
+    (1 to 10).foreach { _ =>
+      VersionedStore.append(spark, dir,
+        Map("t" -> rows(0, 400).filter(rand() < 0.5)))
+    }
+    VersionedStore.versions(spark, dir).foreach { m =>
+      m.tables("t").foreach { s =>
+        val stored = spark.read.parquet(s"$dir/_segments/${s.name}").count()
+        assert(stored == s.rows,
+          s"v${m.version} seg ${s.name}: stamped ${s.rows}, stored $stored")
+        assert(stored > 0, s"v${m.version} committed a zero-row segment")
+      }
+    }
+    // and the appends released their checkpoint blocks
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
+  test("appendOnce tags are namespaced apart from notes: a free-form note equal to a tag discards nothing") {
+    // ADVICE r12 (medium): the old ledger matched ANY prior note, so an
+    // append note equal to a future tag made appendOnce silently drop a
+    // real batch — silent data loss. Tags now live in their own field.
+    val dir = scratch("vs_tagns")
+    VersionedStore.create(spark, dir, Map("t" -> rows(0, 5)))
+    VersionedStore.append(spark, dir, Map("t" -> rows(5, 10)), note = "b_7")
+    // the tag equal to that note MUST still commit its batch
+    val v = VersionedStore.appendOnce(spark, dir, Map("t" -> rows(10, 15)), "b_7")
+    assert(v == 3L)
+    assert(VersionedStore.snapshot(spark, dir).table("t").count() == 15L)
+    // the replayed tag is a no-op against the TAGGED version only
+    assert(VersionedStore.appendOnce(spark, dir, Map("t" -> rows(10, 15)), "b_7") == 3L)
+    assert(VersionedStore.snapshot(spark, dir).table("t").count() == 15L)
+    // and an empty tag is refused outright
+    intercept[IllegalArgumentException](
+      VersionedStore.appendOnce(spark, dir, Map("t" -> rows(15, 16)), ""))
+  }
+
+  test("rewrite and create refuse an empty table (the shape append refuses)") {
+    val dir = scratch("vs_rw_empty")
+    VersionedStore.create(spark, dir, Map("t" -> rows(0, 5)))
+    val e = intercept[IllegalArgumentException](
+      VersionedStore.rewrite(spark, dir, note = "retention") { cur =>
+        Map("t" -> cur("t").filter(col("id") < 0))
+      })
+    assert(e.getMessage.contains("EMPTY"))
+    // the refused rewrite committed nothing
+    assert(VersionedStore.versionNumbers(spark, dir) == Seq(1L))
+    intercept[IllegalArgumentException](
+      VersionedStore.create(spark, scratch("vs_cr_empty"),
+        Map("t" -> rows(0, 5).filter(col("id") < 0))))
+  }
 }

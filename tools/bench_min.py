@@ -11,6 +11,16 @@ The merged record keeps full provenance: each input's total and
 retry count under "merged_from"; "value" is the sum of the per-query
 mins. sf1_smoke maps are min-merged the same way when present.
 
+Re-base floors (VERDICT r12 #2): a record re-based with provenance (a
+SoloTimes warm-solo adjudication, recorded in the input's "floors" map)
+must NOT be pulled back down by a later run's one-off fast observation —
+that is the exact bimodal-min mechanism the re-base corrected, and the
+unconditional min-merge quietly undid two of round 12's own re-bases
+(asof 0.280 -> 0.176, embed_pool 0.255 -> 0.227). Floors from every
+input are unioned (max on conflict) and clamp the merged per-query mins;
+lowering a floored record is a deliberate act (re-run SoloTimes, edit
+the floor with provenance in "note"), never a merge side effect.
+
 Usage: tools/bench_min.py out.json in1.json in2.json [...]
 """
 import json
@@ -42,6 +52,18 @@ for r in recs:
             continue
         queries[q] = t if q not in queries else min(queries[q], t)
 
+# re-base floors: union across inputs (max wins — the latest re-base is
+# never lower than a stale one it supersedes), then clamp the merged mins
+floors = {}
+for r in recs:
+    for q, v in (r.get("floors") or {}).items():
+        floors[q] = v if q not in floors else max(floors[q], v)
+clamped = sorted(q for q, v in floors.items() if q in queries and queries[q] < v)
+for q in clamped:
+    queries[q] = floors[q]
+if clamped:
+    print(f"floors held for {len(clamped)} re-based record(s): {', '.join(clamped)}")
+
 smoke = {}
 for r in recs:
     for q, t in (r.get("sf1_smoke") or {}).items():
@@ -66,6 +88,11 @@ merged = {
     ],
     "runs": len(recs),
 }
+if floors:
+    merged["floors"] = floors
+notes = [r["note"] for r in recs if r.get("note")]
+if notes:
+    merged["note"] = " | ".join(notes)
 with open(out, "w") as f:
     json.dump(merged, f)
 print(f"{out}: {len(queries)} queries, total {merged['value']:.1f}s "
