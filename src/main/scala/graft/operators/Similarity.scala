@@ -269,6 +269,13 @@ object Similarity {
   def ivfPqTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
                 vecCol: String, k: Int = 10, nBits: Int = 4, dim: Int = 64,
                 m: Int = 8, pqBits: Int = 4): DataFrame = {
+    // NOTE (r13, measured): stage checkpoints were tried here (the
+    // ivfPqResidualTopK discipline) and measured NEUTRAL-to-SLOWER at
+    // fixture scale — this plan is only ~half as deep as the residual
+    // one, and the serialized materialization jobs cost more than the
+    // re-evaluated small aggregates they save (same verdict as ivfTopK's
+    // ReusedExchange note). Reverted; the persisted path remains the
+    // at-scale answer.
     graft.functions.TajoFunctions.register(corpus.sparkSession)
     val subDim = dim / m
     // ---- IVF half: cell assignment exactly as ivfTopK
@@ -388,16 +395,37 @@ object Similarity {
   def ivfPqResidualTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
                         vecCol: String, k: Int = 10, nBits: Int = 4,
                         dim: Int = 64, m: Int = 8, pqBits: Int = 4,
-                        nProbe: Int = 1, rerank: Int = 0): DataFrame =
-    queryIvfPqResidual(
-      buildIvfPqResidualIndex(corpus, idCol, vecCol, nBits, dim, m, pqBits),
+                        nProbe: Int = 1, rerank: Int = 0): DataFrame = {
+    // Each training stage materializes ONCE (eager localCheckpoint) and
+    // the next stage builds on the materialized table — the naive
+    // composed plan re-evaluated the build at every consumer (32+ corpus
+    // scans in one query DAG at fixture scale, measured; the r9-
+    // adjudicated trade this replaces). Every stage is deterministic
+    // (the DuckDB oracle replays the exact arithmetic), so the result is
+    // bit-identical; the caller frees the blocks after its terminal
+    // action (the bench/verify harnesses sweep them per query). The
+    // persisted build/serve split (writeIvfPqResidualIndex) remains the
+    // 100 TB deployment shape — this demo's checkpoints spill to local
+    // disk past memory.
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    graft.functions.TajoFunctions.register(corpus.sparkSession)
+    val subDim = dim / m
+    val c0 = ivfInitial(corpus, idCol, vecCol, nBits, dim)
+    val cent = ivfCentTable(c0).localCheckpoint()
+    val corpusCells = ivfAssign(c0, cent, idCol)
+    val cres = ivfResid(corpus, corpusCells, cent, idCol, vecCol, "__cid")
+    val csubs = pqResidSubs(cres, "__cid", m, subDim).localCheckpoint()
+    val codebook = ivfResidCodebook(csubs, pqBits, subDim).localCheckpoint()
+    val codes = ivfResidCodes(csubs, codebook).localCheckpoint()
+    queryIvfPqResidual(IvfPqResidualIndex(cent, codebook, codes),
       corpus, probes, idCol, vecCol, k, dim, m, nProbe, rerank)
+  }
 
   /** The PERSISTED half of a residual IVF-PQ (IVFADC) index — the
     * build/query split SCALING §8b prescribes for deployment (build once,
     * store, query many times; the composed [[ivfPqResidualTopK]] demo
-    * re-evaluates the build at each consumer, fine at fixture scale,
-    * 16 corpus passes at 100 TB):
+    * materializes each training stage once via localCheckpoint — same
+    * single-evaluation shape, ephemeral storage instead of parquet):
     *
     *  - `cent`:     K rows — (cid, ivec SUM-centroid, mvec mean-centroid,
     *                inrm) — the cell router + residual base
