@@ -238,8 +238,13 @@ private[operators] object IndexFiles {
     finally out.close()
     // post-create verify: a racer whose staleness judgment predates our
     // takeover can still have removed-and-replaced the file over us — the
-    // lease is only held if the file now carries OUR owner id
-    val back = parse(slurp(f, p))
+    // lease is only held if the file now carries OUR owner id. A racer
+    // can also rename the lease AWAY mid-verify (its takeover tombstone),
+    // which surfaces as FileNotFound from the slurp — that too is
+    // lost-the-race, not an I/O fault (ADVICE r13).
+    val back = try parse(slurp(f, p)) catch {
+      case _: java.io.FileNotFoundException => None
+    }
     if (!back.exists(_._1 == processOwner)) throw new IllegalStateException(
       s"$what: lost the write-lease race at $dir — $LeaseFile changed hands " +
         s"right after acquisition (now held by ${back.map(_._1).getOrElse("<unparseable>")})")
@@ -272,8 +277,14 @@ private[operators] object IndexFiles {
     val tombBytes = slurp(f, tomb)
     if (!java.util.Arrays.equals(tombBytes, staleBytes)) {
       // not the lease we judged stale: a racing taker's FRESH lease landed
-      // between our read and our rename — put it back and lose loudly
-      if (!f.rename(tomb, p)) f.delete(tomb, false)
+      // between our read and our rename — put it back and lose loudly.
+      // Restore ONLY if p is still absent: POSIX rename overwrites, so if
+      // a third writer exclusive-created a fresh lease at p after our
+      // losing rename, renaming the tombstone back would silently clobber
+      // that third writer's lease (ADVICE r13); just drop the tombstone
+      // and lose in that case — the winner whose bytes we hold re-verifies
+      // its own lease post-create and will re-acquire if it lost.
+      if (f.exists(p) || !f.rename(tomb, p)) f.delete(tomb, false)
       throw new IllegalStateException(
         s"$what: lost the stale-lease takeover race at $dir — the lease " +
           "changed hands during takeover (the winner's lease was restored)")

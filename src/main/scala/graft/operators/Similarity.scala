@@ -428,6 +428,14 @@ object Similarity {
       val csubs = pqResidSubs(cres, "__cid", m, subDim).localCheckpoint()
       val codebook = ivfResidCodebook(csubs, pqBits, subDim).localCheckpoint()
       val codes = ivfResidCodes(csubs, codebook).localCheckpoint()
+      // csubs' last consumer is codes' (eager) checkpoint above, and it is
+      // NOT reachable from the returned plan (only cent/codebook/codes
+      // are) — without this free even a caller sweep of the result's plan
+      // would strand its corpus-sized blocks (ADVICE r13). The surviving
+      // three checkpoints ARE the returned plan; the caller's terminal
+      // action frees them (the bench/verify harnesses sweep
+      // sparkContext.getPersistentRDDs per query).
+      Checkpoints.free(csubs)
       queryIvfPqResidual(IvfPqResidualIndex(cent, codebook, codes),
         corpus, probes, idCol, vecCol, k, dim, m, nProbe, rerank)
     }

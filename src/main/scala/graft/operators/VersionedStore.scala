@@ -322,8 +322,12 @@ object VersionedStore {
           "writer)")
     }
     // post-rename verify: where rename overwrites (POSIX), the loser of a
-    // same-version race finds the winner's bytes here and throws instead
-    // of silently believing its clobbered-or-clobbering commit
+    // same-version race USUALLY finds the winner's bytes here and throws
+    // instead of silently believing its clobbered-or-clobbering commit.
+    // It NARROWS the TOCTOU window, it does not close it: if racer B's
+    // overwriting rename lands after racer A's verify read, both verifies
+    // pass and A's manifest is silently replaced — the write lease remains
+    // the real single-writer guard; this is best-effort loudness only.
     if (!java.util.Arrays.equals(IndexFiles.slurp(f, dest), bytes))
       throw new IllegalStateException(
         s"VersionedStore: lost the commit race for version ${m.version} at " +

@@ -103,4 +103,52 @@ class CheckpointHygieneSpec extends AnyFunSuite {
     assert(persistedCount == 0,
       s"repairMinhashIndex must release every checkpoint (held: $persistedCount)")
   }
+
+  test("repairIvfPqIndex leaves no persisted RDDs behind") {
+    // ADVICE r13: the `bad` drop-set checkpoint was NOT freed by the staged
+    // swap (being referenced by the rewrite plan does not unpersist it) —
+    // one corpus-scale block set leaked per repair call. This pins the fix.
+    sweepAll()
+    val dir = java.nio.file.Files.createTempDirectory("ckpt_ivfrepair").toString
+    val vecs = graft.engine.Tables.table(spark, sfDir, "embeddings")
+      .filter(col("vec_id") < 100)
+    graft.operators.Similarity.writeIvfPqResidualIndex(
+      vecs, "vec_id", "embedding", dir)
+    // plant a crash-retried duplicate append + a torn partial so both the
+    // collapse and the drop-and-reappend paths run
+    val codes0 = spark.read.parquet(s"$dir/codes").localCheckpoint()
+    codes0.filter(col("__cid") % 10 === 2).write.mode("append").parquet(s"$dir/codes")
+    codes0.filter(col("__cid") % 10 === 3 && col("s") < 2)
+      .withColumn("__cid", col("__cid") + 1000000L)
+      .write.mode("append").parquet(s"$dir/codes")
+    graft.operators.Checkpoints.free(codes0)
+    val rep = graft.operators.IndexRepair.repairIvfPqIndex(spark, dir)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(rep("collapsed_duplicate_code_rows") > 0L)
+    assert(rep("dropped_ids_for_reappend") > 0L)
+    assert(persistedCount == 0,
+      s"repairIvfPqIndex must release every checkpoint it created, " +
+        s"including the drop-set (held: $persistedCount)")
+  }
+
+  test("KMeans.lloyd releases its training checkpoint itself") {
+    // VERDICT r13 #5: lloyd's encoded-table checkpoint outlived the call
+    // (only the harness sweep reclaimed it — one corpus-scale block set
+    // leaked per call in any non-harness long-lived session). The returned
+    // plan now re-derives the encode from the caller's frame, so lloyd
+    // frees its own blocks before returning and the result stays fully
+    // consumable afterwards — no caller/harness sweep involved anywhere.
+    sweepAll()
+    val vecs = graft.engine.Tables.table(spark, sfDir, "embeddings")
+      .filter(col("vec_id") < 200)
+    val out = graft.operators.KMeans.lloyd(vecs, "vec_id", "embedding",
+      k = 4, iters = 2)
+    assert(persistedCount == 0,
+      s"lloyd must release its checkpoint before returning (held: $persistedCount)")
+    // the returned frame must remain consumable (it re-derives the encode;
+    // it does NOT read the freed checkpoint) and complete
+    assert(out.count() == vecs.count())
+    assert(out.select("cluster").distinct().count() <= 4)
+    assert(persistedCount == 0)
+  }
 }
