@@ -3091,89 +3091,130 @@ object OperatorQueries {
   // (q_op_index_repair) are graded against, factored so the two oracles
   // can never drift onto different plants. Returns the planted cluster
   // assignment (the one family checked/repaired as a DataFrame).
-  private def plantCorruptedFamilies(spark: org.apache.spark.sql.SparkSession,
-                                     dir: String,
-                                     base: String): org.apache.spark.sql.DataFrame = {
-      // ---- BM25: ghosts (torn append) + crash-retried duplicates
-      val docs = Tables.table(spark, dir, "documents").select(col("doc_id"), col("text"))
-      graft.operators.Retrieval.writeBm25Index(
-        docs.filter(col("doc_id") < 200), "doc_id", "text", s"$base/bm25", termShards = 4)
-      def plantPostings(d: org.apache.spark.sql.DataFrame) = d
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-        .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
-        .write.mode("append").parquet(s"$base/bm25/postings")
-      plantPostings(docs.filter(col("doc_id").between(200, 219))) // no doclens -> ghosts
-      plantPostings(docs.filter(col("doc_id").between(100, 109))) // retried duplicates
-      // ---- minhash index: torn one-table appends + a duplicated append
-      graft.operators.Dedup.writeMinhashIndex(
-        docs.filter(col("doc_id") < 150), "doc_id", "text", s"$base/mh")
-      def sigsOf(d: org.apache.spark.sql.DataFrame) =
-        graft.operators.Dedup.minhashSignature(d, "doc_id", "text")
-      sigsOf(docs.filter(col("doc_id").between(150, 159)))      // sigs, no bands
-        .write.mode("append").parquet(s"$base/mh/sigs")
-      graft.operators.Dedup.minhashBands(                       // bands, no sigs
-          sigsOf(docs.filter(col("doc_id").between(160, 164))), "doc_id")
-        .write.mode("append").parquet(s"$base/mh/bands")
-      graft.operators.Dedup.minhashBands(                       // retried append
-          sigsOf(docs.filter(col("doc_id") < 5)), "doc_id")
-        .write.mode("append").parquet(s"$base/mh/bands")
-      // ---- aggregate state: orphan tag, torn-retry duplicate, crashed
-      // retraction (intent recorded, rows re-present). The fact-table
-      // slices are capped at l_orderkey < 30000: the checks count GROUPS,
-      // which saturate immediately, so scanning the whole fact table per
-      // plant buys nothing
-      val liCap = Tables.table(spark, dir, "lineitem")
-        .filter(col("l_orderkey") < 30000)
-        .select("l_orderkey", "l_returnflag", "l_linestatus",
-          "l_quantity", "l_extendedprice")
-      def slice(pred: org.apache.spark.sql.Column) =
-        liCap.filter(pred).drop("l_orderkey")
-      val aBase = slice(col("l_orderkey") % 4 === 1 || col("l_orderkey") % 4 === 2)
-      val b1 = slice(col("l_orderkey") % 4 === 3)
-      val b2 = slice(col("l_orderkey") % 8 === 0)
-      val b3 = slice(col("l_orderkey") % 8 === 4)
-      graft.operators.AggState.writeAggState(aBase, s"$base/agg", aggGroupCols, aggValueCols)
-      graft.operators.AggState.foldAggState(b1, s"$base/agg", "b1", aggGroupCols, aggValueCols)
-      graft.operators.AggState.foldAggState(b2, s"$base/agg", "b2", aggGroupCols, aggValueCols)
-      graft.operators.AggState.retractAggState(spark, s"$base/agg", "b2", aggGroupCols, aggValueCols)
-      Seq((b2, "b2"), (b3, "zz_orphan"), (b1, "b1")).foreach { case (b, tag) =>
-        graft.operators.AggState.partials(b, aggGroupCols, aggValueCols, tag)
-          .write.mode("append").parquet(s"$base/agg/state")
+  /** Run independent fixture/maintenance tasks as CONCURRENT Spark jobs
+    * (guide §2.6: driver actions are only sequential because the driver
+    * calls them sequentially; with ~25 sequential sub-second jobs the
+    * fixture build of the repo's two heaviest queries was ~60% per-job
+    * scheduling tail — VERDICT r13 #3). 2-3 jobs in flight fills the tail
+    * without fighting for executors. Use ONLY across tasks that touch
+    * DISJOINT directories/frames — each family's internal sequence stays
+    * ordered inside its own task, so no operation's semantics change.
+    * (Checkpoints' scope tracking is thread-local; leases are per-dir.)
+    * Failures propagate with their original exception type. */
+  private[graft] def concurrently(tasks: (() => Unit)*): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    try {
+      val futs = tasks.map(t => pool.submit(new java.util.concurrent.Callable[Unit] {
+        override def call(): Unit = t()
+      }))
+      futs.foreach { f =>
+        try f.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
       }
-      // ---- cluster assignment: disjoint 2-cliques + three torn-relabel
-      // plants (the %10=1 rows violate keeper_above AND dangle — priced in)
-      val cust = Tables.table(spark, dir, "customer").select(col("c_custkey"))
-      val stored = graft.operators.Dedup.duplicateClusters(
-        cust.filter(col("c_custkey") % 10 === 0)
-          .select(col("c_custkey").as("d1"), (col("c_custkey") + 1000000L).as("d2")))
-      val plantedClusters = stored
-        .unionAll(cust.filter(col("c_custkey") % 10 === 1)
-          .select((col("c_custkey") + 2000000L).as("doc_id"),
-            (col("c_custkey") + 3000000L).as("keeper")))
-        .unionAll(cust.filter(col("c_custkey") % 10 === 7)
-          .select((col("c_custkey") + 4000000L).as("doc_id"), lit(7L).as("keeper")))
-        .unionAll(cust.filter(col("c_custkey") % 20 === 0)
-          .select((col("c_custkey") + 5000000L).as("doc_id"),
-            (col("c_custkey") + 1000000L).as("keeper")))
-        // crash-retried fold append: both rows of every %30 clique land
-        // twice (identical duplicates — must NOT fan out the other checks)
-        .unionAll(stored.filter(col("keeper") % 30 === 0))
-      // ---- residual IVF-PQ: partial code write, mixed-build cells,
-      // crash-retried duplicate append
-      graft.operators.Similarity.writeIvfPqResidualIndex(
-        Tables.table(spark, dir, "embeddings").filter(col("vec_id") < 300),
-        "vec_id", "embedding", s"$base/ivf")
-      val codes0 = spark.read.parquet(s"$base/ivf/codes").localCheckpoint()
-      codes0.filter(col("__cid") % 50 === 0 && col("s") < 3)
-        .withColumn("__cid", col("__cid") + 1000000L)
-        .write.mode("append").parquet(s"$base/ivf/codes")
-      codes0.filter(col("__cid") % 50 === 1)
-        .withColumn("__cid", col("__cid") + 2000000L)
-        .withColumn("cell", col("cell") - col("cell") + lit(999999))
-        .write.mode("append").parquet(s"$base/ivf/codes")
-      codes0.filter(col("__cid") % 50 === 2)
-        .write.mode("append").parquet(s"$base/ivf/codes")
-      graft.operators.Checkpoints.free(codes0) // all three plants landed
+    } finally pool.shutdown()
+  }
+
+  private[graft] def plantCorruptedFamilies(spark: org.apache.spark.sql.SparkSession,
+                                            dir: String,
+                                            base: String): org.apache.spark.sql.DataFrame = {
+      val docs = Tables.table(spark, dir, "documents").select(col("doc_id"), col("text"))
+      // The five families are INDEPENDENT (disjoint subdirs of `base`, or a
+      // pure frame), so their plants run as concurrent jobs (guide §2.6;
+      // VERDICT r13 #3) — contents identical to the former sequential
+      // build, each family's write/append order preserved in its task.
+      @volatile var plantedClusters: org.apache.spark.sql.DataFrame = null
+      concurrently(
+        () => {
+          // ---- BM25: ghosts (torn append) + crash-retried duplicates
+          graft.operators.Retrieval.writeBm25Index(
+            docs.filter(col("doc_id") < 200), "doc_id", "text", s"$base/bm25", termShards = 4)
+          def plantPostings(d: org.apache.spark.sql.DataFrame) = d
+            .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+            .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+            .write.mode("append").parquet(s"$base/bm25/postings")
+          plantPostings(docs.filter(col("doc_id").between(200, 219))) // no doclens -> ghosts
+          plantPostings(docs.filter(col("doc_id").between(100, 109))) // retried duplicates
+        },
+        () => {
+          // ---- minhash index: torn one-table appends + a duplicated append
+          graft.operators.Dedup.writeMinhashIndex(
+            docs.filter(col("doc_id") < 150), "doc_id", "text", s"$base/mh")
+          def sigsOf(d: org.apache.spark.sql.DataFrame) =
+            graft.operators.Dedup.minhashSignature(d, "doc_id", "text")
+          sigsOf(docs.filter(col("doc_id").between(150, 159)))      // sigs, no bands
+            .write.mode("append").parquet(s"$base/mh/sigs")
+          graft.operators.Dedup.minhashBands(                       // bands, no sigs
+              sigsOf(docs.filter(col("doc_id").between(160, 164))), "doc_id")
+            .write.mode("append").parquet(s"$base/mh/bands")
+          graft.operators.Dedup.minhashBands(                       // retried append
+              sigsOf(docs.filter(col("doc_id") < 5)), "doc_id")
+            .write.mode("append").parquet(s"$base/mh/bands")
+        },
+        () => {
+          // ---- aggregate state: orphan tag, torn-retry duplicate, crashed
+          // retraction (intent recorded, rows re-present). The fact-table
+          // slices are capped at l_orderkey < 30000: the checks count GROUPS,
+          // which saturate immediately, so scanning the whole fact table per
+          // plant buys nothing
+          val liCap = Tables.table(spark, dir, "lineitem")
+            .filter(col("l_orderkey") < 30000)
+            .select("l_orderkey", "l_returnflag", "l_linestatus",
+              "l_quantity", "l_extendedprice")
+          def slice(pred: org.apache.spark.sql.Column) =
+            liCap.filter(pred).drop("l_orderkey")
+          val aBase = slice(col("l_orderkey") % 4 === 1 || col("l_orderkey") % 4 === 2)
+          val b1 = slice(col("l_orderkey") % 4 === 3)
+          val b2 = slice(col("l_orderkey") % 8 === 0)
+          val b3 = slice(col("l_orderkey") % 8 === 4)
+          graft.operators.AggState.writeAggState(aBase, s"$base/agg", aggGroupCols, aggValueCols)
+          graft.operators.AggState.foldAggState(b1, s"$base/agg", "b1", aggGroupCols, aggValueCols)
+          graft.operators.AggState.foldAggState(b2, s"$base/agg", "b2", aggGroupCols, aggValueCols)
+          graft.operators.AggState.retractAggState(spark, s"$base/agg", "b2", aggGroupCols, aggValueCols)
+          Seq((b2, "b2"), (b3, "zz_orphan"), (b1, "b1")).foreach { case (b, tag) =>
+            graft.operators.AggState.partials(b, aggGroupCols, aggValueCols, tag)
+              .write.mode("append").parquet(s"$base/agg/state")
+          }
+        },
+        () => {
+          // ---- cluster assignment: disjoint 2-cliques + three torn-relabel
+          // plants (the %10=1 rows violate keeper_above AND dangle — priced
+          // in). duplicateClusters materializes its CC rounds eagerly, so
+          // this is a job-running task, not just frame construction.
+          val cust = Tables.table(spark, dir, "customer").select(col("c_custkey"))
+          val stored = graft.operators.Dedup.duplicateClusters(
+            cust.filter(col("c_custkey") % 10 === 0)
+              .select(col("c_custkey").as("d1"), (col("c_custkey") + 1000000L).as("d2")))
+          plantedClusters = stored
+            .unionAll(cust.filter(col("c_custkey") % 10 === 1)
+              .select((col("c_custkey") + 2000000L).as("doc_id"),
+                (col("c_custkey") + 3000000L).as("keeper")))
+            .unionAll(cust.filter(col("c_custkey") % 10 === 7)
+              .select((col("c_custkey") + 4000000L).as("doc_id"), lit(7L).as("keeper")))
+            .unionAll(cust.filter(col("c_custkey") % 20 === 0)
+              .select((col("c_custkey") + 5000000L).as("doc_id"),
+                (col("c_custkey") + 1000000L).as("keeper")))
+            // crash-retried fold append: both rows of every %30 clique land
+            // twice (identical duplicates — must NOT fan out the other checks)
+            .unionAll(stored.filter(col("keeper") % 30 === 0))
+        },
+        () => {
+          // ---- residual IVF-PQ: partial code write, mixed-build cells,
+          // crash-retried duplicate append
+          graft.operators.Similarity.writeIvfPqResidualIndex(
+            Tables.table(spark, dir, "embeddings").filter(col("vec_id") < 300),
+            "vec_id", "embedding", s"$base/ivf")
+          val codes0 = spark.read.parquet(s"$base/ivf/codes").localCheckpoint()
+          codes0.filter(col("__cid") % 50 === 0 && col("s") < 3)
+            .withColumn("__cid", col("__cid") + 1000000L)
+            .write.mode("append").parquet(s"$base/ivf/codes")
+          codes0.filter(col("__cid") % 50 === 1)
+            .withColumn("__cid", col("__cid") + 2000000L)
+            .withColumn("cell", col("cell") - col("cell") + lit(999999))
+            .write.mode("append").parquet(s"$base/ivf/codes")
+          codes0.filter(col("__cid") % 50 === 2)
+            .write.mode("append").parquet(s"$base/ivf/codes")
+          graft.operators.Checkpoints.free(codes0) // all three plants landed
+        })
       plantedClusters
   }
 
@@ -3250,21 +3291,34 @@ object OperatorQueries {
       val base = s"$bm25IdxScratch/${java.util.UUID.randomUUID().toString.take(8)}"
       val planted = plantCorruptedFamilies(spark, dir, base)
       val docs = Tables.table(spark, dir, "documents").select(col("doc_id"), col("text"))
-      val repBm = graft.operators.IndexRepair.repairBm25Index(
-        spark, s"$base/bm25", termShards = 4)
-      // capture the drop set BEFORE repairing — it names the docs to
-      // re-append (the repair's own report only carries the count)
-      val mhBad = graft.operators.IndexRepair.minhashInconsistentIds(
-        spark, s"$base/mh").localCheckpoint()
-      val repMh = graft.operators.IndexRepair.repairMinhashIndex(spark, s"$base/mh")
-      graft.operators.Dedup.appendMinhashIndex(
-        docs.join(mhBad, Seq("doc_id"), "left_semi"), "doc_id", "text", s"$base/mh")
-      graft.operators.Checkpoints.free(mhBad) // re-append landed
-      val repAgg = graft.operators.IndexRepair.repairAggState(
-        spark, s"$base/agg", aggGroupCols, aggValueCols)
-      val repIvf = graft.operators.IndexRepair.repairIvfPqIndex(spark, s"$base/ivf")
-      val repaired = graft.operators.IndexRepair.repairClusterAssignment(planted)
-        .localCheckpoint()
+      // The five families repair INDEPENDENTLY (per-dir write leases, or a
+      // pure frame), so they run as concurrent jobs like the plant above
+      // (guide §2.6; VERDICT r13 #3) — the minhash chain (drop-set capture
+      // -> repair -> re-append) stays ordered inside its task, and every
+      // repair's report/readback content is unchanged.
+      @volatile var repBm: org.apache.spark.sql.DataFrame = null
+      @volatile var repMh: org.apache.spark.sql.DataFrame = null
+      @volatile var repAgg: org.apache.spark.sql.DataFrame = null
+      @volatile var repIvf: org.apache.spark.sql.DataFrame = null
+      @volatile var repaired: org.apache.spark.sql.DataFrame = null
+      concurrently(
+        () => repBm = graft.operators.IndexRepair.repairBm25Index(
+          spark, s"$base/bm25", termShards = 4),
+        () => {
+          // capture the drop set BEFORE repairing — it names the docs to
+          // re-append (the repair's own report only carries the count)
+          val mhBad = graft.operators.IndexRepair.minhashInconsistentIds(
+            spark, s"$base/mh").localCheckpoint()
+          repMh = graft.operators.IndexRepair.repairMinhashIndex(spark, s"$base/mh")
+          graft.operators.Dedup.appendMinhashIndex(
+            docs.join(mhBad, Seq("doc_id"), "left_semi"), "doc_id", "text", s"$base/mh")
+          graft.operators.Checkpoints.free(mhBad) // re-append landed
+        },
+        () => repAgg = graft.operators.IndexRepair.repairAggState(
+          spark, s"$base/agg", aggGroupCols, aggValueCols),
+        () => repIvf = graft.operators.IndexRepair.repairIvfPqIndex(spark, s"$base/ivf"),
+        () => repaired = graft.operators.IndexRepair.repairClusterAssignment(planted)
+          .localCheckpoint())
       val post = graft.operators.IndexFsck.checkMinhash(spark, s"$base/mh")
         .unionAll(graft.operators.IndexFsck.checkBm25(spark, s"$base/bm25"))
         .unionAll(graft.operators.IndexFsck.checkAggState(spark, s"$base/agg"))

@@ -130,6 +130,33 @@ object RepairProbe {
         .unionAll(graft.operators.IndexFsck.checkIvfPq(spark, s"$base/ivf"))
         .count()
     }
+
+    // ---- the shipping shape after VERDICT r13 #3: same families, plants
+    // and repairs submitted as CONCURRENT jobs (guide §2.6) — compare these
+    // two lines against the sum of the sequential per-family phases above
+    // to see the scheduling-tail overlap.
+    val base2 = s"/tmp/graft_repair_probe/${java.util.UUID.randomUUID().toString.take(8)}"
+    var planted2: org.apache.spark.sql.DataFrame = null
+    t("plant-all-parallel") {
+      planted2 = graft.queries.OperatorQueries.plantCorruptedFamilies(spark, sfDir, base2)
+    }
+    t("repairs-all-parallel") {
+      graft.queries.OperatorQueries.concurrently(
+        () => graft.operators.IndexRepair.repairBm25Index(
+          spark, s"$base2/bm25", termShards = 4).count(),
+        () => {
+          val mhBad = graft.operators.IndexRepair.minhashInconsistentIds(
+            spark, s"$base2/mh").localCheckpoint()
+          graft.operators.IndexRepair.repairMinhashIndex(spark, s"$base2/mh").count()
+          graft.operators.Dedup.appendMinhashIndex(
+            docs.join(mhBad, Seq("doc_id"), "left_semi"), "doc_id", "text", s"$base2/mh")
+          graft.operators.Checkpoints.free(mhBad)
+        },
+        () => graft.operators.IndexRepair.repairAggState(spark, s"$base2/agg", gc, vc).count(),
+        () => graft.operators.IndexRepair.repairIvfPqIndex(spark, s"$base2/ivf").count(),
+        () => graft.operators.IndexRepair.repairClusterAssignment(planted2)
+          .localCheckpoint().count())
+    }
     spark.stop()
   }
 }
