@@ -164,12 +164,19 @@ object Retrieval {
       // tokenizer validation forever; crashing after the tag but before the
       // tables instead fails loudly on the missing postings path
       Bm25Meta.write(spark, dir, Bm25Meta(TokenizerWs1))
-      postingsOf(corpus, idCol, textCol)
-        .repartition(termShards, col("term"))
-        .sortWithinPartitions("term")
-        .write.mode("overwrite").parquet(s"$dir/postings")
-      doclensOf(corpus, idCol, textCol)
-        .write.mode("overwrite").parquet(s"$dir/doclens")
+      // the two tables are independent aggregates of the same corpus and
+      // BOTH sit inside the rebuild bracket (a crash anywhere between
+      // createMarker and deleteMarker reads as the same torn rebuild
+      // regardless of which write was in flight), so they run as two
+      // concurrent jobs (guide §2.6) — the second job's tasks fill the
+      // first one's scheduling tail instead of waiting for it
+      Jobs.concurrently(
+        () => postingsOf(corpus, idCol, textCol)
+          .repartition(termShards, col("term"))
+          .sortWithinPartitions("term")
+          .write.mode("overwrite").parquet(s"$dir/postings"),
+        () => doclensOf(corpus, idCol, textCol)
+          .write.mode("overwrite").parquet(s"$dir/doclens"))
       IndexFiles.deleteMarker(spark, dir, RebuildMarker)
     }
     Bm25Index.read(spark, dir)

@@ -3091,28 +3091,12 @@ object OperatorQueries {
   // (q_op_index_repair) are graded against, factored so the two oracles
   // can never drift onto different plants. Returns the planted cluster
   // assignment (the one family checked/repaired as a DataFrame).
-  /** Run independent fixture/maintenance tasks as CONCURRENT Spark jobs
-    * (guide §2.6: driver actions are only sequential because the driver
-    * calls them sequentially; with ~25 sequential sub-second jobs the
-    * fixture build of the repo's two heaviest queries was ~60% per-job
-    * scheduling tail — VERDICT r13 #3). 2-3 jobs in flight fills the tail
-    * without fighting for executors. Use ONLY across tasks that touch
-    * DISJOINT directories/frames — each family's internal sequence stays
-    * ordered inside its own task, so no operation's semantics change.
-    * (Checkpoints' scope tracking is thread-local; leases are per-dir.)
-    * Failures propagate with their original exception type. */
-  private[graft] def concurrently(tasks: (() => Unit)*): Unit = {
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
-    try {
-      val futs = tasks.map(t => pool.submit(new java.util.concurrent.Callable[Unit] {
-        override def call(): Unit = t()
-      }))
-      futs.foreach { f =>
-        try f.get()
-        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
-      }
-    } finally pool.shutdown()
-  }
+  // independent fixture/maintenance tasks run as CONCURRENT Spark jobs
+  // (graft.operators.Jobs.concurrently — guide §2.6: with ~25 sequential
+  // sub-second jobs the fixture build of the repo's two heaviest queries
+  // was ~60% per-job scheduling tail, VERDICT r13 #3)
+  private[graft] def concurrently(tasks: (() => Unit)*): Unit =
+    graft.operators.Jobs.concurrently(tasks: _*)
 
   private[graft] def plantCorruptedFamilies(spark: org.apache.spark.sql.SparkSession,
                                             dir: String,

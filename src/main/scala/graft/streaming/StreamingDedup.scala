@@ -264,11 +264,20 @@ object StreamingDedup {
                           rowsPerBand: Int = 2, minMatches: Int = 8): Unit = {
     val (_, bsigs, _, cross) =
       checkedBatch(batch, indexDir, k, shingleN, bands, rowsPerBand, minMatches)
-    try {
-      cross.write.mode("append").parquet(pairsDir)
-      graft.operators.Dedup.appendMinhashIndexFromSigs(
-        bsigs, "doc_id", indexDir, k, shingleN, bands, rowsPerBand)
-    } finally
+    try
+      // the pair-sink write and the index fold are INDEPENDENT given the
+      // checkpointed batch signatures and the pre-append index read inside
+      // checkedBatch (the cross plan's file listing is pinned there; the
+      // fold only ADDS part files), so they run as two concurrent jobs
+      // (guide §2.6) — the crash shape this can produce (batch folded,
+      // pairs not yet written) is the documented at-least-once replay
+      // case: the replay appends nothing and the replay guard re-emits
+      // exactly the original pair rows
+      graft.operators.Jobs.concurrently(
+        () => cross.write.mode("append").parquet(pairsDir),
+        () => graft.operators.Dedup.appendMinhashIndexFromSigs(
+          bsigs, "doc_id", indexDir, k, shingleN, bands, rowsPerBand))
+    finally
       // trigger complete — without this the loop pins one batch-sized
       // signature table PER TRIGGER, unbounded in a long-lived stream
       // (VERDICT r12 #1)
@@ -318,15 +327,24 @@ object StreamingDedup {
       checkedBatch(batch, indexDir, k, shingleN, bands, rowsPerBand, minMatches)
     // materialized once: written to the pair sink AND folded below
     val cross = cross0.localCheckpoint()
-    try {
-      cross.write.mode("append").parquet(pairsDir)
-      val inBatch = graft.operators.Dedup.batchNearDupPairsFromSigs(
-        bsigs, bband, "doc_id", minMatches)
-      graft.operators.Dedup.foldClusterState(batch.sparkSession, indexDir,
-        cross, inBatch, minMatches)
-      graft.operators.Dedup.appendMinhashIndexFromSigs(
-        bsigs, "doc_id", indexDir, k, shingleN, bands, rowsPerBand)
-    } finally
+    try
+      // the pair-sink write is INDEPENDENT of the fold-then-append chain
+      // (both sides consume the cross CHECKPOINT, not the live plan; the
+      // chain's two index-dir writers stay ordered in their task — they
+      // share the index write lease), so the two run as concurrent jobs
+      // (guide §2.6); same replay reasoning as indexedNearDupBatch for the
+      // crash shapes concurrency adds
+      graft.operators.Jobs.concurrently(
+        () => cross.write.mode("append").parquet(pairsDir),
+        () => {
+          val inBatch = graft.operators.Dedup.batchNearDupPairsFromSigs(
+            bsigs, bband, "doc_id", minMatches)
+          graft.operators.Dedup.foldClusterState(batch.sparkSession, indexDir,
+            cross, inBatch, minMatches)
+          graft.operators.Dedup.appendMinhashIndexFromSigs(
+            bsigs, "doc_id", indexDir, k, shingleN, bands, rowsPerBand)
+        })
+    finally
       // trigger complete — release the per-trigger blocks (see
       // indexedNearDupBatch; the fold frees its own cross/inb projections)
       graft.operators.Checkpoints.free(bsigs, cross)
