@@ -102,7 +102,27 @@ class ScanBudgetSpec extends AnyFunSuite {
     // materialized outside this plan
     "q_dedup_minhash_cluster_merge" -> 4,
     "q_join_nonequi_cdf" -> 4,
+    // the composed ANN demos (VERDICT r13 #6): the 100 TB deployment shape
+    // is the persisted build/serve split (q_ann_ivfadc_store/_append/
+    // _compact — their returned plans read only stored index tables);
+    // these single-call demos legitimately re-derive parts of their builds
+    // in-plan, and the budgets pin that audited breadth so the composed
+    // re-evaluation can never silently DEEPEN (the SCALING §8b defect
+    // class). q_ann_ivfpq_residual / q_ann_ivfadc_rerank materialize their
+    // training stages once (round 13), so their returned plans read
+    // checkpoints plus only the probe/corpus scans counted here; the
+    // ivfpq/recall composed arms carry their full audited static breadth.
     "q_ann_ivf" -> 4,
+    "q_ann_ivf2" -> 4,
+    "q_ann_topk" -> 2,
+    "q_ann_lsh" -> 2,
+    "q_ann_int8" -> 2,
+    "q_ann_pq" -> 4,
+    "q_ann_ivfpq" -> 8,
+    "q_ann_ivfpq_residual" -> 2,
+    "q_ann_ivfadc_rerank" -> 5,
+    "q_ann_ivfpq_recall" -> 18,
+    "q_ann_recall256" -> 10,
     "q5_join_multi" -> 6,
     "q_op_semdedup" -> 6,
     // audited breadth: gopher gate + bigram LM (train + corpus sides) +
