@@ -2834,6 +2834,12 @@ object OperatorQueries {
       val docs = Tables.table(spark, dir, "documents")
       val emb = Tables.table(spark, dir, "embeddings").select("vec_id", "embedding")
       val base = s"$bm25IdxScratch/${java.util.UUID.randomUUID().toString.take(8)}"
+      // NOTE (r14, measured): overlapping the two index builds as
+      // concurrent jobs (guide §2.6) was tried and measured NEUTRAL-TO-
+      // SLOWER here (same-box warm solos, med 6.53s sequential vs 6.82s
+      // overlapped) — unlike the fixture plants, the residual-PQ build's
+      // stages saturate the cores, so there is no idle tail for the BM25
+      // build to fill; kept sequential.
       val bmIdx = Retrieval.writeBm25Index(
         docs.select("doc_id", "text"), "doc_id", "text", s"$base/bm")
       val lex = Retrieval.queryBm25Index(bmIdx, bm25IdxTopTerms(bmIdx))

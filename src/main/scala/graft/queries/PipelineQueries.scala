@@ -1255,10 +1255,22 @@ object PipelineQueries {
         .unionAll(docs.filter(col("doc_id").between(150, 159))
           .select((col("doc_id") + 400000L).as("doc_id"), col("text")))
       val base = s"$mhIdxScratch/${java.util.UUID.randomUUID().toString.take(8)}"
-      val idxA = graft.operators.Dedup.writeMinhashIndex(corpusA, "doc_id", "text", s"$base/a")
-      val idxB = graft.operators.Dedup.writeMinhashIndex(corpusB, "doc_id", "text", s"$base/b")
-      graft.operators.Dedup.writeClusterState(sp, s"$base/a", "doc_id")
-      graft.operators.Dedup.writeClusterState(sp, s"$base/b", "doc_id")
+      // the two corpora's build-then-seed chains are INDEPENDENT (disjoint
+      // dirs), so they run as concurrent jobs (guide §2.6); each chain's
+      // internal order — index first, cluster seed from it — is preserved
+      // inside its task, and the cross-check/merge below consume the
+      // returned handles unchanged
+      @volatile var idxA: graft.operators.Dedup.MinhashIndex = null
+      @volatile var idxB: graft.operators.Dedup.MinhashIndex = null
+      graft.operators.Jobs.concurrently(
+        () => {
+          idxA = graft.operators.Dedup.writeMinhashIndex(corpusA, "doc_id", "text", s"$base/a")
+          graft.operators.Dedup.writeClusterState(sp, s"$base/a", "doc_id")
+        },
+        () => {
+          idxB = graft.operators.Dedup.writeMinhashIndex(corpusB, "doc_id", "text", s"$base/b")
+          graft.operators.Dedup.writeClusterState(sp, s"$base/b", "doc_id")
+        })
       val cross = graft.operators.Dedup.crossIndexNearDups(idxA, idxB, "doc_id")
       // the dir-based spelling: validates both _cluster_meta.json tags
       // against each other and the cross-check threshold before merging
