@@ -122,6 +122,11 @@ object Bench {
     // effect auditable per round — a reproducible slow first run (cold write
     // path) reads differently from one-off JVM contention.
     val firstAttempt = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // BOTH attempt times of every retried query (first, retry) — the
+    // retry_flags classification needs the real pair: deriving it from
+    // (first, kept-min) collapses to (t, t) whenever the retry was slower,
+    // which mislabels a contended window as "monotone"
+    val retryAttempts = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     // Budget sized so the reference-relative trigger (below) cannot exhaust
     // it mid-run and leave late outliers unretried (the 20-entry budget hit
     // its cap on every r8/r9 full run once ref-triggering landed, and 32
@@ -194,6 +199,7 @@ object Bench {
           retried += q.name
           firstAttempt(q.name) = t
           val t2 = timeOnce(q)
+          if (t2 > 0) retryAttempts(q.name) = Seq(t, t2)
           if (t2 > 0 && t2 < t) t = t2
         }
         if (t >= 0) clean += t
@@ -434,10 +440,10 @@ object Bench {
     }
     val retryFlags = withS1.flatMap { case (n, t) =>
       for {
-        first <- firstAttempt.get(n)
+        ts <- retryAttempts.get(n)
         r <- refMap.get(n)
         if t > 0 && t > 2 * refDenom(r)
-      } yield n -> attemptFlag(Seq(first, t))
+      } yield n -> attemptFlag(ts)
     }
     def flagMap(m: Seq[(String, String)]) = m
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
