@@ -176,7 +176,13 @@ object Bench {
         t
       }
       qs.zipWithIndex.map { case (q, qi) =>
-        if (qi % 30 == 0) timeControl(spark)
+        // AFTER each 30-entry block (never before entry 0): a control run
+        // immediately ahead of the timed q1_agg entry would deep-warm that
+        // one entry's exact codegen path and detach its number from every
+        // previous round's (observed: 0.46 -> 0.23s, a harness artifact,
+        // reverted from the record) — the phase tail call below still
+        // closes every window
+        if (qi % 30 == 29) timeControl(spark)
         var t = timeOnce(q)
         // Outlier guard: this box runs other JVMs during driver rounds, and a
         // time-sliced query can read 5-10x its clean cost (see r3/r4 bench
